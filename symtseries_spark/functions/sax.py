@@ -1,0 +1,333 @@
+"""SAX kernels as pure PySpark Column expressions.
+
+Everything here compiles to Catalyst expression trees over built-in
+higher-order array functions (``transform`` / ``aggregate`` / ``filter`` /
+``zip_with`` / ``slice``) — no Python UDFs, so the hot path stays inside
+whole-stage codegen and scales with executors, not with the Python GIL.
+
+Parameters ``w`` (word length) and ``c`` (cardinality) are plan-time
+Python ints: the breakpoint and distance tables become literal arrays
+that Catalyst constant-folds, exactly like the reference's compile-time
+tables (/root/reference/src/symtseries.c:26-243).
+
+Semantics contract: SURVEY.md Appendix A
+(encode: src/symtseries.c:245-396,515-532; parse/format: :534-576;
+mindist: :585-636). The scalar twin of every function lives in
+:mod:`symtseries_spark.pykernel` and the two are property-tested equal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..constants import (
+    BREAKPOINTS,
+    LETTERS,
+    MINDIST_LUT,
+    MISSING,
+    STAT_EPS,
+    validate_params,
+)
+
+_INF = float("inf")
+
+
+def _let(value: Column, body) -> Column:
+    """Bind ``value`` once and use it many times inside ``body``.
+
+    Catalyst has no let-expression, and repeating an O(n) aggregate
+    sub-expression per PAA frame would multiply work by w. Wrapping the
+    value in a 1-element array and applying ``transform`` gives genuine
+    single-evaluation binding semantics.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def is_finite(col: Column) -> Column:
+    """True for non-NaN, non-±Inf values (C ``isfinite``). NULL-safe:
+    NULL input yields NULL, which every filter below treats as not-finite."""
+    return ~F.isnan(col) & (F.abs(col) != F.lit(_INF))
+
+
+def _finite(arr: Column) -> Column:
+    return F.filter(arr, lambda x: is_finite(x))
+
+
+def _stats(arr: Column) -> Column:
+    """STRUCT(mu, std) over the finite elements of ``arr`` — mean and
+    *population* stddev, 0 when no finite values (src/symtseries.c:257-280).
+
+    Two-pass form: mean first, then sum of squared deviations. This matches
+    the numerical quality of the reference's Welford pass (its own property
+    test equates them at 1e-2; src/symtseries.c:867-920).
+    """
+
+    def with_finite(fin: Column) -> Column:
+        cnt = F.size(fin)
+        total = F.aggregate(fin, F.lit(0.0), lambda acc, x: acc + x)
+        mu = F.when(cnt > 0, total / cnt).otherwise(F.lit(0.0))
+
+        def with_mu(m: Column) -> Column:
+            ssd = F.aggregate(fin, F.lit(0.0), lambda acc, x: acc + (x - m) * (x - m))
+            std = F.when(cnt > 0, F.sqrt(ssd / cnt)).otherwise(F.lit(0.0))
+            return F.struct(m.alias("mu"), std.alias("std"))
+
+        return _let(mu, with_mu)
+
+    return _let(_finite(arr), with_finite)
+
+
+def _breaks_lit(c: int) -> Column:
+    return F.array(*[F.lit(b) for b in BREAKPOINTS[c]])
+
+
+def _bucket(z: Column, c: int) -> Column:
+    """Letter index of a z-scored value: #breakpoints <= z (strict
+    ``value < break`` boundary rule, src/symtseries.c:245-254). ±Inf
+    saturates to the extreme buckets naturally."""
+    return F.size(F.filter(_breaks_lit(c), lambda b: b <= z))
+
+
+def sax_letters(arr: Column, w: int, c: int) -> Column:
+    """SAX-encode an ``array<double>`` column to an ``array<int>`` of
+    letter indices (0 = 'A' = lowest bucket, c-1 = highest, c = missing).
+
+    The array length must be a multiple of ``w`` (rows violating this
+    yield NULL — the expression equivalent of the reference's NULL return,
+    src/symtseries.c:515-521).
+    """
+    validate_params(w * 2, w, c)  # validates (w, c) domains; n checked per-row
+
+    def encode_with(stats: Column) -> Column:
+        mu, std = stats["mu"], stats["std"]
+        f = F.floor(F.size(arr) / w).cast("int")  # frame size n/w
+
+        def frame_letter(i: Column) -> Column:
+            frame = F.slice(arr, i * f + 1, f)
+            nonnan = F.filter(frame, lambda x: ~F.isnan(x))
+            fcnt = F.size(nonnan)
+            fsum = F.aggregate(nonnan, F.lit(0.0), lambda acc, x: acc + x)
+            z = F.when(std < F.lit(STAT_EPS), F.lit(0.0)).otherwise(
+                (fsum - fcnt * mu) / (fcnt * std)
+            )
+            return (
+                F.when((fcnt == 0) | F.isnan(fsum), F.lit(c))  # '#'
+                .when(fsum == F.lit(_INF), F.lit(c - 1))
+                .when(fsum == F.lit(-_INF), F.lit(0))
+                .otherwise(_bucket(z, c))
+            )
+
+        return F.transform(F.sequence(F.lit(0), F.lit(w - 1)), frame_letter)
+
+    result = _let(_stats(arr), encode_with)
+    valid = arr.isNotNull() & (F.size(arr) % w == 0) & (F.size(arr) > 0)
+    return F.when(valid, result)
+
+
+def _letters_lit(c: int) -> Column:
+    return F.array(*[F.lit(ch) for ch in LETTERS[:c]], F.lit(MISSING))
+
+
+def sax_format(indices: Column, c: int) -> Column:
+    """Letter-index array -> canonical SAX string (src/symtseries.c:556-576).
+    NULL in, NULL out (``concat_ws`` would otherwise turn NULL into '')."""
+    letters = _letters_lit(c)
+    return F.when(
+        indices.isNotNull(),
+        F.concat_ws("", F.transform(indices, lambda i: F.element_at(letters, i + 1))),
+    )
+
+
+def sax_encode(arr: Column, w: int, c: int) -> Column:
+    """``array<double>`` -> SAX string; the flagship batch expression
+    (reference ``sts_from_double_array`` + ``to_sax_string``)."""
+    return _let(sax_letters(arr, w, c), lambda idx: sax_format(idx, c))
+
+
+def sax_parse(word: Column, c: int) -> Column:
+    """SAX string -> ``array<int>`` letter indices; invalid letters for the
+    cardinality yield NULL elements (strict validation belongs to the
+    Python-side API for literal patterns; src/symtseries.c:534-554)."""
+    chars = F.transform(F.sequence(F.lit(1), F.length(word)), lambda i: word.substr(i, F.lit(1)))
+    return F.transform(
+        chars,
+        lambda ch: F.when(ch == MISSING, F.lit(c)).otherwise(
+            F.when(
+                (F.ascii(ch) >= 65) & (F.ascii(ch) < 65 + c), F.ascii(ch) - 65
+            )
+        ),
+    )
+
+
+def sax_mindist_parts(
+    a: Column,
+    b: Column,
+    *,
+    c: int,
+    n: Column | int | None = None,
+) -> Column:
+    """MINDIST between two equal-length letter-index arrays of cardinality
+    ``c`` -> STRUCT(dist, above, below).
+
+    ``n`` is the number of raw values each word summarizes (the
+    compression scale √(n/w)); defaults to w (compression 1), matching
+    the reference's both-wildcard rule. ``above`` accumulates positions
+    where a's bucket is higher-valued than b's. The (w, c, n)
+    compatibility gates are enforced by the callers/join predicates —
+    plan-time in Spark, not per-row (src/symtseries.c:585-636).
+    """
+    lut = F.array(*[F.lit(d) for d in MINDIST_LUT[c]])
+
+    def contrib(la: Column, lb: Column) -> Column:
+        la2 = F.when(
+            la == c, F.when(lb < F.lit(c - 1) - lb, F.lit(c - 1)).otherwise(F.lit(0))
+        ).otherwise(la)
+        lb2 = F.when(
+            lb == c, F.when(la < F.lit(c - 1) - la, F.lit(c - 1)).otherwise(F.lit(0))
+        ).otherwise(lb)
+
+        def with_pair(pair: Column) -> Column:
+            d = F.element_at(lut, pair["x"] * c + pair["y"] + 1)
+            return F.struct(
+                (d * d).alias("d2"), (pair["x"] > pair["y"]).alias("is_above")
+            )
+
+        return F.when(
+            la == lb, F.struct(F.lit(0.0).alias("d2"), F.lit(False).alias("is_above"))
+        ).otherwise(_let(F.struct(la2.alias("x"), lb2.alias("y")), with_pair))
+
+    pairs = F.zip_with(a, b, contrib)
+    sums = F.aggregate(
+        pairs,
+        F.struct(F.lit(0.0).alias("ab"), F.lit(0.0).alias("be")),
+        lambda acc, p: F.struct(
+            (acc["ab"] + F.when(p["is_above"], p["d2"]).otherwise(0.0)).alias("ab"),
+            (acc["be"] + F.when(~p["is_above"], p["d2"]).otherwise(0.0)).alias("be"),
+        ),
+    )
+
+    w = F.size(a)
+    n_col = F.lit(n) if isinstance(n, int) else (n if n is not None else w)
+
+    def finish(s: Column) -> Column:
+        comp = F.sqrt(n_col.cast("double") / w)
+        return F.struct(
+            (comp * F.sqrt(s["ab"] + s["be"])).alias("dist"),
+            (comp * F.sqrt(s["ab"])).alias("above"),
+            (comp * F.sqrt(s["be"])).alias("below"),
+        )
+
+    compatible = a.isNotNull() & b.isNotNull() & (F.size(a) == F.size(b))
+    return F.when(compatible, _let(sums, finish))
+
+
+def sax_mindist(a: Column, b: Column, *, c: int, n: Column | int | None = None) -> Column:
+    """Scalar MINDIST (the reference's ``sts_mindist`` wrapper)."""
+    return sax_mindist_parts(a, b, c=c, n=n)["dist"]
+
+
+# ---------------------------------------------------------------------------
+# codegen-path variants
+#
+# The array/HOF kernels above are the general form, but Spark evaluates
+# higher-order functions interpreted (outside whole-stage codegen), which
+# costs ~µs per call — too slow for per-row sliding windows or per-pair
+# all-pairs joins at scale. The variants below unroll the fixed plan-time
+# (w, c) into flat scalar expressions (substring/ascii/element_at on
+# literal arrays/CASE), which codegen compiles to tight JVM loops.
+
+
+def _contrib_const(la: int, lb: int, c: int) -> tuple[float, bool]:
+    """(d2, is_above) for a known symbol pair (plan-time)."""
+    if la == lb:
+        return 0.0, False
+    la2, lb2 = la, lb
+    if la == c:
+        la2 = c - 1 if lb < c - 1 - lb else 0
+    elif lb == c:
+        lb2 = c - 1 if la < c - 1 - la else 0
+    d = MINDIST_LUT[c][la2 * c + lb2]
+    return d * d, la2 > lb2
+
+
+def sax_mindist_to_literal(
+    word: Column, pattern_indices: list[int], *, c: int, n: Column | int | None = None
+) -> Column:
+    """MINDIST from a SAX-string column to a *literal* pattern ->
+    STRUCT(dist, above, below). Every position's contribution is
+    precomputed per possible letter at plan time, so the expression is a
+    flat sum of CASE lookups — fully inside whole-stage codegen."""
+    w = len(pattern_indices)
+    alphabet = [*LETTERS[:c], MISSING]
+    total_terms: list[Column] = []
+    above_terms: list[Column] = []
+    for i, lb in enumerate(pattern_indices, start=1):
+        ch = F.substring(word, i, 1)
+        t: Column | None = None
+        a: Column | None = None
+        for la_pos, la_ch in enumerate(alphabet):
+            la = c if la_ch == MISSING else la_pos
+            d2, is_above = _contrib_const(la, lb, c)
+            if d2:
+                t = (F.when(ch == la_ch, d2) if t is None else t.when(ch == la_ch, d2))
+                if is_above:
+                    a = (F.when(ch == la_ch, d2) if a is None else a.when(ch == la_ch, d2))
+        if t is not None:
+            total_terms.append(t.otherwise(0.0))
+        if a is not None:
+            above_terms.append(a.otherwise(0.0))
+
+    total = sum(total_terms, F.lit(0.0))
+    above = sum(above_terms, F.lit(0.0))
+    n_col = F.lit(n) if isinstance(n, int) else (n if n is not None else F.lit(w))
+    comp = F.sqrt(n_col.cast("double") / F.lit(w))
+    return F.struct(
+        (comp * F.sqrt(total)).alias("dist"),
+        (comp * F.sqrt(above)).alias("above"),
+        (comp * F.sqrt(total - above)).alias("below"),
+    )
+
+
+def sax_word_mindist(
+    word_a: Column, word_b: Column, *, w: int, c: int, n: Column | int | None = None
+) -> Column:
+    """MINDIST between two SAX-string columns of known (w, c) ->
+    STRUCT(dist, above, below), unrolled per position with literal-array
+    lookups — codegen-friendly for all-pairs joins.
+
+    Letter chars map to substituted letter indices via a CASE pair, then
+    ``element_at`` into the flat plan-time LUT (src/symtseries.c:585-636).
+    """
+    lut2 = F.array(*[F.lit(d * d) for d in MINDIST_LUT[c]])
+
+    def letter_idx(ch: Column) -> Column:
+        # '#' -> c, letters -> 0..c-1 (ascii('A') = 65)
+        return F.when(ch == MISSING, F.lit(c)).otherwise(F.ascii(ch) - 65)
+
+    def substituted(own: Column, other: Column) -> Column:
+        return F.when(
+            own == c,
+            F.when(other < F.lit(c - 1) - other, F.lit(c - 1)).otherwise(F.lit(0)),
+        ).otherwise(own)
+
+    total = F.lit(0.0)
+    above = F.lit(0.0)
+    for i in range(1, w + 1):
+        la = letter_idx(F.substring(word_a, i, 1))
+        lb = letter_idx(F.substring(word_b, i, 1))
+        la2 = substituted(la, lb)
+        lb2 = substituted(lb, la)
+        d2 = F.when(la == lb, F.lit(0.0)).otherwise(
+            F.element_at(lut2, la2 * c + lb2 + 1)
+        )
+        total = total + d2
+        above = above + F.when((la != lb) & (la2 > lb2), d2).otherwise(0.0)
+
+    n_col = F.lit(n) if isinstance(n, int) else (n if n is not None else F.lit(w))
+    comp = F.sqrt(n_col.cast("double") / F.lit(w))
+    return F.struct(
+        (comp * F.sqrt(total)).alias("dist"),
+        (comp * F.sqrt(above)).alias("above"),
+        (comp * F.sqrt(total - above)).alias("below"),
+    )

@@ -1,0 +1,194 @@
+"""Windowed SAX word extraction over long-form series tables.
+
+Input shape is always the production-long form ``(key, order, value)``
+— e.g. the testdata ``events`` table as ``(user_id, ts, value)``.
+
+Scale notes (the 100 TB contract):
+
+* Each operator shuffles **once**, on the series key — the same hash
+  partitioning a 1000-executor cluster would use; no driver-side
+  collection anywhere.
+* The per-row state after windowing is an ``array<double>`` of length
+  n <= 4096 (reference cap) that immediately collapses to a <=2048-char
+  word, so shuffle width is bounded and small.
+* Skew: series keys with pathological row counts can be salted upstream;
+  AQE skew-join handling covers the join consumers downstream.
+* All expressions are JVM-side (no Python UDFs) — see functions/sax.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..constants import BREAKPOINTS, LETTERS, MISSING, STAT_EPS, validate_params
+from ..functions.sax import is_finite, sax_encode
+
+_NAN = float("nan")
+_INF = float("inf")
+
+
+def _value_as_double(value: str | Column) -> Column:
+    # NULL measurements behave like the reference's NaN ("missing") inputs
+    col = F.col(value) if isinstance(value, str) else value
+    return F.coalesce(col.cast("double"), F.lit(_NAN))
+
+
+def sliding_sax(
+    df: DataFrame,
+    *,
+    key: str,
+    order: str | list[str],
+    value: str,
+    n: int,
+    w: int,
+    c: int,
+    out: str = "sax_word",
+    emit_partial: bool = True,
+) -> DataFrame:
+    """Per-row sliding-window SAX word: for every event, the word over the
+    last ``n`` values of its series — the batch twin of the reference's
+    emit-on-every-append window (src/symtseries.c:481-492).
+
+    Partial windows (the first n-1 rows of each series) are NaN-padded at
+    the *front*, yielding leading '#' frames exactly like the reference's
+    NaN-prefilled ring buffer (src/symtseries.c:313-315); pass
+    ``emit_partial=False`` to keep only full windows.
+    """
+    validate_params(n, w, c)
+    f = n // w
+    order_cols = [order] if isinstance(order, str) else list(order)
+    base = Window.partitionBy(key).orderBy(*order_cols)
+    full = base.rowsBetween(-(n - 1), 0)
+
+    # Implementation note: this is NOT the array collect_list + sax_encode
+    # form — Spark evaluates higher-order array functions interpreted,
+    # which costs ~1ms/row. Instead each PAA frame is its own window
+    # aggregate over a row sub-frame and the bucketing is a CASE chain:
+    # everything stays inside whole-stage codegen, and WindowExec computes
+    # all 2w+2 aggregates in one sorted pass per partition.
+    v = _value_as_double(value)
+    vf = F.when(is_finite(v), v)  # stats see only finite values
+    vn = F.when(~F.isnan(v), v)  # frames skip NaN but keep ±Inf
+    stage = df.withColumn("__vf", vf).withColumn("__vn", vn)
+
+    mu = F.avg("__vf").over(full)
+    sigma = F.coalesce(F.stddev_pop("__vf").over(full), F.lit(0.0))
+
+    letters = []
+    for j in range(w):
+        lo = j * f - (n - 1)  # frame j in window offsets (0 = current row)
+        frame = base.rowsBetween(lo, lo + f - 1)
+        s = F.sum("__vn").over(frame)
+        cnt = F.count("__vn").over(frame)
+        z = F.when(sigma < STAT_EPS, F.lit(0.0)).otherwise(
+            (s - cnt * mu) / (cnt * sigma)
+        )
+        bucket = F.when(z < BREAKPOINTS[c][0], LETTERS[0])
+        for i, b in enumerate(BREAKPOINTS[c][1:], start=1):
+            bucket = bucket.when(z < b, LETTERS[i])
+        bucket = bucket.otherwise(LETTERS[c - 1])
+        letters.append(
+            F.when((cnt == 0) | F.isnan(s), MISSING)
+            .when(s == F.lit(_INF), LETTERS[c - 1])
+            .when(s == F.lit(-_INF), LETTERS[0])
+            .otherwise(bucket)
+        )
+
+    result = stage.withColumn(out, F.concat(*letters)).drop("__vf", "__vn")
+    if not emit_partial:
+        cnt_rows = F.count(F.lit(1)).over(full)
+        result = (
+            result.withColumn("__cnt", cnt_rows)
+            .where(F.col("__cnt") == n)
+            .drop("__cnt")
+        )
+    return result
+
+
+def tumbling_sax(
+    df: DataFrame,
+    *,
+    key: str,
+    order: str | list[str],
+    value: str,
+    n: int,
+    w: int,
+    c: int,
+    out: str = "sax_word",
+    keep_partial: bool = False,
+) -> DataFrame:
+    """Non-overlapping windows of ``n`` consecutive rows per series key ->
+    one row ``(key, window_id, sax_word)`` per window.
+
+    One shuffle (partitionBy key for row_number) + a map-side-combinable
+    groupBy on (key, window_id). Partial trailing windows are dropped by
+    default (their length is not a multiple of w); with
+    ``keep_partial=True`` they are NaN-padded at the *back* to n values.
+    """
+    validate_params(n, w, c)
+    order_cols = [order] if isinstance(order, str) else list(order)
+    rn = F.row_number().over(Window.partitionBy(key).orderBy(*order_cols))
+    with_id = df.select(
+        F.col(key).alias("series_key"),
+        ((rn - 1) / n).cast("long").alias("window_id"),
+        ((rn - 1) % n).alias("pos"),
+        _value_as_double(value).alias("v"),
+    )
+    grouped = with_id.groupBy("series_key", "window_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
+        ).alias("vals")
+    )
+    if keep_partial:
+        vals = F.concat(
+            F.col("vals"),
+            F.array_repeat(F.lit(_NAN), F.lit(n) - F.size("vals")),
+        )
+    else:
+        grouped = grouped.where(F.size("vals") == n)
+        vals = F.col("vals")
+    return grouped.select(
+        "series_key", "window_id", sax_encode(vals, w, c).alias(out)
+    )
+
+
+def whole_series_sax(
+    df: DataFrame,
+    *,
+    key: str,
+    order: str | list[str],
+    value: str,
+    w: int,
+    c: int,
+    out: str = "sax_word",
+) -> DataFrame:
+    """One SAX word per series over its entire history, plus the series
+    length ``n`` (needed for mindist compression scaling).
+
+    Series whose length is not a multiple of ``w`` are truncated to the
+    largest multiple (engine extension; the reference would reject them,
+    src/symtseries.c:515-521). Series shorter than ``w`` are dropped.
+    """
+    order_cols = [order] if isinstance(order, str) else list(order)
+    grouped = (
+        df.groupBy(F.col(key).alias("series_key"))
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(*[F.col(o) for o in order_cols], _value_as_double(value).alias("v"))
+                    )
+                ),
+                lambda s: s["v"],
+            ).alias("vals")
+        )
+        .where(F.size("vals") >= w)
+    )
+    usable = (F.floor(F.size("vals") / w) * w).cast("int")
+    truncated = F.slice(F.col("vals"), 1, usable)
+    return grouped.select(
+        "series_key",
+        F.size(truncated).alias("n"),
+        sax_encode(truncated, w, c).alias(out),
+    )

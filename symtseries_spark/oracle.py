@@ -1,0 +1,257 @@
+"""DuckDB/ANSI-SQL oracle generators for the driver's correctness gate.
+
+Every engine query in ``__spark_entry__.queries()`` gets a semantically
+equivalent SQL string generated here (same column names, same values).
+The SQL re-derives SAX from first principles — window aggregates + CASE
+bucketing + VALUES lookup tables — sharing nothing with the Spark
+expression implementation except the constant tables, which makes it a
+genuine independent oracle.
+
+All generated SQL is plain aggregate/window/CASE/VALUES SQL that DuckDB
+executes directly.
+"""
+
+from __future__ import annotations
+
+from .constants import BREAKPOINTS, LETTERS, MINDIST_LUT, MISSING, STAT_EPS
+from . import pykernel as pk
+
+
+def _letters(c: int) -> str:
+    return LETTERS[:c]
+
+
+def _dlit(x: float) -> str:
+    """Double literal: DuckDB parses bare decimal literals as DECIMAL and
+    overflows when summing many of them; force DOUBLE."""
+    return f"CAST({x!r} AS DOUBLE)"
+
+
+def bucket_case(z_expr: str, c: int) -> str:
+    """CASE mapping a z-score expression to its SAX letter (strict
+    ``value < break`` boundary semantics)."""
+    parts = ["CASE"]
+    for i, b in enumerate(BREAKPOINTS[c]):
+        parts.append(f"WHEN ({z_expr}) < {b!r} THEN '{LETTERS[i]}'")
+    parts.append(f"ELSE '{LETTERS[c - 1]}' END")
+    return " ".join(parts)
+
+
+def frame_letter(sum_expr: str, cnt_expr: str, mu: str, sigma: str, c: int) -> str:
+    """Letter for one PAA frame given its non-null sum/count and the
+    window-level stats (flat-series rule sigma < STAT_EPS -> z = 0)."""
+    z = (
+        f"CASE WHEN {sigma} < {STAT_EPS} THEN 0.0 "
+        f"ELSE (({sum_expr}) - ({cnt_expr}) * {mu}) / (({cnt_expr}) * {sigma}) END"
+    )
+    return (
+        f"CASE WHEN ({cnt_expr}) = 0 THEN '{MISSING}' ELSE {bucket_case(z, c)} END"
+    )
+
+
+def sliding_words_sql(
+    n: int,
+    w: int,
+    c: int,
+    *,
+    table: str = "events",
+    key: str = "user_id",
+    order: str = "ts, event_id",
+    value: str = "value",
+    id_cols: str = "user_id, event_id",
+) -> str:
+    """Per-row sliding-window SAX words via lag(): emits for every row,
+    front-padding missing history with NULL (== the engine's NaN padding)."""
+    f = n // w
+    lags = ",\n         ".join(
+        f"lag({value}, {n - 1 - k}) OVER o AS v{k}" for k in range(n - 1)
+    ) + f",\n         {value} AS v{n - 1}"
+    letter_exprs = []
+    for j in range(w):
+        vs = [f"v{j * f + t}" for t in range(f)]
+        s = " + ".join(f"coalesce({v}, 0)" for v in vs)
+        cnt = " + ".join(f"(CASE WHEN {v} IS NOT NULL THEN 1 ELSE 0 END)" for v in vs)
+        letter_exprs.append(frame_letter(s, cnt, "mu", "sigma", c))
+    word = " || ".join(f"({e})" for e in letter_exprs)
+    return f"""
+WITH ord AS (
+  SELECT {id_cols}, {value},
+         row_number() OVER (PARTITION BY {key} ORDER BY {order}) AS rn
+  FROM {table}
+), win AS (
+  SELECT {id_cols},
+         avg({value}) OVER wf AS mu,
+         coalesce(stddev_pop({value}) OVER wf, 0.0) AS sigma,
+         {lags}
+  FROM ord
+  WINDOW wf AS (PARTITION BY {key} ORDER BY rn ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW),
+         o AS (PARTITION BY {key} ORDER BY rn)
+)
+SELECT {id_cols}, {word} AS sax_word FROM win
+"""
+
+
+def tumbling_words_sql(
+    n: int,
+    w: int,
+    c: int,
+    *,
+    table: str = "events",
+    key: str = "user_id",
+    order: str = "ts, event_id",
+    value: str = "value",
+) -> str:
+    """Full tumbling windows of n consecutive rows per key ->
+    (series_key, window_id, sax_word)."""
+    f = n // w
+    frame_aggs = []
+    for j in range(w):
+        lo, hi = j * f, (j + 1) * f - 1
+        frame_aggs.append(
+            f"sum(CASE WHEN p BETWEEN {lo} AND {hi} THEN {value} END) AS s{j},\n"
+            f"         count(CASE WHEN p BETWEEN {lo} AND {hi} THEN {value} END) AS c{j}"
+        )
+    letters = " || ".join(
+        f"({frame_letter(f's{j}', f'c{j}', 'mu', 'sigma', c)})" for j in range(w)
+    )
+    return f"""
+WITH ord AS (
+  SELECT {key} AS series_key, {value},
+         row_number() OVER (PARTITION BY {key} ORDER BY {order}) AS rn
+  FROM {table}
+), pos AS (
+  SELECT series_key, {value},
+         CAST(floor((rn - 1) / {n}) AS BIGINT) AS window_id,
+         CAST((rn - 1) % {n} AS INT) AS p
+  FROM ord
+), grp AS (
+  SELECT series_key, window_id,
+         count({value}) AS finite_cnt, count(*) AS total_cnt,
+         avg({value}) AS mu,
+         coalesce(stddev_pop({value}), 0.0) AS sigma,
+         {",".join(frame_aggs)}
+  FROM pos
+  GROUP BY series_key, window_id
+  HAVING count(*) = {n}
+)
+SELECT series_key, window_id, {letters} AS sax_word FROM grp
+"""
+
+
+def whole_series_words_sql(
+    w: int,
+    c: int,
+    *,
+    table: str = "events",
+    key: str = "user_id",
+    order: str = "ts, event_id",
+    value: str = "value",
+) -> str:
+    """One word per series over its history truncated to a multiple of w
+    -> (series_key, n, sax_word). Uses per-series frame size n/w."""
+    return f"""
+WITH ord AS (
+  SELECT {key} AS series_key, {value} AS v,
+         row_number() OVER (PARTITION BY {key} ORDER BY {order}) AS rn,
+         count(*) OVER (PARTITION BY {key}) AS series_len
+  FROM {table}
+), trunc AS (
+  SELECT series_key, v, rn,
+         CAST(floor(series_len / {w}) * {w} AS BIGINT) AS usable
+  FROM ord
+  WHERE rn <= floor(series_len / {w}) * {w}
+    AND series_len >= {w}
+), framed AS (
+  SELECT series_key, v, usable,
+         CAST(floor((rn - 1) / (usable / {w})) AS INT) AS frame_id
+  FROM trunc
+), stats AS (
+  SELECT series_key, usable AS n,
+         avg(v) AS mu, coalesce(stddev_pop(v), 0.0) AS sigma
+  FROM trunc GROUP BY series_key, usable
+), frames AS (
+  SELECT series_key, frame_id, sum(v) AS fsum, count(v) AS fcnt
+  FROM framed GROUP BY series_key, frame_id
+), lettered AS (
+  SELECT f.series_key, s.n, f.frame_id,
+         {frame_letter('f.fsum', 'f.fcnt', 's.mu', 's.sigma', c)} AS letter
+  FROM frames f JOIN stats s ON f.series_key = s.series_key
+)
+SELECT series_key, CAST(n AS INT) AS n,
+       string_agg(letter, '' ORDER BY frame_id) AS sax_word
+FROM lettered
+GROUP BY series_key, n
+"""
+
+
+def _position_contrib(la_idx: int, lb_idx: int, c: int) -> tuple[float, bool]:
+    """(d2, is_above) for one aligned symbol pair — same substitution and
+    reversed-order accounting as pykernel.mindist_parts."""
+    if la_idx == lb_idx:
+        return 0.0, False
+    la2, lb2 = la_idx, lb_idx
+    if la_idx == c:
+        la2 = c - 1 if lb_idx < c - 1 - lb_idx else 0
+    elif lb_idx == c:
+        lb2 = c - 1 if la_idx < c - 1 - la_idx else 0
+    d = MINDIST_LUT[c][la2 * c + lb2]
+    return d * d, la2 > lb2
+
+
+def mindist_pattern_exprs(
+    word_expr: str,
+    pattern: str,
+    *,
+    c: int,
+    n_expr: str,
+) -> dict[str, str]:
+    """SQL expressions (dist, above, below) for mindist(word, pattern)
+    with a literal pattern: each position's contribution is precomputed
+    per possible letter, so the SQL is a flat sum of CASE lookups."""
+    pat = pk.parse(pattern, c)
+    w = len(pat)
+    alphabet = list(_letters(c)) + [MISSING]
+    total_terms, above_terms = [], []
+    for i, lb in enumerate(pat, start=1):
+        cases_total, cases_above = [], []
+        for la_idx, la in enumerate(alphabet):
+            la_i = c if la == MISSING else la_idx
+            d2, is_above = _position_contrib(la_i, lb, c)
+            if d2:
+                cases_total.append(f"WHEN '{la}' THEN {_dlit(d2)}")
+                if is_above:
+                    cases_above.append(f"WHEN '{la}' THEN {_dlit(d2)}")
+        ch = f"substr({word_expr}, {i}, 1)"
+        total_terms.append(
+            f"(CASE {ch} {' '.join(cases_total)} ELSE 0.0 END)" if cases_total else "0.0"
+        )
+        above_terms.append(
+            f"(CASE {ch} {' '.join(cases_above)} ELSE 0.0 END)" if cases_above else "0.0"
+        )
+    comp = f"sqrt(CAST({n_expr} AS DOUBLE) / {w})"
+    total = " + ".join(total_terms)
+    above = " + ".join(above_terms)
+    return {
+        "dist": f"{comp} * sqrt({total})",
+        "above": f"{comp} * sqrt({above})",
+        "below": f"{comp} * sqrt(({total}) - ({above}))",
+    }
+
+
+def mindist_lut_values(c: int) -> str:
+    """VALUES table of every aligned letter-pair contribution after '#'
+    substitution: (la, lb, d2, is_above). Join target for word-vs-word
+    mindist in SQL."""
+    alphabet = list(_letters(c)) + [MISSING]
+    rows = []
+    for ia, la in enumerate(alphabet):
+        for ib, lb in enumerate(alphabet):
+            la_i = c if la == MISSING else ia
+            lb_i = c if lb == MISSING else ib
+            d2, is_above = _position_contrib(la_i, lb_i, c)
+            rows.append(f"('{la}', '{lb}', {_dlit(d2)}, {str(is_above).upper()})")
+    return "(VALUES " + ", ".join(rows) + ") AS lut(la, lb, d2, is_above)"
+
+
+def positions_values(w: int) -> str:
+    return "(VALUES " + ", ".join(f"({i})" for i in range(1, w + 1)) + ") AS pos(i)"

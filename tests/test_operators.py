@@ -1,0 +1,182 @@
+"""Operator-level tests: the windowed operators and codegen-path distance
+variants must match the pure-Python reference on randomized data,
+including NaN/±Inf mixes that the DuckDB oracle (clean testdata) never
+exercises."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from symtseries_spark import pykernel as pk
+from symtseries_spark.functions.sax import sax_mindist_to_literal, sax_word_mindist
+from symtseries_spark.operators import (
+    allpairs_within,
+    sliding_sax,
+    tumbling_sax,
+    whole_series_sax,
+)
+
+NAN = float("nan")
+INF = float("inf")
+
+
+def _series(rng, n, dirty=True):
+    out = []
+    for _ in range(n):
+        r = rng.random()
+        if dirty and r < 0.08:
+            out.append(NAN)
+        elif dirty and r < 0.12:
+            out.append(INF if rng.random() < 0.5 else -INF)
+        else:
+            out.append(rng.uniform(-50, 50))
+    return out
+
+
+@pytest.fixture(scope="module")
+def long_df(spark):
+    rng = random.Random(99)
+    rows = []
+    for key in range(8):
+        for seq, v in enumerate(_series(rng, rng.choice([5, 17, 40, 64]))):
+            rows.append((key, seq, v))
+    return (
+        spark.createDataFrame(rows, "key int, seq int, v double"),
+        rows,
+    )
+
+
+def test_sliding_matches_pykernel_replay(spark, long_df):
+    df, rows = long_df
+    n, w, c = 8, 4, 8
+    got = {
+        (r["key"], r["seq"]): r["sax_word"]
+        for r in sliding_sax(df, key="key", order="seq", value="v", n=n, w=w, c=c).collect()
+    }
+    by_key: dict[int, list] = {}
+    for key, seq, v in sorted(rows):
+        by_key.setdefault(key, []).append((seq, v))
+    for key, series in by_key.items():
+        win = pk.SlidingWindow(n, w, c)
+        for seq, v in series:
+            expected = win.append(v)
+            assert got[(key, seq)] == expected, (key, seq, got[(key, seq)], expected)
+
+
+def test_sliding_full_windows_only(spark, long_df):
+    df, rows = long_df
+    got = sliding_sax(
+        df, key="key", order="seq", value="v", n=8, w=4, c=8, emit_partial=False
+    )
+    counts = {r["key"]: r["cnt"] for r in got.groupBy("key").agg(F.count("*").alias("cnt")).collect()}
+    by_key: dict[int, int] = {}
+    for key, seq, v in rows:
+        by_key[key] = by_key.get(key, 0) + 1
+    for key, total in by_key.items():
+        expected = max(0, total - 7)
+        assert counts.get(key, 0) == expected
+
+
+def test_tumbling_matches_pykernel(spark, long_df):
+    df, rows = long_df
+    n, w, c = 8, 2, 5
+    got = {
+        (r["series_key"], r["window_id"]): r["sax_word"]
+        for r in tumbling_sax(df, key="key", order="seq", value="v", n=n, w=w, c=c).collect()
+    }
+    by_key: dict[int, list] = {}
+    for key, seq, v in sorted(rows):
+        by_key.setdefault(key, []).append(v)
+    expected_count = 0
+    for key, series in by_key.items():
+        for wid in range(len(series) // n):
+            chunk = series[wid * n : (wid + 1) * n]
+            assert got[(key, wid)] == pk.encode(chunk, w, c), (key, wid)
+            expected_count += 1
+    assert len(got) == expected_count
+
+
+def test_whole_series_matches_pykernel(spark, long_df):
+    df, rows = long_df
+    w, c = 4, 8
+    got = {
+        r["series_key"]: (r["n"], r["sax_word"])
+        for r in whole_series_sax(df, key="key", order="seq", value="v", w=w, c=c).collect()
+    }
+    by_key: dict[int, list] = {}
+    for key, seq, v in sorted(rows):
+        by_key.setdefault(key, []).append(v)
+    for key, series in by_key.items():
+        usable = (len(series) // w) * w
+        if usable < w:
+            assert key not in got
+            continue
+        assert got[key][0] == usable
+        assert got[key][1] == pk.encode(series[:usable], w, c)
+
+
+def test_codegen_mindist_variants_match_pykernel(spark):
+    rng = random.Random(5)
+    for c in (3, 8, 16):
+        alphabet = [pk.letter_of(i, c) for i in range(c)] + ["#"]
+        w = 6
+        pairs = [
+            (
+                "".join(rng.choice(alphabet) for _ in range(w)),
+                "".join(rng.choice(alphabet) for _ in range(w)),
+                w * rng.choice([1, 3]),
+            )
+            for _ in range(120)
+        ]
+        df = spark.createDataFrame(pairs, "wa string, wb string, n int")
+        got = df.select(
+            "wa", "wb", "n",
+            sax_word_mindist(F.col("wa"), F.col("wb"), w=w, c=c, n=F.col("n")).alias("m"),
+        ).collect()
+        for r in got:
+            exp = pk.mindist_parts(
+                pk.parse(r["wa"], c), pk.parse(r["wb"], c), c=c, n_a=r["n"], n_b=r["n"]
+            )
+            assert abs(r["m"]["dist"] - exp[0]) < 1e-9
+            assert abs(r["m"]["above"] - exp[1]) < 1e-9
+            assert abs(r["m"]["below"] - exp[2]) < 1e-9
+
+        pattern = "".join(rng.choice(alphabet) for _ in range(w))
+        got2 = df.select(
+            "wa", "n",
+            sax_mindist_to_literal(
+                F.col("wa"), pk.parse(pattern, c), c=c, n=F.col("n")
+            ).alias("m"),
+        ).collect()
+        for r in got2:
+            exp = pk.mindist_parts(
+                pk.parse(r["wa"], c), pk.parse(pattern, c), c=c, n_a=r["n"], n_b=r["n"]
+            )
+            assert abs(r["m"]["dist"] - exp[0]) < 1e-9
+            assert abs(r["m"]["above"] - exp[1]) < 1e-9
+            assert abs(r["m"]["below"] - exp[2]) < 1e-9
+
+
+def test_allpairs_matches_bruteforce(spark):
+    rng = random.Random(21)
+    c, w, n = 4, 4, 16
+    alphabet = [pk.letter_of(i, c) for i in range(c)]
+    words = [(k, "".join(rng.choice(alphabet) for _ in range(w)), n) for k in range(30)]
+    df = spark.createDataFrame(words, "series_key int, sax_word string, n int")
+    delta = 1.5
+    got = {
+        (r["key_a"], r["key_b"]): r["mindist"]
+        for r in allpairs_within(df, w=w, c=c, delta=delta).collect()
+    }
+    expected = {}
+    for ka, wa, na in words:
+        for kb, wb, nb in words:
+            if ka < kb:
+                d = pk.mindist(pk.parse(wa, c), pk.parse(wb, c), c=c, n_a=na, n_b=nb)
+                if d <= delta:
+                    expected[(ka, kb)] = d
+    assert set(got) == set(expected)
+    for k, d in got.items():
+        assert abs(d - expected[k]) < 1e-9

@@ -1,0 +1,171 @@
+"""Spark expression kernels vs golden vectors and the pykernel twin.
+
+The Spark kernels must reproduce the pure-Python reference exactly
+(letters are discrete, so equality is exact; distances compare at 1e-5
+per the reference's own tolerance, lua/test.lua:18).
+"""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, StringType, StructField, StructType
+
+from symtseries_spark import pykernel as pk
+from symtseries_spark.functions import (
+    sax_encode,
+    sax_format,
+    sax_letters,
+    sax_mindist_parts,
+    sax_parse,
+)
+from tests.test_pykernel_golden import ENCODE_GOLDENS
+
+NAN = float("nan")
+INF = float("inf")
+
+
+def _encode_df(spark, cases):
+    schema = StructType(
+        [
+            StructField("case_id", StringType()),
+            StructField("series", ArrayType(DoubleType())),
+        ]
+    )
+    return spark.createDataFrame(
+        [(cid, [float(v) for v in series]) for cid, series in cases], schema
+    )
+
+
+@pytest.mark.parametrize("case_id,series,w,c,expected", ENCODE_GOLDENS, ids=[g[0] for g in ENCODE_GOLDENS])
+def test_spark_encode_goldens(spark, case_id, series, w, c, expected):
+    df = _encode_df(spark, [(case_id, series)])
+    got = df.select(sax_encode(F.col("series"), w, c).alias("sax")).collect()[0]["sax"]
+    assert got == expected
+
+
+def test_spark_encode_random_matches_pykernel(spark):
+    rng = random.Random(7)
+    cases = []
+    for i in range(200):
+        n = rng.choice([4, 8, 12, 16, 24, 60])
+        vals = []
+        for _ in range(n):
+            r = rng.random()
+            if r < 0.05:
+                vals.append(NAN)
+            elif r < 0.08:
+                vals.append(INF if rng.random() < 0.5 else -INF)
+            else:
+                vals.append(rng.uniform(-100, 100))
+        cases.append((f"case{i}", vals))
+
+    for w, c in [(2, 4), (4, 8), (2, 16), (4, 3)]:
+        usable = [(cid, v) for cid, v in cases if len(v) % w == 0]
+        df = _encode_df(spark, usable)
+        rows = df.select("case_id", sax_encode(F.col("series"), w, c).alias("sax")).collect()
+        by_id = dict(usable)
+        for r in rows:
+            expected = pk.encode(by_id[r["case_id"]], w, c)
+            assert r["sax"] == expected, (r["case_id"], w, c, r["sax"], expected)
+
+
+def test_spark_encode_invalid_length_is_null(spark):
+    df = _encode_df(spark, [("bad", [1.0, 2.0, 3.0]), ("empty", [])])
+    rows = {r["case_id"]: r["sax"] for r in df.select("case_id", sax_encode(F.col("series"), 2, 4).alias("sax")).collect()}
+    assert rows["bad"] is None
+    assert rows["empty"] is None
+
+
+def test_spark_parse_format_roundtrip(spark):
+    words = ["HAED", "##AB", "ABCD", "####", "AAAA", "HHHH"]
+    df = spark.createDataFrame([(w,) for w in words], ["word"])
+    got = df.select(
+        "word",
+        sax_format(sax_parse(F.col("word"), 8), 8).alias("rt"),
+        sax_parse(F.col("word"), 8).alias("idx"),
+    ).collect()
+    for r in got:
+        assert r["rt"] == r["word"]
+        assert r["idx"] == pk.parse(r["word"], 8)
+
+
+def test_spark_parse_invalid_letter_gives_null_element(spark):
+    df = spark.createDataFrame([("AZ",)], ["word"])
+    idx = df.select(sax_parse(F.col("word"), 4).alias("i")).collect()[0]["i"]
+    assert idx[0] == 0 and idx[1] is None
+
+
+MINDIST_CASES = [
+    ("ABDD", "DBAA", 4, 4, None),
+    ("####", "####", 4, 4, None),
+    ("ABCD", "####", 4, 4, None),
+    ("CCCCC", "#####", 5, 5, None),
+    ("HAED", "AEHD", 4, 8, 12),
+    ("FC", "CF", 2, 8, 6),
+]
+
+
+def test_spark_mindist_matches_pykernel(spark):
+    rows = []
+    for wa, wb, w, c, n in MINDIST_CASES:
+        rows.append((wa, wb, w, c, n if n else w))
+    schema = "wa string, wb string, w int, c int, n int"
+    df = spark.createDataFrame(rows, schema)
+    for wa, wb, w, c, n in rows:
+        one = spark.createDataFrame([(wa, wb)], "wa string, wb string")
+        got = one.select(
+            sax_mindist_parts(
+                sax_parse(F.col("wa"), c), sax_parse(F.col("wb"), c), c=c, n=n
+            ).alias("m")
+        ).collect()[0]["m"]
+        exp = pk.mindist_parts(pk.parse(wa, c), pk.parse(wb, c), c=c, n_a=n, n_b=n)
+        assert got is not None
+        for g, e in zip([got["dist"], got["above"], got["below"]], exp):
+            assert abs(g - e) < 1e-5, (wa, wb, got, exp)
+
+
+def test_spark_mindist_random_matches_pykernel(spark):
+    rng = random.Random(11)
+    for c in (2, 4, 5, 8, 16):
+        alphabet = [pk.letter_of(i, c) for i in range(c)] + ["#"]
+        pairs = []
+        for i in range(100):
+            w = rng.choice([2, 4, 8])
+            wa = "".join(rng.choice(alphabet) for _ in range(w))
+            wb = "".join(rng.choice(alphabet) for _ in range(w))
+            pairs.append((wa, wb, w * rng.choice([1, 4])))
+        df = spark.createDataFrame(pairs, "wa string, wb string, n int")
+        got = df.select(
+            "wa",
+            "wb",
+            "n",
+            sax_mindist_parts(
+                sax_parse(F.col("wa"), c), sax_parse(F.col("wb"), c), c=c, n=F.col("n")
+            ).alias("m"),
+        ).collect()
+        for r in got:
+            exp = pk.mindist_parts(pk.parse(r["wa"], c), pk.parse(r["wb"], c), c=c, n_a=r["n"], n_b=r["n"])
+            assert abs(r["m"]["dist"] - exp[0]) < 1e-5
+            assert abs(r["m"]["above"] - exp[1]) < 1e-5
+            assert abs(r["m"]["below"] - exp[2]) < 1e-5
+
+
+def test_mindist_lower_bounds_euclidean(spark):
+    # the defining property: mindist(a, b) <= ||A - B||2 for z-normalized
+    # series (iSAX papers; README.md:27-34)
+    rng = random.Random(13)
+    for _ in range(50):
+        n, w, c = 16, 4, 8
+        sa = [rng.uniform(-5, 5) for _ in range(n)]
+        sb = [rng.uniform(-5, 5) for _ in range(n)]
+
+        def znorm(s):
+            mu, std = pk.mu_std(s)
+            return [(x - mu) / std if std >= 1e-2 else 0.0 for x in s]
+
+        za, zb = znorm(sa), znorm(sb)
+        true_d = math.sqrt(sum((x - y) ** 2 for x, y in zip(za, zb)))
+        d = pk.mindist(pk.encode_indices(sa, w, c), pk.encode_indices(sb, w, c), c=c, n_a=n, n_b=n)
+        assert d <= true_d + 1e-9, (d, true_d)
