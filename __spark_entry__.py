@@ -19,11 +19,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from symtseries_spark import oracle as oc
+from symtseries_spark import oracle_text as ot
+from symtseries_spark import oracle_vec as ov
+from symtseries_spark.functions.text import (
+    bpe_token_count,
+    lang_id,
+    quality_metrics,
+    rolling_fingerprint,
+)
 from symtseries_spark.operators import (
     allpairs_within,
+    ann_lsh_topk,
+    cosine_topk,
+    embedding_near_dup,
+    exact_dedup_map,
+    jaccard_pairs,
+    knn_join,
     match_pattern,
     mindist_to_pattern,
+    minhash_lsh_pairs,
     motif_counts,
+    simhash,
+    simhash_pairs,
     sliding_sax,
     topk_nearest,
     tumbling_sax,
@@ -45,6 +62,16 @@ DIST_PATTERN = "AEHD"        # sharp rise-fall query shape, c=8
 FINE_PATTERN = "ABCDEFGH"    # monotone ramp, w=8 c=8
 ALLPAIRS_DELTA = 0.5
 TOPK = 20
+
+# training-data pipeline parameters
+JACCARD = dict(k=2, threshold=0.35)
+MINHASH = dict(k=2, num_hashes=32, bands=8, threshold=0.35, seed=7)
+SIMHASH_BITS = 32
+SIMHASH_PAIRS = dict(bits=32, max_hamming=3, chunks=4)
+EMB_DIM = 64
+EMB_NEAR_DUP = 0.4
+ANN = dict(query_id=0, k=10, num_planes=4, seed=13)
+KNN = dict(max_query_id=5, k=10)
 
 
 def _events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -215,6 +242,58 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        quality_metrics(F.col("text")).alias("__q"),
+        bpe_token_count(F.col("text")).alias("bpe_tokens"),
+        lang_id(F.col("text")).alias("lang_pred"),
+        rolling_fingerprint(F.col("text")).alias("fingerprint"),
+    ).select("doc_id", "__q.*", "bpe_tokens", "lang_pred", "fingerprint")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_map(load(spark, sf_dir, "documents"))
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs(load(spark, sf_dir, "documents"), **JACCARD)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(load(spark, sf_dir, "documents"), **MINHASH)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(load(spark, sf_dir, "documents"), bits=SIMHASH_BITS)
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(load(spark, sf_dir, "documents"), **SIMHASH_PAIRS)
+
+
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=TOPK)
+
+
+def q_emb_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return knn_join(
+        emb, emb.where(F.col("vec_id") < KNN["max_query_id"]), k=KNN["k"]
+    )
+
+
+def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_lsh_topk(load(spark, sf_dir, "embeddings"), dim=EMB_DIM, **ANN)
+
+
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup(
+        load(spark, sf_dir, "embeddings"), threshold=EMB_NEAR_DUP
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sax_sliding_words": q_sax_sliding_words,
@@ -226,6 +305,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_allpairs": q_sax_allpairs,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
+        "text_quality": q_text_quality,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_knn_join": q_emb_knn_join,
+        "emb_ann_lsh": q_emb_ann_lsh,
+        "emb_near_dup": q_emb_near_dup,
     }
 
 
@@ -329,4 +418,16 @@ LIMIT 10
         "sax_allpairs": allpairs,
         "tpch_q1": q1,
         "tpch_q3": q3,
+        "text_quality": ot.text_quality_sql(),
+        "dedup_exact": ot.exact_dedup_sql(),
+        "dedup_jaccard": ot.jaccard_pairs_sql(**JACCARD),
+        "dedup_minhash_lsh": ot.minhash_lsh_pairs_sql(**MINHASH),
+        "dedup_simhash": ot.simhash_sql(bits=SIMHASH_BITS),
+        "dedup_simhash_pairs": ot.simhash_pairs_sql(**SIMHASH_PAIRS),
+        "emb_cosine_topk": ov.cosine_topk_sql(query_id=0, k=TOPK, dim=EMB_DIM),
+        "emb_knn_join": ov.knn_join_sql(dim=EMB_DIM, **KNN),
+        "emb_ann_lsh": ov.ann_lsh_topk_sql(dim=EMB_DIM, **ANN),
+        "emb_near_dup": ov.embedding_near_dup_sql(
+            threshold=EMB_NEAR_DUP, dim=EMB_DIM
+        ),
     }

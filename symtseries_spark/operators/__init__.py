@@ -1,4 +1,5 @@
-"""DataFrame-level operators: windowed SAX extraction and SAX-space search."""
+"""DataFrame-level operators: windowed SAX extraction, SAX-space search,
+training-data dedup, and embedding similarity search."""
 
 from .windows import sliding_sax, tumbling_sax, whole_series_sax
 from .search import (
@@ -8,12 +9,38 @@ from .search import (
     motif_counts,
     topk_nearest,
 )
+from .dedup import (
+    exact_dedup_map,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash,
+    simhash_pairs,
+)
+from .simsearch import (
+    ann_lsh_topk,
+    cosine_topk,
+    embedding_near_dup,
+    embedding_near_dup_lsh,
+    knn_join,
+)
 
 __all__ = [
     "allpairs_within",
+    "ann_lsh_topk",
+    "cosine_topk",
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    "exact_dedup_map",
+    "jaccard_pairs",
+    "knn_join",
     "match_pattern",
     "mindist_to_pattern",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
     "motif_counts",
+    "simhash",
+    "simhash_pairs",
     "sliding_sax",
     "topk_nearest",
     "tumbling_sax",

@@ -1,0 +1,342 @@
+"""Deduplication operators for training-data pipelines: exact,
+n-gram Jaccard, MinHash + LSH, and SimHash near-dup detection.
+
+Design (100 TB contract):
+
+* Everything is shuffle-minimal relational algebra: per-row hashing in
+  the scan stage, then ONE groupBy per signature (map-side combinable),
+  then an equi-join on band/bucket keys — never a cross join. Candidate
+  generation is the classic LSH bucket join, so cost scales with bucket
+  collision counts, not with |docs|^2.
+* Hashes are engine-independent (md5-derived, see functions/text.py), so
+  every operator here has an exact DuckDB oracle — the same property the
+  SAX kernels have.
+* Skew: a degenerate shingle ("the the the") can create a hot bucket;
+  callers can cap bucket size with ``max_bucket`` (buckets above the cap
+  are dropped — standard LSH practice for stopword-like shingles).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    HASH_PRIME,
+    doc_hash60,
+    hash_mod_prime,
+    normalized_text,
+    shingles,
+    tokens,
+)
+
+
+def minhash_coefficients(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the permutation family
+    ``h_i(x) = (a_i * x + b_i) mod P`` — shared with the SQL oracle."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, HASH_PRIME), rng.randrange(0, HASH_PRIME))
+        for _ in range(num_hashes)
+    ]
+
+
+def exact_dedup_map(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate clustering on normalized text -> one row per doc:
+    ``(doc_id, content_hash, canonical_id, is_duplicate)`` where
+    ``canonical_id`` is the smallest doc_id sharing the hash.
+
+    One groupBy on the 60-bit content hash + a broadcast-able join back.
+    At scale the groupBy output (distinct hashes) is far smaller than the
+    input, and AQE picks broadcast automatically; no row ever carries the
+    full text past the scan.
+    """
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        doc_hash60(normalized_text(F.col(text_col))).alias("content_hash"),
+    )
+    canon = hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("canonical_id")
+    )
+    return hashed.join(canon, "content_hash").select(
+        "doc_id",
+        "content_hash",
+        "canonical_id",
+        (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
+    )
+
+
+def shingle_table(
+    docs: DataFrame,
+    *,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exploded distinct word-k-shingles: ``(doc_id, shingle)``."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), k)).alias("shingle"),
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    *,
+    k: int,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: all doc pairs with
+    ``|A ∩ B| / |A ∪ B| >= threshold`` over distinct word-k-shingles ->
+    ``(doc_a, doc_b, n_common, n_a, n_b, jaccard)``.
+
+    Classic inverted-index plan: explode shingles, self-equi-join on the
+    shingle, count per pair, fetch set sizes. The pair count is bounded by
+    co-occurrence, not |docs|^2. ``max_shingle_freq`` drops shingles
+    shared by more than that many docs (stopword-gram protection — the
+    standard trick to keep the hot-key join from exploding at scale).
+    """
+    sh = shingle_table(docs, k=k, id_col=id_col, text_col=text_col)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__f"))
+        sh = sh.join(freq.where(F.col("__f") <= max_shingle_freq), "shingle").drop(
+            "__f"
+        )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    *,
+    k: int,
+    num_hashes: int,
+    seed: int = 7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash signatures: ``(doc_id, m0 .. m{num_hashes-1})``.
+
+    Relational form: explode shingles -> hash once -> ONE groupBy with
+    ``num_hashes`` ``min()`` aggregates (all map-side combinable; a single
+    shuffle of num_hashes longs per doc regardless of document size).
+    Docs with no shingles (fewer than k tokens) are absent.
+    """
+    coeffs = minhash_coefficients(num_hashes, seed)
+    sh = shingle_table(docs, k=k, id_col=id_col, text_col=text_col).select(
+        "doc_id", hash_mod_prime(F.col("shingle")).alias("h")
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % HASH_PRIME).alias(f"m{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    *,
+    k: int,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    seed: int = 7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """MinHash + LSH near-dup pairs: band the signature into ``bands``
+    groups of ``num_hashes // bands`` rows, bucket-join docs sharing any
+    band, then estimate Jaccard as the fraction of equal signature
+    components -> ``(doc_a, doc_b, est_jaccard)`` filtered at threshold.
+
+    The bucket join is an equi-join on (band_id, band_key): the only
+    shuffle moves (doc_id, band_key) pairs, and candidate generation cost
+    follows bucket sizes (the LSH guarantee), not |docs|^2.
+    """
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    r = num_hashes // bands
+    sigs = minhash_signatures(
+        docs, k=k, num_hashes=num_hashes, seed=seed,
+        id_col=id_col, text_col=text_col,
+    )
+    band_rows = []
+    for b_ix in range(bands):
+        key = F.concat_ws(
+            "_", *[F.col(f"m{b_ix * r + j}") for j in range(r)]
+        )
+        band_rows.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b_ix).alias("band_id"),
+                key.alias("band_key"),
+            )
+        )
+    bands_df = band_rows[0]
+    for extra in band_rows[1:]:
+        bands_df = bands_df.unionAll(extra)
+
+    if max_bucket is not None:
+        sz = bands_df.groupBy("band_id", "band_key").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        bands_df = bands_df.join(
+            sz.where(F.col("__n") <= max_bucket), ["band_id", "band_key"]
+        ).drop("__n")
+
+    la = bands_df.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
+    lb = bands_df.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
+    cand = (
+        la.join(lb, ["band_id", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    siga = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(num_hashes)],
+    )
+    sigb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(num_hashes)],
+    )
+    eq_frac = sum(
+        [
+            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+            for i in range(num_hashes)
+        ],
+        F.lit(0),
+    ) / F.lit(float(num_hashes))
+    return (
+        cand.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .select("doc_a", "doc_b", F.round(eq_frac, 4).alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    *,
+    bits: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash fingerprints -> ``(doc_id, simhash)`` (``bits`` <= 60).
+
+    Token multiset weighting: each occurrence votes +1/-1 per bit of its
+    60-bit hash; bit j of the fingerprint is 1 iff the vote sum is
+    positive. Explode + one groupBy with ``bits`` conditional sums —
+    map-side combinable, one shuffle of ``bits`` ints per doc.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).select("doc_id", doc_hash60(F.col("tok")).alias("h"))
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
+    sim = sum(
+        [
+            F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for j in range(bits)
+        ],
+        F.lit(0).cast("long"),
+    )
+    return votes.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    *,
+    bits: int = 32,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs within ``max_hamming`` bit flips ->
+    ``(doc_a, doc_b, hamming)``.
+
+    Pigeonhole banding: split the fingerprint into ``chunks`` equal bit
+    ranges; any pair within ``max_hamming < chunks`` flips shares at
+    least one identical chunk, so candidates come from an equi-join on
+    (chunk_id, chunk_value) and are verified with ``bit_count(xor)`` —
+    no cross join, same scaling argument as MinHash-LSH.
+    """
+    if bits % chunks:
+        raise ValueError("chunks must divide bits")
+    if max_hamming >= chunks:
+        raise ValueError("pigeonhole needs max_hamming < chunks")
+    width = bits // chunks
+    mask = (1 << width) - 1
+    sims = simhash(docs, bits=bits, id_col=id_col, text_col=text_col)
+
+    chunk_rows = [
+        sims.select(
+            "doc_id",
+            "simhash",
+            F.lit(i).alias("chunk_id"),
+            F.shiftright(F.col("simhash"), i * width).bitwiseAND(mask).alias("chunk_val"),
+        )
+        for i in range(chunks)
+    ]
+    chunked = chunk_rows[0]
+    for extra in chunk_rows[1:]:
+        chunked = chunked.unionAll(extra)
+
+    la = chunked.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
+        "chunk_id", "chunk_val",
+    )
+    lb = chunked.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
+        "chunk_id", "chunk_val",
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        la.join(lb, ["chunk_id", "chunk_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -120,45 +120,90 @@ def allpairs_within(
     """All unordered pairs of series whose words are mindist-compatible
     (equal w, compatible n) and within ``delta``.
 
-    Exact semantics require examining every pair: mindist is itself the
-    pruning primitive (lower bound on true distance), so the output is a
-    *candidate set* guaranteed to contain every true match within delta.
-    The right side is broadcast by default — word tables are tiny
-    relative to their source series (n doubles -> w chars). For word
-    tables too large to broadcast, disable and let AQE pick a shuffle
-    join; approximate prefiltering belongs to the LSH operators in
-    operators/dedup.py.
+    Plan (the scale-critical part of the engine): SAX words are a
+    dimensionality reduction, so the number of DISTINCT words is bounded
+    by c^w and in practice tiny relative to row count. Distances are
+    therefore computed once per distinct word *pair* (a small broadcast
+    nested-loop over distinct words only), the surviving pairs
+    (dist <= delta, including the zero-distance diagonal) are broadcast,
+    and the quadratic expansion back to key pairs happens as two
+    shuffle-free equi-joins on the word. Row-pair work is then
+    proportional to the OUTPUT size, not |rows|^2 — a naive key-pair
+    nested loop at sf0.1 runs 500+ s single-task; this plan runs in
+    seconds, fully parallel.
+
+    mindist is a lower bound on true Euclidean distance, so the output is
+    a candidate set guaranteed to contain every true match within delta.
     """
     cols = [F.col(key_col).alias("k"), F.col(word_col).alias("wd")] + (
         [F.col(n_col).alias("n")] if n_col else []
     )
     base = words.where(F.col(word_col).isNotNull()).select(*cols)
-    left = base.select(
-        F.col("k").alias("key_a"), F.col("wd").alias("word_a"), *([F.col("n").alias("n_a")] if n_col else [])
+
+    # 1) distances over distinct words only (|D|^2/2 evals, |D| <= c^w)
+    dcols = ["wd"] + (["n"] if n_col else [])
+    distinct = base.select(*dcols).distinct()
+    da = distinct.select(
+        F.col("wd").alias("word_a"), *([F.col("n").alias("n_a")] if n_col else [])
     )
-    right = base.select(
-        F.col("k").alias("key_b"), F.col("wd").alias("word_b"), *([F.col("n").alias("n_b")] if n_col else [])
+    db = distinct.select(
+        F.col("wd").alias("word_b"), *([F.col("n").alias("n_b")] if n_col else [])
     )
     if broadcast_right:
-        right = F.broadcast(right)
-    cond = (F.col("key_a") < F.col("key_b")) & (
+        db = F.broadcast(db)
+    cond = (F.col("word_a") <= F.col("word_b")) & (
         F.length("word_a") == F.length("word_b")
     )
     if n_col:
         cond = cond & (F.col("n_a") == F.col("n_b"))
-    joined = left.join(right, cond)
     n_arg = F.col("n_a") if n_col else None
     parts = sax_word_mindist(F.col("word_a"), F.col("word_b"), w=w, c=c, n=n_arg)
-    return (
-        joined.withColumn("__m", parts)
+    word_pairs = (
+        da.join(db, cond)
+        .withColumn("__m", parts)
         .where(F.col("__m")["dist"] <= delta)
         .select(
-            "key_a",
-            "key_b",
             "word_a",
             "word_b",
-            F.col("__m")["dist"].alias("mindist"),
-            F.col("__m")["above"].alias("above"),
-            F.col("__m")["below"].alias("below"),
+            *(["n_a"] if n_col else []),
+            F.col("__m")["dist"].alias("__d"),
+            F.col("__m")["above"].alias("__ab"),
+            F.col("__m")["below"].alias("__be"),
         )
+    )
+
+    # 2) expand to key pairs: two equi-joins against the broadcast pair
+    #    set. Distinct keys own exactly one word, so each unordered key
+    #    pair appears once; orientation is normalized afterwards (the
+    #    above/below decomposition flips with the operands).
+    a_keys = base.select(
+        F.col("k").alias("ka"), F.col("wd").alias("word_a"),
+        *([F.col("n").alias("n_a")] if n_col else []),
+    )
+    b_keys = base.select(
+        F.col("k").alias("kb"), F.col("wd").alias("__wb"),
+        *([F.col("n").alias("__nb")] if n_col else []),
+    )
+    join_a = ["word_a"] + (["n_a"] if n_col else [])
+    b_cond = F.col("word_b") == F.col("__wb")
+    if n_col:
+        b_cond = b_cond & (F.col("n_a") == F.col("__nb"))
+    expanded = (
+        a_keys.join(F.broadcast(word_pairs), join_a)
+        .join(b_keys, b_cond)
+        .drop("__wb", *(["__nb"] if n_col else []))
+        .where(
+            F.when(F.col("word_a") == F.col("word_b"), F.col("ka") < F.col("kb"))
+            .otherwise(F.col("ka") != F.col("kb"))
+        )
+    )
+    flip = F.col("ka") > F.col("kb")
+    return expanded.select(
+        F.when(flip, F.col("kb")).otherwise(F.col("ka")).alias("key_a"),
+        F.when(flip, F.col("ka")).otherwise(F.col("kb")).alias("key_b"),
+        F.when(flip, F.col("word_b")).otherwise(F.col("word_a")).alias("word_a"),
+        F.when(flip, F.col("word_a")).otherwise(F.col("word_b")).alias("word_b"),
+        F.col("__d").alias("mindist"),
+        F.when(flip, F.col("__be")).otherwise(F.col("__ab")).alias("above"),
+        F.when(flip, F.col("__ab")).otherwise(F.col("__be")).alias("below"),
     )

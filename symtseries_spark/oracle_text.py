@@ -1,0 +1,270 @@
+"""DuckDB oracle SQL for the text-analysis and dedup operators.
+
+Mirrors :mod:`symtseries_spark.functions.text` and
+:mod:`symtseries_spark.operators.dedup` with independent SQL (DuckDB list
+lambdas + plain joins). Shared constants (hash construction, MinHash
+coefficients, marker lists) are injected as literals so both engines
+compute identical integers.
+"""
+
+from __future__ import annotations
+
+from .functions.text import (
+    BPE_REGEX,
+    EN_STOPWORDS,
+    HASH_PRIME,
+    LANG_MARKERS,
+)
+from .operators.dedup import minhash_coefficients
+
+# ---------------------------------------------------------------------------
+# shared expression fragments
+
+
+def hash60(expr: str) -> str:
+    """DuckDB mirror of functions.text.doc_hash60."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def tokens_expr(text: str = "text") -> str:
+    return (
+        f"list_filter(string_split_regex(lower({text}), '[^a-z0-9]+'), "
+        f"t -> t != '')"
+    )
+
+
+def shingles_expr(k: int, text: str = "text") -> str:
+    """Distinct word-k-shingles as a DuckDB list expression."""
+    toks = tokens_expr(text)
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, len({toks}) - {k} + 2), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {k - 1}), ' ')))"
+    )
+
+
+def normalized_expr(text: str = "text") -> str:
+    return f"trim(regexp_replace(lower({text}), '\\s+', ' ', 'g'))"
+
+
+def _str_list(items: list[str]) -> str:
+    return "[" + ", ".join(f"'{s}'" for s in items) + "]"
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+
+def text_quality_sql(*, table: str = "documents") -> str:
+    """(doc_id, n_chars, n_tokens, avg_token_len, stopword_ratio,
+    digit_ratio, space_ratio, quality_score, bpe_tokens, lang_pred,
+    fingerprint) — mirrors quality_metrics + lang_id +
+    bpe_token_count + rolling_fingerprint."""
+    toks = "toks"
+    langs = list(LANG_MARKERS)
+    marker_counts = ",\n         ".join(
+        f"len(list_filter({toks}, t -> list_contains({_str_list(LANG_MARKERS[lang])}, t))) AS s_{lang}"
+        for lang in langs
+    )
+    # first-listed language wins ties: CASE in list order, >= all others
+    lang_branches = []
+    for lang in langs:
+        conds = [f"s_{lang} > 0"] + [
+            f"s_{lang} >= s_{other}" for other in langs if other != lang
+        ]
+        lang_branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    lang_case = "CASE " + " ".join(lang_branches) + " ELSE 'und' END"
+
+    score = (
+        "CASE WHEN n_tokens > 0 THEN "
+        "least(stopword_ratio_raw * 4, 1.0) * 0.4 "
+        "+ (CASE WHEN avg_len_raw >= 3 AND avg_len_raw <= 10 THEN 0.4 ELSE 0.0 END) "
+        "+ (CASE WHEN digit_ratio_raw < 0.3 THEN 0.2 ELSE 0.0 END) "
+        "ELSE 0.0 END"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {tokens_expr()} AS {toks} FROM {table}
+), m AS (
+  SELECT doc_id,
+         len(text) AS n_chars,
+         len({toks}) AS n_tokens,
+         CASE WHEN len({toks}) > 0
+              THEN len(array_to_string({toks}, '')) * 1.0 / len({toks})
+              ELSE 0.0 END AS avg_len_raw,
+         CASE WHEN len({toks}) > 0
+              THEN len(list_filter({toks}, t -> list_contains({_str_list(EN_STOPWORDS)}, t))) * 1.0 / len({toks})
+              ELSE 0.0 END AS stopword_ratio_raw,
+         CASE WHEN len(text) > 0
+              THEN len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / len(text)
+              ELSE 0.0 END AS digit_ratio_raw,
+         CASE WHEN len(text) > 0
+              THEN len(regexp_replace(text, '[^ ]', '', 'g')) * 1.0 / len(text)
+              ELSE 0.0 END AS space_ratio_raw,
+         len(regexp_extract_all(lower(text), '{BPE_REGEX}')) AS bpe_tokens,
+         {marker_counts},
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform({toks}, t -> {hash60('t')} % {HASH_PRIME})),
+           (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+  FROM base
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(avg_len_raw, 4) AS avg_token_len,
+       round(stopword_ratio_raw, 4) AS stopword_ratio,
+       round(digit_ratio_raw, 4) AS digit_ratio,
+       round(space_ratio_raw, 4) AS space_ratio,
+       round({score}, 4) AS quality_score,
+       bpe_tokens,
+       {lang_case} AS lang_pred,
+       fingerprint
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup
+
+
+def exact_dedup_sql(*, table: str = "documents") -> str:
+    return f"""
+WITH hashed AS (
+  SELECT doc_id, {hash60(normalized_expr())} AS content_hash FROM {table}
+), canon AS (
+  SELECT content_hash, min(doc_id) AS canonical_id FROM hashed GROUP BY 1
+)
+SELECT h.doc_id, h.content_hash, c.canonical_id,
+       h.doc_id != c.canonical_id AS is_duplicate
+FROM hashed h JOIN canon c USING (content_hash)
+"""
+
+
+def shingle_cte(k: int, *, table: str = "documents") -> str:
+    return (
+        f"SELECT doc_id, unnest({shingles_expr(k)}) AS shingle FROM {table}"
+    )
+
+
+def jaccard_pairs_sql(*, k: int, threshold: float, table: str = "documents") -> str:
+    return f"""
+WITH sh AS ({shingle_cte(k, table=table)}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+FROM common c
+JOIN sizes sa ON c.doc_a = sa.doc_id
+JOIN sizes sb ON c.doc_b = sb.doc_id
+WHERE round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 4) >= {threshold}
+"""
+
+
+def minhash_sig_cte(
+    *, k: int, num_hashes: int, seed: int, table: str = "documents"
+) -> str:
+    coeffs = minhash_coefficients(num_hashes, seed)
+    aggs = ",\n         ".join(
+        f"min(({a} * h + {b}) % {HASH_PRIME}) AS m{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    return f"""
+  SELECT doc_id, {aggs}
+  FROM (
+    SELECT doc_id, {hash60('shingle')} % {HASH_PRIME} AS h
+    FROM ({shingle_cte(k, table=table)})
+  )
+  GROUP BY doc_id
+"""
+
+
+def minhash_lsh_pairs_sql(
+    *,
+    k: int,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    seed: int,
+    table: str = "documents",
+) -> str:
+    r = num_hashes // bands
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, concat_ws('_', {cols}) AS band_key FROM sigs".format(
+            b=b, cols=", ".join(f"m{b * r + j}" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    eq_sum = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return f"""
+WITH sigs AS ({minhash_sig_cte(k=k, num_hashes=num_hashes, seed=seed, table=table)}),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       round(({eq_sum}) * 1.0 / {num_hashes}, 4) AS est_jaccard
+FROM cand c
+JOIN sigs sa ON c.doc_a = sa.doc_id
+JOIN sigs sb ON c.doc_b = sb.doc_id
+WHERE round(({eq_sum}) * 1.0 / {num_hashes}, 4) >= {threshold}
+"""
+
+
+def simhash_cte(*, bits: int, table: str = "documents") -> str:
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+  SELECT doc_id, {sim} AS simhash FROM (
+    SELECT doc_id, {votes}
+    FROM (
+      SELECT doc_id, {hash60('tok')} AS h
+      FROM (SELECT doc_id, unnest({tokens_expr()}) AS tok FROM {table})
+    )
+    GROUP BY doc_id
+  )
+"""
+
+
+def simhash_sql(*, bits: int, table: str = "documents") -> str:
+    return f"SELECT doc_id, simhash FROM ({simhash_cte(bits=bits, table=table)})"
+
+
+def simhash_pairs_sql(
+    *, bits: int, max_hamming: int, chunks: int, table: str = "documents"
+) -> str:
+    width = bits // chunks
+    mask = (1 << width) - 1
+    chunk_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS chunk_id, "
+        f"(simhash >> {i * width}) & {mask} AS chunk_val FROM sims"
+        for i in range(chunks)
+    )
+    return f"""
+WITH sims AS ({simhash_cte(bits=bits, table=table)}),
+chunked AS ({chunk_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
+                  b.doc_id AS doc_b, b.simhash AS sim_b
+  FROM chunked a JOIN chunked b
+    ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
+"""

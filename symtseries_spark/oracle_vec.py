@@ -1,0 +1,110 @@
+"""DuckDB oracle SQL for the embedding similarity-search operators.
+
+Mirrors :mod:`symtseries_spark.operators.simsearch` with explicit
+``list_reduce`` arithmetic (same left-to-right accumulation order as
+Spark's ``aggregate``) so rounded cosines agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from .operators.simsearch import hyperplanes
+
+
+def _dot(a: str, b: str, dim: int) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {dim + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def cosine_expr(a: str, b: str, dim: int) -> str:
+    return (
+        f"({_dot(a, b, dim)} / "
+        f"(sqrt({_dot(a, a, dim)}) * sqrt({_dot(b, b, dim)})))"
+    )
+
+
+def _plane_lit(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+
+def bucket_expr(vec: str, planes: list[list[float]], dim: int) -> str:
+    terms = [
+        f"(CASE WHEN {_dot(vec, _plane_lit(p), dim)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def cosine_topk_sql(
+    *, query_id: int, k: int, dim: int, table: str = "embeddings"
+) -> str:
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM {table} WHERE vec_id = {query_id})
+SELECT vec_id, round({cosine_expr('embedding', 'qv', dim)}, 6) AS cos
+FROM {table}, q
+WHERE vec_id != {query_id}
+ORDER BY cos DESC, vec_id
+LIMIT {k}
+"""
+
+
+def knn_join_sql(
+    *, max_query_id: int, k: int, dim: int, table: str = "embeddings"
+) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM {table}
+  WHERE vec_id < {max_query_id}
+), scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         round({cosine_expr('v.embedding', 'q.qv', dim)}, 6) AS cos
+  FROM {table} v, q
+  WHERE v.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def ann_lsh_topk_sql(
+    *,
+    query_id: int,
+    k: int,
+    num_planes: int,
+    seed: int,
+    dim: int,
+    table: str = "embeddings",
+) -> str:
+    planes = hyperplanes(num_planes, dim, seed)
+    bucket = bucket_expr("embedding", planes, dim)
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM {table}
+), q AS (
+  SELECT embedding AS qv, bucket AS qbucket FROM bucketed
+  WHERE vec_id = {query_id}
+)
+SELECT vec_id, round({cosine_expr('embedding', 'qv', dim)}, 6) AS cos
+FROM bucketed, q
+WHERE bucket = qbucket AND vec_id != {query_id}
+ORDER BY cos DESC, vec_id
+LIMIT {k}
+"""
+
+
+def embedding_near_dup_sql(
+    *, threshold: float, dim: int, table: str = "embeddings"
+) -> str:
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({cosine_expr('a.embedding', 'b.embedding', dim)}, 6) AS cos
+FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id
+WHERE round({cosine_expr('a.embedding', 'b.embedding', dim)}, 6) >= {threshold}
+"""

@@ -1,0 +1,262 @@
+"""Tests for the training-data pipeline operators (text analysis, dedup,
+similarity search) against hand-computed fixtures and Python oracles."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import random
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from symtseries_spark.functions import text as T
+from symtseries_spark.operators import (
+    ann_lsh_topk,
+    cosine_topk,
+    embedding_near_dup,
+    embedding_near_dup_lsh,
+    exact_dedup_map,
+    jaccard_pairs,
+    knn_join,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash,
+    simhash_pairs,
+)
+from symtseries_spark.operators.dedup import minhash_coefficients
+from symtseries_spark.operators.simsearch import hyperplanes
+
+
+def py_hash60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def py_tokens(s: str) -> list[str]:
+    out, cur = [], []
+    for ch in s.lower():
+        if ch.isascii() and (ch.isdigit() or "a" <= ch <= "z"):
+            cur.append(ch)
+        elif cur:
+            out.append("".join(cur))
+            cur = []
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),
+    (2, "THE  Quick   brown fox jumps over the lazy dog"),  # ws/case dup of 0
+    (3, "completely different text about spark engines and shuffles"),
+    (4, "der hund und die katze sind ein team"),
+    (5, "12345 67890 11111"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in DOCS]
+    )
+
+
+class TestTextFunctions:
+    def test_tokens_and_counts(self, docs_df):
+        rows = docs_df.select(
+            "doc_id",
+            T.token_count(F.col("text")).alias("n"),
+            T.tokens(F.col("text")).alias("toks"),
+        ).collect()
+        by_id = {r.doc_id: r for r in rows}
+        for i, t in DOCS:
+            assert by_id[i].toks == py_tokens(t), i
+            assert by_id[i].n == len(py_tokens(t))
+
+    def test_doc_hash60_matches_md5(self, docs_df):
+        rows = docs_df.select("text", T.doc_hash60(F.col("text")).alias("h")).collect()
+        for r in rows:
+            assert r.h == py_hash60(r.text)
+
+    def test_rolling_fingerprint_oracle(self, docs_df):
+        rows = docs_df.select(
+            "text", T.rolling_fingerprint(F.col("text")).alias("fp")
+        ).collect()
+        for r in rows:
+            acc = 0
+            for tok in py_tokens(r.text):
+                acc = (acc * 31 + py_hash60(tok) % T.HASH_PRIME) % 1_000_000_007
+            assert r.fp == acc
+
+    def test_lang_id(self, docs_df):
+        rows = {
+            r.doc_id: r.lang
+            for r in docs_df.select(
+                "doc_id", T.lang_id(F.col("text")).alias("lang")
+            ).collect()
+        }
+        assert rows[0] == "en"
+        assert rows[4] == "de"
+        assert rows[5] == "und"  # no markers at all
+
+    def test_quality_metrics(self, docs_df):
+        r = (
+            docs_df.where(F.col("doc_id") == 0)
+            .select(T.quality_metrics(F.col("text")).alias("q"))
+            .collect()[0]
+            .q
+        )
+        toks = py_tokens(DOCS[0][1])
+        assert r.n_tokens == len(toks)
+        assert r.n_chars == len(DOCS[0][1])
+        assert r.avg_token_len == round(sum(map(len, toks)) / len(toks), 4)
+        assert 0.0 <= r.quality_score <= 1.0
+        # digit-only doc scores low
+        r5 = (
+            docs_df.where(F.col("doc_id") == 5)
+            .select(T.quality_metrics(F.col("text")).alias("q"))
+            .collect()[0]
+            .q
+        )
+        assert r5.digit_ratio > 0.8
+        assert r5.quality_score < r.quality_score
+
+    def test_shingles(self, docs_df):
+        rows = docs_df.where(F.col("doc_id") == 0).select(
+            T.shingles(F.col("text"), 3).alias("sh")
+        ).collect()
+        toks = py_tokens(DOCS[0][1])
+        expected = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        assert set(rows[0].sh) == expected
+
+
+class TestDedup:
+    def test_exact_dedup(self, docs_df):
+        rows = {r.doc_id: r for r in exact_dedup_map(docs_df).collect()}
+        assert rows[2].canonical_id == 0 and rows[2].is_duplicate
+        assert rows[0].canonical_id == 0 and not rows[0].is_duplicate
+        assert not rows[1].is_duplicate  # one word differs
+
+    def test_jaccard_pairs(self, docs_df):
+        out = {
+            (r.doc_a, r.doc_b): r
+            for r in jaccard_pairs(docs_df, k=2, threshold=0.5).collect()
+        }
+        assert (0, 2) in out and out[(0, 2)].jaccard == 1.0
+        assert (0, 1) in out  # one-token change keeps most 2-shingles
+        # python oracle for (0, 1)
+        t0, t1 = py_tokens(DOCS[0][1]), py_tokens(DOCS[1][1])
+        s0 = {" ".join(t0[i : i + 2]) for i in range(len(t0) - 1)}
+        s1 = {" ".join(t1[i : i + 2]) for i in range(len(t1) - 1)}
+        jac = len(s0 & s1) / len(s0 | s1)
+        assert out[(0, 1)].jaccard == round(jac, 4)
+        assert (0, 3) not in out
+
+    def test_minhash_signature_oracle(self, docs_df):
+        num, seed = 8, 7
+        sig = {
+            r.doc_id: [r[f"m{i}"] for i in range(num)]
+            for r in minhash_signatures(
+                docs_df, k=2, num_hashes=num, seed=seed
+            ).collect()
+        }
+        coeffs = minhash_coefficients(num, seed)
+        t0 = py_tokens(DOCS[0][1])
+        sh0 = {" ".join(t0[i : i + 2]) for i in range(len(t0) - 1)}
+        hs = [py_hash60(s) % T.HASH_PRIME for s in sh0]
+        for i, (a, b) in enumerate(coeffs):
+            assert sig[0][i] == min((a * h + b) % T.HASH_PRIME for h in hs)
+        # identical token streams -> identical signatures
+        assert sig[0] == sig[2]
+
+    def test_minhash_lsh_finds_exact_dup(self, docs_df):
+        pairs = {
+            (r.doc_a, r.doc_b): r.est_jaccard
+            for r in minhash_lsh_pairs(
+                docs_df, k=2, num_hashes=16, bands=4, threshold=0.5
+            ).collect()
+        }
+        assert pairs.get((0, 2)) == 1.0
+
+    def test_simhash_identical_and_near(self, docs_df):
+        sims = {r.doc_id: r.simhash for r in simhash(docs_df).collect()}
+        assert sims[0] == sims[2]
+        ham01 = bin(sims[0] ^ sims[1]).count("1")
+        ham03 = bin(sims[0] ^ sims[3]).count("1")
+        assert ham01 < ham03
+        pairs = {
+            (r.doc_a, r.doc_b): r.hamming
+            for r in simhash_pairs(docs_df, max_hamming=3).collect()
+        }
+        assert pairs.get((0, 2)) == 0
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0, 0.0]),
+    (2, [0.0, 1.0, 0.0, 0.0]),
+    (3, [-1.0, 0.0, 0.0, 0.0]),
+    (4, [0.5, 0.5, 0.5, 0.5]),
+]
+
+
+@pytest.fixture(scope="module")
+def vecs_df(spark):
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in VECS]
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+
+
+def py_cos(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+
+class TestSimsearch:
+    def test_cosine_topk(self, vecs_df):
+        rows = cosine_topk(vecs_df, query_id=0, k=3).collect()
+        assert [r.vec_id for r in rows] == [1, 4, 2]
+        assert rows[0].cos == pytest.approx(py_cos(VECS[0][1], VECS[1][1]), abs=1e-5)
+
+    def test_knn_join(self, vecs_df):
+        q = vecs_df.where(F.col("vec_id") < 2)
+        out = knn_join(vecs_df, q, k=2).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+        assert sorted(by_q[0]) == [(1, 1), (2, 4)]
+        assert len(out) == 4
+
+    def test_near_dup_exact_vs_lsh(self, vecs_df):
+        exact = {
+            (r.vec_a, r.vec_b)
+            for r in embedding_near_dup(vecs_df, threshold=0.9).collect()
+        }
+        assert exact == {(0, 1)}
+        # LSH candidates are a subset verified at the same threshold
+        lsh = {
+            (r.vec_a, r.vec_b)
+            for r in embedding_near_dup_lsh(
+                vecs_df, threshold=0.9, num_planes=2, dim=4
+            ).collect()
+        }
+        assert lsh <= exact
+
+    def test_ann_lsh_is_bucket_filtered_exact(self, vecs_df):
+        out = ann_lsh_topk(
+            vecs_df, query_id=0, k=5, num_planes=1, seed=13, dim=4
+        ).collect()
+        planes = hyperplanes(1, 4, 13)
+        def bucket(v):
+            return 1 if sum(x * p for x, p in zip(v, planes[0])) >= 0 else 0
+        qb = bucket(VECS[0][1])
+        expected = {i for i, v in VECS if i != 0 and bucket(v) == qb}
+        assert {r.vec_id for r in out} == expected
+
+    def test_hyperplanes_deterministic(self):
+        assert hyperplanes(2, 4, 13) == hyperplanes(2, 4, 13)
+        rng = random.Random(13)
+        first = [round(rng.uniform(-1.0, 1.0), 6) for _ in range(4)]
+        assert hyperplanes(2, 4, 13)[0] == first
