@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from symtseries_spark import oracle as oc
+from symtseries_spark import oracle_media as om
 from symtseries_spark import oracle_text as ot
 from symtseries_spark import oracle_vec as ov
 from symtseries_spark.functions.text import (
@@ -45,6 +46,12 @@ from symtseries_spark.operators import (
     topk_nearest,
     tumbling_sax,
     whole_series_sax,
+)
+from symtseries_spark.operators.multimodal import (
+    byte_histogram,
+    decode_media,
+    frame_sample,
+    media_from_documents,
 )
 from symtseries_spark.sources import load
 
@@ -294,6 +301,30 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIST_BINS = 16
+FRAME = dict(frame_size=64, every_n=2)
+
+
+def q_media_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_from_documents(load(spark, sf_dir, "documents"))
+    return byte_histogram(media, bins=HIST_BINS)
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_from_documents(load(spark, sf_dir, "documents"))
+    return frame_sample(media, **FRAME).select(
+        "media_id", "frame_no", F.decode("frame", "UTF-8").alias("frame_text")
+    )
+
+
+def q_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_from_documents(load(spark, sf_dir, "documents"))
+    decoded = decode_media(media, allow_fake=True)
+    return decoded.select(
+        "media_id", "kind", F.posexplode("features").alias("fi", "feature")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sax_sliding_words": q_sax_sliding_words,
@@ -315,6 +346,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_join": q_emb_knn_join,
         "emb_ann_lsh": q_emb_ann_lsh,
         "emb_near_dup": q_emb_near_dup,
+        "media_byte_histogram": q_media_byte_histogram,
+        "media_frame_sample": q_media_frame_sample,
+        "media_decode_features": q_media_decode_features,
     }
 
 
@@ -430,4 +464,7 @@ LIMIT 10
         "emb_near_dup": ov.embedding_near_dup_sql(
             threshold=EMB_NEAR_DUP, dim=EMB_DIM
         ),
+        "media_byte_histogram": om.byte_histogram_sql(bins=HIST_BINS),
+        "media_frame_sample": om.frame_sample_sql(**FRAME),
+        "media_decode_features": om.decode_features_sql(),
     }

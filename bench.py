@@ -39,9 +39,11 @@ def main() -> None:
 
     # warm the JVM / codegen / parquet footer caches so the first timed
     # query doesn't absorb session startup
-    spark.read.parquet(f"{sf_dir}/events.parquet").limit(1000).write.format(
-        "noop"
-    ).mode("overwrite").save()
+    from symtseries_spark.sources import load
+
+    load(spark, sf_dir, "events").limit(1000).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     total = 0.0
