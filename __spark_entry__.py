@@ -71,8 +71,8 @@ ALLPAIRS_DELTA = 0.5
 TOPK = 20
 
 # training-data pipeline parameters
-JACCARD = dict(k=2, threshold=0.35)
-MINHASH = dict(k=2, num_hashes=32, bands=8, threshold=0.35, seed=7)
+JACCARD = dict(k=3, threshold=0.35)
+MINHASH = dict(k=3, num_hashes=32, bands=8, threshold=0.35, seed=7)
 SIMHASH_BITS = 32
 SIMHASH_PAIRS = dict(bits=32, max_hamming=3, chunks=4)
 EMB_DIM = 64
@@ -249,6 +249,68 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sax_tumbling_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing partial windows kept, NaN back-padded -> trailing '#'
+    frames (the reference's partially-filled buffer, src/symtseries.c:313)."""
+    return tumbling_sax(
+        load(spark, sf_dir, "events"),
+        key="user_id", order=["ts", "event_id"], value="value",
+        keep_partial=True, **TUMBLE_MOTIF,
+    )
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    supplier = load(spark, sf_dir, "supplier")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)")
+    )
+    # dims broadcast; the only shuffle joins/aggregates are on lineitem keys
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (li.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue).cast("double"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").cast("decimal(6,4)") >= F.lit(0.05).cast("decimal(6,4)"))
+            & (F.col("l_discount").cast("decimal(6,4)") <= F.lit(0.07).cast("decimal(6,4)"))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * F.col("l_discount").cast("decimal(6,4)")
+                ).cast("double"),
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return docs.select(
@@ -334,8 +396,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_mindist_topk": q_sax_mindist_topk,
         "sax_mindist_decomp": q_sax_mindist_decomp,
         "sax_allpairs": q_sax_allpairs,
+        "sax_tumbling_partial": q_sax_tumbling_partial,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
         "text_quality": q_text_quality,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -427,6 +492,29 @@ ORDER BY revenue DESC, l.l_orderkey
 LIMIT 10
 """
 
+    q5 = """
+SELECT n.n_name,
+  round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l.l_discount AS DECIMAL(6,4)))) AS DOUBLE), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1997-01-01'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n.n_name
+"""
+
+    q6 = """
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(l_discount AS DECIMAL(6,4)) BETWEEN CAST(0.05 AS DECIMAL(6,4)) AND CAST(0.07 AS DECIMAL(6,4))
+  AND l_quantity < 24
+"""
+
     return {
         "sax_sliding_words": f"SELECT user_id, event_id, sax_word FROM ({slide})",
         "sax_tumbling_motifs": (
@@ -450,8 +538,14 @@ LIMIT 10
             f"FROM ({dist_words})"
         ),
         "sax_allpairs": allpairs,
+        "sax_tumbling_partial": oc.tumbling_words_sql(
+            TUMBLE_MOTIF["n"], TUMBLE_MOTIF["w"], TUMBLE_MOTIF["c"],
+            keep_partial=True,
+        ),
         "tpch_q1": q1,
         "tpch_q3": q3,
+        "tpch_q5": q5,
+        "tpch_q6": q6,
         "text_quality": ot.text_quality_sql(),
         "dedup_exact": ot.exact_dedup_sql(),
         "dedup_jaccard": ot.jaccard_pairs_sql(**JACCARD),

@@ -64,23 +64,36 @@ def sliding_sax(
     # Implementation note: this is NOT the array collect_list + sax_encode
     # form — Spark evaluates higher-order array functions interpreted,
     # which costs ~1ms/row. Instead each PAA frame is its own window
-    # aggregate over a row sub-frame and the bucketing is a CASE chain:
-    # everything stays inside whole-stage codegen, and WindowExec computes
-    # all 2w+2 aggregates in one sorted pass per partition.
+    # aggregate over a row sub-frame and the bucketing is a CASE chain.
+    # CRITICAL plan shape: the raw window aggregates are materialized as
+    # columns in their OWN projection before the letter arithmetic —
+    # Spark does not common-subexpression-eliminate repeated window
+    # expressions, so inlining them into the CASE chain multiplies the
+    # WindowExec work ~9x (observed _we0.._we89 for w=4, c=8). Split this
+    # way, WindowExec computes exactly 2w+2 running aggregates in one
+    # sorted pass and the letter CASEs run codegen'd over plain columns.
     v = _value_as_double(value)
     vf = F.when(is_finite(v), v)  # stats see only finite values
     vn = F.when(~F.isnan(v), v)  # frames skip NaN but keep ±Inf
     stage = df.withColumn("__vf", vf).withColumn("__vn", vn)
 
-    mu = F.avg("__vf").over(full)
-    sigma = F.coalesce(F.stddev_pop("__vf").over(full), F.lit(0.0))
-
-    letters = []
+    aggs = {
+        "__mu": F.avg("__vf").over(full),
+        "__sigma": F.coalesce(F.stddev_pop("__vf").over(full), F.lit(0.0)),
+    }
     for j in range(w):
         lo = j * f - (n - 1)  # frame j in window offsets (0 = current row)
         frame = base.rowsBetween(lo, lo + f - 1)
-        s = F.sum("__vn").over(frame)
-        cnt = F.count("__vn").over(frame)
+        aggs[f"__s{j}"] = F.sum("__vn").over(frame)
+        aggs[f"__c{j}"] = F.count("__vn").over(frame)
+    if not emit_partial:
+        aggs["__cnt"] = F.count(F.lit(1)).over(full)
+    stage = stage.withColumns(aggs)
+
+    mu, sigma = F.col("__mu"), F.col("__sigma")
+    letters = []
+    for j in range(w):
+        s, cnt = F.col(f"__s{j}"), F.col(f"__c{j}")
         z = F.when(sigma < STAT_EPS, F.lit(0.0)).otherwise(
             (s - cnt * mu) / (cnt * sigma)
         )
@@ -95,15 +108,10 @@ def sliding_sax(
             .otherwise(bucket)
         )
 
-    result = stage.withColumn(out, F.concat(*letters)).drop("__vf", "__vn")
+    result = stage.withColumn(out, F.concat(*letters))
     if not emit_partial:
-        cnt_rows = F.count(F.lit(1)).over(full)
-        result = (
-            result.withColumn("__cnt", cnt_rows)
-            .where(F.col("__cnt") == n)
-            .drop("__cnt")
-        )
-    return result
+        result = result.where(F.col("__cnt") == n)
+    return result.drop("__vf", "__vn", "__cnt", *aggs.keys())
 
 
 def tumbling_sax(

@@ -100,9 +100,13 @@ def tumbling_words_sql(
     key: str = "user_id",
     order: str = "ts, event_id",
     value: str = "value",
+    keep_partial: bool = False,
 ) -> str:
     """Full tumbling windows of n consecutive rows per key ->
-    (series_key, window_id, sax_word)."""
+    (series_key, window_id, sax_word). With ``keep_partial``, trailing
+    windows shorter than n are kept — missing positions contribute
+    nothing to any frame sum/count, which is exactly the engine's
+    NaN back-padding semantics."""
     f = n // w
     frame_aggs = []
     for j in range(w):
@@ -132,7 +136,7 @@ WITH ord AS (
          {",".join(frame_aggs)}
   FROM pos
   GROUP BY series_key, window_id
-  HAVING count(*) = {n}
+  {"" if keep_partial else f"HAVING count(*) = {n}"}
 )
 SELECT series_key, window_id, {letters} AS sax_word FROM grp
 """
