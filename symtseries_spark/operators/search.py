@@ -138,7 +138,11 @@ def allpairs_within(
     cols = [F.col(key_col).alias("k"), F.col(word_col).alias("wd")] + (
         [F.col(n_col).alias("n")] if n_col else []
     )
-    base = words.where(F.col(word_col).isNotNull()).select(*cols)
+    # the word table feeds three plan branches (distinct pairs + both
+    # expansion sides); persist it so the upstream window aggregation
+    # runs once — it is the compressed representation (key + w chars),
+    # orders of magnitude smaller than its source series
+    base = words.where(F.col(word_col).isNotNull()).select(*cols).persist()
 
     # 1) distances over distinct words only (|D|^2/2 evals, |D| <= c^w)
     dcols = ["wd"] + (["n"] if n_col else [])

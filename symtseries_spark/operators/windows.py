@@ -177,26 +177,63 @@ def whole_series_sax(
     Series whose length is not a multiple of ``w`` are truncated to the
     largest multiple (engine extension; the reference would reject them,
     src/symtseries.c:515-521). Series shorter than ``w`` are dropped.
+
+    Scale design: fully long-form/relational — NO per-series array is
+    ever materialized, so a series of any length (billions of points)
+    streams through bounded per-row state. Plan: one sort-shuffle on the
+    series key for positions, a map-side-combinable groupBy for the w
+    frame partials, a broadcast-able stats join, and a w-row collect per
+    series for the final word (w <= 2048 by the reference cap).
     """
+    validate_params(w * 2, w, c)
     order_cols = [order] if isinstance(order, str) else list(order)
-    grouped = (
-        df.groupBy(F.col(key).alias("series_key"))
-        .agg(
+    win = Window.partitionBy(key).orderBy(*order_cols)
+    v = _value_as_double(value)
+    positioned = df.select(
+        F.col(key).alias("series_key"),
+        (F.row_number().over(win) - 1).alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy(key)).alias("series_len"),
+        F.when(is_finite(v), v).alias("__vf"),
+        F.when(~F.isnan(v), v).alias("__vn"),
+    )
+    usable = (F.floor(F.col("series_len") / w) * w).cast("long")
+    truncated = positioned.where(
+        (F.col("series_len") >= w) & (F.col("pos") < usable)
+    ).withColumn("frame_id", (F.col("pos") / (usable / w)).cast("int"))
+
+    frames = truncated.groupBy("series_key", "frame_id").agg(
+        F.sum("__vn").alias("fsum"),
+        F.count("__vn").alias("fcnt"),
+    )
+    stats = truncated.groupBy("series_key").agg(
+        F.avg("__vf").alias("mu"),
+        F.coalesce(F.stddev_pop("__vf"), F.lit(0.0)).alias("sigma"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+    s, cnt = F.col("fsum"), F.col("fcnt")
+    z = F.when(F.col("sigma") < STAT_EPS, F.lit(0.0)).otherwise(
+        (s - cnt * F.col("mu")) / (cnt * F.col("sigma"))
+    )
+    bucket = F.when(z < BREAKPOINTS[c][0], LETTERS[0])
+    for i, b in enumerate(BREAKPOINTS[c][1:], start=1):
+        bucket = bucket.when(z < b, LETTERS[i])
+    bucket = bucket.otherwise(LETTERS[c - 1])
+    letter = (
+        F.when((cnt == 0) | F.isnan(s), MISSING)
+        .when(s == F.lit(_INF), LETTERS[c - 1])
+        .when(s == F.lit(-_INF), LETTERS[0])
+        .otherwise(bucket)
+    )
+    lettered = frames.join(stats, "series_key").select(
+        "series_key", "n", "frame_id", letter.alias("letter")
+    )
+    return lettered.groupBy("series_key", "n").agg(
+        F.concat_ws(
+            "",
             F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(*[F.col(o) for o in order_cols], _value_as_double(value).alias("v"))
-                    )
-                ),
-                lambda s: s["v"],
-            ).alias("vals")
-        )
-        .where(F.size("vals") >= w)
-    )
-    usable = (F.floor(F.size("vals") / w) * w).cast("int")
-    truncated = F.slice(F.col("vals"), 1, usable)
-    return grouped.select(
-        "series_key",
-        F.size(truncated).alias("n"),
-        sax_encode(truncated, w, c).alias(out),
-    )
+                F.array_sort(F.collect_list(F.struct("frame_id", "letter"))),
+                lambda x: x["letter"],
+            ),
+        ).alias(out)
+    ).select("series_key", F.col("n").cast("int").alias("n"), out)
