@@ -28,9 +28,12 @@ from symtseries_spark.functions.text import (
     quality_metrics,
     rolling_fingerprint,
 )
+from symtseries_spark import pykernel as pk
 from symtseries_spark.operators import (
     allpairs_within,
     ann_lsh_topk,
+    isax_buckets,
+    isax_topk,
     cosine_topk,
     embedding_near_dup,
     exact_dedup_map,
@@ -249,6 +252,39 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ISAX_COARSE_BUCKETS = 2
+ISAX_COARSE_SEARCH = 4
+
+
+def q_sax_isax_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = tumbling_sax(
+        load(spark, sf_dir, "events"),
+        key="user_id", order=["ts", "event_id"], value="value", **TUMBLE_DIST,
+    )
+    return isax_buckets(words, c=TUMBLE_DIST["c"], coarse_c=ISAX_COARSE_BUCKETS)
+
+
+def q_sax_isax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = tumbling_sax(
+        load(spark, sf_dir, "events"),
+        key="user_id", order=["ts", "event_id"], value="value", **TUMBLE_DIST,
+    )
+    return isax_topk(
+        words,
+        DIST_PATTERN,
+        c=TUMBLE_DIST["c"],
+        coarse_c=ISAX_COARSE_SEARCH,
+        k=TOPK,
+        n=TUMBLE_DIST["n"],
+        tiebreakers=["series_key", "window_id"],
+    ).select(
+        "series_key",
+        "window_id",
+        "sax_word",
+        F.round("mindist", 4).alias("dist"),
+    )
+
+
 def q_sax_tumbling_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing partial windows kept, NaN back-padded -> trailing '#'
     frames (the reference's partially-filled buffer, src/symtseries.c:313)."""
@@ -397,6 +433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_mindist_decomp": q_sax_mindist_decomp,
         "sax_allpairs": q_sax_allpairs,
         "sax_tumbling_partial": q_sax_tumbling_partial,
+        "sax_isax_buckets": q_sax_isax_buckets,
+        "sax_isax_topk": q_sax_isax_topk,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -423,6 +461,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _tumbling_sql(params) -> str:
     return oc.tumbling_words_sql(params["n"], params["w"], params["c"])
+
+
+_l8 = "ABCDEFGH"  # letters at c=8 (TUMBLE_DIST cardinality)
+
+
+def _coarse_map(coarse_c: int) -> str:
+    k = TUMBLE_DIST["c"] // coarse_c
+    return "".join(_l8[i // k] for i in range(TUMBLE_DIST["c"]))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -538,6 +584,17 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
             f"FROM ({dist_words})"
         ),
         "sax_allpairs": allpairs,
+        "sax_isax_buckets": (
+            f"SELECT translate(sax_word, '{_l8}', '{_coarse_map(ISAX_COARSE_BUCKETS)}') AS bucket, "
+            f"count(*) AS n_words FROM ({dist_words}) GROUP BY 1"
+        ),
+        "sax_isax_topk": (
+            f"SELECT series_key, window_id, sax_word, round({m_dist['dist']}, 4) AS dist "
+            f"FROM ({dist_words}) "
+            f"WHERE translate(sax_word, '{_l8}', '{_coarse_map(ISAX_COARSE_SEARCH)}') = "
+            f"'{pk.coarsen(DIST_PATTERN, TUMBLE_DIST['c'], ISAX_COARSE_SEARCH)}' "
+            f"ORDER BY dist, series_key, window_id LIMIT {TOPK}"
+        ),
         "sax_tumbling_partial": oc.tumbling_words_sql(
             TUMBLE_MOTIF["n"], TUMBLE_MOTIF["w"], TUMBLE_MOTIF["c"],
             keep_partial=True,

@@ -227,6 +227,24 @@ def sax_mindist(a: Column, b: Column, *, c: int, n: Column | int | None = None) 
     return sax_mindist_parts(a, b, c=c, n=n)["dist"]
 
 
+def sax_coarsen(word: Column, c: int, c2: int) -> Column:
+    """Reduce a SAX word's cardinality from ``c`` to ``c2`` (both powers
+    of two, ``c2 | c``) — the iSAX idea: the reference's breakpoint
+    tables nest exactly for power-of-two cardinalities (verified against
+    src/symtseries.c:26-48), so encoding at ``c`` then coarsening equals
+    encoding at ``c2`` directly. Letter ℓ maps to ℓ // (c/c2); '#' is
+    preserved. One ``translate`` call — a single codegen'd string op —
+    which makes coarse words a free prefix-tree bucket key for indexed
+    similarity search (prune on coarse equality, refine with mindist).
+    """
+    if c2 < 2 or c % c2 or (c & (c - 1)) or (c2 & (c2 - 1)):
+        raise ValueError("cardinalities must be powers of two with c2 | c")
+    k = c // c2
+    src = LETTERS[:c]
+    dst = "".join(LETTERS[i // k] for i in range(c))
+    return F.translate(word, src, dst)
+
+
 # ---------------------------------------------------------------------------
 # codegen-path variants
 #

@@ -4,6 +4,8 @@ training-data dedup, and embedding similarity search."""
 from .windows import sliding_sax, tumbling_sax, whole_series_sax
 from .search import (
     allpairs_within,
+    isax_buckets,
+    isax_topk,
     match_pattern,
     mindist_to_pattern,
     motif_counts,
@@ -32,6 +34,8 @@ __all__ = [
     "embedding_near_dup",
     "embedding_near_dup_lsh",
     "exact_dedup_map",
+    "isax_buckets",
+    "isax_topk",
     "jaccard_pairs",
     "knn_join",
     "match_pattern",

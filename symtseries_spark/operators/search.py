@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .. import pykernel as pk
-from ..functions.sax import sax_mindist_to_literal, sax_word_mindist
+from ..functions.sax import sax_coarsen, sax_mindist_to_literal, sax_word_mindist
 
 
 def mindist_to_pattern(
@@ -104,6 +104,51 @@ def motif_counts(
         .groupBy(F.col(word_col).alias("motif"))
         .agg(F.count(F.lit(1)).alias("occurrences"))
     )
+
+
+def isax_buckets(
+    words: DataFrame,
+    *,
+    c: int,
+    coarse_c: int,
+    word_col: str = "sax_word",
+) -> DataFrame:
+    """iSAX index statistics: occurrence count per cardinality-``coarse_c``
+    prefix word -> ``(bucket, n_words)``. The coarse word is the node key
+    of an iSAX prefix tree; at scale this is the partition/bucket column
+    to sort data by for pruned similarity scans."""
+    return (
+        words.where(F.col(word_col).isNotNull())
+        .groupBy(sax_coarsen(F.col(word_col), c, coarse_c).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_words"))
+    )
+
+
+def isax_topk(
+    words: DataFrame,
+    pattern: str,
+    *,
+    c: int,
+    coarse_c: int,
+    k: int,
+    word_col: str = "sax_word",
+    n: str | Column | int | None = None,
+    tiebreakers: list[str] | None = None,
+) -> DataFrame:
+    """Indexed (approximate) top-k: prune to the query's iSAX bucket —
+    words whose coarse form equals the pattern's — then refine with exact
+    mindist. Because coarsening only merges adjacent buckets, coarse
+    INEQUALITY implies mindist > 0, so the prune only drops candidates
+    that cannot be exact matches; ranking within the bucket is exact.
+    The prefilter is a plan-time string constant -> parquet-pushable
+    predicate; the scan reads ~1/coarse_c^w of the data."""
+    coarse_pattern = pk.coarsen(pattern, c, coarse_c)
+    pruned = words.where(
+        sax_coarsen(F.col(word_col), c, coarse_c) == coarse_pattern
+    )
+    scored = mindist_to_pattern(pruned, pattern, c=c, word_col=word_col, n=n)
+    order = [F.col("mindist").asc()] + [F.col(t) for t in (tiebreakers or [])]
+    return scored.orderBy(*order).limit(k)
 
 
 def allpairs_within(

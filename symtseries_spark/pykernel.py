@@ -160,6 +160,18 @@ def mindist(
     return parts[0] if parts is not None else None
 
 
+def coarsen(word: str, c: int, c2: int) -> str:
+    """iSAX cardinality reduction (see functions.sax.sax_coarsen):
+    power-of-two breakpoints nest, so this equals re-encoding at c2."""
+    if c2 < 2 or c % c2 or (c & (c - 1)) or (c2 & (c2 - 1)):
+        raise ValueError("cardinalities must be powers of two with c2 | c")
+    k = c // c2
+    return "".join(
+        ch if ch == MISSING else chr(ord("A") + (ord(ch) - ord("A")) // k)
+        for ch in word
+    )
+
+
 def words_equal(a: Sequence[int], b: Sequence[int]) -> bool:
     """Structural equality on (w, symbols); '#' matches only '#'
     (n_values deliberately not compared; src/symtseries.c:638-645)."""
@@ -222,5 +234,6 @@ __all__ = [
     "mindist_parts",
     "mu_std",
     "parse",
+    "coarsen",
     "words_equal",
 ]

@@ -260,3 +260,41 @@ class TestSimsearch:
         rng = random.Random(13)
         first = [round(rng.uniform(-1.0, 1.0), 6) for _ in range(4)]
         assert hyperplanes(2, 4, 13)[0] == first
+
+
+class TestISax:
+    def test_coarsen_equals_reencode(self):
+        """iSAX nesting: encoding at c2 == coarsening the c-encoding —
+        holds because the reference's power-of-two breakpoint tables
+        nest exactly."""
+        import numpy as np
+        from symtseries_spark import pykernel as pk
+
+        rng = np.random.default_rng(7)
+        for _ in range(50):
+            vals = list(rng.normal(size=16))
+            if rng.random() < 0.3:
+                vals[int(rng.integers(0, 16))] = math.nan
+            for c, c2 in [(16, 8), (16, 4), (8, 4), (8, 2), (4, 2)]:
+                full = pk.encode(vals, 4, c)
+                assert pk.coarsen(full, c, c2) == pk.encode(vals, 4, c2), (
+                    vals, c, c2,
+                )
+
+    def test_sax_coarsen_column(self, spark):
+        from pyspark.sql import Row
+        from symtseries_spark.functions.sax import sax_coarsen
+        from symtseries_spark import pykernel as pk
+
+        words = ["AH#D", "ABCD", "HHHH", "####"]
+        df = spark.createDataFrame([Row(w=x) for x in words])
+        out = [r.c for r in df.select(sax_coarsen(F.col("w"), 8, 4).alias("c")).collect()]
+        assert out == [pk.coarsen(x, 8, 4) for x in words]
+
+    def test_coarsen_validates(self):
+        from symtseries_spark import pykernel as pk
+
+        with pytest.raises(ValueError):
+            pk.coarsen("AB", 6, 3)
+        with pytest.raises(ValueError):
+            pk.coarsen("AB", 8, 3)
