@@ -253,7 +253,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ISAX_COARSE_BUCKETS = 2
-ISAX_COARSE_SEARCH = 4
+ISAX_COARSE_SEARCH = 2
 
 
 def q_sax_isax_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
