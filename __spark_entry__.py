@@ -347,6 +347,39 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sax_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming parity as a checkable query: run the stateful
+    sliding-SAX stream over the events file (one micro-batch -> arrival
+    order == sort order), drain to a memory sink, return the sink table.
+    Streaming == batch by construction, so the ORACLE is the batch
+    sliding-window SQL."""
+    import tempfile
+    import uuid
+
+    from symtseries_spark.streaming import sliding_sax_stream
+
+    batch = load(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    words = sliding_sax_stream(
+        stream, key="user_id", order=["ts", "event_id"], value="value", **SLIDE
+    )
+    name = f"sax_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        words.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sax_stream_chk_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).select("user_id", "event_id", "sax_word")
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return docs.select(
@@ -433,6 +466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_mindist_decomp": q_sax_mindist_decomp,
         "sax_allpairs": q_sax_allpairs,
         "sax_tumbling_partial": q_sax_tumbling_partial,
+        "sax_sliding_stream": q_sax_sliding_stream,
         "sax_isax_buckets": q_sax_isax_buckets,
         "sax_isax_topk": q_sax_isax_topk,
         "tpch_q1": q_tpch_q1,
@@ -563,6 +597,8 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 
     return {
         "sax_sliding_words": f"SELECT user_id, event_id, sax_word FROM ({slide})",
+        # streaming == batch by construction; same oracle as the batch query
+        "sax_sliding_stream": f"SELECT user_id, event_id, sax_word FROM ({slide})",
         "sax_tumbling_motifs": (
             f"SELECT sax_word AS motif, count(*) AS occurrences "
             f"FROM ({motifs}) GROUP BY sax_word"
