@@ -1,7 +1,12 @@
 """DataFrame-level operators: windowed SAX extraction, SAX-space search,
 training-data dedup, and embedding similarity search."""
 
-from .windows import sliding_sax, tumbling_sax, whole_series_sax
+from .windows import (
+    sliding_sax,
+    sliding_sax_chunked,
+    tumbling_sax,
+    whole_series_sax,
+)
 from .search import (
     allpairs_within,
     isax_buckets,
@@ -46,6 +51,7 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "sliding_sax",
+    "sliding_sax_chunked",
     "topk_nearest",
     "tumbling_sax",
     "whole_series_sax",

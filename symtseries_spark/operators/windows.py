@@ -37,7 +37,7 @@ def _value_as_double(value: str | Column) -> Column:
 def sliding_sax(
     df: DataFrame,
     *,
-    key: str,
+    key: str | list[str],
     order: str | list[str],
     value: str,
     n: int,
@@ -57,8 +57,9 @@ def sliding_sax(
     """
     validate_params(n, w, c)
     f = n // w
+    key_cols = [key] if isinstance(key, str) else list(key)
     order_cols = [order] if isinstance(order, str) else list(order)
-    base = Window.partitionBy(key).orderBy(*order_cols)
+    base = Window.partitionBy(*key_cols).orderBy(*order_cols)
     full = base.rowsBetween(-(n - 1), 0)
 
     # Implementation note: this is NOT the array collect_list + sax_encode
@@ -112,6 +113,66 @@ def sliding_sax(
     if not emit_partial:
         result = result.where(F.col("__cnt") == n)
     return result.drop("__vf", "__vn", "__cnt", *aggs.keys())
+
+
+def sliding_sax_chunked(
+    df: DataFrame,
+    *,
+    key: str,
+    order: str | list[str],
+    value: str,
+    n: int,
+    w: int,
+    c: int,
+    chunk: int = 65536,
+    out: str = "sax_word",
+    emit_partial: bool = True,
+) -> DataFrame:
+    """:func:`sliding_sax` with intra-series parallelism for very long
+    series. Plain ``sliding_sax`` partitions by the series key, so ONE
+    multi-billion-row series serializes onto one task; this variant
+    splits each series into ``chunk``-row chunks and replicates the
+    n-1 rows before each boundary into the next chunk (overlap-aware
+    parallel sliding window), then runs the same window plan partitioned
+    by (key, chunk). Identical output, two shuffles instead of one —
+    use when max series length >> chunk.
+    """
+    validate_params(n, w, c)
+    if chunk < n:
+        raise ValueError("chunk must be >= n")
+    order_cols = [order] if isinstance(order, str) else list(order)
+    rn = F.row_number().over(Window.partitionBy(key).orderBy(*order_cols)) - 1
+    staged = df.withColumn("__rn", rn)
+    # rows in the last n-1 positions of a chunk also serve the next
+    # chunk's lookback; emit 1 or 2 (chunk_id, is_owner) assignments
+    own = F.floor(F.col("__rn") / chunk).cast("long")
+    needs_copy = (F.col("__rn") % chunk) >= (chunk - (n - 1))
+    assignments = F.when(
+        needs_copy,
+        F.array(
+            F.struct(own.alias("cid"), F.lit(True).alias("owner")),
+            F.struct((own + 1).alias("cid"), F.lit(False).alias("owner")),
+        ),
+    ).otherwise(F.array(F.struct(own.alias("cid"), F.lit(True).alias("owner"))))
+    exploded = staged.withColumn("__a", F.explode(assignments)).select(
+        "*", F.col("__a.cid").alias("__cid"), F.col("__a.owner").alias("__owner")
+    ).drop("__a")
+
+    inner = sliding_sax(
+        exploded,
+        key=[key, "__cid"],
+        order=["__rn"],
+        value=value,
+        n=n,
+        w=w,
+        c=c,
+        out=out,
+        emit_partial=True,
+    )
+    result = inner.where(F.col("__owner")).drop("__cid", "__owner")
+    if not emit_partial:
+        result = result.where(F.col("__rn") >= n - 1)
+    return result.drop("__rn")
 
 
 def tumbling_sax(

@@ -180,3 +180,53 @@ def test_allpairs_matches_bruteforce(spark):
     assert set(got) == set(expected)
     for k, d in got.items():
         assert abs(d - expected[k]) < 1e-9
+
+
+class TestSlidingChunked:
+    def test_chunked_equals_plain(self, spark, sf_dir):
+        """Overlap-replicated chunk parallelism must be output-identical
+        to the single-partition-per-series plan."""
+        from pyspark.sql import functions as F
+        from symtseries_spark.operators import sliding_sax
+        from symtseries_spark.operators.windows import sliding_sax_chunked
+        from symtseries_spark.sources import load
+
+        events = load(spark, sf_dir, "events").where(F.col("user_id") < 15)
+        kwargs = dict(
+            key="user_id", order=["ts", "event_id"], value="value",
+            n=8, w=4, c=8,
+        )
+        plain = {
+            (r.user_id, r.event_id): r.sax_word
+            for r in sliding_sax(events, **kwargs).collect()
+        }
+        for chunk in (16, 64):  # chunk smaller than series length -> real splits
+            chunked = {
+                (r.user_id, r.event_id): r.sax_word
+                for r in sliding_sax_chunked(events, chunk=chunk, **kwargs).collect()
+            }
+            assert chunked == plain, chunk
+        # emit_partial=False parity
+        plain_full = {
+            (r.user_id, r.event_id): r.sax_word
+            for r in sliding_sax(events, emit_partial=False, **kwargs).collect()
+        }
+        chunked_full = {
+            (r.user_id, r.event_id): r.sax_word
+            for r in sliding_sax_chunked(
+                events, chunk=16, emit_partial=False, **kwargs
+            ).collect()
+        }
+        assert chunked_full == plain_full
+
+    def test_chunk_validates(self, spark, sf_dir):
+        import pytest as _pytest
+        from symtseries_spark.operators.windows import sliding_sax_chunked
+        from symtseries_spark.sources import load
+
+        with _pytest.raises(ValueError):
+            sliding_sax_chunked(
+                load(spark, sf_dir, "events"),
+                key="user_id", order=["ts"], value="value",
+                n=8, w=4, c=8, chunk=4,
+            )
