@@ -8,6 +8,7 @@ column pruning, and partition coalescing; never collect here.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -31,3 +32,47 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # role in the engine) is identical to the native nanosecond timestamp.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def write_words_bucketed(
+    words: DataFrame,
+    path: str,
+    *,
+    c: int,
+    coarse_c: int = 2,
+    word_col: str = "sax_word",
+    mode: str = "overwrite",
+) -> None:
+    """Sink: persist a word table partitioned by its iSAX coarse bucket
+    (``isax_bucket=<coarse word>/`` directories). At rest this is the
+    iSAX prefix-tree root level: similarity queries that prune on the
+    coarse bucket (:func:`..operators.search.isax_topk`'s prefilter)
+    become PARTITION-PRUNED scans — Spark reads only the matching
+    directories, ~1/coarse_c^w of the data, before any row is touched.
+    """
+    from ..functions.sax import sax_coarsen
+
+    (
+        words.withColumn("isax_bucket", sax_coarsen(F.col(word_col), c, coarse_c))
+        .write.mode(mode)
+        .partitionBy("isax_bucket")
+        .parquet(path)
+    )
+
+
+def read_words_bucket(
+    spark: SparkSession,
+    path: str,
+    pattern: str,
+    *,
+    c: int,
+    coarse_c: int = 2,
+) -> DataFrame:
+    """Read back only the iSAX bucket matching ``pattern``'s coarse form
+    — the filter lands on the partition column, so non-matching
+    directories are never opened (check ``PartitionFilters`` in the
+    scan node)."""
+    from .. import pykernel as pk
+
+    coarse = pk.coarsen(pattern, c, coarse_c)
+    return spark.read.parquet(path).where(F.col("isax_bucket") == coarse)

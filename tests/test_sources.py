@@ -1,0 +1,44 @@
+"""iSAX-bucketed storage layout: partitioned write + pruned read."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from symtseries_spark import pykernel as pk
+from symtseries_spark.operators import tumbling_sax
+from symtseries_spark.sources import load, read_words_bucket, write_words_bucketed
+
+PARAMS = dict(n=16, w=4, c=8)
+
+
+class TestBucketedLayout:
+    def test_roundtrip_and_partition_pruning(self, spark, sf_dir):
+        words = tumbling_sax(
+            load(spark, sf_dir, "events"),
+            key="user_id", order=["ts", "event_id"], value="value", **PARAMS,
+        )
+        out_dir = tempfile.mkdtemp(prefix="sax_bucketed_")
+        try:
+            write_words_bucketed(words, out_dir, c=8, coarse_c=2)
+            # pick a pattern whose bucket is non-empty
+            some_word = words.limit(1).collect()[0].sax_word
+            got = read_words_bucket(spark, out_dir, some_word, c=8, coarse_c=2)
+            expected = {
+                (r.series_key, r.window_id): r.sax_word
+                for r in words.collect()
+                if pk.coarsen(r.sax_word, 8, 2) == pk.coarsen(some_word, 8, 2)
+            }
+            actual = {
+                (r.series_key, r.window_id): r.sax_word for r in got.collect()
+            }
+            assert actual == expected and len(actual) > 0
+            # the filter must land on the partition column, not the rows
+            plan = got._jdf.queryExecution().executedPlan().toString()
+            assert "PartitionFilters" in plan
+            assert "isax_bucket" in plan.split("PartitionFilters")[1][:200]
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
