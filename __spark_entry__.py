@@ -22,12 +22,7 @@ from symtseries_spark import oracle as oc
 from symtseries_spark import oracle_media as om
 from symtseries_spark import oracle_text as ot
 from symtseries_spark import oracle_vec as ov
-from symtseries_spark.functions.text import (
-    bpe_token_count,
-    lang_id,
-    quality_metrics,
-    rolling_fingerprint,
-)
+from symtseries_spark.functions.text import bpe_token_count, text_profile
 from symtseries_spark import pykernel as pk
 from symtseries_spark.operators import (
     allpairs_within,
@@ -347,6 +342,30 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item revenue per customer: lineitem shuffle join + a
+    groupBy whose dims (customer, nation) broadcast."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("date"))
+    )
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(revenue).cast("double"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
 def q_sax_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming parity as a checkable query: run the stateful
     sliding-SAX stream over the events file (one micro-batch -> arrival
@@ -382,13 +401,20 @@ def q_sax_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
+    # explode(array(...)) is a Generate barrier: CollapseProject cannot
+    # re-inline the profile expression into the 9 field extractions, so
+    # the (token-bound) profile is evaluated exactly once per row
     return docs.select(
         "doc_id",
-        quality_metrics(F.col("text")).alias("__q"),
+        F.explode(F.array(text_profile(F.col("text")))).alias("__p"),
         bpe_token_count(F.col("text")).alias("bpe_tokens"),
-        lang_id(F.col("text")).alias("lang_pred"),
-        rolling_fingerprint(F.col("text")).alias("fingerprint"),
-    ).select("doc_id", "__q.*", "bpe_tokens", "lang_pred", "fingerprint")
+    ).select(
+        "doc_id",
+        "__p.quality.*",
+        "bpe_tokens",
+        F.col("__p.lang_pred").alias("lang_pred"),
+        F.col("__p.fingerprint").alias("fingerprint"),
+    )
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -473,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
+        "tpch_q10": q_tpch_q10,
         "text_quality": q_text_quality,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -639,6 +666,19 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
         "tpch_q3": q3,
         "tpch_q5": q5,
         "tpch_q6": q6,
+        "tpch_q10": """
+SELECT c.c_custkey, c.c_name, n.n_name,
+  round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l.l_discount AS DECIMAL(6,4)))) AS DOUBLE), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1996-07-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""",
         "text_quality": ot.text_quality_sql(),
         "dedup_exact": ot.exact_dedup_sql(),
         "dedup_jaccard": ot.jaccard_pairs_sql(**JACCARD),

@@ -96,17 +96,21 @@ def normalized_text(text: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
 
 
+def _fingerprint_build(toks: Column) -> Column:
+    mod = 1_000_000_007
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 31 + hash_mod_prime(t)) % mod,
+    )
+
+
 def rolling_fingerprint(text: Column) -> Column:
     """Order-sensitive document fingerprint: polynomial rolling hash over
     the per-token 60-bit hashes, ``acc = (acc * 31 + h % P) % 1e9+7``.
     Two documents get equal fingerprints iff their token sequences match
     (mod collisions) — robust to whitespace/punctuation differences."""
-    mod = 1_000_000_007
-    return F.aggregate(
-        tokens(text),
-        F.lit(0).cast("long"),
-        lambda acc, t: (acc * 31 + hash_mod_prime(t)) % mod,
-    )
+    return _fingerprint_build(tokens(text))
 
 
 def _ratio(num: Column, den: Column) -> Column:
@@ -121,61 +125,80 @@ def quality_metrics(text: Column) -> Column:
     pipeline runs before anything expensive. ``quality_score`` is a fixed
     0..1 combination: high stopword presence and mid-length tokens score
     high; digit-heavy or token-free rows score low."""
+    return F.element_at(
+        F.transform(F.array(tokens(text)), lambda t: _quality_build(text, t)), 1
+    )
 
-    def build(toks: Column) -> Column:
-        n_chars = F.length(text)
-        n_tokens = F.size(toks)
-        tok_chars = F.aggregate(
-            toks, F.lit(0), lambda acc, t: acc + F.length(t)
-        )
-        avg_len = _ratio(tok_chars, n_tokens)
-        stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
-        n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-        stop_ratio = _ratio(n_stop, n_tokens)
-        n_digit = F.length(F.regexp_replace(text, "[^0-9]", ""))
-        digit_ratio = _ratio(n_digit, n_chars)
-        n_space = F.length(F.regexp_replace(text, "[^ ]", ""))
-        space_ratio = _ratio(n_space, n_chars)
-        score = (
-            F.least(stop_ratio * 4, F.lit(1.0)) * 0.4
-            + F.when((avg_len >= 3) & (avg_len <= 10), 0.4).otherwise(0.0)
-            + F.when(digit_ratio < 0.3, 0.2).otherwise(0.0)
-        )
-        return F.struct(
-            n_chars.cast("long").alias("n_chars"),
-            n_tokens.cast("long").alias("n_tokens"),
-            F.round(avg_len, 4).alias("avg_token_len"),
-            F.round(stop_ratio, 4).alias("stopword_ratio"),
-            F.round(digit_ratio, 4).alias("digit_ratio"),
-            F.round(space_ratio, 4).alias("space_ratio"),
-            F.round(F.when(n_tokens > 0, score).otherwise(0.0), 4).alias(
-                "quality_score"
-            ),
-        )
 
-    return F.element_at(F.transform(F.array(tokens(text)), build), 1)
+def _quality_build(text: Column, toks: Column) -> Column:
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    tok_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    avg_len = _ratio(tok_chars, n_tokens)
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    stop_ratio = _ratio(n_stop, n_tokens)
+    n_digit = F.length(F.regexp_replace(text, "[^0-9]", ""))
+    digit_ratio = _ratio(n_digit, n_chars)
+    n_space = F.length(F.regexp_replace(text, "[^ ]", ""))
+    space_ratio = _ratio(n_space, n_chars)
+    score = (
+        F.least(stop_ratio * 4, F.lit(1.0)) * 0.4
+        + F.when((avg_len >= 3) & (avg_len <= 10), 0.4).otherwise(0.0)
+        + F.when(digit_ratio < 0.3, 0.2).otherwise(0.0)
+    )
+    return F.struct(
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(avg_len, 4).alias("avg_token_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(digit_ratio, 4).alias("digit_ratio"),
+        F.round(space_ratio, 4).alias("space_ratio"),
+        F.round(F.when(n_tokens > 0, score).otherwise(0.0), 4).alias(
+            "quality_score"
+        ),
+    )
 
 
 def lang_id(text: Column) -> Column:
     """Stopword-marker language heuristic: count marker-token hits per
     language; predict the argmax (ties and zero hits -> first/'und').
     Deterministic by construction — the DuckDB oracle mirrors it exactly."""
+    return F.element_at(F.transform(F.array(tokens(text)), _lang_build), 1)
+
+
+def _lang_build(toks: Column) -> Column:
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores.append(
+            (lang, F.size(F.filter(toks, lambda t: F.array_contains(arr, t))))
+        )
+    best_lang: Column = F.lit("und")
+    best_score: Column = F.lit(0)
+    # process in reverse with >= so earlier-listed languages win ties;
+    # score 0 never wins -> 'und' for marker-free text
+    for lang, score in reversed(scores):
+        better = (score > 0) & (score >= best_score)
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, score).otherwise(best_score)
+    return best_lang
+
+
+def text_profile(text: Column) -> Column:
+    """One-pass combined profile: STRUCT(quality STRUCT, lang_pred,
+    fingerprint) with the token array bound ONCE — Catalyst's
+    CollapseProject re-inlines shared projected columns, so computing
+    the three metrics separately tokenizes three times; this form
+    guarantees a single tokenization per row."""
 
     def build(toks: Column) -> Column:
-        scores = []
-        for lang, markers in LANG_MARKERS.items():
-            arr = F.array(*[F.lit(m) for m in markers])
-            scores.append(
-                (lang, F.size(F.filter(toks, lambda t: F.array_contains(arr, t))))
-            )
-        best_lang: Column = F.lit("und")
-        best_score: Column = F.lit(0)
-        # process in reverse with >= so earlier-listed languages win ties;
-        # score 0 never wins -> 'und' for marker-free text
-        for lang, score in reversed(scores):
-            better = (score > 0) & (score >= best_score)
-            best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
-            best_score = F.when(better, score).otherwise(best_score)
-        return best_lang
+        return F.struct(
+            _quality_build(text, toks).alias("quality"),
+            _lang_build(toks).alias("lang_pred"),
+            _fingerprint_build(toks).alias("fingerprint"),
+        )
 
     return F.element_at(F.transform(F.array(tokens(text)), build), 1)
