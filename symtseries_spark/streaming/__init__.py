@@ -1,5 +1,7 @@
-"""Structured Streaming operators: stateful sliding-window SAX."""
+"""Structured Streaming operators: stateful sliding-window SAX and
+event-time tumbling SAX with watermarks."""
 
 from .sliding import sliding_sax_stream
+from .tumbling import tumbling_sax_event_time
 
-__all__ = ["sliding_sax_stream"]
+__all__ = ["sliding_sax_stream", "tumbling_sax_event_time"]

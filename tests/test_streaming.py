@@ -114,3 +114,108 @@ class TestStreamingParity:
         finally:
             shutil.rmtree(in_dir, ignore_errors=True)
             shutil.rmtree(chk_dir, ignore_errors=True)
+
+
+@pytest.mark.slow
+class TestEventTimeTumbling:
+    """Event-time tumbling SAX (engine extension): batch/stream agree,
+    and the watermark admits in-order windows in append mode."""
+
+    def _mk_rows(self):
+        import datetime
+
+        base = datetime.datetime(2024, 1, 1)
+        rows = []
+        for uid in (1, 2):
+            for i in range(16):
+                rows.append(
+                    (uid, base + datetime.timedelta(seconds=10 * i), float((i * 7) % 5 - 2 + uid))
+                )
+        return rows
+
+    def test_batch_matches_pykernel(self, spark):
+        from pyspark.sql.types import (
+            DoubleType, LongType, StructField, StructType, TimestampType,
+        )
+        from symtseries_spark.streaming import tumbling_sax_event_time
+
+        schema = StructType([
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ])
+        df = spark.createDataFrame(self._mk_rows(), schema)
+        out = tumbling_sax_event_time(
+            df, key="user_id", ts="ts", value="value",
+            duration="80 seconds", w=4, c=4,
+        ).collect()
+        # 16 rows @10s per user -> two 80s windows of 8 rows each
+        assert len(out) == 4
+        by_key = {(r.series_key, r.window_start): r for r in out}
+        for (uid, start), r in by_key.items():
+            vals = [
+                v for u, t, v in self._mk_rows()
+                if u == uid and start <= t < r.window_end
+            ]
+            assert r.n == 8
+            assert r.sax_word == pk.encode(vals, 4, 4), (uid, start)
+
+    def test_stream_append_with_watermark(self, spark):
+        import datetime
+        from pyspark.sql.types import (
+            DoubleType, LongType, StructField, StructType, TimestampType,
+        )
+        from symtseries_spark.streaming import tumbling_sax_event_time
+
+        schema = StructType([
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ])
+        early = spark.createDataFrame(self._mk_rows(), schema)
+        # a much-later row pushes the watermark past every early window
+        late_ts = datetime.datetime(2024, 1, 2)
+        pusher = spark.createDataFrame([(99, late_ts, 0.0)], schema)
+
+        in_dir = tempfile.mkdtemp(prefix="sax_ev_in_")
+        chk_dir = tempfile.mkdtemp(prefix="sax_ev_chk_")
+        try:
+            early.coalesce(1).write.parquet(f"{in_dir}/b0")
+            import time as _time
+
+            _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+            pusher.coalesce(1).write.parquet(f"{in_dir}/b1")
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{in_dir}/b*")
+            )
+            words = tumbling_sax_event_time(
+                stream, key="user_id", ts="ts", value="value",
+                duration="80 seconds", w=4, c=4, watermark="1 minute",
+            )
+            q = (
+                words.writeStream.format("memory")
+                .queryName("sax_ev_out")
+                .outputMode("append")
+                .option("checkpointLocation", chk_dir)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            got = {
+                (r.series_key, r.window_start): r.sax_word
+                for r in spark.sql("SELECT * FROM sax_ev_out").collect()
+            }
+            batch_expected = {
+                (r.series_key, r.window_start): r.sax_word
+                for r in tumbling_sax_event_time(
+                    early, key="user_id", ts="ts", value="value",
+                    duration="80 seconds", w=4, c=4,
+                ).collect()
+            }
+            # every early window finalized once the watermark passed it
+            assert got == batch_expected and len(got) == 4
+        finally:
+            shutil.rmtree(in_dir, ignore_errors=True)
+            shutil.rmtree(chk_dir, ignore_errors=True)
