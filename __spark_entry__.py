@@ -342,6 +342,25 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVENT_WINDOW_DAYS = 7
+EVENT_WINDOW = dict(w=4, c=8)
+
+
+def q_sax_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling SAX words (7-day epoch-aligned windows)."""
+    from symtseries_spark.streaming import tumbling_sax_event_time
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        # ts is read as raw nanoseconds; truncate to micros exactly like
+        # DuckDB's ns->us timestamp conversion
+        "ts_t", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    return tumbling_sax_event_time(
+        ev, key="user_id", ts="ts_t", value="value",
+        duration=f"{EVENT_WINDOW_DAYS} days", **EVENT_WINDOW,
+    ).select("series_key", "window_start", "n", "sax_word")
+
+
 def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Returned-item revenue per customer: lineitem shuffle join + a
     groupBy whose dims (customer, nation) broadcast."""
@@ -493,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_allpairs": q_sax_allpairs,
         "sax_tumbling_partial": q_sax_tumbling_partial,
         "sax_sliding_stream": q_sax_sliding_stream,
+        "sax_event_windows": q_sax_event_windows,
         "sax_isax_buckets": q_sax_isax_buckets,
         "sax_isax_topk": q_sax_isax_topk,
         "tpch_q1": q_tpch_q1,
@@ -626,6 +646,9 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
         "sax_sliding_words": f"SELECT user_id, event_id, sax_word FROM ({slide})",
         # streaming == batch by construction; same oracle as the batch query
         "sax_sliding_stream": f"SELECT user_id, event_id, sax_word FROM ({slide})",
+        "sax_event_windows": oc.event_time_words_sql(
+            EVENT_WINDOW_DAYS, EVENT_WINDOW["w"], EVENT_WINDOW["c"]
+        ),
         "sax_tumbling_motifs": (
             f"SELECT sax_word AS motif, count(*) AS occurrences "
             f"FROM ({motifs}) GROUP BY sax_word"

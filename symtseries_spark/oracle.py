@@ -188,6 +188,56 @@ GROUP BY series_key, n
 """
 
 
+def event_time_words_sql(
+    days: int,
+    w: int,
+    c: int,
+    *,
+    table: str = "events",
+    key: str = "user_id",
+    value: str = "value",
+) -> str:
+    """Event-time tumbling windows of ``days`` days (epoch-aligned, same
+    origin as Spark's ``F.window``) -> (series_key, window_start, n,
+    sax_word); windows truncated to a multiple of w, shorter dropped."""
+    return f"""
+WITH ord AS (
+  SELECT {key} AS series_key,
+         time_bucket(INTERVAL '{days} days', ts, TIMESTAMP '1970-01-01') AS wstart,
+         {value} AS v,
+         row_number() OVER (PARTITION BY {key}, time_bucket(INTERVAL '{days} days', ts, TIMESTAMP '1970-01-01')
+                            ORDER BY ts, {value}) AS rn,
+         count(*) OVER (PARTITION BY {key}, time_bucket(INTERVAL '{days} days', ts, TIMESTAMP '1970-01-01')) AS wlen
+  FROM {table}
+), trunc AS (
+  SELECT series_key, wstart, v, rn,
+         CAST(floor(wlen / {w}) * {w} AS BIGINT) AS usable
+  FROM ord
+  WHERE rn <= floor(wlen / {w}) * {w} AND wlen >= {w}
+), framed AS (
+  SELECT series_key, wstart, v, usable,
+         CAST(floor((rn - 1) / (usable / {w})) AS INT) AS frame_id
+  FROM trunc
+), stats AS (
+  SELECT series_key, wstart, usable AS n,
+         avg(v) AS mu, coalesce(stddev_pop(v), 0.0) AS sigma
+  FROM trunc GROUP BY series_key, wstart, usable
+), frames AS (
+  SELECT series_key, wstart, frame_id, sum(v) AS fsum, count(v) AS fcnt
+  FROM framed GROUP BY series_key, wstart, frame_id
+), lettered AS (
+  SELECT f.series_key, f.wstart, s.n, f.frame_id,
+         {frame_letter('f.fsum', 'f.fcnt', 's.mu', 's.sigma', c)} AS letter
+  FROM frames f
+  JOIN stats s ON f.series_key = s.series_key AND f.wstart = s.wstart
+)
+SELECT series_key, wstart AS window_start, CAST(n AS INT) AS n,
+       string_agg(letter, '' ORDER BY frame_id) AS sax_word
+FROM lettered
+GROUP BY series_key, wstart, n
+"""
+
+
 def _position_contrib(la_idx: int, lb_idx: int, c: int) -> tuple[float, bool]:
     """(d2, is_above) for one aligned symbol pair — same substitution and
     reversed-order accounting as pykernel.mindist_parts."""
