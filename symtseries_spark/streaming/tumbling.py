@@ -45,6 +45,16 @@ def tumbling_sax_event_time(
     ``w`` rows are dropped), mirroring ``whole_series_sax``.
     """
     validate_params(w * 2, w, c)
+    if not events.isStreaming:
+        # batch path: long-form relational plan (no per-window arrays, no
+        # interpreted HOF encode — 25 s -> ~2 s at sf0.1). Streaming can't
+        # use it (event-time window functions + chained aggregations are
+        # unsupported on streams), so the stream path keeps the single
+        # collect_list aggregation. Both paths are tested equal.
+        return _event_windows_batch(
+            events, key=key, ts=ts, value=value, duration=duration,
+            w=w, c=c, out=out,
+        )
     if watermark is not None:
         events = events.withWatermark(ts, watermark)
     grouped = (
@@ -66,4 +76,47 @@ def tumbling_sax_event_time(
         F.col("window.end").alias("window_end"),
         F.size(truncated).alias("n"),
         sax_encode(truncated, w, c).alias(out),
+    )
+
+
+def _event_windows_batch(
+    events: DataFrame,
+    *,
+    key: str,
+    ts: str,
+    value: str,
+    duration: str,
+    w: int,
+    c: int,
+    out: str,
+) -> DataFrame:
+    """Batch twin of the streaming aggregation: identical output via the
+    long-form plan of ``operators.windows.whole_series_sax`` keyed by
+    (series, event-time window)."""
+    from ..operators.windows import whole_series_sax
+
+    windowed = events.select(
+        F.col(key),
+        F.window(F.col(ts), duration).alias("__win"),
+        F.col(ts).alias("__t"),
+        F.col(value).alias("__v"),
+    ).select(
+        F.struct(
+            F.col(key).alias("k"),
+            F.col("__win.start").alias("ws"),
+            F.col("__win.end").alias("we"),
+        ).alias("__key"),
+        "__t",
+        "__v",
+    )
+    words = whole_series_sax(
+        windowed, key="__key", order=["__t", "__v"], value="__v", w=w, c=c,
+        out=out,
+    )
+    return words.select(
+        F.col("series_key.k").alias("series_key"),
+        F.col("series_key.ws").alias("window_start"),
+        F.col("series_key.we").alias("window_end"),
+        "n",
+        out,
     )

@@ -230,3 +230,36 @@ class TestSlidingChunked:
                 key="user_id", order=["ts"], value="value",
                 n=8, w=4, c=8, chunk=4,
             )
+
+
+class TestNullHandling:
+    def test_null_values_behave_as_nan(self, spark):
+        """NULL measurements must behave exactly like the reference's NaN
+        inputs (missing) in every windowed operator."""
+        import math
+        from pyspark.sql import Row
+        from pyspark.sql import functions as F
+        from symtseries_spark import pykernel as pk
+        from symtseries_spark.operators import sliding_sax, tumbling_sax
+
+        vals = [1.0, None, 3.0, 10.0, None, None, 2.0, 5.0]
+        rows = [Row(k=1, seq=i, v=v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "k long, seq long, v double")
+
+        got = {
+            r.seq: r.sax_word
+            for r in sliding_sax(
+                df, key="k", order="seq", value="v", n=4, w=2, c=4
+            ).collect()
+        }
+        win = pk.SlidingWindow(4, 2, 4)
+        for i, v in enumerate(vals):
+            expected = win.append(math.nan if v is None else v)
+            assert got[i] == expected, i
+
+        tumb = tumbling_sax(
+            df, key="k", order="seq", value="v", n=4, w=2, c=4
+        ).collect()
+        by_win = {r.window_id: r.sax_word for r in tumb}
+        assert by_win[0] == pk.encode([1.0, math.nan, 3.0, 10.0], 2, 4)
+        assert by_win[1] == pk.encode([math.nan, math.nan, 2.0, 5.0], 2, 4)
