@@ -130,6 +130,80 @@ def knn_join(
     return scored.withColumn("rank", rank).where(F.col("rank") <= k)
 
 
+def knn_join_vectorized(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-vectorized twin of :func:`knn_join` — the constant-factor
+    scale path: the (small) query set ships to every task as a
+    normalized numpy matrix, each Arrow batch of vectors scores against
+    it with ONE BLAS matmul, and only the per-batch top-k survive into
+    the final ranked reduction (so the shuffle carries <= k rows per
+    query per batch, not the full score matrix).
+
+    Results match :func:`knn_join` to float64 round-off (BLAS reorders
+    the additions), so this variant is for throughput, not for the
+    bit-exact oracle gate.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    q_rows = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv")
+    ).collect()
+    q_ids = np.array([r.qid for r in q_rows], dtype=np.int64)
+    Q = np.array([r.qv for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cos", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            M = np.array(list(pdf[vec_col]), dtype=np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            C = Mn @ Qn.T  # (batch, num_queries)
+            C[ids[:, None] == q_ids[None, :]] = -np.inf  # self-matches
+            take = min(k, C.shape[0])
+            top = np.argpartition(-C, take - 1, axis=0)[:take]  # per query
+            qix = np.repeat(np.arange(len(q_ids)), take)
+            nix = top.T.ravel()
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids[qix],
+                    "neighbor_id": ids[nix],
+                    "cos": C[nix, qix],
+                }
+            )[lambda d: np.isfinite(d["cos"])]
+
+    partial = vectors.select(id_col, vec_col).mapInPandas(score, out_schema)
+    rank = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("neighbor_id")
+        )
+    )
+    return (
+        partial.withColumn("cos", F.round("cos", 6))
+        .withColumn("rank", rank)
+        .where(F.col("rank") <= k)
+    )
+
+
 def ann_lsh_topk(
     vectors: DataFrame,
     *,

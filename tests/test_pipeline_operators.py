@@ -298,3 +298,28 @@ class TestISax:
             pk.coarsen("AB", 6, 3)
         with pytest.raises(ValueError):
             pk.coarsen("AB", 8, 3)
+
+
+class TestVectorizedKnn:
+    def test_matches_expression_path(self, spark, sf_dir):
+        """Arrow/BLAS path agrees with the expression path up to float
+        round-off (neighbor sets equal at 1e-5 cosine tolerance)."""
+        from pyspark.sql import functions as F
+        from symtseries_spark.operators import knn_join
+        from symtseries_spark.operators.simsearch import knn_join_vectorized
+        from symtseries_spark.sources import load
+
+        emb = load(spark, sf_dir, "embeddings")
+        queries = emb.where(F.col("vec_id") < 3)
+        exact = knn_join(emb, queries, k=5).collect()
+        fast = knn_join_vectorized(emb, queries, k=5).collect()
+        by_q_exact, by_q_fast = {}, {}
+        for r in exact:
+            by_q_exact.setdefault(r.query_id, {})[r.neighbor_id] = r.cos
+        for r in fast:
+            by_q_fast.setdefault(r.query_id, {})[r.neighbor_id] = r.cos
+        assert set(by_q_exact) == set(by_q_fast) == {0, 1, 2}
+        for q in by_q_exact:
+            assert set(by_q_exact[q]) == set(by_q_fast[q]), q
+            for nid, cos in by_q_exact[q].items():
+                assert abs(cos - by_q_fast[q][nid]) < 1e-5
