@@ -30,6 +30,7 @@ from .simsearch import (
     embedding_near_dup,
     embedding_near_dup_lsh,
     knn_join,
+    knn_join_vectorized,
 )
 
 __all__ = [
@@ -43,6 +44,7 @@ __all__ = [
     "isax_topk",
     "jaccard_pairs",
     "knn_join",
+    "knn_join_vectorized",
     "match_pattern",
     "mindist_to_pattern",
     "minhash_lsh_pairs",
