@@ -323,3 +323,37 @@ class TestVectorizedKnn:
             assert set(by_q_exact[q]) == set(by_q_fast[q]), q
             for nid, cos in by_q_exact[q].items():
                 assert abs(cos - by_q_fast[q][nid]) < 1e-5
+
+
+class TestSkewCaps:
+    """The LSH/stopword-gram protections: hot shingles and degenerate
+    buckets are dropped, never exploded."""
+
+    def test_max_shingle_freq_drops_hot_grams(self, spark):
+        from pyspark.sql import Row
+
+        # 'x y' appears in every doc -> with cap 2 it contributes nothing
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text=f"x y unique{i} token{i}") for i in range(4)]
+        )
+        uncapped = jaccard_pairs(docs, k=2, threshold=0.01).collect()
+        capped = jaccard_pairs(
+            docs, k=2, threshold=0.01, max_shingle_freq=2
+        ).collect()
+        assert len(uncapped) == 6  # all pairs share 'x y'
+        assert len(capped) == 0
+
+    def test_max_bucket_caps_minhash(self, spark):
+        from pyspark.sql import Row
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text="same words everywhere here") for i in range(5)]
+        )
+        pairs = minhash_lsh_pairs(
+            docs, k=2, num_hashes=8, bands=4, threshold=0.5
+        ).collect()
+        assert len(pairs) == 10  # identical docs: every pair
+        capped = minhash_lsh_pairs(
+            docs, k=2, num_hashes=8, bands=4, threshold=0.5, max_bucket=3
+        ).collect()
+        assert len(capped) == 0  # every bucket holds all 5 > cap
