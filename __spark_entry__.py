@@ -75,6 +75,8 @@ SIMHASH_BITS = 32
 SIMHASH_PAIRS = dict(bits=32, max_hamming=3, chunks=4)
 EMB_DIM = 64
 EMB_NEAR_DUP = 0.4
+EMB_NEAR_DUP_LSH = 0.3
+NEAR_DUP_PLANES = 3
 ANN = dict(query_id=0, k=10, num_planes=4, seed=13)
 KNN = dict(max_query_id=5, k=10)
 
@@ -112,6 +114,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def q_sax_sliding_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _events_sliding(spark, sf_dir).select("user_id", "event_id", "sax_word")
+
+
+def q_sax_sliding_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-parallel sliding windows (intra-series parallelism via
+    overlap replication) — same semantics as sax_sliding_words, same
+    oracle; chunk=64 forces real chunk boundaries at every sf."""
+    from symtseries_spark.operators import sliding_sax_chunked
+
+    ev = load(spark, sf_dir, "events")
+    return sliding_sax_chunked(
+        ev, key="user_id", order=["ts", "event_id"], value="value",
+        chunk=64, **SLIDE,
+    ).select("user_id", "event_id", "sax_word")
 
 
 def q_sax_tumbling_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -477,6 +492,20 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path: hyperplane-bucket equi-join candidates, exact
+    cosine verify — deterministic, so fully oracle-checked."""
+    from symtseries_spark.operators import embedding_near_dup_lsh
+
+    return embedding_near_dup_lsh(
+        load(spark, sf_dir, "embeddings"),
+        threshold=EMB_NEAR_DUP_LSH,
+        num_planes=NEAR_DUP_PLANES,
+        seed=13,
+        dim=EMB_DIM,
+    )
+
+
 HIST_BINS = 16
 FRAME = dict(frame_size=64, every_n=2)
 
@@ -504,6 +533,7 @@ def q_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sax_sliding_words": q_sax_sliding_words,
+        "sax_sliding_chunked": q_sax_sliding_chunked,
         "sax_tumbling_motifs": q_sax_tumbling_motifs,
         "sax_whole_series": q_sax_whole_series,
         "sax_pattern_match": q_sax_pattern_match,
@@ -530,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_join": q_emb_knn_join,
         "emb_ann_lsh": q_emb_ann_lsh,
         "emb_near_dup": q_emb_near_dup,
+        "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "media_byte_histogram": q_media_byte_histogram,
         "media_frame_sample": q_media_frame_sample,
         "media_decode_features": q_media_decode_features,
@@ -644,7 +675,9 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 
     return {
         "sax_sliding_words": f"SELECT user_id, event_id, sax_word FROM ({slide})",
-        # streaming == batch by construction; same oracle as the batch query
+        # chunk-parallel and streaming forms are semantics-identical to
+        # the plain sliding plan -> same oracle
+        "sax_sliding_chunked": f"SELECT user_id, event_id, sax_word FROM ({slide})",
         "sax_sliding_stream": f"SELECT user_id, event_id, sax_word FROM ({slide})",
         "sax_event_windows": oc.event_time_words_sql(
             EVENT_WINDOW_DAYS, EVENT_WINDOW["w"], EVENT_WINDOW["c"]
@@ -713,6 +746,12 @@ LIMIT 20
         "emb_ann_lsh": ov.ann_lsh_topk_sql(dim=EMB_DIM, **ANN),
         "emb_near_dup": ov.embedding_near_dup_sql(
             threshold=EMB_NEAR_DUP, dim=EMB_DIM
+        ),
+        "emb_near_dup_lsh": ov.embedding_near_dup_lsh_sql(
+            threshold=EMB_NEAR_DUP_LSH,
+            num_planes=NEAR_DUP_PLANES,
+            seed=13,
+            dim=EMB_DIM,
         ),
         "media_byte_histogram": om.byte_histogram_sql(bins=HIST_BINS),
         "media_frame_sample": om.frame_sample_sql(**FRAME),

@@ -99,6 +99,28 @@ LIMIT {k}
 """
 
 
+def embedding_near_dup_lsh_sql(
+    *,
+    threshold: float,
+    num_planes: int,
+    seed: int,
+    dim: int,
+    table: str = "embeddings",
+) -> str:
+    planes = hyperplanes(num_planes, dim, seed)
+    bucket = bucket_expr("embedding", planes, dim)
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM {table}
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({cosine_expr('a.embedding', 'b.embedding', dim)}, 6) AS cos
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({cosine_expr('a.embedding', 'b.embedding', dim)}, 6) >= {threshold}
+"""
+
+
 def embedding_near_dup_sql(
     *, threshold: float, dim: int, table: str = "embeddings"
 ) -> str:
