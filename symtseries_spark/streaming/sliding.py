@@ -37,7 +37,6 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
-    LongType,
     StringType,
     StructField,
     StructType,
