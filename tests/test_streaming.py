@@ -219,3 +219,61 @@ class TestEventTimeTumbling:
         finally:
             shutil.rmtree(in_dir, ignore_errors=True)
             shutil.rmtree(chk_dir, ignore_errors=True)
+
+
+@pytest.mark.slow
+class TestStreamingComposition:
+    def test_mindist_on_stream(self, spark, sf_dir):
+        """The reference's end-to-end usage: stream values in, emit a
+        word per event, score it against a query shape — our search
+        expressions compose directly onto the streaming output."""
+        from symtseries_spark.operators import mindist_to_pattern
+        from symtseries_spark.sources import load
+
+        events = (
+            load(spark, sf_dir, "events")
+            .where(F.col("user_id") < 10)
+            .select("user_id", "ts", "event_id", "value")
+        )
+        in_dir = tempfile.mkdtemp(prefix="sax_comp_in_")
+        chk_dir = tempfile.mkdtemp(prefix="sax_comp_chk_")
+        try:
+            events.coalesce(1).write.parquet(f"{in_dir}/b0")
+            stream = (
+                spark.readStream.schema(events.schema)
+                .parquet(f"{in_dir}/b*")
+            )
+            words = sliding_sax_stream(
+                stream, key="user_id", order=["ts", "event_id"],
+                value="value", n=N, w=W, c=C,
+            )
+            scored = mindist_to_pattern(words, "AEHD", c=C, n=N).where(
+                F.col("mindist") <= 1.0
+            )
+            q = (
+                scored.writeStream.format("memory")
+                .queryName("sax_comp_out")
+                .outputMode("append")
+                .option("checkpointLocation", chk_dir)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            got = {
+                (r.user_id, r.event_id): r.mindist
+                for r in spark.sql("SELECT * FROM sax_comp_out").collect()
+            }
+            batch = sliding_sax(
+                events, key="user_id", order=["ts", "event_id"],
+                value="value", n=N, w=W, c=C,
+            )
+            expected = {
+                (r.user_id, r.event_id): r.mindist
+                for r in mindist_to_pattern(batch, "AEHD", c=C, n=N)
+                .where(F.col("mindist") <= 1.0)
+                .collect()
+            }
+            assert got == expected and len(got) > 0
+        finally:
+            shutil.rmtree(in_dir, ignore_errors=True)
+            shutil.rmtree(chk_dir, ignore_errors=True)
