@@ -29,6 +29,8 @@ from .simsearch import (
     cosine_topk,
     embedding_near_dup,
     embedding_near_dup_lsh,
+    ivf_index,
+    ivf_topk,
     knn_join,
     knn_join_vectorized,
 )
@@ -42,6 +44,8 @@ __all__ = [
     "exact_dedup_map",
     "isax_buckets",
     "isax_topk",
+    "ivf_index",
+    "ivf_topk",
     "jaccard_pairs",
     "knn_join",
     "knn_join_vectorized",

@@ -243,6 +243,123 @@ def ann_lsh_topk(
     )
 
 
+def ivf_index(
+    vectors: DataFrame,
+    *,
+    num_lists: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_stride: int | None = None,
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Deterministic IVF coarse quantizer: centroids = every
+    ``stride``-th vector by id (seeded sample), refined with ONE Lloyd
+    step (mean of assigned vectors), then every vector assigned to its
+    nearest centroid -> (assigned DataFrame with ``list_id``, centroid
+    list). Two shuffles total; at scale the assignment is the partition/
+    sort key for data at rest, exactly like the iSAX bucket column.
+
+    Deterministic by construction (no RNG, fixed iteration count), so it
+    could be SQL-mirrored; the driver gate covers the LSH variant and
+    this one is recall-tested against brute force instead.
+    """
+    import numpy as np
+
+    seeds_rows = (
+        vectors.orderBy(id_col).limit(num_lists * (seed_stride or 1)).collect()
+        if seed_stride
+        else vectors.orderBy(id_col).limit(num_lists).collect()
+    )
+    seeds = np.array(
+        [list(r[vec_col]) for r in seeds_rows[:: (seed_stride or 1)]][:num_lists],
+        dtype=np.float64,
+    )
+
+    def assign_expr(cents: "np.ndarray") -> Column:
+        vd = F.col(vec_col).cast("array<double>")
+        best_id: Column = F.lit(0)
+        best_d: Column | None = None
+        for i, cvec in enumerate(cents):
+            lit = F.array(*[F.lit(float(x)) for x in cvec])
+            # squared L2 to the centroid
+            d = F.aggregate(
+                F.zip_with(vd, lit, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            if best_d is None:
+                best_d = d
+            else:
+                better = d < best_d
+                best_id = F.when(better, F.lit(i)).otherwise(best_id)
+                best_d = F.when(better, d).otherwise(best_d)
+        return best_id
+
+    # one Lloyd refinement: mean of vectors per provisional list
+    provisional = vectors.withColumn("list_id", assign_expr(seeds))
+    sums = (
+        provisional.select(
+            "list_id", F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .groupBy("list_id")
+        .agg(
+            *[F.sum(F.element_at("v", i + 1)).alias(f"s{i}") for i in range(dim)],
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .collect()
+    )
+    refined = seeds.copy()
+    for r in sums:
+        refined[r.list_id] = [r[f"s{i}"] / r.cnt for i in range(dim)]
+
+    assigned = vectors.withColumn("list_id", assign_expr(refined))
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(refined)]
+    return assigned, centroids
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    *,
+    query_id: int,
+    k: int,
+    num_lists: int,
+    nprobe: int = 1,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` centroid lists nearest
+    to the query, exact cosine rerank inside them -> ``(vec_id, cos)``.
+    The probe predicate is a plan-time IN-list on the assignment column —
+    with assignments stored partitioned by ``list_id``, a
+    partition-pruned scan of ~nprobe/num_lists of the data."""
+    import numpy as np
+
+    assigned, centroids = ivf_index(
+        vectors, num_lists=num_lists, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    q_row = vectors.where(F.col(id_col) == query_id).collect()[0]
+    qv = np.array(list(q_row[vec_col]), dtype=np.float64)
+    cents = np.array([c for _, c in centroids])
+    d2 = ((cents - qv) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d2)[:nprobe]]
+
+    q = vectors.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__qv")
+    )
+    return (
+        assigned.where(F.col("list_id").isin(probe))
+        .where(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
 def embedding_near_dup(
     vectors: DataFrame,
     *,

@@ -357,3 +357,46 @@ class TestSkewCaps:
             docs, k=2, num_hashes=8, bands=4, threshold=0.5, max_bucket=3
         ).collect()
         assert len(capped) == 0  # every bucket holds all 5 > cap
+
+
+class TestIVF:
+    def test_ivf_recall_vs_bruteforce(self, spark, sf_dir):
+        """IVF with enough probes must recover most of the true top-k;
+        probing ALL lists must equal brute force exactly."""
+        from symtseries_spark.operators import cosine_topk
+        from symtseries_spark.operators.simsearch import ivf_topk
+        from symtseries_spark.sources import load
+
+        emb = load(spark, sf_dir, "embeddings")
+        k, lists = 10, 8
+        exact = [r.vec_id for r in cosine_topk(emb, query_id=0, k=k).collect()]
+        all_probes = [
+            r.vec_id
+            for r in ivf_topk(
+                emb, query_id=0, k=k, num_lists=lists, nprobe=lists
+            ).collect()
+        ]
+        assert all_probes == exact  # full probe == brute force
+        some = {
+            r.vec_id
+            for r in ivf_topk(
+                emb, query_id=0, k=k, num_lists=lists, nprobe=3
+            ).collect()
+        }
+        recall = len(some & set(exact)) / k
+        assert recall >= 0.5, recall
+
+    def test_ivf_assignment_partitions_data(self, spark, sf_dir):
+        from symtseries_spark.operators.simsearch import ivf_index
+        from symtseries_spark.sources import load
+
+        emb = load(spark, sf_dir, "embeddings")
+        assigned, centroids = ivf_index(emb, num_lists=4, dim=64)
+        counts = {r.list_id: r.c for r in assigned.groupBy("list_id").agg(
+            __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("c")
+        ).collect()}
+        assert sum(counts.values()) == emb.count()
+        assert len(centroids) == 4
+        # deterministic: same call -> same assignment
+        assigned2, centroids2 = ivf_index(emb, num_lists=4, dim=64)
+        assert centroids == centroids2
