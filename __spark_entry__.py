@@ -400,6 +400,26 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority counts: join + conditional aggregation."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_returnflag").isin("A", "N")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q_sax_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming parity as a checkable query: run the stateful
     sliding-SAX stream over the events file (one micro-batch -> arrival
@@ -486,6 +506,15 @@ def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(load(spark, sf_dir, "embeddings"), dim=EMB_DIM, **ANN)
 
 
+def q_emb_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from symtseries_spark.operators.simsearch import ann_lsh_multiprobe_topk
+
+    return ann_lsh_multiprobe_topk(
+        load(spark, sf_dir, "embeddings"),
+        dim=EMB_DIM, probe_hamming=1, **ANN,
+    )
+
+
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup(
         load(spark, sf_dir, "embeddings"), threshold=EMB_NEAR_DUP
@@ -550,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q10": q_tpch_q10,
+        "tpch_q12": q_tpch_q12,
         "text_quality": q_text_quality,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -559,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_knn_join": q_emb_knn_join,
         "emb_ann_lsh": q_emb_ann_lsh,
+        "emb_ann_multiprobe": q_emb_ann_multiprobe,
         "emb_near_dup": q_emb_near_dup,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "media_byte_histogram": q_media_byte_histogram,
@@ -735,6 +766,16 @@ GROUP BY c.c_custkey, c.c_name, n.n_name
 ORDER BY revenue DESC, c.c_custkey
 LIMIT 20
 """,
+        "tpch_q12": """
+SELECT l.l_returnflag,
+  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1997-01-01'
+  AND l.l_returnflag IN ('A', 'N')
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+""",
         "text_quality": ot.text_quality_sql(),
         "dedup_exact": ot.exact_dedup_sql(),
         "dedup_jaccard": ot.jaccard_pairs_sql(**JACCARD),
@@ -744,6 +785,9 @@ LIMIT 20
         "emb_cosine_topk": ov.cosine_topk_sql(query_id=0, k=TOPK, dim=EMB_DIM),
         "emb_knn_join": ov.knn_join_sql(dim=EMB_DIM, **KNN),
         "emb_ann_lsh": ov.ann_lsh_topk_sql(dim=EMB_DIM, **ANN),
+        "emb_ann_multiprobe": ov.ann_lsh_topk_sql(
+            dim=EMB_DIM, probe_hamming=1, **ANN
+        ),
         "emb_near_dup": ov.embedding_near_dup_sql(
             threshold=EMB_NEAR_DUP, dim=EMB_DIM
         ),

@@ -220,8 +220,49 @@ def ann_lsh_topk(
 
     The bucket predicate prunes the scan to ~|data| / 2^num_planes rows
     before any scoring; recall comes from bucket collision probability
-    (1 - theta/pi per plane). The same plan shape extends to multiprobe.
+    (1 - theta/pi per plane). ``probe_hamming > 0`` enables multiprobe:
+    buckets within that many sign flips of the query's bucket also
+    qualify (near-boundary neighbors live there), trading scan fraction
+    ~C(num_planes, h)/2^num_planes for recall — still deterministic and
+    oracle-mirrorable (bit_count(xor(...)) predicate).
     """
+    return _ann_lsh(
+        vectors, query_id=query_id, k=k, num_planes=num_planes, seed=seed,
+        dim=dim, id_col=id_col, vec_col=vec_col, probe_hamming=0,
+    )
+
+
+def ann_lsh_multiprobe_topk(
+    vectors: DataFrame,
+    *,
+    query_id: int,
+    k: int,
+    num_planes: int,
+    probe_hamming: int = 1,
+    seed: int = 13,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multiprobe variant of :func:`ann_lsh_topk` (see there)."""
+    return _ann_lsh(
+        vectors, query_id=query_id, k=k, num_planes=num_planes, seed=seed,
+        dim=dim, id_col=id_col, vec_col=vec_col, probe_hamming=probe_hamming,
+    )
+
+
+def _ann_lsh(
+    vectors: DataFrame,
+    *,
+    query_id: int,
+    k: int,
+    num_planes: int,
+    seed: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    probe_hamming: int,
+) -> DataFrame:
     planes = hyperplanes(num_planes, dim, seed)
     with_bucket = vectors.select(
         F.col(id_col).alias("vec_id"),
@@ -231,9 +272,15 @@ def ann_lsh_topk(
     q = with_bucket.where(F.col("vec_id") == query_id).select(
         F.col("__v").alias("__qv"), F.col("bucket").alias("qbucket")
     )
+    near = (
+        F.bit_count(
+            F.col("bucket").bitwiseXOR(F.col("qbucket")).cast("long")
+        )
+        <= probe_hamming
+    )
     return (
         with_bucket.crossJoin(F.broadcast(q))
-        .where((F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != query_id))
+        .where(near & (F.col("vec_id") != query_id))
         .select(
             "vec_id",
             F.round(cosine(F.col("__v"), F.col("__qv")), 6).alias("cos"),

@@ -80,10 +80,16 @@ def ann_lsh_topk_sql(
     num_planes: int,
     seed: int,
     dim: int,
+    probe_hamming: int = 0,
     table: str = "embeddings",
 ) -> str:
     planes = hyperplanes(num_planes, dim, seed)
     bucket = bucket_expr("embedding", planes, dim)
+    probe = (
+        "bucket = qbucket"
+        if probe_hamming == 0
+        else f"bit_count(xor(CAST(bucket AS BIGINT), CAST(qbucket AS BIGINT))) <= {probe_hamming}"
+    )
     return f"""
 WITH bucketed AS (
   SELECT vec_id, embedding, {bucket} AS bucket FROM {table}
@@ -93,7 +99,7 @@ WITH bucketed AS (
 )
 SELECT vec_id, round({cosine_expr('embedding', 'qv', dim)}, 6) AS cos
 FROM bucketed, q
-WHERE bucket = qbucket AND vec_id != {query_id}
+WHERE {probe} AND vec_id != {query_id}
 ORDER BY cos DESC, vec_id
 LIMIT {k}
 """

@@ -1,7 +1,12 @@
 """Structured Streaming operators: stateful sliding-window SAX and
 event-time tumbling SAX with watermarks."""
 
+from .dedup import streaming_exact_dedup
 from .sliding import sliding_sax_stream
 from .tumbling import tumbling_sax_event_time
 
-__all__ = ["sliding_sax_stream", "tumbling_sax_event_time"]
+__all__ = [
+    "sliding_sax_stream",
+    "streaming_exact_dedup",
+    "tumbling_sax_event_time",
+]

@@ -277,3 +277,54 @@ class TestStreamingComposition:
         finally:
             shutil.rmtree(in_dir, ignore_errors=True)
             shutil.rmtree(chk_dir, ignore_errors=True)
+
+
+@pytest.mark.slow
+class TestStreamingDedup:
+    def test_first_seen_wins_across_batches(self, spark):
+        from symtseries_spark.streaming import streaming_exact_dedup
+
+        b0 = [(0, "alpha beta"), (1, "gamma"), (2, "ALPHA   beta")]
+        b1 = [(3, "alpha beta"), (4, "delta"), (5, "gamma")]
+        in_dir = tempfile.mkdtemp(prefix="dedup_in_")
+        chk_dir = tempfile.mkdtemp(prefix="dedup_chk_")
+        try:
+            import time as _time
+
+            spark.createDataFrame(b0, "doc_id long, text string").coalesce(
+                1
+            ).write.parquet(f"{in_dir}/b0")
+            _time.sleep(1.1)
+            spark.createDataFrame(b1, "doc_id long, text string").coalesce(
+                1
+            ).write.parquet(f"{in_dir}/b1")
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{in_dir}/b*")
+            )
+            out = streaming_exact_dedup(stream)
+            q = (
+                out.writeStream.format("memory")
+                .queryName("dedup_out")
+                .outputMode("append")
+                .option("checkpointLocation", chk_dir)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            rows = {
+                r.doc_id: r
+                for r in spark.sql("SELECT * FROM dedup_out").collect()
+            }
+            assert len(rows) == 6
+            # within-batch dup (case/whitespace-normalized)
+            assert rows[2].is_duplicate and rows[2].canonical_id == 0
+            # cross-batch dups resolve to the batch-0 canonical via state
+            assert rows[3].is_duplicate and rows[3].canonical_id == 0
+            assert rows[5].is_duplicate and rows[5].canonical_id == 1
+            assert not rows[0].is_duplicate
+            assert not rows[4].is_duplicate
+        finally:
+            shutil.rmtree(in_dir, ignore_errors=True)
+            shutil.rmtree(chk_dir, ignore_errors=True)
