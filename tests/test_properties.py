@@ -76,3 +76,61 @@ class TestCoarseningMonotone:
         d8 = pk.mindist(pk.parse(wa8, 8), pk.parse(wb8, 8), c=8, n_a=8, n_b=8)
         d2 = pk.mindist(pk.parse(wa2, 2), pk.parse(wb2, 2), c=2, n_a=8, n_b=8)
         assert d2 <= d8 + 1e-6
+
+
+class TestTextKernelFuzz:
+    """Fuzz the Spark text kernels against a pure-Python oracle over
+    random printable-ASCII strings (regex edge cases: runs of
+    punctuation, digits, empty tokens, leading/trailing separators)."""
+
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    min_codepoint=32, max_codepoint=126
+                ),
+                max_size=40,
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_tokens_and_fingerprint_match_python(self, texts):
+        import hashlib
+
+        from pyspark.sql import Row
+        from pyspark.sql import functions as F
+
+        from symtseries_spark.functions import text as T
+        from tests.test_pipeline_operators import py_hash60, py_tokens
+
+        spark = TestTextKernelFuzz._spark
+        df = spark.createDataFrame(
+            [Row(i=i, text=t) for i, t in enumerate(texts)]
+        )
+        rows = df.select(
+            "i",
+            T.tokens(F.col("text")).alias("toks"),
+            T.rolling_fingerprint(F.col("text")).alias("fp"),
+            T.shingles(F.col("text"), 2).alias("sh2"),
+        ).collect()
+        for r in rows:
+            t = texts[r.i]
+            ptoks = py_tokens(t)
+            assert r.toks == ptoks, t
+            acc = 0
+            for tok in ptoks:
+                acc = (acc * 31 + py_hash60(tok) % T.HASH_PRIME) % 1_000_000_007
+            assert r.fp == acc, t
+            psh = {" ".join(ptoks[i : i + 2]) for i in range(len(ptoks) - 1)}
+            assert set(r.sh2) == psh, t
+
+
+import pytest as _pytest
+
+
+@_pytest.fixture(scope="module", autouse=True)
+def _bind_spark(spark):
+    TestTextKernelFuzz._spark = spark
+    yield
