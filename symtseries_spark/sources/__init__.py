@@ -34,6 +34,34 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_series(
+    spark: SparkSession,
+    path: str,
+    *,
+    fmt: str = "parquet",
+    schema: str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Generic long-form series loader for parquet / csv / json sources.
+
+    CSV/JSON require an explicit ``schema`` (DDL string) — schema
+    inference needs an extra full scan and produces drifting types, both
+    wrong at 100 TB. Readers stay declarative so Catalyst keeps
+    predicate pushdown and column pruning (CSV/JSON prune columns and
+    push filters at the parser level; parquet also skips row groups).
+    """
+    if fmt not in ("parquet", "csv", "json"):
+        raise ValueError(f"unsupported format {fmt!r}")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("csv", "json"):
+        raise ValueError(f"{fmt} sources require an explicit schema")
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    return reader.options(**options).format(fmt).load(path)
+
+
 def write_words_bucketed(
     words: DataFrame,
     path: str,

@@ -42,3 +42,44 @@ class TestBucketedLayout:
             assert "isax_bucket" in plan.split("PartitionFilters")[1][:200]
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
+
+
+class TestLoadSeries:
+    def test_csv_and_json_roundtrip(self, spark, sf_dir):
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        from symtseries_spark.operators import tumbling_sax
+        from symtseries_spark.sources import load_series
+
+        events = load(spark, sf_dir, "events").where(F.col("user_id") < 10).select(
+            "user_id", "ts", "event_id", "value"
+        )
+        ddl = "user_id long, ts long, event_id long, value double"
+        base = _tempfile.mkdtemp(prefix="src_fmt_")
+        try:
+            events.coalesce(1).write.option("header", "true").csv(f"{base}/csv")
+            events.coalesce(1).write.json(f"{base}/json")
+            expected = {
+                (r.series_key, r.window_id): r.sax_word
+                for r in tumbling_sax(
+                    events, key="user_id", order=["ts", "event_id"],
+                    value="value", **PARAMS,
+                ).collect()
+            }
+            for fmt in ("csv", "json"):
+                df = load_series(spark, f"{base}/{fmt}", fmt=fmt, schema=ddl)
+                got = {
+                    (r.series_key, r.window_id): r.sax_word
+                    for r in tumbling_sax(
+                        df, key="user_id", order=["ts", "event_id"],
+                        value="value", **PARAMS,
+                    ).collect()
+                }
+                assert got == expected and len(got) > 0, fmt
+            with pytest.raises(ValueError):
+                load_series(spark, base, fmt="csv")  # schema required
+            with pytest.raises(ValueError):
+                load_series(spark, base, fmt="orc2")
+        finally:
+            _shutil.rmtree(base, ignore_errors=True)
