@@ -535,6 +535,26 @@ def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+BUCKET_TOKENS = 16
+
+
+def q_text_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from symtseries_spark.operators.pipeline import deterministic_split
+
+    return deterministic_split(
+        load(spark, sf_dir, "documents").select("doc_id"), SPLITS
+    )
+
+
+def q_text_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from symtseries_spark.operators.pipeline import length_buckets
+
+    return length_buckets(
+        load(spark, sf_dir, "documents"), bucket_tokens=BUCKET_TOKENS
+    )
+
+
 HIST_BINS = 16
 FRAME = dict(frame_size=64, every_n=2)
 
@@ -581,6 +601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": q_tpch_q10,
         "tpch_q12": q_tpch_q12,
         "text_quality": q_text_quality,
+        "text_split": q_text_split,
+        "text_length_buckets": q_text_length_buckets,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -777,6 +799,8 @@ GROUP BY l.l_returnflag
 ORDER BY l.l_returnflag
 """,
         "text_quality": ot.text_quality_sql(),
+        "text_split": ot.split_sql(SPLITS),
+        "text_length_buckets": ot.length_buckets_sql(bucket_tokens=BUCKET_TOKENS),
         "dedup_exact": ot.exact_dedup_sql(),
         "dedup_jaccard": ot.jaccard_pairs_sql(**JACCARD),
         "dedup_minhash_lsh": ot.minhash_lsh_pairs_sql(**MINHASH),

@@ -1,0 +1,51 @@
+#!/usr/bin/env python3
+"""Local simulation of the driver's correctness gate: run every
+``queries()`` entry on Spark AND its ``oracle_sql()`` twin on DuckDB at
+$SPARK_GRAFT_SF_DIR (default sf0.01), compare row counts, column sets,
+and an order-insensitive value hash. Exits loudly on any mismatch."""
+import sys, time, hashlib
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+import __spark_entry__ as E
+
+SF = __import__("os").environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.driver.memory", "8g")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+con = duckdb.connect()
+for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+def canon(df: pd.DataFrame) -> str:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return hashlib.md5(df.to_csv(index=False, float_format="%.6g").encode()).hexdigest()
+
+qs = E.queries(); osql = E.oracle_sql()
+fails = []
+for name, fn in qs.items():
+    t0 = time.time()
+    try:
+        sdf = fn(spark, SF).toPandas()
+    except Exception as ex:
+        print(f"{name}: SPARK ERROR {ex}"); fails.append(name); continue
+    if name not in osql:
+        print(f"{name}: rows-only {len(sdf)} ({time.time()-t0:.1f}s)"); continue
+    try:
+        odf = con.execute(osql[name]).fetchdf()
+    except Exception as ex:
+        print(f"{name}: ORACLE ERROR {ex}"); fails.append(name); continue
+    rows_ok = len(sdf) == len(odf)
+    cols_ok = sorted(sdf.columns) == sorted(odf.columns)
+    hash_ok = rows_ok and cols_ok and canon(sdf) == canon(odf)
+    status = "OK" if hash_ok else f"MISMATCH rows={len(sdf)}/{len(odf)} cols_ok={cols_ok}"
+    print(f"{name}: {status} ({time.time()-t0:.1f}s)")
+    if not hash_ok: fails.append(name)
+print("FAILS:", fails)

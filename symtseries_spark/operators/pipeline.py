@@ -1,0 +1,75 @@
+"""Dataset-preparation operators: deterministic splits and
+sequence-length bucketing — the last mile of a training-data pipeline.
+
+Both are pure per-row projections on the engine-independent 60-bit hash
+(functions/text.py), so they are reproducible across runs, engines, and
+cluster sizes — the property that matters for train/val hygiene.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import bpe_token_count, doc_hash60
+
+
+def split_assignment(
+    key: Column, fractions: dict[str, float], *, salt: str = "split"
+) -> Column:
+    """Deterministic split label from a key column: hash the salted key
+    into [0, 1) and carve the unit interval by ``fractions`` (must sum
+    to 1). Same key -> same split, forever, on any engine."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    u = (doc_hash60(F.concat(F.lit(salt), key.cast("string"))) % 1_000_000) / 1_000_000.0
+    expr: Column | None = None
+    acc = 0.0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        acc += frac
+        expr = F.when(u < acc, name) if expr is None else expr.when(u < acc, name)
+    last = items[-1][0]
+    return F.lit(last) if expr is None else expr.otherwise(last)
+
+
+def deterministic_split(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    salt: str = "split",
+    out: str = "split",
+) -> DataFrame:
+    """Add a reproducible ``split`` column (e.g. train/val/test) keyed on
+    the document id. No shuffle — evaluated inside the scan."""
+    return docs.withColumn(
+        out, split_assignment(F.col(id_col), fractions, salt=salt)
+    )
+
+
+def length_buckets(
+    docs: DataFrame,
+    *,
+    bucket_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence-packing statistics: bucket documents by BPE-ish token
+    count -> ``(bucket, n_docs, total_tokens)`` with
+    ``bucket = floor(tokens / bucket_tokens)``. One map-side-combinable
+    groupBy; the bucket column is what a packing job partitions by."""
+    toks = bpe_token_count(F.col(text_col))
+    return (
+        docs.select(
+            F.col(id_col),
+            F.floor(toks / bucket_tokens).cast("long").alias("bucket"),
+            toks.alias("__t"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__t").alias("total_tokens"),
+        )
+    )

@@ -122,6 +122,34 @@ FROM m
 """
 
 
+def split_sql(
+    fractions: dict[str, float], *, salt: str = "split", table: str = "documents"
+) -> str:
+    """Mirror of operators.pipeline.split_assignment — thresholds use the
+    SAME Python float accumulation so boundary hashes land identically."""
+    salted_key = f"'{salt}' || CAST(doc_id AS VARCHAR)"
+    u = f"({hash60(salted_key)} % 1000000) / 1000000.0"
+    items = list(fractions.items())
+    acc = 0.0
+    branches = []
+    for name, frac in items[:-1]:
+        acc += frac
+        branches.append(f"WHEN {u} < {acc!r} THEN '{name}'")
+    case = "CASE " + " ".join(branches) + f" ELSE '{items[-1][0]}' END"
+    return f"SELECT doc_id, {case} AS split FROM {table}"
+
+
+def length_buckets_sql(*, bucket_tokens: int, table: str = "documents") -> str:
+    toks = f"len(regexp_extract_all(lower(text), '{BPE_REGEX}'))"
+    return f"""
+SELECT CAST(floor({toks} * 1.0 / {bucket_tokens}) AS BIGINT) AS bucket,
+       count(*) AS n_docs,
+       CAST(sum({toks}) AS BIGINT) AS total_tokens
+FROM {table}
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup
 
