@@ -60,6 +60,7 @@ SLIDE = dict(n=8, w=4, c=8)
 TUMBLE_MOTIF = dict(n=16, w=4, c=4)
 TUMBLE_DIST = dict(n=16, w=4, c=8)
 TUMBLE_FINE = dict(n=16, w=8, c=8)
+TUMBLE_C16 = dict(n=32, w=8, c=16)
 WHOLE = dict(w=4, c=8)
 
 MOTIF_PATTERN = "CBCB"       # top motif in the seed-42 events stream
@@ -292,6 +293,26 @@ def q_sax_isax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_id",
         "sax_word",
         F.round("mindist", 4).alias("dist"),
+    )
+
+
+def q_sax_c16_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-cardinality path (c=16, letters A..P): encode + mindist
+    decomposition against a 16-level pattern — exercises the largest
+    breakpoint/LUT tables end to end."""
+    words = tumbling_sax(
+        load(spark, sf_dir, "events"),
+        key="user_id", order=["ts", "event_id"], value="value", **TUMBLE_C16,
+    )
+    return mindist_to_pattern(
+        words, "AEIMPLHD", c=TUMBLE_C16["c"], n=TUMBLE_C16["n"]
+    ).select(
+        "series_key",
+        "window_id",
+        "sax_word",
+        F.round("mindist", 4).alias("dist"),
+        F.round("mindist_above", 4).alias("dist_above"),
+        F.round("mindist_below", 4).alias("dist_below"),
     )
 
 
@@ -588,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_pattern_match": q_sax_pattern_match,
         "sax_mindist_topk": q_sax_mindist_topk,
         "sax_mindist_decomp": q_sax_mindist_decomp,
+        "sax_c16_decomp": q_sax_c16_decomp,
         "sax_allpairs": q_sax_allpairs,
         "sax_tumbling_partial": q_sax_tumbling_partial,
         "sax_sliding_stream": q_sax_sliding_stream,
@@ -647,6 +669,10 @@ def oracle_sql() -> dict[str, str]:
     )
     m_dist = oc.mindist_pattern_exprs(
         "sax_word", DIST_PATTERN, c=TUMBLE_DIST["c"], n_expr=str(TUMBLE_DIST["n"])
+    )
+    c16_words = _tumbling_sql(TUMBLE_C16)
+    m_c16 = oc.mindist_pattern_exprs(
+        "sax_word", "AEIMPLHD", c=TUMBLE_C16["c"], n_expr=str(TUMBLE_C16["n"])
     )
 
     w, c, n = TUMBLE_DIST["w"], TUMBLE_DIST["c"], TUMBLE_DIST["n"]
@@ -756,6 +782,13 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
             f"FROM ({dist_words})"
         ),
         "sax_allpairs": allpairs,
+        "sax_c16_decomp": (
+            f"SELECT series_key, window_id, sax_word, "
+            f"round({m_c16['dist']}, 4) AS dist, "
+            f"round({m_c16['above']}, 4) AS dist_above, "
+            f"round({m_c16['below']}, 4) AS dist_below "
+            f"FROM ({c16_words})"
+        ),
         "sax_isax_buckets": (
             f"SELECT translate(sax_word, '{_l8}', '{_coarse_map(ISAX_COARSE_BUCKETS)}') AS bucket, "
             f"count(*) AS n_words FROM ({dist_words}) GROUP BY 1"
