@@ -328,3 +328,65 @@ class TestStreamingDedup:
         finally:
             shutil.rmtree(in_dir, ignore_errors=True)
             shutil.rmtree(chk_dir, ignore_errors=True)
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs google.protobuf "
+    "(not shipped in this container); applyInPandasWithState covers parity",
+)
+class TestTransformWithStateParity:
+    def test_tws_equals_batch(self, spark, sf_dir):
+        """Same metamorphic check against the Spark 4
+        transformWithStateInPandas implementation."""
+        from symtseries_spark.sources import load
+        from symtseries_spark.streaming.sliding_tws import sliding_sax_stream_tws
+
+        events = (
+            load(spark, sf_dir, "events")
+            .where(F.col("user_id") < 10)
+            .select("user_id", "ts", "event_id", "value")
+        )
+        in_dir = tempfile.mkdtemp(prefix="sax_tws_in_")
+        chk_dir = tempfile.mkdtemp(prefix="sax_tws_chk_")
+        try:
+            events.coalesce(1).write.parquet(f"{in_dir}/b0")
+            stream = spark.readStream.schema(events.schema).parquet(f"{in_dir}/b*")
+            words = sliding_sax_stream_tws(
+                stream, key="user_id", order=["ts", "event_id"],
+                value="value", n=N, w=W, c=C,
+            )
+            q = (
+                words.writeStream.format("memory")
+                .queryName("sax_tws_out")
+                .outputMode("append")
+                .option("checkpointLocation", chk_dir)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            got = {
+                (r.user_id, r.event_id): r.sax_word
+                for r in spark.sql("SELECT * FROM sax_tws_out").collect()
+            }
+            expected = {
+                (r.user_id, r.event_id): r.sax_word
+                for r in sliding_sax(
+                    events, key="user_id", order=["ts", "event_id"],
+                    value="value", n=N, w=W, c=C,
+                ).collect()
+            }
+            assert got == expected and len(got) > 0
+        finally:
+            shutil.rmtree(in_dir, ignore_errors=True)
+            shutil.rmtree(chk_dir, ignore_errors=True)
