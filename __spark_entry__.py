@@ -441,6 +441,48 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured processing: extract a JSON field from the events
+    props column and aggregate per event type (the get_json_object path
+    stays JVM-side and is pushed into the scan stage)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.round(F.sum(k) / F.count(k), 6).alias("avg_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo-style revenue share: part join + conditional/total ratio."""
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)")
+    )
+    econ = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(econ).cast("double")
+            / F.sum(rev).cast("double"),
+            6,
+        ).alias("economy_revenue_pct")
+    )
+
+
 def q_sax_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming parity as a checkable query: run the stateful
     sliding-SAX stream over the events file (one micro-batch -> arrival
@@ -622,6 +664,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "tpch_q10": q_tpch_q10,
         "tpch_q12": q_tpch_q12,
+        "tpch_q14": q_tpch_q14,
+        "events_json_stats": q_events_json_stats,
         "text_quality": q_text_quality,
         "text_split": q_text_split,
         "text_length_buckets": q_text_length_buckets,
@@ -820,6 +864,27 @@ WHERE l.l_returnflag = 'R'
 GROUP BY c.c_custkey, c.c_name, n.n_name
 ORDER BY revenue DESC, c.c_custkey
 LIMIT 20
+""",
+        "events_json_stats": """
+SELECT event_type,
+  count(*) AS n_events,
+  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  round(CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE)
+        / count(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k,
+  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+        "tpch_q14": """
+SELECT round(100.0
+  * CAST(sum(CASE WHEN p.p_type = 'ECONOMY'
+      THEN CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l.l_discount AS DECIMAL(6,4)))
+      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+  / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l.l_discount AS DECIMAL(6,4)))) AS DOUBLE), 6) AS economy_revenue_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01' AND l.l_shipdate < TIMESTAMP '1996-07-01'
 """,
         "tpch_q12": """
 SELECT l.l_returnflag,
