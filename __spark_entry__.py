@@ -441,6 +441,23 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregation: ROLLUP(lang, source) subtotals over the
+    corpus — grouping machinery the reference lacks entirely (SURVEY
+    §2.3), supplied by the engine's built-ins."""
+    return (
+        load(spark, sf_dir, "documents")
+        .rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy(
+            F.col("lang").asc_nulls_first(), F.col("source").asc_nulls_first()
+        )
+    )
+
+
 def q_events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured processing: extract a JSON field from the events
     props column and aggregate per event type (the get_json_object path
@@ -666,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12": q_tpch_q12,
         "tpch_q14": q_tpch_q14,
         "events_json_stats": q_events_json_stats,
+        "docs_rollup": q_docs_rollup,
         "text_quality": q_text_quality,
         "text_split": q_text_split,
         "text_length_buckets": q_text_length_buckets,
@@ -864,6 +882,13 @@ WHERE l.l_returnflag = 'R'
 GROUP BY c.c_custkey, c.c_name, n.n_name
 ORDER BY revenue DESC, c.c_custkey
 LIMIT 20
+""",
+        "docs_rollup": """
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY ROLLUP (lang, source)
+ORDER BY lang NULLS FIRST, source NULLS FIRST
 """,
         "events_json_stats": """
 SELECT event_type,
