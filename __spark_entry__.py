@@ -441,6 +441,37 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/offset window functions (absent in the reference): per
+    series, lag-based step deltas, then per-type stats of the deltas."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load(spark, sf_dir, "events").withColumn(
+        "delta", F.col("value") - F.lag("value").over(w)
+    )
+    return (
+        ev.where(F.col("delta").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_steps"),
+            F.round(F.avg("delta"), 6).alias("avg_delta"),
+            F.round(F.stddev_pop("delta"), 6).alias("std_delta"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_docs_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (absent in the reference): English docs EXCEPT
+    short docs, INTERSECT with the high-quality half — pure id sets."""
+    docs = load(spark, sf_dir, "documents")
+    en = docs.where(F.col("lang") == "en").select("doc_id")
+    short = docs.where(F.col("n_chars") < 150).select("doc_id")
+    first_half = docs.where(F.col("doc_id") % 2 == 0).select("doc_id")
+    return en.exceptAll(short).intersect(first_half).orderBy("doc_id")
+
+
 def q_docs_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical aggregation: ROLLUP(lang, source) subtotals over the
     corpus — grouping machinery the reference lacks entirely (SURVEY
@@ -684,6 +715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14": q_tpch_q14,
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
+        "events_lag_delta": q_events_lag_delta,
+        "docs_setops": q_docs_setops,
         "text_quality": q_text_quality,
         "text_split": q_text_split,
         "text_length_buckets": q_text_length_buckets,
@@ -882,6 +915,28 @@ WHERE l.l_returnflag = 'R'
 GROUP BY c.c_custkey, c.c_name, n.n_name
 ORDER BY revenue DESC, c.c_custkey
 LIMIT 20
+""",
+        "events_lag_delta": """
+WITH d AS (
+  SELECT event_type,
+         value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+  FROM events
+)
+SELECT event_type, count(*) AS n_steps,
+       round(avg(delta), 6) AS avg_delta,
+       round(coalesce(stddev_pop(delta), 0.0), 6) AS std_delta
+FROM d WHERE delta IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+""",
+        "docs_setops": """
+SELECT doc_id FROM (
+  SELECT doc_id FROM documents WHERE lang = 'en'
+  EXCEPT ALL
+  SELECT doc_id FROM documents WHERE n_chars < 150
+)
+INTERSECT
+SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+ORDER BY doc_id
 """,
         "docs_rollup": """
 SELECT lang, source, count(*) AS n_docs,
