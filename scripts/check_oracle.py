@@ -29,8 +29,11 @@ def canon(df: pd.DataFrame) -> str:
     return hashlib.md5(df.to_csv(index=False, float_format="%.6g").encode()).hexdigest()
 
 qs = E.queries(); osql = E.oracle_sql()
+only = set(sys.argv[1:])
 fails = []
 for name, fn in qs.items():
+    if only and name not in only:
+        continue
     t0 = time.time()
     try:
         sdf = fn(spark, SF).toPandas()

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -105,9 +105,14 @@ def jaccard_pairs(
     """
     sh = shingle_table(docs, k=k, id_col=id_col, text_col=text_col)
     if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__f"))
-        sh = sh.join(freq.where(F.col("__f") <= max_shingle_freq), "shingle").drop(
-            "__f"
+        # Window count instead of groupBy + join-back: one pass, and the
+        # shuffle on `shingle` is the same partitioning the inverted-index
+        # self-join below needs.
+        hot = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("__f", F.count(F.lit(1)).over(hot))
+            .where(F.col("__f") <= max_shingle_freq)
+            .drop("__f")
         )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -121,9 +126,12 @@ def jaccard_pairs(
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    # Size-table joins are deliberately NOT hinted broadcast: sizes has one
+    # row per doc, which at corpus scale is far too big to broadcast; AQE
+    # picks broadcast at small SF on its own.
     return (
-        common.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -180,9 +188,16 @@ def minhash_lsh_pairs(
     band, then estimate Jaccard as the fraction of equal signature
     components -> ``(doc_a, doc_b, est_jaccard)`` filtered at threshold.
 
-    The bucket join is an equi-join on (band_id, band_key): the only
-    shuffle moves (doc_id, band_key) pairs, and candidate generation cost
-    follows bucket sizes (the LSH guarantee), not |docs|^2.
+    The bucket join is an equi-join on (band_id, band_key), and the full
+    signature rides along as ONE array column, so the whole query is a
+    single pass over the corpus: one shingle-explode aggregation, one
+    band explode (``posexplode`` of an ``array<struct>`` built in the
+    same projection — NOT a per-band union, which would re-run the
+    signature aggregation once per band), one bucket-join shuffle, one
+    distinct. Candidate generation cost follows bucket sizes (the LSH
+    guarantee), not |docs|^2; the similarity estimate is computed inline
+    from the carried signature arrays, so no join-back to the signature
+    table is needed at all.
     """
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
@@ -191,58 +206,61 @@ def minhash_lsh_pairs(
         docs, k=k, num_hashes=num_hashes, seed=seed,
         id_col=id_col, text_col=text_col,
     )
-    band_rows = []
-    for b_ix in range(bands):
-        key = F.concat_ws(
-            "_", *[F.col(f"m{b_ix * r + j}") for j in range(r)]
-        )
-        band_rows.append(
-            sigs.select(
-                "doc_id",
+    sig_arr = F.array(*[F.col(f"m{i}") for i in range(num_hashes)])
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(b_ix).alias("band_id"),
-                key.alias("band_key"),
+                F.concat_ws(
+                    "_", *[F.col(f"m{b_ix * r + j}") for j in range(r)]
+                ).alias("band_key"),
             )
-        )
-    bands_df = band_rows[0]
-    for extra in band_rows[1:]:
-        bands_df = bands_df.unionAll(extra)
+            for b_ix in range(bands)
+        ]
+    )
+    bands_df = sigs.select(
+        "doc_id", sig_arr.alias("sig"), F.explode(band_structs).alias("bk")
+    ).select(
+        "doc_id",
+        "sig",
+        F.col("bk.band_id").alias("band_id"),
+        F.col("bk.band_key").alias("band_key"),
+    )
 
     if max_bucket is not None:
-        sz = bands_df.groupBy("band_id", "band_key").agg(
-            F.count(F.lit(1)).alias("__n")
+        # Window count instead of groupBy+join-back: the shuffle on
+        # (band_id, band_key) is reused by the bucket join below, and the
+        # signature aggregation upstream still runs exactly once.
+        bucket = Window.partitionBy("band_id", "band_key")
+        bands_df = (
+            bands_df.withColumn("__n", F.count(F.lit(1)).over(bucket))
+            .where(F.col("__n") <= max_bucket)
+            .drop("__n")
         )
-        bands_df = bands_df.join(
-            sz.where(F.col("__n") <= max_bucket), ["band_id", "band_key"]
-        ).drop("__n")
 
-    la = bands_df.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
-    lb = bands_df.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
-    cand = (
+    la = bands_df.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"),
+        "band_id", "band_key",
+    )
+    lb = bands_df.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"),
+        "band_id", "band_key",
+    )
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"),
+            F.col("sig_b"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    eq_frac = matches / F.lit(float(num_hashes))
+    return (
         la.join(lb, ["band_id", "band_key"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-
-    siga = sigs.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"m{i}").alias(f"a{i}") for i in range(num_hashes)],
-    )
-    sigb = sigs.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"m{i}").alias(f"b{i}") for i in range(num_hashes)],
-    )
-    eq_frac = sum(
-        [
-            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-            for i in range(num_hashes)
-        ],
-        F.lit(0),
-    ) / F.lit(float(num_hashes))
-    return (
-        cand.join(siga, "doc_a")
-        .join(sigb, "doc_b")
         .select("doc_a", "doc_b", F.round(eq_frac, 4).alias("est_jaccard"))
+        .distinct()
         .where(F.col("est_jaccard") >= threshold)
     )
 
@@ -301,7 +319,11 @@ def simhash_pairs(
     ranges; any pair within ``max_hamming < chunks`` flips shares at
     least one identical chunk, so candidates come from an equi-join on
     (chunk_id, chunk_value) and are verified with ``bit_count(xor)`` —
-    no cross join, same scaling argument as MinHash-LSH.
+    no cross join, same scaling argument as MinHash-LSH. The chunk
+    fan-out is a single ``explode`` of an ``array<struct>`` built in one
+    projection (NOT a per-chunk union, which would re-run the simhash
+    aggregation once per chunk), so the token explode + vote aggregation
+    runs exactly once for the whole query.
     """
     if bits % chunks:
         raise ValueError("chunks must divide bits")
@@ -311,18 +333,25 @@ def simhash_pairs(
     mask = (1 << width) - 1
     sims = simhash(docs, bits=bits, id_col=id_col, text_col=text_col)
 
-    chunk_rows = [
-        sims.select(
-            "doc_id",
-            "simhash",
-            F.lit(i).alias("chunk_id"),
-            F.shiftright(F.col("simhash"), i * width).bitwiseAND(mask).alias("chunk_val"),
-        )
-        for i in range(chunks)
-    ]
-    chunked = chunk_rows[0]
-    for extra in chunk_rows[1:]:
-        chunked = chunked.unionAll(extra)
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk_id"),
+                F.shiftright(F.col("simhash"), i * width)
+                .bitwiseAND(mask)
+                .alias("chunk_val"),
+            )
+            for i in range(chunks)
+        ]
+    )
+    chunked = sims.select(
+        "doc_id", "simhash", F.explode(chunk_structs).alias("ck")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("ck.chunk_id").alias("chunk_id"),
+        F.col("ck.chunk_val").alias("chunk_val"),
+    )
 
     la = chunked.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
