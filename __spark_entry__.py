@@ -27,6 +27,8 @@ from symtseries_spark import pykernel as pk
 from symtseries_spark.operators import (
     allpairs_within,
     ann_lsh_topk,
+    euclidean_refine,
+    tumbling_values,
     isax_buckets,
     isax_topk,
     cosine_topk,
@@ -213,6 +215,51 @@ def q_sax_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key_b",
         F.round(F.col("mindist") * scale, 4).alias("dist"),
     ).where(F.col("dist") <= ALLPAIRS_DELTA)
+
+
+def q_sax_allpairs_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prune-then-refine, end to end (the reference's whole point —
+    README.md:29-34): mindist candidates from :func:`allpairs_within`
+    joined back to the raw tumbling windows, true z-normalized Euclidean
+    distance computed JVM-side, false positives dropped. Output is the
+    EXACT all-pairs-within-delta answer, with both the lower bound and
+    the exact distance per surviving pair."""
+    ev = load(spark, sf_dir, "events")
+    words = tumbling_sax(
+        ev, key="user_id", order=["ts", "event_id"], value="value", **TUMBLE_DIST
+    ).select(
+        (F.col("series_key") * 10000 + F.col("window_id")).alias("wkey"),
+        "sax_word",
+    )
+    pairs = allpairs_within(
+        words,
+        w=TUMBLE_DIST["w"],
+        c=TUMBLE_DIST["c"],
+        delta=ALLPAIRS_DELTA,
+        key_col="wkey",
+        word_col="sax_word",
+        n_col=None,
+    )
+    scale = (TUMBLE_DIST["n"] / TUMBLE_DIST["w"]) ** 0.5
+    cand = pairs.select(
+        "key_a",
+        "key_b",
+        F.round(F.col("mindist") * scale, 4).alias("dist"),
+    ).where(F.col("dist") <= ALLPAIRS_DELTA)
+    vals = tumbling_values(
+        ev, key="user_id", order=["ts", "event_id"], value="value",
+        n=TUMBLE_DIST["n"],
+    ).select(
+        (F.col("series_key") * 10000 + F.col("window_id")).alias("wkey"),
+        "vals",
+    )
+    refined = euclidean_refine(cand, vals, key_col="wkey", vals_col="vals")
+    return refined.select(
+        "key_a",
+        "key_b",
+        "dist",
+        F.round("exact_dist", 4).alias("exact_dist"),
+    ).where(F.col("exact_dist") <= ALLPAIRS_DELTA)
 
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -701,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_mindist_decomp": q_sax_mindist_decomp,
         "sax_c16_decomp": q_sax_c16_decomp,
         "sax_allpairs": q_sax_allpairs,
+        "sax_allpairs_refined": q_sax_allpairs_refined,
         "sax_tumbling_partial": q_sax_tumbling_partial,
         "sax_sliding_stream": q_sax_sliding_stream,
         "sax_event_windows": q_sax_event_windows,
@@ -795,6 +843,41 @@ dists AS (
 SELECT key_a, key_b, dist FROM dists WHERE dist <= {ALLPAIRS_DELTA}
 """
 
+    # prune-then-refine: recompute the exact z-normalized Euclidean
+    # distance per candidate pair from raw values, independently of the
+    # engine (same finite-only mu / population sigma / flat-window rules)
+    from symtseries_spark.constants import STAT_EPS as _EPS
+
+    refined = f"""
+WITH cand AS ({allpairs}),
+ord AS (
+  SELECT user_id AS series_key, value AS v,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), pos AS (
+  SELECT series_key, v,
+         CAST(floor((rn - 1) / {n}) AS BIGINT) AS window_id,
+         CAST((rn - 1) % {n} AS INT) AS p
+  FROM ord
+), wstats AS (
+  SELECT series_key, window_id, avg(v) AS mu,
+         coalesce(stddev_pop(v), 0.0) AS sigma
+  FROM pos GROUP BY series_key, window_id HAVING count(*) = {n}
+), z AS (
+  SELECT p.series_key * 10000 + p.window_id AS wkey, p.p,
+         CASE WHEN s.sigma < {_EPS} THEN 0.0 ELSE (p.v - s.mu) / s.sigma END AS z
+  FROM pos p
+  JOIN wstats s ON p.series_key = s.series_key AND p.window_id = s.window_id
+)
+SELECT c.key_a, c.key_b, c.dist,
+       round(sqrt(sum((za.z - zb.z) * (za.z - zb.z))), 4) AS exact_dist
+FROM cand c
+JOIN z za ON za.wkey = c.key_a
+JOIN z zb ON zb.wkey = c.key_b AND zb.p = za.p
+GROUP BY c.key_a, c.key_b, c.dist
+HAVING round(sqrt(sum((za.z - zb.z) * (za.z - zb.z))), 4) <= {ALLPAIRS_DELTA}
+"""
+
     q1 = """
 SELECT l_returnflag, l_linestatus,
   round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty,
@@ -877,6 +960,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
             f"FROM ({dist_words})"
         ),
         "sax_allpairs": allpairs,
+        "sax_allpairs_refined": refined,
         "sax_c16_decomp": (
             f"SELECT series_key, window_id, sax_word, "
             f"round({m_c16['dist']}, 4) AS dist, "

@@ -222,6 +222,43 @@ def sax_mindist_parts(
     return F.when(compatible, _let(sums, finish))
 
 
+def sax_znorm(arr: Column) -> Column:
+    """z-normalize an ``array<double>`` with the kernel's stats rules
+    (finite-only mean, population sigma — src/symtseries.c:257-280). A
+    flat window (sigma < STAT_EPS) normalizes to all zeros, matching the
+    encoder's z = 0 rule. Non-finite elements pass through unchanged and
+    are skipped by :func:`sax_zeuclidean`."""
+
+    def with_stats(st: Column) -> Column:
+        mu, std = st["mu"], st["std"]
+        return F.transform(
+            arr,
+            lambda x: F.when(~is_finite(x), x)
+            .when(std < F.lit(STAT_EPS), F.lit(0.0))
+            .otherwise((x - mu) / std),
+        )
+
+    return _let(_stats(arr), with_stats)
+
+
+def sax_zeuclidean(za: Column, zb: Column) -> Column:
+    """Exact Euclidean distance between two z-normalized arrays — the
+    refine step of the reference's prune-then-refine story
+    (/root/reference/README.md:29-34: MINDIST lower-bounds exactly this
+    quantity, include/symtseries.h:5-7). Positions where either side is
+    non-finite contribute 0 (the exact-distance analogue of '#' frames);
+    NULL or length-mismatched inputs yield NULL."""
+    d2 = F.zip_with(
+        za,
+        zb,
+        lambda x, y: F.when(
+            is_finite(x) & is_finite(y), (x - y) * (x - y)
+        ).otherwise(F.lit(0.0)),
+    )
+    ok = za.isNotNull() & zb.isNotNull() & (F.size(za) == F.size(zb))
+    return F.when(ok, F.sqrt(F.aggregate(d2, F.lit(0.0), lambda a, v: a + v)))
+
+
 def sax_mindist(a: Column, b: Column, *, c: int, n: Column | int | None = None) -> Column:
     """Scalar MINDIST (the reference's ``sts_mindist`` wrapper)."""
     return sax_mindist_parts(a, b, c=c, n=n)["dist"]

@@ -5,10 +5,12 @@ from .windows import (
     sliding_sax,
     sliding_sax_chunked,
     tumbling_sax,
+    tumbling_values,
     whole_series_sax,
 )
 from .search import (
     allpairs_within,
+    euclidean_refine,
     isax_buckets,
     isax_topk,
     match_pattern,
@@ -41,6 +43,7 @@ __all__ = [
     "cosine_topk",
     "embedding_near_dup",
     "embedding_near_dup_lsh",
+    "euclidean_refine",
     "exact_dedup_map",
     "isax_buckets",
     "isax_topk",
@@ -60,5 +63,6 @@ __all__ = [
     "sliding_sax_chunked",
     "topk_nearest",
     "tumbling_sax",
+    "tumbling_values",
     "whole_series_sax",
 ]

@@ -23,7 +23,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .. import pykernel as pk
-from ..functions.sax import sax_coarsen, sax_mindist_to_literal, sax_word_mindist
+from ..functions.sax import (
+    sax_coarsen,
+    sax_mindist_to_literal,
+    sax_word_mindist,
+    sax_zeuclidean,
+    sax_znorm,
+)
 
 
 def mindist_to_pattern(
@@ -151,6 +157,52 @@ def isax_topk(
     return scored.orderBy(*order).limit(k)
 
 
+def euclidean_refine(
+    pairs: DataFrame,
+    values: DataFrame,
+    *,
+    key_col: str = "series_key",
+    vals_col: str = "vals",
+    key_a: str = "key_a",
+    key_b: str = "key_b",
+    out: str = "exact_dist",
+    delta: float | None = None,
+) -> DataFrame:
+    """Exact-distance refinement — the second half of the reference's
+    prune-then-refine contract (/root/reference/README.md:29-34: MINDIST
+    "lower bounds the Euclidean distance between z-normalized series",
+    include/symtseries.h:5-7). ``pairs`` is a candidate set (e.g. from
+    :func:`allpairs_within`); ``values`` maps each key to its raw window
+    (``array<double>``, e.g. from
+    :func:`..operators.windows.tumbling_values`). Adds ``out`` = true
+    z-normalized Euclidean distance; with ``delta`` set, keeps only true
+    matches — turning the mindist candidate superset into the exact
+    answer.
+
+    Plan shape for 100 TB: z-normalization is projected on the
+    ``values`` side BEFORE the joins, so each window normalizes once
+    (scan-stage, codegen) no matter how many pairs reference it; the two
+    equi-joins then ship only candidate keys + their z-arrays. The
+    candidate side is the delta-pruned (small) relation, so AQE
+    broadcasts it against the big values scan; per-pair work is O(n)
+    JVM-side arithmetic with no Python anywhere.
+    """
+    z = values.select(
+        F.col(key_col).alias("__k"), sax_znorm(F.col(vals_col)).alias("__z")
+    )
+    za = z.select(F.col("__k").alias("__ka"), F.col("__z").alias("__za"))
+    zb = z.select(F.col("__k").alias("__kb"), F.col("__z").alias("__zb"))
+    refined = (
+        pairs.join(za, F.col(key_a) == F.col("__ka"))
+        .join(zb, F.col(key_b) == F.col("__kb"))
+        .withColumn(out, sax_zeuclidean(F.col("__za"), F.col("__zb")))
+        .drop("__ka", "__kb", "__za", "__zb")
+    )
+    if delta is not None:
+        refined = refined.where(F.col(out) <= F.lit(delta))
+    return refined
+
+
 def allpairs_within(
     words: DataFrame,
     *,
@@ -184,10 +236,18 @@ def allpairs_within(
         [F.col(n_col).alias("n")] if n_col else []
     )
     # the word table feeds three plan branches (distinct pairs + both
-    # expansion sides); persist it so the upstream window aggregation
-    # runs once — it is the compressed representation (key + w chars),
-    # orders of magnitude smaller than its source series
-    base = words.where(F.col(word_col).isNotNull()).select(*cols).persist()
+    # expansion sides); materialize it once so the upstream window
+    # aggregation runs once — it is the compressed representation (key +
+    # w chars), orders of magnitude smaller than its source series.
+    # localCheckpoint (eager) rather than persist: same single-compute
+    # guarantee, but the blocks are owned by the RDD and freed by the
+    # ContextCleaner when the result DataFrame is released, instead of
+    # sitting in the cache manager for the session lifetime.
+    base = (
+        words.where(F.col(word_col).isNotNull())
+        .select(*cols)
+        .localCheckpoint(eager=True)
+    )
 
     # 1) distances over distinct words only (|D|^2/2 evals, |D| <= c^w)
     dcols = ["wd"] + (["n"] if n_col else [])

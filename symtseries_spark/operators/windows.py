@@ -175,27 +175,26 @@ def sliding_sax_chunked(
     return result.drop("__rn")
 
 
-def tumbling_sax(
+def tumbling_values(
     df: DataFrame,
     *,
     key: str,
     order: str | list[str],
     value: str,
     n: int,
-    w: int,
-    c: int,
-    out: str = "sax_word",
+    out: str = "vals",
     keep_partial: bool = False,
 ) -> DataFrame:
     """Non-overlapping windows of ``n`` consecutive rows per series key ->
-    one row ``(key, window_id, sax_word)`` per window.
+    ``(series_key, window_id, vals: array<double>)`` in series order —
+    the raw-series companion of :func:`tumbling_sax`, used by
+    exact-distance refinement (:func:`..operators.search.euclidean_refine`).
 
     One shuffle (partitionBy key for row_number) + a map-side-combinable
-    groupBy on (key, window_id). Partial trailing windows are dropped by
-    default (their length is not a multiple of w); with
-    ``keep_partial=True`` they are NaN-padded at the *back* to n values.
+    groupBy on (key, window_id); the per-group state is bounded by the
+    reference's n <= 4096 cap. Partial trailing windows are dropped by
+    default; with ``keep_partial=True`` they are NaN-padded at the back.
     """
-    validate_params(n, w, c)
     order_cols = [order] if isinstance(order, str) else list(order)
     rn = F.row_number().over(Window.partitionBy(key).orderBy(*order_cols))
     with_id = df.select(
@@ -217,8 +216,34 @@ def tumbling_sax(
     else:
         grouped = grouped.where(F.size("vals") == n)
         vals = F.col("vals")
-    return grouped.select(
-        "series_key", "window_id", sax_encode(vals, w, c).alias(out)
+    return grouped.select("series_key", "window_id", vals.alias(out))
+
+
+def tumbling_sax(
+    df: DataFrame,
+    *,
+    key: str,
+    order: str | list[str],
+    value: str,
+    n: int,
+    w: int,
+    c: int,
+    out: str = "sax_word",
+    keep_partial: bool = False,
+) -> DataFrame:
+    """Non-overlapping windows of ``n`` consecutive rows per series key ->
+    one row ``(key, window_id, sax_word)`` per window.
+
+    One shuffle (partitionBy key for row_number) + a map-side-combinable
+    groupBy on (key, window_id). Partial trailing windows are dropped by
+    default (their length is not a multiple of w); with
+    ``keep_partial=True`` they are NaN-padded at the *back* to n values.
+    """
+    validate_params(n, w, c)
+    return tumbling_values(
+        df, key=key, order=order, value=value, n=n, keep_partial=keep_partial
+    ).select(
+        "series_key", "window_id", sax_encode(F.col("vals"), w, c).alias(out)
     )
 
 

@@ -182,6 +182,66 @@ def test_allpairs_matches_bruteforce(spark):
         assert abs(d - expected[k]) < 1e-9
 
 
+@pytest.mark.parametrize("dirty", [False, True])
+def test_euclidean_refine_matches_bruteforce_and_lower_bound(spark, dirty):
+    """Prune-then-refine: exact_dist must equal the Python-computed
+    z-normalized Euclidean distance — including on NaN/Inf-dirty series
+    the clean-testdata oracle never exercises. On complete series the
+    (scaled) mindist candidate bound must never exceed it (the
+    lower-bound law the reference states at include/symtseries.h:5-7).
+    With missing values the law intentionally does NOT hold: '#' frames
+    substitute the furthest letter (pessimistic, src/symtseries.c:612-620)
+    while the exact distance skips non-finite positions, so dirty series
+    only check the brute-force equality."""
+    from symtseries_spark.operators import euclidean_refine, tumbling_values
+
+    rng = random.Random(7)
+    n, w, c = 16, 4, 8
+    rows = []
+    for key in range(10):
+        for seq, v in enumerate(_series(rng, n, dirty=dirty)):
+            rows.append((key, seq, v))
+    df = spark.createDataFrame(rows, "key int, seq int, v double")
+
+    words = tumbling_sax(df, key="key", order="seq", value="v", n=n, w=w, c=c)
+    pairs = allpairs_within(
+        words, w=w, c=c, delta=1e9, key_col="series_key", n_col=None
+    )
+    vals = tumbling_values(df, key="key", order="seq", value="v", n=n)
+    scale = (n / w) ** 0.5
+    refined = euclidean_refine(
+        pairs.select("key_a", "key_b", (F.col("mindist") * scale).alias("lb")),
+        vals.select("series_key", "vals"),
+    ).collect()
+
+    def znorm(vs):
+        fin = [x for x in vs if math.isfinite(x)]
+        mu, std = pk.mu_std(fin)
+        if std < 1e-2:
+            return [0.0 if math.isfinite(x) else x for x in vs]
+        return [(x - mu) / std if math.isfinite(x) else x for x in vs]
+
+    series = {}
+    for key, seq, v in rows:
+        series.setdefault(key, []).append(v)
+    zs = {k: znorm(v) for k, v in series.items()}
+
+    assert len(refined) == 10 * 9 // 2
+    for r in refined:
+        za, zb = zs[r["key_a"]], zs[r["key_b"]]
+        exp = math.sqrt(
+            sum(
+                (x - y) ** 2
+                for x, y in zip(za, zb)
+                if math.isfinite(x) and math.isfinite(y)
+            )
+        )
+        assert abs(r["exact_dist"] - exp) < 1e-9, (r, exp)
+        if not dirty:
+            # f32 LUT + frame aggregation tolerance, as in test_properties
+            assert r["lb"] <= r["exact_dist"] + 1e-4, (r, exp)
+
+
 class TestSlidingChunked:
     def test_chunked_equals_plain(self, spark, sf_dir):
         """Overlap-replicated chunk parallelism must be output-identical
