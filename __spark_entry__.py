@@ -82,6 +82,7 @@ EMB_NEAR_DUP_LSH = 0.3
 NEAR_DUP_PLANES = 3
 ANN = dict(query_id=0, k=10, num_planes=4, seed=13)
 KNN = dict(max_query_id=5, k=10)
+IVF = dict(query_id=3, k=20, num_lists=8)
 
 
 def _events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -673,6 +674,23 @@ def q_emb_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index + probed top-k at FULL probe: every centroid list is
+    scanned, so the result is provably the exact brute-force top-k — the
+    driver's DuckDB twin recomputes it as such. Partial-probe recall is
+    property-tested (tests/test_pipeline_operators.py::TestIVF)."""
+    from symtseries_spark.operators import ivf_topk
+
+    return ivf_topk(
+        load(spark, sf_dir, "embeddings"),
+        query_id=IVF["query_id"],
+        k=IVF["k"],
+        num_lists=IVF["num_lists"],
+        nprobe=IVF["num_lists"],
+        dim=EMB_DIM,
+    )
+
+
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup(
         load(spark, sf_dir, "embeddings"), threshold=EMB_NEAR_DUP
@@ -777,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_join": q_emb_knn_join,
         "emb_ann_lsh": q_emb_ann_lsh,
         "emb_ann_multiprobe": q_emb_ann_multiprobe,
+        "emb_ivf_topk": q_emb_ivf_topk,
         "emb_near_dup": q_emb_near_dup,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "media_byte_histogram": q_media_byte_histogram,
@@ -1073,6 +1092,10 @@ ORDER BY l.l_returnflag
         "emb_ann_lsh": ov.ann_lsh_topk_sql(dim=EMB_DIM, **ANN),
         "emb_ann_multiprobe": ov.ann_lsh_topk_sql(
             dim=EMB_DIM, probe_hamming=1, **ANN
+        ),
+        # full-probe IVF scans every list -> provably the exact top-k
+        "emb_ivf_topk": ov.cosine_topk_sql(
+            query_id=IVF["query_id"], k=IVF["k"], dim=EMB_DIM
         ),
         "emb_near_dup": ov.embedding_near_dup_sql(
             threshold=EMB_NEAR_DUP, dim=EMB_DIM

@@ -290,6 +290,42 @@ def _ann_lsh(
     )
 
 
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Sequential-sum squared L2 distance between two array<double> cols."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign_lists(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Nearest-centroid assignment via a broadcast-joined centroid table:
+    fan out |rows| x num_lists inside the scan stage, argmin with
+    ``min_by`` over a (d2, list_id) struct (deterministic under ties).
+    min_by partially aggregates map-side, so the shuffle carries exactly
+    one row per vector — never the fan-out. Scales to thousands of lists
+    where a plan-time unrolled centroid expression would trip codegen
+    limits (BASELINE.md: giant literal trees go 4x slower)."""
+    vd = F.col(vec_col).cast("array<double>")
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("list_id").alias("__lid"),
+        _sq_l2(vd, F.col("centroid")).alias("__d2"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.min_by("__lid", F.struct("__d2", "__lid")).alias("list_id"),
+        F.first(vec_col).alias(vec_col),
+    )
+
+
 def ivf_index(
     vectors: DataFrame,
     *,
@@ -297,71 +333,56 @@ def ivf_index(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    seed_stride: int | None = None,
-) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
-    """Deterministic IVF coarse quantizer: centroids = every
-    ``stride``-th vector by id (seeded sample), refined with ONE Lloyd
-    step (mean of assigned vectors), then every vector assigned to its
-    nearest centroid -> (assigned DataFrame with ``list_id``, centroid
-    list). Two shuffles total; at scale the assignment is the partition/
-    sort key for data at rest, exactly like the iSAX bucket column.
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic IVF coarse quantizer: seed centroids = the
+    ``num_lists`` lowest-id vectors, refined with ONE Lloyd step
+    (per-dimension mean of assigned vectors), then every vector assigned
+    to its nearest centroid -> (assigned DataFrame with ``list_id``,
+    centroid DataFrame ``(list_id, centroid)``). At scale the assignment
+    is the partition/sort key for data at rest, exactly like the iSAX
+    bucket column.
 
-    Deterministic by construction (no RNG, fixed iteration count), so it
-    could be SQL-mirrored; the driver gate covers the LSH variant and
-    this one is recall-tested against brute force instead.
+    Everything stays distributed: centroids are a (tiny) DataFrame that
+    is broadcast where needed — no driver collect() anywhere, and no
+    num_lists x dim literal expression tree (the previous form; see
+    _assign_lists). The Lloyd means use one map-side-combinable groupBy
+    with dim bounded aggregation state per list.
+
+    Deterministic by construction (no RNG, fixed iteration count,
+    struct-ordered argmin ties), so the driver gate oracle-checks
+    :func:`ivf_topk` at full probe (== exact top-k); partial-probe
+    recall is property-tested against brute force.
     """
-    import numpy as np
-
-    seeds_rows = (
-        vectors.orderBy(id_col).limit(num_lists * (seed_stride or 1)).collect()
-        if seed_stride
-        else vectors.orderBy(id_col).limit(num_lists).collect()
-    )
-    seeds = np.array(
-        [list(r[vec_col]) for r in seeds_rows[:: (seed_stride or 1)]][:num_lists],
-        dtype=np.float64,
-    )
-
-    def assign_expr(cents: "np.ndarray") -> Column:
-        vd = F.col(vec_col).cast("array<double>")
-        best_id: Column = F.lit(0)
-        best_d: Column | None = None
-        for i, cvec in enumerate(cents):
-            lit = F.array(*[F.lit(float(x)) for x in cvec])
-            # squared L2 to the centroid
-            d = F.aggregate(
-                F.zip_with(vd, lit, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            if best_d is None:
-                best_d = d
-            else:
-                better = d < best_d
-                best_id = F.when(better, F.lit(i)).otherwise(best_id)
-                best_d = F.when(better, d).otherwise(best_d)
-        return best_id
-
-    # one Lloyd refinement: mean of vectors per provisional list
-    provisional = vectors.withColumn("list_id", assign_expr(seeds))
-    sums = (
-        provisional.select(
-            "list_id", F.col(vec_col).cast("array<double>").alias("v")
+    seeds = (
+        vectors.orderBy(id_col)
+        .limit(num_lists)
+        .select(
+            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("list_id"),
+            F.col(vec_col).cast("array<double>").alias("centroid"),
         )
+    )
+    provisional = _assign_lists(vectors, seeds, id_col=id_col, vec_col=vec_col)
+    vd = F.col(vec_col).cast("array<double>")
+    means = (
+        provisional.select("list_id", vd.alias("__v"))
         .groupBy("list_id")
-        .agg(
-            *[F.sum(F.element_at("v", i + 1)).alias(f"s{i}") for i in range(dim)],
-            F.count(F.lit(1)).alias("cnt"),
+        .agg(*[F.avg(F.element_at("__v", i + 1)).alias(f"__m{i}") for i in range(dim)])
+        .select(
+            "list_id",
+            F.array(*[F.col(f"__m{i}") for i in range(dim)]).alias("centroid"),
         )
-        .collect()
     )
-    refined = seeds.copy()
-    for r in sums:
-        refined[r.list_id] = [r[f"s{i}"] / r.cnt for i in range(dim)]
-
-    assigned = vectors.withColumn("list_id", assign_expr(refined))
-    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(refined)]
-    return assigned, centroids
+    # every list contains at least its own seed vector, but keep the seed
+    # as a fallback so an empty list can never produce a NULL centroid
+    refined = (
+        seeds.select("list_id", F.col("centroid").alias("__seed"))
+        .join(means, "list_id", "left")
+        .select(
+            "list_id", F.coalesce("centroid", "__seed").alias("centroid")
+        )
+    )
+    assigned = _assign_lists(vectors, refined, id_col=id_col, vec_col=vec_col)
+    return assigned, refined
 
 
 def ivf_topk(
@@ -377,25 +398,33 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` centroid lists nearest
     to the query, exact cosine rerank inside them -> ``(vec_id, cos)``.
-    The probe predicate is a plan-time IN-list on the assignment column —
-    with assignments stored partitioned by ``list_id``, a
-    partition-pruned scan of ~nprobe/num_lists of the data."""
-    import numpy as np
-
+    Probe selection is a broadcast join of the (tiny) centroid table
+    against the query vector — no driver round-trip; the probed-list
+    filter is a broadcast semi-join on ``list_id``, which dynamic
+    partition pruning turns into a partition-pruned scan when
+    assignments are stored partitioned by ``list_id``. At
+    ``nprobe == num_lists`` the result is exactly the brute-force top-k
+    (every list scanned), which is what the driver's DuckDB oracle
+    checks; partial probe trades recall for scan fraction
+    ~nprobe/num_lists."""
     assigned, centroids = ivf_index(
         vectors, num_lists=num_lists, dim=dim, id_col=id_col, vec_col=vec_col
     )
-    q_row = vectors.where(F.col(id_col) == query_id).collect()[0]
-    qv = np.array(list(q_row[vec_col]), dtype=np.float64)
-    cents = np.array([c for _, c in centroids])
-    d2 = ((cents - qv) ** 2).sum(axis=1)
-    probe = [int(i) for i in np.argsort(d2)[:nprobe]]
-
     q = vectors.where(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("__qv")
     )
+    probe = (
+        centroids.crossJoin(F.broadcast(q))
+        .select(
+            "list_id",
+            _sq_l2(F.col("centroid"), F.col("__qv").cast("array<double>")).alias("__d2"),
+        )
+        .orderBy("__d2", "list_id")
+        .limit(nprobe)
+        .select("list_id")
+    )
     return (
-        assigned.where(F.col("list_id").isin(probe))
+        assigned.join(F.broadcast(probe), "list_id")
         .where(F.col(id_col) != query_id)
         .crossJoin(F.broadcast(q))
         .select(

@@ -396,7 +396,12 @@ class TestIVF:
             __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("c")
         ).collect()}
         assert sum(counts.values()) == emb.count()
-        assert len(centroids) == 4
-        # deterministic: same call -> same assignment
-        assigned2, centroids2 = ivf_index(emb, num_lists=4, dim=64)
-        assert centroids == centroids2
+        cent_rows = sorted(
+            (r.list_id, tuple(r.centroid)) for r in centroids.collect()
+        )
+        assert len(cent_rows) == 4
+        # deterministic: same call -> same centroids
+        _, centroids2 = ivf_index(emb, num_lists=4, dim=64)
+        assert cent_rows == sorted(
+            (r.list_id, tuple(r.centroid)) for r in centroids2.collect()
+        )
