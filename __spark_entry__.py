@@ -612,6 +612,90 @@ def q_sax_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("user_id", "event_id", "sax_word")
 
 
+def q_sax_event_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windows through a REAL stream with controlled lateness:
+    events are replayed as one file per 7-day slice (maxFilesPerTrigger=1
+    -> one micro-batch each), with a deterministic 25% of rows delayed by
+    one slice — genuinely late data, admitted because the watermark lags
+    a full window. Two far-future sentinel rows advance the watermark so
+    every real window finalizes into the append-mode sink; the sentinels'
+    own windows never finalize, so they self-exclude. The finalized
+    output must hash-match the batch event-time oracle exactly (late
+    rows included in their correct windows)."""
+    import glob as globmod
+    import os
+    import tempfile
+    import uuid
+    from datetime import timedelta
+
+    from symtseries_spark.streaming import tumbling_sax_event_time
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .withColumn("ts_t", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("user_id", "event_id", "ts_t", "value")
+    )
+    slice_sec = EVENT_WINDOW_DAYS * 86400
+    late = (F.abs(F.hash("event_id")) % 4 == 0).cast("long")
+    bid = (F.floor(F.unix_timestamp("ts_t") / slice_sec) + late).alias("__bid")
+
+    tmp = tempfile.mkdtemp(prefix="sax_evstream_")
+    staged, indir = f"{tmp}/staged", f"{tmp}/in"
+    os.makedirs(indir)
+    ev.withColumn("__bid", bid).coalesce(1).write.partitionBy("__bid").parquet(staged)
+    batch_dirs = sorted(
+        globmod.glob(f"{staged}/__bid=*"),
+        key=lambda p: int(p.rsplit("=", 1)[1]),
+    )
+    t0 = 1_000_000_000
+    for i, d in enumerate(batch_dirs):
+        part = globmod.glob(f"{d}/part-*.parquet")[0]
+        dst = f"{indir}/b{i:04d}.parquet"
+        os.rename(part, dst)
+        os.utime(dst, (t0 + i, t0 + i))  # deterministic arrival order
+
+    # sentinels: 4 windows past the real maximum — far enough that the
+    # watermark they push (max - 1 window) passes every real window end
+    mx = ev.agg(F.max("ts_t")).first()[0]
+    for j in range(2):
+        sent = spark.createDataFrame(
+            [(-1, -1, mx + timedelta(days=(4 * EVENT_WINDOW_DAYS) + j), 0.0)],
+            ev.schema,
+        )
+        d = f"{tmp}/sent{j}"
+        sent.coalesce(1).write.parquet(d)
+        part = globmod.glob(f"{d}/part-*.parquet")[0]
+        dst = f"{indir}/b{len(batch_dirs) + j:04d}.parquet"
+        os.rename(part, dst)
+        os.utime(dst, (t0 + len(batch_dirs) + j, t0 + len(batch_dirs) + j))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+    )
+    words = tumbling_sax_event_time(
+        stream,
+        key="user_id",
+        ts="ts_t",
+        value="value",
+        duration=f"{EVENT_WINDOW_DAYS} days",
+        watermark=f"{EVENT_WINDOW_DAYS} days",
+        **EVENT_WINDOW,
+    )
+    name = f"sax_evw_{uuid.uuid4().hex[:8]}"
+    q = (
+        words.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sax_evw_chk_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).select("series_key", "window_start", "n", "sax_word")
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     # explode(array(...)) is a Generate barrier: CollapseProject cannot
@@ -770,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_tumbling_partial": q_sax_tumbling_partial,
         "sax_sliding_stream": q_sax_sliding_stream,
         "sax_event_windows": q_sax_event_windows,
+        "sax_event_windows_stream": q_sax_event_windows_stream,
         "sax_isax_buckets": q_sax_isax_buckets,
         "sax_isax_topk": q_sax_isax_topk,
         "tpch_q1": q_tpch_q1,
@@ -956,6 +1041,11 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
         "sax_sliding_chunked": f"SELECT user_id, event_id, sax_word FROM ({slide})",
         "sax_sliding_stream": f"SELECT user_id, event_id, sax_word FROM ({slide})",
         "sax_event_windows": oc.event_time_words_sql(
+            EVENT_WINDOW_DAYS, EVENT_WINDOW["w"], EVENT_WINDOW["c"]
+        ),
+        # the finalized stream (late data admitted under the watermark)
+        # must equal the batch event-time windows exactly
+        "sax_event_windows_stream": oc.event_time_words_sql(
             EVENT_WINDOW_DAYS, EVENT_WINDOW["w"], EVENT_WINDOW["c"]
         ),
         "sax_tumbling_motifs": (

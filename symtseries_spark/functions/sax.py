@@ -148,9 +148,12 @@ def sax_encode(arr: Column, w: int, c: int) -> Column:
 def sax_parse(word: Column, c: int) -> Column:
     """SAX string -> ``array<int>`` letter indices; invalid letters for the
     cardinality yield NULL elements (strict validation belongs to the
-    Python-side API for literal patterns; src/symtseries.c:534-554)."""
+    Python-side API for literal patterns; src/symtseries.c:534-554).
+    Empty or NULL words yield NULL — the reference rejects w == 0 words
+    (src/symtseries.c:539-542); without the guard ``sequence(1, 0)``
+    would count DOWN and fabricate a 2-element array."""
     chars = F.transform(F.sequence(F.lit(1), F.length(word)), lambda i: word.substr(i, F.lit(1)))
-    return F.transform(
+    parsed = F.transform(
         chars,
         lambda ch: F.when(ch == MISSING, F.lit(c)).otherwise(
             F.when(
@@ -158,6 +161,28 @@ def sax_parse(word: Column, c: int) -> Column:
             )
         ),
     )
+    return F.when(F.length(word) > 0, parsed)
+
+
+def _resolve_n(
+    n_a: Column | int | None, n_b: Column | int | None, w: Column
+) -> tuple[Column, Column]:
+    """(effective n, per-row conflict flag) under the reference's
+    wildcard rule (src/symtseries.c:594-601): n == 0 (or NULL) adopts
+    the other side's n; both wildcard -> n = w (compression 1); two
+    conflicting nonzero n values -> incompatible (NaN there, NULL here).
+    """
+    def to_col(x: Column | int | None) -> Column | None:
+        return F.lit(x) if isinstance(x, int) else x
+
+    na, nb = to_col(n_a), to_col(n_b)
+    if na is None and nb is None:
+        return w, F.lit(False)
+    na0 = F.coalesce(na.cast("long"), F.lit(0)) if na is not None else F.lit(0)
+    nb0 = F.coalesce(nb.cast("long"), F.lit(0)) if nb is not None else F.lit(0)
+    conflict = (na0 > 0) & (nb0 > 0) & (na0 != nb0)
+    n_eff = F.when(na0 > 0, na0).otherwise(F.when(nb0 > 0, nb0).otherwise(w))
+    return n_eff, conflict
 
 
 def sax_mindist_parts(
@@ -166,16 +191,28 @@ def sax_mindist_parts(
     *,
     c: int,
     n: Column | int | None = None,
+    n_b: Column | int | None = None,
 ) -> Column:
     """MINDIST between two equal-length letter-index arrays of cardinality
     ``c`` -> STRUCT(dist, above, below).
 
-    ``n`` is the number of raw values each word summarizes (the
-    compression scale √(n/w)); defaults to w (compression 1), matching
-    the reference's both-wildcard rule. ``above`` accumulates positions
-    where a's bucket is higher-valued than b's. The (w, c, n)
-    compatibility gates are enforced by the callers/join predicates —
-    plan-time in Spark, not per-row (src/symtseries.c:585-636).
+    ``n`` / ``n_b`` are the number of raw values each word summarizes
+    (the compression scale √(n/w)), with the reference's wildcard rule
+    (src/symtseries.c:591-601): 0 (or NULL) adopts the other side's n;
+    both 0 -> compression 1 (n = w). Per-row incompatibility gates
+    mirror the reference's NaN returns as NULL: length (w) mismatch, and
+    — when both ``n`` and ``n_b`` are supplied — conflicting nonzero n
+    values. ``above`` accumulates positions where a's bucket is
+    higher-valued than b's.
+
+    **c-compatibility is plan-time, by construction**: the LUT for ``c``
+    is baked into the expression, and both operands are parsed/encoded
+    against that same ``c`` — two words of different cardinality can
+    only meet in one call through caller error. Coarsen to a common
+    cardinality first (:func:`sax_coarsen`); there is no per-row c gate
+    because a Column cannot carry a conflicting LUT (the reference's
+    per-object ``a->c != b->c`` NaN gate, src/symtseries.c:591, has no
+    row-level analogue here).
     """
     lut = F.array(*[F.lit(d) for d in MINDIST_LUT[c]])
 
@@ -208,17 +245,19 @@ def sax_mindist_parts(
     )
 
     w = F.size(a)
-    n_col = F.lit(n) if isinstance(n, int) else (n if n is not None else w)
+    n_eff, conflict = _resolve_n(n, n_b, w)
 
     def finish(s: Column) -> Column:
-        comp = F.sqrt(n_col.cast("double") / w)
+        comp = F.sqrt(n_eff.cast("double") / w)
         return F.struct(
             (comp * F.sqrt(s["ab"] + s["be"])).alias("dist"),
             (comp * F.sqrt(s["ab"])).alias("above"),
             (comp * F.sqrt(s["be"])).alias("below"),
         )
 
-    compatible = a.isNotNull() & b.isNotNull() & (F.size(a) == F.size(b))
+    compatible = (
+        a.isNotNull() & b.isNotNull() & (F.size(a) == F.size(b)) & ~conflict
+    )
     return F.when(compatible, _let(sums, finish))
 
 
@@ -259,9 +298,16 @@ def sax_zeuclidean(za: Column, zb: Column) -> Column:
     return F.when(ok, F.sqrt(F.aggregate(d2, F.lit(0.0), lambda a, v: a + v)))
 
 
-def sax_mindist(a: Column, b: Column, *, c: int, n: Column | int | None = None) -> Column:
+def sax_mindist(
+    a: Column,
+    b: Column,
+    *,
+    c: int,
+    n: Column | int | None = None,
+    n_b: Column | int | None = None,
+) -> Column:
     """Scalar MINDIST (the reference's ``sts_mindist`` wrapper)."""
-    return sax_mindist_parts(a, b, c=c, n=n)["dist"]
+    return sax_mindist_parts(a, b, c=c, n=n, n_b=n_b)["dist"]
 
 
 def sax_coarsen(word: Column, c: int, c2: int) -> Column:
@@ -335,8 +381,10 @@ def sax_mindist_to_literal(
 
     total = sum(total_terms, F.lit(0.0))
     above = sum(above_terms, F.lit(0.0))
-    n_col = F.lit(n) if isinstance(n, int) else (n if n is not None else F.lit(w))
-    comp = F.sqrt(n_col.cast("double") / F.lit(w))
+    # the literal pattern side is n = 0 (wildcard) by definition, so the
+    # row's n wins; n = 0/NULL rows fall back to compression 1 (n = w)
+    n_eff, _ = _resolve_n(n, None, F.lit(w))
+    comp = F.sqrt(n_eff.cast("double") / F.lit(w))
     return F.struct(
         (comp * F.sqrt(total)).alias("dist"),
         (comp * F.sqrt(above)).alias("above"),
@@ -345,7 +393,13 @@ def sax_mindist_to_literal(
 
 
 def sax_word_mindist(
-    word_a: Column, word_b: Column, *, w: int, c: int, n: Column | int | None = None
+    word_a: Column,
+    word_b: Column,
+    *,
+    w: int,
+    c: int,
+    n: Column | int | None = None,
+    n_b: Column | int | None = None,
 ) -> Column:
     """MINDIST between two SAX-string columns of known (w, c) ->
     STRUCT(dist, above, below), unrolled per position with literal-array
@@ -353,6 +407,8 @@ def sax_word_mindist(
 
     Letter chars map to substituted letter indices via a CASE pair, then
     ``element_at`` into the flat plan-time LUT (src/symtseries.c:585-636).
+    ``n``/``n_b`` follow the same wildcard + per-row conflict rules as
+    :func:`sax_mindist_parts` (conflicting nonzero n values -> NULL).
     """
     lut2 = F.array(*[F.lit(d * d) for d in MINDIST_LUT[c]])
 
@@ -379,10 +435,13 @@ def sax_word_mindist(
         total = total + d2
         above = above + F.when((la != lb) & (la2 > lb2), d2).otherwise(0.0)
 
-    n_col = F.lit(n) if isinstance(n, int) else (n if n is not None else F.lit(w))
-    comp = F.sqrt(n_col.cast("double") / F.lit(w))
-    return F.struct(
-        (comp * F.sqrt(total)).alias("dist"),
-        (comp * F.sqrt(above)).alias("above"),
-        (comp * F.sqrt(total - above)).alias("below"),
+    n_eff, conflict = _resolve_n(n, n_b, F.lit(w))
+    comp = F.sqrt(n_eff.cast("double") / F.lit(w))
+    return F.when(
+        ~conflict,
+        F.struct(
+            (comp * F.sqrt(total)).alias("dist"),
+            (comp * F.sqrt(above)).alias("above"),
+            (comp * F.sqrt(total - above)).alias("below"),
+        ),
     )

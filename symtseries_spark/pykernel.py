@@ -90,7 +90,12 @@ def encode(values: Sequence[float], w: int, c: int) -> str:
 
 def parse(word: str, c: int) -> list[int]:
     """Parse a SAX string to letter indices, validating against ``c``
-    (src/symtseries.c:534-554; length > 1 per lua/lua_sax.c:251)."""
+    (src/symtseries.c:534-554; length > 1 per lua/lua_sax.c:251;
+    cardinality domain per lua/test.lua:89-90)."""
+    from .constants import MAX_CARDINALITY, MIN_CARDINALITY
+
+    if not MIN_CARDINALITY <= c <= MAX_CARDINALITY:
+        raise ValueError(f"cardinality must be in [2, 16], got {c}")
     if len(word) < 2:
         raise ValueError("SAX strings must have length > 1")
     return [index_of(ch, c) for ch in word]

@@ -45,6 +45,16 @@ from pyspark.sql.types import (
 from ..constants import BREAKPOINTS, LETTERS, MISSING, STAT_EPS, validate_params
 
 
+def _seqsum(a: np.ndarray, axis: int) -> np.ndarray:
+    """Left-to-right sequential float sum. numpy's ``.sum`` uses pairwise
+    summation (block size 128), which can differ from the batch path's
+    sequential JVM fold by an ulp — enough to flip a letter when a
+    z-value sits exactly on a breakpoint. cumsum accumulates in index
+    order, so streaming words match the batch plan bit-for-bit (masked
+    positions contribute +0.0, which is exact)."""
+    return np.cumsum(a, axis=axis).take(-1, axis=axis)
+
+
 def _encode_windows(history: np.ndarray, n: int, w: int, c: int) -> list[str]:
     """Words for every suffix window of ``history`` (length >= n), i.e.
     for positions n-1 .. len-1. Vectorized: one strided view + per-frame
@@ -54,15 +64,15 @@ def _encode_windows(history: np.ndarray, n: int, w: int, c: int) -> list[str]:
     finite = np.isfinite(windows)
     cnt = finite.sum(axis=1)
     vals = np.where(finite, windows, 0.0)
-    mu = np.where(cnt > 0, vals.sum(axis=1) / np.maximum(cnt, 1), 0.0)
-    ssd = np.where(finite, (windows - mu[:, None]) ** 2, 0.0).sum(axis=1)
+    mu = np.where(cnt > 0, _seqsum(vals, axis=1) / np.maximum(cnt, 1), 0.0)
+    ssd = _seqsum(np.where(finite, (windows - mu[:, None]) ** 2, 0.0), axis=1)
     std = np.where(cnt > 0, np.sqrt(ssd / np.maximum(cnt, 1)), 0.0)
 
     frames = windows.reshape(-1, w, f)
     nonnan = ~np.isnan(frames)
     fcnt = nonnan.sum(axis=2)
     with np.errstate(invalid="ignore"):
-        fsum = np.where(nonnan, frames, 0.0).sum(axis=2)
+        fsum = _seqsum(np.where(nonnan, frames, 0.0), axis=2)
         # ±Inf in a frame: np.where(...,0.0).sum keeps inf; Inf + -Inf -> nan
         has_pinf = np.logical_and(nonnan, np.isposinf(frames)).any(axis=2)
         has_ninf = np.logical_and(nonnan, np.isinf(frames) & (frames < 0)).any(axis=2)

@@ -125,6 +125,51 @@ def test_mindist_wildcard_n_and_incompatibility():
     assert pk.mindist_parts(pk.parse("AB", 4), pk.parse("ABC", 4), c=4) is None
 
 
+def test_invalid_argument_table():
+    """The reference's invalid-argument error table (lua/test.lua:67-117),
+    row by row, for every case that maps to this API surface. Lua-only
+    rows (wrong arg counts / wrong Lua types / method-vs-field calls)
+    have no Python analogue and are covered by TypeError naturally."""
+    from symtseries_spark.constants import validate_params
+
+    # window.new out-of-bounds parameters (test.lua:73-78)
+    for n, w, c in [
+        (1, 3, 3),      # n too small
+        (9, 1, 3),      # w too small
+        (9, 3, 1),      # c below MIN_CARDINALITY
+        (9, 3, 17),     # c above MAX_CARDINALITY
+        (5000, 5, 5),   # n above MAX_WINDOW
+        (10, 3, 3),     # n not divisible by w
+    ]:
+        with pytest.raises(ValueError):
+            validate_params(n, w, c)
+
+    # word.new out-of-bounds parameters (test.lua:85-94)
+    for word, c in [
+        ("", 5),         # empty word
+        ("AAABF", 5),    # 'F' is index 5, outside cardinality 5
+        ("aaabc", 5),    # lowercase letters invalid
+        ("AABBC", 1),    # cardinality below domain
+        ("AABBC", 17),   # cardinality above domain
+    ]:
+        with pytest.raises(ValueError):
+            pk.parse(word, c)
+
+    # from-array out-of-bounds (test.lua:91-94): w must divide n, domains
+    data_n = 6
+    with pytest.raises(ValueError):
+        pk.encode([1.0] * data_n, 4, 5)   # 4 does not divide 6
+    with pytest.raises(ValueError):
+        pk.encode([1.0] * data_n, 3, 1)   # c below domain
+    with pytest.raises(ValueError):
+        pk.encode([1.0] * data_n, 3, 17)  # c above domain
+
+    # mindist incompatibility -> None (the NaN analogue; src/symtseries.c:591-609)
+    a6 = pk.parse("FC", 8)
+    assert pk.mindist_parts(a6, pk.parse("FCA", 8), c=8) is None  # w mismatch
+    assert pk.mindist_parts(a6, a6, c=8, n_a=6, n_b=12) is None   # n conflict
+
+
 def test_nan_word_equality_semantics():
     c = 5
     e_hash_a = pk.encode_indices([INF, INF, 5, NAN, NAN, NAN, -INF, -INF, -5], 3, c)

@@ -169,3 +169,65 @@ def test_mindist_lower_bounds_euclidean(spark):
         true_d = math.sqrt(sum((x - y) ** 2 for x, y in zip(za, zb)))
         d = pk.mindist(pk.encode_indices(sa, w, c), pk.encode_indices(sb, w, c), c=c, n_a=n, n_b=n)
         assert d <= true_d + 1e-9, (d, true_d)
+
+
+def test_per_row_compatibility_gates(spark):
+    """Column-side mirror of the reference's NaN compatibility gates
+    (src/symtseries.c:591-609): per-row n conflict and w mismatch yield
+    NULL, the 0/NULL wildcard adopts the other side's n, both-wildcard
+    means compression 1 — and empty/NULL words parse to NULL instead of
+    a fabricated descending-sequence array."""
+    from symtseries_spark.functions.sax import sax_word_mindist
+
+    c = 8
+    rows = [
+        # (wa, wb, n_a, n_b, expect_null)
+        ("FC", "FC", 6, 12, True),     # conflicting nonzero n
+        ("FC", "FC", 6, 6, False),     # equal n
+        ("FC", "FC", 6, 0, False),     # b wildcard -> n=6
+        ("FC", "FC", 0, 12, False),    # a wildcard -> n=12
+        ("FC", "FC", 0, 0, False),     # both wildcard -> n=w
+        ("FC", "FC", 6, None, False),  # NULL == wildcard
+        ("FC", "FCA", 6, 6, True),     # w mismatch
+    ]
+    df = spark.createDataFrame(
+        [(i, wa, wb, na, nb) for i, (wa, wb, na, nb, _) in enumerate(rows)],
+        "id int, wa string, wb string, na int, nb int",
+    )
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            sax_mindist_parts(
+                sax_parse(F.col("wa"), c),
+                sax_parse(F.col("wb"), c),
+                c=c,
+                n=F.col("na"),
+                n_b=F.col("nb"),
+            ).alias("arr"),
+            sax_word_mindist(
+                F.col("wa"), F.col("wb"), w=2, c=c,
+                n=F.col("na"), n_b=F.col("nb"),
+            ).alias("lit"),
+        ).collect()
+    }
+    for i, (wa, wb, na, nb, expect_null) in enumerate(rows):
+        r = got[i]
+        if expect_null:
+            assert r["arr"] is None, (i, r)
+            if len(wa) == len(wb) == 2:  # the unrolled form is fixed-w
+                assert r["lit"] is None, (i, r)
+        else:
+            exp = pk.mindist_parts(
+                pk.parse(wa, c), pk.parse(wb, c), c=c,
+                n_a=na or 0, n_b=nb or 0,
+            )
+            assert abs(r["arr"]["dist"] - exp[0]) < 1e-5, (i, r, exp)
+            assert abs(r["lit"]["dist"] - exp[0]) < 1e-5, (i, r, exp)
+
+    parsed = spark.createDataFrame(
+        [("",), (None,), ("FC",)], "w string"
+    ).select(sax_parse(F.col("w"), c).alias("p")).collect()
+    assert parsed[0]["p"] is None   # empty word -> NULL, not [NULL, NULL]
+    assert parsed[1]["p"] is None
+    assert parsed[2]["p"] == [5, 2]
