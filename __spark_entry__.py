@@ -612,6 +612,48 @@ def q_sax_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("user_id", "event_id", "sax_word")
 
 
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q17 (small-quantity orders): a genuinely CORRELATED scalar
+    subquery, handed to Catalyst as SQL so its decorrelation rewrites it
+    into the per-partkey aggregate + join plan — proving the planner
+    surface beyond star joins. The avg threshold is engine-deterministic
+    because l_quantity is integral (exact sums; division/multiplication
+    are single correctly-rounded IEEE ops)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("__q17_li")
+    load(spark, sf_dir, "part").createOrReplaceTempView("__q17_part")
+    return spark.sql("""
+      SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 2)
+             AS avg_yearly
+      FROM __q17_li l JOIN __q17_part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#4'
+        AND l.l_quantity < 0.2 * (
+          SELECT avg(l2.l_quantity) FROM __q17_li l2
+          WHERE l2.l_partkey = l.l_partkey
+        )
+    """)
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q22-style anti-join: customers with NO urgent orders, per nation —
+    a correlated NOT EXISTS that Catalyst plans as a left-anti hash join
+    (broadcast when the filtered orders side is small)."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("__q22_cust")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("__q22_ord")
+    return spark.sql("""
+      SELECT c.c_nationkey,
+             count(*) AS n_custs,
+             round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2)
+               AS total_bal
+      FROM __q22_cust c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM __q22_ord o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+      )
+      GROUP BY c.c_nationkey
+      ORDER BY c.c_nationkey
+    """)
+
+
 def q_sax_event_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time windows through a REAL stream with controlled lateness:
     events are replayed as one file per 7-day slice (maxFilesPerTrigger=1
@@ -864,6 +906,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": q_tpch_q10,
         "tpch_q12": q_tpch_q12,
         "tpch_q14": q_tpch_q14,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q22": q_tpch_q22,
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
         "events_lag_delta": q_events_lag_delta,
@@ -1168,6 +1212,27 @@ WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1997-
   AND l.l_returnflag IN ('A', 'N')
 GROUP BY l.l_returnflag
 ORDER BY l.l_returnflag
+""",
+        "tpch_q17": """
+SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 2)
+       AS avg_yearly
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#4'
+  AND l.l_quantity < 0.2 * (
+    SELECT avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+  )
+""",
+        "tpch_q22": """
+SELECT c.c_nationkey,
+       count(*) AS n_custs,
+       round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_bal
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
 """,
         "text_quality": ot.text_quality_sql(),
         "text_split": ot.split_sql(SPLITS),

@@ -1,0 +1,128 @@
+#!/usr/bin/env python3
+"""Regenerate docs/PLANS.md: capture `.explain("formatted")` for the
+flagship queries at sf0.01 and emit the operator tree + scan pushdown
+details under a hand-maintained commentary paragraph per query."""
+import io
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as E
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+# query -> commentary (the claim the tree below must witness)
+SECTIONS = {
+    "sax_sliding_words": """One shuffle (Exchange on user_id), one Sort, ONE Window
+operator computing the 2w+2 running aggregates (after the plan-shape fix
+— Spark does not CSE repeated window expressions), then plain
+projections: the letter CASE arithmetic runs codegen'd above the window
+pass. The scan reads only the four needed columns.""",
+    "sax_allpairs": """The scale-critical shape: distances over DISTINCT words only
+(BroadcastNestedLoopJoin over <= c^w rows on both sides), surviving word
+pairs broadcast, then two shuffle-free equi-joins expand back to key
+pairs — row-pair work proportional to OUTPUT size, not |rows|^2. The
+word table is computed once (eager localCheckpoint, freed on release —
+the `Scan ExistingRDD` leaves).""",
+    "sax_allpairs_refined": """Prune-then-refine end to end: the candidate pair set
+(mindist <= delta, small) joins back to the raw tumbling windows;
+z-normalization is projected on the VALUES side before the joins, so
+each window normalizes once regardless of pair fan-out, and the exact
+distance is a zip_with/aggregate over the two z-arrays — all JVM-side.""",
+    "sax_event_windows": """Batch path of the event-time operator: fully
+long-form (row_number + frame groupBy + stats join + w-row collect) —
+no per-window array, so window size is unbounded. Streaming runs the
+collect_list form instead (chained aggregations are unsupported on
+streams); both are tested equal, and the stream path is oracle-gated
+end to end by sax_event_windows_stream (late data under watermark).""",
+    "dedup_minhash_lsh": """After the posexplode restructure: the shingle explode + 32-way
+min() signature aggregation runs ONCE PER SELF-JOIN SIDE (two scans
+total, was 18) — each side builds its band array<struct> in a single
+projection and explodes it, carrying the signature through the
+(band_id, band_key) equi-join so the similarity estimate needs no
+join-back. No nested loop anywhere.""",
+    "dedup_simhash_pairs": """Same single-pass shape as minhash: one fingerprint aggregation
+per self-join side (was ~8x recompute), chunk fan-out via posexplode of
+a built array, candidates from the (chunk_id, chunk_key) equi-join,
+exact Hamming verify inline.""",
+    "emb_cosine_topk": """Single-row query side broadcast; cosine computed in
+the scan-stage projection; TakeOrderedAndProject does the global top-k
+as per-partition partial top-k + driver merge of k rows — no full sort,
+no shuffle of the scored set.""",
+    "emb_ivf_topk": """Fully distributed IVF (no driver collect, no unrolled centroid
+literals): seeds and Lloyd means are DataFrames; assignment is a
+broadcast-joined centroid table with a map-side-combinable min_by
+argmin (the Exchange after it carries ONE row per vector, never the
+fan-out); probe selection is a broadcast join of the centroid table
+against the query vector; final rerank is TakeOrderedAndProject.""",
+    "tpch_q3": """Classic plan: filters pushed to the parquet scans
+(PushedFilters on o_orderdate / l_shipdate / c_mktsegment), customer
+broadcast, lineitem-orders shuffle join on the key, partial aggregation
+before the exchange, TakeOrderedAndProject for the top-10.""",
+    "tpch_q17": """Correlated scalar subquery, written as SQL and decorrelated by
+Catalyst: the per-partkey avg becomes its own aggregate subtree joined
+back on l_partkey; the brand filter is pushed to the part scan and the
+part join is broadcast. Proves the planner surface beyond star joins.""",
+    "tpch_q22": """Correlated NOT EXISTS planned as a broadcast left-anti hash join
+on o_custkey (the o_orderpriority filter pushed to the orders scan),
+then one map-side-combinable aggregate per nation.""",
+}
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.driver.memory", "8g")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+qs = E.queries()
+
+
+def formatted_plan(df) -> tuple[str, list[str]]:
+    buf = io.StringIO()
+    stdout = sys.stdout
+    sys.stdout = buf
+    try:
+        df.explain("formatted")
+    finally:
+        sys.stdout = stdout
+    text = buf.getvalue()
+    tree = text.split("\n\n")[0]
+    details = re.findall(r"(PushedFilters: \[.*?\]|ReadSchema: \S+)", text)
+    seen, uniq = set(), []
+    for d in details:
+        if d not in seen:
+            seen.add(d)
+            uniq.append(d)
+    return tree, uniq
+
+
+out = [
+    "# PLANS — physical-plan review of flagship queries",
+    "",
+    "Evidence that the declared DataFrame plans compile to the intended",
+    "physical shapes (captured with `.explain(\"formatted\")` at sf0.01 by",
+    "`scripts/dump_plans.py`; `AdaptiveSparkPlan isFinalPlan=false` because",
+    "AQE re-plans at runtime — the operator skeleton below is what AQE",
+    "starts from). Commentary first, then the operator tree; scan details",
+    "show pushdown/pruning.",
+    "",
+]
+for name, commentary in SECTIONS.items():
+    df = qs[name](spark, SF)
+    tree, details = formatted_plan(df)
+    out += [f"## {name}", "", commentary, "", "```", tree.rstrip(), "```", ""]
+    if details:
+        out += ["Scan details:", "", "```", *details, "```", ""]
+    print(f"dumped {name}", file=sys.stderr)
+
+path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs", "PLANS.md")
+with open(path, "w") as fh:
+    fh.write("\n".join(out))
+print(f"wrote {path}", file=sys.stderr)
