@@ -88,6 +88,56 @@ def write_words_bucketed(
     )
 
 
+def write_words_multilevel(
+    words: DataFrame,
+    path: str,
+    *,
+    c: int,
+    levels: tuple[int, ...] = (2, 4),
+    word_col: str = "sax_word",
+    mode: str = "overwrite",
+) -> None:
+    """Sink: persist a word table under NESTED iSAX coarse buckets —
+    ``isax_l0=<c=2 word>/isax_l1=<c=4 word>/`` directories. This is a
+    materialized iSAX prefix tree: because power-of-two breakpoint
+    tables nest exactly (coarsening == re-encoding at the lower
+    cardinality), level k+1 refines level k, and a query prunes with
+    PartitionFilters on EVERY level at once — the scan opens only the
+    single finest-level directory chain matching the pattern
+    (~prod(1/c_i^w) of the data) before any row is read.
+    """
+    from ..functions.sax import sax_coarsen
+
+    if any(b <= a for a, b in zip(levels, (*levels[1:], c))):
+        raise ValueError("levels must be increasing and below c")
+    out = words
+    cols = []
+    for i, cc in enumerate(levels):
+        out = out.withColumn(f"isax_l{i}", sax_coarsen(F.col(word_col), c, cc))
+        cols.append(f"isax_l{i}")
+    out.write.mode(mode).partitionBy(*cols).parquet(path)
+
+
+def read_words_multilevel(
+    spark: SparkSession,
+    path: str,
+    pattern: str,
+    *,
+    c: int,
+    levels: tuple[int, ...] = (2, 4),
+) -> DataFrame:
+    """Read back only the nested bucket chain matching ``pattern`` —
+    one equality predicate per level, all landing on partition columns
+    (``PartitionFilters`` shows every level; non-matching directories
+    are never opened)."""
+    from .. import pykernel as pk
+
+    df = spark.read.parquet(path)
+    for i, cc in enumerate(levels):
+        df = df.where(F.col(f"isax_l{i}") == pk.coarsen(pattern, c, cc))
+    return df
+
+
 def read_words_bucket(
     spark: SparkSession,
     path: str,

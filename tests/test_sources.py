@@ -44,6 +44,60 @@ class TestBucketedLayout:
             shutil.rmtree(out_dir, ignore_errors=True)
 
 
+class TestMultilevelLayout:
+    def test_two_level_pruning_and_equivalence(self, spark, sf_dir):
+        """The nested c=2/c=4 layout must (a) prune with PartitionFilters
+        on BOTH level columns and (b) return exactly the rows the flat
+        coarse filter at the finest level would (breakpoint nesting:
+        l1 equality implies l0 equality)."""
+        from symtseries_spark.functions.sax import sax_coarsen
+        from symtseries_spark.sources import (
+            read_words_multilevel,
+            write_words_multilevel,
+        )
+
+        words = tumbling_sax(
+            load(spark, sf_dir, "events"),
+            key="user_id", order=["ts", "event_id"], value="value", **PARAMS,
+        )
+        out_dir = tempfile.mkdtemp(prefix="sax_ml_")
+        try:
+            write_words_multilevel(words, out_dir, c=8, levels=(2, 4))
+            some_word = words.limit(1).collect()[0].sax_word
+            got = read_words_multilevel(
+                spark, out_dir, some_word, c=8, levels=(2, 4)
+            )
+            expected = {
+                (r.series_key, r.window_id): r.sax_word
+                for r in words.where(
+                    sax_coarsen(F.col("sax_word"), 8, 4)
+                    == pk.coarsen(some_word, 8, 4)
+                ).collect()
+            }
+            actual = {
+                (r.series_key, r.window_id): r.sax_word for r in got.collect()
+            }
+            assert actual == expected and len(actual) > 0
+            plan = got._jdf.queryExecution().executedPlan().toString()
+            assert "PartitionFilters" in plan
+            pf = plan.split("PartitionFilters")[1][:300]
+            assert "isax_l0" in pf and "isax_l1" in pf
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+    def test_levels_must_increase(self, spark, sf_dir):
+        from symtseries_spark.sources import write_words_multilevel
+
+        words = tumbling_sax(
+            load(spark, sf_dir, "events").where(F.col("user_id") < 3),
+            key="user_id", order=["ts", "event_id"], value="value", **PARAMS,
+        )
+        with pytest.raises(ValueError):
+            write_words_multilevel(words, "/tmp/unused", c=8, levels=(4, 2))
+        with pytest.raises(ValueError):
+            write_words_multilevel(words, "/tmp/unused", c=8, levels=(2, 8))
+
+
 class TestLoadSeries:
     def test_csv_and_json_roundtrip(self, spark, sf_dir):
         import shutil as _shutil
