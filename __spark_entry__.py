@@ -69,6 +69,9 @@ MOTIF_PATTERN = "CBCB"       # top motif in the seed-42 events stream
 DIST_PATTERN = "AEHD"        # sharp rise-fall query shape, c=8
 FINE_PATTERN = "ABCDEFGH"    # monotone ramp, w=8 c=8
 ALLPAIRS_DELTA = 0.5
+REFINE_DELTA = 2.5   # exact-distance threshold where refine is non-trivial:
+                     # the mindist prune keeps ~38% of all pairs and the
+                     # exact check keeps ~0.1% of those (see BASELINE.md)
 TOPK = 20
 
 # training-data pipeline parameters
@@ -223,8 +226,16 @@ def q_sax_allpairs_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     README.md:29-34): mindist candidates from :func:`allpairs_within`
     joined back to the raw tumbling windows, true z-normalized Euclidean
     distance computed JVM-side, false positives dropped. Output is the
-    EXACT all-pairs-within-delta answer, with both the lower bound and
-    the exact distance per surviving pair."""
+    EXACT all-pairs-within-REFINE_DELTA answer — complete because
+    mindist <= exact, so pruning at the same threshold can only drop
+    pairs that cannot match. At this delta the w=4 prune keeps ~38% of
+    all pairs and the exact check keeps ~0.1% of the candidates: both
+    halves of the pipeline do real work. (Measured dead end, kept for
+    the record: pruning at w=8 keeps only 19%, but fine words are
+    nearly UNIQUE per window, which degenerates allpairs_within's
+    distinct-word broadcast into a multi-million-row build side — 5x
+    slower end-to-end. The symbolic prune wants LOW resolution; the
+    exact check supplies the precision.)"""
     ev = load(spark, sf_dir, "events")
     words = tumbling_sax(
         ev, key="user_id", order=["ts", "event_id"], value="value", **TUMBLE_DIST
@@ -232,21 +243,21 @@ def q_sax_allpairs_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("series_key") * 10000 + F.col("window_id")).alias("wkey"),
         "sax_word",
     )
+    scale = (TUMBLE_DIST["n"] / TUMBLE_DIST["w"]) ** 0.5
     pairs = allpairs_within(
         words,
         w=TUMBLE_DIST["w"],
         c=TUMBLE_DIST["c"],
-        delta=ALLPAIRS_DELTA,
+        delta=(REFINE_DELTA + 1e-3) / scale,
         key_col="wkey",
         word_col="sax_word",
         n_col=None,
     )
-    scale = (TUMBLE_DIST["n"] / TUMBLE_DIST["w"]) ** 0.5
     cand = pairs.select(
         "key_a",
         "key_b",
         F.round(F.col("mindist") * scale, 4).alias("dist"),
-    ).where(F.col("dist") <= ALLPAIRS_DELTA)
+    ).where(F.col("dist") <= REFINE_DELTA)
     vals = tumbling_values(
         ev, key="user_id", order=["ts", "event_id"], value="value",
         n=TUMBLE_DIST["n"],
@@ -254,13 +265,18 @@ def q_sax_allpairs_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("series_key") * 10000 + F.col("window_id")).alias("wkey"),
         "vals",
     )
-    refined = euclidean_refine(cand, vals, key_col="wkey", vals_col="vals")
+    # the operator's filter delta is loosened by 1e-3 so its unrounded
+    # gate can never disagree with the rounded oracle filter below
+    refined = euclidean_refine(
+        cand, vals, key_col="wkey", vals_col="vals",
+        delta=REFINE_DELTA + 1e-3,
+    )
     return refined.select(
         "key_a",
         "key_b",
         "dist",
         F.round("exact_dist", 4).alias("exact_dist"),
-    ).where(F.col("exact_dist") <= ALLPAIRS_DELTA)
+    ).where(F.col("exact_dist") <= REFINE_DELTA)
 
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -345,7 +361,9 @@ def q_sax_isax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ISAX_ML_LEVELS = (2, 4)
-ISAX_ML_PATTERN2 = "HEBD"
+# patterns chosen so their finest-level bucket is populated at every SF
+ISAX_ML_PATTERN1 = "CDEF"
+ISAX_ML_PATTERN2 = "FCDE"
 _ISAX_ML_CACHE: dict[str, str] = {}
 
 
@@ -399,7 +417,7 @@ def q_sax_isax_ml_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-time index build (encode + nested-bucket parquet write), then
     probes. Compare with sax_isax_ml_probe, which hits the same index
     at rest — the delta IS the build cost."""
-    return _isax_ml_topk(spark, sf_dir, DIST_PATTERN)
+    return _isax_ml_topk(spark, sf_dir, ISAX_ML_PATTERN1)
 
 
 def q_sax_isax_ml_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1033,14 +1051,26 @@ def oracle_sql() -> dict[str, str]:
     m_c16 = oc.mindist_pattern_exprs(
         "sax_word", "AEIMPLHD", c=TUMBLE_C16["c"], n_expr=str(TUMBLE_C16["n"])
     )
+    m_pat1 = oc.mindist_pattern_exprs(
+        "sax_word", ISAX_ML_PATTERN1, c=TUMBLE_DIST["c"],
+        n_expr=str(TUMBLE_DIST["n"]),
+    )
     m_pat2 = oc.mindist_pattern_exprs(
         "sax_word", ISAX_ML_PATTERN2, c=TUMBLE_DIST["c"],
         n_expr=str(TUMBLE_DIST["n"]),
     )
 
     w, c, n = TUMBLE_DIST["w"], TUMBLE_DIST["c"], TUMBLE_DIST["n"]
-    allpairs = f"""
-WITH words AS ({dist_words}),
+
+    def _allpairs_sql(
+        delta: float,
+        words_sql: str = None,
+        w: int = TUMBLE_DIST["w"],
+        c: int = TUMBLE_DIST["c"],
+        n: int = TUMBLE_DIST["n"],
+    ) -> str:
+        return f"""
+WITH words AS ({words_sql or dist_words}),
 keyed AS (
   SELECT series_key * 10000 + window_id AS wkey, sax_word FROM words
 ),
@@ -1060,8 +1090,10 @@ dists AS (
          round(sqrt(CAST({n} AS DOUBLE) / {w}) * sqrt(sum(d2)), 4) AS dist
   FROM contrib GROUP BY key_a, key_b
 )
-SELECT key_a, key_b, dist FROM dists WHERE dist <= {ALLPAIRS_DELTA}
+SELECT key_a, key_b, dist FROM dists WHERE dist <= {delta}
 """
+
+    allpairs = _allpairs_sql(ALLPAIRS_DELTA)
 
     # prune-then-refine: recompute the exact z-normalized Euclidean
     # distance per candidate pair from raw values, independently of the
@@ -1069,7 +1101,7 @@ SELECT key_a, key_b, dist FROM dists WHERE dist <= {ALLPAIRS_DELTA}
     from symtseries_spark.constants import STAT_EPS as _EPS
 
     refined = f"""
-WITH cand AS ({allpairs}),
+WITH cand AS ({_allpairs_sql(REFINE_DELTA)}),
 ord AS (
   SELECT user_id AS series_key, value AS v,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
@@ -1095,7 +1127,7 @@ FROM cand c
 JOIN z za ON za.wkey = c.key_a
 JOIN z zb ON zb.wkey = c.key_b AND zb.p = za.p
 GROUP BY c.key_a, c.key_b, c.dist
-HAVING round(sqrt(sum((za.z - zb.z) * (za.z - zb.z))), 4) <= {ALLPAIRS_DELTA}
+HAVING round(sqrt(sum((za.z - zb.z) * (za.z - zb.z))), 4) <= {REFINE_DELTA}
 """
 
     q1 = """
@@ -1207,10 +1239,10 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
         # nested-level pruning == pruning at the finest level (power-of-two
         # breakpoint tables nest exactly, so l1 equality implies l0)
         "sax_isax_ml_build": (
-            f"SELECT series_key, window_id, sax_word, round({m_dist['dist']}, 4) AS dist "
+            f"SELECT series_key, window_id, sax_word, round({m_pat1['dist']}, 4) AS dist "
             f"FROM ({dist_words}) "
             f"WHERE translate(sax_word, '{_l8}', '{_coarse_map(ISAX_ML_LEVELS[-1])}') = "
-            f"'{pk.coarsen(DIST_PATTERN, TUMBLE_DIST['c'], ISAX_ML_LEVELS[-1])}' "
+            f"'{pk.coarsen(ISAX_ML_PATTERN1, TUMBLE_DIST['c'], ISAX_ML_LEVELS[-1])}' "
             f"ORDER BY dist, series_key, window_id LIMIT {TOPK}"
         ),
         "sax_isax_ml_probe": (

@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 
 from .. import pykernel as pk
 from ..functions.sax import (
+    _let,
+    is_finite,
     sax_coarsen,
     sax_mindist_to_literal,
     sax_word_mindist,
@@ -167,6 +169,7 @@ def euclidean_refine(
     key_b: str = "key_b",
     out: str = "exact_dist",
     delta: float | None = None,
+    cascade_frames: int | None = None,
 ) -> DataFrame:
     """Exact-distance refinement — the second half of the reference's
     prune-then-refine contract (/root/reference/README.md:29-34: MINDIST
@@ -179,24 +182,76 @@ def euclidean_refine(
     matches — turning the mindist candidate superset into the exact
     answer.
 
-    Plan shape for 100 TB: z-normalization is projected on the
-    ``values`` side BEFORE the joins, so each window normalizes once
-    (scan-stage, codegen) no matter how many pairs reference it; the two
-    equi-joins then ship only candidate keys + their z-arrays. The
-    candidate side is the delta-pruned (small) relation, so AQE
-    broadcasts it against the big values scan; per-pair work is O(n)
-    JVM-side arithmetic with no Python anywhere.
+    With ``delta`` and ``cascade_frames`` both set, a CASCADING second
+    lower bound runs between the symbolic prune and the full distance:
+    the PAA distance at ``cascade_frames`` frames (Keogh's lemma:
+    sqrt(f) * ||paa_a - paa_b|| <= exact for fully-finite windows) is
+    computed per pair first, and the full O(n) distance is evaluated
+    only when the bound passes — windows containing NaN/Inf bypass the
+    gate (the lemma needs finite frames), so the cascade never changes
+    the result, only the cost.
+
+    Honest A/B (sf0.1, 14M candidates, n=16): the PAA-8 gate prunes 90%
+    of candidates but end-to-end time is a WASH (14.2s vs 13.7s warm) —
+    at n=16 per-pair cost is dominated by join row materialization, not
+    the O(n) arithmetic, so gating the 16-element sum while adding an
+    8-element one saves nothing. Default OFF; it exists for long windows
+    (n >= 256) where the full distance dwarfs the gate.
+
+    Plan shape for 100 TB: z-normalization (and the PAA projection) is
+    computed on the ``values`` side BEFORE the joins, so each window
+    normalizes once (scan-stage, codegen) no matter how many pairs
+    reference it; the two equi-joins then ship only candidate keys +
+    their arrays. The candidate side is the delta-pruned (small)
+    relation, so AQE broadcasts it against the big values scan; per-pair
+    work is O(n) JVM-side arithmetic with no Python anywhere.
     """
+    cascade = delta is not None and cascade_frames is not None
+    # materialize the z-table once: it feeds BOTH join sides, and without
+    # this the upstream window aggregation would run twice (same
+    # single-compute + ContextCleaner-freed story as the word table above)
     z = values.select(
         F.col(key_col).alias("__k"), sax_znorm(F.col(vals_col)).alias("__z")
     )
-    za = z.select(F.col("__k").alias("__ka"), F.col("__z").alias("__za"))
-    zb = z.select(F.col("__k").alias("__kb"), F.col("__z").alias("__zb"))
-    refined = (
-        pairs.join(za, F.col(key_a) == F.col("__ka"))
-        .join(zb, F.col(key_b) == F.col("__kb"))
-        .withColumn(out, sax_zeuclidean(F.col("__za"), F.col("__zb")))
-        .drop("__ka", "__kb", "__za", "__zb")
+    side_cols = ["__k", "__z"]
+    if cascade:
+        zc = F.col("__z")
+        f = (F.size(zc) / cascade_frames).cast("int")
+        paa = F.transform(
+            F.sequence(F.lit(0), F.lit(cascade_frames - 1)),
+            lambda j: _let(
+                F.slice(zc, j * f + 1, f),
+                lambda fr: F.aggregate(fr, F.lit(0.0), lambda a, v: a + v)
+                / F.size(fr),
+            ),
+        )
+        z = z.withColumn("__paa", paa).withColumn(
+            "__fin",
+            F.forall(zc, lambda x: is_finite(x)) & (F.size(zc) % cascade_frames == 0),
+        )
+        side_cols += ["__paa", "__fin"]
+    z = z.localCheckpoint(eager=True)
+    za = z.select(*[F.col(c).alias(c + "a") for c in side_cols])
+    zb = z.select(*[F.col(c).alias(c + "b") for c in side_cols])
+    joined = pairs.join(za, F.col(key_a) == F.col("__ka")).join(
+        zb, F.col(key_b) == F.col("__kb")
+    )
+    exact = sax_zeuclidean(F.col("__za"), F.col("__zb"))
+    if cascade:
+        f_ratio = F.size(F.col("__za")) / cascade_frames
+        paa_d2 = F.aggregate(
+            F.zip_with("__paaa", "__paab", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        prune = (
+            F.col("__fina")
+            & F.col("__finb")
+            & (F.sqrt(f_ratio * paa_d2) > F.lit(delta))
+        )
+        exact = F.when(~prune, exact)
+    refined = joined.withColumn(out, exact).drop(
+        *[c + s for c in side_cols for s in ("a", "b")]
     )
     if delta is not None:
         refined = refined.where(F.col(out) <= F.lit(delta))
@@ -249,12 +304,16 @@ def allpairs_within(
         .localCheckpoint(eager=True)
     )
 
-    # 1) distances over distinct words only (|D|^2/2 evals, |D| <= c^w)
+    # 1) distances over distinct words only (|D|^2/2 evals, |D| <= c^w).
+    # The left (streamed) side drives the nested-loop parallelism and
+    # arrives AQE-coalesced to one partition — spread it, or |D|^2 evals
+    # run in one task (at fine w, |D| approaches the key count)
+    parallelism = words.sparkSession.sparkContext.defaultParallelism
     dcols = ["wd"] + (["n"] if n_col else [])
     distinct = base.select(*dcols).distinct()
     da = distinct.select(
         F.col("wd").alias("word_a"), *([F.col("n").alias("n_a")] if n_col else [])
-    )
+    ).repartition(parallelism)
     db = distinct.select(
         F.col("wd").alias("word_b"), *([F.col("n").alias("n_b")] if n_col else [])
     )
@@ -285,10 +344,14 @@ def allpairs_within(
     #    set. Distinct keys own exactly one word, so each unordered key
     #    pair appears once; orientation is normalized afterwards (the
     #    above/below decomposition flips with the operands).
+    # the word table is tiny (often one partition after AQE coalesce),
+    # but the expansion fans each row out by its word-pair multiplicity —
+    # downstream per-pair work inherits THIS side's partitioning, so
+    # spread it across the cluster first (cheap: |keys| rows)
     a_keys = base.select(
         F.col("k").alias("ka"), F.col("wd").alias("word_a"),
         *([F.col("n").alias("n_a")] if n_col else []),
-    )
+    ).repartition(parallelism)
     b_keys = base.select(
         F.col("k").alias("kb"), F.col("wd").alias("__wb"),
         *([F.col("n").alias("__nb")] if n_col else []),

@@ -444,8 +444,14 @@ def embedding_near_dup(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact embedding near-dup pairs: cosine >= threshold over all pairs
-    -> ``(vec_a, vec_b, cos)``. Quadratic baseline (broadcast one side);
-    the LSH variant below is the scale path.
+    -> ``(vec_a, vec_b, cos)``.
+
+    **TEST/VALIDATION ONLY — O(n²) by construction.** This is the
+    exactness baseline used to measure the recall of the scale path;
+    do NOT run it on production-sized tables. The canonical near-dup
+    operator is :func:`embedding_near_dup_lsh` (bucketed equi-join,
+    cost follows bucket occupancy), which is the one a 100 TB pipeline
+    should call.
 
     Per-pair work is a single dot product: each row's norm is computed
     ONCE before the join (the same double value the per-pair formula
