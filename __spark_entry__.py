@@ -512,6 +512,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENT_WINDOW_DAYS = 7
 EVENT_WINDOW = dict(w=4, c=8)
+EVENT_STREAM_SPAN_WINDOWS = 5  # windows per replay file == watermark span
 
 
 def q_sax_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -740,14 +741,17 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sax_event_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time windows through a REAL stream with controlled lateness:
-    events are replayed as one file per 7-day slice (maxFilesPerTrigger=1
-    -> one micro-batch each), with a deterministic 25% of rows delayed by
-    one slice — genuinely late data, admitted because the watermark lags
-    a full window. Two far-future sentinel rows advance the watermark so
-    every real window finalizes into the append-mode sink; the sentinels'
-    own windows never finalize, so they self-exclude. The finalized
-    output must hash-match the batch event-time oracle exactly (late
-    rows included in their correct windows)."""
+    events are replayed as one file per 5-window span of event time
+    (maxFilesPerTrigger=1 -> one micro-batch each; spans rather than
+    single windows keep the trigger count — pure fixed-cost micro-batch
+    machinery — bounded), with a deterministic 25% of rows delayed by
+    one whole file — genuinely late data, up to 5 windows behind the
+    stream head, admitted because the watermark lags 5 windows. Two
+    far-future sentinel rows advance the watermark so every real window
+    finalizes into the append-mode sink; the sentinels' own windows
+    never finalize, so they self-exclude. The finalized output must
+    hash-match the batch event-time oracle exactly (late rows included
+    in their correct windows)."""
     import glob as globmod
     import os
     import tempfile
@@ -761,9 +765,9 @@ def q_sax_event_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ts_t", F.timestamp_micros(F.expr("ts div 1000")))
         .select("user_id", "event_id", "ts_t", "value")
     )
-    slice_sec = EVENT_WINDOW_DAYS * 86400
+    span_sec = EVENT_STREAM_SPAN_WINDOWS * EVENT_WINDOW_DAYS * 86400
     late = (F.abs(F.hash("event_id")) % 4 == 0).cast("long")
-    bid = (F.floor(F.unix_timestamp("ts_t") / slice_sec) + late).alias("__bid")
+    bid = (F.floor(F.unix_timestamp("ts_t") / span_sec) + late).alias("__bid")
 
     tmp = tempfile.mkdtemp(prefix="sax_evstream_")
     staged, indir = f"{tmp}/staged", f"{tmp}/in"
@@ -780,12 +784,13 @@ def q_sax_event_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.rename(part, dst)
         os.utime(dst, (t0 + i, t0 + i))  # deterministic arrival order
 
-    # sentinels: 4 windows past the real maximum — far enough that the
-    # watermark they push (max - 1 window) passes every real window end
+    # sentinels: (watermark span + 3) windows past the real maximum — far
+    # enough that the watermark they push passes every real window end
+    sentinel_days = (EVENT_STREAM_SPAN_WINDOWS + 3) * EVENT_WINDOW_DAYS
     mx = ev.agg(F.max("ts_t")).first()[0]
     for j in range(2):
         sent = spark.createDataFrame(
-            [(-1, -1, mx + timedelta(days=(4 * EVENT_WINDOW_DAYS) + j), 0.0)],
+            [(-1, -1, mx + timedelta(days=sentinel_days + j), 0.0)],
             ev.schema,
         )
         d = f"{tmp}/sent{j}"
@@ -806,7 +811,7 @@ def q_sax_event_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts="ts_t",
         value="value",
         duration=f"{EVENT_WINDOW_DAYS} days",
-        watermark=f"{EVENT_WINDOW_DAYS} days",
+        watermark=f"{EVENT_STREAM_SPAN_WINDOWS * EVENT_WINDOW_DAYS} days",
         **EVENT_WINDOW,
     )
     name = f"sax_evw_{uuid.uuid4().hex[:8]}"
