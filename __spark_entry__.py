@@ -47,6 +47,7 @@ from symtseries_spark.operators import (
     tumbling_sax,
     whole_series_sax,
 )
+from symtseries_spark.operators.joins import asof_join, interval_join, sessionize
 from symtseries_spark.operators.multimodal import (
     byte_histogram,
     decode_media,
@@ -970,6 +971,136 @@ def q_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Temporal-join surface. All three queries work in integer MICROseconds
+# on both engines (Spark: `ts div 1000` on the raw nano longs; DuckDB:
+# epoch_us(ts)) because the parquet timestamps carry sub-microsecond
+# digits that DuckDB truncates — comparing in a common unit is the only
+# way the engines can agree on boundary rows.
+INTERVAL_SPAN_US = 24 * 3600 * 10**6  # clicks within 1 day after a purchase
+SESSION_GAP_US = 45 * 60 * 10**6  # 45-minute inactivity closes a session
+
+
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed as-of join (union + running last_value, one shuffle):
+    each click is paired with the user's latest purchase at-or-before it.
+    The reference has no join surface at all; stock Spark SQL would plan
+    the `p.ts <= c.ts` predicate as a BroadcastNestedLoop."""
+    ev = load(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts div 1000"))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_event_id"), "ts_us"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("ts_us").alias("p_ts_us"),
+        F.col("value").alias("p_value"),
+    )
+    j = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts_us",
+        right_ts="p_ts_us",
+        right_cols=["purchase_event_id", "p_value"],
+    )
+    return j.select(
+        "user_id",
+        "click_event_id",
+        "purchase_event_id",
+        F.round("p_value", 6).alias("purchase_value"),
+        F.round((F.col("ts_us") - F.col("p_ts_us")) / F.lit(1e6), 3).alias("gap_sec"),
+    ).orderBy("click_event_id")
+
+
+def q_events_interval_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded interval join (time-bucketed equi-join, no nested loop):
+    per purchase, count/sum the same user's clicks in the following day.
+    Unmatched purchases are kept via a left join against the pair agg."""
+    ev = load(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts div 1000"))
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_event_id"),
+        F.col("ts_us").alias("p_us"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_us").alias("c_us"), F.col("value").alias("c_value")
+    )
+    pairs = interval_join(
+        purchases, clicks,
+        on="user_id", left_ts="p_us", right_ts="c_us",
+        lower=1, upper=INTERVAL_SPAN_US,
+    )
+    agg = pairs.groupBy("user_id", "purchase_event_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c_value").alias("s")
+    )
+    return (
+        purchases.join(agg, ["user_id", "purchase_event_id"], "left")
+        .select(
+            "user_id",
+            "purchase_event_id",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_clicks"),
+            F.round(F.coalesce(F.col("s"), F.lit(0.0)), 6).alias("sum_click_value"),
+        )
+        .orderBy("purchase_event_id")
+    )
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag -> boundary flag -> running sum,
+    single window partitioning) + per-session rollup."""
+    ev = load(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts div 1000"))
+    s = sessionize(ev, key="user_id", ts="ts_us", gap=SESSION_GAP_US)
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round((F.max("ts_us") - F.min("ts_us")) / F.lit(1e6), 3).alias("dur_sec"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q19 shape (adapted to this testdata's part columns): an
+    OR-of-ANDs predicate spanning both join sides. Catalyst extracts the
+    common `p_partkey = l_partkey` conjunct so the join stays a
+    broadcast hash join with the disjunction as a post-join filter."""
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+    disj = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_type").like("PROMO%")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_type").like("ECONOMY%")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.where(disj).agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (
+                    F.lit(1).cast("decimal(6,4)")
+                    - F.col("l_discount").cast("decimal(6,4)")
+                )
+            ).cast("double"),
+            2,
+        ).alias("revenue")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sax_sliding_words": q_sax_sliding_words,
@@ -998,7 +1129,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12": q_tpch_q12,
         "tpch_q14": q_tpch_q14,
         "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
+        "events_asof_join": q_events_asof_join,
+        "events_interval_agg": q_events_interval_agg,
+        "events_sessions": q_events_sessions,
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
         "events_lag_delta": q_events_lag_delta,
@@ -1277,6 +1412,68 @@ WHERE l.l_returnflag = 'R'
 GROUP BY c.c_custkey, c.c_name, n.n_name
 ORDER BY revenue DESC, c.c_custkey
 LIMIT 20
+""",
+        "tpch_q19": """
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_type LIKE 'PROMO%'
+       AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_type LIKE 'ECONOMY%'
+       AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3'
+       AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+""",
+        "events_asof_join": """
+WITH c AS (
+  SELECT user_id, event_id AS click_event_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, event_id AS purchase_event_id, epoch_us(ts) AS p_ts_us, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.click_event_id, p.purchase_event_id,
+       round(p.value, 6) AS purchase_value,
+       round((c.ts_us - p.p_ts_us) / 1000000.0, 3) AS gap_sec
+FROM c ASOF LEFT JOIN p
+  ON c.user_id = p.user_id AND p.p_ts_us <= c.ts_us
+ORDER BY c.click_event_id
+""",
+        "events_interval_agg": f"""
+WITH p AS (
+  SELECT user_id, event_id AS purchase_event_id, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, epoch_us(ts) AS c_us, value
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.user_id, p.purchase_event_id,
+       count(c.c_us) AS n_clicks,
+       round(coalesce(sum(c.value), 0.0), 6) AS sum_click_value
+FROM p LEFT JOIN c
+  ON c.user_id = p.user_id
+ AND c.c_us > p.p_us AND c.c_us <= p.p_us + {INTERVAL_SPAN_US}
+GROUP BY p.user_id, p.purchase_event_id
+ORDER BY p.purchase_event_id
+""",
+        "events_sessions": f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+), f AS (
+  SELECT user_id, ts_us, value,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+), g AS (
+  SELECT user_id, ts_us, value,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                               ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+  FROM f
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       round((max(ts_us) - min(ts_us)) / 1000000.0, 3) AS dur_sec,
+       round(sum(value), 6) AS sum_value
+FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id
 """,
         "events_lag_delta": """
 WITH d AS (

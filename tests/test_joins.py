@@ -1,0 +1,116 @@
+"""Temporal join operators: as-of join, interval join, sessionization.
+
+Brute-force pandas/python references over small hand-built frames (plus
+the events table) pin the exact semantics: tie-inclusive as-of matching,
+tolerance nulling, inclusive interval bounds, left-join row preservation,
+and gap-boundary session splits.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from symtseries_spark.operators.joins import asof_join, interval_join, sessionize
+from symtseries_spark.sources import load
+
+
+def _mk(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+class TestAsofJoin:
+    def test_matches_bruteforce_on_events(self, spark, sf_dir):
+        ev = load(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts div 1000"))
+        clicks = ev.where(F.col("event_type") == "click").select(
+            "user_id", F.col("event_id").alias("cid"), "ts_us"
+        )
+        purch = ev.where(F.col("event_type") == "purchase").select(
+            "user_id", F.col("event_id").alias("pid"),
+            F.col("ts_us").alias("p_us"), F.col("value").alias("pv"),
+        )
+        got = {
+            r.cid: r.pid
+            for r in asof_join(
+                clicks, purch, on="user_id", left_ts="ts_us",
+                right_ts="p_us", right_cols=["pid", "pv"],
+            ).collect()
+        }
+        p_rows = purch.collect()
+        for c in clicks.collect():
+            cands = [p for p in p_rows if p.user_id == c.user_id and p.p_us <= c.ts_us]
+            want = max(cands, key=lambda p: p.p_us).pid if cands else None
+            assert got[c.cid] == want
+
+    def test_tie_is_inclusive_and_tolerance_nulls(self, spark):
+        left = _mk(spark, [(1, 100, "a"), (1, 200, "b"), (2, 50, "c")],
+                   "k long, t long, tag string")
+        right = _mk(spark, [(1, 100, 10.0), (1, 150, 20.0), (2, 60, 30.0)],
+                    "k long, rt long, v double")
+        j = asof_join(left, right, on="k", left_ts="t", right_ts="rt",
+                      right_cols=["v"]).collect()
+        by_tag = {r.tag: (r.rt, r.v) for r in j}
+        assert by_tag["a"] == (100, 10.0)  # equal ts matches (inclusive)
+        assert by_tag["b"] == (150, 20.0)  # latest at-or-before wins
+        assert by_tag["c"] == (None, None)  # no right row <= 50
+        # tolerance: the 150 match is 50 old; tolerance 40 voids it
+        j2 = asof_join(left, right, on="k", left_ts="t", right_ts="rt",
+                       right_cols=["v"], tolerance=40).collect()
+        by_tag2 = {r.tag: (r.rt, r.v) for r in j2}
+        assert by_tag2["a"] == (100, 10.0)
+        assert by_tag2["b"] == (None, None)
+        assert by_tag2["c"] == (None, None)
+
+
+class TestIntervalJoin:
+    def test_bounds_inclusive_and_bucket_straddle(self, spark):
+        left = _mk(spark, [(1, 100, "p1"), (1, 1000, "p2")], "k long, lt long, tag string")
+        right = _mk(
+            spark,
+            [(1, 100, "r0"), (1, 101, "r1"), (1, 150, "r2"), (1, 200, "r3"),
+             (1, 201, "r4"), (2, 150, "r5")],
+            "k long, rt long, rtag string",
+        )
+        got = sorted(
+            r.rtag
+            for r in interval_join(left, right, on="k", left_ts="lt",
+                                   right_ts="rt", lower=1, upper=100).collect()
+            if r.tag == "p1"
+        )
+        # (100, 200]: excludes rt=100 (lower=1), includes rt=200, excludes 201
+        assert got == ["r1", "r2", "r3"]
+
+    def test_left_keeps_unmatched_once(self, spark):
+        left = _mk(spark, [(1, 100, "m"), (1, 9000, "u")], "k long, lt long, tag string")
+        right = _mk(spark, [(1, 150, 5.0)], "k long, rt long, v double")
+        rows = interval_join(left, right, on="k", left_ts="lt", right_ts="rt",
+                             lower=1, upper=100, how="left").collect()
+        tags = sorted(r.tag for r in rows)
+        assert tags == ["m", "u"]
+        unmatched = next(r for r in rows if r.tag == "u")
+        assert unmatched.rt is None and unmatched.v is None
+
+    def test_rejects_empty_interval(self, spark):
+        df = _mk(spark, [(1, 1)], "k long, t long")
+        with pytest.raises(ValueError):
+            interval_join(df, df, on="k", left_ts="t", right_ts="t",
+                          lower=5, upper=5)
+
+
+class TestSessionize:
+    def test_gap_boundary_splits(self, spark):
+        # gap=10: diff >10 starts a new session; ==10 does not
+        df = _mk(spark, [(1, 0), (1, 10), (1, 20), (1, 31), (1, 41), (2, 5)],
+                 "k long, t long")
+        got = {
+            (r.k, r.t): r.session_id
+            for r in sessionize(df, key="k", ts="t", gap=10).collect()
+        }
+        assert got == {(1, 0): 0, (1, 10): 0, (1, 20): 0,
+                       (1, 31): 1, (1, 41): 1, (2, 5): 0}
+
+    def test_single_shuffle_plan(self, spark):
+        df = _mk(spark, [(1, 0), (1, 5)], "k long, t long")
+        plan = sessionize(df, key="k", ts="t", gap=10)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert plan.count("Exchange") == 1  # lag + running sum share one shuffle
