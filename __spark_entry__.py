@@ -1060,6 +1060,22 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMV_K = 32
+
+
+def q_docs_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch per language — a deterministic stand-in
+    for HLL whose estimate a second engine can reproduce bit-for-bit
+    (HLL registers are implementation-defined; k-minimum md5 values are
+    not). Groups smaller than k take the exact-count fallback, so both
+    code paths are oracle-covered across scale factors."""
+    from symtseries_spark.operators.pipeline import kmv_distinct
+
+    return kmv_distinct(
+        load(spark, sf_dir, "documents"), key="lang", col="text", k=KMV_K
+    ).orderBy("lang")
+
+
 def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q19 shape (adapted to this testdata's part columns): an
     OR-of-ANDs predicate spanning both join sides. Catalyst extracts the
@@ -1132,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
         "events_asof_join": q_events_asof_join,
+        "docs_kmv_distinct": q_docs_kmv_distinct,
         "events_interval_agg": q_events_interval_agg,
         "events_sessions": q_events_sessions,
         "events_json_stats": q_events_json_stats,
@@ -1422,6 +1439,23 @@ WHERE (p_brand = 'Brand#12' AND p_type LIKE 'PROMO%'
        AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
    OR (p_brand = 'Brand#3'
        AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+""",
+        "docs_kmv_distinct": f"""
+WITH d AS (
+  SELECT DISTINCT lang, CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
+  FROM documents
+), r AS (
+  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM d
+), a AS (
+  SELECT lang, count(*) AS n_exact,
+         max(CASE WHEN rn = {KMV_K} THEN h END) AS kth
+  FROM r GROUP BY lang
+)
+SELECT lang, n_exact,
+       round(CASE WHEN kth IS NOT NULL
+                  THEN {float(KMV_K - 1)} * 1152921504606846976.0 / kth
+                  ELSE CAST(n_exact AS DOUBLE) END, 3) AS est_distinct
+FROM a ORDER BY lang
 """,
         "events_asof_join": """
 WITH c AS (

@@ -49,6 +49,51 @@ def deterministic_split(
     )
 
 
+def kmv_distinct(
+    df: DataFrame,
+    *,
+    key: str,
+    col: str,
+    k: int = 32,
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch per group ->
+    ``(key, n_exact, est_distinct)``.
+
+    Unlike HLL (``approx_count_distinct``), whose registers are
+    implementation-defined, KMV over the engine-independent 60-bit md5
+    hash is bit-deterministic: the estimate ``(k-1) * 2^60 / kth_min``
+    is a pure function of the data, so a DuckDB oracle can reproduce it
+    exactly. Groups with fewer than ``k`` distinct values fall back to
+    the exact count (the sketch IS exact below k).
+
+    Scale shape: distinct on ``(key, hash)`` (map-side combinable, the
+    raw ``col`` never leaves the scan stage), then one window pass per
+    key partition to rank hashes. At 100 TB you'd keep only the k
+    smallest per partition before the shuffle; the distinct already
+    bounds the shuffle to one row per distinct value, and the final
+    per-key state is k longs — same as a production sketch.
+    """
+    if k < 2:
+        raise ValueError("kmv_distinct requires k >= 2")
+    from pyspark.sql import Window
+
+    d = df.select(F.col(key), doc_hash60(F.col(col)).alias("__h")).distinct()
+    w = Window.partitionBy(key).orderBy("__h")
+    r = d.withColumn("__rn", F.row_number().over(w))
+    agg = r.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.max(F.when(F.col("__rn") == k, F.col("__h"))).alias("__kth"),
+    )
+    est = F.round(
+        F.when(
+            F.col("__kth").isNotNull(),
+            F.lit(float(k - 1)) * F.lit(2.0**60) / F.col("__kth"),
+        ).otherwise(F.col("n_exact").cast("double")),
+        3,
+    )
+    return agg.select(F.col(key), F.col("n_exact"), est.alias("est_distinct"))
+
+
 def length_buckets(
     docs: DataFrame,
     *,
