@@ -1060,6 +1060,101 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_STREAM_SPAN_DAYS = 5  # replay-file span == watermark horizon
+
+
+def q_events_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization through a REAL stream (native session_window,
+    append mode): events replay as one file per 5-day span with a
+    deterministic 25% of rows delayed by one whole file; the 5-day
+    watermark admits them, so late rows must land in (and extend) their
+    correct sessions. Two far-future sentinels flush every real session;
+    their own sessions never finalize, so they self-exclude. Must
+    hash-match the batch gap-session oracle (same > gap split rule:
+    session_window merges touching windows, tie-tested in
+    tests/test_joins.py)."""
+    import glob as globmod
+    import os
+    import tempfile
+    import uuid
+    from datetime import timedelta
+
+    from symtseries_spark.streaming.sessions import session_rollup_stream
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .withColumn("ts_t", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("user_id", "event_id", "ts_t", "value")
+    )
+    span_sec = SESSION_STREAM_SPAN_DAYS * 86400
+    late = (F.abs(F.hash("event_id")) % 4 == 0).cast("long")
+    bid = (F.floor(F.unix_timestamp("ts_t") / span_sec) + late).alias("__bid")
+
+    tmp = tempfile.mkdtemp(prefix="sess_stream_")
+    staged, indir = f"{tmp}/staged", f"{tmp}/in"
+    os.makedirs(indir)
+    ev.withColumn("__bid", bid).coalesce(1).write.partitionBy("__bid").parquet(staged)
+    batch_dirs = sorted(
+        globmod.glob(f"{staged}/__bid=*"),
+        key=lambda p: int(p.rsplit("=", 1)[1]),
+    )
+    t0 = 1_000_000_000
+    for i, d in enumerate(batch_dirs):
+        part = globmod.glob(f"{d}/part-*.parquet")[0]
+        dst = f"{indir}/b{i:04d}.parquet"
+        os.rename(part, dst)
+        os.utime(dst, (t0 + i, t0 + i))
+
+    sentinel_days = SESSION_STREAM_SPAN_DAYS + 3
+    mx = ev.agg(F.max("ts_t")).first()[0]
+    for j in range(2):
+        sent = spark.createDataFrame(
+            [(-1, -1, mx + timedelta(days=sentinel_days + j), 0.0)],
+            ev.schema,
+        )
+        d = f"{tmp}/sent{j}"
+        sent.coalesce(1).write.parquet(d)
+        part = globmod.glob(f"{d}/part-*.parquet")[0]
+        dst = f"{indir}/b{len(batch_dirs) + j:04d}.parquet"
+        os.rename(part, dst)
+        os.utime(dst, (t0 + len(batch_dirs) + j, t0 + len(batch_dirs) + j))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+    )
+    sessions = session_rollup_stream(
+        stream,
+        key="user_id",
+        ts="ts_t",
+        value="value",
+        gap="45 minutes",
+        watermark=f"{SESSION_STREAM_SPAN_DAYS} days",
+    )
+    name = f"sess_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sess_chk_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.table(name)
+        .where(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.unix_micros("session_start").alias("start_us"),
+            "n_events",
+            F.round("sum_value", 6).alias("sum_value"),
+        )
+        .orderBy("user_id", "start_us")
+    )
+
+
 KMV_K = 32
 
 
@@ -1151,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_kmv_distinct": q_docs_kmv_distinct,
         "events_interval_agg": q_events_interval_agg,
         "events_sessions": q_events_sessions,
+        "events_sessions_stream": q_events_sessions_stream,
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
         "events_lag_delta": q_events_lag_delta,
@@ -1508,6 +1604,25 @@ SELECT user_id, session_id, count(*) AS n_events,
        round((max(ts_us) - min(ts_us)) / 1000000.0, 3) AS dur_sec,
        round(sum(value), 6) AS sum_value
 FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id
+""",
+        "events_sessions_stream": f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+), f AS (
+  SELECT user_id, ts_us, value,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w > {45 * 60 * 10**6} THEN 1
+              ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+), g AS (
+  SELECT user_id, ts_us, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f
+)
+SELECT user_id, min(ts_us) AS start_us, count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM g GROUP BY user_id, sid ORDER BY user_id, start_us
 """,
         "events_lag_delta": """
 WITH d AS (

@@ -114,3 +114,27 @@ class TestSessionize:
         plan = sessionize(df, key="k", ts="t", gap=10)._jdf.queryExecution() \
             .executedPlan().toString()
         assert plan.count("Exchange") == 1  # lag + running sum share one shuffle
+
+
+class TestSessionWindowParity:
+    def test_exact_gap_tie_semantics(self, spark):
+        # diff == gap MERGES in BOTH implementations: session_window
+        # treats touching windows [0,10),[10,20) as one session, exactly
+        # like batch sessionize's `diff > gap` split rule. (Verified
+        # empirically — the "strict overlap" reading of session_window
+        # is wrong.)
+        from pyspark.sql import Row
+
+        rows = [Row(k=1, t=0), Row(k=1, t=10), Row(k=1, t=25)]
+        df = spark.createDataFrame(rows)
+        batch = sessionize(df, key="k", ts="t", gap=10)
+        assert {r.t: r.session_id for r in batch.collect()} == {0: 0, 10: 0, 25: 1}
+
+        tdf = df.select("k", F.timestamp_seconds(F.col("t")).alias("ts"))
+        sw = (
+            tdf.groupBy("k", F.session_window("ts", "10 seconds").alias("w"))
+            .count()
+            .select(F.unix_timestamp("w.start").alias("s"), "count")
+        )
+        got = sorted((r.s, r["count"]) for r in sw.collect())
+        assert got == [(0, 2), (25, 1)]
