@@ -1060,6 +1060,76 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MINHASH_STREAM_FILES = 4  # id-ordered replay files (arrival order == id order)
+
+
+def q_dedup_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup dedup through a REAL stream: documents
+    arrive in id order across 4 micro-batches; per-band bucket state
+    (one long per occupied bucket, checkpointed) tracks the claimant,
+    and a doc is a near-duplicate iff ANY of its bands hit an earlier
+    claimant — first-seen-wins across AND within batches. Signatures
+    are computed per-row (scan-stage HOFs, no streaming aggregation),
+    value-identical to the batch signature groupBy."""
+    import glob as globmod
+    import os
+    import tempfile
+    import uuid
+
+    from symtseries_spark.streaming.minhash import streaming_minhash_dedup
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    bid = F.floor(
+        F.col("doc_id") * MINHASH_STREAM_FILES / (mx + 1)
+    ).cast("long").alias("__bid")
+
+    tmp = tempfile.mkdtemp(prefix="mh_stream_")
+    staged, indir = f"{tmp}/staged", f"{tmp}/in"
+    os.makedirs(indir)
+    docs.withColumn("__bid", bid).coalesce(1).write.partitionBy("__bid").parquet(staged)
+    batch_dirs = sorted(
+        globmod.glob(f"{staged}/__bid=*"),
+        key=lambda p: int(p.rsplit("=", 1)[1]),
+    )
+    t0 = 1_000_000_000
+    for i, d in enumerate(batch_dirs):
+        part = globmod.glob(f"{d}/part-*.parquet")[0]
+        dst = f"{indir}/b{i:04d}.parquet"
+        os.rename(part, dst)
+        os.utime(dst, (t0 + i, t0 + i))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+    )
+    per_band = streaming_minhash_dedup(
+        stream,
+        k=MINHASH["k"],
+        num_hashes=MINHASH["num_hashes"],
+        bands=MINHASH["bands"],
+        seed=MINHASH["seed"],
+    )
+    name = f"mh_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        per_band.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="mh_chk_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.table(name)
+        .groupBy("doc_id")
+        .agg(F.min("dup_of").alias("dup_of"))
+        .select("doc_id", "dup_of", F.col("dup_of").isNotNull().alias("is_duplicate"))
+        .orderBy("doc_id")
+    )
+
+
 SESSION_STREAM_SPAN_DAYS = 5  # replay-file span == watermark horizon
 
 
@@ -1257,6 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_minhash_stream": q_dedup_minhash_stream,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "emb_cosine_topk": q_emb_cosine_topk,
@@ -1711,6 +1782,10 @@ ORDER BY c.c_nationkey
         "dedup_exact": ot.exact_dedup_sql(),
         "dedup_jaccard": ot.jaccard_pairs_sql(**JACCARD),
         "dedup_minhash_lsh": ot.minhash_lsh_pairs_sql(**MINHASH),
+        "dedup_minhash_stream": ot.minhash_stream_dedup_sql(
+            k=MINHASH["k"], num_hashes=MINHASH["num_hashes"],
+            bands=MINHASH["bands"], seed=MINHASH["seed"],
+        ),
         "dedup_simhash": ot.simhash_sql(bits=SIMHASH_BITS),
         "dedup_simhash_pairs": ot.simhash_pairs_sql(**SIMHASH_PAIRS),
         "emb_cosine_topk": ov.cosine_topk_sql(query_id=0, k=TOPK, dim=EMB_DIM),

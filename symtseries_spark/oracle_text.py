@@ -247,6 +247,37 @@ WHERE round(({eq_sum}) * 1.0 / {num_hashes}, 4) >= {threshold}
 """
 
 
+def minhash_stream_dedup_sql(
+    *,
+    k: int,
+    num_hashes: int,
+    bands: int,
+    seed: int,
+    table: str = "documents",
+) -> str:
+    """Oracle for the STREAMING minhash dedup: a doc's dup_of is the
+    smallest earlier doc sharing at least one LSH band (id order ==
+    arrival order in the replay)."""
+    r = num_hashes // bands
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, concat_ws('_', {cols}) AS band_key FROM sigs".format(
+            b=b, cols=", ".join(f"m{b * r + j}" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH sigs AS ({minhash_sig_cte(k=k, num_hashes=num_hashes, seed=seed, table=table)}),
+bands AS ({band_selects})
+SELECT a.doc_id, min(b.doc_id) AS dup_of,
+       min(b.doc_id) IS NOT NULL AS is_duplicate
+FROM bands a LEFT JOIN bands b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key
+ AND b.doc_id < a.doc_id
+GROUP BY a.doc_id
+ORDER BY a.doc_id
+"""
+
+
 def simhash_cte(*, bits: int, table: str = "documents") -> str:
     votes = ",\n         ".join(
         f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"

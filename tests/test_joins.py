@@ -138,3 +138,23 @@ class TestSessionWindowParity:
         )
         got = sorted((r.s, r["count"]) for r in sw.collect())
         assert got == [(0, 2), (25, 1)]
+
+
+class TestStreamingMinhashBands:
+    def test_short_docs_have_no_bands(self, spark):
+        from symtseries_spark.streaming.minhash import minhash_band_structs
+
+        df = spark.createDataFrame(
+            [(1, "too short"), (2, "one two three four five")],
+            "doc_id long, text string",
+        )
+        out = df.select(
+            "doc_id",
+            F.size(
+                minhash_band_structs(
+                    F.col("text"), k=3, num_hashes=32, bands=8, seed=7
+                )
+            ).alias("nb"),
+        )
+        got = {r.doc_id: r.nb for r in out.collect()}
+        assert got == {1: 0, 2: 8}
