@@ -70,6 +70,30 @@ part join is broadcast. Proves the planner surface beyond star joins.""",
     "tpch_q22": """Correlated NOT EXISTS planned as a broadcast left-anti hash join
 on o_custkey (the o_orderpriority filter pushed to the orders scan),
 then one map-side-combinable aggregate per nation.""",
+    "events_asof_join": """Distributed as-of join: both sides union into ONE
+Exchange on the key; a single Window pass (last ignorenulls over the
+running frame) carries the latest build row to each probe row. No join
+operator at all — the naive `p.ts <= c.ts` formulation would plan a
+BroadcastNestedLoopJoin whose cost is |clicks| x |purchases| per user.""",
+    "events_interval_agg": """Bounded interval join as a time-bucketed equi-join:
+the probe side posexplodes into <= 2 adjacent buckets, the range
+predicate is a residual filter on a plain hash join keyed
+(user, bucket) — AQE can size and skew-split it; never a nested loop.
+The left join-back preserves zero-click purchases.""",
+    "events_sessions": """Gap sessionization in one window partitioning: lag ->
+boundary flag -> running sum share a single Exchange + Sort (two
+WindowExec passes, no re-shuffle), then the per-session rollup is a
+map-side-combinable groupBy on (user, session_id).""",
+    "docs_kmv_distinct": """KMV sketch: the raw text never leaves the scan (hash
+projected immediately), distinct is a two-phase hash aggregate, and the
+per-key rank is one window pass; the estimate is pure arithmetic above
+it. State per key is k longs — the same footprint a production sketch
+keeps.""",
+    "tpch_q19": """OR-of-ANDs disjunction: Catalyst extracts the common
+p_partkey = l_partkey conjunct, so the join stays a broadcast hash join
+with the disjunction evaluated as a post-join filter; the residual
+brand/size/type predicates are pushed into the part scan as an OR
+filter.""",
 }
 
 spark = (
