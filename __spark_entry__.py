@@ -1248,6 +1248,42 @@ def q_events_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_FRACTION = 0.2
+SHARD_TOKENS = 2000
+
+
+def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size deterministic stratified sample (eval-set carving):
+    floor(20% of each language) chosen by salted hash rank — unlike
+    df.sample, reproducible across engines/cluster sizes with exact
+    per-stratum counts."""
+    from symtseries_spark.operators.pipeline import stratified_sample
+
+    return (
+        stratified_sample(
+            load(spark, sf_dir, "documents"),
+            stratum="lang",
+            fraction=SAMPLE_FRACTION,
+        )
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )
+
+
+def q_docs_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard planning (sequence-packing prelude): lay docs
+    out in id order per language and cut shards every ~2000 BPE tokens
+    by token offset; per-shard rollup of the id span a packing job
+    would read."""
+    from symtseries_spark.operators.pipeline import pack_shards
+
+    return pack_shards(
+        load(spark, sf_dir, "documents"),
+        shard_tokens=SHARD_TOKENS,
+        group="lang",
+    ).orderBy("lang", "shard_id")
+
+
 KMV_K = 32
 
 
@@ -1337,6 +1373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": q_tpch_q22,
         "events_asof_join": q_events_asof_join,
         "docs_kmv_distinct": q_docs_kmv_distinct,
+        "docs_stratified_sample": q_docs_stratified_sample,
+        "docs_pack_shards": q_docs_pack_shards,
         "events_interval_agg": q_events_interval_agg,
         "events_sessions": q_events_sessions,
         "events_sessions_stream": q_events_sessions_stream,
@@ -1630,6 +1668,12 @@ WHERE (p_brand = 'Brand#12' AND p_type LIKE 'PROMO%'
    OR (p_brand = 'Brand#3'
        AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
 """,
+        "docs_stratified_sample": ot.stratified_sample_sql(
+            stratum="lang", fraction=SAMPLE_FRACTION,
+        ),
+        "docs_pack_shards": ot.pack_shards_sql(
+            shard_tokens=SHARD_TOKENS, group="lang",
+        ),
         "docs_kmv_distinct": f"""
 WITH d AS (
   SELECT DISTINCT lang, CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h

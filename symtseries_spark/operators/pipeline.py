@@ -49,6 +49,87 @@ def deterministic_split(
     )
 
 
+def stratified_sample(
+    docs: DataFrame,
+    *,
+    stratum: str,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """EXACT-size deterministic stratified sample: keep
+    ``floor(fraction * |stratum|)`` rows per stratum, chosen by salted
+    hash rank. Unlike ``df.sample`` (per-row Bernoulli — stratum sizes
+    are binomial random variables AND depend on partitioning), this is
+    reproducible across engines, runs, and cluster sizes, and each
+    stratum's size is exactly what an eval-set budget asked for.
+
+    One shuffle on the stratum; the rank and the stratum count share the
+    same window partitioning. Tie-safe: ranks order by (hash, id).
+    """
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError("fraction must be in [0, 1]")
+    from pyspark.sql import Window
+
+    h = doc_hash60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(stratum)
+    ranked = docs.withColumn("__h", h).withColumn(
+        "__rn", F.row_number().over(w.orderBy("__h", id_col))
+    ).withColumn("__n", F.count(F.lit(1)).over(w))
+    return (
+        ranked.where(F.col("__rn") <= F.floor(F.lit(fraction) * F.col("__n")))
+        .drop("__h", "__rn", "__n")
+    )
+
+
+def pack_shards(
+    docs: DataFrame,
+    *,
+    shard_tokens: int,
+    group: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget shard planner (sequence-packing prelude): within
+    each ``group``, documents are laid out in id order and cut into
+    shards of ``~shard_tokens`` BPE tokens by token OFFSET —
+    ``shard_id = floor(tokens_before / shard_tokens)`` — so shard
+    boundaries are a pure function of the data (any engine, any
+    partitioning, same layout). Returns one row per
+    ``(group, shard_id)``: doc count, token sum, and the id span a
+    packing job would read.
+
+    Scale shape: the running token sum is one window pass per group
+    partition (the 100 TB layout keys shards by split/group exactly so
+    this window never needs a global order), and the rollup reuses the
+    same partitioning.
+    """
+    if shard_tokens <= 0:
+        raise ValueError("shard_tokens must be positive")
+    from pyspark.sql import Window
+
+    toks = bpe_token_count(F.col(text_col))
+    w = (
+        Window.partitionBy(group)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    laid = docs.select(
+        F.col(group), F.col(id_col), toks.alias("__t")
+    ).withColumn(
+        "shard_id",
+        F.floor((F.sum("__t").over(w) - F.col("__t")) / F.lit(shard_tokens)).cast(
+            "long"
+        ),
+    )
+    return laid.groupBy(group, "shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__t").alias("total_tokens"),
+        F.min(id_col).alias("first_id"),
+        F.max(id_col).alias("last_id"),
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     *,

@@ -191,6 +191,52 @@ WHERE round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 4) >= {threshold}
 """
 
 
+def stratified_sample_sql(
+    *,
+    stratum: str,
+    fraction: float,
+    salt: str = "sample",
+    table: str = "documents",
+) -> str:
+    """Oracle for pipeline.stratified_sample: exact floor(frac*n) rows
+    per stratum by salted-hash rank."""
+    h = hash60(f"'{salt}' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH r AS (
+  SELECT doc_id, {stratum},
+         row_number() OVER (PARTITION BY {stratum} ORDER BY {h}, doc_id) AS rn,
+         count(*) OVER (PARTITION BY {stratum}) AS n
+  FROM {table}
+)
+SELECT doc_id, {stratum} FROM r
+WHERE rn <= floor({fraction} * n)
+ORDER BY {stratum}, doc_id
+"""
+
+
+def pack_shards_sql(
+    *, shard_tokens: int, group: str, table: str = "documents"
+) -> str:
+    """Oracle for pipeline.pack_shards: token-offset sharding in id
+    order within each group."""
+    return f"""
+WITH t AS (
+  SELECT {group}, doc_id,
+         len(regexp_extract_all(lower(text), '{BPE_REGEX}')) AS tk
+  FROM {table}
+), c AS (
+  SELECT {group}, doc_id, tk,
+         sum(tk) OVER (PARTITION BY {group} ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - tk AS tokens_before
+  FROM t
+)
+SELECT {group}, CAST(floor(tokens_before / {shard_tokens}.0) AS BIGINT) AS shard_id,
+       count(*) AS n_docs, CAST(sum(tk) AS BIGINT) AS total_tokens,
+       min(doc_id) AS first_id, max(doc_id) AS last_id
+FROM c GROUP BY {group}, shard_id ORDER BY {group}, shard_id
+"""
+
+
 def minhash_sig_cte(
     *, k: int, num_hashes: int, seed: int, table: str = "documents"
 ) -> str:

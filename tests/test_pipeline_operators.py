@@ -405,3 +405,44 @@ class TestIVF:
         assert cent_rows == sorted(
             (r.list_id, tuple(r.centroid)) for r in centroids2.collect()
         )
+
+
+class TestStratifiedSample:
+    def test_exact_floor_counts_and_determinism(self, spark, sf_dir):
+        from symtseries_spark.operators.pipeline import stratified_sample
+        from symtseries_spark.sources import load
+        import pyspark.sql.functions as F
+
+        docs = load(spark, sf_dir, "documents")
+        totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+        s1 = stratified_sample(docs, stratum="lang", fraction=0.3)
+        got = {r.lang: r.n for r in s1.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+        for lang, n in totals.items():
+            assert got.get(lang, 0) == int(0.3 * n)
+        ids1 = sorted(r.doc_id for r in s1.select("doc_id").collect())
+        ids2 = sorted(
+            r.doc_id
+            for r in stratified_sample(docs.repartition(7), stratum="lang", fraction=0.3)
+            .select("doc_id").collect()
+        )
+        assert ids1 == ids2  # partitioning-independent
+
+    def test_fraction_bounds(self, spark):
+        from symtseries_spark.operators.pipeline import stratified_sample
+        import pytest as _pytest
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, lang string")
+        with _pytest.raises(ValueError):
+            stratified_sample(df, stratum="lang", fraction=1.5)
+
+
+class TestPackShards:
+    def test_offsets_partition_id_order(self, spark):
+        from symtseries_spark.operators.pipeline import pack_shards
+
+        rows = [(i, "en", "tok " * t) for i, t in enumerate([5, 5, 5, 5, 5])]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        # budget 12: offsets 0,5,10,15,20 -> shards 0,0,0,1,1
+        got = {r.shard_id: (r.n_docs, r.first_id, r.last_id)
+               for r in pack_shards(df, shard_tokens=12, group="lang").collect()}
+        assert got == {0: (3, 0, 2), 1: (2, 3, 4)}
