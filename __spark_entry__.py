@@ -1152,6 +1152,45 @@ def q_dedup_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIST_BUCKETS = 20
+
+
+def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type: bucket edges from the
+    global min/max (two-pass, both aggregations map-side combinable).
+    The per-type bucket counts are what a monitoring/profiling layer
+    reads; no sort anywhere."""
+    ev = load(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+    width = (hi - lo) / HIST_BUCKETS
+    bucket = F.least(
+        F.floor((F.col("value") - F.lit(lo)) / F.lit(width)).cast("long"),
+        F.lit(HIST_BUCKETS - 1),
+    )
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "bucket")
+    )
+
+
+def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per event type (p50/p90/p99):
+    Spark's percentile == DuckDB's quantile_cont (linear interpolation
+    on the sorted set). The exact form is the oracle-able twin of the
+    approx_percentile sketch a 100 TB profile would use."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q7 shape (volume shipping): a 6-table join with a
     cross-pair disjunction over two nation dimensions. Both nation
@@ -1484,6 +1523,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
         "events_lag_delta": q_events_lag_delta,
+        "events_histogram": q_events_histogram,
+        "events_quantiles": q_events_quantiles,
         "docs_setops": q_docs_setops,
         "text_quality": q_text_quality,
         "text_split": q_text_split,
@@ -1900,6 +1941,22 @@ WITH e AS (
 SELECT user_id, min(ts_us) AS start_us, count(*) AS n_events,
        round(sum(value), 6) AS sum_value
 FROM g GROUP BY user_id, sid ORDER BY user_id, start_us
+""",
+        "events_histogram": f"""
+WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+SELECT event_type,
+       least(CAST(floor((value - lo) / ((hi - lo) / {HIST_BUCKETS})) AS BIGINT),
+             {HIST_BUCKETS - 1}) AS bucket,
+       count(*) AS n
+FROM events, b
+GROUP BY event_type, bucket ORDER BY event_type, bucket
+""",
+        "events_quantiles": """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
 """,
         "events_lag_delta": """
 WITH d AS (
