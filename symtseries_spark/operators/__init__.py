@@ -18,6 +18,12 @@ from .search import (
     motif_counts,
     topk_nearest,
 )
+from .joins import (
+    asof_join,
+    interval_join,
+    salted_join,
+    sessionize,
+)
 from .dedup import (
     exact_dedup_map,
     jaccard_pairs,
@@ -39,6 +45,10 @@ from .simsearch import (
 
 __all__ = [
     "allpairs_within",
+    "asof_join",
+    "interval_join",
+    "salted_join",
+    "sessionize",
     "ann_lsh_topk",
     "cosine_topk",
     "embedding_near_dup",

@@ -155,6 +155,45 @@ def interval_join(
     return joined.unionByName(missing)
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    *,
+    on: str,
+    salts: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join for when the dim side is too big to broadcast
+    AND the fact side has hot keys: the dim replicates ``salts`` times
+    (one row per salt), the fact side picks a deterministic salt from a
+    row hash, and the join runs on ``(key, salt)`` — splitting each hot
+    key's rows across ``salts`` reducers instead of funneling them into
+    one.
+
+    This is the classic manual salting pattern. On Spark 3+, AQE's
+    skew-join splitting usually makes it unnecessary for sort-merge
+    joins (and that is this engine's default answer — see
+    docs/SCALING.md); ``salted_join`` exists for the cases AQE does not
+    cover: skewed SHUFFLED HASH joins, skew in the build of an
+    aggregation-free pipeline, or engines/configs with AQE off.
+    Replication cost is |dim| × salts, so use single-digit salt counts.
+
+    Result is identical to ``fact.join(dim, on, how)`` (verified by
+    test); supports ``inner`` and ``left``.
+    """
+    if salts < 1:
+        raise ValueError("salts must be >= 1")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    salt_arr = F.array(*[F.lit(i) for i in range(salts)])
+    dim_rep = dim.withColumn("__salt", F.explode(salt_arr))
+    fact_s = fact.withColumn(
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in fact.columns]), F.lit(salts))
+    )
+    out = fact_s.join(dim_rep, [on, "__salt"], how)
+    return out.drop("__salt")
+
+
 def sessionize(
     df: DataFrame,
     *,

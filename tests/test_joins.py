@@ -158,3 +158,25 @@ class TestStreamingMinhashBands:
         )
         got = {r.doc_id: r.nb for r in out.collect()}
         assert got == {1: 0, 2: 8}
+
+
+class TestSaltedJoin:
+    def test_equals_plain_join(self, spark, sf_dir):
+        from symtseries_spark.operators.joins import salted_join
+
+        li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+        part = load(spark, sf_dir, "part").select(
+            F.col("p_partkey").alias("l_partkey"), "p_brand"
+        )
+        plain = li.join(part, "l_partkey").groupBy("p_brand").count()
+        salted = salted_join(li, part, on="l_partkey", salts=4) \
+            .groupBy("p_brand").count()
+        assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    def test_left_keeps_unmatched(self, spark):
+        from symtseries_spark.operators.joins import salted_join
+
+        fact = spark.createDataFrame([(1, "a"), (99, "b")], "k long, t string")
+        dim = spark.createDataFrame([(1, "x")], "k long, d string")
+        rows = {r.t: r.d for r in salted_join(fact, dim, on="k", salts=3, how="left").collect()}
+        assert rows == {"a": "x", "b": None}
