@@ -1082,6 +1082,31 @@ def _state_partitions(spark: SparkSession, n: int = 8):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup endgame: near-dup PAIRS (MinHash-LSH) -> connected
+    components -> per-doc canonical id + cluster size. An ITERATIVE
+    algorithm (min-label propagation to fixpoint, lineage-truncated per
+    round) whose converged result is iteration-order independent — so
+    even this is oracle-checked exactly, via a DuckDB recursive CTE."""
+    from symtseries_spark.operators.graph import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, **MINHASH).select("doc_a", "doc_b")
+    verts = docs.select(F.col("doc_id").alias("v"))
+    cc = connected_components(pairs, verts, src="doc_a", dst="doc_b")
+    sizes = cc.groupBy("canonical_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        cc.join(sizes, "canonical_id")
+        .select(
+            F.col("v").alias("doc_id"),
+            "canonical_id",
+            "cluster_size",
+            (F.col("v") != F.col("canonical_id")).alias("is_duplicate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 MINHASH_STREAM_FILES = 4  # id-ordered replay files (arrival order == id order)
 
 
@@ -1533,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_stream": q_dedup_minhash_stream,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "emb_cosine_topk": q_emb_cosine_topk,
@@ -2045,6 +2071,27 @@ ORDER BY c.c_nationkey
         "dedup_exact": ot.exact_dedup_sql(),
         "dedup_jaccard": ot.jaccard_pairs_sql(**JACCARD),
         "dedup_minhash_lsh": ot.minhash_lsh_pairs_sql(**MINHASH),
+        "dedup_clusters": f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({ot.minhash_lsh_pairs_sql(**MINHASH)}) __p
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), conn(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT c.a, e.b FROM conn c JOIN edges e ON c.b = e.a
+), canon AS (
+  SELECT a AS doc_id, min(b) AS canonical_id FROM conn GROUP BY a
+), sizes AS (
+  SELECT canonical_id, count(*) AS cluster_size FROM canon GROUP BY canonical_id
+)
+SELECT c.doc_id, c.canonical_id, s.cluster_size,
+       c.doc_id <> c.canonical_id AS is_duplicate
+FROM canon c JOIN sizes s USING (canonical_id)
+ORDER BY c.doc_id
+""",
         "dedup_minhash_stream": ot.minhash_stream_dedup_sql(
             k=MINHASH["k"], num_hashes=MINHASH["num_hashes"],
             bands=MINHASH["bands"], seed=MINHASH["seed"],

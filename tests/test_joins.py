@@ -180,3 +180,29 @@ class TestSaltedJoin:
         dim = spark.createDataFrame([(1, "x")], "k long, d string")
         rows = {r.t: r.d for r in salted_join(fact, dim, on="k", salts=3, how="left").collect()}
         assert rows == {"a": "x", "b": None}
+
+
+class TestConnectedComponents:
+    def test_chain_clique_singleton(self, spark):
+        from symtseries_spark.operators.graph import connected_components
+
+        # chain 1-2-3, clique 10-11-12, singleton 99
+        edges = spark.createDataFrame(
+            [(2, 1), (2, 3), (10, 11), (11, 12), (10, 12)], "src long, dst long"
+        )
+        verts = spark.createDataFrame(
+            [(v,) for v in [1, 2, 3, 10, 11, 12, 99]], "v long"
+        )
+        got = {r.v: r.canonical_id for r in connected_components(edges, verts).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+    def test_long_chain_converges(self, spark):
+        from symtseries_spark.operators.graph import connected_components
+
+        n = 12  # diameter n-1: worst case for per-hop propagation
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+        )
+        verts = spark.createDataFrame([(v,) for v in range(n)], "v long")
+        got = {r.v: r.canonical_id for r in connected_components(edges, verts).collect()}
+        assert got == {v: 0 for v in range(n)}
