@@ -1082,6 +1082,92 @@ def _state_partitions(spark: SparkSession, n: int = 8):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT surface: per-user wide table of event-type counts + value
+    sums. Explicit pivot values keep it one pass (no distinct-scan);
+    the oracle is the equivalent conditional-aggregation CASE form."""
+    ev = load(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    sums = ev.groupBy("user_id").agg(
+        F.round(F.sum("value"), 6).alias("total_value")
+    )
+    named = counts.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES],
+    )
+    return named.join(sums, "user_id").orderBy("user_id")
+
+
+def q_events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (the remaining Structured Streaming join
+    class): an event stream enriched per micro-batch against the static
+    customer dimension (broadcast each batch), then a running count/sum
+    per market segment in complete mode. Unmatched users are kept with
+    a NULL segment (left join) — enrichment must never drop events."""
+    import glob as globmod
+    import os
+    import tempfile
+    import uuid
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+
+    tmp = tempfile.mkdtemp(prefix="enrich_stream_")
+    indir = f"{tmp}/in"
+    os.makedirs(indir)
+    half = (F.abs(F.hash("event_id")) % 2).alias("__bid")
+    ev.withColumn("__bid", half).coalesce(1).write.partitionBy("__bid").parquet(
+        f"{tmp}/staged"
+    )
+    for i, d in enumerate(sorted(globmod.glob(f"{tmp}/staged/__bid=*"))):
+        part = globmod.glob(f"{d}/part-*.parquet")[0]
+        dst = f"{indir}/b{i:04d}.parquet"
+        os.rename(part, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+    )
+    enriched = (
+        stream.join(F.broadcast(cust), "user_id", "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="enrich_chk_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.table(name)
+        .select(
+            "c_mktsegment",
+            "n_events",
+            F.round("sum_value", 6).alias("sum_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup endgame: near-dup PAIRS (MinHash-LSH) -> connected
     components -> per-doc canonical id + cluster size. An ITERATIVE
@@ -1559,6 +1645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_stream": q_dedup_minhash_stream,
         "dedup_clusters": q_dedup_clusters,
+        "events_pivot": q_events_pivot,
+        "events_stream_enrich": q_events_stream_enrich,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "emb_cosine_topk": q_emb_cosine_topk,
@@ -2071,6 +2159,16 @@ ORDER BY c.c_nationkey
         "dedup_exact": ot.exact_dedup_sql(),
         "dedup_jaccard": ot.jaccard_pairs_sql(**JACCARD),
         "dedup_minhash_lsh": ot.minhash_lsh_pairs_sql(**MINHASH),
+        "events_pivot": """
+SELECT user_id, count(*) FILTER (WHERE event_type = 'click') AS n_click, count(*) FILTER (WHERE event_type = 'error') AS n_error, count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase, count(*) FILTER (WHERE event_type = 'signup') AS n_signup, count(*) FILTER (WHERE event_type = 'view') AS n_view,
+       round(sum(value), 6) AS total_value
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+        "events_stream_enrich": """
+SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
         "dedup_clusters": f"""
 WITH RECURSIVE pairs AS (
   SELECT doc_a, doc_b FROM ({ot.minhash_lsh_pairs_sql(**MINHASH)}) __p
