@@ -1168,6 +1168,19 @@ def q_events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25 = dict(terms=["hash", "join", "spark"], topk=25)
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval: BM25 top-k for a bag-of-words query. Term
+    frequencies are scan-stage array expressions, corpus stats reduce
+    to one broadcast row, ranking is TakeOrderedAndProject — two pruned
+    scans, zero Python, no inverted-index shuffle for a bounded query."""
+    from symtseries_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(load(spark, sf_dir, "documents"), **BM25)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup endgame: near-dup PAIRS (MinHash-LSH) -> connected
     components -> per-doc canonical id + cluster size. An ITERATIVE
@@ -1645,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_stream": q_dedup_minhash_stream,
         "dedup_clusters": q_dedup_clusters,
+        "text_bm25": q_text_bm25,
         "events_pivot": q_events_pivot,
         "events_stream_enrich": q_events_stream_enrich,
         "dedup_simhash": q_dedup_simhash,
@@ -2159,6 +2173,7 @@ ORDER BY c.c_nationkey
         "dedup_exact": ot.exact_dedup_sql(),
         "dedup_jaccard": ot.jaccard_pairs_sql(**JACCARD),
         "dedup_minhash_lsh": ot.minhash_lsh_pairs_sql(**MINHASH),
+        "text_bm25": ot.bm25_topk_sql(**BM25),
         "events_pivot": """
 SELECT user_id, count(*) FILTER (WHERE event_type = 'click') AS n_click, count(*) FILTER (WHERE event_type = 'error') AS n_error, count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase, count(*) FILTER (WHERE event_type = 'signup') AS n_signup, count(*) FILTER (WHERE event_type = 'view') AS n_view,
        round(sum(value), 6) AS total_value

@@ -1,0 +1,83 @@
+"""Lexical retrieval over the documents table: BM25 ranking for a fixed
+term query — the classic keyword-search counterpart to the embedding
+similarity operators in ``simsearch``.
+
+Scale shape: per-term term frequencies are scan-stage array expressions
+(no explode, no inverted-index shuffle needed for a bounded query), the
+corpus statistics (N, avgdl, per-term document frequencies) reduce to a
+SINGLE broadcast row, and the final ranking is a TakeOrderedAndProject
+(partial top-k per partition, k rows to the driver). Two scans of the
+corpus total — both pruned to (id, tokens) — and zero Python.
+
+Determinism note: scores use ``ln`` and double arithmetic in the same
+expression shape on both engines; outputs are rounded to 6 decimals for
+the oracle (values are O(1-10), cross-libm ulp noise is ~1e-15).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+__all__ = ["bm25_topk"]
+
+
+def bm25_topk(
+    docs: DataFrame,
+    *,
+    terms: list[str],
+    topk: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``topk`` documents by BM25 score for the bag-of-words query
+    ``terms`` -> ``(doc_id, score)``, score descending (id ascending on
+    ties). Uses the Lucene-style non-negative idf:
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))``.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    toks = tokens(F.col(text_col))
+
+    def tf_of(term: str):
+        # NB: the lambda must be unary — pyspark's HOF helper treats a
+        # second parameter as the array-index argument
+        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+    tf_cols = [tf_of(term).alias(f"__tf_{i}") for i, term in enumerate(terms)]
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("__dl"),
+        *tf_cols,
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.join(F.broadcast(stats))
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"__tf_{i}").cast("double")
+        df_t = F.col(f"__df_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("__n") - df_t + F.lit(0.5)) / (df_t + F.lit(0.5))
+        )
+        norm = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+        )
+        part = idf * tf * F.lit(k1 + 1.0) / norm
+        score = part if score is None else score + part
+    return (
+        scored.select("doc_id", F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(topk)
+    )

@@ -237,6 +237,46 @@ FROM c GROUP BY {group}, shard_id ORDER BY {group}, shard_id
 """
 
 
+def bm25_topk_sql(
+    *,
+    terms: list[str],
+    topk: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+) -> str:
+    """Oracle for retrieval.bm25_topk — identical expression shape
+    (literal values, association order) so doubles agree to the ulp."""
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(toks, t -> t = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n         ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    parts = " + ".join(
+        f"(ln(1.0 + (n - CAST(df{i} AS DOUBLE) + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5))"
+        f" * CAST(tf{i} AS DOUBLE) * {k1 + 1.0}"
+        f" / (CAST(tf{i} AS DOUBLE) + {k1} * ({1.0 - b} + {b} * dl / avgdl)))"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, len(toks) AS dl,
+         {tf_cols}
+  FROM (SELECT doc_id, {tokens_expr()} AS toks FROM {table})
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl,
+         {df_cols}
+  FROM base
+)
+SELECT doc_id, round({parts}, 6) AS score
+FROM base, stats
+ORDER BY score DESC, doc_id LIMIT {topk}
+"""
+
+
 def minhash_sig_cte(
     *, k: int, num_hashes: int, seed: int, table: str = "documents"
 ) -> str:
