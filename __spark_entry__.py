@@ -1168,6 +1168,88 @@ def q_events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join (the third Structured Streaming join
+    class): purchases and clicks arrive as two independent file streams
+    (two micro-batch sequences over the same replay dir), joined per
+    user within (purchase, purchase + 1 day]. Both sides carry
+    watermarks so the join state is evictable; inner-join matches emit
+    in append mode as they are found, so no sentinel flush is needed.
+    Oracle = the batch interval-join SQL in integer microseconds."""
+    import glob as globmod
+    import os
+    import tempfile
+    import uuid
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .withColumn("ts_t", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("user_id", "event_id", "event_type", "ts_t", "value")
+    )
+    tmp = tempfile.mkdtemp(prefix="ssj_stream_")
+    indir = f"{tmp}/in"
+    os.makedirs(indir)
+    span_sec = 10 * 86400
+    bid = F.floor(F.unix_timestamp("ts_t") / span_sec).alias("__bid")
+    ev.withColumn("__bid", bid).coalesce(1).write.partitionBy("__bid").parquet(
+        f"{tmp}/staged"
+    )
+    for i, d in enumerate(
+        sorted(globmod.glob(f"{tmp}/staged/__bid=*"),
+               key=lambda p: int(p.rsplit("=", 1)[1]))
+    ):
+        part = globmod.glob(f"{d}/part-*.parquet")[0]
+        dst = f"{indir}/b{i:04d}.parquet"
+        os.rename(part, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    def side(tp: str, prefix: str) -> DataFrame:
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(indir)
+            .where(F.col("event_type") == tp)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_event_id"),
+                F.col("ts_t").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "10 days")
+        )
+
+    purchases, clicks = side("purchase", "p"), side("click", "c")
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND c_ts > p_ts AND c_ts <= p_ts + INTERVAL 24 HOURS"
+        ),
+        "inner",
+    )
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ssj_chk_"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    return (
+        spark.table(name)
+        .select(
+            F.col("p_user").alias("user_id"),
+            "p_event_id",
+            "c_event_id",
+            F.round(
+                (F.unix_micros("c_ts") - F.unix_micros("p_ts")) / F.lit(1e6), 3
+            ).alias("gap_sec"),
+        )
+        .orderBy("p_event_id", "c_event_id")
+    )
+
+
 BM25 = dict(terms=["hash", "join", "spark"], topk=25)
 
 
@@ -1661,6 +1743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25": q_text_bm25,
         "events_pivot": q_events_pivot,
         "events_stream_enrich": q_events_stream_enrich,
+        "events_stream_join": q_events_stream_join,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "emb_cosine_topk": q_emb_cosine_topk,
@@ -2178,6 +2261,21 @@ ORDER BY c.c_nationkey
 SELECT user_id, count(*) FILTER (WHERE event_type = 'click') AS n_click, count(*) FILTER (WHERE event_type = 'error') AS n_error, count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase, count(*) FILTER (WHERE event_type = 'signup') AS n_signup, count(*) FILTER (WHERE event_type = 'view') AS n_view,
        round(sum(value), 6) AS total_value
 FROM events GROUP BY user_id ORDER BY user_id
+""",
+        "events_stream_join": f"""
+WITH p AS (
+  SELECT user_id, event_id AS p_event_id, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, event_id AS c_event_id, epoch_us(ts) AS c_us
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.user_id, p.p_event_id, c.c_event_id,
+       round((c.c_us - p.p_us) / 1000000.0, 3) AS gap_sec
+FROM p JOIN c
+  ON c.user_id = p.user_id
+ AND c.c_us > p.p_us AND c.c_us <= p.p_us + {24 * 3600 * 10**6}
+ORDER BY p.p_event_id, c.c_event_id
 """,
         "events_stream_enrich": """
 SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 6) AS sum_value
