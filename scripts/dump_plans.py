@@ -94,6 +94,18 @@ p_partkey = l_partkey conjunct, so the join stays a broadcast hash join
 with the disjunction evaluated as a post-join filter; the residual
 brand/size/type predicates are pushed into the part scan as an OR
 filter.""",
+    "tpch_q18": """HAVING-driven join: the big-order aggregate (tiny after the
+sum > 250 filter) joins orders first, then customer — both hash joins
+with the aggregate side build; quantities never re-scan lineitem
+because the HAVING subquery IS the quantity source.""",
+    "text_bm25": """BM25: per-term tf columns are scan-stage array expressions
+(no explode), corpus stats collapse to ONE row broadcast back over the
+scan (the 1-row BroadcastNestedLoopJoin is the scalar cross-join
+pattern), and the ranking is TakeOrderedAndProject — partial top-k per
+partition, k rows to the driver, no full sort.""",
+    "events_pivot": """PIVOT with explicit values: one hash aggregate computes all
+five conditional counts (no distinct-scan of the pivot column, no
+per-value union); the value-sum side joins back broadcast.""",
 }
 
 spark = (
