@@ -1251,6 +1251,18 @@ def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BM25 = dict(terms=["hash", "join", "spark"], topk=25)
+TFIDF_TOPK = 3
+
+
+def q_docs_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by TF-IDF via the
+    inverted-index plan (explode -> two reused-partitioning aggregates
+    -> broadcast scalar -> one window pass)."""
+    from symtseries_spark.operators.retrieval import tfidf_top_terms
+
+    return tfidf_top_terms(
+        load(spark, sf_dir, "documents"), topk=TFIDF_TOPK
+    ).orderBy("doc_id", "rank")
 
 
 def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1741,6 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_stream": q_dedup_minhash_stream,
         "dedup_clusters": q_dedup_clusters,
         "text_bm25": q_text_bm25,
+        "docs_tfidf": q_docs_tfidf,
         "events_pivot": q_events_pivot,
         "events_stream_enrich": q_events_stream_enrich,
         "events_stream_join": q_events_stream_join,
@@ -2257,6 +2270,7 @@ ORDER BY c.c_nationkey
         "dedup_jaccard": ot.jaccard_pairs_sql(**JACCARD),
         "dedup_minhash_lsh": ot.minhash_lsh_pairs_sql(**MINHASH),
         "text_bm25": ot.bm25_topk_sql(**BM25),
+        "docs_tfidf": ot.tfidf_top_terms_sql(topk=TFIDF_TOPK) + " ORDER BY doc_id, rank",
         "events_pivot": """
 SELECT user_id, count(*) FILTER (WHERE event_type = 'click') AS n_click, count(*) FILTER (WHERE event_type = 'error') AS n_error, count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase, count(*) FILTER (WHERE event_type = 'signup') AS n_signup, count(*) FILTER (WHERE event_type = 'view') AS n_view,
        round(sum(value), 6) AS total_value

@@ -24,6 +24,47 @@ from ..functions.text import tokens
 __all__ = ["bm25_topk"]
 
 
+def tfidf_top_terms(
+    docs: DataFrame,
+    *,
+    topk: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document keyword extraction: the ``topk`` terms by TF-IDF
+    (``tf * ln(N / df)``) -> ``(doc_id, term, tfidf, rank)``.
+
+    The inverted-index shape: explode tokens -> per-(doc, term) counts
+    (map-side combinable), document frequencies from a second aggregate
+    over the SAME shuffled relation (reusing its partitioning), corpus
+    size as a broadcast scalar row, then one window pass per doc for the
+    top-k. Ties break on the term, so output is deterministic.
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_row = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df_t, "term")
+        .join(F.broadcast(n_row))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     *,

@@ -237,6 +237,31 @@ FROM c GROUP BY {group}, shard_id ORDER BY {group}, shard_id
 """
 
 
+def tfidf_top_terms_sql(*, topk: int, table: str = "documents") -> str:
+    """Oracle for retrieval.tfidf_top_terms (same expression shape:
+    tf * ln(n / df), integer-to-double division on both engines)."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tokens_expr()}) AS term FROM {table}
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (SELECT count(*) AS n FROM {table}),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(n.n / dft.df), 6) AS tfidf
+  FROM tf JOIN dft USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= {topk}
+"""
+
+
 def bm25_topk_sql(
     *,
     terms: list[str],
