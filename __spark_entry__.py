@@ -740,6 +740,25 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _write_sentinel_parquet(path: str, ts, user_id: int = -1) -> None:
+    """Write a one-row (user_id, event_id, ts_t, value) sentinel parquet
+    directly with pyarrow — a 1-row Spark job costs 5-9 s of scheduling
+    per file (measured), pure file IO costs ~1 ms. The sentinel only
+    advances the watermark; its exact value never reaches the output."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "user_id": pa.array([user_id], pa.int64()),
+            "event_id": pa.array([-1], pa.int64()),
+            "ts_t": pa.array([ts], pa.timestamp("us")),
+            "value": pa.array([0.0], pa.float64()),
+        }
+    )
+    pq.write_table(table, path)
+
+
 def q_sax_event_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time windows through a REAL stream with controlled lateness:
     events are replayed as one file per 5-window span of event time
@@ -790,15 +809,8 @@ def q_sax_event_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentinel_days = (EVENT_STREAM_SPAN_WINDOWS + 3) * EVENT_WINDOW_DAYS
     mx = ev.agg(F.max("ts_t")).first()[0]
     for j in range(2):
-        sent = spark.createDataFrame(
-            [(-1, -1, mx + timedelta(days=sentinel_days + j), 0.0)],
-            ev.schema,
-        )
-        d = f"{tmp}/sent{j}"
-        sent.coalesce(1).write.parquet(d)
-        part = globmod.glob(f"{d}/part-*.parquet")[0]
         dst = f"{indir}/b{len(batch_dirs) + j:04d}.parquet"
-        os.rename(part, dst)
+        _write_sentinel_parquet(dst, mx + timedelta(days=sentinel_days + j))
         os.utime(dst, (t0 + len(batch_dirs) + j, t0 + len(batch_dirs) + j))
 
     stream = (
@@ -1557,15 +1569,8 @@ def q_events_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentinel_days = SESSION_STREAM_SPAN_DAYS + 3
     mx = ev.agg(F.max("ts_t")).first()[0]
     for j in range(2):
-        sent = spark.createDataFrame(
-            [(-1, -1, mx + timedelta(days=sentinel_days + j), 0.0)],
-            ev.schema,
-        )
-        d = f"{tmp}/sent{j}"
-        sent.coalesce(1).write.parquet(d)
-        part = globmod.glob(f"{d}/part-*.parquet")[0]
         dst = f"{indir}/b{len(batch_dirs) + j:04d}.parquet"
-        os.rename(part, dst)
+        _write_sentinel_parquet(dst, mx + timedelta(days=sentinel_days + j))
         os.utime(dst, (t0 + len(batch_dirs) + j, t0 + len(batch_dirs) + j))
 
     stream = (
