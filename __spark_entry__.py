@@ -1287,6 +1287,24 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(load(spark, sf_dir, "documents"), **BM25)
 
 
+def q_emb_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA profile: per-(label, dimension) mean/std over the
+    vector corpus — the drift/collapse check a training pipeline runs
+    before trusting an embedding table. posexplode + one map-side-
+    combinable groupBy; output is labels x dims, independent of corpus
+    size."""
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.round(F.avg("x"), 6).alias("mean_x"),
+            F.round(F.stddev_pop("x"), 6).alias("std_x"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup endgame: near-dup PAIRS (MinHash-LSH) -> connected
     components -> per-doc canonical id + cluster size. An ITERATIVE
@@ -1759,6 +1777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "text_bm25": q_text_bm25,
         "docs_tfidf": q_docs_tfidf,
+        "emb_dim_profile": q_emb_dim_profile,
         "events_pivot": q_events_pivot,
         "events_stream_enrich": q_events_stream_enrich,
         "events_stream_join": q_events_stream_join,
@@ -2276,6 +2295,13 @@ ORDER BY c.c_nationkey
         "dedup_minhash_lsh": ot.minhash_lsh_pairs_sql(**MINHASH),
         "text_bm25": ot.bm25_topk_sql(**BM25),
         "docs_tfidf": ot.tfidf_top_terms_sql(topk=TFIDF_TOPK) + " ORDER BY doc_id, rank",
+        "emb_dim_profile": """
+SELECT label, CAST(i AS INT) AS dim,
+       round(avg(embedding[i + 1]), 6) AS mean_x,
+       round(stddev_pop(embedding[i + 1]), 6) AS std_x
+FROM embeddings, range(64) t(i)
+GROUP BY label, dim ORDER BY label, dim
+""",
         "events_pivot": """
 SELECT user_id, count(*) FILTER (WHERE event_type = 'click') AS n_click, count(*) FILTER (WHERE event_type = 'error') AS n_error, count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase, count(*) FILTER (WHERE event_type = 'signup') AS n_signup, count(*) FILTER (WHERE event_type = 'view') AS n_view,
        round(sum(value), 6) AS total_value
