@@ -1403,6 +1403,26 @@ def q_dedup_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 HIST_BUCKETS = 20
 
 
+def q_events_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile statistics via ntile (SQL-standard distribution: the first
+    n mod k buckets take the extra row) — rank-based profiling over the
+    same single window shuffle as the other ranking ops."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("value", "event_id")
+    d = load(spark, sf_dir, "events").withColumn("decile", F.ntile(10).over(w))
+    return (
+        d.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+        .orderBy("decile")
+    )
+
+
 def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width value histogram per event type: bucket edges from the
     global min/max (two-pass, both aggregations map-side combinable).
@@ -1765,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_rollup": q_docs_rollup,
         "events_lag_delta": q_events_lag_delta,
         "events_histogram": q_events_histogram,
+        "events_ntile": q_events_ntile,
         "events_quantiles": q_events_quantiles,
         "docs_setops": q_docs_setops,
         "text_quality": q_text_quality,
@@ -2189,6 +2210,18 @@ WITH e AS (
 SELECT user_id, min(ts_us) AS start_us, count(*) AS n_events,
        round(sum(value), 6) AS sum_value
 FROM g GROUP BY user_id, sid ORDER BY user_id, start_us
+""",
+        "events_ntile": """
+WITH d AS (
+  SELECT user_id, value,
+         ntile(10) OVER (PARTITION BY user_id ORDER BY value, event_id) AS decile
+  FROM events
+)
+SELECT decile, count(*) AS n,
+       round(avg(value), 6) AS avg_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM d GROUP BY decile ORDER BY decile
 """,
         "events_histogram": f"""
 WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)

@@ -206,3 +206,42 @@ class TestConnectedComponents:
         verts = spark.createDataFrame([(v,) for v in range(n)], "v long")
         got = {r.v: r.canonical_id for r in connected_components(edges, verts).collect()}
         assert got == {v: 0 for v in range(n)}
+
+
+class TestAsofProperty:
+    def test_random_graphs_vs_bruteforce(self, spark):
+        # randomized (seeded) micro-corpora: keys with empty sides,
+        # boundary-equal timestamps, tolerance cutoffs
+        import random
+
+        rng = random.Random(1234)
+        for trial in range(5):
+            nl, nr = rng.randint(0, 12), rng.randint(0, 12)
+            keys = [1, 2]
+            left = [(rng.choice(keys), rng.randint(0, 30), i) for i in range(nl)]
+            # unique right ts per key so the at-or-before winner is unique
+            right = []
+            used = set()
+            for j in range(nr):
+                k, t = rng.choice(keys), rng.randint(0, 30)
+                if (k, t) in used:
+                    continue
+                used.add((k, t))
+                right.append((k, t, float(j)))
+            tol = rng.choice([None, 5, 10])
+            ldf = spark.createDataFrame(left or [(99, 0, 0)], "k long, t long, lid long")
+            rdf = spark.createDataFrame(right or [(98, 0, 0.0)], "k long, rt long, v double")
+            got = {
+                r.lid: (r.rt, r.v)
+                for r in asof_join(
+                    ldf, rdf, on="k", left_ts="t", right_ts="rt",
+                    right_cols=["v"], tolerance=tol,
+                ).collect()
+            }
+            for k, t, lid in (left or [(99, 0, 0)]):
+                cands = [
+                    (rt, v) for (rk, rt, v) in (right or [(98, 0, 0.0)])
+                    if rk == k and rt <= t and (tol is None or rt >= t - tol)
+                ]
+                want = max(cands, key=lambda c: c[0]) if cands else (None, None)
+                assert got[lid] == want, (trial, k, t, tol, got[lid], want)
