@@ -976,6 +976,23 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_FACTOR = 4
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media resize plumbing (Arrow-batched mapInPandas over binary
+    payloads): deterministic byte-stride downsample standing in for
+    PIL resize — same schema/batching/partitioning as the real thing,
+    so the plan and the bytes are both oracle-checked."""
+    from symtseries_spark.operators.multimodal import resize_media
+
+    media = media_from_documents(load(spark, sf_dir, "documents"))
+    return resize_media(media, factor=RESIZE_FACTOR).select(
+        "media_id", "orig_len", "new_len",
+        F.decode("thumb", "UTF-8").alias("thumb_text"),
+    )
+
+
 def q_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_from_documents(load(spark, sf_dir, "documents"))
     decoded = decode_media(media, allow_fake=True)
@@ -1814,6 +1831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_byte_histogram": q_media_byte_histogram,
         "media_frame_sample": q_media_frame_sample,
         "media_decode_features": q_media_decode_features,
+        "media_resize": q_media_resize,
     }
 
 
@@ -2409,4 +2427,5 @@ ORDER BY c.doc_id
         "media_byte_histogram": om.byte_histogram_sql(bins=HIST_BINS),
         "media_frame_sample": om.frame_sample_sql(**FRAME),
         "media_decode_features": om.decode_features_sql(),
+        "media_resize": om.resize_media_sql(factor=RESIZE_FACTOR),
     }

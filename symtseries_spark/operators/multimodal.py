@@ -159,6 +159,53 @@ def frame_sample(
     return media.select("media_id", payload_col).mapInPandas(frames, out_schema)
 
 
+def resize_media(
+    media: DataFrame,
+    *,
+    factor: int,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Downsample each payload by keeping every ``factor``-th byte ->
+    ``(media_id, orig_len, new_len, thumb)``. The image-resize plan
+    shape: a real deployment swaps the byte stride for PIL's
+    ``Image.resize`` inside the same Arrow-batched ``mapInPandas``
+    (schema, batching, and partitioning identical); the stride variant
+    is fully deterministic, so the plumbing itself is oracle-checked.
+    """
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("orig_len", LongType()),
+            StructField("new_len", LongType()),
+            StructField("thumb", BinaryType()),
+        ]
+    )
+
+    def shrink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, olens, nlens, thumbs = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                if payload is None:
+                    continue
+                t = bytes(payload[::factor])
+                ids.append(mid)
+                olens.append(len(payload))
+                nlens.append(len(t))
+                thumbs.append(t)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "orig_len": olens,
+                    "new_len": nlens,
+                    "thumb": thumbs,
+                }
+            ).astype({"media_id": "int64", "orig_len": "int64", "new_len": "int64"})
+
+    return media.select("media_id", payload_col).mapInPandas(shrink, out_schema)
+
+
 FEATURE_DIM = 8
 
 _DECODE_SCHEMA = StructType(

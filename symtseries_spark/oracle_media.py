@@ -55,3 +55,21 @@ SELECT media_id, kind, CAST(fi AS INT) AS fi,
        CAST('0x' || substr(h, CAST(fi * 2 + 1 AS INT), 2) AS INT) / 255.0 AS feature
 FROM feats
 """
+
+
+def resize_media_sql(*, factor: int, table: str = "documents") -> str:
+    """Oracle for multimodal.resize_media: byte-stride downsample of the
+    ASCII payload, reassembled with an ordered string_agg."""
+    return f"""
+WITH chars AS (
+  SELECT doc_id AS media_id, len(text) AS orig_len,
+         unnest(range(0, len(text))) AS i, text
+  FROM {table}
+)
+SELECT media_id, CAST(orig_len AS BIGINT) AS orig_len,
+       CAST(count(*) AS BIGINT) AS new_len,
+       string_agg(substr(text, CAST(i + 1 AS INT), 1), '' ORDER BY i) AS thumb_text
+FROM chars
+WHERE i % {factor} = 0
+GROUP BY media_id, orig_len
+"""
