@@ -1420,6 +1420,28 @@ def q_dedup_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 HIST_BUCKETS = 20
 
 
+def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: time-bucketed rollup at
+    two granularities in one pass (ROLLUP over day -> hour), the
+    materialized-view shape a TSDB keeps per hypertable. Buckets are
+    integer day/hour indexes from the raw nano timestamps, so both
+    engines bucket identically."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    day = (F.col("ts_us") / F.lit(86_400_000_000)).cast("long").alias("day")
+    hour = (F.col("ts_us") / F.lit(3_600_000_000)).cast("long").alias("hour")
+    return (
+        ev.select(day, hour, "value")
+        .rollup("day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("day", "hour")
+    )
+
+
 def q_events_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile statistics via ntile (SQL-standard distribution: the first
     n mod k buckets take the extra row) — rank-based profiling over the
@@ -1803,6 +1825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_lag_delta": q_events_lag_delta,
         "events_histogram": q_events_histogram,
         "events_ntile": q_events_ntile,
+        "events_time_rollup": q_events_time_rollup,
         "events_quantiles": q_events_quantiles,
         "docs_setops": q_docs_setops,
         "text_quality": q_text_quality,
@@ -2228,6 +2251,16 @@ WITH e AS (
 SELECT user_id, min(ts_us) AS start_us, count(*) AS n_events,
        round(sum(value), 6) AS sum_value
 FROM g GROUP BY user_id, sid ORDER BY user_id, start_us
+""",
+        "events_time_rollup": """
+WITH b AS (
+  SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+         CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour,
+         value
+  FROM events
+)
+SELECT day, hour, count(*) AS n, round(avg(value), 6) AS avg_value
+FROM b GROUP BY ROLLUP (day, hour) ORDER BY day, hour
 """,
         "events_ntile": """
 WITH d AS (
