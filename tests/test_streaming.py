@@ -390,3 +390,64 @@ class TestTransformWithStateParity:
         finally:
             shutil.rmtree(in_dir, ignore_errors=True)
             shutil.rmtree(chk_dir, ignore_errors=True)
+
+
+class TestStreamToBucketedIndex:
+    def test_foreachbatch_builds_pruned_index(self, spark, sf_dir):
+        """End-to-end ingest story: a live word stream lands in the
+        bucketed iSAX layout via foreachBatch (append per micro-batch),
+        and the at-rest table serves partition-pruned bucket reads that
+        match the batch-computed truth."""
+        import tempfile
+        import uuid
+
+        from symtseries_spark import pykernel as pk
+        from symtseries_spark.operators import tumbling_sax
+        from symtseries_spark.sources import load, read_words_bucket
+        from symtseries_spark.streaming import sliding_sax_stream
+
+        out_dir = tempfile.mkdtemp(prefix="stream_idx_")
+        batch_ev = load(spark, sf_dir, "events")
+        stream = (
+            spark.readStream.schema(batch_ev.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        words = sliding_sax_stream(
+            stream, key="user_id", order=["ts", "event_id"], value="value",
+            n=16, w=4, c=8,
+        ).select(
+            F.col("user_id").alias("series_key"),
+            F.col("event_id").alias("window_id"),
+            "sax_word",
+        )
+
+        from symtseries_spark.sources import write_words_bucketed
+
+        def sink(batch_df, batch_id):
+            write_words_bucketed(batch_df, out_dir, c=8, coarse_c=2, mode="append")
+
+        q = (
+            words.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="idx_chk_"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        # pick a populated full-window word and read only its bucket
+        full = [
+            r.sax_word
+            for r in spark.read.parquet(out_dir).collect()
+            if "#" not in r.sax_word
+        ]
+        assert full, "no complete windows streamed"
+        target = full[0]
+        got = read_words_bucket(spark, out_dir, target, c=8, coarse_c=2)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        expected_bucket = pk.coarsen(target, 8, 2)
+        rows = got.collect()
+        assert rows and all(
+            pk.coarsen(r.sax_word, 8, 2) == expected_bucket for r in rows
+        )
