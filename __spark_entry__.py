@@ -1042,6 +1042,36 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("click_event_id")
 
 
+ASOF_TOL_US = 3 * 86400 * 10**6  # 3-day as-of match horizon
+
+
+def q_events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match horizon: purchases older than 3 days are
+    NULLed (same plan as the unbounded as-of — the tolerance is a
+    post-window predicate, not a different join)."""
+    ev = load(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts div 1000"))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_event_id"), "ts_us"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("ts_us").alias("p_ts_us"),
+    )
+    j = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts_us",
+        right_ts="p_ts_us",
+        right_cols=["purchase_event_id"],
+        tolerance=ASOF_TOL_US,
+    )
+    return j.select(
+        "user_id", "click_event_id", "purchase_event_id"
+    ).orderBy("click_event_id")
+
+
 def q_events_interval_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded interval join (time-bucketed equi-join, no nested loop):
     per purchase, count/sum the same user's clicks in the following day.
@@ -1814,6 +1844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
         "events_asof_join": q_events_asof_join,
+        "events_asof_tolerance": q_events_asof_tolerance,
         "docs_kmv_distinct": q_docs_kmv_distinct,
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_pack_shards": q_docs_pack_shards,
@@ -2180,6 +2211,24 @@ SELECT lang, n_exact,
                   THEN {float(KMV_K - 1)} * 1152921504606846976.0 / kth
                   ELSE CAST(n_exact AS DOUBLE) END, 3) AS est_distinct
 FROM a ORDER BY lang
+""",
+        "events_asof_tolerance": f"""
+WITH c AS (
+  SELECT user_id, event_id AS click_event_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, event_id AS purchase_event_id, epoch_us(ts) AS p_ts_us
+  FROM events WHERE event_type = 'purchase'
+), m AS (
+  SELECT c.user_id, c.click_event_id, c.ts_us,
+         p.purchase_event_id, p.p_ts_us
+  FROM c ASOF LEFT JOIN p
+    ON c.user_id = p.user_id AND p.p_ts_us <= c.ts_us
+)
+SELECT user_id, click_event_id,
+       CASE WHEN p_ts_us >= ts_us - {ASOF_TOL_US}
+            THEN purchase_event_id END AS purchase_event_id
+FROM m ORDER BY click_event_id
 """,
         "events_asof_join": """
 WITH c AS (
