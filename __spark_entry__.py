@@ -1450,6 +1450,26 @@ def q_dedup_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 HIST_BUCKETS = 20
 
 
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TSDB gap filling: daily per-user averages densified over the
+    global day range with last-observation-carried-forward (the
+    time_bucket_gapfill + locf shape). Dense axis generated per key
+    (explode(sequence)), fill is one running window on the same key
+    partitioning."""
+    from symtseries_spark.operators.joins import gapfill_locf
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", (F.expr("ts div 1000") / F.lit(86_400_000_000)).cast("long")
+    )
+    daily = ev.groupBy("user_id", "day").agg(
+        F.round(F.avg("value"), 6).alias("avg_value")
+    )
+    lo, hi = daily.agg(F.min("day"), F.max("day")).first()
+    return gapfill_locf(
+        daily, key="user_id", bucket="day", value="avg_value", lo=lo, hi=hi
+    ).orderBy("user_id", "day")
+
+
 def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous aggregate: time-bucketed rollup at
     two granularities in one pass (ROLLUP over day -> hour), the
@@ -1857,6 +1877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_histogram": q_events_histogram,
         "events_ntile": q_events_ntile,
         "events_time_rollup": q_events_time_rollup,
+        "events_gapfill": q_events_gapfill,
         "events_quantiles": q_events_quantiles,
         "docs_setops": q_docs_setops,
         "text_quality": q_text_quality,
@@ -2300,6 +2321,26 @@ WITH e AS (
 SELECT user_id, min(ts_us) AS start_us, count(*) AS n_events,
        round(sum(value), 6) AS sum_value
 FROM g GROUP BY user_id, sid ORDER BY user_id, start_us
+""",
+        "events_gapfill": """
+WITH daily AS (
+  SELECT user_id,
+         CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+         round(avg(value), 6) AS avg_value
+  FROM events GROUP BY user_id, day
+), bounds AS (
+  SELECT min(day) AS lo, max(day) AS hi FROM daily
+), dense AS (
+  SELECT k.user_id, unnest(range(b.lo, b.hi + 1)) AS day
+  FROM (SELECT DISTINCT user_id FROM daily) k, bounds b
+)
+SELECT d.user_id, d.day,
+       last_value(daily.avg_value IGNORE NULLS) OVER (
+         PARTITION BY d.user_id ORDER BY d.day
+         ROWS UNBOUNDED PRECEDING) AS avg_value,
+       daily.avg_value IS NULL AS is_filled
+FROM dense d LEFT JOIN daily ON d.user_id = daily.user_id AND d.day = daily.day
+ORDER BY d.user_id, d.day
 """,
         "events_time_rollup": """
 WITH b AS (

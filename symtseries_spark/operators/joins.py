@@ -155,6 +155,49 @@ def interval_join(
     return joined.unionByName(missing)
 
 
+def gapfill_locf(
+    buckets: DataFrame,
+    *,
+    key: str,
+    bucket: str,
+    value: str,
+    lo: int,
+    hi: int,
+) -> DataFrame:
+    """Time-bucket gap filling with last-observation-carried-forward —
+    the TSDB ``time_bucket_gapfill(..) + locf(..)`` shape. ``buckets``
+    holds one row per observed ``(key, bucket)``; the output has one row
+    per key for EVERY bucket in ``[lo, hi]``, with missing buckets
+    filled by the key's previous value (NULL before the first
+    observation) and flagged ``is_filled``.
+
+    Scale shape: the dense axis is generated per key with
+    ``explode(sequence(lo, hi))`` — no cross join, no driver-side
+    range materialization — and the fill is one ``last(ignorenulls)``
+    running window sharing the join's key partitioning. Cost is
+    O(keys x buckets) output rows, which is the answer's own size.
+    """
+    if hi < lo:
+        raise ValueError("gapfill_locf requires hi >= lo")
+    keys = buckets.select(F.col(key)).distinct()
+    dense = keys.select(
+        F.col(key),
+        F.explode(F.sequence(F.lit(lo), F.lit(hi))).alias(bucket),
+    )
+    joined = dense.join(buckets, [key, bucket], "left")
+    w = (
+        Window.partitionBy(key)
+        .orderBy(bucket)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col(key),
+        F.col(bucket),
+        F.last(value, ignorenulls=True).over(w).alias(value),
+        F.col(value).isNull().alias("is_filled"),
+    )
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,

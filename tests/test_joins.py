@@ -245,3 +245,24 @@ class TestAsofProperty:
                 ]
                 want = max(cands, key=lambda c: c[0]) if cands else (None, None)
                 assert got[lid] == want, (trial, k, t, tol, got[lid], want)
+
+
+class TestGapfill:
+    def test_locf_and_flags(self, spark):
+        from symtseries_spark.operators.joins import gapfill_locf
+
+        df = spark.createDataFrame(
+            [(1, 10, 1.0), (1, 13, 2.0), (2, 11, 5.0)],
+            "k long, b long, v double",
+        )
+        got = {
+            (r.k, r.b): (r.v, r.is_filled)
+            for r in gapfill_locf(df, key="k", bucket="b", value="v",
+                                  lo=10, hi=13).collect()
+        }
+        assert got == {
+            (1, 10): (1.0, False), (1, 11): (1.0, True),
+            (1, 12): (1.0, True), (1, 13): (2.0, False),
+            (2, 10): (None, True), (2, 11): (5.0, False),
+            (2, 12): (5.0, True), (2, 13): (5.0, True),
+        }
