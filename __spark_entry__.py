@@ -674,14 +674,10 @@ def q_sax_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
+    from symtseries_spark.sources import load_events_stream
     from symtseries_spark.streaming import sliding_sax_stream
 
-    batch = load(spark, sf_dir, "events")
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = load_events_stream(spark, sf_dir)
     words = sliding_sax_stream(
         stream, key="user_id", order=["ts", "event_id"], value="value", **SLIDE
     )

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region",
@@ -27,11 +28,45 @@ TABLES = (
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
-    # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    # rejects; read it as raw nanosecond longs instead. Ordering (its only
-    # role in the engine) is identical to the native nanosecond timestamp.
+    # events.ts arrives in one of two parquet vintages: TIMESTAMP(NANOS)
+    # (read as raw nanosecond longs via the legacy flag) or
+    # TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). Canonicalize both to
+    # epoch-nanosecond longs so every downstream `ts div 1000` site and
+    # DuckDB `epoch_us(ts)` oracle sees the same value. timestampdiff is
+    # session-timezone-independent (NTZ arithmetic, no epoch cast).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return canonicalize_events(df) if name == "events" else df
+
+
+def canonicalize_events(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to epoch-nanosecond longs
+    regardless of parquet vintage (works on batch and streaming frames)."""
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return df
+    return df.withColumn(
+        "ts",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            " cast(ts AS TIMESTAMP_NTZ))"
+        )
+        * F.lit(1000),
+    )
+
+
+def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``load(spark, sf_dir, "events")``: reads the
+    events file with its NATIVE parquet schema (a stream's declared
+    schema must match the files on disk) and applies the same ``ts``
+    canonicalization, so streaming and batch plans see identical types."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return canonicalize_events(stream)
 
 
 def load_series(

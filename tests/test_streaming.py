@@ -403,16 +403,11 @@ class TestStreamToBucketedIndex:
 
         from symtseries_spark import pykernel as pk
         from symtseries_spark.operators import tumbling_sax
-        from symtseries_spark.sources import load, read_words_bucket
+        from symtseries_spark.sources import load_events_stream, read_words_bucket
         from symtseries_spark.streaming import sliding_sax_stream
 
         out_dir = tempfile.mkdtemp(prefix="stream_idx_")
-        batch_ev = load(spark, sf_dir, "events")
-        stream = (
-            spark.readStream.schema(batch_ev.schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+        stream = load_events_stream(spark, sf_dir)
         words = sliding_sax_stream(
             stream, key="user_id", order=["ts", "event_id"], value="value",
             n=16, w=4, c=8,
