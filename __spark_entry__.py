@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from symtseries_spark import oracle as oc
@@ -1826,6 +1826,160 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rev_decimal() -> Column:
+    """Decimal-exact extended revenue: identical digit-for-digit on Spark
+    and DuckDB (both use exact decimal multiply/sum), so hashes match."""
+    return F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)")
+    )
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q4 shape (order-priority checking, adapted: this testdata has
+    no commit/receipt dates, so the EXISTS predicate is 'has a returned
+    lineitem'). Catalyst plans the EXISTS as a LEFT SEMI join — lineitem
+    is pre-filtered and only l_orderkey survives the scan."""
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    returned = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q8 (national market share): ECONOMY-part revenue in the ASIA
+    customer region, per order year, with the share attributed to
+    NATION_7 suppliers. Two independent nation dims (supplier-side and
+    customer-side) both broadcast; region restriction prunes via the
+    broadcast nation->region join before the fact shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    part = load(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    cn = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"), "left_semi")
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    rev = _rev_decimal()
+    target = F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(target).cast("double") / F.sum(rev).cast("double"), 6
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q9 shape (product-type profit, adapted: no partsupp table, so
+    profit is discounted revenue rather than revenue minus supply cost).
+    Per supplier-nation per ship year over widget parts; part dim
+    broadcast, nation broadcast, one fact shuffle for the groupBy."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    j = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(_rev_decimal()).cast("double"), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q15 (top supplier): per-supplier revenue over one quarter,
+    then the supplier(s) hitting the global max. The max runs over the
+    already-aggregated |suppliers|-row relation (an unpartitioned window
+    on a reduced input — a single-partition reduce of tiny data, not a
+    full-data serialization). Revenue is decimal-exact so the equality
+    against max is well-defined on both engines."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = load(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev_decimal()).alias("total_rev"))
+    )
+    w = Window.partitionBy()
+    top = rev.withColumn("mx", F.max("total_rev").over(w)).where(
+        F.col("total_rev") == F.col("mx")
+    )
+    return (
+        top.join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev").cast("double"), 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q21 shape (suppliers who kept orders waiting, adapted: the
+    'late' signal is l_returnflag = 'R' instead of receipt-past-commit).
+    A supplier qualifies per order when the order spans >= 2 distinct
+    suppliers and they are the ONLY supplier with a returned line —
+    the standard EXISTS / NOT EXISTS pair collapsed into one per-order
+    aggregate (one fact shuffle instead of two self-joins)."""
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    r_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(r_supp).alias("n_r_supp"),
+        F.max(r_supp).alias("r_suppkey"),
+    )
+    qual = per_order.where((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
+    return (
+        qual.join(F.broadcast(supp), F.col("r_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sax_sliding_words": q_sax_sliding_words,
@@ -1859,6 +2013,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q21": q_tpch_q21,
         "events_asof_join": q_events_asof_join,
         "events_asof_tolerance": q_events_asof_tolerance,
         "docs_kmv_distinct": q_docs_kmv_distinct,
@@ -2205,6 +2364,72 @@ WHERE (p_brand = 'Brand#12' AND p_type LIKE 'PROMO%'
        AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
    OR (p_brand = 'Brand#3'
        AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+""",
+        "tpch_q4": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+        "tpch_q8": """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(
+         CAST(sum(CASE WHEN n2.n_name = 'NATION_7'
+                  THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+         / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE),
+         6) AS mkt_share
+FROM lineitem
+JOIN part ON p_partkey = l_partkey AND p_type = 'ECONOMY'
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n1.n_regionkey AND r_name = 'ASIA'
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n2 ON n2.n_nationkey = s_nationkey
+GROUP BY o_year ORDER BY o_year
+""",
+        "tpch_q9": """
+SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE), 2) AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey AND p_name LIKE '%widget%'
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+GROUP BY n_name, o_year ORDER BY n_name, o_year DESC
+""",
+        "tpch_q15": """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       round(CAST(total_rev AS DOUBLE), 2) AS total_revenue
+FROM rev JOIN supplier ON s_suppkey = supplier_no
+WHERE total_rev = (SELECT max(total_rev) FROM rev)
+ORDER BY s_suppkey
+""",
+        "tpch_q21": """
+WITH per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_r_supp,
+         max(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS r_suppkey
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT s_name, count(*) AS numwait
+FROM per_order JOIN supplier ON s_suppkey = r_suppkey
+WHERE n_supp >= 2 AND n_r_supp = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
 """,
         "docs_stratified_sample": ot.stratified_sample_sql(
             stratum="lang", fraction=SAMPLE_FRACTION,
