@@ -1980,6 +1980,60 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANOM_WINDOW = 32     # trailing rows per z-score frame
+ANOM_THRESHOLD = 3.0  # |z| >= threshold -> anomaly (on the rounded z)
+EWMA_P = dict(alpha=0.25, window=16)  # 0.25/0.75 are binary-exact literals
+TOP_TERMS_K = 30
+TOP_TERMS_MIN_LEN = 3
+
+
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection per user series: one shuffle on
+    user_id, one WindowExec pass with a bounded 32-row frame, filter on
+    the ROUNDED z so the anomaly row-set is engine-reproducible."""
+    from symtseries_spark.operators import rolling_zscore
+
+    ev = load(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts div 1000"))
+    z = rolling_zscore(
+        ev, key="user_id", order=["ts_us", "event_id"], value="value",
+        window=ANOM_WINDOW,
+    )
+    return z.where(F.abs(F.col("zscore")) >= ANOM_THRESHOLD).select(
+        "user_id", "event_id", "n_window", "zscore"
+    )
+
+
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window EWMA per user series: collect_list over a bounded
+    frame + a JVM higher-order fold — bit-identical on any engine that
+    folds left with the same multiply-add lambda."""
+    from symtseries_spark.operators import ewma
+
+    ev = load(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts div 1000"))
+    e = ewma(
+        ev, key="user_id", order=["ts_us", "event_id"], value="value", **EWMA_P
+    )
+    return e.select("user_id", "event_id", "ewma")
+
+
+def q_docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (top terms by occurrences + doc_freq)."""
+    from symtseries_spark.operators.retrieval import top_terms
+
+    return top_terms(
+        load(spark, sf_dir, "documents"),
+        topk=TOP_TERMS_K,
+        min_len=TOP_TERMS_MIN_LEN,
+    )
+
+
+def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition profile (dup_ratio / top_share filters)."""
+    from symtseries_spark.operators.retrieval import repetition_metrics
+
+    return repetition_metrics(load(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sax_sliding_words": q_sax_sliding_words,
@@ -2018,6 +2072,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q9": q_tpch_q9,
         "tpch_q15": q_tpch_q15,
         "tpch_q21": q_tpch_q21,
+        "events_anomaly": q_events_anomaly,
+        "events_ewma": q_events_ewma,
+        "docs_top_terms": q_docs_top_terms,
+        "docs_repetition": q_docs_repetition,
         "events_asof_join": q_events_asof_join,
         "events_asof_tolerance": q_events_asof_tolerance,
         "docs_kmv_distinct": q_docs_kmv_distinct,
@@ -2431,6 +2489,52 @@ GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 20
 """,
+        "events_anomaly": f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(value AS DOUBLE) AS x
+  FROM events
+), w AS (
+  SELECT user_id, event_id, x,
+         count(x) OVER fr AS n_window,
+         sum(x) OVER fr AS s1,
+         sum(x * x) OVER fr AS s2
+  FROM e WINDOW fr AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN {ANOM_WINDOW - 1} PRECEDING AND CURRENT ROW)
+), z AS (
+  SELECT user_id, event_id, n_window,
+         CASE WHEN s2 / n_window - (s1 / n_window) * (s1 / n_window) > 0
+              THEN round((x - s1 / n_window)
+                         / sqrt(s2 / n_window - (s1 / n_window) * (s1 / n_window)), 4)
+         END AS zscore
+  FROM w
+)
+SELECT user_id, event_id, n_window, zscore
+FROM z WHERE abs(zscore) >= {ANOM_THRESHOLD}
+""",
+        "events_ewma": f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(value AS DOUBLE) AS x
+  FROM events
+), w AS (
+  SELECT user_id, event_id,
+         list(x) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN {EWMA_P["window"] - 1} PRECEDING AND CURRENT ROW)
+           AS vals
+  FROM e
+)
+SELECT user_id, event_id,
+       round(list_reduce(vals,
+             (acc, x) -> CAST({EWMA_P["alpha"]} AS DOUBLE) * x
+                       + CAST({1.0 - EWMA_P["alpha"]} AS DOUBLE) * acc), 6)
+         AS ewma
+FROM w
+""",
+        "docs_top_terms": ot.top_terms_sql(
+            topk=TOP_TERMS_K, min_len=TOP_TERMS_MIN_LEN
+        ),
+        "docs_repetition": ot.repetition_sql(),
         "docs_stratified_sample": ot.stratified_sample_sql(
             stratum="lang", fraction=SAMPLE_FRACTION,
         ),

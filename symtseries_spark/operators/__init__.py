@@ -25,6 +25,10 @@ from .joins import (
     salted_join,
     sessionize,
 )
+from .timeseries import (
+    ewma,
+    rolling_zscore,
+)
 from .dedup import (
     exact_dedup_map,
     jaccard_pairs,
@@ -47,7 +51,9 @@ from .simsearch import (
 __all__ = [
     "allpairs_within",
     "asof_join",
+    "ewma",
     "gapfill_locf",
+    "rolling_zscore",
     "interval_join",
     "salted_join",
     "sessionize",

@@ -21,7 +21,80 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_topk", "repetition_metrics", "tfidf_top_terms", "top_terms"]
+
+
+def top_terms(
+    docs: DataFrame,
+    *,
+    topk: int,
+    min_len: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide exact heavy hitters: the ``topk`` terms by total
+    occurrence count -> ``(term, occurrences, doc_freq)``.
+
+    One explode + one groupBy(term): occurrence counts partially
+    aggregate map-side before the shuffle, and doc_freq rides the same
+    shuffle as ``count(DISTINCT doc_id)`` (Spark plans it as a two-phase
+    expand over the already-shuffled relation). The final top-k is a
+    TakeOrderedAndProject — k rows to the driver, never the term table.
+    Ties break on the term string, so output is deterministic.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    ).where(F.length("term") >= min_len)
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("occurrences"), "term")
+        .limit(topk)
+    )
+
+
+def repetition_metrics(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document repetition profile for corpus quality filtering:
+    ``(doc_id, n_tokens, n_distinct, dup_ratio, top_share)`` where
+    ``dup_ratio = 1 - distinct/total`` (fraction of tokens that repeat
+    an earlier one) and ``top_share`` is the most frequent token's share
+    of the document. Documents with zero tokens are dropped.
+
+    Shape: explode -> per-(doc, term) counts (map-side combinable) ->
+    one per-doc aggregate. Both aggregations shuffle on doc_id-prefixed
+    keys, so the second reuses the first's partitioning. Ratios are
+    integer-division-to-double in a fixed expression shape and rounded,
+    so any SQL engine reproduces them exactly.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    per_term = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    total = F.sum("tf").cast("double")
+    return (
+        per_term.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(
+                F.lit(1.0) - F.count(F.lit(1)).cast("double") / total, round_to
+            ).alias("dup_ratio"),
+            F.round(F.max("tf").cast("double") / total, round_to).alias(
+                "top_share"
+            ),
+        )
+    )
 
 
 def tfidf_top_terms(

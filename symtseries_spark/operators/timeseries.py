@@ -1,0 +1,104 @@
+"""Trailing-window time-series operators: rolling z-score anomaly
+scoring and exponentially-weighted moving averages.
+
+Both operate per-series with a bounded ``rowsBetween`` frame, so the
+plan is one shuffle on the series key and a single WindowExec pass —
+state per row is O(window), independent of series length, which is the
+shape that survives 100 TB (no per-series collect, no global sort).
+
+Reference parity: the reference engine has no anomaly/EWMA kernels;
+these extend the engine's windowed-series surface (SURVEY.md §2.3) the
+same way its sliding SAX windows do (symtseries.c sliding ring), reusing
+the identical partition/order/frame contract as operators/windows.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rolling_zscore(
+    df: DataFrame,
+    *,
+    key: str,
+    order: Sequence[str],
+    value: str,
+    window: int,
+    round_to: int = 4,
+) -> DataFrame:
+    """Trailing-window z-score per series.
+
+    For each row, ``zscore = (x - mu) / sigma`` over the last ``window``
+    rows (current inclusive) of its series, with population sigma —
+    the same mu/sigma convention as the SAX normalization kernel
+    (functions/sax.py). Flat windows (sigma == 0) yield NULL. The
+    mean/variance are spelled out as ``sum/count`` arithmetic rather
+    than ``avg``/``stddev`` builtins so an oracle engine can reproduce
+    the exact expression shape; the result is rounded so last-ulp
+    disagreement between window-aggregation strategies cannot flip a
+    comparison downstream.
+    """
+    if window < 2:
+        raise ValueError("rolling_zscore needs window >= 2")
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    x = F.col(value).cast("double")
+    n = F.count(value).over(w).cast("double")
+    s1 = F.sum(x).over(w)
+    s2 = F.sum(x * x).over(w)
+    mu = s1 / n
+    var = s2 / n - mu * mu
+    z = F.when(var > 0, (x - mu) / F.sqrt(var))
+    return df.withColumn("n_window", F.count(value).over(w)).withColumn(
+        "zscore", F.round(z, round_to)
+    )
+
+
+def ewma(
+    df: DataFrame,
+    *,
+    key: str,
+    order: Sequence[str],
+    value: str,
+    alpha: float,
+    window: int,
+    round_to: int = 6,
+) -> DataFrame:
+    """Trailing-window EWMA: fold ``y = alpha * x + (1 - alpha) * y``
+    over the last ``window`` values in series order, seeded with the
+    oldest value in the frame.
+
+    The fold runs as a JVM higher-order ``aggregate`` over the window's
+    ``collect_list`` (frame order == series order), so every engine that
+    folds left with the same lambda produces bit-identical doubles —
+    each step is one multiply-add chain in a fixed order. Memory per row
+    is O(window) doubles inside one WindowExec pass.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("ewma needs 0 < alpha <= 1")
+    if window < 1:
+        raise ValueError("ewma needs window >= 1")
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    vals = F.collect_list(F.col(value).cast("double")).over(w)
+
+    def step(acc: Column, x: Column) -> Column:
+        return F.lit(float(alpha)) * x + F.lit(1.0 - float(alpha)) * acc
+
+    def fold(v: Column) -> Column:
+        rest = F.slice(v, F.lit(2), F.greatest(F.size(v) - 1, F.lit(0)))
+        return F.aggregate(rest, F.element_at(v, 1), step)
+
+    ew = F.round(
+        F.when(F.size(vals) > 0, fold(vals)), round_to
+    )
+    return df.withColumn("ewma", ew)

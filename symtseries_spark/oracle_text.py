@@ -438,3 +438,32 @@ SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
 FROM cand
 WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
 """
+
+
+def top_terms_sql(*, topk: int, min_len: int = 3, table: str = "documents") -> str:
+    """Oracle for retrieval.top_terms (exact corpus heavy hitters)."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tokens_expr()}) AS term FROM {table}
+)
+SELECT term, count(*) AS occurrences, count(DISTINCT doc_id) AS doc_freq
+FROM tok WHERE length(term) >= {min_len}
+GROUP BY term ORDER BY occurrences DESC, term LIMIT {topk}
+"""
+
+
+def repetition_sql(*, table: str = "documents") -> str:
+    """Oracle for retrieval.repetition_metrics (same ratio expressions)."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tokens_expr()}) AS term FROM {table}
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+       round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 6)
+         AS dup_ratio,
+       round(CAST(max(tf) AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 6)
+         AS top_share
+FROM tf GROUP BY doc_id
+"""

@@ -1,0 +1,120 @@
+"""Unit tests for operators.timeseries (rolling z-score, EWMA) and the
+retrieval term-statistics operators (top_terms, repetition_metrics)."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from symtseries_spark.operators import ewma, rolling_zscore
+from symtseries_spark.operators.retrieval import repetition_metrics, top_terms
+
+
+def _series(spark, values, key=1):
+    return spark.createDataFrame(
+        [Row(k=key, i=i, v=float(v)) for i, v in enumerate(values)]
+    )
+
+
+class TestRollingZscore:
+    def test_matches_manual(self, spark):
+        vals = [1.0, 2.0, 4.0, 8.0, 16.0]
+        out = rolling_zscore(
+            _series(spark, vals), key="k", order=["i"], value="v", window=3
+        ).orderBy("i").collect()
+        for r in out:
+            lo = max(0, r.i - 2)
+            frame = vals[lo : r.i + 1]
+            n = len(frame)
+            mu = sum(frame) / n
+            var = sum(x * x for x in frame) / n - mu * mu
+            assert r.n_window == n
+            if var > 0:
+                assert r.zscore == pytest.approx(
+                    (vals[r.i] - mu) / math.sqrt(var), abs=1e-4
+                )
+
+    def test_flat_window_null(self, spark):
+        out = rolling_zscore(
+            _series(spark, [5.0, 5.0, 5.0]), key="k", order=["i"], value="v",
+            window=3,
+        ).collect()
+        assert all(r.zscore is None for r in out)
+
+    def test_window_validation(self, spark):
+        with pytest.raises(ValueError):
+            rolling_zscore(
+                _series(spark, [1.0]), key="k", order=["i"], value="v", window=1
+            )
+
+    def test_partition_isolation(self, spark):
+        df = _series(spark, [1.0, 100.0], key=1).union(
+            _series(spark, [1.0, 1.0], key=2)
+        )
+        out = {
+            (r.k, r.i): r.n_window
+            for r in rolling_zscore(
+                df, key="k", order=["i"], value="v", window=4
+            ).collect()
+        }
+        assert out[(1, 0)] == 1 and out[(2, 1)] == 2
+
+
+class TestEwma:
+    def test_matches_recursion(self, spark):
+        vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0]
+        alpha, window = 0.25, 3
+        out = ewma(
+            _series(spark, vals), key="k", order=["i"], value="v",
+            alpha=alpha, window=window,
+        ).orderBy("i").collect()
+        for r in out:
+            frame = vals[max(0, r.i - window + 1) : r.i + 1]
+            acc = frame[0]
+            for x in frame[1:]:
+                acc = alpha * x + (1 - alpha) * acc
+            assert r.ewma == pytest.approx(acc, abs=1e-6)
+
+    def test_window_one_is_identity(self, spark):
+        vals = [2.0, 7.0, 1.0]
+        out = ewma(
+            _series(spark, vals), key="k", order=["i"], value="v",
+            alpha=0.5, window=1,
+        ).orderBy("i").collect()
+        assert [r.ewma for r in out] == vals
+
+    def test_alpha_validation(self, spark):
+        with pytest.raises(ValueError):
+            ewma(_series(spark, [1.0]), key="k", order=["i"], value="v",
+                 alpha=0.0, window=4)
+
+
+class TestTermStats:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                Row(doc_id=1, text="the cat sat on the mat"),
+                Row(doc_id=2, text="the dog sat"),
+                Row(doc_id=3, text="cat cat cat"),
+            ]
+        )
+
+    def test_top_terms(self, spark):
+        out = top_terms(self._docs(spark), topk=2, min_len=3).collect()
+        assert [(r.term, r.occurrences, r.doc_freq) for r in out] == [
+            ("cat", 4, 2),
+            ("the", 3, 2),
+        ]
+
+    def test_repetition(self, spark):
+        rows = {
+            r.doc_id: r
+            for r in repetition_metrics(self._docs(spark)).collect()
+        }
+        r3 = rows[3]
+        assert r3.n_tokens == 3 and r3.n_distinct == 1
+        assert r3.dup_ratio == pytest.approx(2 / 3, abs=1e-6)
+        assert r3.top_share == pytest.approx(1.0, abs=1e-6)
+        r2 = rows[2]
+        assert r2.dup_ratio == 0.0 and r2.top_share == pytest.approx(1 / 3, abs=1e-6)
