@@ -1980,6 +1980,50 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q16 shape (parts/supplier relationship, adapted: supplier
+    counts come from lineitem since this testdata has no partsupp).
+    count(DISTINCT) per part attributes — Spark plans the distinct as a
+    two-phase expand over one shuffle; part dim broadcasts."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#45")
+        & (~F.col("p_type").like("MEDIUM%"))
+        & F.col("p_size").isin(1, 4, 7, 10, 15, 22, 25)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+ROLLING_RANGE_US = 3_600_000_000  # trailing 1 hour, inclusive bound
+
+
+def q_events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range rolling window: per event, the count and value-sum of
+    the user's events in the trailing hour (RANGE frame on the
+    microsecond axis — bounded by time, not row count, so skewed-rate
+    series cost memory proportional to their rate cap, and the plan is
+    still one shuffle + one WindowExec)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts div 1000"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-ROLLING_RANGE_US, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 3).alias("sum_1h"),
+    )
+
+
 ANOM_WINDOW = 32     # trailing rows per z-score frame
 ANOM_THRESHOLD = 3.0  # |z| >= threshold -> anomaly (on the rounded z)
 EWMA_P = dict(alpha=0.25, window=16)  # 0.25/0.75 are binary-exact literals
@@ -2072,6 +2116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q9": q_tpch_q9,
         "tpch_q15": q_tpch_q15,
         "tpch_q21": q_tpch_q21,
+        "tpch_q16": q_tpch_q16,
+        "events_rolling_1h": q_events_rolling_1h,
         "events_anomaly": q_events_anomaly,
         "events_ewma": q_events_ewma,
         "docs_top_terms": q_docs_top_terms,
@@ -2488,6 +2534,25 @@ WHERE n_supp >= 2 AND n_r_supp = 1
 GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 20
+""",
+        "tpch_q16": """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'MEDIUM%'
+  AND p_size IN (1, 4, 7, 10, 15, 22, 25)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+        "events_rolling_1h": f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
+)
+SELECT user_id, event_id,
+       count(*) OVER fr AS n_1h,
+       round(sum(value) OVER fr, 3) AS sum_1h
+FROM e WINDOW fr AS (PARTITION BY user_id ORDER BY ts_us
+                     RANGE BETWEEN {ROLLING_RANGE_US} PRECEDING AND CURRENT ROW)
 """,
         "events_anomaly": f"""
 WITH e AS (

@@ -106,6 +106,30 @@ partition, k rows to the driver, no full sort.""",
     "events_pivot": """PIVOT with explicit values: one hash aggregate computes all
 five conditional counts (no distinct-scan of the pivot column, no
 per-value union); the value-sum side joins back broadcast.""",
+    "tpch_q8": """Market share: six-table join where every dimension side
+(part, both nation roles, region-restricted customer-nation semi-join)
+broadcasts — the fact table shuffles exactly once, for the final
+per-year aggregate. The part filter and region restriction prune
+BEFORE the fact joins.""",
+    "tpch_q21": """The q21 EXISTS / NOT EXISTS pair collapsed into ONE per-order
+aggregate (countDistinct suppliers + countDistinct R-suppliers), so the
+plan is a single lineitem shuffle on l_orderkey instead of two
+self-joins of the fact table — the difference between one pass and
+three at 100 TB. The supplier dim broadcasts onto the tiny qualified
+set.""",
+    "events_anomaly": """Rolling z-score: the scan feeds ONE Window operator
+computing count/sum/sum-of-squares over the bounded 32-row frame in a
+single pass (sum-based moments, not stddev builtins, so any engine
+reproduces the exact expression); the anomaly filter runs codegen'd
+above it on the ROUNDED z.""",
+    "events_rolling_1h": """Time-range rolling window: RANGE frame on the
+microsecond axis — one shuffle on user_id, one WindowExec whose frame
+is bounded by TIME, so memory per series is capped by event rate, not
+series length.""",
+    "docs_top_terms": """Exact heavy hitters: explode -> one groupBy(term) with
+map-side partial aggregation, doc_freq as a two-phase distinct over the
+same shuffle, and the top-k is TakeOrderedAndProject — k rows to the
+driver, never the full term table.""",
 }
 
 spark = (
