@@ -2060,6 +2060,38 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("user_id", "event_id", "ewma")
 
 
+def q_events_ewma_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive (unbounded) EWMA through a REAL stream: one double of
+    keyed state per series, O(1) work per event — the op a batch engine
+    can only express as an O(series) prefix fold per row (the oracle
+    does exactly that, so stream state ≡ batch recursion is the check).
+    One micro-batch replay: arrival order == sort order."""
+    import tempfile
+    import uuid
+
+    from symtseries_spark.sources import load_events_stream
+    from symtseries_spark.streaming import ewma_stream
+
+    stream = load_events_stream(spark, sf_dir)
+    ew = ewma_stream(
+        stream, key="user_id", order=["ts", "event_id"], value="value",
+        alpha=EWMA_P["alpha"],
+    )
+    name = f"ewma_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        ew.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ewma_chk_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).select(
+        "user_id", "event_id", F.round("ewma", 6).alias("ewma")
+    )
+
+
 def q_docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact corpus heavy hitters (top terms by occurrences + doc_freq)."""
     from symtseries_spark.operators.retrieval import top_terms
@@ -2120,6 +2152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_1h": q_events_rolling_1h,
         "events_anomaly": q_events_anomaly,
         "events_ewma": q_events_ewma,
+        "events_ewma_stream": q_events_ewma_stream,
         "docs_top_terms": q_docs_top_terms,
         "docs_repetition": q_docs_repetition,
         "events_asof_join": q_events_asof_join,
@@ -2586,6 +2619,25 @@ WITH e AS (
   SELECT user_id, event_id,
          list(x) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                        ROWS BETWEEN {EWMA_P["window"] - 1} PRECEDING AND CURRENT ROW)
+           AS vals
+  FROM e
+)
+SELECT user_id, event_id,
+       round(list_reduce(vals,
+             (acc, x) -> CAST({EWMA_P["alpha"]} AS DOUBLE) * x
+                       + CAST({1.0 - EWMA_P["alpha"]} AS DOUBLE) * acc), 6)
+         AS ewma
+FROM w
+""",
+        "events_ewma_stream": f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(value AS DOUBLE) AS x
+  FROM events
+), w AS (
+  SELECT user_id, event_id,
+         list(x) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS vals
   FROM e
 )

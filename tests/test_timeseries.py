@@ -90,6 +90,55 @@ class TestEwma:
                  alpha=0.0, window=4)
 
 
+class TestEwmaStream:
+    def test_state_carries_across_batches(self, spark):
+        """Two micro-batches must produce the same EWMA as the batch
+        recursion over the concatenated series (state = one double)."""
+        import tempfile
+        import uuid
+
+        from symtseries_spark.streaming import ewma_stream
+
+        alpha = 0.25
+        rows = [(1, i, float(v)) for i, v in enumerate([3, 1, 4, 1, 5, 9])]
+        rows += [(2, i, float(v)) for i, v in enumerate([2, 7, 1])]
+        df = spark.createDataFrame(rows, "k long, i long, v double")
+        import glob as globmod
+        import os
+
+        in_dir = tempfile.mkdtemp(prefix="ewma_in_")
+        stage = tempfile.mkdtemp(prefix="ewma_stage_")
+        # batch 0: first half of each series; batch 1: the rest
+        df.where("i < 3").coalesce(1).write.parquet(f"{stage}/b0")
+        df.where("i >= 3").coalesce(1).write.parquet(f"{stage}/b1")
+        for i in range(2):
+            part = globmod.glob(f"{stage}/b{i}/part-*.parquet")[0]
+            dst = f"{in_dir}/b{i}.parquet"
+            os.rename(part, dst)
+            os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+        stream = spark.readStream.schema(df.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(in_dir)
+        ew = ewma_stream(stream, key="k", order=["i"], value="v", alpha=alpha)
+        name = f"ewma_t_{uuid.uuid4().hex[:8]}"
+        q = (
+            ew.writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ewma_tc_"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r.k, r.i): r.ewma for r in spark.table(name).collect()
+        }
+        for key, series in ((1, [3, 1, 4, 1, 5, 9]), (2, [2, 7, 1])):
+            acc = None
+            for i, x in enumerate(series):
+                acc = x if acc is None else alpha * x + (1 - alpha) * acc
+                assert got[(key, i)] == pytest.approx(acc, abs=1e-12)
+
+
 class TestTermStats:
     def _docs(self, spark):
         return spark.createDataFrame(
