@@ -2092,6 +2092,34 @@ def q_events_ewma_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM = dict(m_bits=1024, k=3)
+
+
+def q_docs_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pre-filter: build the filter over the
+    known-duplicate content hashes (fixed kilobytes regardless of
+    build-set size), broadcast it, and probe every document scan-stage —
+    the sketch replacement for a broadcast semi-join when the suspect
+    set is too big to ship. False positives are deterministic (md5 bit
+    positions), so the oracle reproduces them bit-for-bit."""
+    from symtseries_spark.functions.text import doc_hash60, normalized_text
+    from symtseries_spark.operators import bloom_build, bloom_probe
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "content_hash", doc_hash60(normalized_text(F.col("text")))
+    )
+    dup_hashes = (
+        docs.groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .select("content_hash")
+    )
+    bloom = bloom_build(dup_hashes, col="content_hash", **BLOOM)
+    return bloom_probe(docs, bloom, col="content_hash", **BLOOM).select(
+        "doc_id", "bloom_hit"
+    )
+
+
 def q_docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact corpus heavy hitters (top terms by occurrences + doc_freq)."""
     from symtseries_spark.operators.retrieval import top_terms
@@ -2155,6 +2183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ewma_stream": q_events_ewma_stream,
         "docs_top_terms": q_docs_top_terms,
         "docs_repetition": q_docs_repetition,
+        "docs_bloom_prefilter": q_docs_bloom_prefilter,
         "events_asof_join": q_events_asof_join,
         "events_asof_tolerance": q_events_asof_tolerance,
         "docs_kmv_distinct": q_docs_kmv_distinct,
@@ -2652,6 +2681,7 @@ FROM w
             topk=TOP_TERMS_K, min_len=TOP_TERMS_MIN_LEN
         ),
         "docs_repetition": ot.repetition_sql(),
+        "docs_bloom_prefilter": ot.bloom_prefilter_sql(**BLOOM),
         "docs_stratified_sample": ot.stratified_sample_sql(
             stratum="lang", fraction=SAMPLE_FRACTION,
         ),

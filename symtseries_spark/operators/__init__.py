@@ -25,6 +25,10 @@ from .joins import (
     salted_join,
     sessionize,
 )
+from .sketches import (
+    bloom_build,
+    bloom_probe,
+)
 from .timeseries import (
     ewma,
     rolling_zscore,
@@ -51,6 +55,8 @@ from .simsearch import (
 __all__ = [
     "allpairs_within",
     "asof_join",
+    "bloom_build",
+    "bloom_probe",
     "ewma",
     "gapfill_locf",
     "rolling_zscore",

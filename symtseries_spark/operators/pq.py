@@ -1,0 +1,162 @@
+"""Product quantization (PQ) for embedding compression + ADC search.
+
+The third leg of the ANN stool next to hyperplane LSH (bucket pruning)
+and IVF (coarse partitioning): PQ compresses each vector to ``m`` small
+codes (here m bytes-ish), and queries scan the CODES with an
+asymmetric-distance (ADC) lookup table instead of the raw floats. At
+100 TB the codes table is ~dim*4/m x smaller than the embeddings —
+often the difference between an in-cluster scan and an impossible one —
+and the ADC probe is one broadcast-LUT join + per-vector partial top-k.
+
+Determinism (what makes this oracle-checkable): codebooks are NOT
+k-means — per subspace, the ``ks`` centroids are the subvectors of the
+``ks`` lowest-id vectors (the same seed convention as
+:func:`simsearch.ivf_index`), assignments break distance ties by code,
+and every float reduction is a fixed-order sequential fold, so any
+engine replays the identical codes and ADC scores.
+
+Quality note: seed-based codebooks are a placeholder for one-or-more
+Lloyd refinement steps (exactly as ``ivf_index`` does for its coarse
+quantizer); recall against brute force is property-tested, and the
+full-probe/ADC pipeline is what the driver oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .simsearch import _sq_l2
+
+__all__ = ["pq_codebook", "pq_encode", "pq_topk"]
+
+
+def _subvectors(vec: Column, *, m: int, dim: int) -> Column:
+    """array of m subvectors (each dim/m doubles), subspace order."""
+    sub_d = dim // m
+    return F.array(
+        *[F.slice(vec, j * sub_d + 1, sub_d) for j in range(m)]
+    )
+
+
+def pq_codebook(
+    vectors: DataFrame,
+    *,
+    m: int,
+    ks: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace codebook ``(sub_id, code, centroid)``: centroids are
+    the subvectors of the ``ks`` lowest-id vectors — deterministic, no
+    RNG, same seed convention as the IVF coarse quantizer."""
+    if dim % m:
+        raise ValueError("dim must be divisible by m")
+    seeds = (
+        vectors.orderBy(id_col)
+        .limit(ks)
+        .select(
+            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("code"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+    )
+    return seeds.select(
+        "code",
+        F.posexplode(_subvectors(F.col("__v"), m=m, dim=dim)).alias(
+            "sub_id", "centroid"
+        ),
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    *,
+    m: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector its ``m`` codes -> ``(vec_id, codes:
+    array<int>)`` (subspace order).
+
+    Shape: posexplode each vector into m subvectors inside the scan
+    stage, broadcast-join the (m*ks)-row codebook, argmin per
+    (vector, subspace) with ``min_by`` over a (d2, code) struct —
+    min_by partially aggregates map-side, so the shuffle carries m rows
+    per vector, never the m*ks fan-out."""
+    expl = vectors.select(
+        F.col(id_col),
+        F.posexplode(
+            _subvectors(F.col(vec_col).cast("array<double>"), m=m, dim=dim)
+        ).alias("sub_id", "__sv"),
+    )
+    scored = expl.join(F.broadcast(codebook), "sub_id").select(
+        F.col(id_col),
+        "sub_id",
+        "code",
+        _sq_l2(F.col("__sv"), F.col("centroid")).alias("__d2"),
+    )
+    best = scored.groupBy(id_col, "sub_id").agg(
+        F.min_by("code", F.struct("__d2", "code")).alias("code")
+    )
+    return best.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub_id", "code"))),
+            lambda x: x["code"],
+        ).alias("codes")
+    )
+
+
+def pq_topk(
+    vectors: DataFrame,
+    *,
+    query_id: int,
+    k: int,
+    m: int,
+    ks: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """ADC top-k: build the codebook + codes, compute the query's
+    (m*ks)-entry partial-distance LUT, then score every vector by
+    summing its m LUT entries -> ``(vec_id, adc)``, ascending ADC.
+
+    The LUT join is broadcast (m*ks rows); the per-vector sum shuffles
+    one row per (vector, subspace) pre-aggregated map-side; the top-k is
+    TakeOrderedAndProject. ADC is rounded so last-ulp sum-order noise
+    cannot reorder results; ties break on vec_id."""
+    codebook = pq_codebook(
+        vectors, m=m, ks=ks, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    codes = pq_encode(
+        vectors, codebook, m=m, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    qsub = (
+        vectors.where(F.col(id_col) == query_id)
+        .select(
+            F.posexplode(
+                _subvectors(F.col(vec_col).cast("array<double>"), m=m, dim=dim)
+            ).alias("sub_id", "__qv")
+        )
+    )
+    lut = codebook.join(F.broadcast(qsub), "sub_id").select(
+        "sub_id", "code", _sq_l2(F.col("centroid"), F.col("__qv")).alias("__pd")
+    )
+    expl = codes.select(
+        F.col(id_col), F.posexplode("codes").alias("sub_id", "code")
+    )
+    adc = (
+        expl.join(F.broadcast(lut), ["sub_id", "code"])
+        .groupBy(id_col)
+        .agg(F.round(F.sum("__pd"), round_to).alias("adc"))
+    )
+    return (
+        adc.where(F.col(id_col) != query_id)
+        .select(F.col(id_col).alias("vec_id"), "adc")
+        .orderBy("adc", "vec_id")
+        .limit(k)
+    )

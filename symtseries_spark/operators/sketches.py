@@ -1,0 +1,111 @@
+"""Bloom-filter sketch: a deterministic, engine-reproducible membership
+filter for pipeline pre-filtering (e.g. "is this document's content hash
+in the known-duplicate set?").
+
+Why a sketch instead of a semi-join: at 100 TB the suspect set can be
+billions of keys — too big to broadcast as a hash set — while the bloom
+filter is a FIXED m-bit array (kilobytes) regardless of build-set size.
+The probe is a pure scan-stage expression over the broadcast bits: no
+shuffle, no explode, no join on the probe side. False positives are an
+accepted, tunable property (~(1-e^{-kn/m})^k); false negatives are
+impossible.
+
+Determinism: bit positions derive from md5 (``functions.text.doc_hash60``
+convention) and the bit array uses 32-bit words whose masks are exact
+``pow(2, b)`` doubles, so any engine reproduces the exact same filter
+bits and the exact same false positives — which is what lets the driver
+hash-compare results against a SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import doc_hash60
+
+__all__ = ["bloom_build", "bloom_positions", "bloom_probe"]
+
+WORD_BITS = 32  # 32-bit words: masks stay exactly representable as pow(2, b)
+
+
+def bloom_positions(el: Column, *, m_bits: int, k: int) -> Column:
+    """The ``k`` bit positions for element ``el``: independent hashes via
+    md5 of the salted element (``el || ':' || i``), each reduced mod m."""
+    return F.array(
+        *[
+            doc_hash60(F.concat(el.cast("string"), F.lit(f":{i}"))) % m_bits
+            for i in range(k)
+        ]
+    )
+
+
+def _mask(p: Column) -> Column:
+    """Bit mask for position ``p`` within its 32-bit word: 2^(p % 32),
+    exact as a double (< 2^53), cast back to long."""
+    return F.pow(F.lit(2.0), (p % WORD_BITS).cast("double")).cast("long")
+
+
+def bloom_build(
+    df: DataFrame, *, col: str, m_bits: int = 1024, k: int = 3
+) -> DataFrame:
+    """Aggregate the build set into ONE row holding the dense bit array
+    (``bloom: array<long>`` of ``m_bits / 32`` words).
+
+    Shape: explode the k positions per element, partial-aggregate
+    ``bit_or`` masks per word index map-side (the shuffle carries at most
+    m/32 rows per partition however large the build set is), then fold
+    the sparse words into the dense array on the final single row."""
+    if m_bits % WORD_BITS:
+        raise ValueError(f"m_bits must be a multiple of {WORD_BITS}")
+    m_words = m_bits // WORD_BITS
+    pos = df.select(
+        F.explode(bloom_positions(F.col(col), m_bits=m_bits, k=k)).alias("pos")
+    )
+    sparse = (
+        pos.select(
+            (F.col("pos") / WORD_BITS).cast("int").alias("word_idx"),
+            _mask(F.col("pos")).alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+    def set_word(acc: Column, x: Column) -> Column:
+        return F.transform(
+            acc,
+            lambda el, i: F.when(
+                i == x["word_idx"], el.bitwiseOR(x["word"])
+            ).otherwise(el),
+        )
+
+    return sparse.agg(
+        F.aggregate(
+            F.collect_list(F.struct("word_idx", "word")),
+            F.array_repeat(F.lit(0).cast("long"), m_words),
+            set_word,
+        ).alias("bloom")
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    *,
+    col: str,
+    m_bits: int = 1024,
+    k: int = 3,
+    out: str = "bloom_hit",
+) -> DataFrame:
+    """Membership test per row of ``df``: true iff ALL k bit positions of
+    ``col`` are set in the filter. The 1-row ``bloom`` side broadcasts;
+    the test is a ``forall`` over the k positions — scan-stage only, no
+    shuffle and no explode on the probe side."""
+
+    def bit_set(p: Column) -> Column:
+        word = F.element_at(F.col("bloom"), (p / WORD_BITS).cast("int") + 1)
+        return word.bitwiseAND(_mask(p)) == _mask(p)
+
+    probed = df.crossJoin(F.broadcast(bloom))
+    hit = F.forall(bloom_positions(F.col(col), m_bits=m_bits, k=k), bit_set)
+    return probed.withColumn(out, hit).drop("bloom")

@@ -467,3 +467,40 @@ SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
          AS top_share
 FROM tf GROUP BY doc_id
 """
+
+
+def bloom_prefilter_sql(*, m_bits: int, k: int, table: str = "documents") -> str:
+    """Oracle for the bloom_build/bloom_probe pipeline over duplicate
+    content hashes: same md5-salted bit positions, same 32-bit words, so
+    filter bits AND false positives match the Spark side exactly."""
+
+    def pos(expr: str, i: int) -> str:
+        return (
+            f"CAST('0x' || substr(md5(CAST({expr} AS VARCHAR) || ':{i}'), 1, 15)"
+            f" AS BIGINT) % {m_bits}"
+        )
+
+    def pos_list(expr: str) -> str:
+        return "[" + ", ".join(pos(expr, i) for i in range(k)) + "]"
+
+    mask = "CAST(pow(2, pos % 32) AS BIGINT)"
+    return f"""
+WITH d AS (
+  SELECT doc_id, {hash60(normalized_expr())} AS h FROM {table}
+), dup AS (
+  SELECT h FROM d GROUP BY h HAVING count(*) > 1
+), bpos AS (
+  SELECT unnest({pos_list('h')}) AS pos FROM dup
+), sparse AS (
+  SELECT pos // 32 AS word_idx, bit_or({mask}) AS word
+  FROM bpos GROUP BY 1
+), probe AS (
+  SELECT doc_id, unnest({pos_list('h')}) AS pos FROM d
+)
+SELECT p.doc_id,
+       min(CASE WHEN (s.word & CAST(pow(2, p.pos % 32) AS BIGINT))
+                     = CAST(pow(2, p.pos % 32) AS BIGINT)
+                THEN 1 ELSE 0 END) = 1 AS bloom_hit
+FROM probe p LEFT JOIN sparse s ON s.word_idx = p.pos // 32
+GROUP BY p.doc_id
+"""
