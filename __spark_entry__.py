@@ -87,6 +87,7 @@ NEAR_DUP_PLANES = 3
 ANN = dict(query_id=0, k=10, num_planes=4, seed=13)
 KNN = dict(max_query_id=5, k=10)
 IVF = dict(query_id=3, k=20, num_lists=8)
+PQ = dict(query_id=3, k=20, m=4, ks=16, dim=EMB_DIM)
 
 
 def _events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2092,6 +2093,16 @@ def q_events_ewma_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search: codes table + broadcast LUT —
+    the compressed-domain ANN leg (see operators/pq.py docstring for the
+    100 TB scan-size argument). Deterministic codebooks/assignments, so
+    the oracle replays the identical ADC scores."""
+    from symtseries_spark.operators.pq import pq_topk
+
+    return pq_topk(load(spark, sf_dir, "embeddings"), **PQ)
+
+
 BLOOM = dict(m_bits=1024, k=3)
 
 
@@ -2184,6 +2195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_top_terms": q_docs_top_terms,
         "docs_repetition": q_docs_repetition,
         "docs_bloom_prefilter": q_docs_bloom_prefilter,
+        "emb_pq_topk": q_emb_pq_topk,
         "events_asof_join": q_events_asof_join,
         "events_asof_tolerance": q_events_asof_tolerance,
         "docs_kmv_distinct": q_docs_kmv_distinct,
@@ -2682,6 +2694,7 @@ FROM w
         ),
         "docs_repetition": ot.repetition_sql(),
         "docs_bloom_prefilter": ot.bloom_prefilter_sql(**BLOOM),
+        "emb_pq_topk": ov.pq_topk_sql(**PQ),
         "docs_stratified_sample": ot.stratified_sample_sql(
             stratum="lang", fraction=SAMPLE_FRACTION,
         ),

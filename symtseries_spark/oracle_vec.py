@@ -136,3 +136,65 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id
 WHERE round({cosine_expr('a.embedding', 'b.embedding', dim)}, 6) >= {threshold}
 """
+
+
+def _sub_sq_l2(a: str, b: str, sub_d: int) -> str:
+    """Squared L2 over a sub_d-dim slice pair, seed-0 sequential fold —
+    the exact op order of operators.pq (zip_with + aggregate)."""
+    diff = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {sub_d + 1}), "
+        f"i -> {diff} * {diff})), (x, y) -> x + y)"
+    )
+
+
+def pq_topk_sql(
+    *,
+    query_id: int,
+    k: int,
+    m: int,
+    ks: int,
+    dim: int,
+    table: str = "embeddings",
+) -> str:
+    """Oracle for operators.pq.pq_topk: same seed codebook (ks lowest-id
+    vectors), same (d2, code) tie-break, same ADC rounding."""
+    sub_d = dim // m
+    slice_ = f"list_slice(ve, s.sub_id * {sub_d} + 1, (s.sub_id + 1) * {sub_d})"
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM {table}
+), seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, ve
+  FROM v ORDER BY vec_id LIMIT {ks}
+), subs AS (SELECT unnest(range({m})) AS sub_id),
+cb AS (
+  SELECT code, s.sub_id, {slice_} AS centroid
+  FROM seeds, subs s
+), sv AS (
+  SELECT vec_id, s.sub_id, {slice_} AS sub
+  FROM v, subs s
+), assign AS (
+  SELECT vec_id, sub_id, code FROM (
+    SELECT sv.vec_id, sv.sub_id, cb.code,
+           row_number() OVER (
+             PARTITION BY sv.vec_id, sv.sub_id
+             ORDER BY {_sub_sq_l2('sv.sub', 'cb.centroid', sub_d)}, cb.code
+           ) AS rn
+    FROM sv JOIN cb ON sv.sub_id = cb.sub_id
+  ) WHERE rn = 1
+), q AS (
+  SELECT sub_id, sub AS qsub FROM sv WHERE vec_id = {query_id}
+), lut AS (
+  SELECT cb.sub_id, cb.code,
+         {_sub_sq_l2('cb.centroid', 'q.qsub', sub_d)} AS pd
+  FROM cb JOIN q ON cb.sub_id = q.sub_id
+), adc AS (
+  SELECT a.vec_id, round(sum(l.pd), 4) AS adc
+  FROM assign a JOIN lut l ON a.sub_id = l.sub_id AND a.code = l.code
+  WHERE a.vec_id <> {query_id}
+  GROUP BY a.vec_id
+)
+SELECT vec_id, adc FROM adc ORDER BY adc, vec_id LIMIT {k}
+"""
