@@ -2103,6 +2103,38 @@ def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(load(spark, sf_dir, "embeddings"), **PQ)
 
 
+FUNNEL_STAGES = ("signup", "click", "purchase")
+CMS = dict(width=256, depth=3)
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (signup -> click -> purchase): one
+    aggregate per stage on one user_id partitioning, integer counts."""
+    from symtseries_spark.operators import funnel_counts
+
+    ev = load(spark, sf_dir, "events")
+    return funnel_counts(
+        ev, key="user_id", ts="ts", type_col="event_type",
+        stages=list(FUNNEL_STAGES),
+    )
+
+
+def q_docs_cms_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch demo with ground truth: estimate the exact
+    top-term counts through a (depth x width) integer sketch — est >=
+    true always; overshoot shows the collision load at this width. All
+    integer math, so the oracle matches exactly."""
+    from symtseries_spark.functions.text import tokens
+    from symtseries_spark.operators import cms_build, cms_estimate
+    from symtseries_spark.operators.retrieval import top_terms
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    cms = cms_build(tok, col="term", **CMS)
+    top = top_terms(docs, topk=TOP_TERMS_K, min_len=TOP_TERMS_MIN_LEN)
+    return cms_estimate(top, cms, col="term", **CMS)
+
+
 BLOOM = dict(m_bits=1024, k=3)
 
 
@@ -2196,6 +2228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition": q_docs_repetition,
         "docs_bloom_prefilter": q_docs_bloom_prefilter,
         "emb_pq_topk": q_emb_pq_topk,
+        "events_funnel": q_events_funnel,
+        "docs_cms_terms": q_docs_cms_terms,
         "events_asof_join": q_events_asof_join,
         "events_asof_tolerance": q_events_asof_tolerance,
         "docs_kmv_distinct": q_docs_kmv_distinct,
@@ -2695,6 +2729,36 @@ FROM w
         "docs_repetition": ot.repetition_sql(),
         "docs_bloom_prefilter": ot.bloom_prefilter_sql(**BLOOM),
         "emb_pq_topk": ov.pq_topk_sql(**PQ),
+        "docs_cms_terms": ot.cms_terms_sql(
+            **CMS, topk=TOP_TERMS_K, min_len=TOP_TERMS_MIN_LEN
+        ),
+        "events_funnel": f"""
+WITH s0 AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = '{FUNNEL_STAGES[0]}'
+                  THEN epoch_us(ts) END) AS t0
+  FROM events GROUP BY user_id
+), s1 AS (
+  SELECT e.user_id, s0.t0,
+         min(CASE WHEN e.event_type = '{FUNNEL_STAGES[1]}'
+                   AND epoch_us(e.ts) > s0.t0
+                  THEN epoch_us(e.ts) END) AS t1
+  FROM events e JOIN s0 ON e.user_id = s0.user_id
+  GROUP BY e.user_id, s0.t0
+), s2 AS (
+  SELECT e.user_id, s1.t0, s1.t1,
+         min(CASE WHEN e.event_type = '{FUNNEL_STAGES[2]}'
+                   AND epoch_us(e.ts) > s1.t1
+                  THEN epoch_us(e.ts) END) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  GROUP BY e.user_id, s1.t0, s1.t1
+)
+SELECT 0 AS stage_idx, '{FUNNEL_STAGES[0]}' AS stage, count(t0) AS n_entities FROM s2
+UNION ALL
+SELECT 1, '{FUNNEL_STAGES[1]}', count(t1) FROM s2
+UNION ALL
+SELECT 2, '{FUNNEL_STAGES[2]}', count(t2) FROM s2
+""",
         "docs_stratified_sample": ot.stratified_sample_sql(
             stratum="lang", fraction=SAMPLE_FRACTION,
         ),

@@ -25,9 +25,12 @@ from .joins import (
     salted_join,
     sessionize,
 )
+from .funnel import funnel_counts
 from .sketches import (
     bloom_build,
     bloom_probe,
+    cms_build,
+    cms_estimate,
 )
 from .timeseries import (
     ewma,
@@ -57,7 +60,10 @@ __all__ = [
     "asof_join",
     "bloom_build",
     "bloom_probe",
+    "cms_build",
+    "cms_estimate",
     "ewma",
+    "funnel_counts",
     "gapfill_locf",
     "rolling_zscore",
     "interval_join",

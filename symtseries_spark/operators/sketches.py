@@ -24,7 +24,13 @@ from pyspark.sql import functions as F
 
 from ..functions.text import doc_hash60
 
-__all__ = ["bloom_build", "bloom_positions", "bloom_probe"]
+__all__ = [
+    "bloom_build",
+    "bloom_positions",
+    "bloom_probe",
+    "cms_build",
+    "cms_estimate",
+]
 
 WORD_BITS = 32  # 32-bit words: masks stay exactly representable as pow(2, b)
 
@@ -109,3 +115,79 @@ def bloom_probe(
     probed = df.crossJoin(F.broadcast(bloom))
     hit = F.forall(bloom_positions(F.col(col), m_bits=m_bits, k=k), bit_set)
     return probed.withColumn(out, hit).drop("bloom")
+
+
+def cms_build(
+    df: DataFrame, *, col: str, width: int = 256, depth: int = 3
+) -> DataFrame:
+    """Count-min sketch over the values of ``col`` (one count per ROW —
+    pre-aggregate upstream if you want distinct counts): returns the
+    sparse counter table ``(row_id, col_id, cnt)``.
+
+    The shuffle carries at most ``depth * width`` rows however large the
+    input is (map-side partial sums), and sketches merge by plain
+    addition — the property that makes CMS the scale answer for
+    heavy-hitter estimation when the exact term table would itself be
+    too big to shuffle. Counters are integers: no float determinism
+    caveats at all."""
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row_id"),
+                        (
+                            doc_hash60(
+                                F.concat(
+                                    F.col(col).cast("string"), F.lit(f"#{r}")
+                                )
+                            )
+                            % width
+                        ).alias("col_id"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rc")
+    )
+    return (
+        rows.select("rc.row_id", "rc.col_id")
+        .groupBy("row_id", "col_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    queries: DataFrame, cms: DataFrame, *, col: str, width: int = 256,
+    depth: int = 3, out: str = "cms_est"
+) -> DataFrame:
+    """Point-estimate the count of each value in ``queries[col]``:
+    ``min`` over the value's ``depth`` counters (the classic CMS
+    guarantee: est >= true, overshoot bounded by collisions). The sparse
+    sketch broadcasts; each probe is a ``depth``-row equi-join + min."""
+    probes = queries.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row_id"),
+                        (
+                            doc_hash60(
+                                F.concat(
+                                    F.col(col).cast("string"), F.lit(f"#{r}")
+                                )
+                            )
+                            % width
+                        ).alias("col_id"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rc"),
+    ).select("*", "rc.row_id", "rc.col_id").drop("rc")
+    others = [c for c in queries.columns]
+    joined = probes.join(F.broadcast(cms), ["row_id", "col_id"], "left").fillna(
+        {"cnt": 0}
+    )
+    return joined.groupBy(*others).agg(F.min("cnt").alias(out))

@@ -504,3 +504,45 @@ SELECT p.doc_id,
 FROM probe p LEFT JOIN sparse s ON s.word_idx = p.pos // 32
 GROUP BY p.doc_id
 """
+
+
+def cms_terms_sql(
+    *,
+    width: int,
+    depth: int,
+    topk: int,
+    min_len: int = 3,
+    table: str = "documents",
+) -> str:
+    """Oracle for cms_build + cms_estimate over the exact top terms:
+    identical md5-salted counter addressing, pure integer arithmetic."""
+
+    def col_id(term: str, row: str) -> str:
+        return (
+            f"CAST('0x' || substr(md5({term} || '#' || CAST({row} AS VARCHAR)),"
+            f" 1, 15) AS BIGINT) % {width}"
+        )
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tokens_expr()}) AS term FROM {table}
+), rows AS (SELECT unnest(range({depth})) AS row_id),
+cms AS (
+  SELECT row_id, col_id, count(*) AS cnt FROM (
+    SELECT r.row_id, {col_id('tok.term', 'r.row_id')} AS col_id
+    FROM tok, rows r
+  ) GROUP BY row_id, col_id
+), top AS (
+  SELECT term, count(*) AS occurrences, count(DISTINCT doc_id) AS doc_freq
+  FROM tok WHERE length(term) >= {min_len}
+  GROUP BY term ORDER BY occurrences DESC, term LIMIT {topk}
+), probe AS (
+  SELECT top.term, top.occurrences, top.doc_freq,
+         r.row_id, {col_id('top.term', 'r.row_id')} AS col_id
+  FROM top, rows r
+)
+SELECT p.term, p.occurrences, p.doc_freq,
+       min(coalesce(c.cnt, 0)) AS cms_est
+FROM probe p LEFT JOIN cms c ON p.row_id = c.row_id AND p.col_id = c.col_id
+GROUP BY p.term, p.occurrences, p.doc_freq
+"""

@@ -76,3 +76,82 @@ class TestBloom:
     def test_m_bits_validation(self, spark):
         with pytest.raises(ValueError):
             bloom_build(_ids(spark, [1]), col="x", m_bits=100, k=K)
+
+
+class TestCMS:
+    def test_estimate_at_least_true_and_exact_when_wide(self, spark):
+        from pyspark.sql import Row
+
+        from symtseries_spark.operators import cms_build, cms_estimate
+
+        vals = ["a"] * 5 + ["b"] * 3 + ["c"] * 1
+        df = spark.createDataFrame([Row(v=x) for x in vals])
+        truth = {"a": 5, "b": 3, "c": 1}
+        qs = spark.createDataFrame([Row(v=x) for x in truth])
+        # narrow sketch: est >= true
+        cms = cms_build(df, col="v", width=4, depth=2)
+        got = {
+            r.v: r.cms_est
+            for r in cms_estimate(qs, cms, col="v", width=4, depth=2).collect()
+        }
+        assert all(got[k] >= v for k, v in truth.items())
+        # wide sketch: no collisions at this cardinality -> exact
+        cms_w = cms_build(df, col="v", width=4096, depth=3)
+        got_w = {
+            r.v: r.cms_est
+            for r in cms_estimate(
+                qs, cms_w, col="v", width=4096, depth=3
+            ).collect()
+        }
+        assert got_w == truth
+
+    def test_unseen_value_estimates_zero_when_wide(self, spark):
+        from pyspark.sql import Row
+
+        from symtseries_spark.operators import cms_build, cms_estimate
+
+        df = spark.createDataFrame([Row(v="x")])
+        qs = spark.createDataFrame([Row(v="never-seen")])
+        cms = cms_build(df, col="v", width=4096, depth=3)
+        [r] = cms_estimate(qs, cms, col="v", width=4096, depth=3).collect()
+        assert r.cms_est == 0
+
+
+class TestFunnel:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+
+    def test_ordered_chain_counts(self, spark):
+        from symtseries_spark.operators import funnel_counts
+
+        rows = [
+            # u1: full ordered chain
+            (1, 10, "signup"), (1, 20, "click"), (1, 30, "purchase"),
+            # u2: purchase BEFORE click -> stops at click
+            (2, 10, "signup"), (2, 30, "click"), (2, 20, "purchase"),
+            # u3: signup only
+            (3, 10, "signup"),
+            # u4: no signup -> never enters
+            (4, 10, "click"), (4, 20, "purchase"),
+        ]
+        out = {
+            r.stage: r.n_entities
+            for r in funnel_counts(
+                self._ev(spark, rows), key="user_id", ts="ts",
+                type_col="event_type", stages=["signup", "click", "purchase"],
+            ).collect()
+        }
+        assert out == {"signup": 3, "click": 2, "purchase": 1}
+
+    def test_equal_timestamp_not_counted(self, spark):
+        from symtseries_spark.operators import funnel_counts
+
+        rows = [(1, 10, "signup"), (1, 10, "click")]
+        out = {
+            r.stage: r.n_entities
+            for r in funnel_counts(
+                self._ev(spark, rows), key="user_id", ts="ts",
+                type_col="event_type", stages=["signup", "click"],
+            ).collect()
+        }
+        assert out == {"signup": 1, "click": 0}
