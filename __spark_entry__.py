@@ -2103,6 +2103,94 @@ def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(load(spark, sf_dir, "embeddings"), **PQ)
 
 
+LATE_SPAN_DAYS = 5  # tumbling window == replay-file span
+LATE_WM_DAYS = 2    # watermark < span => rows delayed 2 files always drop
+
+
+def q_events_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA DROP semantics as an oracle-checkable query:
+    a deterministic 25% of rows (md5 marker) ship THREE files after
+    their natural span; with a 2-day watermark on 5-day windows the
+    filter watermark (which lags the progress-reported one by a batch —
+    measured, not assumed) has passed their window end by >= 3 days by
+    arrival, so Spark MUST drop every one of them, while on-time rows
+    always arrive within their own span and are never dropped. The
+    oracle aggregates only the on-time rows — finalized windows must
+    match exactly, proving both sides of the watermark contract (admit
+    vs drop) rather than just the happy path."""
+    import glob as globmod
+    import os
+    import tempfile
+    import uuid
+    from datetime import timedelta
+
+    from symtseries_spark.functions.text import doc_hash60
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .withColumn("ts_t", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("user_id", "event_id", "ts_t", "value")
+    )
+    span_sec = LATE_SPAN_DAYS * 86400
+    bid_nat = F.floor(F.unix_timestamp("ts_t") / span_sec)
+    maxbid = ev.agg(F.max(bid_nat)).first()[0]
+    late = (doc_hash60(F.col("event_id").cast("string")) % 4 == 0) & (
+        bid_nat <= maxbid - 3
+    )
+    ship = (bid_nat + F.when(late, F.lit(3)).otherwise(F.lit(0))).alias("__bid")
+
+    tmp = tempfile.mkdtemp(prefix="late_drop_")
+    staged, indir = f"{tmp}/staged", f"{tmp}/in"
+    os.makedirs(indir)
+    ev.withColumn("__bid", ship).coalesce(1).write.partitionBy("__bid").parquet(
+        staged
+    )
+    batch_dirs = sorted(
+        globmod.glob(f"{staged}/__bid=*"), key=lambda p: int(p.rsplit("=", 1)[1])
+    )
+    t0 = 1_000_000_000
+    for i, d in enumerate(batch_dirs):
+        part = globmod.glob(f"{d}/part-*.parquet")[0]
+        dst = f"{indir}/b{i:04d}.parquet"
+        os.rename(part, dst)
+        os.utime(dst, (t0 + i, t0 + i))
+    mx = ev.agg(F.max("ts_t")).first()[0]
+    for j in range(2):
+        dst = f"{indir}/b{len(batch_dirs) + j:04d}.parquet"
+        _write_sentinel_parquet(dst, mx + timedelta(days=3 * LATE_SPAN_DAYS + j))
+        os.utime(dst, (t0 + len(batch_dirs) + j, t0 + len(batch_dirs) + j))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+    )
+    agg = (
+        stream.withWatermark("ts_t", f"{LATE_WM_DAYS} days")
+        .groupBy(F.window("ts_t", f"{LATE_SPAN_DAYS} days").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+    )
+    name = f"late_drop_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="late_chk_"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    return spark.table(name).select(
+        F.unix_micros(F.col("w.start")).alias("window_start_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
 FUNNEL_STAGES = ("signup", "click", "purchase")
 CMS = dict(width=256, depth=3)
 
@@ -2230,6 +2318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pq_topk": q_emb_pq_topk,
         "events_funnel": q_events_funnel,
         "docs_cms_terms": q_docs_cms_terms,
+        "events_late_drop": q_events_late_drop,
         "events_asof_join": q_events_asof_join,
         "events_asof_tolerance": q_events_asof_tolerance,
         "docs_kmv_distinct": q_docs_kmv_distinct,
@@ -2729,6 +2818,24 @@ FROM w
         "docs_repetition": ot.repetition_sql(),
         "docs_bloom_prefilter": ot.bloom_prefilter_sql(**BLOOM),
         "emb_pq_topk": ov.pq_topk_sql(**PQ),
+        "events_late_drop": f"""
+WITH e AS (
+  SELECT event_id, epoch_us(ts) AS us, value FROM events
+), mb AS (
+  SELECT max(us // {LATE_SPAN_DAYS * 86400 * 1_000_000}) AS maxbid FROM e
+), keep AS (
+  SELECT us, value FROM e, mb
+  WHERE NOT (
+    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) % 4 = 0
+    AND us // {LATE_SPAN_DAYS * 86400 * 1_000_000} <= maxbid - 3
+  )
+)
+SELECT (us // {LATE_SPAN_DAYS * 86400 * 1_000_000})
+         * {LATE_SPAN_DAYS * 86400 * 1_000_000} AS window_start_us,
+       count(*) AS n_events,
+       round(sum(value), 3) AS sum_value
+FROM keep GROUP BY window_start_us
+""",
         "docs_cms_terms": ot.cms_terms_sql(
             **CMS, topk=TOP_TERMS_K, min_len=TOP_TERMS_MIN_LEN
         ),
