@@ -1374,6 +1374,45 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup endgame's MATERIALIZATION: the surviving corpus after
+    near-dup clustering (keep the min-id member of every cluster,
+    singletons included) — the query a training-data pipeline actually
+    ships downstream. Same components as dedup_clusters + one left-semi
+    join back to the corpus."""
+    from symtseries_spark.operators.graph import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, **MINHASH).select("doc_a", "doc_b")
+    verts = docs.select(F.col("doc_id").alias("v"))
+    cc = connected_components(pairs, verts, src="doc_a", dst="doc_b")
+    keep = cc.where(F.col("v") == F.col("canonical_id")).select(
+        F.col("v").alias("doc_id")
+    )
+    return (
+        docs.join(keep, "doc_id", "left_semi")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+def q_docs_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus cleaning transform materialized: canonical
+    whitespace/lowercase normalization plus before/after length stats —
+    a pure scan-stage projection (the shape that matters at 100 TB:
+    cleaning must never shuffle)."""
+    from symtseries_spark.functions.text import normalized_text
+
+    docs = load(spark, sf_dir, "documents")
+    clean = normalized_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length("text").alias("n_chars_raw"),
+        F.length(clean).alias("n_chars_clean"),
+    )
+
+
 MINHASH_STREAM_FILES = 4  # id-ordered replay files (arrival order == id order)
 
 
@@ -2319,6 +2358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "docs_cms_terms": q_docs_cms_terms,
         "events_late_drop": q_events_late_drop,
+        "dedup_keep": q_dedup_keep,
+        "docs_clean": q_docs_clean,
         "events_asof_join": q_events_asof_join,
         "events_asof_tolerance": q_events_asof_tolerance,
         "docs_kmv_distinct": q_docs_kmv_distinct,
@@ -3177,6 +3218,33 @@ SELECT c.doc_id, c.canonical_id, s.cluster_size,
        c.doc_id <> c.canonical_id AS is_duplicate
 FROM canon c JOIN sizes s USING (canonical_id)
 ORDER BY c.doc_id
+""",
+        "dedup_keep": f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({ot.minhash_lsh_pairs_sql(**MINHASH)}) __p
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), conn(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT c.a, e.b FROM conn c JOIN edges e ON c.b = e.a
+), canon AS (
+  SELECT a AS doc_id, min(b) AS canonical_id FROM conn GROUP BY a
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN canon c ON d.doc_id = c.doc_id
+WHERE c.doc_id = c.canonical_id
+ORDER BY d.doc_id
+""",
+        "docs_clean": """
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS clean_text,
+       length(text) AS n_chars_raw,
+       length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+         AS n_chars_clean
+FROM documents
 """,
         "dedup_minhash_stream": ot.minhash_stream_dedup_sql(
             k=MINHASH["k"], num_hashes=MINHASH["num_hashes"],

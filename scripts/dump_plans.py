@@ -130,6 +130,19 @@ series length.""",
 map-side partial aggregation, doc_freq as a two-phase distinct over the
 same shuffle, and the top-k is TakeOrderedAndProject — k rows to the
 driver, never the full term table.""",
+    "docs_bloom_prefilter": """Bloom sketch: the build side collapses to <= m/32
+shuffled rows (bit_or partially aggregates map-side) and ONE dense-array
+row; the probe is a BroadcastNestedLoopJoin of that single row + a
+codegen'd forall over the bits — the probe scan has NO shuffle, exactly
+the shape that replaces an unbroadcastable semi-join at 100 TB.""",
+    "emb_pq_topk": """Product quantization: codebook (m*ks rows) and the query
+LUT broadcast; encode shuffles one min_by-reduced row per (vector,
+subspace); ADC is a broadcast LUT join + per-vector sum; final top-k is
+TakeOrderedAndProject. The raw embedding column is read ONCE (codes are
+derived in-plan) — at rest the codes table replaces the float scan.""",
+    "events_funnel": """Funnel: every stage aggregate and join keys on user_id —
+the exchange is reused across stages (one physical shuffle of events
+per stage pass, no windows, no event-history collection).""",
 }
 
 spark = (
