@@ -1413,6 +1413,54 @@ def q_docs_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_exact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch streaming exact dedup as an oracle-gated query: two
+    id-ordered replay files, first-seen-wins state keyed on the content
+    hash (one long per distinct content, checkpoint-durable). With
+    id-ordered arrival, first-seen == min doc_id, so the ORACLE is the
+    batch exact-dedup SQL — streaming state must reproduce it exactly."""
+    import glob as globmod
+    import os
+    import tempfile
+    import uuid
+
+    from symtseries_spark.streaming import streaming_exact_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    tmp = tempfile.mkdtemp(prefix="dedup_stream_")
+    staged, indir = f"{tmp}/staged", f"{tmp}/in"
+    os.makedirs(indir)
+    half = (F.col("doc_id") > mid).cast("int").alias("__bid")
+    docs.withColumn("__bid", half).coalesce(1).write.partitionBy("__bid").parquet(
+        staged
+    )
+    for i, d in enumerate(sorted(globmod.glob(f"{staged}/__bid=*"))):
+        part = globmod.glob(f"{d}/part-*.parquet")[0]
+        dst = f"{indir}/b{i:04d}.parquet"
+        os.rename(part, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+    )
+    deduped = streaming_exact_dedup(stream)
+    name = f"dedup_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dedup_chk_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).select(
+        "doc_id", "content_hash", "canonical_id", "is_duplicate"
+    )
+
+
 MINHASH_STREAM_FILES = 4  # id-ordered replay files (arrival order == id order)
 
 
@@ -2360,6 +2408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_late_drop": q_events_late_drop,
         "dedup_keep": q_dedup_keep,
         "docs_clean": q_docs_clean,
+        "dedup_exact_stream": q_dedup_exact_stream,
         "events_asof_join": q_events_asof_join,
         "events_asof_tolerance": q_events_asof_tolerance,
         "docs_kmv_distinct": q_docs_kmv_distinct,
@@ -3162,6 +3211,7 @@ ORDER BY c.c_nationkey
         "text_split": ot.split_sql(SPLITS),
         "text_length_buckets": ot.length_buckets_sql(bucket_tokens=BUCKET_TOKENS),
         "dedup_exact": ot.exact_dedup_sql(),
+        "dedup_exact_stream": ot.exact_dedup_sql(),
         "dedup_jaccard": ot.jaccard_pairs_sql(**JACCARD),
         "dedup_minhash_lsh": ot.minhash_lsh_pairs_sql(**MINHASH),
         "text_bm25": ot.bm25_topk_sql(**BM25),

@@ -134,3 +134,117 @@ import pytest as _pytest
 def _bind_spark(spark):
     TestTextKernelFuzz._spark = spark
     yield
+
+
+class TestFunnelGreedy:
+    """The funnel operator's semantic claim: the earliest-chain greedy
+    finds a strictly-increasing stage chain iff ANY such chain exists
+    (i.e. iff the stage sequence is a subsequence of the time-ordered
+    event types with strictly increasing timestamps)."""
+
+    @staticmethod
+    def _greedy(events, stages):
+        # mirror of operators/funnel.py: t_i = min ts of stage_i with ts > t_{i-1}
+        t_prev = None
+        for s in stages:
+            cand = [
+                ts for ts, typ in events
+                if typ == s and (t_prev is None or ts > t_prev)
+            ]
+            if not cand:
+                return False
+            t_prev = min(cand)
+        return True
+
+    @staticmethod
+    def _exists_chain(events, stages):
+        import itertools
+
+        pools = [
+            [ts for ts, typ in events if typ == s] for s in stages
+        ]
+        if any(not p for p in pools):
+            return False
+        for combo in itertools.product(*pools):
+            if all(combo[i] < combo[i + 1] for i in range(len(combo) - 1)):
+                return True
+        return False
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=20),
+                st.sampled_from(["a", "b", "c", "x"]),
+            ),
+            min_size=0,
+            max_size=12,
+        )
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_greedy_iff_exists(self, events):
+        stages = ["a", "b", "c"]
+        assert self._greedy(events, stages) == self._exists_chain(
+            events, stages
+        )
+
+
+class TestSketchProperties:
+    """md5-replay properties of the bloom/CMS sketches (the same bit/
+    counter addressing as operators/sketches.py, pure Python)."""
+
+    @staticmethod
+    def _positions(val, m_bits, k):
+        import hashlib
+
+        return [
+            int(hashlib.md5(f"{val}:{i}".encode()).hexdigest()[:15], 16)
+            % m_bits
+            for i in range(k)
+        ]
+
+    @given(
+        st.lists(st.integers(min_value=0, max_value=10_000), max_size=50),
+        st.integers(min_value=0, max_value=10_000),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_bloom_no_false_negative(self, build, probe):
+        m_bits, k = 256, 3
+        bits = set()
+        for v in build:
+            bits.update(self._positions(v, m_bits, k))
+        if probe in build:
+            assert all(p in bits for p in self._positions(probe, m_bits, k))
+
+    @given(st.lists(st.integers(min_value=0, max_value=50), max_size=60))
+    @settings(max_examples=200, deadline=None)
+    def test_cms_never_underestimates(self, vals):
+        import collections
+        import hashlib
+
+        width, depth = 16, 3
+        counters = collections.Counter()
+        for v in vals:
+            for r in range(depth):
+                c = (
+                    int(
+                        hashlib.md5(f"{v}#{r}".encode()).hexdigest()[:15], 16
+                    )
+                    % width
+                )
+                counters[(r, c)] += 1
+        truth = collections.Counter(vals)
+        for v, true_n in truth.items():
+            est = min(
+                counters[
+                    (
+                        r,
+                        int(
+                            hashlib.md5(f"{v}#{r}".encode()).hexdigest()[:15],
+                            16,
+                        )
+                        % width,
+                    )
+                ]
+                for r in range(depth)
+            )
+            assert est >= true_n
