@@ -2068,6 +2068,35 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2 shape (adapted: no partsupp, so the correlated MIN over
+    supply cost becomes a correlated MAX over the per-(part, supplier)
+    shipped quantity derived from lineitem). Written as SQL so Catalyst
+    decorrelates a subquery OVER A DERIVED AGGREGATE — one step beyond
+    q17's raw-table correlation. Quantities are integral doubles: exact
+    sums, exact equality."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("__q2_li")
+    load(spark, sf_dir, "part").createOrReplaceTempView("__q2_part")
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("__q2_supp")
+    return spark.sql("""
+      WITH ps AS (
+        SELECT l_partkey, l_suppkey, sum(l_quantity) AS total_qty
+        FROM __q2_li GROUP BY l_partkey, l_suppkey
+      )
+      SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, ps.total_qty
+      FROM ps
+      JOIN __q2_part p ON p.p_partkey = ps.l_partkey
+      JOIN __q2_supp s ON s.s_suppkey = ps.l_suppkey
+      WHERE p.p_size = 15 AND p.p_type = 'ECONOMY'
+        AND ps.total_qty = (
+          SELECT max(ps2.total_qty) FROM ps ps2
+          WHERE ps2.l_partkey = ps.l_partkey
+        )
+      ORDER BY p.p_partkey, s.s_suppkey
+      LIMIT 50
+    """)
+
+
 def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q16 shape (parts/supplier relationship, adapted: supplier
     counts come from lineitem since this testdata has no partsupp).
@@ -2394,6 +2423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q9": q_tpch_q9,
         "tpch_q15": q_tpch_q15,
         "tpch_q21": q_tpch_q21,
+        "tpch_q2": q_tpch_q2,
         "tpch_q16": q_tpch_q16,
         "events_rolling_1h": q_events_rolling_1h,
         "events_anomaly": q_events_anomaly,
@@ -2821,6 +2851,23 @@ WHERE n_supp >= 2 AND n_r_supp = 1
 GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 20
+""",
+        "tpch_q2": """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, ps.total_qty
+FROM ps
+JOIN part p ON p.p_partkey = ps.l_partkey
+JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+WHERE p.p_size = 15 AND p.p_type = 'ECONOMY'
+  AND ps.total_qty = (
+    SELECT max(ps2.total_qty) FROM ps ps2
+    WHERE ps2.l_partkey = ps.l_partkey
+  )
+ORDER BY p.p_partkey, s.s_suppkey
+LIMIT 50
 """,
         "tpch_q16": """
 SELECT p_brand, p_type, p_size,
