@@ -189,3 +189,30 @@ def read_words_bucket(
 
     coarse = pk.coarsen(pattern, c, coarse_c)
     return spark.read.parquet(path).where(F.col("isax_bucket") == coarse)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    *,
+    key: str,
+    num_buckets: int,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` hash-bucketed (and optionally sorted) by ``key``
+    into the session catalog — the storage layout that makes repeated
+    big-big joins and aggregations on ``key`` SHUFFLE-FREE: two tables
+    bucketed the same way join without an Exchange on either side (and
+    without a Sort when pre-sorted), which at 100 TB is the difference
+    between an exchange of the whole fact table per query and none.
+
+    This is the general-relational sibling of the iSAX layouts above:
+    `write_words_bucketed` prunes SCANS via partition directories;
+    bucketing co-locates JOINS via hash-bucket files. The bucket count
+    should match (a multiple of) the cluster's target parallelism.
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table)

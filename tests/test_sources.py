@@ -137,3 +137,45 @@ class TestLoadSeries:
                 load_series(spark, base, fmt="orc2")
         finally:
             _shutil.rmtree(base, ignore_errors=True)
+
+
+class TestBucketedTables:
+    def test_bucketed_join_has_no_exchange(self, spark, sf_dir):
+        """Two tables bucketed+sorted on the join key must join with NO
+        Exchange and NO Sort on either side (the co-located-join layout
+        a 100 TB deployment stores its fact tables in)."""
+        from symtseries_spark.sources import load, write_bucketed_table
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+        orders = load(spark, sf_dir, "orders")
+        lineitem = load(spark, sf_dir, "lineitem").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        )
+        write_bucketed_table(
+            orders, "b_orders", key="o_orderkey", num_buckets=4
+        )
+        write_bucketed_table(
+            lineitem, "b_lineitem", key="o_orderkey", num_buckets=4
+        )
+        try:
+            j = spark.table("b_orders").join(
+                spark.table("b_lineitem"), "o_orderkey"
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            n = j.count()
+            expect = (
+                load(spark, sf_dir, "orders")
+                .join(
+                    load(spark, sf_dir, "lineitem"),
+                    F.col("o_orderkey") == F.col("l_orderkey"),
+                )
+                .count()
+            )
+            assert n == expect
+        finally:
+            spark.sql("DROP TABLE IF EXISTS b_orders")
+            spark.sql("DROP TABLE IF EXISTS b_lineitem")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
