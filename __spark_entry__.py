@@ -2367,6 +2367,41 @@ def q_docs_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_anomaly: trailing-window z-score through
+    a real stream with bounded keyed state (window-1 doubles/series),
+    numpy index-order sums matching the batch plan's sequential window
+    folds bit-for-bit. One micro-batch replay; same oracle as the batch
+    query (round + threshold applied JVM-side on the sink table)."""
+    import tempfile
+    import uuid
+
+    from symtseries_spark.sources import load_events_stream
+    from symtseries_spark.streaming import rolling_zscore_stream
+
+    stream = load_events_stream(spark, sf_dir)
+    z = rolling_zscore_stream(
+        stream, key="user_id", order=["ts", "event_id"], value="value",
+        window=ANOM_WINDOW,
+    )
+    name = f"anom_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        z.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="anom_chk_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rounded = F.round(F.when(~F.isnan("zscore"), F.col("zscore")), 4)
+    return (
+        spark.table(name)
+        .select("user_id", "event_id", "n_window", rounded.alias("zscore"))
+        .where(F.abs(F.col("zscore")) >= ANOM_THRESHOLD)
+    )
+
+
 def q_docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact corpus heavy hitters (top terms by occurrences + doc_freq)."""
     from symtseries_spark.operators.retrieval import top_terms
@@ -2427,6 +2462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16": q_tpch_q16,
         "events_rolling_1h": q_events_rolling_1h,
         "events_anomaly": q_events_anomaly,
+        "events_anomaly_stream": q_events_anomaly_stream,
         "events_ewma": q_events_ewma,
         "events_ewma_stream": q_events_ewma_stream,
         "docs_top_terms": q_docs_top_terms,
@@ -2500,6 +2536,31 @@ _l8 = "ABCDEFGH"  # letters at c=8 (TUMBLE_DIST cardinality)
 def _coarse_map(coarse_c: int) -> str:
     k = TUMBLE_DIST["c"] // coarse_c
     return "".join(_l8[i // k] for i in range(TUMBLE_DIST["c"]))
+
+
+_ANOM_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(value AS DOUBLE) AS x
+  FROM events
+), w AS (
+  SELECT user_id, event_id, x,
+         count(x) OVER fr AS n_window,
+         sum(x) OVER fr AS s1,
+         sum(x * x) OVER fr AS s2
+  FROM e WINDOW fr AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN {ANOM_WINDOW - 1} PRECEDING AND CURRENT ROW)
+), z AS (
+  SELECT user_id, event_id, n_window,
+         CASE WHEN s2 / n_window - (s1 / n_window) * (s1 / n_window) > 0
+              THEN round((x - s1 / n_window)
+                         / sqrt(s2 / n_window - (s1 / n_window) * (s1 / n_window)), 4)
+         END AS zscore
+  FROM w
+)
+SELECT user_id, event_id, n_window, zscore
+FROM z WHERE abs(zscore) >= {ANOM_THRESHOLD}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2888,29 +2949,8 @@ SELECT user_id, event_id,
 FROM e WINDOW fr AS (PARTITION BY user_id ORDER BY ts_us
                      RANGE BETWEEN {ROLLING_RANGE_US} PRECEDING AND CURRENT ROW)
 """,
-        "events_anomaly": f"""
-WITH e AS (
-  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-         CAST(value AS DOUBLE) AS x
-  FROM events
-), w AS (
-  SELECT user_id, event_id, x,
-         count(x) OVER fr AS n_window,
-         sum(x) OVER fr AS s1,
-         sum(x * x) OVER fr AS s2
-  FROM e WINDOW fr AS (PARTITION BY user_id ORDER BY ts_us, event_id
-                       ROWS BETWEEN {ANOM_WINDOW - 1} PRECEDING AND CURRENT ROW)
-), z AS (
-  SELECT user_id, event_id, n_window,
-         CASE WHEN s2 / n_window - (s1 / n_window) * (s1 / n_window) > 0
-              THEN round((x - s1 / n_window)
-                         / sqrt(s2 / n_window - (s1 / n_window) * (s1 / n_window)), 4)
-         END AS zscore
-  FROM w
-)
-SELECT user_id, event_id, n_window, zscore
-FROM z WHERE abs(zscore) >= {ANOM_THRESHOLD}
-""",
+        "events_anomaly": _ANOM_SQL,
+        "events_anomaly_stream": _ANOM_SQL,
         "events_ewma": f"""
 WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) AS ts_us,

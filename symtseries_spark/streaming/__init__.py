@@ -3,11 +3,12 @@ event-time tumbling SAX with watermarks."""
 
 from .dedup import streaming_exact_dedup
 from .sliding import sliding_sax_stream
-from .timeseries import ewma_stream
+from .timeseries import ewma_stream, rolling_zscore_stream
 from .tumbling import tumbling_sax_event_time
 
 __all__ = [
     "ewma_stream",
+    "rolling_zscore_stream",
     "sliding_sax_stream",
     "streaming_exact_dedup",
     "tumbling_sax_event_time",

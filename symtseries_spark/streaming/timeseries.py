@@ -25,12 +25,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
+    LongType,
     StructField,
     StructType,
 )
 
-__all__ = ["ewma_stream"]
+__all__ = ["ewma_stream", "rolling_zscore_stream"]
 
 
 def ewma_stream(
@@ -87,6 +89,93 @@ def ewma_stream(
             )
         if acc is not None:
             state.update((float(acc),))
+
+    return (
+        events.select(*cols)
+        .groupBy(key)
+        .applyInPandasWithState(
+            handle,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def rolling_zscore_stream(
+    events: DataFrame,
+    *,
+    key: str,
+    order: list[str],
+    value: str,
+    window: int,
+    out: str = "zscore",
+) -> DataFrame:
+    """Streaming twin of ``operators.timeseries.rolling_zscore``: per
+    event, the trailing-``window`` z-score of its series. State = the
+    last ``window - 1`` raw values per key (bounded, like the sliding
+    SAX ring). Sums accumulate in index order (numpy cumsum) so the
+    moments are bit-identical to the batch plan's sequential JVM window
+    folds — same convention as ``sliding._seqsum``. Emits the UNROUNDED
+    z (NaN for flat windows; round + NULL-convert downstream with
+    ``F.round``/``nanvl`` to mirror SQL semantics)."""
+    import math
+
+    import numpy as np
+
+    if window < 2:
+        raise ValueError("rolling_zscore_stream needs window >= 2")
+    key_field = events.schema[key]
+    order_fields = [events.schema[o] for o in order]
+    out_schema = StructType(
+        [
+            StructField(key_field.name, key_field.dataType),
+            *[StructField(f.name, f.dataType) for f in order_fields],
+            StructField(value, DoubleType()),
+            StructField("n_window", LongType()),
+            StructField(out, DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("buf", ArrayType(DoubleType()))]
+    )
+    cols = [key, *order, value]
+
+    def _seqsum(a: np.ndarray, axis: int) -> np.ndarray:
+        return np.cumsum(a, axis=axis).take(-1, axis=axis)
+
+    def handle(key_tuple, pdfs, state) -> "Iterator[pd.DataFrame]":
+        buf = list(state.get[0]) if state.exists else []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order, kind="mergesort")
+            vals = pdf[value].astype("float64").to_numpy()
+            hist = np.concatenate([np.asarray(buf, dtype="float64"), vals])
+            pad = window - 1
+            padded = np.concatenate([np.full(pad, np.nan), hist])
+            frames = np.lib.stride_tricks.sliding_window_view(padded, window)
+            frames = frames[len(hist) - len(vals):]  # new rows only
+            finite = ~np.isnan(frames)
+            n = finite.sum(axis=1).astype("float64")
+            fv = np.where(finite, frames, 0.0)
+            s1 = _seqsum(fv, axis=1)
+            s2 = _seqsum(fv * fv, axis=1)
+            mu = s1 / n
+            var = s2 / n - mu * mu
+            x = vals
+            with np.errstate(invalid="ignore", divide="ignore"):
+                z = np.where(var > 0, (x - mu) / np.sqrt(var), np.nan)
+            buf = [float(v) for v in hist[-(window - 1):]]
+            yield pd.DataFrame(
+                {
+                    key_field.name: pdf[key].to_numpy(),
+                    **{o: pdf[o].to_numpy() for o in order},
+                    value: vals,
+                    "n_window": n.astype("int64"),
+                    out: z,
+                }
+            )
+        state.update((buf,))
 
     return (
         events.select(*cols)

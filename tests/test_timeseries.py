@@ -167,3 +167,58 @@ class TestTermStats:
         assert r3.top_share == pytest.approx(1.0, abs=1e-6)
         r2 = rows[2]
         assert r2.dup_ratio == 0.0 and r2.top_share == pytest.approx(1 / 3, abs=1e-6)
+
+
+class TestRollingZscoreStream:
+    def test_matches_batch_across_batches(self, spark):
+        """Two micro-batches must reproduce the batch rolling_zscore
+        exactly (state carries the trailing window across batches)."""
+        import glob as globmod
+        import math
+        import os
+        import tempfile
+        import uuid
+
+        from symtseries_spark.streaming import rolling_zscore_stream
+
+        rows = [(k, i, float(v)) for k in (1, 2)
+                for i, v in enumerate([5, 1, 9, 2, 8, 3, 7, 4])]
+        df = spark.createDataFrame(rows, "k long, i long, v double")
+        batch = {
+            (r.k, r.i): r.zscore
+            for r in rolling_zscore(
+                df, key="k", order=["i"], value="v", window=4
+            ).collect()
+        }
+        in_dir = tempfile.mkdtemp(prefix="zs_in_")
+        stage = tempfile.mkdtemp(prefix="zs_stage_")
+        df.where("i < 4").coalesce(1).write.parquet(f"{stage}/b0")
+        df.where("i >= 4").coalesce(1).write.parquet(f"{stage}/b1")
+        for i in range(2):
+            part = globmod.glob(f"{stage}/b{i}/part-*.parquet")[0]
+            dst = f"{in_dir}/b{i}.parquet"
+            os.rename(part, dst)
+            os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+        stream = spark.readStream.schema(df.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(in_dir)
+        z = rolling_zscore_stream(
+            stream, key="k", order=["i"], value="v", window=4
+        )
+        name = f"zs_t_{uuid.uuid4().hex[:8]}"
+        q = (
+            z.writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="zs_chk_"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {(r.k, r.i): r.zscore for r in spark.table(name).collect()}
+        assert set(got) == set(batch)
+        for kk, z_stream in got.items():
+            z_batch = batch[kk]
+            if z_batch is None:
+                assert z_stream is None or math.isnan(z_stream)
+            else:
+                assert round(z_stream, 4) == pytest.approx(z_batch, abs=1e-9)
