@@ -2219,6 +2219,25 @@ def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(load(spark, sf_dir, "embeddings"), **PQ)
 
 
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all 4 grouping sets over type x day) with
+    grouping_id — one Expand + one hash aggregate, the standard
+    multi-rollup shape; NULL group keys are disambiguated from real
+    NULLs by the grouping id on both engines."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", (F.expr("ts div 1000") / F.lit(86_400_000_000)).cast("long")
+    )
+    return (
+        ev.cube("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id().alias("gid"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+        .select("event_type", "day", "gid", "n", "sum_value")
+    )
+
+
 LATE_SPAN_DAYS = 5  # tumbling window == replay-file span
 LATE_WM_DAYS = 2    # watermark < span => rows delayed 2 files always drop
 
@@ -2472,6 +2491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "docs_cms_terms": q_docs_cms_terms,
         "events_late_drop": q_events_late_drop,
+        "events_cube": q_events_cube,
         "dedup_keep": q_dedup_keep,
         "docs_clean": q_docs_clean,
         "dedup_exact_stream": q_dedup_exact_stream,
@@ -2995,6 +3015,15 @@ FROM w
         "docs_repetition": ot.repetition_sql(),
         "docs_bloom_prefilter": ot.bloom_prefilter_sql(**BLOOM),
         "emb_pq_topk": ov.pq_topk_sql(**PQ),
+        "events_cube": """
+SELECT event_type,
+       epoch_us(ts) // 86400000000 AS day,
+       CAST(grouping(event_type) * 2 + grouping(day) AS BIGINT) AS gid,
+       count(*) AS n,
+       round(sum(value), 3) AS sum_value
+FROM events
+GROUP BY CUBE (event_type, day)
+""",
         "events_late_drop": f"""
 WITH e AS (
   SELECT event_id, epoch_us(ts) AS us, value FROM events
