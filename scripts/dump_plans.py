@@ -143,6 +143,12 @@ derived in-plan) — at rest the codes table replaces the float scan.""",
     "events_funnel": """Funnel: every stage aggregate and join keys on user_id —
 the exchange is reused across stages (one physical shuffle of events
 per stage pass, no windows, no event-history collection).""",
+    "tpch_q2": """Correlated MAX over a DERIVED aggregate: Catalyst decorrelates
+the subquery into a per-partkey max over the same ps aggregate joined
+back — the ps relation computes once per side from one lineitem shuffle,
+and the part filter prunes before the final joins.""",
+    "events_cube": """CUBE: ONE Expand (4 grouping sets) feeding ONE hash
+aggregate — no per-grouping-set scan or union; the scan is read once.""",
 }
 
 spark = (
