@@ -2189,9 +2189,11 @@ def q_events_ewma_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from symtseries_spark.sources import load_events_stream
     from symtseries_spark.streaming import ewma_stream
 
-    stream = load_events_stream(spark, sf_dir)
+    stream = load_events_stream(spark, sf_dir).withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
     ew = ewma_stream(
-        stream, key="user_id", order=["ts", "event_id"], value="value",
+        stream, key="user_id", order=["ts_us", "event_id"], value="value",
         alpha=EWMA_P["alpha"],
     )
     name = f"ewma_stream_{uuid.uuid4().hex[:8]}"
@@ -2335,9 +2337,12 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate per stage on one user_id partitioning, integer counts."""
     from symtseries_spark.operators import funnel_counts
 
-    ev = load(spark, sf_dir, "events")
+    # compare stage times in MICROSECONDS: the oracle's epoch_us truncates
+    # sub-microsecond digits, so a nanosecond-unit comparison could split
+    # a tie the SQL side cannot see (the repo-wide common-unit rule)
+    ev = load(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts div 1000"))
     return funnel_counts(
-        ev, key="user_id", ts="ts", type_col="event_type",
+        ev, key="user_id", ts="ts_us", type_col="event_type",
         stages=list(FUNNEL_STAGES),
     )
 
@@ -2398,9 +2403,11 @@ def q_events_anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from symtseries_spark.sources import load_events_stream
     from symtseries_spark.streaming import rolling_zscore_stream
 
-    stream = load_events_stream(spark, sf_dir)
+    stream = load_events_stream(spark, sf_dir).withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
     z = rolling_zscore_stream(
-        stream, key="user_id", order=["ts", "event_id"], value="value",
+        stream, key="user_id", order=["ts_us", "event_id"], value="value",
         window=ANOM_WINDOW,
     )
     name = f"anom_stream_{uuid.uuid4().hex[:8]}"
@@ -3404,12 +3411,11 @@ FROM documents d JOIN canon c ON d.doc_id = c.doc_id
 WHERE c.doc_id = c.canonical_id
 ORDER BY d.doc_id
 """,
-        "docs_clean": """
+        "docs_clean": f"""
 SELECT doc_id,
-       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS clean_text,
+       {ot.normalized_expr()} AS clean_text,
        length(text) AS n_chars_raw,
-       length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
-         AS n_chars_clean
+       length({ot.normalized_expr()}) AS n_chars_clean
 FROM documents
 """,
         "dedup_minhash_stream": ot.minhash_stream_dedup_sql(

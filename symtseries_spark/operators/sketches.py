@@ -109,12 +109,34 @@ def bloom_probe(
     shuffle and no explode on the probe side."""
 
     def bit_set(p: Column) -> Column:
-        word = F.element_at(F.col("bloom"), (p / WORD_BITS).cast("int") + 1)
+        word = F.element_at(
+            F.col("__bloom_bits"), (p / WORD_BITS).cast("int") + 1
+        )
         return word.bitwiseAND(_mask(p)) == _mask(p)
 
-    probed = df.crossJoin(F.broadcast(bloom))
+    probed = df.crossJoin(
+        F.broadcast(bloom.select(F.col("bloom").alias("__bloom_bits")))
+    )
     hit = F.forall(bloom_positions(F.col(col), m_bits=m_bits, k=k), bit_set)
-    return probed.withColumn(out, hit).drop("bloom")
+    return probed.withColumn(out, hit).drop("__bloom_bits")
+
+
+def _cms_positions(el: Column, *, width: int, depth: int) -> Column:
+    """array<struct<row_id, col_id>>: the depth counter addresses for
+    ``el`` — md5 of the '#'-salted value, reduced mod width. Build and
+    probe MUST address identically; this is the single definition."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row_id"),
+                (
+                    doc_hash60(F.concat(el.cast("string"), F.lit(f"#{r}")))
+                    % width
+                ).alias("col_id"),
+            )
+            for r in range(depth)
+        ]
+    )
 
 
 def cms_build(
@@ -131,24 +153,9 @@ def cms_build(
     too big to shuffle. Counters are integers: no float determinism
     caveats at all."""
     rows = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("row_id"),
-                        (
-                            doc_hash60(
-                                F.concat(
-                                    F.col(col).cast("string"), F.lit(f"#{r}")
-                                )
-                            )
-                            % width
-                        ).alias("col_id"),
-                    )
-                    for r in range(depth)
-                ]
-            )
-        ).alias("rc")
+        F.explode(_cms_positions(F.col(col), width=width, depth=depth)).alias(
+            "rc"
+        )
     )
     return (
         rows.select("rc.row_id", "rc.col_id")
@@ -164,30 +171,32 @@ def cms_estimate(
     """Point-estimate the count of each value in ``queries[col]``:
     ``min`` over the value's ``depth`` counters (the classic CMS
     guarantee: est >= true, overshoot bounded by collisions). The sparse
-    sketch broadcasts; each probe is a ``depth``-row equi-join + min."""
-    probes = queries.select(
-        "*",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("row_id"),
-                        (
-                            doc_hash60(
-                                F.concat(
-                                    F.col(col).cast("string"), F.lit(f"#{r}")
-                                )
-                            )
-                            % width
-                        ).alias("col_id"),
-                    )
-                    for r in range(depth)
-                ]
-            )
-        ).alias("rc"),
-    ).select("*", "rc.row_id", "rc.col_id").drop("rc")
-    others = [c for c in queries.columns]
-    joined = probes.join(F.broadcast(cms), ["row_id", "col_id"], "left").fillna(
-        {"cnt": 0}
+    sketch broadcasts; each probe is a ``depth``-row equi-join + min.
+
+    ``queries`` rows must be distinct: the final groupBy keys on every
+    query column, so duplicate probe rows collapse to one output row
+    (dedupe or add a surrogate id upstream if multiset probes matter)."""
+    probes = (
+        queries.select(
+            "*",
+            F.explode(
+                _cms_positions(F.col(col), width=width, depth=depth)
+            ).alias("__rc"),
+        )
+        .select(
+            "*",
+            F.col("__rc.row_id").alias("__cms_row"),
+            F.col("__rc.col_id").alias("__cms_col"),
+        )
+        .drop("__rc")
     )
-    return joined.groupBy(*others).agg(F.min("cnt").alias(out))
+    others = [c for c in queries.columns]
+    counters = cms.select(
+        F.col("row_id").alias("__cms_row"),
+        F.col("col_id").alias("__cms_col"),
+        F.col("cnt").alias("__cms_cnt"),
+    )
+    joined = probes.join(
+        F.broadcast(counters), ["__cms_row", "__cms_col"], "left"
+    ).fillna({"__cms_cnt": 0})
+    return joined.groupBy(*others).agg(F.min("__cms_cnt").alias(out))

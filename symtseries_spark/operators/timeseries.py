@@ -79,6 +79,11 @@ def ewma(
     folds left with the same lambda produces bit-identical doubles —
     each step is one multiply-add chain in a fixed order. Memory per row
     is O(window) doubles inside one WindowExec pass.
+
+    NULL ``value`` rows are SKIPPED (``collect_list`` drops them): the
+    fold runs over the frame's non-null values only. A SQL mirror using
+    ``list()`` must filter nulls the same way, or NULL-poisoned frames
+    will diverge.
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError("ewma needs 0 < alpha <= 1")

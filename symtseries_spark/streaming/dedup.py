@@ -26,6 +26,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ._util import coalesce_chunks
 from ..functions.text import doc_hash60, normalized_text
 
 _OUT_SCHEMA = StructType(
@@ -57,8 +58,9 @@ def streaming_exact_dedup(
     ) -> Iterator[pd.DataFrame]:
         content_hash = key[0]
         canonical = state.get[0] if state.exists else None
-        for pdf in pdfs:
-            pdf = pdf.sort_values("doc_id")
+        whole = coalesce_chunks(pdfs)
+        if whole is not None:
+            pdf = whole.sort_values("doc_id")
             ids = [int(x) for x in pdf["doc_id"]]
             out_canon, out_dup = [], []
             for doc_id in ids:

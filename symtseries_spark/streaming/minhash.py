@@ -33,6 +33,7 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 from ..functions.text import HASH_PRIME, hash_mod_prime, shingles
 from ..operators.dedup import minhash_coefficients
+from ._util import coalesce_chunks
 
 __all__ = ["minhash_band_structs", "streaming_minhash_dedup"]
 
@@ -131,7 +132,9 @@ def streaming_minhash_dedup(
     ) -> Iterator[pd.DataFrame]:
         band_id = int(key[0])
         claimant = int(state.get[0]) if state.exists else None
-        for pdf in pdfs:
+        whole = coalesce_chunks(pdfs)
+        if whole is not None:
+            pdf = whole
             ids = sorted(int(x) for x in pdf["doc_id"])
             out_dup: list[int | None] = []
             for doc_id in ids:

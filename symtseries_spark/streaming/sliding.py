@@ -42,6 +42,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ._util import coalesce_chunks
 from ..constants import BREAKPOINTS, LETTERS, MISSING, STAT_EPS, validate_params
 
 
@@ -128,8 +129,9 @@ def sliding_sax_stream(
         key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         buf = list(state.get[0]) if state.exists else [math.nan] * n
-        for pdf in pdfs:
-            pdf = pdf.sort_values(order, kind="mergesort")
+        whole = coalesce_chunks(pdfs)
+        if whole is not None:
+            pdf = whole.sort_values(order, kind="mergesort")
             vals = (
                 pdf[value].astype("float64").to_numpy(na_value=math.nan).copy()
             )

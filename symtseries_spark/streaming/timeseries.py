@@ -32,6 +32,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ._util import coalesce_chunks
+
 __all__ = ["ewma_stream", "rolling_zscore_stream"]
 
 
@@ -71,8 +73,9 @@ def ewma_stream(
         key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         acc = state.get[0] if state.exists else None
-        for pdf in pdfs:
-            pdf = pdf.sort_values(order, kind="mergesort")
+        whole = coalesce_chunks(pdfs)
+        if whole is not None:
+            pdf = whole.sort_values(order, kind="mergesort")
             vals = pdf[value].astype("float64").to_numpy()
             outs = []
             for x in vals:
@@ -119,7 +122,13 @@ def rolling_zscore_stream(
     moments are bit-identical to the batch plan's sequential JVM window
     folds — same convention as ``sliding._seqsum``. Emits the UNROUNDED
     z (NaN for flat windows; round + NULL-convert downstream with
-    ``F.round``/``nanvl`` to mirror SQL semantics)."""
+    ``F.round``/``nanvl`` to mirror SQL semantics).
+
+    NaN parity caveat: NaN DATA values are indistinguishable from the
+    warm-up padding here and are excluded from the moments, while the
+    batch operator lets a NaN poison its frames (NULL z but counted
+    n_window). Series with NaN data diverge from the batch twin on
+    n_window; real event streams carry no NaN values."""
     import math
 
     import numpy as np
@@ -147,8 +156,9 @@ def rolling_zscore_stream(
 
     def handle(key_tuple, pdfs, state) -> "Iterator[pd.DataFrame]":
         buf = list(state.get[0]) if state.exists else []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(order, kind="mergesort")
+        whole = coalesce_chunks(pdfs)
+        if whole is not None:
+            pdf = whole.sort_values(order, kind="mergesort")
             vals = pdf[value].astype("float64").to_numpy()
             hist = np.concatenate([np.asarray(buf, dtype="float64"), vals])
             pad = window - 1
