@@ -1374,6 +1374,22 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_lsh_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup prune-then-refine: banded MinHash-LSH candidates (threshold
+    0 — recall set) verified by EXACT Jaccard over the candidates only —
+    refine cost follows candidate count, never |docs|^2. The exact twin
+    of the SAX allpairs->euclidean_refine contract, on text."""
+    from symtseries_spark.operators import jaccard_refine
+
+    docs = load(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs, **{**MINHASH, "threshold": 0.0}).select(
+        "doc_a", "doc_b"
+    )
+    return jaccard_refine(
+        cand, docs, k=JACCARD["k"], threshold=JACCARD["threshold"]
+    ).orderBy("doc_a", "doc_b")
+
+
 def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup endgame's MATERIALIZATION: the surviving corpus after
     near-dup clustering (keep the min-id member of every cluster,
@@ -2499,6 +2515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_cms_terms": q_docs_cms_terms,
         "events_late_drop": q_events_late_drop,
         "events_cube": q_events_cube,
+        "dedup_lsh_refined": q_dedup_lsh_refined,
         "dedup_keep": q_dedup_keep,
         "docs_clean": q_docs_clean,
         "dedup_exact_stream": q_dedup_exact_stream,
@@ -3391,6 +3408,27 @@ SELECT c.doc_id, c.canonical_id, s.cluster_size,
        c.doc_id <> c.canonical_id AS is_duplicate
 FROM canon c JOIN sizes s USING (canonical_id)
 ORDER BY c.doc_id
+""",
+        "dedup_lsh_refined": f"""
+WITH cand AS (
+  SELECT doc_a, doc_b
+  FROM ({ot.minhash_lsh_pairs_sql(**{**MINHASH, "threshold": 0.0})}) __c
+), sets AS (
+  SELECT doc_id, {ot.shingles_expr(JACCARD["k"])} AS sh FROM documents
+), j AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.sh, sb.sh)) AS n_common,
+         len(sa.sh) AS n_a, len(sb.sh) AS n_b
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.doc_a
+  JOIN sets sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, n_common, n_a, n_b,
+       round(n_common * 1.0 / (n_a + n_b - n_common), 4) AS jaccard
+FROM j
+WHERE round(n_common * 1.0 / (n_a + n_b - n_common), 4)
+        >= {JACCARD["threshold"]}
+ORDER BY doc_a, doc_b
 """,
         "dedup_keep": f"""
 WITH RECURSIVE pairs AS (

@@ -39,6 +39,7 @@ from .timeseries import (
 from .dedup import (
     exact_dedup_map,
     jaccard_pairs,
+    jaccard_refine,
     minhash_lsh_pairs,
     minhash_signatures,
     simhash,
@@ -80,6 +81,7 @@ __all__ = [
     "ivf_index",
     "ivf_topk",
     "jaccard_pairs",
+    "jaccard_refine",
     "knn_join",
     "knn_join_vectorized",
     "match_pattern",

@@ -369,3 +369,48 @@ def simhash_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def jaccard_refine(
+    pairs: DataFrame,
+    docs: DataFrame,
+    *,
+    k: int,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pair_a: str = "doc_a",
+    pair_b: str = "doc_b",
+) -> DataFrame:
+    """EXACT-Jaccard verification of a CANDIDATE pair set (e.g. the
+    banded output of :func:`minhash_lsh_pairs` at threshold 0) — the
+    dedup analogue of the SAX prune-then-refine contract: LSH recalls
+    candidates cheaply, this refine step restores exact precision.
+
+    Cost is proportional to the CANDIDATE count, not |docs|^2 and not
+    shingle co-occurrence: each pair joins to the per-doc distinct
+    shingle arrays (computed scan-stage, once per doc) and intersects
+    them JVM-side. Output matches :func:`jaccard_pairs` column-for-column
+    so the two are interchangeable downstream.
+    """
+    sets = docs.select(
+        F.col(id_col).alias("__id"),
+        shingles(F.col(text_col), k).alias("__sh"),
+    )
+    sa = sets.select(F.col("__id").alias(pair_a), F.col("__sh").alias("__sha"))
+    sb = sets.select(F.col("__id").alias(pair_b), F.col("__sh").alias("__shb"))
+    j = pairs.select(pair_a, pair_b).join(sa, pair_a).join(sb, pair_b)
+    n_common = F.size(F.array_intersect("__sha", "__shb"))
+    n_a, n_b = F.size("__sha"), F.size("__shb")
+    jac = n_common / (n_a + n_b - n_common)
+    return (
+        j.select(
+            pair_a,
+            pair_b,
+            n_common.alias("n_common"),
+            n_a.alias("n_a"),
+            n_b.alias("n_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
