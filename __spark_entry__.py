@@ -2444,6 +2444,22 @@ def q_events_anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID quality as a confusion crosstab: true lang column vs
+    the n-gram-marker prediction, counted per cell — the corpus QA query
+    a pipeline runs before trusting a classifier for filtering. One
+    scan-stage prediction + one groupBy."""
+    from symtseries_spark.functions.text import lang_id
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
 def q_docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact corpus heavy hitters (top terms by occurrences + doc_freq)."""
     from symtseries_spark.operators.retrieval import top_terms
@@ -2509,6 +2525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ewma_stream": q_events_ewma_stream,
         "docs_top_terms": q_docs_top_terms,
         "docs_repetition": q_docs_repetition,
+        "docs_lang_confusion": q_docs_lang_confusion,
         "docs_bloom_prefilter": q_docs_bloom_prefilter,
         "emb_pq_topk": q_emb_pq_topk,
         "events_funnel": q_events_funnel,
@@ -3037,6 +3054,12 @@ FROM w
             topk=TOP_TERMS_K, min_len=TOP_TERMS_MIN_LEN
         ),
         "docs_repetition": ot.repetition_sql(),
+        "docs_lang_confusion": f"""
+SELECT d.lang, q.lang_pred, count(*) AS n_docs
+FROM documents d JOIN ({ot.text_quality_sql()}) q ON d.doc_id = q.doc_id
+GROUP BY d.lang, q.lang_pred
+ORDER BY d.lang, q.lang_pred
+""",
         "docs_bloom_prefilter": ot.bloom_prefilter_sql(**BLOOM),
         "emb_pq_topk": ov.pq_topk_sql(**PQ),
         "events_cube": """
