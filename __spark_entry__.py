@@ -2103,7 +2103,7 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ps
       JOIN __q2_part p ON p.p_partkey = ps.l_partkey
       JOIN __q2_supp s ON s.s_suppkey = ps.l_suppkey
-      WHERE p.p_size = 15 AND p.p_type = 'ECONOMY'
+      WHERE p.p_size <= 15 AND p.p_type = 'ECONOMY'
         AND ps.total_qty = (
           SELECT max(ps2.total_qty) FROM ps ps2
           WHERE ps2.l_partkey = ps.l_partkey
@@ -2983,7 +2983,7 @@ SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, ps.total_qty
 FROM ps
 JOIN part p ON p.p_partkey = ps.l_partkey
 JOIN supplier s ON s.s_suppkey = ps.l_suppkey
-WHERE p.p_size = 15 AND p.p_type = 'ECONOMY'
+WHERE p.p_size <= 15 AND p.p_type = 'ECONOMY'
   AND ps.total_qty = (
     SELECT max(ps2.total_qty) FROM ps ps2
     WHERE ps2.l_partkey = ps.l_partkey
