@@ -149,6 +149,15 @@ back — the ps relation computes once per side from one lineitem shuffle,
 and the part filter prunes before the final joins.""",
     "events_cube": """CUBE: ONE Expand (4 grouping sets) feeding ONE hash
 aggregate — no per-grouping-set scan or union; the scan is read once.""",
+    "dedup_lsh_refined": """Dedup prune-then-refine: the banded-candidate plan
+(one signature aggregation + posexplode band join) feeds an exact-Jaccard
+verify that joins candidates to the per-doc shingle arrays — refine work
+scales with CANDIDATE volume (LSH recall), never |docs|^2; the shingle
+arrays compute scan-stage, once per doc.""",
+    "docs_lang_confusion": """Classifier QA crosstab: the lang-ID marker counts
+are scan-stage array expressions (one tokenization per row via the _let
+binding), so the whole confusion matrix is one scan + one tiny
+groupBy.""",
 }
 
 spark = (
