@@ -2113,6 +2113,59 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q11 shape (important stock, adapted: partsupp value becomes
+    lineitem revenue for region-1 suppliers). The defining feature — a
+    HAVING filter against a GLOBAL scalar subquery over the same
+    aggregate — survives: Catalyst evaluates the scalar once and
+    broadcasts it into the group filter. Decimal-exact sums."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("__q11_li")
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("__q11_supp")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("__q11_nat")
+    return spark.sql("""
+      WITH nval AS (
+        SELECT l.l_partkey,
+               sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(6,4)) - CAST(l.l_discount AS DECIMAL(6,4))))
+                 AS value
+        FROM __q11_li l
+        JOIN __q11_supp s ON s.s_suppkey = l.l_suppkey
+        JOIN __q11_nat n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_regionkey = 1
+        GROUP BY l.l_partkey
+      )
+      SELECT l_partkey, round(CAST(value AS DOUBLE), 2) AS part_value
+      FROM nval
+      WHERE value > (SELECT sum(value) * 0.001 FROM nval)
+      ORDER BY part_value DESC, l_partkey
+    """)
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q20 shape (suppliers with excess stock, adapted: 'availqty
+    above half of shipped quantity' becomes 'supplier ships more than
+    half of a widget part's total') — a correlated aggregate threshold
+    inside EXISTS, planned as a decorrelated join. Quantities integral."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("__q20_li")
+    load(spark, sf_dir, "part").createOrReplaceTempView("__q20_part")
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("__q20_supp")
+    return spark.sql("""
+      SELECT s.s_suppkey, s.s_name
+      FROM __q20_supp s
+      WHERE EXISTS (
+        SELECT 1
+        FROM __q20_li l JOIN __q20_part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_suppkey = s.s_suppkey AND p.p_name LIKE '%widget%'
+        GROUP BY l.l_partkey
+        HAVING sum(l.l_quantity) > 0.2 * (
+          SELECT sum(l2.l_quantity) FROM __q20_li l2
+          WHERE l2.l_partkey = l.l_partkey
+        )
+      )
+      ORDER BY s.s_suppkey
+    """)
+
+
 def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q16 shape (parts/supplier relationship, adapted: supplier
     counts come from lineitem since this testdata has no partsupp).
@@ -2517,6 +2570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15": q_tpch_q15,
         "tpch_q21": q_tpch_q21,
         "tpch_q2": q_tpch_q2,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q20": q_tpch_q20,
         "tpch_q16": q_tpch_q16,
         "events_rolling_1h": q_events_rolling_1h,
         "events_anomaly": q_events_anomaly,
@@ -2990,6 +3045,38 @@ WHERE p.p_size <= 15 AND p.p_type = 'ECONOMY'
   )
 ORDER BY p.p_partkey, s.s_suppkey
 LIMIT 50
+""",
+        "tpch_q11": """
+WITH nval AS (
+  SELECT l.l_partkey,
+         sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(6,4)) - CAST(l.l_discount AS DECIMAL(6,4))))
+           AS value
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_regionkey = 1
+  GROUP BY l.l_partkey
+)
+SELECT l_partkey, round(CAST(value AS DOUBLE), 2) AS part_value
+FROM nval
+WHERE value > (SELECT sum(value) * 0.001 FROM nval)
+ORDER BY part_value DESC, l_partkey
+""",
+        "tpch_q20": """
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE EXISTS (
+  SELECT 1
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_suppkey = s.s_suppkey AND p.p_name LIKE '%widget%'
+  GROUP BY l.l_partkey
+  HAVING sum(l.l_quantity) > 0.2 * (
+    SELECT sum(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey
+  )
+)
+ORDER BY s.s_suppkey
 """,
         "tpch_q16": """
 SELECT p_brand, p_type, p_size,
