@@ -3536,7 +3536,8 @@ WITH cand AS (
 SELECT doc_a, doc_b, n_common, n_a, n_b,
        round(n_common * 1.0 / (n_a + n_b - n_common), 4) AS jaccard
 FROM j
-WHERE round(n_common * 1.0 / (n_a + n_b - n_common), 4)
+WHERE (n_a + n_b - n_common) > 0
+  AND round(n_common * 1.0 / (n_a + n_b - n_common), 4)
         >= {JACCARD["threshold"]}
 ORDER BY doc_a, doc_b
 """,

@@ -152,8 +152,10 @@ aggregate — no per-grouping-set scan or union; the scan is read once.""",
     "dedup_lsh_refined": """Dedup prune-then-refine: the banded-candidate plan
 (one signature aggregation + posexplode band join) feeds an exact-Jaccard
 verify that joins candidates to the per-doc shingle arrays — refine work
-scales with CANDIDATE volume (LSH recall), never |docs|^2; the shingle
-arrays compute scan-stage, once per doc.""",
+scales with CANDIDATE volume (LSH recall), never |docs|^2. The shingle
+arrays compute scan-stage per JOIN LEG (the plan shows one document scan
+per side; persist the sets relation to collapse them when the corpus
+scan dominates) — never per candidate pair.""",
     "docs_lang_confusion": """Classifier QA crosstab: the lang-ID marker counts
 are scan-stage array expressions (one tokenization per row via the _let
 binding), so the whole confusion matrix is one scan + one tiny

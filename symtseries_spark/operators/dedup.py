@@ -391,7 +391,10 @@ def jaccard_refine(
     shingle co-occurrence: each pair joins to the per-doc distinct
     shingle arrays (computed scan-stage, once per doc) and intersects
     them JVM-side. Output matches :func:`jaccard_pairs` column-for-column
-    so the two are interchangeable downstream.
+    and, at matching thresholds > 0, row-for-row (at threshold <= 0 the
+    refine also passes zero-overlap candidates, which the inverted-index
+    join structurally never generates). Pairs where both docs have empty
+    shingle sets (fewer than k tokens) are dropped.
     """
     sets = docs.select(
         F.col(id_col).alias("__id"),
@@ -404,7 +407,7 @@ def jaccard_refine(
     n_a, n_b = F.size("__sha"), F.size("__shb")
     jac = n_common / (n_a + n_b - n_common)
     return (
-        j.select(
+        j.where(n_a + n_b - n_common > 0).select(
             pair_a,
             pair_b,
             n_common.alias("n_common"),

@@ -446,3 +446,63 @@ class TestPackShards:
         got = {r.shard_id: (r.n_docs, r.first_id, r.last_id)
                for r in pack_shards(df, shard_tokens=12, group="lang").collect()}
         assert got == {0: (3, 0, 2), 1: (2, 3, 4)}
+
+
+class TestJaccardRefine:
+    def _docs(self, spark):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame(
+            [
+                Row(doc_id=1, text="red widget spins fast and well"),
+                Row(doc_id=2, text="red widget spins fast and badly"),
+                Row(doc_id=3, text="entirely different words here now"),
+                Row(doc_id=4, text="too short"),  # < k tokens: empty shingles
+                Row(doc_id=5, text="also tiny"),
+            ]
+        )
+
+    def test_matches_jaccard_pairs_on_shared_candidates(self, spark):
+        from pyspark.sql import Row
+
+        from symtseries_spark.operators import jaccard_pairs, jaccard_refine
+
+        docs = self._docs(spark)
+        exact = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in jaccard_pairs(docs, k=3, threshold=0.2).collect()
+        }
+        cand = spark.createDataFrame(
+            [Row(doc_a=1, doc_b=2), Row(doc_a=1, doc_b=3)]
+        )
+        refined = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in jaccard_refine(cand, docs, k=3, threshold=0.2).collect()
+        }
+        assert refined == {(1, 2): exact[(1, 2)]}
+
+    def test_empty_shingle_pair_dropped(self, spark):
+        from pyspark.sql import Row
+
+        from symtseries_spark.operators import jaccard_refine
+
+        cand = spark.createDataFrame([Row(doc_a=4, doc_b=5)])
+        out = jaccard_refine(
+            cand, self._docs(spark), k=3, threshold=0.0
+        ).collect()
+        assert out == []
+
+    def test_custom_column_names(self, spark):
+        from pyspark.sql import Row
+
+        from symtseries_spark.operators import jaccard_refine
+
+        docs = self._docs(spark).withColumnRenamed("doc_id", "id").withColumnRenamed(
+            "text", "body"
+        )
+        cand = spark.createDataFrame([Row(left_id=1, right_id=2)])
+        [r] = jaccard_refine(
+            cand, docs, k=3, threshold=0.2, id_col="id", text_col="body",
+            pair_a="left_id", pair_b="right_id",
+        ).collect()
+        assert r.left_id == 1 and r.right_id == 2 and r.jaccard > 0.2
