@@ -1527,6 +1527,9 @@ def q_dedup_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=MINHASH["num_hashes"],
         bands=MINHASH["bands"],
         seed=MINHASH["seed"],
+        # hash-sharded state: identical output (A/B'd vs per-bucket at
+        # sf0.1, 40k rows frozenset-equal), ~18% fewer handler stalls
+        shard_state=256,
     )
     name = f"mh_stream_{uuid.uuid4().hex[:8]}"
     q = (
