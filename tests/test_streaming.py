@@ -446,3 +446,64 @@ class TestStreamToBucketedIndex:
         assert rows and all(
             pk.coarsen(r.sax_word, 8, 2) == expected_bucket for r in rows
         )
+
+
+class TestShardedMinhashState:
+    def test_sharded_equals_per_bucket(self, spark, sf_dir):
+        """shard_state must be a pure layout change: identical
+        (doc_id, band_id, dup_of) rows as the per-bucket keying, across
+        micro-batch boundaries."""
+        import glob as globmod
+        import os
+        import tempfile
+        import uuid
+
+        from symtseries_spark.sources import load
+        from symtseries_spark.streaming.minhash import streaming_minhash_dedup
+
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text").where(
+            "doc_id < 200"
+        )
+        mx = docs.agg(F.max("doc_id")).first()[0]
+        bid = F.floor(F.col("doc_id") * 2 / (mx + 1)).cast("long").alias("__bid")
+        tmp = tempfile.mkdtemp(prefix="mh_shard_t_")
+        staged, indir = f"{tmp}/staged", f"{tmp}/in"
+        os.makedirs(indir)
+        docs.withColumn("__bid", bid).coalesce(1).write.partitionBy(
+            "__bid"
+        ).parquet(staged)
+        for i, d in enumerate(
+            sorted(
+                globmod.glob(f"{staged}/__bid=*"),
+                key=lambda p: int(p.rsplit("=", 1)[1]),
+            )
+        ):
+            part = globmod.glob(f"{d}/part-*.parquet")[0]
+            dst = f"{indir}/b{i:04d}.parquet"
+            os.rename(part, dst)
+            os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+        def run(shard):
+            stream = spark.readStream.schema(docs.schema).option(
+                "maxFilesPerTrigger", "1"
+            ).parquet(indir)
+            pb = streaming_minhash_dedup(
+                stream, k=3, num_hashes=16, bands=4, seed=7,
+                shard_state=shard,
+            )
+            name = f"mhs_{uuid.uuid4().hex[:6]}"
+            q = (
+                pb.writeStream.format("memory").queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", tempfile.mkdtemp())
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            return frozenset(
+                (r.doc_id, r.band_id, r.dup_of)
+                for r in spark.table(name).collect()
+            )
+
+        a, b = run(None), run(8)
+        assert a and a == b
