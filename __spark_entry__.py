@@ -2312,6 +2312,31 @@ def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RETENTION_BUCKET_DAYS = 5
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by their FIRST activity
+    period, counted distinct in each subsequent period offset — the
+    canonical product-analytics triangle. Two aggregates + one join, all
+    keyed on user_id (exchange reuse), integer counts only."""
+    bucket_us = RETENTION_BUCKET_DAYS * 86400 * 1_000_000
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        (F.expr("ts div 1000") / F.lit(bucket_us)).cast("long").alias("b"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("b").alias("cohort"))
+    act = ev.distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort", (F.col("b") - F.col("cohort")).alias("period_offset")
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort", "period_offset")
+    )
+
+
 LATE_SPAN_DAYS = 5  # tumbling window == replay-file span
 LATE_WM_DAYS = 2    # watermark < span => rows delayed 2 files always drop
 
@@ -2590,6 +2615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_cms_terms": q_docs_cms_terms,
         "events_late_drop": q_events_late_drop,
         "events_cube": q_events_cube,
+        "events_retention": q_events_retention,
         "dedup_lsh_refined": q_dedup_lsh_refined,
         "dedup_keep": q_dedup_keep,
         "docs_clean": q_docs_clean,
@@ -3152,6 +3178,19 @@ ORDER BY d.lang, q.lang_pred
 """,
         "docs_bloom_prefilter": ot.bloom_prefilter_sql(**BLOOM),
         "emb_pq_topk": ov.pq_topk_sql(**PQ),
+        "events_retention": f"""
+WITH e AS (
+  SELECT user_id,
+         epoch_us(ts) // {RETENTION_BUCKET_DAYS * 86400 * 1_000_000} AS b
+  FROM events
+), act AS (SELECT DISTINCT user_id, b FROM e),
+fst AS (SELECT user_id, min(b) AS cohort FROM e GROUP BY user_id)
+SELECT f.cohort, a.b - f.cohort AS period_offset,
+       count(DISTINCT a.user_id) AS n_users
+FROM act a JOIN fst f ON a.user_id = f.user_id
+GROUP BY f.cohort, period_offset
+ORDER BY f.cohort, period_offset
+""",
         "events_cube": """
 SELECT event_type,
        epoch_us(ts) // 86400000000 AS day,
