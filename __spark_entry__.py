@@ -937,6 +937,30 @@ def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space dedup endgame: LSH near-dup pairs -> connected
+    components -> kept vector set (min-id member per cluster). The same
+    pairs->clusters->materialize pipeline as the text dedup_keep, over
+    the embedding modality — proving the clustering machinery composes
+    across pair sources."""
+    from symtseries_spark.operators import embedding_near_dup_lsh
+    from symtseries_spark.operators.graph import connected_components
+
+    vecs = load(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_lsh(
+        vecs, threshold=EMB_NEAR_DUP_LSH, num_planes=NEAR_DUP_PLANES,
+        seed=13, dim=EMB_DIM,
+    ).select("vec_a", "vec_b")
+    verts = vecs.select(F.col("vec_id").alias("v"))
+    cc = connected_components(pairs, verts, src="vec_a", dst="vec_b")
+    return (
+        cc.where(F.col("v") == F.col("canonical_id"))
+        .select(F.col("v").alias("vec_id"))
+        .join(vecs.select("vec_id", "label"), "vec_id", "inner")
+        .orderBy("vec_id")
+    )
+
+
 SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
 BUCKET_TOKENS = 16
 
@@ -2312,6 +2336,42 @@ def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CORPUS_FILTER = dict(min_quality=0.6, max_top_share=0.2)
+
+
+def q_docs_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone corpus filter a training pipeline actually ships:
+    quality score, language agreement, and repetition gates composed in
+    one pass — the quality/lang profile is a scan-stage struct (one
+    tokenization per row), the repetition profile joins back on doc_id,
+    and the verdict is a plain conjunction. Survivors only."""
+    from symtseries_spark.functions.text import text_profile
+    from symtseries_spark.operators.retrieval import repetition_metrics
+
+    docs = load(spark, sf_dir, "documents")
+    prof = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array(text_profile(F.col("text")))).alias("__p"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.col("__p.quality.quality_score").alias("quality_score"),
+        F.col("__p.lang_pred").alias("lang_pred"),
+    )
+    rep = repetition_metrics(docs).select("doc_id", "top_share")
+    return (
+        prof.join(rep, "doc_id")
+        .where(
+            (F.col("quality_score") >= CORPUS_FILTER["min_quality"])
+            & (F.col("lang_pred") == F.col("lang"))
+            & (F.col("top_share") <= CORPUS_FILTER["max_top_share"])
+        )
+        .select("doc_id", "lang", "quality_score", "top_share")
+        .orderBy("doc_id")
+    )
+
+
 RETENTION_BUCKET_DAYS = 5
 
 
@@ -2611,11 +2671,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lang_confusion": q_docs_lang_confusion,
         "docs_bloom_prefilter": q_docs_bloom_prefilter,
         "emb_pq_topk": q_emb_pq_topk,
+        "emb_dedup_keep": q_emb_dedup_keep,
         "events_funnel": q_events_funnel,
         "docs_cms_terms": q_docs_cms_terms,
         "events_late_drop": q_events_late_drop,
         "events_cube": q_events_cube,
         "events_retention": q_events_retention,
+        "docs_corpus_filter": q_docs_corpus_filter,
         "dedup_lsh_refined": q_dedup_lsh_refined,
         "dedup_keep": q_dedup_keep,
         "docs_clean": q_docs_clean,
@@ -3178,6 +3240,39 @@ ORDER BY d.lang, q.lang_pred
 """,
         "docs_bloom_prefilter": ot.bloom_prefilter_sql(**BLOOM),
         "emb_pq_topk": ov.pq_topk_sql(**PQ),
+        "emb_dedup_keep": f"""
+WITH RECURSIVE pairs AS (
+  SELECT vec_a, vec_b FROM ({ov.embedding_near_dup_lsh_sql(
+      threshold=EMB_NEAR_DUP_LSH, num_planes=NEAR_DUP_PLANES,
+      seed=13, dim=EMB_DIM)}) __p
+), edges AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION ALL
+  SELECT vec_b AS a, vec_a AS b FROM pairs
+), conn(a, b) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT c.a, e.b FROM conn c JOIN edges e ON c.b = e.a
+), canon AS (
+  SELECT a AS vec_id, min(b) AS canonical_id FROM conn GROUP BY a
+)
+SELECT v.vec_id, v.label
+FROM embeddings v JOIN canon c ON v.vec_id = c.vec_id
+WHERE c.vec_id = c.canonical_id
+ORDER BY v.vec_id
+""",
+        "docs_corpus_filter": f"""
+WITH q AS ({ot.text_quality_sql()}),
+r AS ({ot.repetition_sql()})
+SELECT d.doc_id, d.lang, q.quality_score, r.top_share
+FROM documents d
+JOIN q ON d.doc_id = q.doc_id
+JOIN r ON d.doc_id = r.doc_id
+WHERE q.quality_score >= {CORPUS_FILTER["min_quality"]}
+  AND q.lang_pred = d.lang
+  AND r.top_share <= {CORPUS_FILTER["max_top_share"]}
+ORDER BY d.doc_id
+""",
         "events_retention": f"""
 WITH e AS (
   SELECT user_id,
