@@ -2345,7 +2345,6 @@ def q_docs_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     one pass — the quality/lang profile is a scan-stage struct (one
     tokenization per row), the repetition profile joins back on doc_id,
     and the verdict is a plain conjunction. Survivors only."""
-    from symtseries_spark.functions.text import text_profile
     from symtseries_spark.operators.retrieval import repetition_metrics
 
     docs = load(spark, sf_dir, "documents")
@@ -2383,7 +2382,7 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket_us = RETENTION_BUCKET_DAYS * 86400 * 1_000_000
     ev = load(spark, sf_dir, "events").select(
         "user_id",
-        (F.expr("ts div 1000") / F.lit(bucket_us)).cast("long").alias("b"),
+        F.expr(f"(ts div 1000) div {bucket_us}").alias("b"),
     )
     first = ev.groupBy("user_id").agg(F.min("b").alias("cohort"))
     act = ev.distinct()
