@@ -2336,6 +2336,59 @@ def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming funnel: per-user stage-chain state (one timestamp per
+    stage — bounded by the funnel, not history) over a 2-file time-span
+    replay, emitting one append-safe row per stage transition. Arrival
+    in time order makes the sequential greedy equal the batch min-chain
+    exactly, so the ORACLE is the batch funnel's chain timestamps."""
+    import glob as globmod
+    import os
+    import tempfile
+    import uuid
+
+    from symtseries_spark.streaming import funnel_stream
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .withColumn("ts_us", F.expr("ts div 1000"))
+        .select("user_id", "event_id", "ts_us", "event_type")
+    )
+    mid = ev.agg(F.expr("percentile(ts_us, 0.5)")).first()[0]
+    half = (F.col("ts_us") > mid).cast("int").alias("__bid")
+    tmp = tempfile.mkdtemp(prefix="funnel_stream_")
+    staged, indir = f"{tmp}/staged", f"{tmp}/in"
+    os.makedirs(indir)
+    ev.withColumn("__bid", half).coalesce(1).write.partitionBy("__bid").parquet(
+        staged
+    )
+    for i, d in enumerate(sorted(globmod.glob(f"{staged}/__bid=*"))):
+        part = globmod.glob(f"{d}/part-*.parquet")[0]
+        dst = f"{indir}/b{i:04d}.parquet"
+        os.rename(part, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+    )
+    trans = funnel_stream(
+        stream, key="user_id", ts="ts_us", type_col="event_type",
+        stages=list(FUNNEL_STAGES), order=["ts_us", "event_id"],
+    )
+    name = f"funnel_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        trans.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fun_chk_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).select("user_id", "stage_idx", "stage", "ts_us")
+
+
 CORPUS_FILTER = dict(min_quality=0.6, max_top_share=0.2)
 
 
@@ -2672,6 +2725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pq_topk": q_emb_pq_topk,
         "emb_dedup_keep": q_emb_dedup_keep,
         "events_funnel": q_events_funnel,
+        "events_funnel_stream": q_events_funnel_stream,
         "docs_cms_terms": q_docs_cms_terms,
         "events_late_drop": q_events_late_drop,
         "events_cube": q_events_cube,
@@ -3341,6 +3395,34 @@ UNION ALL
 SELECT 1, '{FUNNEL_STAGES[1]}', count(t1) FROM s2
 UNION ALL
 SELECT 2, '{FUNNEL_STAGES[2]}', count(t2) FROM s2
+""",
+        "events_funnel_stream": f"""
+WITH s0 AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = '{FUNNEL_STAGES[0]}'
+                  THEN epoch_us(ts) END) AS t0
+  FROM events GROUP BY user_id
+), s1 AS (
+  SELECT e.user_id, s0.t0,
+         min(CASE WHEN e.event_type = '{FUNNEL_STAGES[1]}'
+                   AND epoch_us(e.ts) > s0.t0
+                  THEN epoch_us(e.ts) END) AS t1
+  FROM events e JOIN s0 ON e.user_id = s0.user_id
+  GROUP BY e.user_id, s0.t0
+), s2 AS (
+  SELECT e.user_id, s1.t0, s1.t1,
+         min(CASE WHEN e.event_type = '{FUNNEL_STAGES[2]}'
+                   AND epoch_us(e.ts) > s1.t1
+                  THEN epoch_us(e.ts) END) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  GROUP BY e.user_id, s1.t0, s1.t1
+)
+SELECT user_id, 0 AS stage_idx, '{FUNNEL_STAGES[0]}' AS stage, t0 AS ts_us
+FROM s2 WHERE t0 IS NOT NULL
+UNION ALL
+SELECT user_id, 1, '{FUNNEL_STAGES[1]}', t1 FROM s2 WHERE t1 IS NOT NULL
+UNION ALL
+SELECT user_id, 2, '{FUNNEL_STAGES[2]}', t2 FROM s2 WHERE t2 IS NOT NULL
 """,
         "docs_stratified_sample": ot.stratified_sample_sql(
             stratum="lang", fraction=SAMPLE_FRACTION,

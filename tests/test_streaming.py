@@ -507,3 +507,64 @@ class TestShardedMinhashState:
 
         a, b = run(None), run(8)
         assert a and a == b
+
+
+class TestFunnelStream:
+    def test_chain_spans_batches(self, spark):
+        """A stage reached in batch 1 must chain off state set in batch
+        0 (signup in b0, click+purchase in b1), and out-of-order stages
+        must not count."""
+        import glob as globmod
+        import os
+        import tempfile
+        import uuid
+
+        from symtseries_spark.streaming import funnel_stream
+
+        rows = [
+            # u1: signup(b0) -> click(b1) -> purchase(b1)
+            (1, 1, 10, "signup"), (1, 2, 40, "click"), (1, 3, 50, "purchase"),
+            # u2: purchase before click -> stops after click
+            (2, 4, 10, "signup"), (2, 5, 20, "purchase"), (2, 6, 45, "click"),
+            # u3: click only -> never enters
+            (3, 7, 15, "click"),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts_us long, event_type string"
+        )
+        tmp = tempfile.mkdtemp(prefix="fun_t_")
+        staged, indir = f"{tmp}/staged", f"{tmp}/in"
+        os.makedirs(indir)
+        df.withColumn(
+            "__bid", (F.col("ts_us") > 30).cast("int")
+        ).coalesce(1).write.partitionBy("__bid").parquet(staged)
+        for i, d in enumerate(sorted(globmod.glob(f"{staged}/__bid=*"))):
+            part = globmod.glob(f"{d}/part-*.parquet")[0]
+            dst = f"{indir}/b{i}.parquet"
+            os.rename(part, dst)
+            os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+        stream = spark.readStream.schema(df.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(indir)
+        trans = funnel_stream(
+            stream, key="user_id", ts="ts_us", type_col="event_type",
+            stages=["signup", "click", "purchase"],
+            order=["ts_us", "event_id"],
+        )
+        name = f"fun_t_{uuid.uuid4().hex[:6]}"
+        q = (
+            trans.writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp())
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r.user_id, r.stage_idx): r.ts_us
+            for r in spark.table(name).collect()
+        }
+        assert got == {
+            (1, 0): 10, (1, 1): 40, (1, 2): 50,
+            (2, 0): 10, (2, 1): 45,
+        }
