@@ -36,8 +36,6 @@ from ._util import coalesce_chunks
 
 __all__ = ["funnel_stream"]
 
-_UNSET = -1
-
 
 def funnel_stream(
     events: DataFrame,
@@ -73,21 +71,27 @@ def funnel_stream(
     def handle(
         key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        t = list(state.get[0]) if state.exists else [_UNSET] * len(stages)
+        # None-element state array: no sentinel value can collide with a
+        # legitimate (e.g. pre-epoch negative) timestamp
+        t = list(state.get[0]) if state.exists else [None] * len(stages)
         whole = coalesce_chunks(pdfs)
-        if whole is not None:
+        if whole is not None and any(x is None for x in t):
             whole = whole.sort_values(order, kind="mergesort")
             out_idx: list[int] = []
             out_ts: list[int] = []
             for ev_ts, ev_type in zip(whole[ts], whole[type_col]):
                 i = stage_ix.get(ev_type)
-                if i is None or t[i] != _UNSET:
+                # skip non-stage types, already-set slots, and null ts
+                # (batch F.min/CASE aggregates ignore nulls the same way)
+                if i is None or t[i] is not None or pd.isna(ev_ts):
                     continue
                 ev_ts = int(ev_ts)
-                if i == 0 or (t[i - 1] != _UNSET and ev_ts > t[i - 1]):
+                if i == 0 or (t[i - 1] is not None and ev_ts > t[i - 1]):
                     t[i] = ev_ts
                     out_idx.append(i)
                     out_ts.append(ev_ts)
+                    if all(x is not None for x in t):
+                        break  # chain complete: nothing left to emit
             yield pd.DataFrame(
                 {
                     key_field.name: [key_tuple[0]] * len(out_idx),
