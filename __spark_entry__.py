@@ -2572,6 +2572,70 @@ def q_docs_cms_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(top, cms, col="term", **CMS)
 
 
+def q_docs_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch as a LIVE streaming aggregation: token counter
+    updates flow through a complete-mode groupBy whose state is the
+    fixed (depth x width) counter table — the mergeable-sketch-as-
+    streaming-state pattern (state bounded by the sketch, not the
+    stream). Final counters must equal the batch build exactly, so the
+    probe over the exact top terms shares docs_cms_terms' oracle."""
+    import glob as globmod
+    import os
+    import tempfile
+    import uuid
+
+    from symtseries_spark.functions.text import tokens
+    from symtseries_spark.operators import cms_estimate
+    from symtseries_spark.operators.retrieval import top_terms
+    from symtseries_spark.operators.sketches import _cms_positions
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    half = (F.col("doc_id") > mid).cast("int").alias("__bid")
+    tmp = tempfile.mkdtemp(prefix="cms_stream_")
+    staged, indir = f"{tmp}/staged", f"{tmp}/in"
+    os.makedirs(indir)
+    docs.withColumn("__bid", half).coalesce(1).write.partitionBy("__bid").parquet(
+        staged
+    )
+    for i, d in enumerate(sorted(globmod.glob(f"{staged}/__bid=*"))):
+        part = globmod.glob(f"{d}/part-*.parquet")[0]
+        dst = f"{indir}/b{i:04d}.parquet"
+        os.rename(part, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+    )
+    counters = (
+        stream.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .select(
+            F.explode(
+                _cms_positions(F.col("term"), width=CMS["width"], depth=CMS["depth"])
+            ).alias("rc")
+        )
+        .groupBy(F.col("rc.row_id").alias("row_id"), F.col("rc.col_id").alias("col_id"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    name = f"cms_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        counters.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="cms_chk_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    cms = spark.table(name)
+    top = top_terms(
+        load(spark, sf_dir, "documents"),
+        topk=TOP_TERMS_K, min_len=TOP_TERMS_MIN_LEN,
+    )
+    return cms_estimate(top, cms, col="term", **CMS)
+
+
 BLOOM = dict(m_bits=1024, k=3)
 
 
@@ -2727,6 +2791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_funnel_stream": q_events_funnel_stream,
         "docs_cms_terms": q_docs_cms_terms,
+        "docs_cms_stream": q_docs_cms_stream,
         "events_late_drop": q_events_late_drop,
         "events_cube": q_events_cube,
         "events_retention": q_events_retention,
@@ -3367,6 +3432,9 @@ SELECT (us // {LATE_SPAN_DAYS * 86400 * 1_000_000})
 FROM keep GROUP BY window_start_us
 """,
         "docs_cms_terms": ot.cms_terms_sql(
+            **CMS, topk=TOP_TERMS_K, min_len=TOP_TERMS_MIN_LEN
+        ),
+        "docs_cms_stream": ot.cms_terms_sql(
             **CMS, topk=TOP_TERMS_K, min_len=TOP_TERMS_MIN_LEN
         ),
         "events_funnel": f"""
