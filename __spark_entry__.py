@@ -2424,6 +2424,24 @@ def q_docs_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap: day-of-week x hour-of-day event counts. Both
+    coordinates derive from pure integer epoch arithmetic (epoch day
+    1970-01-01 was a Thursday, so dow = (days + 4) % 7 with 0=Sunday) —
+    no engine calendar/locale conventions anywhere, so any SQL engine
+    reproduces the cells exactly."""
+    ev = load(spark, sf_dir, "events").select(
+        F.expr("(ts div 1000) div 86400000000").alias("__d"),
+        F.expr("((ts div 1000) div 3600000000) % 24").alias("hour"),
+    )
+    return (
+        ev.select(((F.col("__d") + 4) % 7).alias("dow"), "hour")
+        .groupBy("dow", "hour")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("dow", "hour")
+    )
+
+
 RETENTION_BUCKET_DAYS = 5
 
 
@@ -2795,6 +2813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_late_drop": q_events_late_drop,
         "events_cube": q_events_cube,
         "events_retention": q_events_retention,
+        "events_dow_hour": q_events_dow_hour,
         "docs_corpus_filter": q_docs_corpus_filter,
         "dedup_lsh_refined": q_dedup_lsh_refined,
         "dedup_keep": q_dedup_keep,
@@ -3390,6 +3409,14 @@ WHERE q.quality_score >= {CORPUS_FILTER["min_quality"]}
   AND q.lang_pred = d.lang
   AND r.top_share <= {CORPUS_FILTER["max_top_share"]}
 ORDER BY d.doc_id
+""",
+        "events_dow_hour": """
+SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+       (epoch_us(ts) // 3600000000) % 24 AS hour,
+       count(*) AS n_events
+FROM events
+GROUP BY dow, hour
+ORDER BY dow, hour
 """,
         "events_retention": f"""
 WITH e AS (

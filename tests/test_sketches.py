@@ -155,3 +155,19 @@ class TestFunnel:
             ).collect()
         }
         assert out == {"signup": 1, "click": 0}
+
+
+class TestBloomColumnCollision:
+    def test_probe_df_with_bloom_column(self, spark):
+        """Probing a table that already has a 'bloom' column must work
+        (internal bits column is renamed before the join) and must not
+        drop the caller's column."""
+        from pyspark.sql import Row
+
+        df = spark.createDataFrame(
+            [Row(x=1, bloom="keep-me"), Row(x=2, bloom="me-too")]
+        )
+        filt = bloom_build(_ids(spark, [1]), col="x", m_bits=M_BITS, k=K)
+        out = bloom_probe(df, filt, col="x", m_bits=M_BITS, k=K).collect()
+        assert {r.bloom for r in out} == {"keep-me", "me-too"}
+        assert {r.x: r.bloom_hit for r in out}[1] is True
