@@ -222,3 +222,22 @@ class TestRollingZscoreStream:
                 assert z_stream is None or math.isnan(z_stream)
             else:
                 assert round(z_stream, 4) == pytest.approx(z_batch, abs=1e-9)
+
+
+class TestEwmaNullSkip:
+    def test_nulls_skipped_in_frame(self, spark):
+        """Documented contract: NULL values drop out of the fold
+        (collect_list semantics) rather than poisoning the frame."""
+        rows = [(1, 0, 2.0), (1, 1, None), (1, 2, 6.0)]
+        df = spark.createDataFrame(rows, "k long, i long, v double")
+        out = {
+            r.i: r.ewma
+            for r in ewma(
+                df, key="k", order=["i"], value="v", alpha=0.25, window=3
+            ).collect()
+        }
+        assert out[0] == pytest.approx(2.0)
+        # row 1: frame [2.0, NULL] -> fold over [2.0] only
+        assert out[1] == pytest.approx(2.0)
+        # row 2: frame [2.0, NULL, 6.0] -> 0.25*6 + 0.75*2
+        assert out[2] == pytest.approx(0.25 * 6.0 + 0.75 * 2.0)
