@@ -1586,7 +1586,7 @@ def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from symtseries_spark.operators.joins import gapfill_locf
 
     ev = load(spark, sf_dir, "events").withColumn(
-        "day", (F.expr("ts div 1000") / F.lit(86_400_000_000)).cast("long")
+        "day", F.expr("(ts div 1000) div 86400000000")
     )
     daily = ev.groupBy("user_id", "day").agg(
         F.round(F.avg("value"), 6).alias("avg_value")
@@ -1606,8 +1606,8 @@ def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").withColumn(
         "ts_us", F.expr("ts div 1000")
     )
-    day = (F.col("ts_us") / F.lit(86_400_000_000)).cast("long").alias("day")
-    hour = (F.col("ts_us") / F.lit(3_600_000_000)).cast("long").alias("hour")
+    day = F.expr("ts_us div 86400000000").alias("day")
+    hour = F.expr("ts_us div 3600000000").alias("hour")
     return (
         ev.select(day, hour, "value")
         .rollup("day", "hour")
@@ -2302,8 +2302,10 @@ def q_events_ewma_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.processAllAvailable()
     q.stop()
+    from symtseries_spark.operators import quantize
+
     return spark.table(name).select(
-        "user_id", "event_id", F.round("ewma", 6).alias("ewma")
+        "user_id", "event_id", quantize(F.col("ewma"), 6).alias("ewma")
     )
 
 
@@ -2323,7 +2325,7 @@ def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-rollup shape; NULL group keys are disambiguated from real
     NULLs by the grouping id on both engines."""
     ev = load(spark, sf_dir, "events").withColumn(
-        "day", (F.expr("ts div 1000") / F.lit(86_400_000_000)).cast("long")
+        "day", F.expr("(ts div 1000) div 86400000000")
     )
     return (
         ev.cube("event_type", "day")
@@ -3327,6 +3329,12 @@ FROM e WINDOW fr AS (PARTITION BY user_id ORDER BY ts_us
 """,
         "events_anomaly": _ANOM_SQL,
         "events_anomaly_stream": _ANOM_SQL,
+        # Rounding note: floor(x*1e6 + 0.5)/1e6 mirrors the engine's
+        # operators.timeseries.quantize — every step is one IEEE double
+        # op, so bit-identical folds quantize bit-identically on both
+        # engines (round() ties can disagree at the 6th decimal).
+        # list(x) FILTER (x IS NOT NULL) mirrors collect_list's
+        # null-dropping (operators/timeseries.py ewma docstring).
         "events_ewma": f"""
 WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) AS ts_us,
@@ -3334,16 +3342,19 @@ WITH e AS (
   FROM events
 ), w AS (
   SELECT user_id, event_id,
-         list(x) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                       ROWS BETWEEN {EWMA_P["window"] - 1} PRECEDING AND CURRENT ROW)
+         list(x) FILTER (x IS NOT NULL)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN {EWMA_P["window"] - 1} PRECEDING AND CURRENT ROW)
            AS vals
   FROM e
 )
 SELECT user_id, event_id,
-       round(list_reduce(vals,
-             (acc, x) -> CAST({EWMA_P["alpha"]} AS DOUBLE) * x
-                       + CAST({1.0 - EWMA_P["alpha"]} AS DOUBLE) * acc), 6)
-         AS ewma
+       CASE WHEN len(vals) > 0 THEN
+         floor(list_reduce(vals,
+               (acc, x) -> CAST({EWMA_P["alpha"]} AS DOUBLE) * x
+                         + CAST({1.0 - EWMA_P["alpha"]} AS DOUBLE) * acc)
+               * 1000000.0 + 0.5) / 1000000.0
+       END AS ewma
 FROM w
 """,
         "events_ewma_stream": f"""
@@ -3353,16 +3364,19 @@ WITH e AS (
   FROM events
 ), w AS (
   SELECT user_id, event_id,
-         list(x) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         list(x) FILTER (x IS NOT NULL)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS vals
   FROM e
 )
 SELECT user_id, event_id,
-       round(list_reduce(vals,
-             (acc, x) -> CAST({EWMA_P["alpha"]} AS DOUBLE) * x
-                       + CAST({1.0 - EWMA_P["alpha"]} AS DOUBLE) * acc), 6)
-         AS ewma
+       CASE WHEN len(vals) > 0 THEN
+         floor(list_reduce(vals,
+               (acc, x) -> CAST({EWMA_P["alpha"]} AS DOUBLE) * x
+                         + CAST({1.0 - EWMA_P["alpha"]} AS DOUBLE) * acc)
+               * 1000000.0 + 0.5) / 1000000.0
+       END AS ewma
 FROM w
 """,
         "docs_top_terms": ot.top_terms_sql(
@@ -3634,7 +3648,7 @@ FROM g GROUP BY user_id, sid ORDER BY user_id, start_us
         "events_gapfill": """
 WITH daily AS (
   SELECT user_id,
-         CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+         epoch_us(ts) // 86400000000 AS day,
          round(avg(value), 6) AS avg_value
   FROM events GROUP BY user_id, day
 ), bounds AS (
@@ -3653,8 +3667,8 @@ ORDER BY d.user_id, d.day
 """,
         "events_time_rollup": """
 WITH b AS (
-  SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
-         CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour,
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         epoch_us(ts) // 3600000000 AS hour,
          value
   FROM events
 )

@@ -23,10 +23,16 @@ con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
+# Hash float format: default %.6g (6 significant digits). The driver's
+# hasher is STRICTER than that — round 2 shipped two queries that passed
+# at %.6g and hash-failed at the driver — so run with
+# SPARK_GRAFT_HASH_FMT="%.17g" periodically to demand bit-exact floats.
+HASH_FMT = __import__("os").environ.get("SPARK_GRAFT_HASH_FMT", "%.6g")
+
 def canon(df: pd.DataFrame) -> str:
     df = df.reindex(sorted(df.columns), axis=1)
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
-    return hashlib.md5(df.to_csv(index=False, float_format="%.6g").encode()).hexdigest()
+    return hashlib.md5(df.to_csv(index=False, float_format=HASH_FMT).encode()).hexdigest()
 
 qs = E.queries(); osql = E.oracle_sql()
 only = set(sys.argv[1:])

@@ -34,6 +34,7 @@ from .sketches import (
 )
 from .timeseries import (
     ewma,
+    quantize,
     rolling_zscore,
 )
 from .dedup import (
@@ -64,6 +65,7 @@ __all__ = [
     "cms_build",
     "cms_estimate",
     "ewma",
+    "quantize",
     "funnel_counts",
     "gapfill_locf",
     "rolling_zscore",

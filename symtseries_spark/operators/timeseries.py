@@ -20,6 +20,22 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def quantize(col: Column, decimals: int) -> Column:
+    """Engine-portable decimal quantization: ``floor(x * 10^d + 0.5) /
+    10^d``.
+
+    Unlike ``F.round`` (BigDecimal HALF_UP on the exact double — which
+    can disagree with another engine's ``round()`` at the last kept
+    digit for tie-adjacent doubles), every step here (multiply, add,
+    floor, divide) is a single IEEE-754 double operation, so two engines
+    that hold bit-identical inputs produce bit-identical quantized
+    outputs. Mirror in SQL as ``floor(x * 1e<d> + 0.5) / 1e<d>``.
+    Negative ties round toward +inf on BOTH engines (floor of x+0.5),
+    which is the point: identical, not "correct"."""
+    scale = F.lit(float(10 ** decimals))
+    return F.floor(col * scale + F.lit(0.5)) / scale
+
+
 def rolling_zscore(
     df: DataFrame,
     *,
@@ -103,7 +119,7 @@ def ewma(
         rest = F.slice(v, F.lit(2), F.greatest(F.size(v) - 1, F.lit(0)))
         return F.aggregate(rest, F.element_at(v, 1), step)
 
-    ew = F.round(
+    ew = quantize(
         F.when(F.size(vals) > 0, fold(vals)), round_to
     )
     return df.withColumn("ewma", ew)

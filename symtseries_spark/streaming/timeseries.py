@@ -49,9 +49,10 @@ def ewma_stream(
     """Per-series recursive EWMA over a stream: emits one row per input
     event with the running ``y = alpha * x + (1 - alpha) * y`` seeded by
     the series' first value. State = one unrounded double per series.
-    Values are emitted UNROUNDED — round downstream with ``F.round`` so
-    rounding semantics (half away from zero) match SQL engines rather
-    than Python's banker's rounding."""
+    Values are emitted UNROUNDED — quantize downstream with
+    ``operators.quantize`` (floor(x*10^d + 0.5)/10^d), which is
+    engine-portable; ``F.round``'s HALF_UP ties can disagree with other
+    engines' ``round()`` at the last kept digit."""
     if not 0.0 < alpha <= 1.0:
         raise ValueError("ewma_stream needs 0 < alpha <= 1")
     key_field = events.schema[key]
@@ -78,16 +79,22 @@ def ewma_stream(
             pdf = whole.sort_values(order, kind="mergesort")
             vals = pdf[value].astype("float64").to_numpy()
             outs = []
+            # NULL/NaN values are SKIPPED from the fold (they would
+            # permanently poison the accumulator otherwise) — the row is
+            # still emitted, carrying the running EWMA of the non-null
+            # prefix. Mirrors the batch operator, whose collect_list
+            # drops nulls (operators/timeseries.py ewma docstring).
             for x in vals:
                 x = float(x)
-                acc = x if acc is None else a * x + b * acc
+                if x == x:  # not NaN
+                    acc = x if acc is None else a * x + b * acc
                 outs.append(acc)
             yield pd.DataFrame(
                 {
                     key_field.name: pdf[key].to_numpy(),
                     **{o: pdf[o].to_numpy() for o in order},
                     value: vals,
-                    out: outs,
+                    out: pd.array(outs, dtype="Float64"),
                 }
             )
         if acc is not None:
