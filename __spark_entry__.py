@@ -76,7 +76,11 @@ REFINE_DELTA = 2.5   # exact-distance threshold where refine is non-trivial:
 TOPK = 20
 
 # training-data pipeline parameters
-JACCARD = dict(k=3, threshold=0.35)
+# max_shingle_freq: hot-shingle cap (stopword-gram protection). 256
+# never binds at test SFs (observed max shingle frequency: 7 at sf0.01,
+# 25 at sf0.1) but bounds the inverted-index self-join's per-key fanout
+# to 256^2 pairs at corpus scale; mirrored in the DuckDB oracle.
+JACCARD = dict(k=3, threshold=0.35, max_shingle_freq=256)
 MINHASH = dict(k=3, num_hashes=32, bands=8, threshold=0.35, seed=7)
 SIMHASH_BITS = 32
 SIMHASH_PAIRS = dict(bits=32, max_hamming=3, chunks=4)

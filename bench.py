@@ -31,6 +31,10 @@ def main() -> None:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # keep stdout/stderr clean: the result contract is ONE parseable
+        # JSON line on stdout, and console progress bars (\r-rewrites)
+        # have corrupted the captured output before (BENCH_r02 parsed:null)
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -82,18 +86,26 @@ def main() -> None:
         total += dt
         print(f"[bench] {name}: {dt:.3f}s", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    # The JSON line is the ONLY stdout content. Flush it explicitly:
+    # stdout is block-buffered when piped, and a hung/killed JVM
+    # shutdown after this point must not be able to eat the result
+    # (BENCH_r02.json recorded a truncated line, parsed: null).
+    line = json.dumps(
+        {
+            "metric": "total_query_seconds",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        },
+        separators=(",", ":"),
     )
-    spark.stop()
+    print(line, flush=True)
+    sys.stdout.flush()
+    try:
+        spark.stop()
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":

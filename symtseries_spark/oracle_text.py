@@ -173,9 +173,26 @@ def shingle_cte(k: int, *, table: str = "documents") -> str:
     )
 
 
-def jaccard_pairs_sql(*, k: int, threshold: float, table: str = "documents") -> str:
+def jaccard_pairs_sql(
+    *,
+    k: int,
+    threshold: float,
+    table: str = "documents",
+    max_shingle_freq: int | None = None,
+) -> str:
+    """SQL twin of ``operators.dedup.jaccard_pairs`` — with the same
+    hot-shingle cap: shingles shared by more than ``max_shingle_freq``
+    docs are dropped BEFORE sizes/common, exactly like the operator's
+    window-count filter."""
+    if max_shingle_freq is not None:
+        sh_cte = f"""SELECT doc_id, shingle FROM (
+  SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS __f
+  FROM ({shingle_cte(k, table=table)})
+) WHERE __f <= {max_shingle_freq}"""
+    else:
+        sh_cte = shingle_cte(k, table=table)
     return f"""
-WITH sh AS ({shingle_cte(k, table=table)}),
+WITH sh AS ({sh_cte}),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
