@@ -145,13 +145,27 @@ def sax_encode(arr: Column, w: int, c: int) -> Column:
     return _let(sax_letters(arr, w, c), lambda idx: sax_format(idx, c))
 
 
-def sax_parse(word: Column, c: int) -> Column:
-    """SAX string -> ``array<int>`` letter indices; invalid letters for the
-    cardinality yield NULL elements (strict validation belongs to the
-    Python-side API for literal patterns; src/symtseries.c:534-554).
+def sax_parse(word: Column, c: int, *, strict: bool = False) -> Column:
+    """SAX string -> ``array<int>`` letter indices.
+
+    Default (lenient): invalid letters for the cardinality yield NULL
+    ELEMENTS — useful for exploratory parsing where per-letter validity
+    matters. ``strict=True`` mirrors the reference's hard reject
+    (src/symtseries.c:534-554 returns NULL for ANY out-of-range letter):
+    the whole word parses to NULL if any letter is invalid, so
+    downstream distance/equality expressions see the same all-or-nothing
+    contract the C API gives. Pair with :func:`sax_parse_valid` to
+    separate "invalid" from "missing" in data columns. The cardinality
+    domain (2..16, lua/test.lua:89-90) is checked at PLAN time — a bad
+    ``c`` is a query bug, not a data condition.
+
     Empty or NULL words yield NULL — the reference rejects w == 0 words
     (src/symtseries.c:539-542); without the guard ``sequence(1, 0)``
     would count DOWN and fabricate a 2-element array."""
+    from .. import constants
+
+    if not constants.MIN_CARDINALITY <= c <= constants.MAX_CARDINALITY:
+        raise ValueError(f"cardinality must be in [2, 16], got {c}")
     chars = F.transform(F.sequence(F.lit(1), F.length(word)), lambda i: word.substr(i, F.lit(1)))
     parsed = F.transform(
         chars,
@@ -161,7 +175,40 @@ def sax_parse(word: Column, c: int) -> Column:
             )
         ),
     )
-    return F.when(F.length(word) > 0, parsed)
+    lenient = F.when(F.length(word) > 0, parsed)
+    if not strict:
+        return lenient
+    return F.when(~F.exists(parsed, lambda x: x.isNull()), lenient)
+
+
+def sax_parse_valid(word: Column, c: int) -> Column:
+    """Boolean validity of a SAX string column under the reference's
+    parse rules (src/symtseries.c:534-554): non-NULL, non-empty, every
+    letter either ``#`` or in the first ``c`` letters. NULL word ->
+    NULL (missing, not invalid)."""
+    from .. import constants
+
+    if not constants.MIN_CARDINALITY <= c <= constants.MAX_CARDINALITY:
+        raise ValueError(f"cardinality must be in [2, 16], got {c}")
+    chars = F.transform(F.sequence(F.lit(1), F.length(word)), lambda i: word.substr(i, F.lit(1)))
+    ok = F.forall(
+        chars,
+        lambda ch: (ch == MISSING)
+        | ((F.ascii(ch) >= 65) & (F.ascii(ch) < 65 + c)),
+    )
+    return F.when(word.isNotNull(), (F.length(word) > 0) & ok)
+
+
+def sax_parse_literal(pattern: str, c: int) -> Column:
+    """Parse a LITERAL pattern eagerly, raising ``ValueError`` at plan
+    time on any invalid letter / cardinality / empty word — the Spark
+    twin of the reference's ``sax.word.new(str, c)`` argument errors
+    (lua/test.lua:78-90). Returns the letter-index array as a literal
+    column, so pattern-match queries fail fast instead of silently
+    matching nothing."""
+    from ..pykernel import parse
+
+    return F.array(*[F.lit(i) for i in parse(pattern, c)])
 
 
 def _resolve_n(

@@ -97,6 +97,60 @@ def test_spark_parse_invalid_letter_gives_null_element(spark):
     assert idx[0] == 0 and idx[1] is None
 
 
+def test_spark_parse_strict_rejects_whole_word(spark):
+    """strict=True mirrors the reference's all-or-nothing parse
+    (src/symtseries.c:534-554): any invalid letter -> NULL word, and the
+    invalid-word rows from lua/test.lua:78-90 all come back NULL."""
+    from symtseries_spark.functions import sax_parse_valid
+
+    # (word, c) rows from the reference invalid-arg table that are DATA
+    # conditions (bad letters / case / emptiness), plus valid controls
+    rows = [
+        ("AAABF", 5, False),  # F out of range for c=5 (lua/test.lua:86)
+        ("aaabc", 5, False),  # lowercase rejected (lua/test.lua:87)
+        ("", 5, False),       # empty word rejected (lua/test.lua:85)
+        ("AABBC", 5, True),
+        ("##A#", 5, True),    # '#' always valid
+        (None, 5, None),      # NULL = missing, not invalid
+    ]
+    df = spark.createDataFrame(
+        [(w,) for w, _, _ in rows], "word string"
+    )
+    got = df.select(
+        "word",
+        sax_parse(F.col("word"), 5, strict=True).alias("idx"),
+        sax_parse_valid(F.col("word"), 5).alias("ok"),
+    ).collect()
+    by_word = {r["word"]: r for r in got}
+    for w, c, ok in rows:
+        r = by_word[w]
+        assert r["ok"] == ok, (w, r["ok"])
+        if ok:
+            assert r["idx"] == pk.parse(w, c)
+        else:
+            assert r["idx"] is None, (w, r["idx"])
+
+
+def test_spark_parse_literal_raises_at_plan_time(spark):
+    """Cardinality/letter domain errors are PLAN-time errors for literal
+    patterns — the reference's sax.word.new argument-error table
+    (lua/test.lua:78-90)."""
+    import pytest
+
+    from symtseries_spark.functions import sax_parse_literal, sax_parse_valid
+
+    assert sax_parse_literal("AABBC", 5) is not None
+    for pattern, c in [("AAABF", 5), ("aaabc", 5), ("", 5),
+                       ("AABBC", 1), ("AABBC", 17)]:
+        with pytest.raises(ValueError):
+            sax_parse_literal(pattern, c)
+    for c in (1, 17):
+        with pytest.raises(ValueError):
+            sax_parse(F.lit("AB"), c)
+        with pytest.raises(ValueError):
+            sax_parse_valid(F.lit("AB"), c)
+
+
 MINDIST_CASES = [
     ("ABDD", "DBAA", 4, 4, None),
     ("####", "####", 4, 4, None),
