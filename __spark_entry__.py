@@ -81,6 +81,20 @@ TOPK = 20
 # 25 at sf0.1) but bounds the inverted-index self-join's per-key fanout
 # to 256^2 pairs at corpus scale; mirrored in the DuckDB oracle.
 JACCARD = dict(k=3, threshold=0.35, max_shingle_freq=256)
+# decontamination / chunking / scrubbing / LM-scoring parameters.
+# bench_mod carves ~1% of the corpus out as the "benchmark" set; k=3
+# word-shingles give real overlap signal on the synthetic corpus (171
+# contaminated docs at sf0.01 — dup pairs share full token runs).
+DECONTAM = dict(k=3, bench_mod=97)
+CHUNK = dict(chunk_tokens=16, stride=12)
+# Java-regex/RE2 common subset only (no backreferences/lookaround) —
+# the email/url patterns document the PII path (zero hits on the
+# all-lowercase-words synthetic corpus); customer_ref fires for real.
+SCRUB_PATTERNS = {
+    "email": "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}",
+    "url": "https?://[^ ]+",
+    "customer_ref": "customer [a-z]+",
+}
 MINHASH = dict(k=3, num_hashes=32, bands=8, threshold=0.35, seed=7)
 SIMHASH_BITS = 32
 SIMHASH_PAIRS = dict(bits=32, max_hamming=3, chunks=4)
@@ -2776,6 +2790,54 @@ def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_metrics(load(spark, sf_dir, "documents"))
 
 
+def q_docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing word
+    3-grams with the held-out benchmark slice (doc_id % 97 == 0).
+    Benchmark shingle set is broadcast; the corpus is scanned once and
+    never shuffled on the shingle key (operators/decontam.py)."""
+    from symtseries_spark.operators.decontam import benchmark_contamination
+
+    docs = load(spark, sf_dir, "documents")
+    mod = F.col("doc_id") % DECONTAM["bench_mod"]
+    return benchmark_contamination(
+        docs.where(mod != 0), docs.where(mod == 0), k=DECONTAM["k"]
+    )
+
+
+def q_docs_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep overlapping token chunking (16-token windows, stride
+    12) with per-chunk offsets — pure scan-stage posexplode, no shuffle
+    (operators/pipeline.py:chunk_documents)."""
+    from symtseries_spark.operators.pipeline import chunk_documents
+
+    out = chunk_documents(load(spark, sf_dir, "documents"), **CHUNK)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("start_token").cast("long").alias("start_token"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "chunk_text",
+    )
+
+
+def q_docs_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/sensitive-pattern scrub pass: per-pattern hit counts plus the
+    redacted text, all JVM-side regex inside the scan
+    (operators/pipeline.py:pattern_scrub)."""
+    from symtseries_spark.operators.pipeline import pattern_scrub
+
+    return pattern_scrub(load(spark, sf_dir, "documents"), SCRUB_PATTERNS)
+
+
+def q_docs_unigram_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score (CCNet-style perplexity proxy): corpus
+    term table broadcast, per-doc mean token log-probability
+    (operators/retrieval.py:unigram_logprob)."""
+    from symtseries_spark.operators.retrieval import unigram_logprob
+
+    return unigram_logprob(load(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Registry order = driver-verification priority, NOT topic order:
@@ -2785,6 +2847,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # last covered in round 1, (4) the long-stable re-verified tail.
         "events_ewma": q_events_ewma,
         "events_ewma_stream": q_events_ewma_stream,
+        "docs_contamination": q_docs_contamination,
+        "docs_chunk": q_docs_chunk,
+        "docs_scrub": q_docs_scrub,
+        "docs_unigram_lp": q_docs_unigram_lp,
         "emb_dedup_keep": q_emb_dedup_keep,
         "events_funnel": q_events_funnel,
         "events_funnel_stream": q_events_funnel_stream,
@@ -3815,6 +3881,10 @@ ORDER BY c.c_nationkey
         "text_length_buckets": ot.length_buckets_sql(bucket_tokens=BUCKET_TOKENS),
         "dedup_exact": ot.exact_dedup_sql(),
         "dedup_exact_stream": ot.exact_dedup_sql(),
+        "docs_contamination": ot.contamination_sql(**DECONTAM),
+        "docs_chunk": ot.chunk_sql(**CHUNK),
+        "docs_scrub": ot.scrub_sql(patterns=SCRUB_PATTERNS),
+        "docs_unigram_lp": ot.unigram_logprob_sql(),
         "dedup_jaccard": ot.jaccard_pairs_sql(**JACCARD),
         "dedup_minhash_lsh": ot.minhash_lsh_pairs_sql(**MINHASH),
         "text_bm25": ot.bm25_topk_sql(**BM25),

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import bpe_token_count, doc_hash60
+from ..functions.text import bpe_token_count, doc_hash60, tokens
 
 
 def split_assignment(
@@ -199,3 +199,97 @@ def length_buckets(
             F.sum("__t").alias("total_tokens"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    chunk_tokens: int,
+    stride: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAG-style overlapping token chunking: split each document into
+    windows of ``chunk_tokens`` tokens advancing by ``stride``
+    -> ``(doc_id, chunk_id, start_token, n_tokens, chunk_text)``.
+
+    Chunk starts are ``0, stride, 2*stride, ...`` up to the last start
+    that still begins inside the document; the final chunk may be short
+    (it is never back-padded — retrieval wants real text only). A
+    document shorter than ``chunk_tokens`` yields exactly one chunk.
+
+    Scale shape: pure scan-stage work — tokenize once per row, build the
+    start offsets with ``sequence``, and ``posexplode`` the slices. No
+    shuffle, no UDF; output rows inherit the input partitioning, which
+    is what a downstream embedding job wants to map over.
+    """
+    if chunk_tokens <= 0 or stride <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("__toks")
+    ).where(F.size("__toks") > 0)
+    # last chunk start: largest multiple of stride strictly below n
+    starts = F.sequence(
+        F.lit(0),
+        ((F.size("__toks") - 1) / stride).cast("long") * stride,
+        F.lit(stride),
+    )
+    chunks = base.select(
+        "doc_id",
+        F.posexplode(starts).alias("chunk_id", "start_token"),
+        F.col("__toks"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("start_token") + 1, chunk_tokens)
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "start_token",
+        F.size(piece).alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def pattern_scrub(
+    docs: DataFrame,
+    patterns: dict[str, str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    replacement: str = "<scrubbed>",
+) -> DataFrame:
+    """PII/sensitive-pattern scrubbing pass: count and redact every
+    regex in ``patterns`` (name -> pattern) from the text ->
+    ``(doc_id, <name>_hits ... per pattern, scrubbed_text,
+    chars_removed)``.
+
+    Patterns are applied in dict order against the ORIGINAL text for
+    counting (so overlapping patterns each report true hit counts) and
+    sequentially for redaction. Keep patterns in the portable
+    RE2-compatible subset (no backreferences or lookaround) so the same
+    literal runs on Spark (java.util.regex) and any RE2-based engine —
+    the repo's DuckDB oracles rely on this.
+
+    Scale shape: pure scan-stage projection, the same never-shuffle
+    contract as ``normalized_text`` cleaning; regex evaluation is
+    JVM-side inside whole-stage codegen, no Python in the loop.
+    """
+    if not patterns:
+        raise ValueError("patterns must be non-empty")
+    cols = [F.col(id_col).alias("doc_id")]
+    for name, pat in patterns.items():
+        cols.append(
+            F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(
+                f"{name}_hits"
+            )
+        )
+    scrubbed = F.col(text_col)
+    for pat in patterns.values():
+        scrubbed = F.regexp_replace(scrubbed, pat, replacement)
+    cols.append(scrubbed.alias("scrubbed_text"))
+    cols.append(
+        (F.length(F.col(text_col)) - F.length(scrubbed)).cast("long").alias(
+            "chars_removed"
+        )
+    )
+    return docs.select(*cols)

@@ -21,7 +21,13 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 
-__all__ = ["bm25_topk", "repetition_metrics", "tfidf_top_terms", "top_terms"]
+__all__ = [
+    "bm25_topk",
+    "repetition_metrics",
+    "tfidf_top_terms",
+    "top_terms",
+    "unigram_logprob",
+]
 
 
 def top_terms(
@@ -194,4 +200,56 @@ def bm25_topk(
         scored.select("doc_id", F.round(score, 6).alias("score"))
         .orderBy(F.desc("score"), "doc_id")
         .limit(topk)
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram language-model quality score (the CCNet-style cheap
+    perplexity proxy): fit the corpus unigram distribution, then score
+    each document by its mean token log-probability ->
+    ``(doc_id, n_tokens, avg_logprob)`` with
+    ``avg_logprob = mean(ln(count(tok) / total_tokens))``, quantized to
+    6 decimals engine-independently.
+
+    Every token is in-vocabulary by construction (the model IS the
+    corpus), so no OOV smoothing term is needed; a held-out scorer
+    would add one.
+
+    Scale shape: two scans. Scan 1 reduces to the term-frequency table
+    (one groupBy(term), map-side partial; vocabulary-sized, i.e. tiny
+    vs the corpus) which is BROADCAST with its total. Scan 2 explodes
+    tokens, map-side hash-joins the broadcast vocab, and re-aggregates
+    per document — the same partial-agg-collapses-before-exchange shape
+    as decontam.benchmark_contamination. The 100 TB corpus is never
+    shuffled on the token key.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("n")).select(
+        F.col("n").cast("double").alias("__total")
+    )
+    scored = (
+        tok.join(F.broadcast(vocab), "term")
+        .join(F.broadcast(total))
+        .select("doc_id", F.log(F.col("tf") / F.col("__total")).alias("__lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg("__lp").alias("__alp"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        (F.floor(F.col("__alp") * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "avg_logprob"
+        ),
     )

@@ -563,3 +563,93 @@ SELECT p.term, p.occurrences, p.doc_freq,
 FROM probe p LEFT JOIN cms c ON p.row_id = c.row_id AND p.col_id = c.col_id
 GROUP BY p.term, p.occurrences, p.doc_freq
 """
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline extensions: decontamination, chunking, scrubbing, LM scoring
+
+
+def contamination_sql(
+    *, k: int, bench_mod: int, min_matches: int = 1, table: str = "documents"
+) -> str:
+    """Mirror of operators.decontam.benchmark_contamination with the
+    benchmark carved out as ``doc_id % bench_mod == 0``."""
+    sh = shingles_expr(k)
+    return f"""
+WITH s AS (SELECT doc_id, unnest({sh}) AS shingle FROM {table}),
+bench AS (SELECT DISTINCT shingle FROM s WHERE doc_id % {bench_mod} = 0),
+corp AS (SELECT * FROM s WHERE doc_id % {bench_mod} != 0),
+agg AS (
+  SELECT corp.doc_id,
+         count(bench.shingle) AS matched_shingles,
+         count(*) AS total_shingles
+  FROM corp LEFT JOIN bench USING (shingle)
+  GROUP BY corp.doc_id)
+SELECT doc_id, matched_shingles, total_shingles,
+       floor((CAST(matched_shingles AS DOUBLE) / CAST(total_shingles AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS contamination
+FROM agg WHERE matched_shingles >= {min_matches}
+"""
+
+
+def chunk_sql(*, chunk_tokens: int, stride: int, table: str = "documents") -> str:
+    """Mirror of operators.pipeline.chunk_documents (1-based list_slice
+    == Spark's slice(arr, start, length) on the same offsets)."""
+    toks = tokens_expr()
+    lo = f"chunk_id * {stride} + 1"
+    hi = f"chunk_id * {stride} + {chunk_tokens}"
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM {table}),
+t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+c AS (SELECT doc_id, toks,
+             unnest(range(0, ((len(toks) - 1) // {stride}) + 1)) AS chunk_id
+      FROM t2)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * {stride} AS BIGINT) AS start_token,
+       CAST(len(list_slice(toks, {lo}, {hi})) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(toks, {lo}, {hi}), ' ') AS chunk_text
+FROM c
+"""
+
+
+def scrub_sql(
+    *,
+    patterns: dict[str, str],
+    replacement: str = "<scrubbed>",
+    table: str = "documents",
+) -> str:
+    """Mirror of operators.pipeline.pattern_scrub. Patterns must stay in
+    the Java-regex/RE2 common subset (the operator's documented
+    contract); counts use the original text, redaction chains in dict
+    order, and DuckDB needs the explicit 'g' flag to match Spark's
+    replace-all regexp_replace."""
+    hits = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS {name}_hits"
+        for name, p in patterns.items()
+    )
+    scrub = "text"
+    for p in patterns.values():
+        scrub = f"regexp_replace({scrub}, '{p}', '{replacement}', 'g')"
+    return f"""
+SELECT doc_id,
+       {hits},
+       {scrub} AS scrubbed_text,
+       CAST(length(text) - length({scrub}) AS BIGINT) AS chars_removed
+FROM {table}
+"""
+
+
+def unigram_logprob_sql(*, table: str = "documents") -> str:
+    """Mirror of operators.retrieval.unigram_logprob. Both engines fold
+    the per-token ln(tf/total) sum in document token order (explode and
+    unnest preserve it), so the quantized mean is engine-stable."""
+    toks = tokens_expr()
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({toks}) AS term FROM {table}),
+vocab AS (SELECT term, count(*) AS tf FROM tok GROUP BY term),
+tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM vocab)
+SELECT doc_id, count(*) AS n_tokens,
+       floor(avg(ln(tf / total)) * 1000000.0 + 0.5) / 1000000.0 AS avg_logprob
+FROM tok JOIN vocab USING (term) CROSS JOIN tot
+GROUP BY doc_id
+"""

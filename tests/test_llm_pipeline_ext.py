@@ -1,0 +1,147 @@
+"""Tests for the round-3 LLM-pipeline extensions: benchmark
+decontamination, RAG chunking, pattern scrubbing, and unigram-LM
+scoring — hand-computed fixtures, no external oracle."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from symtseries_spark.operators.decontam import benchmark_contamination
+from symtseries_spark.operators.pipeline import chunk_documents, pattern_scrub
+from symtseries_spark.operators.retrieval import unigram_logprob
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+
+class TestContamination:
+    def test_overlap_counts(self, spark):
+        corpus = _docs(
+            spark,
+            [
+                # shares "the quick brown" and "quick brown fox" -> 2 of 4
+                (1, "the quick brown fox jumps"),
+                (2, "totally unrelated words here"),
+            ],
+        )
+        bench = _docs(spark, [(100, "the quick brown fox")])
+        out = {
+            r["doc_id"]: r
+            for r in benchmark_contamination(corpus, bench, k=3).collect()
+        }
+        assert set(out) == {1}
+        r = out[1]
+        # doc 1 has 3 distinct 3-shingles, 2 appear in the benchmark
+        assert r["matched_shingles"] == 2
+        assert r["total_shingles"] == 3
+        assert r["contamination"] == pytest.approx(
+            math.floor(2 / 3 * 1e6 + 0.5) / 1e6
+        )
+
+    def test_short_docs_never_flagged(self, spark):
+        corpus = _docs(spark, [(1, "quick brown")])  # < k tokens
+        bench = _docs(spark, [(100, "the quick brown fox")])
+        assert benchmark_contamination(corpus, bench, k=3).count() == 0
+
+    def test_min_matches_threshold(self, spark):
+        corpus = _docs(spark, [(1, "the quick brown cat sat down")])
+        bench = _docs(spark, [(100, "the quick brown fox")])
+        # only "the quick brown" matches -> filtered at min_matches=2
+        assert (
+            benchmark_contamination(corpus, bench, k=3, min_matches=2).count()
+            == 0
+        )
+
+
+class TestChunking:
+    def test_boundaries_and_tail(self, spark):
+        docs = _docs(spark, [(1, " ".join(f"t{i}" for i in range(10)))])
+        rows = sorted(
+            chunk_documents(docs, chunk_tokens=4, stride=3).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        # starts 0,3,6,9: three full chunks + 1-token tail
+        assert [r["start_token"] for r in rows] == [0, 3, 6, 9]
+        assert [r["n_tokens"] for r in rows] == [4, 4, 4, 1]
+        assert rows[0]["chunk_text"] == "t0 t1 t2 t3"
+        assert rows[-1]["chunk_text"] == "t9"
+
+    def test_short_doc_single_chunk(self, spark):
+        docs = _docs(spark, [(1, "just three tokens")])
+        rows = chunk_documents(docs, chunk_tokens=16, stride=12).collect()
+        assert len(rows) == 1
+        assert rows[0]["n_tokens"] == 3
+        assert rows[0]["start_token"] == 0
+
+    def test_exact_multiple_no_empty_tail(self, spark):
+        # 6 tokens, chunk 3 stride 3: starts 0 and 3 only (no start 6)
+        docs = _docs(spark, [(1, "a b c d e f")])
+        rows = chunk_documents(docs, chunk_tokens=3, stride=3).collect()
+        assert sorted(r["start_token"] for r in rows) == [0, 3]
+
+    def test_invalid_params(self, spark):
+        docs = _docs(spark, [(1, "a b c")])
+        with pytest.raises(ValueError):
+            chunk_documents(docs, chunk_tokens=0, stride=3)
+        with pytest.raises(ValueError):
+            chunk_documents(docs, chunk_tokens=4, stride=0)
+
+
+class TestPatternScrub:
+    PATTERNS = {
+        "email": "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}",
+        "url": "https?://[^ ]+",
+    }
+
+    def test_counts_and_redaction(self, spark):
+        docs = _docs(
+            spark,
+            [
+                (1, "mail bob@example.com and visit https://x.io now"),
+                (2, "nothing sensitive here"),
+            ],
+        )
+        out = {
+            r["doc_id"]: r for r in pattern_scrub(docs, self.PATTERNS).collect()
+        }
+        assert out[1]["email_hits"] == 1
+        assert out[1]["url_hits"] == 1
+        assert (
+            out[1]["scrubbed_text"]
+            == "mail <scrubbed> and visit <scrubbed> now"
+        )
+        assert out[1]["chars_removed"] == len(
+            "mail bob@example.com and visit https://x.io now"
+        ) - len(out[1]["scrubbed_text"])
+        assert out[2]["email_hits"] == 0
+        assert out[2]["scrubbed_text"] == "nothing sensitive here"
+        assert out[2]["chars_removed"] == 0
+
+    def test_empty_patterns_rejected(self, spark):
+        docs = _docs(spark, [(1, "x")])
+        with pytest.raises(ValueError):
+            pattern_scrub(docs, {})
+
+
+class TestUnigramLogprob:
+    def test_hand_computed(self, spark):
+        # corpus: "a a b" + "b c" -> counts a:2 b:2 c:1, total 5
+        docs = _docs(spark, [(1, "a a b"), (2, "b c")])
+        out = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+        lp = {t: math.log(c / 5) for t, c in {"a": 2, "b": 2, "c": 1}.items()}
+        exp1 = (lp["a"] + lp["a"] + lp["b"]) / 3
+        exp2 = (lp["b"] + lp["c"]) / 2
+        assert out[1]["n_tokens"] == 3
+        assert out[1]["avg_logprob"] == pytest.approx(exp1, abs=1e-6)
+        assert out[2]["avg_logprob"] == pytest.approx(exp2, abs=1e-6)
+
+    def test_uniform_corpus_score(self, spark):
+        # every token unique -> every doc scores ln(1/N)
+        docs = _docs(spark, [(1, "alpha beta"), (2, "gamma delta")])
+        out = unigram_logprob(docs).collect()
+        for r in out:
+            assert r["avg_logprob"] == pytest.approx(math.log(0.25), abs=1e-6)
