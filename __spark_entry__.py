@@ -87,6 +87,14 @@ JACCARD = dict(k=3, threshold=0.35, max_shingle_freq=256)
 # contaminated docs at sf0.01 — dup pairs share full token runs).
 DECONTAM = dict(k=3, bench_mod=97)
 CHUNK = dict(chunk_tokens=16, stride=12)
+# corpus vocabulary is 31 terms (synthetic word list) — a 16-term vocab
+# produces real OOV rates; at real scale vocab_size is the tokenizer
+# budget (32k/64k/...).
+VOCAB = dict(vocab_size=16)
+# domain reweighting: explicit up/down-weights for four sources, 0.75
+# for the long tail. All rate literals are binary-exact doubles.
+MIX_RATES = {"src1": 1.0, "src2": 0.5, "src3": 0.25, "src4": 0.0}
+MIX_DEFAULT = 0.75
 # Java-regex/RE2 common subset only (no backreferences/lookaround) —
 # the email/url patterns document the PII path (zero hits on the
 # all-lowercase-words synthetic corpus); customer_ref fires for real.
@@ -2838,6 +2846,27 @@ def q_docs_unigram_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(load(spark, sf_dir, "documents"))
 
 
+def q_docs_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-sizing diagnostic: per-doc OOV rate against the
+    top-16-term fitted vocabulary (operators/pipeline.py:vocab_coverage;
+    vocab cut is a TakeOrderedAndProject, probe side broadcast)."""
+    from symtseries_spark.operators.pipeline import vocab_coverage
+
+    return vocab_coverage(load(spark, sf_dir, "documents"), **VOCAB)
+
+
+def q_docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-reweighting sampler: per-source deterministic Bernoulli
+    keep rates (operators/pipeline.py:mixture_sample) — a pure
+    scan-stage filter, no shuffle, no sampling state."""
+    from symtseries_spark.operators.pipeline import mixture_sample
+
+    kept = mixture_sample(
+        load(spark, sf_dir, "documents"), MIX_RATES, default_rate=MIX_DEFAULT
+    )
+    return kept.select("doc_id", "lang", "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Registry order = driver-verification priority, NOT topic order:
@@ -2851,6 +2880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_chunk": q_docs_chunk,
         "docs_scrub": q_docs_scrub,
         "docs_unigram_lp": q_docs_unigram_lp,
+        "docs_vocab_coverage": q_docs_vocab_coverage,
+        "docs_mixture_sample": q_docs_mixture_sample,
         "emb_dedup_keep": q_emb_dedup_keep,
         "events_funnel": q_events_funnel,
         "events_funnel_stream": q_events_funnel_stream,
@@ -3885,6 +3916,10 @@ ORDER BY c.c_nationkey
         "docs_chunk": ot.chunk_sql(**CHUNK),
         "docs_scrub": ot.scrub_sql(patterns=SCRUB_PATTERNS),
         "docs_unigram_lp": ot.unigram_logprob_sql(),
+        "docs_vocab_coverage": ot.vocab_coverage_sql(**VOCAB),
+        "docs_mixture_sample": ot.mixture_sample_sql(
+            rates=MIX_RATES, default_rate=MIX_DEFAULT
+        ),
         "dedup_jaccard": ot.jaccard_pairs_sql(**JACCARD),
         "dedup_minhash_lsh": ot.minhash_lsh_pairs_sql(**MINHASH),
         "text_bm25": ot.bm25_topk_sql(**BM25),

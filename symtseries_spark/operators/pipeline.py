@@ -293,3 +293,93 @@ def pattern_scrub(
         )
     )
     return docs.select(*cols)
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    *,
+    vocab_size: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-sizing diagnostic: fit a top-``vocab_size`` frequency
+    vocabulary on the corpus, then measure per-document out-of-vocabulary
+    rate -> ``(doc_id, n_tokens, oov_tokens, oov_ratio)`` with the ratio
+    quantized to 6 decimals engine-independently.
+
+    Vocabulary rank ties break on the term string, so the fitted vocab
+    (and therefore every ratio) is deterministic.
+
+    Scale shape: the term-frequency table is vocabulary-sized and its
+    top-``vocab_size`` cut is a TakeOrderedAndProject (k rows, never a
+    global sort of the term table); the cut is BROADCAST and probed
+    map-side on a second scan, then re-aggregated per document — token
+    rows never shuffle on the term key (same contract as
+    ``retrieval.unigram_logprob``).
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), "term")
+        .limit(vocab_size)
+        .select("term", F.lit(1).alias("__in_vocab"))
+    )
+    per_doc = (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+            ).alias("oov_tokens"),
+        )
+    )
+    ratio = F.col("oov_tokens") / F.col("n_tokens")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "oov_tokens",
+        (F.floor(ratio * 1e6 + F.lit(0.5)) / 1e6).alias("oov_ratio"),
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    *,
+    default_rate: float = 1.0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mixture",
+) -> DataFrame:
+    """Domain-reweighting sampler: keep each document with its source's
+    target rate (Bernoulli on the deterministic salted hash), the
+    standard way a pretraining mix up/down-weights domains.
+
+    Same key + salt -> same keep decision on any engine, any run, any
+    partitioning (the property train-data reproducibility requires; the
+    salt gives independent draws from the split/sample operators).
+
+    Scale shape: pure scan-stage filter — the rate lookup is a plan-time
+    CASE chain over the (small, bounded) source domain and the hash is
+    one md5 per row; no shuffle, no sampling state.
+    """
+    for name, rate in rates.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {name!r} must be in [0, 1], got {rate}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    u = (
+        doc_hash60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+        % 1_000_000
+    ) / 1_000_000.0
+    rate_col = F.lit(float(default_rate))
+    for name, rate in rates.items():
+        rate_col = F.when(
+            F.col(source_col) == name, F.lit(float(rate))
+        ).otherwise(rate_col)
+    return docs.where(u < rate_col)

@@ -653,3 +653,41 @@ SELECT doc_id, count(*) AS n_tokens,
 FROM tok JOIN vocab USING (term) CROSS JOIN tot
 GROUP BY doc_id
 """
+
+
+def vocab_coverage_sql(*, vocab_size: int, table: str = "documents") -> str:
+    """Mirror of operators.pipeline.vocab_coverage (rank ties break on
+    the term string on both engines, so the fitted vocab is identical)."""
+    toks = tokens_expr()
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({toks}) AS term FROM {table}),
+vocab AS (SELECT term FROM (
+    SELECT term, count(*) AS tf FROM tok GROUP BY term
+    ORDER BY tf DESC, term LIMIT {vocab_size})),
+agg AS (
+  SELECT tok.doc_id, count(*) AS n_tokens,
+         count(*) FILTER (vocab.term IS NULL) AS oov_tokens
+  FROM tok LEFT JOIN vocab USING (term) GROUP BY tok.doc_id)
+SELECT doc_id, n_tokens, oov_tokens,
+       floor((CAST(oov_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS oov_ratio
+FROM agg
+"""
+
+
+def mixture_sample_sql(
+    *,
+    rates: dict[str, float],
+    default_rate: float,
+    salt: str = "mixture",
+    table: str = "documents",
+) -> str:
+    """Mirror of operators.pipeline.mixture_sample — rate literals repr'd
+    from the SAME Python floats so keep thresholds land identically."""
+    salted_key = f"'{salt}' || CAST(doc_id AS VARCHAR)"
+    u = f"({hash60(salted_key)} % 1000000) / 1000000.0"
+    branches = " ".join(
+        f"WHEN '{name}' THEN {rate!r}" for name, rate in rates.items()
+    )
+    case = f"CASE source {branches} ELSE {default_rate!r} END"
+    return f"SELECT doc_id, lang, source FROM {table} WHERE {u} < {case}"

@@ -8,6 +8,7 @@ import math
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from symtseries_spark.operators.decontam import benchmark_contamination
 from symtseries_spark.operators.pipeline import chunk_documents, pattern_scrub
@@ -145,3 +146,80 @@ class TestUnigramLogprob:
         out = unigram_logprob(docs).collect()
         for r in out:
             assert r["avg_logprob"] == pytest.approx(math.log(0.25), abs=1e-6)
+
+
+class TestVocabCoverage:
+    def test_hand_computed(self, spark):
+        from symtseries_spark.operators.pipeline import vocab_coverage
+
+        # counts: a:3 b:2 c:1 d:1 -> top-2 vocab = {a, b}
+        docs = _docs(spark, [(1, "a a b c"), (2, "a b d")])
+        out = {
+            r["doc_id"]: r
+            for r in vocab_coverage(docs, vocab_size=2).collect()
+        }
+        assert out[1]["n_tokens"] == 4 and out[1]["oov_tokens"] == 1
+        assert out[2]["n_tokens"] == 3 and out[2]["oov_tokens"] == 1
+        assert out[1]["oov_ratio"] == pytest.approx(0.25)
+
+    def test_tie_breaks_on_term(self, spark):
+        from symtseries_spark.operators.pipeline import vocab_coverage
+
+        # b and c tie at 1; vocab_size=2 with a:2 -> {a, b} (term order)
+        docs = _docs(spark, [(1, "a a b c")])
+        r = vocab_coverage(docs, vocab_size=2).collect()[0]
+        assert r["oov_tokens"] == 1  # only c is OOV
+
+
+class TestMixtureSample:
+    def _src_docs(self, spark, n=400):
+        return spark.createDataFrame(
+            [
+                Row(doc_id=i, text="x", source=f"src{(i % 4) + 1}")
+                for i in range(n)
+            ]
+        )
+
+    def test_rates_respected(self, spark):
+        from symtseries_spark.operators.pipeline import mixture_sample
+
+        docs = self._src_docs(spark)
+        kept = mixture_sample(
+            docs, {"src1": 1.0, "src2": 0.0}, default_rate=0.5
+        )
+        by_src = {
+            r["source"]: r["n"]
+            for r in kept.groupBy("source").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+        assert by_src.get("src1") == 100  # rate 1.0 keeps everything
+        assert "src2" not in by_src  # rate 0.0 drops everything
+        # default 0.5 on src3/src4: binomial around 50 of 100
+        assert 25 <= by_src.get("src3", 0) <= 75
+        assert 25 <= by_src.get("src4", 0) <= 75
+
+    def test_deterministic_and_partition_independent(self, spark):
+        from symtseries_spark.operators.pipeline import mixture_sample
+
+        docs = self._src_docs(spark)
+        ids1 = sorted(
+            r["doc_id"]
+            for r in mixture_sample(docs, {}, default_rate=0.5).collect()
+        )
+        ids2 = sorted(
+            r["doc_id"]
+            for r in mixture_sample(
+                docs.repartition(7), {}, default_rate=0.5
+            ).collect()
+        )
+        assert ids1 == ids2 and len(ids1) > 0
+
+    def test_invalid_rate_rejected(self, spark):
+        from symtseries_spark.operators.pipeline import mixture_sample
+
+        docs = self._src_docs(spark, 4)
+        with pytest.raises(ValueError):
+            mixture_sample(docs, {"src1": 1.5})
+        with pytest.raises(ValueError):
+            mixture_sample(docs, {}, default_rate=-0.1)
