@@ -2867,6 +2867,17 @@ def q_docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "lang", "source")
 
 
+def q_docs_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training order via the two-pass
+    shard-offset pattern (operators/pipeline.py:global_order_index) —
+    the scalable form of row_number() OVER (ORDER BY hash), which the
+    DuckDB oracle runs literally."""
+    from symtseries_spark.operators.pipeline import global_order_index
+
+    docs = load(spark, sf_dir, "documents")
+    return global_order_index(docs, shards=64).select("doc_id", "train_order")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Registry order = driver-verification priority, NOT topic order:
@@ -2882,6 +2893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_unigram_lp": q_docs_unigram_lp,
         "docs_vocab_coverage": q_docs_vocab_coverage,
         "docs_mixture_sample": q_docs_mixture_sample,
+        "docs_train_order": q_docs_train_order,
         "emb_dedup_keep": q_emb_dedup_keep,
         "events_funnel": q_events_funnel,
         "events_funnel_stream": q_events_funnel_stream,
@@ -3917,6 +3929,7 @@ ORDER BY c.c_nationkey
         "docs_scrub": ot.scrub_sql(patterns=SCRUB_PATTERNS),
         "docs_unigram_lp": ot.unigram_logprob_sql(),
         "docs_vocab_coverage": ot.vocab_coverage_sql(**VOCAB),
+        "docs_train_order": ot.global_order_sql(),
         "docs_mixture_sample": ot.mixture_sample_sql(
             rates=MIX_RATES, default_rate=MIX_DEFAULT
         ),

@@ -85,17 +85,34 @@ def main() -> None:
     qdict = entry_mod.queries()
     warm_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if os.path.isdir(warm_sf):
-        for wname in ("emb_near_dup", "sax_allpairs_refined", "sax_allpairs"):
-            if wname not in qdict:
+        # Every BATCH query runs once at the smallest SF before the timed
+        # loop: generated code is scale-independent, so this populates the
+        # janino codegen cache (measured: 12.2s cold vs 1.5-2.1s warm for
+        # emb_near_dup; 9.1s vs ~1.5s for the c=16 unrolled CASE chains)
+        # and the timed run measures the operator, not the compiler.
+        # Streaming queries are skipped — each call builds a fresh
+        # checkpoint/replay, so a prewarm would double their wall cost
+        # while the engine-level streaming warm above already covers the
+        # machinery.
+        t_all = time.perf_counter()
+        for wname, wfn in qdict.items():
+            if "stream" in wname:
                 continue
             t0 = time.perf_counter()
-            qdict[wname](spark, warm_sf).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            try:
+                wfn(spark, warm_sf).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as ex:  # prewarm must never kill the bench
+                print(f"[bench] prewarm {wname} FAILED: {ex}", file=sys.stderr)
             print(
                 f"[bench] prewarm {wname}: {time.perf_counter()-t0:.3f}s",
                 file=sys.stderr,
             )
+        print(
+            f"[bench] prewarm total: {time.perf_counter()-t_all:.1f}s",
+            file=sys.stderr,
+        )
 
     timings: dict[str, float] = {}
     total = 0.0

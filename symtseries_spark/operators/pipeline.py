@@ -383,3 +383,57 @@ def mixture_sample(
             F.col(source_col) == name, F.lit(float(rate))
         ).otherwise(rate_col)
     return docs.where(u < rate_col)
+
+
+def global_order_index(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "order",
+    shards: int = 256,
+    out: str = "train_order",
+) -> DataFrame:
+    """Deterministic global training order: a reproducible permutation
+    index 0..N-1 over the salted 60-bit hash (ties on id) — the
+    "shuffle the corpus once, identically, on any cluster" step before
+    sequence packing.
+
+    Scale shape — the two-pass shard-offset pattern, NOT a global
+    window: a ``row_number() OVER (ORDER BY hash)`` has no PARTITION BY,
+    so Spark would funnel 100 TB through ONE task. Instead: (1) bucket
+    rows into ``shards`` hash-range shards and count each (tiny agg),
+    (2) turn counts into cumulative shard offsets (shard-count-sized
+    window, executes in one task on ``shards`` rows), broadcast them
+    back, and (3) rank WITHIN each shard (parallel window) and add the
+    shard's offset. Because the shard is a prefix of the hash, shard
+    order + in-shard order = global hash order, so the index is
+    identical to the single-task form — verified by the DuckDB oracle.
+    """
+    if shards < 1:
+        raise ValueError("shards must be >= 1")
+    from pyspark.sql import Window
+
+    h = doc_hash60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    # shard by the hash PREFIX so shard id is monotone in the hash:
+    # global order == (shard, hash, id) order
+    with_shard = df.withColumn("__h", h).withColumn(
+        "__shard", (F.col("__h") / F.lit(2**60 // shards)).cast("long")
+    )
+    counts = with_shard.groupBy("__shard").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w_off = (
+        Window.orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = counts.select(
+        "__shard", (F.sum("__n").over(w_off) - F.col("__n")).alias("__off")
+    )
+    w_in = Window.partitionBy("__shard").orderBy("__h", id_col)
+    return (
+        with_shard.join(F.broadcast(offsets), "__shard")
+        .withColumn(
+            out, (F.row_number().over(w_in) - 1 + F.col("__off")).cast("long")
+        )
+        .drop("__h", "__shard", "__off")
+    )

@@ -691,3 +691,18 @@ def mixture_sample_sql(
     )
     case = f"CASE source {branches} ELSE {default_rate!r} END"
     return f"SELECT doc_id, lang, source FROM {table} WHERE {u} < {case}"
+
+
+def global_order_sql(
+    *, salt: str = "order", table: str = "documents"
+) -> str:
+    """Mirror of operators.pipeline.global_order_index — the oracle IS
+    the single-task form the operator decomposes (shard prefix order +
+    in-shard order == global hash order)."""
+    h = hash60(f"'{salt}' || CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY {h}, doc_id) - 1 AS BIGINT)
+         AS train_order
+FROM {table}
+"""

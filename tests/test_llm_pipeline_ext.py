@@ -223,3 +223,54 @@ class TestMixtureSample:
             mixture_sample(docs, {"src1": 1.5})
         with pytest.raises(ValueError):
             mixture_sample(docs, {}, default_rate=-0.1)
+
+
+class TestGlobalOrderIndex:
+    def test_matches_single_task_form(self, spark):
+        from symtseries_spark.operators.pipeline import global_order_index
+        import hashlib
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text="x") for i in range(200)]
+        )
+        got = {
+            r["doc_id"]: r["train_order"]
+            for r in global_order_index(docs, shards=16).collect()
+        }
+
+        def h(i):
+            return int(hashlib.md5(f"order{i}".encode()).hexdigest()[:15], 16)
+
+        expect = {
+            did: idx
+            for idx, did in enumerate(
+                sorted(range(200), key=lambda i: (h(i), i))
+            )
+        }
+        assert got == expect
+
+    def test_partition_independent(self, spark):
+        from symtseries_spark.operators.pipeline import global_order_index
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text="x") for i in range(100)]
+        )
+        a = sorted(
+            (r["doc_id"], r["train_order"])
+            for r in global_order_index(docs, shards=8).collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["train_order"])
+            for r in global_order_index(
+                docs.repartition(13), shards=8
+            ).collect()
+        )
+        assert a == b
+        assert sorted(t for _, t in a) == list(range(100))
+
+    def test_single_shard_degenerate(self, spark):
+        from symtseries_spark.operators.pipeline import global_order_index
+
+        docs = spark.createDataFrame([Row(doc_id=i, text="x") for i in range(10)])
+        out = global_order_index(docs, shards=1).collect()
+        assert sorted(r["train_order"] for r in out) == list(range(10))
