@@ -2878,6 +2878,39 @@ def q_docs_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_order_index(docs, shards=64).select("doc_id", "train_order")
 
 
+def q_emb_ivf_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-rest IVF index lifecycle: write embeddings partitioned by
+    coarse list (list_id=<n>/ directories + _centroids side table), then
+    probe the stored index at FULL nprobe — partition pruning reads only
+    probed directories (asserted in tests at partial probe); full probe
+    makes the result provably the exact brute-force top-k, which the
+    DuckDB twin recomputes as such (sources/__init__.py:
+    write_ivf_partitioned / read_ivf_probe)."""
+    import tempfile
+
+    from symtseries_spark.sources import read_ivf_probe, write_ivf_partitioned
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == IVF["query_id"])
+        .select("embedding")
+        .first()[0]
+    ]
+    path = tempfile.mkdtemp(prefix="ivf_at_rest_") + "/index"
+    write_ivf_partitioned(
+        emb, path, num_lists=IVF["num_lists"], dim=EMB_DIM
+    )
+    return read_ivf_probe(
+        spark,
+        path,
+        qvec,
+        k=IVF["k"],
+        nprobe=IVF["num_lists"],
+        exclude_id=IVF["query_id"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Registry order = driver-verification priority, NOT topic order:
@@ -2894,6 +2927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_vocab_coverage": q_docs_vocab_coverage,
         "docs_mixture_sample": q_docs_mixture_sample,
         "docs_train_order": q_docs_train_order,
+        "emb_ivf_at_rest": q_emb_ivf_at_rest,
         "emb_dedup_keep": q_emb_dedup_keep,
         "events_funnel": q_events_funnel,
         "events_funnel_stream": q_events_funnel_stream,
@@ -4052,6 +4086,9 @@ FROM documents
         ),
         # full-probe IVF scans every list -> provably the exact top-k
         "emb_ivf_topk": ov.cosine_topk_sql(
+            query_id=IVF["query_id"], k=IVF["k"], dim=EMB_DIM
+        ),
+        "emb_ivf_at_rest": ov.cosine_topk_sql(
             query_id=IVF["query_id"], k=IVF["k"], dim=EMB_DIM
         ),
         "emb_near_dup": ov.embedding_near_dup_sql(

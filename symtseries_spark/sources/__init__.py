@@ -216,3 +216,98 @@ def write_bucketed_table(
     if sort:
         writer = writer.sortBy(key)
     writer.saveAsTable(table)
+
+
+def write_ivf_partitioned(
+    vectors: "DataFrame",
+    path: str,
+    *,
+    num_lists: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> "DataFrame":
+    """Sink: persist an embedding table partitioned by its IVF coarse
+    list (``list_id=<n>/`` directories) plus the centroid table as a
+    ``_centroids`` subdirectory — the embedding-space analogue of
+    :func:`write_words_bucketed`. At rest, an ANN probe that restricts
+    to ``nprobe`` lists becomes a PARTITION-PRUNED scan: Spark opens
+    only the probed directories (~nprobe/num_lists of the data) before
+    any vector is read.
+
+    Returns the centroid DataFrame (tiny) for immediate probe use.
+    """
+    from ..operators.simsearch import ivf_index
+
+    assigned, centroids = ivf_index(
+        vectors, num_lists=num_lists, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    assigned.write.mode(mode).partitionBy("list_id").parquet(path)
+    centroids.write.mode(mode).parquet(f"{path}/_centroids")
+    return centroids
+
+
+def read_ivf_probe(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    *,
+    k: int,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> "DataFrame":
+    """Probe an at-rest IVF index: pick the ``nprobe`` centroids nearest
+    to ``query_vec`` (centroid table is tiny — the argmin runs as a
+    TakeOrderedAndProject), push ``list_id IN (...)`` into the
+    partitioned scan (PartitionFilters — only the probed directories are
+    read), and exact-cosine-rerank the survivors to the top ``k``
+    -> ``(vec_id, cos)``.
+
+    The probe-list selection reads the centroid table (num_lists rows)
+    on the driver: that is num_lists floats, not data — the corpus-sized
+    side stays partition-pruned on the executors. At
+    ``nprobe == num_lists`` the result is exactly brute force.
+    """
+    from pyspark.sql import functions as F
+
+    cent = spark.read.parquet(f"{path}/_centroids")
+    q = [float(x) for x in query_vec]
+    qlit = F.array(*[F.lit(x) for x in q])
+    probed = [
+        r["list_id"]
+        for r in cent.select(
+            "list_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("centroid"), qlit, lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("__d2"),
+        )
+        .orderBy("__d2", "list_id")
+        .limit(nprobe)
+        .collect()
+    ]
+    data = spark.read.parquet(path).where(F.col("list_id").isin(probed))
+    if exclude_id is not None:
+        data = data.where(F.col(id_col) != exclude_id)
+    vd = F.col(vec_col).cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(vd, qlit, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+    nv = F.sqrt(
+        F.aggregate(F.zip_with(vd, vd, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x)
+    )
+    nq = float(sum(x * x for x in q)) ** 0.5
+    return (
+        data.select(
+            F.col(id_col),
+            F.round(dot / (nv * F.lit(nq)), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), id_col)
+        .limit(k)
+    )

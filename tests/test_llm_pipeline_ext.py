@@ -274,3 +274,52 @@ class TestGlobalOrderIndex:
         docs = spark.createDataFrame([Row(doc_id=i, text="x") for i in range(10)])
         out = global_order_index(docs, shards=1).collect()
         assert sorted(r["train_order"] for r in out) == list(range(10))
+
+
+class TestIvfAtRest:
+    def _emb(self, spark, n=64, dim=8):
+        import random
+
+        rng = random.Random(11)
+        return spark.createDataFrame(
+            [
+                Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(dim)])
+                for i in range(n)
+            ]
+        )
+
+    def test_full_probe_equals_brute_force(self, spark, tmp_path):
+        from symtseries_spark.operators.simsearch import cosine_topk
+        from symtseries_spark.sources import (
+            read_ivf_probe,
+            write_ivf_partitioned,
+        )
+
+        emb = self._emb(spark)
+        qvec = emb.where(F.col("vec_id") == 3).first()["embedding"]
+        path = str(tmp_path / "ivf")
+        write_ivf_partitioned(emb, path, num_lists=4, dim=8)
+        got = read_ivf_probe(
+            spark, path, qvec, k=10, nprobe=4, exclude_id=3
+        ).collect()
+        exp = cosine_topk(emb, query_id=3, k=10).collect()
+        assert [(r["vec_id"], r["cos"]) for r in got] == [
+            (r["vec_id"], r["cos"]) for r in exp
+        ]
+
+    def test_partial_probe_partition_prunes(self, spark, tmp_path):
+        from symtseries_spark.sources import (
+            read_ivf_probe,
+            write_ivf_partitioned,
+        )
+
+        emb = self._emb(spark)
+        qvec = emb.where(F.col("vec_id") == 3).first()["embedding"]
+        path = str(tmp_path / "ivf")
+        write_ivf_partitioned(emb, path, num_lists=4, dim=8)
+        probed = read_ivf_probe(spark, path, qvec, k=10, nprobe=1)
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "list_id" in plan
+        # pruned probe returns <= full corpus and is a subset of it
+        ids = {r["vec_id"] for r in probed.collect()}
+        assert 0 < len(ids) <= 10
