@@ -2911,6 +2911,23 @@ def q_emb_ivf_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time exact dedup: the second half of the corpus (by id)
+    arrives as the incoming batch and is admitted only if its content
+    hash is absent from the first half AND not seen earlier in-batch
+    (operators/dedup.py:incremental_dedup — historical corpus consulted
+    as a distinct-hash table, never rescanned as text)."""
+    from symtseries_spark.operators.dedup import incremental_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    split_id = int(mid)
+    return incremental_dedup(
+        docs.where(F.col("doc_id") >= split_id),
+        docs.where(F.col("doc_id") < split_id),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Registry order = driver-verification priority, NOT topic order:
@@ -2928,6 +2945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_mixture_sample": q_docs_mixture_sample,
         "docs_train_order": q_docs_train_order,
         "emb_ivf_at_rest": q_emb_ivf_at_rest,
+        "dedup_incremental": q_dedup_incremental,
         "emb_dedup_keep": q_emb_dedup_keep,
         "events_funnel": q_events_funnel,
         "events_funnel_stream": q_events_funnel_stream,
@@ -3964,6 +3982,7 @@ ORDER BY c.c_nationkey
         "docs_unigram_lp": ot.unigram_logprob_sql(),
         "docs_vocab_coverage": ot.vocab_coverage_sql(**VOCAB),
         "docs_train_order": ot.global_order_sql(),
+        "dedup_incremental": ot.incremental_dedup_sql(),
         "docs_mixture_sample": ot.mixture_sample_sql(
             rates=MIX_RATES, default_rate=MIX_DEFAULT
         ),

@@ -417,3 +417,42 @@ def jaccard_refine(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def incremental_dedup(
+    incoming: DataFrame,
+    existing: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Ingest-time dedup: admit only the incoming documents whose
+    normalized content appears neither in the ``existing`` corpus nor
+    earlier (by id) within the incoming batch itself ->
+    ``(doc_id, content_hash)`` of the admitted rows.
+
+    This is the daily-crawl shape: the historical corpus is consulted as
+    a HASH SET, never rescanned as text. Two pieces, both bounded by the
+    incoming batch size on the probe side:
+
+    - existing-corpus check: LEFT ANTI join of incoming hashes against
+      the existing distinct-hash table. At 100 TB the hash table is the
+      thing a production pipeline keeps materialized (60-bit hashes,
+      ~1/1000th the corpus bytes); with it stored bucketed by hash the
+      anti-join is co-located, and a Bloom prefilter
+      (``operators.sketches``) can cut the probe further.
+    - within-batch check: min-id-wins groupBy on the incoming hashes
+      (map-side combined), identical to :func:`exact_dedup_map`.
+    """
+    inc = incoming.select(
+        F.col(id_col).alias("doc_id"),
+        doc_hash60(normalized_text(F.col(text_col))).alias("content_hash"),
+    )
+    seen = existing.select(
+        doc_hash60(normalized_text(F.col(text_col))).alias("content_hash")
+    ).distinct()
+    fresh = inc.join(seen, "content_hash", "left_anti")
+    first = fresh.groupBy("content_hash").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return first.select("doc_id", "content_hash")

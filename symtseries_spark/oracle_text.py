@@ -706,3 +706,23 @@ SELECT doc_id,
          AS train_order
 FROM {table}
 """
+
+
+def incremental_dedup_sql(*, table: str = "documents") -> str:
+    """Mirror of operators.dedup.incremental_dedup with the corpus split
+    at the floored median doc_id (existing: doc_id < m; incoming: >= m)
+    — floor matches the driver query's Python int() of Spark's
+    interpolated percentile."""
+    h = hash60(normalized_expr())
+    return f"""
+WITH m AS (SELECT CAST(floor(quantile_cont(doc_id, 0.5)) AS BIGINT) AS mid
+           FROM {table}),
+hashed AS (SELECT doc_id, {h} AS content_hash FROM {table}),
+seen AS (SELECT DISTINCT content_hash FROM hashed, m WHERE doc_id < mid),
+fresh AS (
+  SELECT i.doc_id, i.content_hash
+  FROM hashed i CROSS JOIN m LEFT JOIN seen s USING (content_hash)
+  WHERE i.doc_id >= m.mid AND s.content_hash IS NULL)
+SELECT min(doc_id) AS doc_id, content_hash
+FROM fresh GROUP BY content_hash
+"""

@@ -323,3 +323,38 @@ class TestIvfAtRest:
         # pruned probe returns <= full corpus and is a subset of it
         ids = {r["vec_id"] for r in probed.collect()}
         assert 0 < len(ids) <= 10
+
+
+class TestIncrementalDedup:
+    def test_admits_only_fresh_content(self, spark):
+        from symtseries_spark.operators.dedup import incremental_dedup
+
+        existing = _docs(spark, [(1, "old news"), (2, "evergreen text")])
+        incoming = _docs(
+            spark,
+            [
+                (10, "old news"),        # dup of existing -> rejected
+                (11, "brand new words"), # fresh -> admitted
+                (12, "brand new words"), # in-batch dup -> rejected
+                (13, "Evergreen   TEXT"),# normalized dup -> rejected
+                (14, "also fresh"),
+            ],
+        )
+        got = sorted(
+            r["doc_id"]
+            for r in incremental_dedup(incoming, existing).collect()
+        )
+        assert got == [11, 14]
+
+    def test_empty_existing_reduces_to_batch_dedup(self, spark):
+        from symtseries_spark.operators.dedup import incremental_dedup
+
+        existing = _docs(spark, []) if False else _docs(
+            spark, [(0, "placeholder")]
+        ).where("doc_id < 0")
+        incoming = _docs(spark, [(5, "x y z"), (6, "x y z"), (7, "q")])
+        got = sorted(
+            r["doc_id"]
+            for r in incremental_dedup(incoming, existing).collect()
+        )
+        assert got == [5, 7]
