@@ -2928,6 +2928,15 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: top-20 adjacent token pairs by PMI —
+    exact integer counts in, closed-form float out, so the oracle is
+    bit-exact by construction (operators/retrieval.py:pmi_bigrams)."""
+    from symtseries_spark.operators.retrieval import pmi_bigrams
+
+    return pmi_bigrams(load(spark, sf_dir, "documents"), topk=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Registry order = driver-verification priority, NOT topic order:
@@ -2946,6 +2955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_train_order": q_docs_train_order,
         "emb_ivf_at_rest": q_emb_ivf_at_rest,
         "dedup_incremental": q_dedup_incremental,
+        "docs_pmi_bigrams": q_docs_pmi_bigrams,
         "emb_dedup_keep": q_emb_dedup_keep,
         "events_funnel": q_events_funnel,
         "events_funnel_stream": q_events_funnel_stream,
@@ -3983,6 +3993,7 @@ ORDER BY c.c_nationkey
         "docs_vocab_coverage": ot.vocab_coverage_sql(**VOCAB),
         "docs_train_order": ot.global_order_sql(),
         "dedup_incremental": ot.incremental_dedup_sql(),
+        "docs_pmi_bigrams": ot.pmi_bigrams_sql(topk=20),
         "docs_mixture_sample": ot.mixture_sample_sql(
             rates=MIX_RATES, default_rate=MIX_DEFAULT
         ),

@@ -25,6 +25,7 @@ __all__ = [
     "bm25_topk",
     "repetition_metrics",
     "tfidf_top_terms",
+    "pmi_bigrams",
     "top_terms",
     "unigram_logprob",
 ]
@@ -252,4 +253,89 @@ def unigram_logprob(
         (F.floor(F.col("__alp") * 1e6 + F.lit(0.5)) / 1e6).alias(
             "avg_logprob"
         ),
+    )
+
+
+def pmi_bigrams(
+    docs: DataFrame,
+    *,
+    topk: int,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation extraction: top-``topk`` adjacent token pairs by
+    pointwise mutual information ->
+    ``(w1, w2, n_pair, pmi)`` with
+    ``pmi = ln((n_pair/B) / ((n_w1/T) * (n_w2/T)))`` (B = total bigram
+    occurrences, T = total token occurrences), quantized to 6 decimals.
+    Pairs below ``min_count`` are dropped (PMI is noise at count 1).
+    Ranking ties break on (w1, w2), so output is deterministic; every
+    input to the formula is an exact integer count, so the float is a
+    pure function of the data — bit-identical on any engine.
+
+    Scale shape: one scan explodes ORDERED adjacent pairs (not the
+    distinct shingle set — PMI needs occurrence counts), one
+    map-side-combinable groupBy per table (pair / unigram / totals); the
+    unigram table and the two scalar totals are vocabulary-bounded and
+    BROADCAST into the pair table. The final top-k is a
+    TakeOrderedAndProject — k rows to the driver, never the pair table.
+    """
+    toks = tokens(F.col(text_col))
+    pairs = docs.select(
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat(
+                        F.element_at(toks, i),
+                        F.lit(" "),
+                        F.element_at(toks, i + 1),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair")
+    )
+    uni = docs.select(F.explode(toks).alias("term"))
+    pair_counts = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).alias("n_pair")
+    )
+    uni_counts = uni.groupBy("term").agg(F.count(F.lit(1)).alias("n_term"))
+    tot_b = pair_counts.agg(F.sum("n_pair").alias("__b"))
+    tot_t = uni_counts.agg(F.sum("n_term").alias("__t"))
+    split = F.split(F.col("pair"), " ")
+    scored = (
+        pair_counts.where(F.col("n_pair") >= min_count)
+        .select(
+            split.getItem(0).alias("w1"),
+            split.getItem(1).alias("w2"),
+            "n_pair",
+        )
+        .join(
+            F.broadcast(uni_counts.withColumnRenamed("term", "w1")
+                        .withColumnRenamed("n_term", "n_w1")),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni_counts.withColumnRenamed("term", "w2")
+                        .withColumnRenamed("n_term", "n_w2")),
+            "w2",
+        )
+        .join(F.broadcast(tot_b))
+        .join(F.broadcast(tot_t))
+    )
+    pmi = F.log(
+        (F.col("n_pair") / F.col("__b"))
+        / ((F.col("n_w1") / F.col("__t")) * (F.col("n_w2") / F.col("__t")))
+    )
+    return (
+        scored.select(
+            "w1",
+            "w2",
+            "n_pair",
+            (F.floor(pmi * 1e6 + F.lit(0.5)) / 1e6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(topk)
     )

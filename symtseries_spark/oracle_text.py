@@ -726,3 +726,33 @@ fresh AS (
 SELECT min(doc_id) AS doc_id, content_hash
 FROM fresh GROUP BY content_hash
 """
+
+
+def pmi_bigrams_sql(
+    *, topk: int, min_count: int = 2, table: str = "documents"
+) -> str:
+    """Mirror of operators.retrieval.pmi_bigrams (same closed-form float
+    over exact integer counts — bit-identical by construction)."""
+    toks = tokens_expr()
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM {table}),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i + 1])) AS pair
+  FROM t WHERE len(toks) >= 2),
+pc AS (SELECT pair, count(*) AS n_pair FROM pairs GROUP BY pair),
+uni AS (SELECT unnest(toks) AS term FROM t),
+uc AS (SELECT term, count(*) AS n_term FROM uni GROUP BY term),
+tb AS (SELECT sum(n_pair) AS b FROM pc),
+tt AS (SELECT sum(n_term) AS tcnt FROM uc)
+SELECT split_part(pair, ' ', 1) AS w1, split_part(pair, ' ', 2) AS w2,
+       n_pair,
+       floor(ln((n_pair / b) / ((u1.n_term / tcnt) * (u2.n_term / tcnt)))
+             * 1000000.0 + 0.5) / 1000000.0 AS pmi
+FROM pc CROSS JOIN tb CROSS JOIN tt
+JOIN uc u1 ON u1.term = split_part(pair, ' ', 1)
+JOIN uc u2 ON u2.term = split_part(pair, ' ', 2)
+WHERE n_pair >= {min_count}
+ORDER BY pmi DESC, w1, w2
+LIMIT {topk}
+"""

@@ -358,3 +358,35 @@ class TestIncrementalDedup:
             for r in incremental_dedup(incoming, existing).collect()
         )
         assert got == [5, 7]
+
+
+class TestPmiBigrams:
+    def test_hand_computed(self, spark):
+        from symtseries_spark.operators.retrieval import pmi_bigrams
+
+        # tokens: doc1/doc2 = x y a b z (5 each), doc3 = x y z x (4)
+        # -> T = 14 (x:4 y:3 a:2 b:2 z:3); bigrams 4+4+3 -> B = 11
+        docs = _docs(
+            spark,
+            [(1, "x y a b z"), (2, "x y a b z"), (3, "x y z x")],
+        )
+        rows = pmi_bigrams(docs, topk=50, min_count=2).collect()
+        got = {(r["w1"], r["w2"]): (r["n_pair"], r["pmi"]) for r in rows}
+        T, B = 14, 11
+        exp_xy = math.log((3 / B) / ((4 / T) * (3 / T)))
+        n, p = got[("x", "y")]
+        assert n == 3
+        assert p == pytest.approx(
+            math.floor(exp_xy * 1e6 + 0.5) / 1e6, abs=1e-9
+        )
+        # singleton pairs are filtered by min_count
+        assert ("b", "z") in got and got[("b", "z")][0] == 2
+        assert ("z", "x") not in got  # count 1
+
+    def test_ordering_deterministic(self, spark):
+        from symtseries_spark.operators.retrieval import pmi_bigrams
+
+        docs = _docs(spark, [(1, "a b a b c d c d")])
+        r1 = [(r["w1"], r["w2"]) for r in pmi_bigrams(docs, topk=5).collect()]
+        r2 = [(r["w1"], r["w2"]) for r in pmi_bigrams(docs, topk=5).collect()]
+        assert r1 == r2
