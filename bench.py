@@ -84,39 +84,40 @@ def main() -> None:
     # measures the operator, not the compiler.
     qdict = entry_mod.queries()
     warm_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
-    if os.path.isdir(warm_sf):
-        # Every BATCH query runs once at the smallest SF before the timed
-        # loop: generated code is scale-independent, so this populates the
-        # janino codegen cache (measured: 12.2s cold vs 1.5-2.1s warm for
-        # emb_near_dup; 9.1s vs ~1.5s for the c=16 unrolled CASE chains)
-        # and the timed run measures the operator, not the compiler.
-        # Streaming queries are skipped — each call builds a fresh
-        # checkpoint/replay, so a prewarm would double their wall cost
-        # while the engine-level streaming warm above already covers the
-        # machinery.
-        t_all = time.perf_counter()
-        for wname, wfn in qdict.items():
-            if "stream" in wname:
-                continue
-            t0 = time.perf_counter()
-            try:
-                wfn(spark, warm_sf).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-            except Exception as ex:  # prewarm must never kill the bench
-                print(f"[bench] prewarm {wname} FAILED: {ex}", file=sys.stderr)
-            print(
-                f"[bench] prewarm {wname}: {time.perf_counter()-t0:.3f}s",
-                file=sys.stderr,
-            )
-        print(
-            f"[bench] prewarm total: {time.perf_counter()-t_all:.1f}s",
-            file=sys.stderr,
-        )
+
+    # Queries that replay a real Structured Stream build a fresh
+    # checkpoint per call, so a per-query prewarm would double their wall
+    # cost for nothing (the engine-level streaming warm above covers the
+    # machinery). NB: name-based "stream" matching alone missed
+    # events_late_drop, which replays a stream without carrying the
+    # suffix.
+    STREAMING = {"events_late_drop"}
+
+    def is_streaming(name: str) -> bool:
+        return "stream" in name or name in STREAMING
 
     timings: dict[str, float] = {}
     total = 0.0
+    warm_total = 0.0
     for name, fn in qdict.items():
+        # INTERLEAVED codegen warm: run the SAME plan once at the
+        # smallest SF immediately before timing it. Generated code is
+        # scale-independent, so this compiles the query's classes right
+        # before the timed run reuses them. A warm-everything-then-
+        # time-everything split does NOT work: Spark's generated-class
+        # cache is a bounded LRU (~100 entries), and 100+ prewarmed
+        # plans evict each other long before their timed runs (measured:
+        # emb_near_dup_lsh 6.8s with local warm vs 15.7s after a full
+        # up-front prewarm pass).
+        if os.path.isdir(warm_sf) and not is_streaming(name):
+            t0 = time.perf_counter()
+            try:
+                fn(spark, warm_sf).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as ex:  # warm must never kill the bench
+                print(f"[bench] warm {name} FAILED: {ex}", file=sys.stderr)
+            warm_total += time.perf_counter() - t0
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         # drain every row on the executors; cheap scalar back to driver
@@ -125,6 +126,7 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
         print(f"[bench] {name}: {dt:.3f}s", file=sys.stderr)
+    print(f"[bench] warm total: {warm_total:.1f}s", file=sys.stderr)
 
     # The JSON line is the ONLY stdout content, and it must be SHORT:
     # the round driver captures a bounded tail of stdout (2000 chars in

@@ -282,21 +282,23 @@ def pmi_bigrams(
     TakeOrderedAndProject — k rows to the driver, never the pair table.
     """
     toks = tokens(F.col(text_col))
-    pairs = docs.select(
-        F.explode(
-            F.when(
-                F.size(toks) >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - 1),
-                    lambda i: F.concat(
-                        F.element_at(toks, i),
-                        F.lit(" "),
-                        F.element_at(toks, i + 1),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("pair")
-    )
+
+    def pairs_of(t):
+        # zip the array with its own tail; t is BOUND once (see below) —
+        # naming the raw tokens() expression inside a lambda makes
+        # Catalyst re-evaluate the regex split per element (O(len²)
+        # splits per doc; measured 10s -> 0.4s at sf0.1 for this fix)
+        return F.when(
+            F.size(t) >= 2,
+            F.zip_with(
+                F.slice(t, 1, F.size(t) - 1),
+                F.slice(t, 2, F.size(t) - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    bound_pairs = F.element_at(F.transform(F.array(toks), pairs_of), 1)
+    pairs = docs.select(F.explode(bound_pairs).alias("pair"))
     uni = docs.select(F.explode(toks).alias("term"))
     pair_counts = pairs.groupBy("pair").agg(
         F.count(F.lit(1)).alias("n_pair")
