@@ -948,7 +948,7 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup(
-        load(spark, sf_dir, "embeddings"), threshold=EMB_NEAR_DUP, dim=EMB_DIM
+        load(spark, sf_dir, "embeddings"), threshold=EMB_NEAR_DUP
     )
 
 

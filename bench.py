@@ -30,15 +30,6 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        # 118 queries x (warm + timed) generate thousands of classes; the
-        # default 240m JIT code cache silently flushes/throttles C2 late
-        # in the suite and the BroadcastNestedLoopJoin hot loops degrade
-        # (emb_near_dup 4.7s early-warm vs 13.1s late-suite, neighbors
-        # unaffected). One JVM in local mode -> driver options cover it.
-        .config(
-            "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
-        )
         .config("spark.ui.enabled", "false")
         # keep stdout/stderr clean: the result contract is ONE parseable
         # JSON line on stdout, and console progress bars (\r-rewrites)

@@ -35,22 +35,6 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
-    """Codegen-friendly fixed-dimension dot product: a left-associated
-    +-chain of element products. Accumulation order is identical to
-    :func:`dot`'s sequential fold (0.0 + a1*b1 + a2*b2 + ...), so the
-    result is bit-identical — but the chain compiles inside whole-stage
-    codegen, while higher-order-function expressions run on the
-    interpreted eval path, whose virtual call sites turn megamorphic
-    late in a long session (measured on the O(n²) near-dup at ~50M
-    pairs: 2-14s with HOF depending on JVM call-site state; stable
-    ~1.5s unrolled)."""
-    expr: Column = F.lit(0.0)
-    for i in range(1, dim + 1):
-        expr = expr + F.element_at(a, i) * F.element_at(b, i)
-    return expr
-
-
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
@@ -458,7 +442,6 @@ def embedding_near_dup(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int | None = None,
 ) -> DataFrame:
     """Exact embedding near-dup pairs: cosine >= threshold over all pairs
     -> ``(vec_a, vec_b, cos)``.
@@ -479,12 +462,7 @@ def embedding_near_dup(
     base = vectors.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("__v"),
-    ).withColumn(
-        "__norm",
-        F.sqrt(dot_unrolled(F.col("__v"), F.col("__v"), dim))
-        if dim is not None
-        else norm(F.col("__v")),
-    )
+    ).withColumn("__norm", norm(F.col("__v")))
     parallelism = vectors.sparkSession.sparkContext.defaultParallelism
     a = base.select(
         F.col("vid").alias("vec_a"), F.col("__v").alias("__va"),
@@ -494,15 +472,7 @@ def embedding_near_dup(
         F.col("vid").alias("vec_b"), F.col("__v").alias("__vb"),
         F.col("__norm").alias("__nb"),
     )
-    # with a known dim, the per-pair dot is an unrolled codegen chain
-    # (bit-identical accumulation order; see dot_unrolled) — the HOF
-    # form stays as the dim-agnostic fallback
-    pd_ = (
-        dot_unrolled(F.col("__va"), F.col("__vb"), dim)
-        if dim is not None
-        else dot(F.col("__va"), F.col("__vb"))
-    )
-    cos = pd_ / (F.col("__na") * F.col("__nb"))
+    cos = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
     return (
         a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos"))

@@ -390,26 +390,3 @@ class TestPmiBigrams:
         r1 = [(r["w1"], r["w2"]) for r in pmi_bigrams(docs, topk=5).collect()]
         r2 = [(r["w1"], r["w2"]) for r in pmi_bigrams(docs, topk=5).collect()]
         assert r1 == r2
-
-
-class TestDotUnrolled:
-    def test_bit_identical_to_hof_fold(self, spark):
-        import random
-
-        from symtseries_spark.operators.simsearch import dot, dot_unrolled
-
-        rng = random.Random(3)
-        rows = [
-            Row(i=i, a=[rng.uniform(-2, 2) for _ in range(16)],
-                b=[rng.uniform(-2, 2) for _ in range(16)])
-            for i in range(50)
-        ]
-        df = spark.createDataFrame(rows)
-        out = df.select(
-            dot(F.col("a").cast("array<double>"),
-                F.col("b").cast("array<double>")).alias("hof"),
-            dot_unrolled(F.col("a").cast("array<double>"),
-                         F.col("b").cast("array<double>"), 16).alias("unr"),
-        ).collect()
-        for r in out:
-            assert r["hof"] == r["unr"]  # bit-exact, not approx
