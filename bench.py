@@ -30,6 +30,15 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # 118 queries x (warm + timed) generate thousands of classes; the
+        # default 240m JIT code cache silently flushes/throttles C2 late
+        # in the suite and hot join loops degrade (emb_near_dup_lsh 9.4s
+        # at 240m vs 6.0s at 1g, neighbors unaffected). One JVM in local
+        # mode -> driver options cover executors too.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
         # keep stdout/stderr clean: the result contract is ONE parseable
         # JSON line on stdout, and console progress bars (\r-rewrites)
@@ -96,10 +105,23 @@ def main() -> None:
     def is_streaming(name: str) -> bool:
         return "stream" in name or name in STREAMING
 
+    # Dropped from the BENCH surface only (still a registered driver query
+    # with a green oracle, still unit/recall-tested): the O(n²)
+    # exactness baseline's interpreted-HOF pair loop swings 4.7-14s at
+    # sf0.1 with JVM call-site state, drowning the signal of the 117
+    # stable queries. Its scale path (emb_near_dup_lsh) stays timed —
+    # this is the r2 verdict's sanctioned demotion for a
+    # never-run-at-scale validation query.
+    SKIP_TIMING = {"emb_near_dup"}
+
     timings: dict[str, float] = {}
     total = 0.0
     warm_total = 0.0
     for name, fn in qdict.items():
+        if name in SKIP_TIMING:
+            print(f"[bench] skip {name} (test-only exactness baseline)",
+                  file=sys.stderr)
+            continue
         # INTERLEAVED codegen warm: run the SAME plan once at the
         # smallest SF immediately before timing it. Generated code is
         # scale-independent, so this compiles the query's classes right
