@@ -149,6 +149,31 @@ back — the ps relation computes once per side from one lineitem shuffle,
 and the part filter prunes before the final joins.""",
     "events_cube": """CUBE: ONE Expand (4 grouping sets) feeding ONE hash
 aggregate — no per-grouping-set scan or union; the scan is read once.""",
+    "docs_contamination": """Decontamination: the benchmark shingle set reduces to a
+broadcast hash table (BroadcastExchange after its distinct); the corpus
+side explodes shingles inside the scan and probes map-side
+(BroadcastHashJoin LeftOuter) — the only corpus shuffle is the per-doc
+re-aggregation, whose partial aggregate collapses each document before
+the Exchange.""",
+    "docs_chunk": """RAG chunking: ZERO Exchange operators — tokenize, sequence the
+chunk starts, posexplode the slices, all inside one WholeStageCodegen
+span over the scan. Output inherits the input partitioning.""",
+    "docs_train_order": """Global training order without a global window: shard counts
+(tiny aggregate) -> cumulative offsets (window over shard-count rows,
+the only serial step) -> BroadcastHashJoin back -> per-shard
+row_number. No PARTITION-BY-less WindowExec over the corpus anywhere in
+the tree.""",
+    "emb_ivf_at_rest": """At-rest IVF probe: the scan carries PartitionFilters on
+list_id (only probed directories are opened); the cosine rerank runs
+above the pruned scan; final top-k is a TakeOrderedAndProject.""",
+    "dedup_incremental": """Ingest dedup: the historical corpus enters as a distinct
+hash table on the build side of a LeftAnti hash join (never as text);
+the in-batch min-id groupBy partially aggregates map-side.""",
+    "docs_pmi_bigrams": """PMI collocations: ordered pairs explode once inside the scan
+(token array bound once — no per-element re-tokenization); pair and
+unigram counts both partially aggregate before their exchanges; the
+vocabulary-sized unigram table and the two scalar totals re-enter as
+BroadcastExchanges; the final ranking is a TakeOrderedAndProject.""",
     "dedup_lsh_refined": """Dedup prune-then-refine: the banded-candidate plan
 (one signature aggregation + posexplode band join) feeds an exact-Jaccard
 verify that joins candidates to the per-doc shingle arrays — refine work
