@@ -209,7 +209,7 @@ def formatted_plan(df) -> tuple[str, list[str]]:
         sys.stdout = stdout
     text = buf.getvalue()
     tree = text.split("\n\n")[0]
-    details = re.findall(r"(PushedFilters: \[.*?\]|ReadSchema: \S+)", text)
+    details = re.findall(r"(PushedFilters: \[.*?\]|PartitionFilters: \[.*?\]|ReadSchema: \S+)", text)
     seen, uniq = set(), []
     for d in details:
         if d not in seen:
