@@ -1,0 +1,173 @@
+#!/usr/bin/env python3
+"""Measured scaling probe: replicate the sf0.1 events/documents tables
+``FACTOR``x into a temp directory (key-shifted so the data grows the way
+real data grows — more users / more documents over the same time span,
+no artificial duplicate content) and run the volume-driven driver
+queries at both scales. Prints a per-query ratio table; a ratio near the
+data factor means linear scaling on a fixed-core host (the best a CPU-
+bound operator can do); sublinear means fixed costs still dominate at
+sf0.1.
+
+Replication scheme:
+- events: user_id' = user_id + i*1_000_000, event_id' shifted by
+  i*10**12 — every replica is a fresh cohort of users over the same
+  period, so sessions/as-of/rolling windows per key keep their shape and
+  the KEY CARDINALITY grows 10x (the dimension that matters for state
+  and shuffle width).
+- documents: doc_id' shifted by i*10**9; every replica's text gets a
+  distinct ``repN`` trailing token, so exact/incremental dedup stays
+  honest (replicas are NOT byte-duplicates) while length/term statistics
+  are preserved to first order.
+
+Self-joins whose cost is output-bound (near-dup pair generation at a
+fixed threshold over replicated content) are deliberately excluded:
+replication inflates their OUTPUT quadratically, which measures the
+replication trick, not the operator.
+"""
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
+
+QUERIES = [
+    # events: windowed / sessionized / joined — key-cardinality-driven
+    "events_sessions",
+    "events_asof_join",
+    "events_interval_agg",
+    "events_rolling_1h",
+    "events_anomaly",
+    "events_gapfill",
+    "events_funnel",
+    "events_cube",
+    "events_ewma",
+    "events_quantiles",
+    # documents: scan-stage + broadcast-agg pipeline ops
+    "text_quality",
+    "docs_chunk",
+    "docs_scrub",
+    "docs_unigram_lp",
+    "docs_vocab_coverage",
+    "docs_train_order",
+    "docs_contamination",
+    "dedup_exact",
+    "dedup_incremental",
+    "docs_pmi_bigrams",
+]
+
+
+def build_scaled(spark: SparkSession, out: str) -> None:
+    os.makedirs(out, exist_ok=True)
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    parts = []
+    for i in range(FACTOR):
+        parts.append(
+            ev.select(
+                (F.col("event_id") + F.lit(i * 10**12)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(i * 1_000_000)).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    scaled_ev = parts[0]
+    for p in parts[1:]:
+        scaled_ev = scaled_ev.unionByName(p)
+    scaled_ev.repartition(32).write.mode("overwrite").parquet(
+        f"{out}/events.parquet"
+    )
+
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    dparts = []
+    for i in range(FACTOR):
+        dparts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * 10**9)).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(f" rep{i}")).alias("text"),
+                "lang",
+                "source",
+                (F.col("n_chars") + F.lit(5)).alias("n_chars"),
+            )
+        )
+    scaled_docs = dparts[0]
+    for p in dparts[1:]:
+        scaled_docs = scaled_docs.unionByName(p)
+    scaled_docs.repartition(8).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
+
+    # remaining tables unscaled so load() never fails
+    for t in (
+        "region nation customer supplier part orders lineitem embeddings"
+    ).split():
+        src = f"{BASE}/{t}.parquet"
+        dst = f"{out}/{t}.parquet"
+        if os.path.isfile(src) and not os.path.exists(dst):
+            shutil.copyfile(src, dst)
+
+
+def main() -> None:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("scale-probe")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out = os.path.join(tempfile.gettempdir(), f"scaled_{FACTOR}x")
+    print(f"[probe] building {FACTOR}x replica at {out}", file=sys.stderr)
+    build_scaled(spark, out)
+
+    qdict = E.queries()
+    rows = []
+    for name in QUERIES:
+        fn = qdict[name]
+        # warm plan/codegen at base scale, then time base and scaled
+        fn(spark, BASE).write.format("noop").mode("overwrite").save()
+        t0 = time.perf_counter()
+        fn(spark, BASE).write.format("noop").mode("overwrite").save()
+        t_base = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fn(spark, out).write.format("noop").mode("overwrite").save()
+        t_scaled = time.perf_counter() - t0
+        rows.append((name, t_base, t_scaled, t_scaled / t_base))
+        print(
+            f"[probe] {name}: base {t_base:.2f}s  {FACTOR}x {t_scaled:.2f}s"
+            f"  ratio {t_scaled / t_base:.2f}",
+            file=sys.stderr,
+        )
+    print(f"\n| query | sf0.1 | {FACTOR}x data | time ratio |")
+    print("|---|---|---|---|")
+    for name, tb, ts, r in rows:
+        print(f"| {name} | {tb:.2f}s | {ts:.2f}s | {r:.2f}x |")
+    geo = 1.0
+    for *_, r in rows:
+        geo *= r
+    geo **= 1.0 / len(rows)
+    print(
+        f"\ngeometric-mean time ratio at {FACTOR}x data: {geo:.2f}x "
+        f"(1.0 = fully fixed-cost-dominated, {FACTOR}.0 = perfectly "
+        f"linear CPU-bound on fixed cores)"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
