@@ -311,3 +311,44 @@ def read_ivf_probe(
         .orderBy(F.desc("cos"), id_col)
         .limit(k)
     )
+
+
+def write_compacted(
+    df: "DataFrame",
+    path: str,
+    *,
+    target_rows_per_file: int,
+    order_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> int:
+    """Small-files-aware sink: write ``df`` as
+    ``ceil(count / target_rows_per_file)`` similarly-sized parquet files,
+    optionally range-clustered on ``order_cols`` so each file covers a
+    contiguous key range (min/max footer stats then prune file-level on
+    those columns at read time). Returns the file count written.
+
+    The small-files problem is the quiet killer of 100 TB layouts: a
+    shuffle-partitioned write emits ``spark.sql.shuffle.partitions``
+    files per job regardless of size, and a petabyte of 2 MB files
+    drowns the driver in footer reads and the NameNode/listing layer in
+    metadata. Sizing files by ROWS (one count — cheap, exact) keeps the
+    at-rest layout stable as data grows; range-clustering additionally
+    gives every file a tight min/max band on the sort key, which is what
+    makes parquet row-group/file skipping effective for time- or
+    id-predicated scans.
+
+    One extra job for the count plus one exchange for the
+    repartition(ByRange) — both write-side, one-time costs; queries pay
+    nothing.
+    """
+    if target_rows_per_file <= 0:
+        raise ValueError("target_rows_per_file must be positive")
+    n = df.count()
+    files = max(1, -(-n // target_rows_per_file))
+    if order_cols:
+        out = df.repartitionByRange(files, *[F.col(c) for c in order_cols])
+        out = out.sortWithinPartitions(*order_cols)
+    else:
+        out = df.repartition(files)
+    out.write.mode(mode).parquet(path)
+    return files

@@ -179,3 +179,48 @@ class TestBucketedTables:
             spark.sql("DROP TABLE IF EXISTS b_orders")
             spark.sql("DROP TABLE IF EXISTS b_lineitem")
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+class TestWriteCompacted:
+    def test_file_count_and_range_clustering(self, spark, tmp_path):
+        import glob
+
+        from pyspark.sql import functions as F
+
+        from symtseries_spark.sources import write_compacted
+
+        df = spark.range(0, 10_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        path = str(tmp_path / "compact")
+        n_files = write_compacted(
+            df, path, target_rows_per_file=2500, order_cols=["k"]
+        )
+        assert n_files == 4
+        parts = glob.glob(f"{path}/part-*.parquet")
+        assert len(parts) == 4
+        # range clustering: per-file key bands must not overlap
+        import pyarrow.parquet as pq
+
+        bands = []
+        for p in parts:
+            t = pq.read_table(p, columns=["k"])["k"]
+            bands.append((t[0].as_py(), t[-1].as_py(), len(t)))
+        bands.sort()
+        for (lo1, hi1, _), (lo2, hi2, _) in zip(bands, bands[1:]):
+            assert hi1 < lo2
+        # similarly sized files (range partitioner is sample-based; allow slack)
+        sizes = sorted(b[2] for b in bands)
+        assert sizes[0] > 1000 and sizes[-1] < 5000
+        # round-trip
+        assert spark.read.parquet(path).count() == 10_000
+
+    def test_invalid_target_rejected(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from symtseries_spark.sources import write_compacted
+
+        with _pytest.raises(ValueError):
+            write_compacted(
+                spark.range(5), str(tmp_path / "x"), target_rows_per_file=0
+            )
