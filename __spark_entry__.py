@@ -1065,6 +1065,8 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     each click is paired with the user's latest purchase at-or-before it.
     The reference has no join surface at all; stock Spark SQL would plan
     the `p.ts <= c.ts` predicate as a BroadcastNestedLoop."""
+    from symtseries_spark.operators import quantize
+
     ev = load(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts div 1000"))
     clicks = ev.where(F.col("event_type") == "click").select(
         "user_id", F.col("event_id").alias("click_event_id"), "ts_us"
@@ -1088,7 +1090,9 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_event_id",
         "purchase_event_id",
         F.round("p_value", 6).alias("purchase_value"),
-        F.round((F.col("ts_us") - F.col("p_ts_us")) / F.lit(1e6), 3).alias("gap_sec"),
+        quantize(
+            (F.col("ts_us") - F.col("p_ts_us")) / F.lit(1e6), 3
+        ).alias("gap_sec"),
     ).orderBy("click_event_id")
 
 
@@ -1286,6 +1290,8 @@ def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermarks so the join state is evictable; inner-join matches emit
     in append mode as they are found, so no sentinel flush is needed.
     Oracle = the batch interval-join SQL in integer microseconds."""
+    from symtseries_spark.operators import quantize
+
     import glob as globmod
     import os
     import tempfile
@@ -1357,7 +1363,7 @@ def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_user").alias("user_id"),
             "p_event_id",
             "c_event_id",
-            F.round(
+            quantize(
                 (F.unix_micros("c_ts") - F.unix_micros("p_ts")) / F.lit(1e6), 3
             ).alias("gap_sec"),
         )
@@ -3781,7 +3787,7 @@ WITH c AS (
 )
 SELECT c.user_id, c.click_event_id, p.purchase_event_id,
        round(p.value, 6) AS purchase_value,
-       round((c.ts_us - p.p_ts_us) / 1000000.0, 3) AS gap_sec
+       floor((c.ts_us - p.p_ts_us) / 1000000.0 * 1000.0 + 0.5) / 1000.0 AS gap_sec
 FROM c ASOF LEFT JOIN p
   ON c.user_id = p.user_id AND p.p_ts_us <= c.ts_us
 ORDER BY c.click_event_id
@@ -4022,7 +4028,7 @@ WITH p AS (
   FROM events WHERE event_type = 'click'
 )
 SELECT p.user_id, p.p_event_id, c.c_event_id,
-       round((c.c_us - p.p_us) / 1000000.0, 3) AS gap_sec
+       floor((c.c_us - p.p_us) / 1000000.0 * 1000.0 + 0.5) / 1000.0 AS gap_sec
 FROM p JOIN c
   ON c.user_id = p.user_id
  AND c.c_us > p.p_us AND c.c_us <= p.p_us + {24 * 3600 * 10**6}
