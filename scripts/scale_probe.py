@@ -65,6 +65,31 @@ QUERIES = [
     "docs_pmi_bigrams",
 ]
 
+# Stateful streaming replays: timed WITHOUT a warm pass (each call
+# rebuilds its own checkpoint/replay staging, so the measurement is the
+# full replay at each scale). The interesting dimension is keyed-state
+# cardinality: 10x the users = 10x session/join state rows.
+STREAMING_QUERIES = [
+    "events_sessions_stream",
+    "events_stream_join",
+    "events_ewma_stream",
+    "dedup_exact_stream",
+]
+
+
+def _write_single_file(df, dest: str) -> None:
+    """Write as ONE parquet FILE named like the testdata layout (the
+    streaming loader's pathGlobFilter matches files, not directories)."""
+    import glob
+
+    tmp = dest + "_tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(f"{tmp}/part-*.parquet")[0]
+    if os.path.exists(dest):
+        shutil.rmtree(dest) if os.path.isdir(dest) else os.remove(dest)
+    shutil.move(part, dest)
+    shutil.rmtree(tmp)
+
 
 def build_scaled(spark: SparkSession, out: str) -> None:
     os.makedirs(out, exist_ok=True)
@@ -84,9 +109,7 @@ def build_scaled(spark: SparkSession, out: str) -> None:
     scaled_ev = parts[0]
     for p in parts[1:]:
         scaled_ev = scaled_ev.unionByName(p)
-    scaled_ev.repartition(32).write.mode("overwrite").parquet(
-        f"{out}/events.parquet"
-    )
+    _write_single_file(scaled_ev, f"{out}/events.parquet")
 
     docs = spark.read.parquet(f"{BASE}/documents.parquet")
     dparts = []
@@ -103,9 +126,7 @@ def build_scaled(spark: SparkSession, out: str) -> None:
     scaled_docs = dparts[0]
     for p in dparts[1:]:
         scaled_docs = scaled_docs.unionByName(p)
-    scaled_docs.repartition(8).write.mode("overwrite").parquet(
-        f"{out}/documents.parquet"
-    )
+    _write_single_file(scaled_docs, f"{out}/documents.parquet")
 
     # remaining tables unscaled so load() never fails
     for t in (
@@ -137,10 +158,11 @@ def main() -> None:
 
     qdict = E.queries()
     rows = []
-    for name in QUERIES:
+    for name in QUERIES + STREAMING_QUERIES:
         fn = qdict[name]
-        # warm plan/codegen at base scale, then time base and scaled
-        fn(spark, BASE).write.format("noop").mode("overwrite").save()
+        # warm plan/codegen at base scale (batch only), then time both
+        if name not in STREAMING_QUERIES:
+            fn(spark, BASE).write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
         fn(spark, BASE).write.format("noop").mode("overwrite").save()
         t_base = time.perf_counter() - t0
