@@ -81,6 +81,25 @@ TOPK = 20
 # 25 at sf0.1) but bounds the inverted-index self-join's per-key fanout
 # to 256^2 pairs at corpus scale; mirrored in the DuckDB oracle.
 JACCARD = dict(k=3, threshold=0.35, max_shingle_freq=256)
+# Winnowing (Schleimer et al. 2003): k=4-gram noise threshold, w=8
+# window => any shared token run >= k + w - 1 = 11 is guaranteed to
+# leave an identical fingerprint in both docs; density ~2/(w+1) keeps
+# the inverted index ~4.5x smaller than the full shingle table.
+# max_fp_freq mirrors the Jaccard hot-shingle cap (never binds at test
+# SFs; bounds per-key join fanout at corpus scale).
+WINNOW = dict(k=4, w=8)
+WINNOW_PAIRS = dict(min_shared=8, max_fp_freq=256)
+# Asymmetric containment |A∩B|/min-side: catches excerpt/superset dups
+# whose Jaccard is diluted by the larger doc. Same shingle table and
+# hot-key cap as JACCARD.
+CONTAINMENT = dict(k=3, threshold=0.5, max_shingle_freq=256)
+# Boilerplate: fraction of a doc's positional 3-gram instances whose
+# gram occurs in >= min_df distinct docs (C4/Gopher repeated-passage
+# cleanup signal).
+BOILER = dict(k=3, min_df=5)
+# Holt double-exponential smoothing. 0.25/0.125 are binary-exact
+# literals (same rationale as EWMA_P's 0.25).
+HOLT_P = dict(alpha=0.25, beta=0.125, window=16)
 # decontamination / chunking / scrubbing / LM-scoring parameters.
 # bench_mod carves ~1% of the corpus out as the "benchmark" set; k=3
 # word-shingles give real overlap signal on the synthetic corpus (171
@@ -2943,6 +2962,100 @@ def q_docs_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_bigrams(load(spark, sf_dir, "documents"), topk=20)
 
 
+def q_docs_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints per document (MOSS algorithm): min-hash
+    selection over w-windows of positional k-gram hashes — pure
+    scan-stage array expressions, exploded to (doc_id, fp) rows
+    (operators/dedup.py:winnow_table)."""
+    from symtseries_spark.operators import winnow_table
+
+    return winnow_table(load(spark, sf_dir, "documents"), **WINNOW)
+
+
+def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate pairs: docs sharing >= min_shared
+    winnowing fingerprints — each shared fingerprint witnesses a common
+    token run >= k, so this flags verbatim-passage reuse that
+    whole-document Jaccard dilutes (operators/dedup.py:winnow_pairs).
+    Inverted-index equi-join, hot-fingerprint cap — never |docs|^2."""
+    from symtseries_spark.operators import winnow_pairs
+
+    return winnow_pairs(
+        load(spark, sf_dir, "documents"), **WINNOW, **WINNOW_PAIRS
+    )
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: pairs where the smaller shingle set
+    is >= threshold inside the larger — the excerpt/superset dup class
+    Jaccard misses (operators/dedup.py:containment_pairs). Same
+    inverted-index plan + hot-shingle cap as dedup_jaccard."""
+    from symtseries_spark.operators import containment_pairs
+
+    return containment_pairs(load(spark, sf_dir, "documents"), **CONTAINMENT)
+
+
+def q_docs_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc boilerplate share: fraction of positional k-gram
+    instances whose gram appears in >= min_df distinct docs — the
+    repeated-passage cleanup signal; frequent-gram dim is small and
+    broadcast by AQE (operators/retrieval.py:boilerplate_metrics)."""
+    from symtseries_spark.operators.retrieval import boilerplate_metrics
+
+    return boilerplate_metrics(load(spark, sf_dir, "documents"), **BOILER)
+
+
+def q_events_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window Holt level+trend smoothing per user series: one
+    WindowExec pass, JVM higher-order fold with a 2-field struct
+    accumulator — the double-exponential extension of events_ewma
+    (operators/timeseries.py:holt)."""
+    from symtseries_spark.operators import holt
+
+    ev = load(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts div 1000"))
+    h = holt(
+        ev, key="user_id", order=["ts_us", "event_id"], value="value", **HOLT_P
+    )
+    return h.select("user_id", "event_id", "level", "trend", "forecast")
+
+
+def q_events_holt_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded recursive Holt through a REAL stream: TWO doubles of
+    keyed state per series, O(1) multiply-adds per event — the batch
+    oracle replays the recursion as an O(series) prefix fold per row
+    (streaming/timeseries.py:holt_stream)."""
+    import tempfile
+    import uuid
+
+    from symtseries_spark.operators import quantize
+    from symtseries_spark.sources import load_events_stream
+    from symtseries_spark.streaming import holt_stream
+
+    stream = load_events_stream(spark, sf_dir).withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    hs = holt_stream(
+        stream, key="user_id", order=["ts_us", "event_id"], value="value",
+        alpha=HOLT_P["alpha"], beta=HOLT_P["beta"],
+    )
+    name = f"holt_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        hs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="holt_chk_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).select(
+        "user_id",
+        "event_id",
+        quantize(F.col("level"), 6).alias("level"),
+        quantize(F.col("trend"), 6).alias("trend"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Registry order = driver-verification priority, NOT topic order:
@@ -2950,6 +3063,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix, so entries go (1) queries whose parity changed this
         # round, (2) queries never covered by a driver round, (3) ones
         # last covered in round 1, (4) the long-stable re-verified tail.
+        "docs_winnow": q_docs_winnow,
+        "dedup_winnow_pairs": q_dedup_winnow_pairs,
+        "dedup_containment": q_dedup_containment,
+        "docs_boilerplate": q_docs_boilerplate,
+        "events_holt": q_events_holt,
+        "events_holt_stream": q_events_holt_stream,
         "events_ewma": q_events_ewma,
         "events_ewma_stream": q_events_ewma_stream,
         "docs_contamination": q_docs_contamination,
@@ -3110,6 +3229,59 @@ WITH e AS (
 SELECT user_id, event_id, n_window, zscore
 FROM z WHERE abs(zscore) >= {ANOM_THRESHOLD}
 """
+
+
+def _holt_sql(frame: str, cols: str) -> str:
+    """DuckDB twin of operators.timeseries.holt / streaming holt_stream:
+    fold [x, 0.0] pairs with the batch operator's exact arithmetic
+    (l' recomputed inside the trend update), quantize floor(x*1e6+.5)."""
+    a = HOLT_P["alpha"]
+    lvl = (
+        f"CAST({a} AS DOUBLE) * e[1] "
+        f"+ CAST({1.0 - a} AS DOUBLE) * (acc[1] + acc[2])"
+    )
+    b = HOLT_P["beta"]
+    trd = (
+        f"CAST({b} AS DOUBLE) * (({lvl}) - acc[1]) "
+        f"+ CAST({1.0 - b} AS DOUBLE) * acc[2]"
+    )
+    q = "floor({expr} * 1000000.0 + 0.5) / 1000000.0"
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(value AS DOUBLE) AS x
+  FROM events
+), w AS (
+  SELECT user_id, event_id,
+         list(x) FILTER (x IS NOT NULL)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 {frame})
+           AS vals
+  FROM e
+), lt AS (
+  SELECT user_id, event_id,
+         CASE WHEN len(vals) > 0 THEN
+           list_reduce(
+             list_transform(vals,
+                            x -> [CAST(x AS DOUBLE), CAST(0.0 AS DOUBLE)]),
+             (acc, e) -> [{lvl}, {trd}])
+         END AS f
+  FROM w
+)
+SELECT user_id, event_id,
+       {q.format(expr="f[1]")} AS level,
+       {q.format(expr="f[2]")} AS trend{cols}
+FROM lt
+"""
+
+
+_HOLT_SQL_BOUNDED = _holt_sql(
+    f"ROWS BETWEEN {HOLT_P['window'] - 1} PRECEDING AND CURRENT ROW",
+    ",\n       floor((f[1] + f[2]) * 1000000.0 + 0.5) / 1000000.0 AS forecast",
+)
+_HOLT_SQL_UNBOUNDED = _holt_sql(
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW", ""
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4000,6 +4172,16 @@ ORDER BY c.c_nationkey
         "docs_train_order": ot.global_order_sql(),
         "dedup_incremental": ot.incremental_dedup_sql(),
         "docs_pmi_bigrams": ot.pmi_bigrams_sql(topk=20),
+        "docs_winnow": ot.winnow_docs_sql(**WINNOW),
+        "dedup_winnow_pairs": ot.winnow_pairs_sql(**WINNOW, **WINNOW_PAIRS),
+        "dedup_containment": ot.containment_pairs_sql(**CONTAINMENT),
+        "docs_boilerplate": ot.boilerplate_sql(**BOILER),
+        # Holt fold: elements lifted to [x, 0.0] lists so list_reduce's
+        # first-element seed IS the batch operator's (first value, 0)
+        # seed; l' is recomputed inside the trend update in BOTH engines
+        # (no let-binding in either lambda) -> bit-identical doubles.
+        "events_holt": _HOLT_SQL_BOUNDED,
+        "events_holt_stream": _HOLT_SQL_UNBOUNDED,
         "docs_mixture_sample": ot.mixture_sample_sql(
             rates=MIX_RATES, default_rate=MIX_DEFAULT
         ),

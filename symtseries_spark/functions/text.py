@@ -113,6 +113,56 @@ def rolling_fingerprint(text: Column) -> Column:
     return _fingerprint_build(tokens(text))
 
 
+def kgram_hashes(text: Column, k: int) -> Column:
+    """POSITIONAL word k-gram hashes (``array<long>``, one per k-gram in
+    sequence order, duplicates kept) — the rolling-hash sequence that
+    winnowing selects from. Unlike :func:`shingles` this keeps order and
+    multiplicity. Documents with fewer than ``k`` tokens yield an empty
+    array."""
+
+    def from_tokens(toks: Column) -> Column:
+        m = F.size(toks) - k
+        grams = F.transform(
+            F.sequence(F.lit(0), m),
+            lambda i: hash_mod_prime(F.array_join(F.slice(toks, i + 1, k), " ")),
+        )
+        return F.when(m >= 0, grams).otherwise(F.array().cast("array<long>"))
+
+    return F.element_at(F.transform(F.array(tokens(text)), from_tokens), 1)
+
+
+def winnow_fingerprints(text: Column, k: int, w: int) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
+    the MOSS algorithm): slide a ``w``-wide window over the positional
+    k-gram hash sequence, select the MINIMUM hash of each window, return
+    the sorted distinct selections (``array<long>``).
+
+    Guarantee: any shared token run of length >= ``k + w - 1`` between
+    two documents contributes at least one IDENTICAL fingerprint to both
+    — substring-level duplicate detection, where shingle Jaccard only
+    sees whole-document overlap. Density is ~2/(w+1) of the k-grams, so
+    the fingerprint set is a bounded fraction of the document size.
+
+    Per-row array expression (scan-stage, O(len*w) JVM work, no
+    shuffle). Documents with fewer than ``k + w - 1`` tokens yield an
+    empty array. DuckDB mirror: oracle_text.winnow_expr."""
+
+    def select_mins(h: Column) -> Column:
+        n_win = F.size(h) - w + 1
+        mins = F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda p: F.array_min(F.slice(h, p, w)),
+        )
+        # sequence(1, n) counts DOWN when n < 1 — guard short docs
+        return F.when(n_win >= 1, F.array_sort(F.array_distinct(mins))).otherwise(
+            F.array().cast("array<long>")
+        )
+
+    return F.element_at(
+        F.transform(F.array(kgram_hashes(text, k)), select_mins), 1
+    )
+
+
 def _ratio(num: Column, den: Column) -> Column:
     return F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
 

@@ -30,6 +30,7 @@ from ..functions.text import (
     normalized_text,
     shingles,
     tokens,
+    winnow_fingerprints,
 )
 
 
@@ -141,6 +142,139 @@ def jaccard_pairs(
             F.round(jac, 4).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    *,
+    k: int,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric containment join: doc pairs where the SMALLER shingle
+    set is mostly inside the larger one — ``max(|A∩B|/|A|, |A∩B|/|B|)
+    >= threshold`` -> ``(doc_a, doc_b, n_common, n_a, n_b, cont_a,
+    cont_b)``.
+
+    Catches quote/excerpt/superset duplicates that Jaccard misses: a
+    200-token doc fully embedded in a 5000-token doc has Jaccard ~0.04
+    but containment 1.0. Same inverted-index plan (and hot-shingle cap)
+    as :func:`jaccard_pairs` — cost bounded by shingle co-occurrence,
+    never |docs|^2.
+    """
+    sh = shingle_table(docs, k=k, id_col=id_col, text_col=text_col)
+    if max_shingle_freq is not None:
+        hot = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("__f", F.count(F.lit(1)).over(hot))
+            .where(F.col("__f") <= max_shingle_freq)
+            .drop("__f")
+        )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    cont_a = F.round(F.col("n_common") / F.col("n_a"), 4)
+    cont_b = F.round(F.col("n_common") / F.col("n_b"), 4)
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            cont_a.alias("cont_a"),
+            cont_b.alias("cont_b"),
+        )
+        .where(F.greatest(F.col("cont_a"), F.col("cont_b")) >= threshold)
+    )
+
+
+def winnow_table(
+    docs: DataFrame,
+    *,
+    k: int,
+    w: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exploded winnowing fingerprints: ``(doc_id, fp)`` — the inverted
+    index over :func:`functions.text.winnow_fingerprints` selections."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(winnow_fingerprints(F.col(text_col), k, w)).alias("fp"),
+    )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    *,
+    k: int,
+    w: int,
+    min_shared: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_fp_freq: int | None = None,
+) -> DataFrame:
+    """Substring-level duplicate pairs via shared winnowing fingerprints
+    -> ``(doc_a, doc_b, n_shared, n_a, n_b, overlap)`` where ``overlap =
+    n_shared / min(n_a, n_b)`` (rounded 4).
+
+    Each shared fingerprint witnesses a common token run of length >=
+    ``k`` (and any common run >= ``k + w - 1`` is guaranteed to be
+    witnessed), so ``n_shared >= min_shared`` flags documents sharing
+    substantial verbatim passages — the dup class (boilerplate headers,
+    quoted blocks, near-identical reposts) that whole-document hashing
+    misses. Plan shape == the LSH band join: explode (density ~2/(w+1)
+    of k-grams, so the index is a FRACTION of the shingle table), hot-key
+    cap, equi-join, pair count — scales with fingerprint collisions, not
+    |docs|^2.
+    """
+    fp = winnow_table(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+    if max_fp_freq is not None:
+        hot = Window.partitionBy("fp")
+        fp = (
+            fp.withColumn("__f", F.count(F.lit(1)).over(hot))
+            .where(F.col("__f") <= max_fp_freq)
+            .drop("__f")
+        )
+    sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = fp.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_b"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared") / F.least(F.col("n_a"), F.col("n_b")), 4
+            ).alias("overlap"),
+        )
     )
 
 

@@ -19,16 +19,78 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens
+from ..functions.text import kgram_hashes, tokens
 
 __all__ = [
     "bm25_topk",
+    "boilerplate_metrics",
     "repetition_metrics",
     "tfidf_top_terms",
     "pmi_bigrams",
     "top_terms",
     "unigram_logprob",
 ]
+
+
+def boilerplate_metrics(
+    docs: DataFrame,
+    *,
+    k: int,
+    min_df: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document boilerplate share: the fraction of a doc's word
+    k-gram INSTANCES whose gram occurs in >= ``min_df`` distinct
+    documents -> ``(doc_id, n_grams, n_boiler, boiler_ratio)`` (ratio
+    rounded 4; gram-free docs emit ratio 0.0).
+
+    Corpus-frequent k-grams are navigation chrome, license headers, and
+    template text — the standard pre-training cleanup signal (the
+    C4/Gopher "repeated passage" class). Positional grams (multiplicity
+    kept) so a doc that is 90% repeated chrome scores 0.9 even when the
+    distinct-shingle view looks clean.
+
+    Plan: one explode of scan-stage gram hashes, a distinct-doc count
+    per gram whose ``>= min_df`` survivor set is SMALL (frequent grams
+    only) and broadcast by AQE into the join back, then one groupBy on
+    doc_id. No pairwise work anywhere — linear in corpus size.
+    """
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(kgram_hashes(F.col(text_col), k)).alias("gh"),
+    )
+    freq = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("gh", F.lit(1).alias("__boiler"))
+    )
+    per_doc = (
+        grams.join(freq, "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("__boiler"), F.lit(0)).alias("n_boiler"),
+        )
+    )
+    # left join back to ALL docs so gram-free rows (short docs) appear
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("n_boiler"), F.lit(0)).alias("n_boiler"),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+                    F.col("n_boiler") / F.col("n_grams"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("boiler_ratio"),
+        )
+    )
 
 
 def top_terms(

@@ -123,3 +123,71 @@ def ewma(
         F.when(F.size(vals) > 0, fold(vals)), round_to
     )
     return df.withColumn("ewma", ew)
+
+
+def holt(
+    df: DataFrame,
+    *,
+    key: str,
+    order: Sequence[str],
+    value: str,
+    alpha: float,
+    beta: float,
+    window: int,
+    round_to: int = 6,
+) -> DataFrame:
+    """Trailing-window Holt double-exponential smoothing (level +
+    trend): fold
+
+    ``l' = alpha * x + (1 - alpha) * (l + t)``
+    ``t' = beta * (l' - l) + (1 - beta) * t``
+
+    over the last ``window`` values in series order, seeded with
+    ``(l, t) = (first value, 0)``. Emits ``level``, ``trend``, and the
+    one-step-ahead ``forecast = level + trend`` (all quantized to
+    ``round_to`` decimals).
+
+    Same execution shape as :func:`ewma` — one shuffle on the series
+    key, one WindowExec pass, a JVM higher-order ``aggregate`` with a
+    2-field struct accumulator; O(window) doubles per row. The ``l'``
+    term is deliberately recomputed inside the trend update (no
+    let-binding in either engine's lambda) so any engine folding the
+    same expression tree gets bit-identical doubles — the DuckDB mirror
+    folds ``[x, 0.0]`` lists with the identical arithmetic. NULL values
+    are skipped by ``collect_list`` exactly as in :func:`ewma`.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("holt needs 0 < alpha <= 1")
+    if not 0.0 <= beta <= 1.0:
+        raise ValueError("holt needs 0 <= beta <= 1")
+    if window < 1:
+        raise ValueError("holt needs window >= 1")
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    vals = F.collect_list(F.col(value).cast("double")).over(w)
+    a = F.lit(float(alpha))
+    na = F.lit(1.0 - float(alpha))
+    b = F.lit(float(beta))
+    nb = F.lit(1.0 - float(beta))
+
+    def step(acc: Column, x: Column) -> Column:
+        level2 = a * x + na * (acc["l"] + acc["t"])
+        trend2 = b * ((a * x + na * (acc["l"] + acc["t"])) - acc["l"]) + nb * acc["t"]
+        return F.struct(level2.alias("l"), trend2.alias("t"))
+
+    def fold(v: Column) -> Column:
+        rest = F.slice(v, F.lit(2), F.greatest(F.size(v) - 1, F.lit(0)))
+        seed = F.struct(
+            F.element_at(v, 1).alias("l"), F.lit(0.0).alias("t")
+        )
+        return F.aggregate(rest, seed, step)
+
+    lt = F.when(F.size(vals) > 0, fold(vals))
+    return (
+        df.withColumn("level", quantize(lt["l"], round_to))
+        .withColumn("trend", quantize(lt["t"], round_to))
+        .withColumn("forecast", quantize(lt["l"] + lt["t"], round_to))
+    )

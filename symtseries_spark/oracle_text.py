@@ -457,6 +457,131 @@ WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
 """
 
 
+def kgram_hashes_expr(k: int, text: str = "text") -> str:
+    """POSITIONAL word k-gram hashes (mirror of
+    functions.text.kgram_hashes): hash60(gram) % HASH_PRIME, order and
+    multiplicity kept. range(1, n) is empty for n <= 1, matching the
+    Spark side's short-doc guard."""
+    toks = tokens_expr(text)
+    gram = f"array_to_string(list_slice({toks}, i, i + {k - 1}), ' ')"
+    return (
+        f"list_transform(range(1, len({toks}) - {k} + 2), "
+        f"i -> {hash60(gram)} % 2147483647)"
+    )
+
+
+def winnow_cte(k: int, w: int, *, table: str = "documents") -> str:
+    """``(doc_id, fp)`` exploded winnowing fingerprints — mirror of
+    operators.dedup.winnow_table: min hash of each w-window over the
+    positional k-gram hash sequence, distinct per doc."""
+    return f"""SELECT doc_id, unnest(fps) AS fp FROM (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(h) - {w} + 2),
+             p -> list_min(list_slice(h, p, p + {w - 1})))) AS fps
+  FROM (SELECT doc_id, {kgram_hashes_expr(k)} AS h FROM {table})
+)"""
+
+
+def winnow_docs_sql(*, k: int, w: int, table: str = "documents") -> str:
+    """Oracle for the exploded winnow_table driver query."""
+    return f"SELECT doc_id, fp FROM ({winnow_cte(k, w, table=table)})"
+
+
+def winnow_pairs_sql(
+    *,
+    k: int,
+    w: int,
+    min_shared: int,
+    table: str = "documents",
+    max_fp_freq: int | None = None,
+) -> str:
+    """Oracle for operators.dedup.winnow_pairs — same hot-fingerprint
+    cap (window count before sizes/shared), same overlap ratio."""
+    if max_fp_freq is not None:
+        fp_cte = f"""SELECT doc_id, fp FROM (
+  SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS __f
+  FROM ({winnow_cte(k, w, table=table)})
+) WHERE __f <= {max_fp_freq}"""
+    else:
+        fp_cte = winnow_cte(k, w, table=table)
+    return f"""
+WITH fp AS ({fp_cte}),
+sizes AS (SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {min_shared}
+)
+SELECT doc_a, doc_b, n_shared, sa.n_fp AS n_a, sb.n_fp AS n_b,
+       round(n_shared * 1.0 / least(sa.n_fp, sb.n_fp), 4) AS overlap
+FROM shared s
+JOIN sizes sa ON s.doc_a = sa.doc_id
+JOIN sizes sb ON s.doc_b = sb.doc_id
+"""
+
+
+def containment_pairs_sql(
+    *,
+    k: int,
+    threshold: float,
+    table: str = "documents",
+    max_shingle_freq: int | None = None,
+) -> str:
+    """Oracle for operators.dedup.containment_pairs — asymmetric overlap
+    over the same distinct-shingle inverted index as jaccard_pairs_sql."""
+    if max_shingle_freq is not None:
+        sh_cte = f"""SELECT doc_id, shingle FROM (
+  SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS __f
+  FROM ({shingle_cte(k, table=table)})
+) WHERE __f <= {max_shingle_freq}"""
+    else:
+        sh_cte = shingle_cte(k, table=table)
+    return f"""
+WITH sh AS ({sh_cte}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       round(n_common * 1.0 / sa.n_sh, 4) AS cont_a,
+       round(n_common * 1.0 / sb.n_sh, 4) AS cont_b
+FROM common c
+JOIN sizes sa ON c.doc_a = sa.doc_id
+JOIN sizes sb ON c.doc_b = sb.doc_id
+WHERE greatest(round(n_common * 1.0 / sa.n_sh, 4),
+               round(n_common * 1.0 / sb.n_sh, 4)) >= {threshold}
+"""
+
+
+def boilerplate_sql(*, k: int, min_df: int, table: str = "documents") -> str:
+    """Oracle for retrieval.boilerplate_metrics (same positional gram
+    hashes, same distinct-doc frequency threshold)."""
+    return f"""
+WITH grams AS (
+  SELECT doc_id, unnest(h) AS gh
+  FROM (SELECT doc_id, {kgram_hashes_expr(k)} AS h FROM {table})
+), freq AS (
+  SELECT gh FROM grams GROUP BY gh
+  HAVING count(DISTINCT doc_id) >= {min_df}
+), per_doc AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         count(f.gh) AS n_boiler
+  FROM grams g LEFT JOIN freq f ON g.gh = f.gh
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_grams, 0) AS n_grams,
+       coalesce(p.n_boiler, 0) AS n_boiler,
+       round(CASE WHEN coalesce(p.n_grams, 0) > 0
+                  THEN p.n_boiler * 1.0 / p.n_grams ELSE 0.0 END, 4)
+         AS boiler_ratio
+FROM {table} d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
 def top_terms_sql(*, topk: int, min_len: int = 3, table: str = "documents") -> str:
     """Oracle for retrieval.top_terms (exact corpus heavy hitters)."""
     return f"""

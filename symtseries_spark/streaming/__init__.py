@@ -4,11 +4,12 @@ event-time tumbling SAX with watermarks."""
 from .dedup import streaming_exact_dedup
 from .funnel import funnel_stream
 from .sliding import sliding_sax_stream
-from .timeseries import ewma_stream, rolling_zscore_stream
+from .timeseries import ewma_stream, holt_stream, rolling_zscore_stream
 from .tumbling import tumbling_sax_event_time
 
 __all__ = [
     "ewma_stream",
+    "holt_stream",
     "funnel_stream",
     "rolling_zscore_stream",
     "sliding_sax_stream",

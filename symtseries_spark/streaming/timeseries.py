@@ -34,7 +34,108 @@ from pyspark.sql.types import (
 
 from ._util import coalesce_chunks
 
-__all__ = ["ewma_stream", "rolling_zscore_stream"]
+__all__ = ["ewma_stream", "holt_stream", "rolling_zscore_stream"]
+
+
+def holt_stream(
+    events: DataFrame,
+    *,
+    key: str,
+    order: list[str],
+    value: str,
+    alpha: float,
+    beta: float,
+    out_level: str = "level",
+    out_trend: str = "trend",
+) -> DataFrame:
+    """Streaming twin of ``operators.timeseries.holt`` run UNBOUNDED:
+    per-series double-exponential smoothing
+
+    ``l' = alpha * x + (1 - alpha) * (l + t)``
+    ``t' = beta * (l' - l) + (1 - beta) * t``
+
+    seeded ``(first value, 0)``, emitting one row per event with the
+    running (unrounded) level and trend. State = TWO doubles per series
+    — the op's whole point: a batch engine replays an O(series) prefix
+    fold per row, the stream does O(1) multiply-adds per event. Same
+    arrival-order, null-skip, and quantize-downstream conventions as
+    :func:`ewma_stream`; the fold arithmetic is the exact expression
+    shape of the batch operator, so engines agree bit-for-bit.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("holt_stream needs 0 < alpha <= 1")
+    if not 0.0 <= beta <= 1.0:
+        raise ValueError("holt_stream needs 0 <= beta <= 1")
+    key_field = events.schema[key]
+    order_fields = [events.schema[o] for o in order]
+    out_schema = StructType(
+        [
+            StructField(key_field.name, key_field.dataType),
+            *[StructField(f.name, f.dataType) for f in order_fields],
+            StructField(value, DoubleType()),
+            StructField(out_level, DoubleType()),
+            StructField(out_trend, DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("l", DoubleType()), StructField("t", DoubleType())]
+    )
+    cols = [key, *order, value]
+    a = float(alpha)
+    na = 1.0 - a
+    b = float(beta)
+    nb = 1.0 - b
+
+    def handle(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        lt = tuple(state.get) if state.exists else None
+        whole = coalesce_chunks(pdfs)
+        if whole is not None:
+            pdf = whole.sort_values(order, kind="mergesort")
+            vals = pdf[value].astype("float64").to_numpy()
+            levels, trends = [], []
+            # NULL/NaN values are SKIPPED from the fold (mirrors the
+            # batch operator's collect_list null-drop); the row still
+            # emits the running level/trend of the non-null prefix.
+            for x in vals:
+                x = float(x)
+                if x == x:  # not NaN
+                    if lt is None:
+                        lt = (x, 0.0)
+                    else:
+                        l0, t0 = lt
+                        # identical expression shape to the batch fold:
+                        # l' recomputed inside the trend update
+                        lt = (
+                            a * x + na * (l0 + t0),
+                            b * ((a * x + na * (l0 + t0)) - l0) + nb * t0,
+                        )
+                levels.append(lt[0] if lt is not None else None)
+                trends.append(lt[1] if lt is not None else None)
+            yield pd.DataFrame(
+                {
+                    key_field.name: pdf[key].to_numpy(),
+                    **{o: pdf[o].to_numpy() for o in order},
+                    value: vals,
+                    out_level: pd.array(levels, dtype="Float64"),
+                    out_trend: pd.array(trends, dtype="Float64"),
+                }
+            )
+        if lt is not None:
+            state.update((float(lt[0]), float(lt[1])))
+
+    return (
+        events.select(*cols)
+        .groupBy(key)
+        .applyInPandasWithState(
+            handle,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
 
 
 def ewma_stream(
