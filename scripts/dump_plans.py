@@ -185,6 +185,22 @@ scan dominates) — never per candidate pair.""",
 are scan-stage array expressions (one tokenization per row via the _let
 binding), so the whole confusion matrix is one scan + one tiny
 groupBy.""",
+    "dedup_winnow_pairs": """Substring-level dup pairs over winnowing fingerprints:
+fingerprint selection (k-gram hash windows -> array_min -> distinct) is
+pure scan-stage array math inside the Generate; the exploded index
+shuffles ONCE on fp (the hot-fp window count reuses that exact
+partitioning), then the pair count is the standard inverted-index
+equi-join — the jaccard_pairs shape on an index ~2/(w+1) the size of
+the shingle table. Size dims re-enter as BroadcastExchanges.""",
+    "docs_boilerplate": """Per-doc boilerplate share: one exploded gram-hash scan
+feeds (a) the distinct-doc frequency aggregate whose >= min_df survivor
+set is the small Zipf head — re-entering as a BroadcastExchange into
+(b) the join back over the same exploded relation; the per-doc re-agg
+is map-side combinable. No pairwise work anywhere in the plan.""",
+    "events_holt": """Holt level+trend: identical single-shuffle WindowExec shape
+as events_ewma — collect_list over the bounded frame, then the
+struct-accumulator higher-order fold runs codegen'd in the projection
+above the window pass.""",
 }
 
 spark = (
