@@ -2962,6 +2962,24 @@ def q_docs_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_bigrams(load(spark, sf_dir, "documents"), topk=20)
 
 
+def q_emb_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization audit: symmetric scale, integer code
+    checksum, dequantization MSE — pure scan-stage array math, zero
+    shuffles (operators/pq.py:int8_quantize_stats)."""
+    from symtseries_spark.operators.pq import int8_quantize_stats
+
+    return int8_quantize_stats(load(spark, sf_dir, "embeddings"))
+
+
+def q_docs_bigram_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one-smoothed bigram LM scoring: corpus pair counts fit and
+    broadcast, per-doc mean pair log-prob — the sequence-aware upgrade
+    of docs_unigram_lp (operators/retrieval.py:bigram_logprob)."""
+    from symtseries_spark.operators.retrieval import bigram_logprob
+
+    return bigram_logprob(load(spark, sf_dir, "documents"))
+
+
 def q_docs_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints per document (MOSS algorithm): min-hash
     selection over w-windows of positional k-gram hashes — pure
@@ -3063,6 +3081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix, so entries go (1) queries whose parity changed this
         # round, (2) queries never covered by a driver round, (3) ones
         # last covered in round 1, (4) the long-stable re-verified tail.
+        "emb_int8_quant": q_emb_int8_quant,
+        "docs_bigram_lp": q_docs_bigram_lp,
         "docs_winnow": q_docs_winnow,
         "dedup_winnow_pairs": q_dedup_winnow_pairs,
         "dedup_containment": q_dedup_containment,
@@ -4172,6 +4192,8 @@ ORDER BY c.c_nationkey
         "docs_train_order": ot.global_order_sql(),
         "dedup_incremental": ot.incremental_dedup_sql(),
         "docs_pmi_bigrams": ot.pmi_bigrams_sql(topk=20),
+        "emb_int8_quant": ov.int8_quant_sql(dim=EMB_DIM),
+        "docs_bigram_lp": ot.bigram_logprob_sql(),
         "docs_winnow": ot.winnow_docs_sql(**WINNOW),
         "dedup_winnow_pairs": ot.winnow_pairs_sql(**WINNOW, **WINNOW_PAIRS),
         "dedup_containment": ot.containment_pairs_sql(**CONTAINMENT),

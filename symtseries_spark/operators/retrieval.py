@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ..functions.text import kgram_hashes, tokens
 
 __all__ = [
+    "bigram_logprob",
     "bm25_topk",
     "boilerplate_metrics",
     "repetition_metrics",
@@ -316,6 +317,91 @@ def unigram_logprob(
             "avg_logprob"
         ),
     )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram language-model quality score with add-one smoothing — the
+    sequence-aware upgrade of :func:`unigram_logprob`: fit corpus
+    adjacent-pair counts, score each document by its mean pair
+    log-probability ->
+    ``(doc_id, n_pairs, avg_logprob)`` with
+    ``lp(w1 w2) = ln((c(w1,w2) + 1) / (ctx(w1) + V))`` where ``ctx(w1)``
+    is the count of pairs starting with ``w1`` and ``V`` the distinct
+    vocabulary size (so unseen continuations get mass 1/(ctx+V)).
+    Documents with fewer than 2 tokens emit ``n_pairs 0, NULL score``.
+    Quantized to 6 decimals engine-independently.
+
+    Scale shape: same as unigram_logprob/pmi_bigrams — the pair table is
+    vocab²-bounded after map-side combine (tiny vs the corpus), context
+    counts aggregate FROM the pair table (never a second corpus scan),
+    V is one scalar row; all three broadcast into the second scan's
+    per-doc re-aggregation. The corpus is never shuffled on a token key.
+    """
+    toks = tokens(F.col(text_col))
+    # bind tokens once (see pmi_bigrams.pairs_of: naming the raw
+    # tokens() expression inside a lambda re-splits per element)
+    bound_pairs = F.element_at(F.transform(F.array(toks), _adjacent_pairs), 1)
+    pair_rows = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(bound_pairs).alias("pair"),
+    )
+    pc = pair_rows.groupBy("pair").agg(F.count(F.lit(1)).alias("n_pair"))
+    ctx = (
+        pc.groupBy(F.split_part(F.col("pair"), F.lit(" "), F.lit(1)).alias("w1"))
+        .agg(F.sum("n_pair").alias("n_ctx"))
+    )
+    vocab_n = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .agg(F.count_distinct("term").alias("__v"))
+    )
+    scored = (
+        pair_rows.join(F.broadcast(pc), "pair")
+        .join(
+            F.broadcast(ctx),
+            F.split_part(F.col("pair"), F.lit(" "), F.lit(1)) == F.col("w1"),
+        )
+        .join(F.broadcast(vocab_n))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("n_pair") + F.lit(1.0))
+                / (F.col("n_ctx") + F.col("__v"))
+            ).alias("__lp"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.avg("__lp").alias("__alp"))
+    )
+    # left join back so <2-token docs appear with n_pairs 0
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
+            (F.floor(F.col("__alp") * 1e6 + F.lit(0.5)) / 1e6).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
+def _adjacent_pairs(t: Column) -> Column:
+    """Ordered adjacent token pairs as space-joined strings from an
+    ALREADY-BOUND token array (zip head with tail); < 2 tokens -> empty
+    array. Same expression shape as pmi_bigrams.pairs_of."""
+    return F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def pmi_bigrams(

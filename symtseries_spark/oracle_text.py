@@ -853,6 +853,38 @@ FROM fresh GROUP BY content_hash
 """
 
 
+def bigram_logprob_sql(*, table: str = "documents") -> str:
+    """Mirror of operators.retrieval.bigram_logprob (add-one-smoothed
+    bigram LM; context counts from the pair table, V = distinct vocab)."""
+    toks = tokens_expr()
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM {table}),
+pr AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i + 1])) AS pair
+  FROM t WHERE len(toks) >= 2),
+pc AS (SELECT pair, count(*) AS n_pair FROM pr GROUP BY pair),
+ctx AS (SELECT split_part(pair, ' ', 1) AS w1, sum(n_pair) AS n_ctx
+        FROM pc GROUP BY 1),
+vv AS (SELECT count(DISTINCT term) AS v
+       FROM (SELECT unnest(toks) AS term FROM t)),
+scored AS (
+  SELECT p.doc_id, count(*) AS n_pairs,
+         avg(ln((c.n_pair + CAST(1.0 AS DOUBLE)) / (x.n_ctx + vv.v))) AS alp
+  FROM pr p
+  JOIN pc c ON p.pair = c.pair
+  JOIN ctx x ON split_part(p.pair, ' ', 1) = x.w1
+  CROSS JOIN vv
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n_pairs, 0) AS n_pairs,
+       floor(s.alp * 1000000.0 + 0.5) / 1000000.0 AS avg_logprob
+FROM {table} d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
 def pmi_bigrams_sql(
     *, topk: int, min_count: int = 2, table: str = "documents"
 ) -> str:

@@ -138,6 +138,46 @@ WHERE round({cosine_expr('a.embedding', 'b.embedding', dim)}, 6) >= {threshold}
 """
 
 
+def int8_quant_sql(
+    *, dim: int, round_to: int = 8, table: str = "embeddings"
+) -> str:
+    """Mirror of operators.pq.int8_quantize_stats: same floor(x + 0.5)
+    quantization, clamp, and seed-0 sequential folds."""
+    q = float(10 ** round_to)
+    xd = "CAST(v[i] AS DOUBLE)"
+    absmax = (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {dim + 1}), i -> abs({xd}))), "
+        f"(a, x) -> greatest(a, x))"
+    )
+    code = f"least(greatest(floor({xd} / scale + 0.5), -127), 127)"
+    code_sum = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, {dim + 1}), "
+        f"i -> CAST({code} AS BIGINT))), (a, c) -> a + c)"
+    )
+    err = f"({xd} - {code} * scale)"
+    mse = (
+        f"(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {dim + 1}), "
+        f"i -> {err} * {err})), (a, e) -> a + e) / {dim})"
+    )
+    return f"""
+WITH s AS (
+  SELECT vec_id, embedding AS v,
+         {absmax} / CAST(127.0 AS DOUBLE) AS scale
+  FROM {table}
+)
+SELECT vec_id,
+       CASE WHEN scale > 0
+            THEN floor(scale * {q} + 0.5) / {q} ELSE 0.0 END AS scale,
+       CASE WHEN scale > 0 THEN {code_sum} ELSE 0 END AS code_sum,
+       CASE WHEN scale > 0
+            THEN floor({mse} * {q} + 0.5) / {q} ELSE 0.0 END AS mse
+FROM s
+"""
+
+
 def _sub_sq_l2(a: str, b: str, sub_d: int) -> str:
     """Squared L2 over a sub_d-dim slice pair, seed-0 sequential fold —
     the exact op order of operators.pq (zip_with + aggregate)."""
