@@ -100,6 +100,10 @@ BOILER = dict(k=3, min_df=5)
 # Holt double-exponential smoothing. 0.25/0.125 are binary-exact
 # literals (same rationale as EWMA_P's 0.25).
 HOLT_P = dict(alpha=0.25, beta=0.125, window=16)
+# One-sided CUSUM drift monitor. target ~ the events value mean (49.6),
+# slack and threshold sized so alarms are non-trivial but sparse; all
+# three are binary-exact double literals.
+CUSUM_P = dict(target=50.0, slack=8.0, threshold=256.0)
 # decontamination / chunking / scrubbing / LM-scoring parameters.
 # bench_mod carves ~1% of the corpus out as the "benchmark" set; k=3
 # word-shingles give real overlap signal on the synthetic corpus (171
@@ -2962,6 +2966,59 @@ def q_docs_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_bigrams(load(spark, sf_dir, "documents"), topk=20)
 
 
+def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection per user series, via the exact
+    prefix identity C_t = S_t - min(0, min prefix S) — two chained
+    cumulative aggregates in ONE WindowExec pass instead of the O(series)
+    per-row fold the recursion would need in batch
+    (operators/timeseries.py:cusum)."""
+    from symtseries_spark.operators import cusum
+
+    ev = load(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts div 1000"))
+    c = cusum(
+        ev, key="user_id", order=["ts_us", "event_id"], value="value", **CUSUM_P
+    )
+    return c.select("user_id", "event_id", "cusum", "alarm")
+
+
+def q_events_cusum_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same CUSUM monitor as a REAL stream running the recursion
+    directly: one double of keyed state, O(1) per event, alarm evaluable
+    on arrival (streaming/timeseries.py:cusum_stream). The oracle
+    replays the recursion as a seed-0 prefix fold per row."""
+    import tempfile
+    import uuid
+
+    from symtseries_spark.operators import quantize
+    from symtseries_spark.sources import load_events_stream
+    from symtseries_spark.streaming import cusum_stream
+
+    stream = load_events_stream(spark, sf_dir).withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    cs = cusum_stream(
+        stream, key="user_id", order=["ts_us", "event_id"], value="value",
+        target=CUSUM_P["target"], slack=CUSUM_P["slack"],
+    )
+    name = f"cusum_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        cs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="cusum_chk_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    qc = quantize(F.col("cusum"), 6)
+    return spark.table(name).select(
+        "user_id",
+        "event_id",
+        qc.alias("cusum"),
+        (qc > F.lit(CUSUM_P["threshold"])).alias("alarm"),
+    )
+
+
 def q_emb_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8 quantization audit: symmetric scale, integer code
     checksum, dequantization MSE — pure scan-stage array math, zero
@@ -3081,6 +3138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix, so entries go (1) queries whose parity changed this
         # round, (2) queries never covered by a driver round, (3) ones
         # last covered in round 1, (4) the long-stable re-verified tail.
+        "events_cusum": q_events_cusum,
+        "events_cusum_stream": q_events_cusum_stream,
         "emb_int8_quant": q_emb_int8_quant,
         "docs_bigram_lp": q_docs_bigram_lp,
         "docs_winnow": q_docs_winnow,
@@ -3302,6 +3361,60 @@ _HOLT_SQL_BOUNDED = _holt_sql(
 _HOLT_SQL_UNBOUNDED = _holt_sql(
     "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW", ""
 )
+
+# Batch CUSUM mirror: the SAME prefix identity as the Spark operator
+# (cumulative sum, then cumulative min of that sum) — both engines
+# accumulate cumulative frames sequentially in frame order, so the
+# floats reproduce; alarm is evaluated on the QUANTIZED statistic.
+_CUSUM_SQL_BATCH = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(value AS DOUBLE) - CAST({CUSUM_P["target"] + CUSUM_P["slack"]}
+             AS DOUBLE) AS y
+  FROM events
+), s AS (
+  SELECT user_id, event_id, ts_us,
+         sum(y) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps
+  FROM e
+), c AS (
+  SELECT user_id, event_id,
+         floor((ps - least(CAST(0.0 AS DOUBLE),
+                min(ps) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
+               * 1000000.0 + 0.5) / 1000000.0 AS cusum
+  FROM s
+)
+SELECT user_id, event_id, cusum,
+       cusum > CAST({CUSUM_P["threshold"]} AS DOUBLE) AS alarm
+FROM c
+"""
+
+# Streaming CUSUM mirror: replay the recursion max(0, acc + y) as a
+# seed-0 prefix fold per row — the exact op order of cusum_stream.
+_CUSUM_SQL_STREAM = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(value AS DOUBLE) - CAST({CUSUM_P["target"] + CUSUM_P["slack"]}
+             AS DOUBLE) AS y
+  FROM events
+), w AS (
+  SELECT user_id, event_id,
+         list(y) FILTER (y IS NOT NULL)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ys
+  FROM e
+), c AS (
+  SELECT user_id, event_id,
+         floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ys),
+               (acc, y) -> greatest(CAST(0.0 AS DOUBLE), acc + y))
+               * 1000000.0 + 0.5) / 1000000.0 AS cusum
+  FROM w
+)
+SELECT user_id, event_id, cusum,
+       cusum > CAST({CUSUM_P["threshold"]} AS DOUBLE) AS alarm
+FROM c
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4192,6 +4305,8 @@ ORDER BY c.c_nationkey
         "docs_train_order": ot.global_order_sql(),
         "dedup_incremental": ot.incremental_dedup_sql(),
         "docs_pmi_bigrams": ot.pmi_bigrams_sql(topk=20),
+        "events_cusum": _CUSUM_SQL_BATCH,
+        "events_cusum_stream": _CUSUM_SQL_STREAM,
         "emb_int8_quant": ov.int8_quant_sql(dim=EMB_DIM),
         "docs_bigram_lp": ot.bigram_logprob_sql(),
         "docs_winnow": ot.winnow_docs_sql(**WINNOW),

@@ -125,6 +125,55 @@ def ewma(
     return df.withColumn("ewma", ew)
 
 
+def cusum(
+    df: DataFrame,
+    *,
+    key: str,
+    order: Sequence[str],
+    value: str,
+    target: float,
+    slack: float,
+    threshold: float,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-sided CUSUM drift detection per series: the running statistic
+    ``C_t = max(0, C_{t-1} + (x_t - target - slack))`` with
+    ``alarm = C_t > threshold`` — the standard sequential changepoint
+    monitor for "has this series drifted above target by more than
+    slack, persistently".
+
+    Computed WITHOUT the recursion via the exact prefix identity
+    ``C_t = S_t - min(0, min_{i<=t} S_i)`` where ``S_t`` is the running
+    sum of ``y_i = x_i - target - slack``: two cumulative window
+    aggregates (sum + min) in ONE WindowExec pass, O(1) state per row —
+    the recursion itself would need an O(series) prefix fold per row in
+    batch (that shape is the streaming twin's job, see
+    :func:`streaming.timeseries.cusum_stream`). Both engines accumulate
+    cumulative frames sequentially in frame order, so the identity's
+    floats reproduce; the emitted statistic is quantized and the alarm
+    is evaluated on the QUANTIZED value so the flag row-set is
+    engine-stable. NULL values contribute nothing to the sums (both
+    engines skip them) and emit the running statistic unchanged.
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    y = F.col(value).cast("double") - F.lit(float(target) + float(slack))
+    # two chained cumulative aggregates: same partitioning + sort, so
+    # Catalyst plans ONE Exchange/Sort with two sequential Window passes
+    with_s = df.withColumn("__s", F.sum(y).over(w))
+    c = quantize(
+        F.col("__s") - F.least(F.lit(0.0), F.min("__s").over(w)), round_to
+    )
+    return (
+        with_s.withColumn("cusum", c)
+        .withColumn("alarm", F.col("cusum") > F.lit(float(threshold)))
+        .drop("__s")
+    )
+
+
 def holt(
     df: DataFrame,
     *,

@@ -4,10 +4,16 @@ event-time tumbling SAX with watermarks."""
 from .dedup import streaming_exact_dedup
 from .funnel import funnel_stream
 from .sliding import sliding_sax_stream
-from .timeseries import ewma_stream, holt_stream, rolling_zscore_stream
+from .timeseries import (
+    cusum_stream,
+    ewma_stream,
+    holt_stream,
+    rolling_zscore_stream,
+)
 from .tumbling import tumbling_sax_event_time
 
 __all__ = [
+    "cusum_stream",
     "ewma_stream",
     "holt_stream",
     "funnel_stream",

@@ -34,7 +34,85 @@ from pyspark.sql.types import (
 
 from ._util import coalesce_chunks
 
-__all__ = ["ewma_stream", "holt_stream", "rolling_zscore_stream"]
+__all__ = [
+    "cusum_stream",
+    "ewma_stream",
+    "holt_stream",
+    "rolling_zscore_stream",
+]
+
+
+def cusum_stream(
+    events: DataFrame,
+    *,
+    key: str,
+    order: list[str],
+    value: str,
+    target: float,
+    slack: float,
+    out: str = "cusum",
+) -> DataFrame:
+    """Streaming one-sided CUSUM drift monitor: per event, the running
+    ``C = max(0, C + (x - target - slack))`` of its series — ONE double
+    of keyed state, O(1) per event. The batch twin
+    (:func:`operators.timeseries.cusum`) computes the same statistic via
+    the prefix-sum identity; the stream runs the recursion directly,
+    which is what a production drift monitor wants (alarm on arrival,
+    no reprocessing). Same arrival-order/null-skip/quantize-downstream
+    conventions as :func:`ewma_stream`; the oracle replays the exact
+    recursion as a seed-0 list fold."""
+    key_field = events.schema[key]
+    order_fields = [events.schema[o] for o in order]
+    out_schema = StructType(
+        [
+            StructField(key_field.name, key_field.dataType),
+            *[StructField(f.name, f.dataType) for f in order_fields],
+            StructField(value, DoubleType()),
+            StructField(out, DoubleType()),
+        ]
+    )
+    state_schema = StructType([StructField("acc", DoubleType())])
+    cols = [key, *order, value]
+    shift = float(target) + float(slack)
+
+    def handle(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        acc = state.get[0] if state.exists else 0.0
+        whole = coalesce_chunks(pdfs)
+        if whole is not None:
+            pdf = whole.sort_values(order, kind="mergesort")
+            vals = pdf[value].astype("float64").to_numpy()
+            outs = []
+            # NULL/NaN values are skipped from the fold (mirrors the
+            # batch operator, whose window sum drops nulls); the row
+            # still emits the running statistic.
+            for x in vals:
+                x = float(x)
+                if x == x:  # not NaN
+                    acc = max(0.0, acc + (x - shift))
+                outs.append(acc)
+            yield pd.DataFrame(
+                {
+                    key_field.name: pdf[key].to_numpy(),
+                    **{o: pdf[o].to_numpy() for o in order},
+                    value: vals,
+                    out: pd.array(outs, dtype="Float64"),
+                }
+            )
+        state.update((float(acc),))
+
+    return (
+        events.select(*cols)
+        .groupBy(key)
+        .applyInPandasWithState(
+            handle,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
 
 
 def holt_stream(

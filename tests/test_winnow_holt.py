@@ -260,6 +260,84 @@ class TestHoltBatch:
                  window=0)
 
 
+def py_cusum(vals, target, slack):
+    acc, out = 0.0, []
+    for x in vals:
+        acc = max(0.0, acc + (x - target - slack))
+        out.append(acc)
+    return out
+
+
+class TestCusum:
+    def test_identity_matches_recursion(self, spark):
+        """The batch prefix-sum identity must equal the direct recursion
+        (exact in real arithmetic; agree to quantization in floats)."""
+        from symtseries_spark.operators import cusum
+
+        vals = [5.0, 9.0, 2.0, 8.0, 8.5, 1.0, 9.5, 9.5, 9.5, 0.0]
+        out = cusum(
+            _series(spark, vals), key="k", order=["i"], value="v",
+            target=4.0, slack=1.0, threshold=6.0,
+        ).orderBy("i").collect()
+        exp = py_cusum(vals, 4.0, 1.0)
+        for r in out:
+            assert r.cusum == pytest.approx(exp[r.i], abs=1e-6)
+            assert r.alarm == (round(exp[r.i], 6) > 6.0)
+
+    def test_resets_after_drop(self, spark):
+        from symtseries_spark.operators import cusum
+
+        # big positive drift, then values far below target drain to 0
+        vals = [10.0, 10.0, 0.0, 0.0, 0.0, 0.0]
+        out = cusum(
+            _series(spark, vals), key="k", order=["i"], value="v",
+            target=4.0, slack=1.0, threshold=100.0,
+        ).orderBy("i").collect()
+        assert out[1].cusum == pytest.approx(10.0)
+        assert out[-1].cusum == pytest.approx(0.0)  # clamped at zero
+
+    def test_stream_equals_batch_recursion(self, spark):
+        import glob as globmod
+        import os
+        import tempfile
+        import uuid
+
+        from symtseries_spark.streaming import cusum_stream
+
+        rows = [(1, i, float(v)) for i, v in
+                enumerate([5, 9, 2, 8, 8.5, 1, 9.5])]
+        rows += [(2, i, float(v)) for i, v in enumerate([0, 9, 9])]
+        df = spark.createDataFrame(rows, "k long, i long, v double")
+        in_dir = tempfile.mkdtemp(prefix="cusum_in_")
+        stage = tempfile.mkdtemp(prefix="cusum_stage_")
+        df.where("i < 3").coalesce(1).write.parquet(f"{stage}/b0")
+        df.where("i >= 3").coalesce(1).write.parquet(f"{stage}/b1")
+        for i in range(2):
+            part = globmod.glob(f"{stage}/b{i}/part-*.parquet")[0]
+            dst = f"{in_dir}/b{i}.parquet"
+            os.rename(part, dst)
+            os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+        stream = spark.readStream.schema(df.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(in_dir)
+        cs = cusum_stream(stream, key="k", order=["i"], value="v",
+                          target=4.0, slack=1.0)
+        name = f"cusum_t_{uuid.uuid4().hex[:8]}"
+        q = (
+            cs.writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="cusum_tc_"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {(r.k, r.i): r.cusum for r in spark.table(name).collect()}
+        for key, series in ((1, [5, 9, 2, 8, 8.5, 1, 9.5]), (2, [0, 9, 9])):
+            exp = py_cusum([float(x) for x in series], 4.0, 1.0)
+            for i, c in enumerate(exp):
+                assert got[(key, i)] == pytest.approx(c, abs=1e-12)
+
+
 class TestHoltStream:
     def test_state_carries_across_batches(self, spark):
         """Two micro-batches must reproduce the batch recursion over the
