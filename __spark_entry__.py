@@ -134,6 +134,10 @@ EMB_NEAR_DUP = 0.4
 EMB_NEAR_DUP_LSH = 0.3
 NEAR_DUP_PLANES = 3
 ANN = dict(query_id=0, k=10, num_planes=4, seed=13)
+# MMR rerank: n_candidates is the PLAN-TIME bound on the collected
+# candidate set (the distributed leg is the top-N retrieval); lam=0.5
+# is a binary-exact literal.
+MMR = dict(query_id=0, n_candidates=32, k=10, lam=0.5)
 KNN = dict(max_query_id=5, k=10)
 IVF = dict(query_id=3, k=20, num_lists=8)
 PQ = dict(query_id=3, k=20, m=4, ks=16, dim=EMB_DIM)
@@ -2966,6 +2970,17 @@ def q_docs_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_bigrams(load(spark, sf_dir, "documents"), topk=20)
 
 
+def q_emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking of the brute-force top-32 for one query:
+    distributed top-N retrieval (broadcast query row, scan-stage
+    scoring, TakeOrderedAndProject), then the O(k*N) greedy on the
+    plan-time-bounded candidate set
+    (operators/simsearch.py:mmr_rerank)."""
+    from symtseries_spark.operators.simsearch import mmr_rerank
+
+    return mmr_rerank(load(spark, sf_dir, "embeddings"), **MMR)
+
+
 def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM drift detection per user series, via the exact
     prefix identity C_t = S_t - min(0, min prefix S) — two chained
@@ -3138,6 +3153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix, so entries go (1) queries whose parity changed this
         # round, (2) queries never covered by a driver round, (3) ones
         # last covered in round 1, (4) the long-stable re-verified tail.
+        "emb_mmr_rerank": q_emb_mmr_rerank,
         "events_cusum": q_events_cusum,
         "events_cusum_stream": q_events_cusum_stream,
         "emb_int8_quant": q_emb_int8_quant,
@@ -4305,6 +4321,7 @@ ORDER BY c.c_nationkey
         "docs_train_order": ot.global_order_sql(),
         "dedup_incremental": ot.incremental_dedup_sql(),
         "docs_pmi_bigrams": ot.pmi_bigrams_sql(topk=20),
+        "emb_mmr_rerank": ov.mmr_rerank_sql(dim=EMB_DIM, **MMR),
         "events_cusum": _CUSUM_SQL_BATCH,
         "events_cusum_stream": _CUSUM_SQL_STREAM,
         "emb_int8_quant": ov.int8_quant_sql(dim=EMB_DIM),

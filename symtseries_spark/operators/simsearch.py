@@ -21,6 +21,7 @@ Scale notes (100 TB contract):
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Column, DataFrame, Window
@@ -89,6 +90,93 @@ def cosine_topk(
         )
         .orderBy(F.col("cos").desc(), F.col("vec_id"))
         .limit(k)
+    )
+
+
+def mmr_rerank(
+    vectors: DataFrame,
+    *,
+    query_id: int,
+    n_candidates: int,
+    k: int,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking of the brute-force top
+    ``n_candidates`` for one query -> ``(rank, vec_id, mmr_score)``:
+    greedily pick ``k`` results maximizing
+    ``lam * rel(c) - (1 - lam) * max_{s in selected} sim(c, s)``
+    (first pick = ``lam * rel``; ties break on vec_id) — the standard
+    relevance-vs-diversity rerank between retrieval and a RAG prompt.
+
+    Scale shape: relevance top-N is the DISTRIBUTED leg (broadcast query
+    row, scan-stage scoring, TakeOrderedAndProject — the corpus never
+    shuffles); the N×N candidate similarity matrix and the O(k·N) greedy
+    run on the collected candidate set, which is bounded by the
+    PLAN-TIME constant ``n_candidates`` (the same bounded-side-collect
+    contract as :func:`knn_join_vectorized`'s query side — never
+    corpus-sized). Determinism: rel and sim are rounded to 6 decimals
+    before the greedy, score arithmetic is plain IEEE doubles on those
+    rounded inputs, and the output score is floor-quantized — the DuckDB
+    twin (oracle_vec.mmr_rerank_sql) replays the identical selection.
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("mmr_rerank needs 0 <= lam <= 1")
+    if not 2 <= k <= n_candidates:
+        raise ValueError("mmr_rerank needs 2 <= k <= n_candidates")
+    cand = cosine_topk(
+        vectors, query_id=query_id, k=n_candidates,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cvecs = cand.join(
+        vectors.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v")
+        ),
+        "vec_id",
+    )
+    a = cvecs.select(
+        F.col("vec_id").alias("__a"), F.col("__v").alias("__va"), "cos"
+    )
+    b = cvecs.select(F.col("vec_id").alias("__b"), F.col("__v").alias("__vb"))
+    pair_rows = (
+        a.join(F.broadcast(b), F.col("__a") != F.col("__b"))
+        .select(
+            "__a",
+            "__b",
+            "cos",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("__s"),
+        )
+        .collect()
+    )
+    rel: dict[int, float] = {}
+    sim: dict[tuple[int, int], float] = {}
+    for r in pair_rows:
+        rel[r["__a"]] = r["cos"]
+        sim[(r["__a"], r["__b"])] = r["__s"]
+    remaining = sorted(rel)
+    selected: list[tuple[int, float]] = []
+    lam = float(lam)
+    for _ in range(min(k, len(remaining))):
+        best = None
+        for c in remaining:
+            penalty = max(
+                (sim[(c, s)] for s, _ in selected), default=0.0
+            )
+            score = lam * rel[c] - (1.0 - lam) * penalty
+            if best is None or score > best[1] or (
+                score == best[1] and c < best[0]
+            ):
+                best = (c, score)
+        selected.append(best)
+        remaining.remove(best[0])
+    spark = vectors.sparkSession
+    out = [
+        (i + 1, vid, math.floor(score * 1e6 + 0.5) / 1e6)
+        for i, (vid, score) in enumerate(selected)
+    ]
+    return spark.createDataFrame(
+        out, "rank int, vec_id long, mmr_score double"
     )
 
 

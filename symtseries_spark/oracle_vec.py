@@ -138,6 +138,60 @@ WHERE round({cosine_expr('a.embedding', 'b.embedding', dim)}, 6) >= {threshold}
 """
 
 
+def mmr_rerank_sql(
+    *,
+    query_id: int,
+    n_candidates: int,
+    k: int,
+    dim: int,
+    lam: float = 0.5,
+    table: str = "embeddings",
+) -> str:
+    """Mirror of operators.simsearch.mmr_rerank: same rounded rel/sim
+    inputs, same greedy (score desc, vec_id tie-break), same floor
+    quantization of the output score — as a recursive CTE."""
+    lm = f"CAST({lam} AS DOUBLE)"
+    nl = f"CAST({1.0 - lam} AS DOUBLE)"
+    return f"""
+WITH RECURSIVE
+q AS (SELECT embedding AS qv FROM {table} WHERE vec_id = {query_id}),
+cand AS (
+  SELECT vec_id, round({cosine_expr('embedding', 'qv', dim)}, 6) AS rel,
+         embedding AS v
+  FROM {table}, q WHERE vec_id != {query_id}
+  ORDER BY rel DESC, vec_id LIMIT {n_candidates}
+),
+sim AS (
+  SELECT a.vec_id AS sa, b.vec_id AS sb,
+         round({cosine_expr('a.v', 'b.v', dim)}, 6) AS s
+  FROM cand a JOIN cand b ON a.vec_id != b.vec_id
+),
+sel AS (
+  SELECT 1 AS it,
+         [(SELECT vec_id FROM cand ORDER BY rel DESC, vec_id LIMIT 1)] AS ids,
+         [(SELECT {lm} * rel FROM cand ORDER BY rel DESC, vec_id LIMIT 1)]
+           AS scores
+  UNION ALL
+  SELECT it + 1, list_append(ids, pick.vec_id),
+         list_append(scores, pick.score)
+  FROM sel, LATERAL (
+    SELECT c.vec_id,
+           {lm} * c.rel - {nl} * (SELECT max(s.s) FROM sim s
+                                  WHERE s.sa = c.vec_id
+                                    AND list_contains(ids, s.sb)) AS score
+    FROM cand c WHERE NOT list_contains(ids, c.vec_id)
+    ORDER BY score DESC, c.vec_id LIMIT 1
+  ) pick
+  WHERE it < {k}
+)
+SELECT CAST(r AS INTEGER) AS rank, sc.ids[r] AS vec_id,
+       floor(sc.scores[r] * 1000000.0 + 0.5) / 1000000.0 AS mmr_score
+FROM (SELECT ids, scores FROM sel ORDER BY it DESC LIMIT 1) sc,
+     LATERAL (SELECT unnest(range(1, len(sc.ids) + 1)) AS r) t
+ORDER BY rank
+"""
+
+
 def int8_quant_sql(
     *, dim: int, round_to: int = 8, table: str = "embeddings"
 ) -> str:

@@ -69,6 +69,87 @@ class TestInt8Quant:
         assert r.code_sum == code_sum
 
 
+class TestMmrRerank:
+    def _emb(self, spark):
+        # query 0 = x-axis; 1 and 2 near-duplicates of each other
+        # (sim ~0.99996) and both highly relevant; 3 relevant via a
+        # DIFFERENT component (low sim to 1, so the diversity penalty
+        # beats its small relevance gap); 4 anti-relevant
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [1.0, 0.20, 0.0, 0.0]),
+            (2, [1.0, 0.21, 0.0, 0.0]),
+            (3, [1.0, 0.0, 0.6, 0.0]),
+            (4, [-0.5, 1.0, 0.0, 0.0]),
+        ]
+        return spark.createDataFrame(
+            [Row(vec_id=i, embedding=v) for i, v in rows],
+            "vec_id long, embedding array<double>",
+        )
+
+    def test_diversity_demotes_near_duplicate(self, spark):
+        from symtseries_spark.operators.simsearch import mmr_rerank
+
+        out = mmr_rerank(
+            self._emb(spark), query_id=0, n_candidates=4, k=3, lam=0.5
+        ).orderBy("rank").collect()
+        ids = [r.vec_id for r in out]
+        # pure relevance order would be [1, 2, 3]; MMR keeps 1 first,
+        # then prefers the diverse 3 over the near-duplicate 2
+        assert ids[0] == 1
+        assert ids[1] == 3
+        assert ids[2] == 2
+        # first score = lam * rel; later scores strictly smaller
+        assert out[0].mmr_score > out[1].mmr_score
+
+    def test_matches_python_greedy(self, spark):
+        import math as m
+
+        from symtseries_spark.operators.simsearch import mmr_rerank
+
+        df = self._emb(spark)
+        vecs = {r.vec_id: r.embedding for r in df.collect()}
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            na = m.sqrt(sum(x * x for x in a))
+            nb = m.sqrt(sum(x * x for x in b))
+            return round(d / (na * nb), 6)
+
+        rel = {i: cos(v, vecs[0]) for i, v in vecs.items() if i != 0}
+        cand = sorted(rel, key=lambda i: (-rel[i], i))[:4]
+        selected, remaining = [], list(cand)
+        for _ in range(3):
+            scored = [
+                (
+                    0.5 * rel[c]
+                    - 0.5
+                    * max((cos(vecs[c], vecs[s]) for s, _ in selected),
+                          default=0.0),
+                    c,
+                )
+                for c in remaining
+            ]
+            s, c = max(scored, key=lambda t: (t[0], -t[1]))
+            selected.append((c, s))
+            remaining.remove(c)
+        out = mmr_rerank(
+            df, query_id=0, n_candidates=4, k=3, lam=0.5
+        ).orderBy("rank").collect()
+        for r, (c, s) in zip(out, selected):
+            assert r.vec_id == c
+            assert r.mmr_score == pytest.approx(s, abs=1e-6)
+
+    def test_param_validation(self, spark):
+        from symtseries_spark.operators.simsearch import mmr_rerank
+
+        df = self._emb(spark)
+        with pytest.raises(ValueError):
+            mmr_rerank(df, query_id=0, n_candidates=4, k=5)
+        with pytest.raises(ValueError):
+            mmr_rerank(df, query_id=0, n_candidates=4, k=3, lam=1.5)
+
+
 def py_bigram_lm(docs):
     from collections import Counter
 
