@@ -352,3 +352,66 @@ def write_compacted(
         out = df.repartition(files)
     out.write.mode(mode).parquet(path)
     return files
+
+
+def zorder_key(cols: list["Column"], *, bits: int = 16) -> "Column":
+    """Morton (Z-order) interleave of non-negative integer columns into
+    one long: bit ``j`` of column ``i`` lands at position
+    ``j * len(cols) + i``. Values are clamped to ``bits`` bits (callers
+    pre-bucket real keys — e.g. ``day``, ``user_id % 2^16`` — into that
+    budget). Pure JVM bit arithmetic (scan-stage, codegen'd).
+
+    ``len(cols) * bits`` must be <= 63 so the key fits a signed long.
+    """
+    k = len(cols)
+    if k < 2:
+        raise ValueError("zorder_key needs at least 2 columns")
+    if k * bits > 63:
+        raise ValueError("zorder_key needs len(cols) * bits <= 63")
+    mask = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        v = c.cast("long").bitwiseAND(F.lit(mask))
+        for j in range(bits):
+            bit = F.shiftright(v, j).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, j * k + i))
+    return z
+
+
+def write_zordered(
+    df: "DataFrame",
+    path: str,
+    *,
+    cluster_cols: list[str],
+    target_rows_per_file: int,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> int:
+    """Multi-dimensional clustering sink: range-partition + sort the
+    rows by their Morton Z-order key over ``cluster_cols``, so every
+    file's min/max footer band is tight on EVERY clustered column at
+    once — the layout that makes 2-D predicates (e.g. ``user_id = X AND
+    day BETWEEN a AND b``) skip files, where single-column range
+    clustering only prunes its leading column. Returns the file count.
+
+    This is the Delta/Iceberg ``OPTIMIZE ZORDER BY`` idea as a plain
+    parquet layout: the Z-curve maps multi-dim proximity to 1-D
+    proximity, range-partitioning on the key then gives each file a
+    contiguous curve segment == a small hyper-rectangle of the key
+    space. Same one-count + one-exchange write cost as
+    :func:`write_compacted`; queries pay nothing and prune on ordinary
+    parquet column stats.
+    """
+    if target_rows_per_file <= 0:
+        raise ValueError("target_rows_per_file must be positive")
+    zk = zorder_key([F.col(c) for c in cluster_cols], bits=bits)
+    n = df.count()
+    files = max(1, -(-n // target_rows_per_file))
+    out = (
+        df.withColumn("__zk", zk)
+        .repartitionByRange(files, F.col("__zk"))
+        .sortWithinPartitions("__zk")
+        .drop("__zk")
+    )
+    out.write.mode(mode).parquet(path)
+    return files
