@@ -104,6 +104,10 @@ HOLT_P = dict(alpha=0.25, beta=0.125, window=16)
 # slack and threshold sized so alarms are non-trivial but sparse; all
 # three are binary-exact double literals.
 CUSUM_P = dict(target=50.0, slack=8.0, threshold=256.0)
+# Robust (median/MAD) anomaly scoring: same frame as ANOM_WINDOW, the
+# classic 3.5 robust-z cutoff (Iglewicz-Hoaglin), threshold applied to
+# the QUANTIZED score.
+MAD_P = dict(window=32, threshold=3.5)
 # decontamination / chunking / scrubbing / LM-scoring parameters.
 # bench_mod carves ~1% of the corpus out as the "benchmark" set; k=3
 # word-shingles give real overlap signal on the synthetic corpus (171
@@ -2970,6 +2974,42 @@ def q_docs_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_bigrams(load(spark, sf_dir, "documents"), topk=20)
 
 
+def q_events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust median/MAD anomaly detection per user series — the
+    outlier detector a single earlier spike cannot poison (mean/sigma
+    z-scores inflate sigma and mask later anomalies). Exact medians via
+    sorted frame arrays in ONE WindowExec pass
+    (operators/timeseries.py:mad_zscore)."""
+    from symtseries_spark.operators.timeseries import mad_zscore
+
+    ev = load(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts div 1000"))
+    z = mad_zscore(
+        ev, key="user_id", order=["ts_us", "event_id"], value="value",
+        window=MAD_P["window"],
+    )
+    return z.where(F.abs(F.col("rzscore")) >= MAD_P["threshold"]).select(
+        "user_id", "event_id", "n_window", "rzscore"
+    )
+
+
+HLL_P = 9  # 512 registers, ~4.6% standard error
+
+
+def q_docs_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-content estimate with DETERMINISTIC
+    registers (md5 bucket/rank, exact integer harmonic sum) — the
+    cardinality sketch that merges by max across shards/days at 100 TB.
+    sf0.01 exercises the small-range correction path, sf0.1 the raw
+    estimator (operators/sketches.py:hll_registers/hll_estimate)."""
+    from symtseries_spark.functions.text import normalized_text
+    from symtseries_spark.operators.sketches import hll_estimate, hll_registers
+
+    docs = load(spark, sf_dir, "documents").select(
+        normalized_text(F.col("text")).alias("norm")
+    )
+    return hll_estimate(hll_registers(docs, col="norm", p=HLL_P), p=HLL_P)
+
+
 def q_emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversity re-ranking of the brute-force top-32 for one query:
     distributed top-N retrieval (broadcast query row, scan-stage
@@ -3153,6 +3193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix, so entries go (1) queries whose parity changed this
         # round, (2) queries never covered by a driver round, (3) ones
         # last covered in round 1, (4) the long-stable re-verified tail.
+        "events_mad_anomaly": q_events_mad_anomaly,
+        "docs_hll_distinct": q_docs_hll_distinct,
         "emb_mmr_rerank": q_emb_mmr_rerank,
         "events_cusum": q_events_cusum,
         "events_cusum_stream": q_events_cusum_stream,
@@ -3377,6 +3419,50 @@ _HOLT_SQL_BOUNDED = _holt_sql(
 _HOLT_SQL_UNBOUNDED = _holt_sql(
     "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW", ""
 )
+
+# MAD robust-z mirror: same sorted-frame exact medians (list_sort +
+# middle-element arithmetic — no accumulation-order freedom), same
+# null-filtered frame list, threshold on the quantized score.
+_MAD_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(value AS DOUBLE) AS x
+  FROM events
+), w AS (
+  SELECT user_id, event_id, x,
+         list(x) FILTER (x IS NOT NULL)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN {MAD_P["window"] - 1} PRECEDING AND CURRENT ROW)
+           AS vals
+  FROM e
+), m AS (
+  SELECT user_id, event_id, x, vals, len(vals) AS n,
+         list_sort(vals) AS sv
+  FROM w
+), med AS (
+  SELECT *, CASE WHEN n % 2 = 1 THEN sv[n // 2 + 1]
+                 ELSE (sv[n // 2] + sv[n // 2 + 1]) / CAST(2.0 AS DOUBLE)
+            END AS mediana
+  FROM m
+), mad AS (
+  SELECT *, list_sort(list_transform(vals, v -> abs(v - mediana))) AS sd
+  FROM med
+), madv AS (
+  SELECT *, CASE WHEN n % 2 = 1 THEN sd[n // 2 + 1]
+                 ELSE (sd[n // 2] + sd[n // 2 + 1]) / CAST(2.0 AS DOUBLE)
+            END AS madval
+  FROM mad
+), rz AS (
+  SELECT user_id, event_id, n AS n_window,
+         CASE WHEN madval > 0 THEN
+           floor(CAST(0.6745 AS DOUBLE) * (x - mediana) / madval
+                 * 10000.0 + 0.5) / 10000.0
+         END AS rzscore
+  FROM madv
+)
+SELECT user_id, event_id, n_window, rzscore
+FROM rz WHERE abs(rzscore) >= {MAD_P["threshold"]}
+"""
 
 # Batch CUSUM mirror: the SAME prefix identity as the Spark operator
 # (cumulative sum, then cumulative min of that sum) — both engines
@@ -4321,6 +4407,8 @@ ORDER BY c.c_nationkey
         "docs_train_order": ot.global_order_sql(),
         "dedup_incremental": ot.incremental_dedup_sql(),
         "docs_pmi_bigrams": ot.pmi_bigrams_sql(topk=20),
+        "events_mad_anomaly": _MAD_SQL,
+        "docs_hll_distinct": ot.hll_distinct_sql(p=HLL_P),
         "emb_mmr_rerank": ov.mmr_rerank_sql(dim=EMB_DIM, **MMR),
         "events_cusum": _CUSUM_SQL_BATCH,
         "events_cusum_stream": _CUSUM_SQL_STREAM,

@@ -30,6 +30,9 @@ __all__ = [
     "bloom_probe",
     "cms_build",
     "cms_estimate",
+    "hll_estimate",
+    "hll_rank_width",
+    "hll_registers",
 ]
 
 WORD_BITS = 32  # 32-bit words: masks stay exactly representable as pow(2, b)
@@ -200,3 +203,87 @@ def cms_estimate(
         F.broadcast(counters), ["__cms_row", "__cms_col"], "left"
     ).fillna({"__cms_cnt": 0})
     return joined.groupBy(*others).agg(F.min("__cms_cnt").alias(out))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (deterministic registers)
+
+def hll_rank_width(p: int) -> int:
+    """Rank field width: the 60-bit hash minus the ``p`` bucket bits."""
+    return 60 - p
+
+
+def hll_registers(
+    df: DataFrame, *, col: str, p: int = 9
+) -> DataFrame:
+    """HyperLogLog register table over the values of ``col`` ->
+    ``(bucket, max_rank)`` for the occupied buckets of an
+    ``m = 2^p``-register sketch.
+
+    Registers here are NOT implementation-defined (the usual objection
+    to cross-engine HLL): bucket = low ``p`` bits of the md5-derived
+    60-bit hash, rank = leading-zero count of the remaining
+    ``60 - p``-bit field + 1 (computed exactly as
+    ``W - len(bin(w)) + 1``, integer-only) — so any engine reproduces
+    the register table bit-for-bit.
+
+    Scale: one map-side-combinable groupBy bounded at ``m`` output rows
+    however large the input; registers merge by ``max`` (cross-shard /
+    cross-day rollup), the property that makes HLL the standard
+    cardinality sketch at 100 TB.
+    """
+    if not 4 <= p <= 14:
+        raise ValueError("hll_registers needs 4 <= p <= 14")
+    m = 1 << p
+    width = hll_rank_width(p)
+    h = doc_hash60(F.col(col).cast("string"))
+    bucket = (h % m).alias("bucket")
+    w = F.shiftrightunsigned(h, p)
+    rank = F.when(w > 0, F.lit(width) - F.length(F.bin(w)) + 1).otherwise(
+        F.lit(width + 1)
+    )
+    return (
+        df.select(bucket, rank.alias("__r"))
+        .groupBy("bucket")
+        .agg(F.max("__r").alias("max_rank"))
+    )
+
+
+def hll_alpha(m: int) -> float:
+    """The standard HLL bias constant for ``m >= 128`` registers."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_estimate(registers: DataFrame, *, p: int = 9) -> DataFrame:
+    """Cardinality estimate from a register table -> one row
+    ``(n_buckets_used, hll_est)`` (estimate quantized to 4 decimals).
+
+    The harmonic sum ``sum 2^-M_j`` is computed EXACTLY: each term is
+    lifted to the integer ``2^(L - M_j)`` with ``L = 60 - p + 1`` (the
+    maximum possible rank, so the exponent is never negative and the
+    total stays <= 2^61 < int64) and summed as a bigint — no
+    float-summation-order caveat exists; the only float ops are one
+    division and the small-range ``m * ln(m / V)`` correction, identical
+    expression shape on any engine."""
+    m = 1 << p
+    alpha = hll_alpha(m)
+    lift = hll_rank_width(p) + 1  # >= any max_rank
+    scale = 1 << lift
+    agg = registers.agg(
+        F.count(F.lit(1)).alias("n_buckets_used"),
+        # pyspark's shiftleft() helper only takes an int bit count; the
+        # SQL form accepts the per-row expression
+        F.sum(F.expr(f"shiftleft(1L, cast({lift} - max_rank as int))"))
+        .alias("__s_used"),
+    )
+    s_int = F.col("__s_used") + (F.lit(m) - F.col("n_buckets_used")) * F.lit(
+        scale
+    ).cast("long")
+    raw = F.lit(alpha * m * m) * F.lit(float(scale)) / s_int.cast("double")
+    zeros = (F.lit(m) - F.col("n_buckets_used")).cast("double")
+    small = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    est = F.when((raw <= 2.5 * m) & (zeros > 0), small).otherwise(raw)
+    return agg.select(
+        "n_buckets_used",
+        (F.floor(est * 1e4 + F.lit(0.5)) / 1e4).alias("hll_est"),
+    )

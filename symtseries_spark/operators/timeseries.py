@@ -119,10 +119,99 @@ def ewma(
         rest = F.slice(v, F.lit(2), F.greatest(F.size(v) - 1, F.lit(0)))
         return F.aggregate(rest, F.element_at(v, 1), step)
 
-    ew = quantize(
-        F.when(F.size(vals) > 0, fold(vals)), round_to
+    # bind the fold once: quantize references its argument twice, and
+    # CollapseProject would otherwise inline the fold tree into both
+    # (same fix as holt(); the boundary survives because the producer
+    # expression is non-cheap and referenced more than once)
+    return (
+        df.withColumn("__ew", F.when(F.size(vals) > 0, fold(vals)))
+        .withColumn("ewma", quantize(F.col("__ew"), round_to))
+        .drop("__ew")
     )
-    return df.withColumn("ewma", ew)
+
+
+def mad_zscore(
+    df: DataFrame,
+    *,
+    key: str,
+    order: Sequence[str],
+    value: str,
+    window: int,
+    round_to: int = 4,
+) -> DataFrame:
+    """Robust (median/MAD) trailing-window z-score per series:
+    ``rz = 0.6745 * (x - median) / MAD`` over the last ``window`` rows,
+    where ``MAD = median(|x_i - median|)`` — the outlier detector that
+    a single earlier spike cannot poison (the classic failure of the
+    mean/sigma z-score: one 100x point inflates sigma and masks every
+    later anomaly in the frame). Flat-MAD windows (MAD == 0) yield NULL.
+
+    Exact medians, not approximations: ``array_sort`` on the frame's
+    collect_list then middle-element arithmetic — deterministic doubles
+    any engine reproduces (sorting and (a+b)/2 have no
+    accumulation-order freedom). Cost is O(window log window) per row
+    inside one WindowExec pass — same single-shuffle budget as
+    :func:`rolling_zscore`, a higher constant bought for robustness.
+    NULL values are dropped from the frame (collect_list semantics; a
+    SQL mirror must FILTER its list the same way).
+    """
+    if window < 2:
+        raise ValueError("mad_zscore needs window >= 2")
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+
+    def median_of(sorted_col: Column) -> Column:
+        # references its argument 5 times — callers must pass a LAMBDA
+        # VARIABLE (bound once by the HOF evaluator), never a raw
+        # expression, or the sort re-runs per reference
+        n = F.size(sorted_col)
+        half = F.floor(n / 2).cast("int")  # int/int is double in Spark SQL
+        mid = F.element_at(sorted_col, half + 1)
+        even = (
+            F.element_at(sorted_col, half)
+            + F.element_at(sorted_col, half + 1)
+        ) / 2.0
+        return F.when(n % 2 == 1, mid).otherwise(even)
+
+    def _let(value_col: Column, body) -> Column:
+        # bind value_col to a lambda variable (functions/sax.py _let
+        # rationale): lambda variables are evaluated ONCE per row by the
+        # HOF evaluator, where a projected column reference can be
+        # re-inlined into consumer lambdas and re-evaluated per element
+        # (measured 43s -> 4.0s at sf0.1 for this operator)
+        return F.element_at(F.transform(F.array(value_col), body), 1)
+
+    def mm_struct(vals: Column) -> Column:
+        return _let(
+            F.array_sort(vals),
+            lambda sv: _let(
+                median_of(sv),
+                lambda med: _let(
+                    F.array_sort(F.transform(vals, lambda x: F.abs(x - med))),
+                    lambda sd: F.struct(
+                        med.alias("med"), median_of(sd).alias("mad")
+                    ),
+                ),
+            ),
+        )
+
+    out = df.withColumn(
+        "__vals", F.collect_list(F.col(value).cast("double")).over(w)
+    ).withColumn("__mm", _let(F.col("__vals"), mm_struct))
+    rz = F.when(
+        F.col("__mm")["mad"] > 0,
+        F.lit(0.6745)
+        * (F.col(value).cast("double") - F.col("__mm")["med"])
+        / F.col("__mm")["mad"],
+    )
+    return (
+        out.withColumn("n_window", F.size(F.col("__vals")))
+        .withColumn("rzscore", quantize(rz, round_to))
+        .drop("__vals", "__mm")
+    )
 
 
 def cusum(

@@ -853,6 +853,49 @@ FROM fresh GROUP BY content_hash
 """
 
 
+def hll_distinct_sql(*, p: int = 9, table: str = "documents") -> str:
+    """Mirror of sketches.hll_registers + hll_estimate over the
+    normalized document text: identical bucket/rank integer math, exact
+    integer harmonic sum (2^(52-rank) lifted terms), same alpha literal
+    and small-range correction."""
+    from .operators.sketches import hll_alpha, hll_rank_width
+
+    m = 1 << p
+    width = hll_rank_width(p)
+    lift = width + 1
+    am2 = repr(hll_alpha(m) * m * m)
+    scale = float(1 << lift)
+    h = hash60(normalized_expr())
+    return f"""
+WITH h AS (SELECT {h} AS h FROM {table}),
+r AS (
+  SELECT h % {m} AS bucket,
+         max(CASE WHEN (h >> {p}) > 0
+                  THEN {width} - length(bin(h >> {p})) + 1
+                  ELSE {width + 1} END) AS max_rank
+  FROM h GROUP BY bucket
+),
+a AS (
+  SELECT count(*) AS n_buckets_used,
+         CAST(sum(1::BIGINT << ({lift} - max_rank)) AS BIGINT) AS s_used
+  FROM r
+),
+e AS (
+  SELECT n_buckets_used,
+         CAST({m} - n_buckets_used AS DOUBLE) AS zeros,
+         CAST({am2} AS DOUBLE) * CAST({scale!r} AS DOUBLE) /
+           CAST(s_used + ({m} - n_buckets_used) * (1::BIGINT << {lift}) AS DOUBLE)
+           AS raw
+  FROM a
+)
+SELECT n_buckets_used,
+       floor((CASE WHEN raw <= 2.5 * {m} AND zeros > 0
+                   THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / zeros)
+                   ELSE raw END) * 1e4 + 0.5) / 1e4 AS hll_est
+FROM e
+"""
+
+
 def bigram_logprob_sql(*, table: str = "documents") -> str:
     """Mirror of operators.retrieval.bigram_logprob (add-one-smoothed
     bigram LM; context counts from the pair table, V = distinct vocab)."""
