@@ -2992,6 +2992,19 @@ def q_events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series OLS trend (slope/intercept over the row index): one
+    row_number window pass + one map-side-combinable groupBy; integer
+    index moments are exact, float sums quantized
+    (operators/timeseries.py:linear_trend)."""
+    from symtseries_spark.operators import linear_trend
+
+    ev = load(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts div 1000"))
+    return linear_trend(
+        ev, key="user_id", order=["ts_us", "event_id"], value="value"
+    )
+
+
 HLL_P = 9  # 512 registers, ~4.6% standard error
 
 
@@ -3008,6 +3021,68 @@ def q_docs_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         normalized_text(F.col("text")).alias("norm")
     )
     return hll_estimate(hll_registers(docs, col="norm", p=HLL_P), p=HLL_P)
+
+
+def q_docs_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog registers as LIVE streaming aggregation state: rank
+    rows flow through a complete-mode groupBy(bucket).max — state is the
+    fixed 2^p register table however long the stream runs (the same
+    mergeable-sketch-as-state pattern as docs_cms_stream). Final
+    registers must equal the batch build exactly, so the estimate shares
+    the batch oracle."""
+    import glob as globmod
+    import os
+    import tempfile
+    import uuid
+
+    from symtseries_spark.functions.text import doc_hash60, normalized_text
+    from symtseries_spark.operators.sketches import (
+        hll_estimate,
+        hll_rank_width,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    half = (F.col("doc_id") > mid).cast("int").alias("__bid")
+    tmp = tempfile.mkdtemp(prefix="hll_stream_")
+    staged, indir = f"{tmp}/staged", f"{tmp}/in"
+    os.makedirs(indir)
+    docs.withColumn("__bid", half).coalesce(1).write.partitionBy("__bid").parquet(
+        staged
+    )
+    for i, d in enumerate(sorted(globmod.glob(f"{staged}/__bid=*"))):
+        part = globmod.glob(f"{d}/part-*.parquet")[0]
+        dst = f"{indir}/b{i:04d}.parquet"
+        os.rename(part, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+    )
+    m = 1 << HLL_P
+    width = hll_rank_width(HLL_P)
+    h = doc_hash60(normalized_text(F.col("text")).cast("string"))
+    w = F.shiftrightunsigned(h, HLL_P)
+    rank = F.when(w > 0, F.lit(width) - F.length(F.bin(w)) + 1).otherwise(
+        F.lit(width + 1)
+    )
+    registers = (
+        stream.select((h % m).alias("bucket"), rank.alias("__r"))
+        .groupBy("bucket")
+        .agg(F.max("__r").alias("max_rank"))
+    )
+    name = f"hll_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        registers.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="hll_chk_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return hll_estimate(spark.table(name), p=HLL_P)
 
 
 def q_emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3194,7 +3269,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round, (2) queries never covered by a driver round, (3) ones
         # last covered in round 1, (4) the long-stable re-verified tail.
         "events_mad_anomaly": q_events_mad_anomaly,
+        "events_trend": q_events_trend,
         "docs_hll_distinct": q_docs_hll_distinct,
+        "docs_hll_stream": q_docs_hll_stream,
         "emb_mmr_rerank": q_emb_mmr_rerank,
         "events_cusum": q_events_cusum,
         "events_cusum_stream": q_events_cusum_stream,
@@ -3462,6 +3539,44 @@ WITH e AS (
 )
 SELECT user_id, event_id, n_window, rzscore
 FROM rz WHERE abs(rzscore) >= {MAD_P["threshold"]}
+"""
+
+# OLS trend mirror: identical integer index moments (bigint sums), the
+# same two float sums, same unquantized-slope intercept formula.
+_TREND_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(value AS DOUBLE) AS y
+  FROM events
+), idx AS (
+  SELECT user_id, y,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id) AS BIGINT) AS i
+  FROM e
+), base AS (
+  SELECT user_id, y, i FROM idx WHERE y IS NOT NULL
+), agg AS (
+  SELECT user_id,
+         count(*) AS n,
+         CAST(sum(i) AS BIGINT) AS si,
+         CAST(sum(i * i) AS BIGINT) AS si2,
+         sum(y) AS sy,
+         sum(i * y) AS siy
+  FROM base GROUP BY user_id
+), s AS (
+  SELECT user_id, n,
+         CASE WHEN n >= 2 AND (CAST(n AS DOUBLE) * si2 - si * si) != 0 THEN
+           (CAST(n AS DOUBLE) * siy - si * sy)
+             / (CAST(n AS DOUBLE) * si2 - si * si)
+         END AS slope,
+         sy, si
+  FROM agg
+)
+SELECT user_id, n,
+       floor(slope * 1000000.0 + 0.5) / 1000000.0 AS slope,
+       floor((sy - slope * si) / CAST(n AS DOUBLE) * 1000000.0 + 0.5)
+         / 1000000.0 AS intercept
+FROM s
 """
 
 # Batch CUSUM mirror: the SAME prefix identity as the Spark operator
@@ -4408,7 +4523,9 @@ ORDER BY c.c_nationkey
         "dedup_incremental": ot.incremental_dedup_sql(),
         "docs_pmi_bigrams": ot.pmi_bigrams_sql(topk=20),
         "events_mad_anomaly": _MAD_SQL,
+        "events_trend": _TREND_SQL,
         "docs_hll_distinct": ot.hll_distinct_sql(p=HLL_P),
+        "docs_hll_stream": ot.hll_distinct_sql(p=HLL_P),
         "emb_mmr_rerank": ov.mmr_rerank_sql(dim=EMB_DIM, **MMR),
         "events_cusum": _CUSUM_SQL_BATCH,
         "events_cusum_stream": _CUSUM_SQL_STREAM,

@@ -130,6 +130,58 @@ def ewma(
     )
 
 
+def linear_trend(
+    df: DataFrame,
+    *,
+    key: str,
+    order: Sequence[str],
+    value: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-series OLS trend over the row index -> one row per series
+    ``(key, n, slope, intercept)`` for ``y ~ slope * i + intercept``
+    with ``i = 1..n`` in series order (quantized to ``round_to``).
+    Series with fewer than 2 rows or NULL-only values emit NULLs.
+
+    The index moments (``sum i``, ``sum i²``) are EXACT bigint sums —
+    no float freedom — so the only float aggregations are ``sum y`` and
+    ``sum i*y`` (quantization absorbs their summation-order ulp, the
+    same convention as the corpus LM scores). One row_number window
+    pass + one map-side-combinable groupBy on the series key: the
+    single-shuffle shape that scales.
+
+    NULL values keep their row index (the series' time axis) but are
+    excluded from the sums via ``n_valid``-weighted moments — mirrored
+    exactly in the SQL twin.
+    """
+    w = Window.partitionBy(key).orderBy(*order)
+    y = F.col(value).cast("double")
+    idx = F.row_number().over(w).cast("long")
+    base = df.select(
+        F.col(key), y.alias("__y"), idx.alias("__i"),
+    ).where(F.col("__y").isNotNull())
+    agg = base.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__i").alias("__si"),
+        F.sum(F.col("__i") * F.col("__i")).alias("__si2"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__i") * F.col("__y")).alias("__siy"),
+    )
+    n = F.col("n").cast("double")
+    denom = n * F.col("__si2") - F.col("__si") * F.col("__si")
+    slope = F.when(
+        (F.col("n") >= 2) & (denom != 0),
+        (n * F.col("__siy") - F.col("__si") * F.col("__sy")) / denom,
+    )
+    intercept = (F.col("__sy") - slope * F.col("__si")) / n
+    return agg.select(
+        key,
+        "n",
+        quantize(slope, round_to).alias("slope"),
+        quantize(intercept, round_to).alias("intercept"),
+    )
+
+
 def mad_zscore(
     df: DataFrame,
     *,

@@ -90,6 +90,55 @@ class TestHll:
             hll_registers(df, col="v", p=3)
 
 
+class TestLinearTrend:
+    def test_matches_closed_form(self, spark):
+        from symtseries_spark.operators import linear_trend
+
+        # y = 3 + 2i with noise-free values -> exact slope/intercept
+        rows = [Row(k=1, i=i, v=float(3 + 2 * (i + 1))) for i in range(10)]
+        rows += [Row(k=2, i=i, v=5.0) for i in range(4)]  # flat
+        rows += [Row(k=3, i=0, v=9.0)]  # single point -> NULLs
+        df = spark.createDataFrame(rows)
+        out = {r.k: r for r in linear_trend(
+            df, key="k", order=["i"], value="v"
+        ).collect()}
+        assert out[1].slope == pytest.approx(2.0)
+        assert out[1].intercept == pytest.approx(3.0)
+        assert out[2].slope == pytest.approx(0.0)
+        assert out[2].intercept == pytest.approx(5.0)
+        assert out[3].slope is None and out[3].intercept is None
+
+    def test_matches_numpy_on_noise(self, spark):
+        import numpy as np
+
+        from symtseries_spark.operators import linear_trend
+
+        rng = np.random.RandomState(7)
+        vals = (0.5 * np.arange(1, 51) + rng.normal(0, 2, 50)).tolist()
+        df = spark.createDataFrame(
+            [Row(k=1, i=i, v=float(v)) for i, v in enumerate(vals)]
+        )
+        r = linear_trend(df, key="k", order=["i"], value="v").first()
+        slope, intercept = np.polyfit(np.arange(1, 51), vals, 1)
+        assert r.slope == pytest.approx(slope, abs=1e-5)
+        assert r.intercept == pytest.approx(intercept, abs=1e-5)
+
+    def test_null_values_keep_time_axis(self, spark):
+        from symtseries_spark.operators import linear_trend
+
+        # y defined at indices 1,2,4 (index 3 null): fit uses i=1,2,4
+        rows = [
+            Row(k=1, i=0, v=2.0),
+            Row(k=1, i=1, v=4.0),
+            Row(k=1, i=2, v=None),
+            Row(k=1, i=3, v=8.0),
+        ]
+        df = spark.createDataFrame(rows, "k long, i long, v double")
+        r = linear_trend(df, key="k", order=["i"], value="v").first()
+        assert r.n == 3
+        assert r.slope == pytest.approx(2.0)  # exact fit y = 2i
+
+
 def py_mad(frame, x):
     med = statistics.median(frame)
     mad = statistics.median([abs(v - med) for v in frame])
