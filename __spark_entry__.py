@@ -2506,6 +2506,70 @@ def q_docs_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# v2 gates: the round's new signals composed on top of v1's. Threshold
+# choices sit inside the observed sf0.01 distributions (bigram lp in
+# [-3.61, -3.26], boiler p90 0.064) so every gate actually cuts.
+CORPUS_FILTER2 = dict(
+    min_quality=0.6, max_top_share=0.2, max_boiler=0.1, min_bigram_lp=-3.45,
+    winnow_overlap=0.5,
+)
+
+
+def q_docs_corpus_filter2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus filter upgraded with this round's signals: v1's
+    quality/lang/repetition gates PLUS boilerplate share, bigram-LM
+    score, and substring-level (winnowing) dup removal — the loser of
+    every qualifying winnow pair (larger doc_id) is dropped. Each
+    signal is a linear scan or a bounded inverted-index join; the
+    verdict is one conjunction + one left-anti join. Survivors only."""
+    from symtseries_spark.operators import winnow_pairs
+    from symtseries_spark.operators.retrieval import (
+        bigram_logprob,
+        boilerplate_metrics,
+        repetition_metrics,
+    )
+
+    p = CORPUS_FILTER2
+    docs = load(spark, sf_dir, "documents")
+    prof = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array(text_profile(F.col("text")))).alias("__p"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.col("__p.quality.quality_score").alias("quality_score"),
+        F.col("__p.lang_pred").alias("lang_pred"),
+    )
+    rep = repetition_metrics(docs).select("doc_id", "top_share")
+    boiler = boilerplate_metrics(docs, **BOILER).select("doc_id", "boiler_ratio")
+    lm = bigram_logprob(docs).select("doc_id", "avg_logprob")
+    losers = (
+        winnow_pairs(docs, **WINNOW, **WINNOW_PAIRS)
+        .where(F.col("overlap") >= p["winnow_overlap"])
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        prof.join(rep, "doc_id")
+        .join(boiler, "doc_id")
+        .join(lm, "doc_id")
+        .join(losers, "doc_id", "left_anti")
+        .where(
+            (F.col("quality_score") >= p["min_quality"])
+            & (F.col("lang_pred") == F.col("lang"))
+            & (F.col("top_share") <= p["max_top_share"])
+            & (F.col("boiler_ratio") <= p["max_boiler"])
+            & (F.col("avg_logprob") >= p["min_bigram_lp"])
+        )
+        .select(
+            "doc_id", "lang", "quality_score", "top_share", "boiler_ratio",
+            "avg_logprob",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_events_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Activity heatmap: day-of-week x hour-of-day event counts. Both
     coordinates derive from pure integer epoch arithmetic (epoch day
@@ -3270,6 +3334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # last covered in round 1, (4) the long-stable re-verified tail.
         "events_mad_anomaly": q_events_mad_anomaly,
         "events_trend": q_events_trend,
+        "docs_corpus_filter2": q_docs_corpus_filter2,
         "docs_hll_distinct": q_docs_hll_distinct,
         "docs_hll_stream": q_docs_hll_stream,
         "emb_mmr_rerank": q_emb_mmr_rerank,
@@ -4524,6 +4589,31 @@ ORDER BY c.c_nationkey
         "docs_pmi_bigrams": ot.pmi_bigrams_sql(topk=20),
         "events_mad_anomaly": _MAD_SQL,
         "events_trend": _TREND_SQL,
+        "docs_corpus_filter2": f"""
+WITH q AS ({ot.text_quality_sql()}),
+r AS ({ot.repetition_sql()}),
+b AS ({ot.boilerplate_sql(**BOILER)}),
+lm AS ({ot.bigram_logprob_sql()}),
+losers AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM ({ot.winnow_pairs_sql(**WINNOW, **WINNOW_PAIRS)})
+  WHERE overlap >= {CORPUS_FILTER2["winnow_overlap"]}
+)
+SELECT d.doc_id, d.lang, q.quality_score, r.top_share, b.boiler_ratio,
+       lm.avg_logprob
+FROM documents d
+JOIN q ON d.doc_id = q.doc_id
+JOIN r ON d.doc_id = r.doc_id
+JOIN b ON d.doc_id = b.doc_id
+JOIN lm ON d.doc_id = lm.doc_id
+WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+  AND q.quality_score >= {CORPUS_FILTER2["min_quality"]}
+  AND q.lang_pred = d.lang
+  AND r.top_share <= {CORPUS_FILTER2["max_top_share"]}
+  AND b.boiler_ratio <= {CORPUS_FILTER2["max_boiler"]}
+  AND lm.avg_logprob >= {CORPUS_FILTER2["min_bigram_lp"]}
+ORDER BY d.doc_id
+""",
         "docs_hll_distinct": ot.hll_distinct_sql(p=HLL_P),
         "docs_hll_stream": ot.hll_distinct_sql(p=HLL_P),
         "emb_mmr_rerank": ov.mmr_rerank_sql(dim=EMB_DIM, **MMR),
