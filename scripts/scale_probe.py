@@ -63,6 +63,20 @@ QUERIES = [
     "dedup_exact",
     "dedup_incremental",
     "docs_pmi_bigrams",
+    # round-3 continuation ops: trend/robust-anomaly/CUSUM/Holt are
+    # key-cardinality-driven windows; boilerplate/bigram/HLL are
+    # scan + vocabulary-bounded broadcast aggregates; winnow is the
+    # fingerprint inverted index (content unique per replica, so the
+    # index grows linearly and pair output stays output-bound-honest)
+    "events_cusum",
+    "events_holt",
+    "events_mad_anomaly",
+    "events_trend",
+    "docs_boilerplate",
+    "docs_bigram_lp",
+    "docs_hll_distinct",
+    "docs_winnow",
+    "emb_int8_quant",
 ]
 
 # Stateful streaming replays: timed WITHOUT a warm pass (each call
@@ -128,9 +142,25 @@ def build_scaled(spark: SparkSession, out: str) -> None:
         scaled_docs = scaled_docs.unionByName(p)
     _write_single_file(scaled_docs, f"{out}/documents.parquet")
 
+    # embeddings: id-shifted replicas (vectors unchanged — the probed
+    # query is a per-row scan, so row count is the scaling dimension;
+    # pair-generating queries are excluded from the probe by design)
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    eparts = [
+        emb.select(
+            (F.col("vec_id") + F.lit(i * 10**9)).alias("vec_id"),
+            *[c for c in emb.columns if c != "vec_id"],
+        )
+        for i in range(FACTOR)
+    ]
+    scaled_emb = eparts[0]
+    for p in eparts[1:]:
+        scaled_emb = scaled_emb.unionByName(p)
+    _write_single_file(scaled_emb, f"{out}/embeddings.parquet")
+
     # remaining tables unscaled so load() never fails
     for t in (
-        "region nation customer supplier part orders lineitem embeddings"
+        "region nation customer supplier part orders lineitem"
     ).split():
         src = f"{BASE}/{t}.parquet"
         dst = f"{out}/{t}.parquet"
