@@ -200,7 +200,18 @@ is map-side combinable. No pairwise work anywhere in the plan.""",
     "events_holt": """Holt level+trend: identical single-shuffle WindowExec shape
 as events_ewma — collect_list over the bounded frame, then the
 struct-accumulator higher-order fold runs codegen'd in the projection
-above the window pass.""",
+above the window pass. The fold is bound ONCE as a named column (the
+plan shows two Project boundaries): inlining it into each quantized
+output would evaluate it 8x per row.""",
+    "events_cusum": """CUSUM via the prefix identity: ONE Exchange + Sort feeding
+TWO chained Window operators (running sum, then running min of that
+sum) — the recursion itself would need an O(series) fold per row. No
+second shuffle: both windows share the same partitioning/ordering.""",
+    "events_mad_anomaly": """Median/MAD robust z: one WindowExec collecting the
+frame, then a single projection whose nested HOF lambdas bind each
+intermediate (sorted frame, median, sorted deviations) exactly once —
+the named-column formulation re-inlined the median into the deviation
+lambda and re-evaluated it per element (measured 10x).""",
 }
 
 spark = (
