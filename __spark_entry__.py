@@ -3069,6 +3069,44 @@ def q_events_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_mad_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The robust median/MAD anomaly monitor through a REAL stream:
+    state = the last window-1 raw values per series (the sliding-ring
+    contract), exact sorted-median arithmetic per event — flags on
+    arrival, bit-identical to the batch operator on clean series
+    (streaming/timeseries.py:mad_zscore_stream)."""
+    import tempfile
+    import uuid
+
+    from symtseries_spark.operators import quantize
+    from symtseries_spark.sources import load_events_stream
+    from symtseries_spark.streaming import mad_zscore_stream
+
+    stream = load_events_stream(spark, sf_dir).withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    ms = mad_zscore_stream(
+        stream, key="user_id", order=["ts_us", "event_id"], value="value",
+        window=MAD_P["window"],
+    )
+    name = f"mad_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        ms.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="mad_chk_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rz = quantize(F.nanvl(F.col("rzscore"), F.lit(None)), 4)
+    return (
+        spark.table(name)
+        .select("user_id", "event_id", "n_window", rz.alias("rzscore"))
+        .where(F.abs(F.col("rzscore")) >= MAD_P["threshold"])
+    )
+
+
 HLL_P = 9  # 512 registers, ~4.6% standard error
 
 
@@ -3333,6 +3371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round, (2) queries never covered by a driver round, (3) ones
         # last covered in round 1, (4) the long-stable re-verified tail.
         "events_mad_anomaly": q_events_mad_anomaly,
+        "events_mad_stream": q_events_mad_stream,
         "events_trend": q_events_trend,
         "docs_corpus_filter2": q_docs_corpus_filter2,
         "docs_hll_distinct": q_docs_hll_distinct,
@@ -4588,6 +4627,7 @@ ORDER BY c.c_nationkey
         "dedup_incremental": ot.incremental_dedup_sql(),
         "docs_pmi_bigrams": ot.pmi_bigrams_sql(topk=20),
         "events_mad_anomaly": _MAD_SQL,
+        "events_mad_stream": _MAD_SQL,
         "events_trend": _TREND_SQL,
         "docs_corpus_filter2": f"""
 WITH q AS ({ot.text_quality_sql()}),

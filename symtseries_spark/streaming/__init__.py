@@ -8,6 +8,7 @@ from .timeseries import (
     cusum_stream,
     ewma_stream,
     holt_stream,
+    mad_zscore_stream,
     rolling_zscore_stream,
 )
 from .tumbling import tumbling_sax_event_time
@@ -16,6 +17,7 @@ __all__ = [
     "cusum_stream",
     "ewma_stream",
     "holt_stream",
+    "mad_zscore_stream",
     "funnel_stream",
     "rolling_zscore_stream",
     "sliding_sax_stream",

@@ -292,6 +292,98 @@ def ewma_stream(
     )
 
 
+def mad_zscore_stream(
+    events: DataFrame,
+    *,
+    key: str,
+    order: list[str],
+    value: str,
+    window: int,
+    out: str = "rzscore",
+) -> DataFrame:
+    """Streaming twin of ``operators.timeseries.mad_zscore``: per event,
+    the trailing-``window`` median/MAD robust z-score of its series.
+    State = the last ``window - 1`` RAW values per key (NaN markers
+    kept, so the frame's row positions match the batch window exactly);
+    the frame's non-NaN values feed exact sorted-median arithmetic —
+    the same sort + (a+b)/2 + 0.6745 scaling as the batch operator, so
+    clean series match it bit-for-bit. Emits UNROUNDED scores (NaN for
+    flat-MAD frames; quantize + NULL-convert downstream)."""
+    import numpy as np
+
+    if window < 2:
+        raise ValueError("mad_zscore_stream needs window >= 2")
+    key_field = events.schema[key]
+    order_fields = [events.schema[o] for o in order]
+    out_schema = StructType(
+        [
+            StructField(key_field.name, key_field.dataType),
+            *[StructField(f.name, f.dataType) for f in order_fields],
+            StructField(value, DoubleType()),
+            StructField("n_window", LongType()),
+            StructField(out, DoubleType()),
+        ]
+    )
+    state_schema = StructType([StructField("buf", ArrayType(DoubleType()))])
+    cols = [key, *order, value]
+
+    def _median(sorted_vals: "np.ndarray") -> float:
+        n = len(sorted_vals)
+        half = n // 2
+        if n % 2 == 1:
+            return float(sorted_vals[half])
+        return (float(sorted_vals[half - 1]) + float(sorted_vals[half])) / 2.0
+
+    def handle(key_tuple, pdfs, state) -> "Iterator[pd.DataFrame]":
+        buf = list(state.get[0]) if state.exists else []
+        whole = coalesce_chunks(pdfs)
+        if whole is not None:
+            pdf = whole.sort_values(order, kind="mergesort")
+            vals = pdf[value].astype("float64").to_numpy()
+            hist = buf + [float(v) for v in vals]
+            ns, scores = [], []
+            for j in range(len(buf), len(hist)):
+                frame = np.asarray(
+                    hist[max(0, j - window + 1) : j + 1], dtype="float64"
+                )
+                frame = frame[~np.isnan(frame)]
+                ns.append(len(frame))
+                x = hist[j]
+                if len(frame) == 0 or x != x:
+                    scores.append(np.nan)
+                    continue
+                sv = np.sort(frame, kind="stable")
+                med = _median(sv)
+                sd = np.sort(np.abs(frame - med), kind="stable")
+                mad = _median(sd)
+                scores.append(
+                    0.6745 * (x - med) / mad if mad > 0 else np.nan
+                )
+            buf = hist[-(window - 1):]
+            yield pd.DataFrame(
+                {
+                    key_field.name: pdf[key].to_numpy(),
+                    **{o: pdf[o].to_numpy() for o in order},
+                    value: vals,
+                    "n_window": pd.array(ns, dtype="int64"),
+                    out: scores,
+                }
+            )
+        state.update((buf,))
+
+    return (
+        events.select(*cols)
+        .groupBy(key)
+        .applyInPandasWithState(
+            handle,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def rolling_zscore_stream(
     events: DataFrame,
     *,

@@ -206,3 +206,60 @@ class TestMadZscore:
                 self._series(spark, [1.0]), key="k", order=["i"], value="v",
                 window=1,
             )
+
+
+class TestMadStream:
+    def test_stream_equals_batch_across_batches(self, spark):
+        """Two micro-batches must reproduce the batch operator's scores
+        over the concatenated series (state = last window-1 values)."""
+        import glob as globmod
+        import os
+        import tempfile
+        import uuid
+
+        from symtseries_spark.streaming import mad_zscore_stream
+
+        win = 4
+        rows = [(1, i, float(v)) for i, v in
+                enumerate([3, 1, 4, 1, 5, 9, 2, 6])]
+        rows += [(2, i, float(v)) for i, v in enumerate([7, 7, 7, 70])]
+        df = spark.createDataFrame(rows, "k long, i long, v double")
+        in_dir = tempfile.mkdtemp(prefix="mads_in_")
+        stage = tempfile.mkdtemp(prefix="mads_stage_")
+        df.where("i < 3").coalesce(1).write.parquet(f"{stage}/b0")
+        df.where("i >= 3").coalesce(1).write.parquet(f"{stage}/b1")
+        for i in range(2):
+            part = globmod.glob(f"{stage}/b{i}/part-*.parquet")[0]
+            dst = f"{in_dir}/b{i}.parquet"
+            os.rename(part, dst)
+            os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+        stream = spark.readStream.schema(df.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(in_dir)
+        ms = mad_zscore_stream(stream, key="k", order=["i"], value="v",
+                               window=win)
+        name = f"mads_t_{uuid.uuid4().hex[:8]}"
+        q = (
+            ms.writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="mads_tc_"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {(r.k, r.i): (r.n_window, r.rzscore)
+               for r in spark.table(name).collect()}
+        series = {1: [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0],
+                  2: [7.0, 7.0, 7.0, 70.0]}
+        for k, vals in series.items():
+            for i, x in enumerate(vals):
+                frame = vals[max(0, i - win + 1): i + 1]
+                exp = py_mad(frame, x)
+                n, rz = got[(k, i)]
+                assert n == len(frame)
+                if exp is None:
+                    # flat-MAD sentinel: NaN, or NULL after the Arrow
+                    # boundary's NaN->null conversion
+                    assert rz is None or rz != rz
+                else:
+                    assert rz == pytest.approx(exp, abs=1e-12)
