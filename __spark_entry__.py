@@ -3170,7 +3170,8 @@ def q_docs_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(width + 1)
     )
     registers = (
-        stream.select((h % m).alias("bucket"), rank.alias("__r"))
+        stream.where(normalized_text(F.col("text")).isNotNull())
+        .select((h % m).alias("bucket"), rank.alias("__r"))
         .groupBy("bucket")
         .agg(F.max("__r").alias("max_rank"))
     )

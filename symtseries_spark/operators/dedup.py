@@ -85,6 +85,49 @@ def shingle_table(
     )
 
 
+def _pair_counts(
+    exploded: DataFrame,
+    key_col: str,
+    *,
+    max_key_freq: int | None,
+    min_common: int | None = None,
+) -> DataFrame:
+    """Shared inverted-index pair skeleton for jaccard/containment/
+    winnow: cap hot keys, self-equi-join on ``key_col``, count per
+    ordered pair, attach both set sizes ->
+    ``(doc_a, doc_b, n_common, n_a, n_b)``.
+
+    The hot-key cap is a window count instead of groupBy + join-back:
+    one pass, and the shuffle on ``key_col`` is the same partitioning
+    the self-join below needs. ``min_common`` (when set) filters pairs
+    right after the count, BEFORE the size joins. Size-table joins are
+    deliberately NOT hinted broadcast: sizes has one row per doc, far
+    too big to broadcast at corpus scale; AQE picks broadcast at small
+    SF on its own."""
+    ex = exploded
+    if max_key_freq is not None:
+        hot = Window.partitionBy(key_col)
+        ex = (
+            ex.withColumn("__f", F.count(F.lit(1)).over(hot))
+            .where(F.col("__f") <= max_key_freq)
+            .drop("__f")
+        )
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
+    a = ex.select(F.col("doc_id").alias("doc_a"), key_col)
+    b = ex.select(F.col("doc_id").alias("doc_b"), key_col)
+    common = (
+        a.join(b, key_col)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    if min_common is not None:
+        common = common.where(F.col("n_common") >= min_common)
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("__n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("__n").alias("n_b"))
+    return common.join(sa, "doc_a").join(sb, "doc_b")
+
+
 def jaccard_pairs(
     docs: DataFrame,
     *,
@@ -105,44 +148,16 @@ def jaccard_pairs(
     standard trick to keep the hot-key join from exploding at scale).
     """
     sh = shingle_table(docs, k=k, id_col=id_col, text_col=text_col)
-    if max_shingle_freq is not None:
-        # Window count instead of groupBy + join-back: one pass, and the
-        # shuffle on `shingle` is the same partitioning the inverted-index
-        # self-join below needs.
-        hot = Window.partitionBy("shingle")
-        sh = (
-            sh.withColumn("__f", F.count(F.lit(1)).over(hot))
-            .where(F.col("__f") <= max_shingle_freq)
-            .drop("__f")
-        )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    pairs = _pair_counts(sh, "shingle", max_key_freq=max_shingle_freq)
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    # Size-table joins are deliberately NOT hinted broadcast: sizes has one
-    # row per doc, which at corpus scale is far too big to broadcast; AQE
-    # picks broadcast at small SF on its own.
-    return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_common",
-            "n_a",
-            "n_b",
-            F.round(jac, 4).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        "n_a",
+        "n_b",
+        F.round(jac, 4).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
 
 
 def containment_pairs(
@@ -166,40 +181,18 @@ def containment_pairs(
     never |docs|^2.
     """
     sh = shingle_table(docs, k=k, id_col=id_col, text_col=text_col)
-    if max_shingle_freq is not None:
-        hot = Window.partitionBy("shingle")
-        sh = (
-            sh.withColumn("__f", F.count(F.lit(1)).over(hot))
-            .where(F.col("__f") <= max_shingle_freq)
-            .drop("__f")
-        )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    pairs = _pair_counts(sh, "shingle", max_key_freq=max_shingle_freq)
     cont_a = F.round(F.col("n_common") / F.col("n_a"), 4)
     cont_b = F.round(F.col("n_common") / F.col("n_b"), 4)
-    return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_common",
-            "n_a",
-            "n_b",
-            cont_a.alias("cont_a"),
-            cont_b.alias("cont_b"),
-        )
-        .where(F.greatest(F.col("cont_a"), F.col("cont_b")) >= threshold)
-    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        "n_a",
+        "n_b",
+        cont_a.alias("cont_a"),
+        cont_b.alias("cont_b"),
+    ).where(F.greatest(F.col("cont_a"), F.col("cont_b")) >= threshold)
 
 
 def winnow_table(
@@ -243,38 +236,18 @@ def winnow_pairs(
     |docs|^2.
     """
     fp = winnow_table(docs, k=k, w=w, id_col=id_col, text_col=text_col)
-    if max_fp_freq is not None:
-        hot = Window.partitionBy("fp")
-        fp = (
-            fp.withColumn("__f", F.count(F.lit(1)).over(hot))
-            .where(F.col("__f") <= max_fp_freq)
-            .drop("__f")
-        )
-    sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
-    a = fp.select(F.col("doc_id").alias("doc_a"), "fp")
-    b = fp.select(F.col("doc_id").alias("doc_b"), "fp")
-    shared = (
-        a.join(b, "fp")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .where(F.col("n_shared") >= min_shared)
+    pairs = _pair_counts(
+        fp, "fp", max_key_freq=max_fp_freq, min_common=min_shared
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_b"))
-    return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_shared",
-            "n_a",
-            "n_b",
-            F.round(
-                F.col("n_shared") / F.least(F.col("n_a"), F.col("n_b")), 4
-            ).alias("overlap"),
-        )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.col("n_common").alias("n_shared"),
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("n_common") / F.least(F.col("n_a"), F.col("n_b")), 4
+        ).alias("overlap"),
     )
 
 

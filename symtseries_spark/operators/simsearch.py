@@ -136,7 +136,7 @@ def mmr_rerank(
         "vec_id",
     )
     a = cvecs.select(
-        F.col("vec_id").alias("__a"), F.col("__v").alias("__va"), "cos"
+        F.col("vec_id").alias("__a"), F.col("__v").alias("__va")
     )
     b = cvecs.select(F.col("vec_id").alias("__b"), F.col("__v").alias("__vb"))
     pair_rows = (
@@ -144,15 +144,17 @@ def mmr_rerank(
         .select(
             "__a",
             "__b",
-            "cos",
             F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("__s"),
         )
         .collect()
     )
-    rel: dict[int, float] = {}
+    # rel comes from the candidate rows themselves, NOT the pair join —
+    # a single-candidate result set has no pairs but must still rank
+    rel: dict[int, float] = {
+        r["vec_id"]: r["cos"] for r in cand.select("vec_id", "cos").collect()
+    }
     sim: dict[tuple[int, int], float] = {}
     for r in pair_rows:
-        rel[r["__a"]] = r["cos"]
         sim[(r["__a"], r["__b"])] = r["__s"]
     remaining = sorted(rel)
     selected: list[tuple[int, float]] = []

@@ -242,8 +242,12 @@ def hll_registers(
     rank = F.when(w > 0, F.lit(width) - F.length(F.bin(w)) + 1).otherwise(
         F.lit(width + 1)
     )
+    # NULLs are skipped (count-distinct semantics); without the filter a
+    # NULL value would form a phantom bucket=NULL register at the
+    # maximum rank and inflate the estimate
     return (
-        df.select(bucket, rank.alias("__r"))
+        df.where(F.col(col).isNotNull())
+        .select(bucket, rank.alias("__r"))
         .groupBy("bucket")
         .agg(F.max("__r").alias("max_rank"))
     )

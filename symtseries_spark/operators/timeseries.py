@@ -141,7 +141,10 @@ def linear_trend(
     """Per-series OLS trend over the row index -> one row per series
     ``(key, n, slope, intercept)`` for ``y ~ slope * i + intercept``
     with ``i = 1..n`` in series order (quantized to ``round_to``).
-    Series with fewer than 2 rows or NULL-only values emit NULLs.
+    Single-point series emit NULL slope/intercept; series whose values
+    are ALL NULL produce no output row (they are filtered before the
+    aggregate — mirror the left-join back yourself if presence
+    matters).
 
     The index moments (``sum i``, ``sum i²``) are EXACT bigint sums —
     no float freedom — so the only float aggregations are ``sum y`` and

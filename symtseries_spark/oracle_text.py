@@ -867,7 +867,8 @@ def hll_distinct_sql(*, p: int = 9, table: str = "documents") -> str:
     scale = float(1 << lift)
     h = hash60(normalized_expr())
     return f"""
-WITH h AS (SELECT {h} AS h FROM {table}),
+WITH h AS (SELECT {h} AS h FROM {table}
+           WHERE {normalized_expr()} IS NOT NULL),
 r AS (
   SELECT h % {m} AS bucket,
          max(CASE WHEN (h >> {p}) > 0

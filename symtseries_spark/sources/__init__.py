@@ -371,7 +371,10 @@ def zorder_key(cols: list["Column"], *, bits: int = 16) -> "Column":
     mask = (1 << bits) - 1
     z = F.lit(0).cast("long")
     for i, c in enumerate(cols):
-        v = c.cast("long").bitwiseAND(F.lit(mask))
+        # SATURATING clamp: out-of-budget keys pin to the curve's edge,
+        # preserving locality; a bitmask would wrap them to the opposite
+        # end and blow up that file's min/max stats band
+        v = F.least(F.greatest(c.cast("long"), F.lit(0)), F.lit(mask))
         for j in range(bits):
             bit = F.shiftright(v, j).bitwiseAND(F.lit(1))
             z = z.bitwiseOR(F.shiftleft(bit, j * k + i))

@@ -38,6 +38,7 @@ __all__ = [
     "cusum_stream",
     "ewma_stream",
     "holt_stream",
+    "mad_zscore_stream",
     "rolling_zscore_stream",
 ]
 
@@ -60,7 +61,13 @@ def cusum_stream(
     which is what a production drift monitor wants (alarm on arrival,
     no reprocessing). Same arrival-order/null-skip/quantize-downstream
     conventions as :func:`ewma_stream`; the oracle replays the exact
-    recursion as a seed-0 list fold."""
+    recursion as a seed-0 list fold.
+
+    NaN parity caveat (same as ``rolling_zscore_stream``): past the
+    Arrow boundary NULL and NaN data are indistinguishable, so the
+    handler skips both; the batch twin's window sum keeps a literal NaN
+    (only NULL drops) and poisons the prefix. Series with NaN DATA
+    values diverge from the batch twin; real streams carry none."""
     key_field = events.schema[key]
     order_fields = [events.schema[o] for o in order]
     out_schema = StructType(
@@ -139,7 +146,12 @@ def holt_stream(
     arrival-order, null-skip, and quantize-downstream conventions as
     :func:`ewma_stream`; the fold arithmetic is the exact expression
     shape of the batch operator, so engines agree bit-for-bit.
-    """
+
+    NaN parity caveat (same as ``rolling_zscore_stream``): past the
+    Arrow boundary NULL and NaN data are indistinguishable, so the
+    handler skips both; the batch twin's ``collect_list`` keeps a
+    literal NaN (only NULL drops) and poisons its folds. Series with
+    NaN DATA values diverge from the batch twin."""
     if not 0.0 < alpha <= 1.0:
         raise ValueError("holt_stream needs 0 < alpha <= 1")
     if not 0.0 <= beta <= 1.0:
@@ -308,7 +320,14 @@ def mad_zscore_stream(
     the frame's non-NaN values feed exact sorted-median arithmetic —
     the same sort + (a+b)/2 + 0.6745 scaling as the batch operator, so
     clean series match it bit-for-bit. Emits UNROUNDED scores (NaN for
-    flat-MAD frames; quantize + NULL-convert downstream)."""
+    flat-MAD frames; quantize + NULL-convert downstream).
+
+    NaN parity caveat (same as ``rolling_zscore_stream``): past the
+    Arrow boundary NULL and NaN data are indistinguishable, so the
+    frame filter drops both; the batch twin's ``collect_list`` keeps a
+    literal NaN (only NULL drops) and its sorted-median arithmetic
+    propagates it. Series with NaN DATA values diverge from the batch
+    twin; real event streams carry none."""
     import numpy as np
 
     if window < 2:
