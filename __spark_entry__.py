@@ -978,6 +978,11 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(n²) exactness baseline, quarantined: the operator's built-in
+    max_rows gate (50k) raises before launching the quadratic join on
+    any table larger than validation scale — a driver round can never
+    bill this at production SF. The registered scale path is
+    emb_near_dup_lsh."""
     return embedding_near_dup(
         load(spark, sf_dir, "embeddings"), threshold=EMB_NEAR_DUP
     )
@@ -3646,8 +3651,11 @@ SELECT user_id, event_id, n_window, rzscore
 FROM rz WHERE abs(rzscore) >= {MAD_P["threshold"]}
 """
 
-# OLS trend mirror: identical integer index moments (bigint sums), the
-# same two float sums, same unquantized-slope intercept formula.
+# OLS trend mirror: identical EXACT integer index moments (HUGEINT
+# sums here, decimal(38,0) on the Spark side — neither can wrap at any
+# realistic series length), both converted to double (IEEE
+# round-to-nearest in both engines) before the same double-arithmetic
+# slope formula; same two float sums, same unquantized-slope intercept.
 _TREND_SQL = """
 WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) AS ts_us,
@@ -3663,8 +3671,8 @@ WITH e AS (
 ), agg AS (
   SELECT user_id,
          count(*) AS n,
-         CAST(sum(i) AS BIGINT) AS si,
-         CAST(sum(i * i) AS BIGINT) AS si2,
+         CAST(sum(i) AS DOUBLE) AS si,
+         CAST(sum(CAST(i AS HUGEINT) * i) AS DOUBLE) AS si2,
          sum(y) AS sy,
          sum(i * y) AS siy
   FROM base GROUP BY user_id
@@ -3714,6 +3722,9 @@ FROM c
 
 # Streaming CUSUM mirror: replay the recursion max(0, acc + y) as a
 # seed-0 prefix fold per row — the exact op order of cusum_stream.
+# Rows before the series' first non-null value (empty fold list) emit
+# NULL, matching both the stream's `seen` gate and the batch twin's
+# empty-frame cumulative sum.
 _CUSUM_SQL_STREAM = f"""
 WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) AS ts_us,
@@ -3728,9 +3739,11 @@ WITH e AS (
   FROM e
 ), c AS (
   SELECT user_id, event_id,
-         floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ys),
-               (acc, y) -> greatest(CAST(0.0 AS DOUBLE), acc + y))
-               * 1000000.0 + 0.5) / 1000000.0 AS cusum
+         CASE WHEN len(ys) > 0 THEN
+           floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ys),
+                 (acc, y) -> greatest(CAST(0.0 AS DOUBLE), acc + y))
+                 * 1000000.0 + 0.5) / 1000000.0
+         END AS cusum
   FROM w
 )
 SELECT user_id, event_id, cusum,

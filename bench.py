@@ -6,35 +6,73 @@
 Timing is end-to-end per query: plan + execute + drain results
 (``count()``-style full materialization on the executors, no driver
 collect of payloads).
+
+Segmented execution (r3 verdict item #1): one long-lived JVM degrades
+late in a 134-query suite — generated-class LRU eviction plus JIT
+code-cache churn inflated tail entries 4-40x over their isolated times
+(docs_repetition billed 29.6s vs 3.6s isolated in BENCH_r03). The
+parent process therefore splits the suite into ~45-query segments and
+runs EACH SEGMENT IN ITS OWN FRESH JVM (subprocess), merging the
+per-segment timings into the single result line. Every query now runs
+in a young JVM with a small working set of generated classes, so billed
+times track isolated times; the extra cost is a few session startups,
+which are never timed.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
+import subprocess
 import sys
 import time
 
+# Queries that replay a real Structured Stream build a fresh
+# checkpoint per call, so a per-query prewarm would double their wall
+# cost for nothing (the engine-level streaming warm covers the
+# machinery). NB: name-based "stream" matching alone missed
+# events_late_drop, which replays a stream without carrying the suffix.
+STREAMING = {"events_late_drop"}
 
-def main() -> None:
+# Dropped from the BENCH surface only (still a registered driver query
+# with a green oracle, still unit/recall-tested): the O(n²) exactness
+# baseline — now also hard-quarantined by the operator's max_rows gate.
+SKIP_TIMING = {"emb_near_dup"}
+
+# ~this many queries per JVM: small enough that the generated-class LRU
+# (~100 entries) and JIT code cache never thrash, large enough that the
+# per-segment session startup stays a small fraction of the wall time.
+SEGMENT_SIZE = 45
+
+
+def is_streaming(name: str) -> bool:
+    return "stream" in name or name in STREAMING
+
+
+def timed_query_names() -> list[str]:
+    import __spark_entry__ as entry_mod
+
+    return [n for n in entry_mod.queries() if n not in SKIP_TIMING]
+
+
+def run_segment(seg_idx: int, n_segments: int) -> None:
+    """Child mode: run one contiguous slice of the suite in this JVM and
+    print a partial-result JSON line on stdout."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    sf = sf_dir.rstrip("/").split("sf")[-1]
 
     from pyspark.sql import SparkSession
 
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
-        .appName("symtseries-bench")
+        .appName(f"symtseries-bench-seg{seg_idx}")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        # 118 queries x (warm + timed) generate thousands of classes; the
-        # default 240m JIT code cache silently flushes/throttles C2 late
-        # in the suite and hot join loops degrade (emb_near_dup_lsh 9.4s
-        # at 240m vs 6.0s at 1g, neighbors unaffected). One JVM in local
-        # mode -> driver options cover executors too.
+        # generous JIT code cache: even within a segment, dozens of
+        # generated classes compete; 1g keeps C2 from flushing hot loops
         .config(
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
@@ -58,70 +96,44 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # warm the Structured Streaming machinery the same way (Python state
-    # workers, state-store provider, checkpoint IO): one tiny
-    # micro-batch through a stateful stream, so the first timed
-    # streaming query measures the operator, not engine startup
-    import tempfile
-    import uuid
-
-    from symtseries_spark.streaming.dedup import streaming_exact_dedup
-
-    wdir = tempfile.mkdtemp(prefix="bench_warm_")
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text").limit(256)
-    docs.coalesce(1).write.parquet(f"{wdir}/in")
-    wstream = streaming_exact_dedup(
-        spark.readStream.schema(docs.schema).parquet(f"{wdir}/in")
-    )
-    wq = (
-        wstream.writeStream.format("memory")
-        .queryName(f"warm_{uuid.uuid4().hex[:8]}")
-        .outputMode("append")
-        .option("checkpointLocation", f"{wdir}/chk")
-        .start()
-    )
-    wq.processAllAvailable()
-    wq.stop()
-
-    # Janino codegen pre-warm: queries whose plans carry large
-    # expression trees (the unrolled mindist CASE chains, the HOF
-    # dot-product lambda chain) pay a multi-second one-off compile on
-    # first execution — measured 12.2s cold vs 1.5-2.1s warm for
-    # emb_near_dup at sf0.1. Running the SAME plan shape once at the
-    # smallest SF populates Spark's generated-code cache (keyed on
-    # generated source, which is scale-independent), so the timed run
-    # measures the operator, not the compiler.
     qdict = entry_mod.queries()
+    names = [n for n in qdict if n not in SKIP_TIMING]
+    chunk = math.ceil(len(names) / n_segments)
+    seg_names = names[seg_idx * chunk : (seg_idx + 1) * chunk]
+
+    # warm the Structured Streaming machinery only if this segment has
+    # stream-replay queries (Python state workers, state-store provider,
+    # checkpoint IO): one tiny micro-batch through a stateful stream, so
+    # the first timed streaming query measures the operator, not engine
+    # startup
+    if any(is_streaming(n) for n in seg_names):
+        import tempfile
+        import uuid
+
+        from symtseries_spark.streaming.dedup import streaming_exact_dedup
+
+        wdir = tempfile.mkdtemp(prefix="bench_warm_")
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text").limit(256)
+        docs.coalesce(1).write.parquet(f"{wdir}/in")
+        wstream = streaming_exact_dedup(
+            spark.readStream.schema(docs.schema).parquet(f"{wdir}/in")
+        )
+        wq = (
+            wstream.writeStream.format("memory")
+            .queryName(f"warm_{uuid.uuid4().hex[:8]}")
+            .outputMode("append")
+            .option("checkpointLocation", f"{wdir}/chk")
+            .start()
+        )
+        wq.processAllAvailable()
+        wq.stop()
+
     warm_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
 
-    # Queries that replay a real Structured Stream build a fresh
-    # checkpoint per call, so a per-query prewarm would double their wall
-    # cost for nothing (the engine-level streaming warm above covers the
-    # machinery). NB: name-based "stream" matching alone missed
-    # events_late_drop, which replays a stream without carrying the
-    # suffix.
-    STREAMING = {"events_late_drop"}
-
-    def is_streaming(name: str) -> bool:
-        return "stream" in name or name in STREAMING
-
-    # Dropped from the BENCH surface only (still a registered driver query
-    # with a green oracle, still unit/recall-tested): the O(n²)
-    # exactness baseline's interpreted-HOF pair loop swings 4.7-14s at
-    # sf0.1 with JVM call-site state, drowning the signal of the 117
-    # stable queries. Its scale path (emb_near_dup_lsh) stays timed —
-    # this is the r2 verdict's sanctioned demotion for a
-    # never-run-at-scale validation query.
-    SKIP_TIMING = {"emb_near_dup"}
-
     timings: dict[str, float] = {}
-    total = 0.0
     warm_total = 0.0
-    for name, fn in qdict.items():
-        if name in SKIP_TIMING:
-            print(f"[bench] skip {name} (test-only exactness baseline)",
-                  file=sys.stderr)
-            continue
+    for name in seg_names:
+        fn = qdict[name]
         # INTERLEAVED codegen warm: run the SAME plan once at the
         # smallest SF immediately before timing it. Generated code is
         # scale-independent, so this compiles the query's classes right
@@ -146,14 +158,79 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
-        total += dt
         print(f"[bench] {name}: {dt:.3f}s", file=sys.stderr)
+    print(
+        f"[bench] segment {seg_idx + 1}/{n_segments}: "
+        f"{len(timings)} queries, warm total {warm_total:.1f}s",
+        file=sys.stderr,
+    )
+    print(json.dumps({"timings": timings, "warm_total": round(warm_total, 3)}))
+    sys.stdout.flush()
+    try:
+        spark.stop()
+    except Exception:
+        pass
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    # host-load context for the record: this shared VM has documented
+    # load windows that inflate timings up to 7x (BASELINE.md) — stamp
+    # the loadavg so a hot run is diagnosable from the artifact alone
+    try:
+        with open("/proc/loadavg") as fh:
+            print(f"[bench] /proc/loadavg: {fh.read().strip()}", file=sys.stderr)
+    except OSError:
+        pass
+
+    names = timed_query_names()
+    n_segments = max(1, math.ceil(len(names) / SEGMENT_SIZE))
+    print(
+        f"[bench] {len(names)} queries across {n_segments} fresh-JVM segments",
+        file=sys.stderr,
+    )
+
+    timings: dict[str, float] = {}
+    warm_total = 0.0
+    failed: list[int] = []
+    for i in range(n_segments):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--segment", str(i), str(n_segments)],
+            cwd=here,
+            stdout=subprocess.PIPE,
+            stderr=sys.stderr,
+            text=True,
+        )
+        parsed = None
+        for line in reversed(proc.stdout.splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    parsed = json.loads(line)
+                    break
+                except json.JSONDecodeError:
+                    continue
+        if proc.returncode != 0 or parsed is None:
+            print(
+                f"[bench] segment {i + 1}/{n_segments} FAILED "
+                f"(rc={proc.returncode})",
+                file=sys.stderr,
+            )
+            failed.append(i)
+            continue
+        timings.update(parsed["timings"])
+        warm_total += parsed.get("warm_total", 0.0)
+
+    total = sum(timings.values())
     print(f"[bench] warm total: {warm_total:.1f}s", file=sys.stderr)
 
     # The JSON line is the ONLY stdout content, and it must be SHORT:
     # the round driver captures a bounded tail of stdout (2000 chars in
     # BENCH_r02.json) and parses the result line out of it — the full
-    # 108-query dict is ~2900 chars, so its head fell outside the buffer
+    # per-query dict is ~2900 chars, so its head fell outside the buffer
     # and the round recorded `parsed: null` even though the line was
     # complete. Keep the stdout line comfortably under that bound by
     # including only the most expensive queries (the informative ones —
@@ -166,10 +243,9 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
-        "w",
-    ) as fh:
+    if failed:
+        full["failed_segments"] = failed
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
         json.dump(full, fh, indent=1)
 
     budget = 1500  # stdout line budget << driver's 2000-char tail buffer
@@ -187,11 +263,10 @@ def main() -> None:
     )
     print(line, flush=True)
     sys.stdout.flush()
-    try:
-        spark.stop()
-    except Exception:
-        pass
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 4 and sys.argv[1] == "--segment":
+        run_segment(int(sys.argv[2]), int(sys.argv[3]))
+    else:
+        main()

@@ -452,35 +452,44 @@ def sax_word_mindist(
     STRUCT(dist, above, below), unrolled per position with literal-array
     lookups — codegen-friendly for all-pairs joins.
 
-    Letter chars map to substituted letter indices via a CASE pair, then
-    ``element_at`` into the flat plan-time LUT (src/symtseries.c:585-636).
-    ``n``/``n_b`` follow the same wildcard + per-row conflict rules as
-    :func:`sax_mindist_parts` (conflicting nonzero n values -> NULL).
+    Letter chars map to letter indices via one CASE each, then a SHARED
+    pair index drives two ``element_at`` lookups into plan-time
+    (c+1)²-entry literal LUTs (src/symtseries.c:585-636). The
+    '#'-substitution rule and the above/below orientation are baked
+    INTO the LUT values at plan time (via :func:`_contrib_const`), not
+    unrolled as per-position CASE logic — ~3x less generated code per
+    position, which keeps janino compile + JIT warm-up of the
+    whole-stage method cheap and stable (the unrolled form made the
+    w=4/c=8 all-pairs plan's first execution swing by multiple seconds
+    on cold code caches). ``n``/``n_b`` follow the same wildcard +
+    per-row conflict rules as :func:`sax_mindist_parts` (conflicting
+    nonzero n values -> NULL).
     """
-    lut2 = F.array(*[F.lit(d * d) for d in MINDIST_LUT[c]])
+    size = c + 1  # letter index c encodes '#'
+    d2_flat: list[float] = []
+    ab_flat: list[float] = []
+    for la_i in range(size):
+        for lb_i in range(size):
+            d2v, is_above = _contrib_const(la_i, lb_i, c)
+            d2_flat.append(d2v)
+            ab_flat.append(d2v if is_above else 0.0)
+    lut_d2 = F.array(*[F.lit(v) for v in d2_flat])
+    lut_ab = F.array(*[F.lit(v) for v in ab_flat])
 
     def letter_idx(ch: Column) -> Column:
         # '#' -> c, letters -> 0..c-1 (ascii('A') = 65)
         return F.when(ch == MISSING, F.lit(c)).otherwise(F.ascii(ch) - 65)
 
-    def substituted(own: Column, other: Column) -> Column:
-        return F.when(
-            own == c,
-            F.when(other < F.lit(c - 1) - other, F.lit(c - 1)).otherwise(F.lit(0)),
-        ).otherwise(own)
-
     total = F.lit(0.0)
     above = F.lit(0.0)
     for i in range(1, w + 1):
-        la = letter_idx(F.substring(word_a, i, 1))
-        lb = letter_idx(F.substring(word_b, i, 1))
-        la2 = substituted(la, lb)
-        lb2 = substituted(lb, la)
-        d2 = F.when(la == lb, F.lit(0.0)).otherwise(
-            F.element_at(lut2, la2 * c + lb2 + 1)
+        idx = (
+            letter_idx(F.substring(word_a, i, 1)) * size
+            + letter_idx(F.substring(word_b, i, 1))
+            + 1
         )
-        total = total + d2
-        above = above + F.when((la != lb) & (la2 > lb2), d2).otherwise(0.0)
+        total = total + F.element_at(lut_d2, idx)
+        above = above + F.element_at(lut_ab, idx)
 
     n_eff, conflict = _resolve_n(n, n_b, F.lit(w))
     comp = F.sqrt(n_eff.cast("double") / F.lit(w))

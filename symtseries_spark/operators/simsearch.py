@@ -135,10 +135,21 @@ def mmr_rerank(
         ),
         "vec_id",
     )
-    a = cvecs.select(
-        F.col("vec_id").alias("__a"), F.col("__v").alias("__va")
+    # ONE action against the distributed plan: collect the candidate
+    # snapshot (id, rel, vector) — ≤ n_candidates rows — then derive
+    # BOTH rel and the pairwise sims from that single snapshot, so a
+    # concurrently-changing source table cannot make the rel dict and
+    # the sim matrix diverge mid-greedy. The pair cosines still run
+    # through the SAME Spark `cosine` expression (on a local DataFrame
+    # built from the snapshot), keeping the arithmetic bit-identical to
+    # the oracle's replay.
+    spark = vectors.sparkSession
+    snap_rows = cvecs.select("vec_id", "cos", "__v").collect()
+    snap = spark.createDataFrame(
+        snap_rows, cvecs.select("vec_id", "cos", "__v").schema
     )
-    b = cvecs.select(F.col("vec_id").alias("__b"), F.col("__v").alias("__vb"))
+    a = snap.select(F.col("vec_id").alias("__a"), F.col("__v").alias("__va"))
+    b = snap.select(F.col("vec_id").alias("__b"), F.col("__v").alias("__vb"))
     pair_rows = (
         a.join(F.broadcast(b), F.col("__a") != F.col("__b"))
         .select(
@@ -148,11 +159,9 @@ def mmr_rerank(
         )
         .collect()
     )
-    # rel comes from the candidate rows themselves, NOT the pair join —
+    # rel comes from the candidate snapshot itself, NOT the pair join —
     # a single-candidate result set has no pairs but must still rank
-    rel: dict[int, float] = {
-        r["vec_id"]: r["cos"] for r in cand.select("vec_id", "cos").collect()
-    }
+    rel: dict[int, float] = {r["vec_id"]: r["cos"] for r in snap_rows}
     sim: dict[tuple[int, int], float] = {}
     for r in pair_rows:
         sim[(r["__a"], r["__b"])] = r["__s"]
@@ -172,7 +181,6 @@ def mmr_rerank(
                 best = (c, score)
         selected.append(best)
         remaining.remove(best[0])
-    spark = vectors.sparkSession
     out = [
         (i + 1, vid, math.floor(score * 1e6 + 0.5) / 1e6)
         for i, (vid, score) in enumerate(selected)
@@ -532,6 +540,7 @@ def embedding_near_dup(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int = 50_000,
 ) -> DataFrame:
     """Exact embedding near-dup pairs: cosine >= threshold over all pairs
     -> ``(vec_a, vec_b, cos)``.
@@ -543,12 +552,27 @@ def embedding_near_dup(
     cost follows bucket occupancy), which is the one a 100 TB pipeline
     should call.
 
+    ``max_rows`` is the quarantine gate: the operator counts the input
+    up front (for a parquet scan this is footer metadata, no data read)
+    and raises ``ValueError`` above the bound instead of launching an
+    O(n²) job — so the registered validation query can never be billed
+    at a scale where the baseline stops being a baseline. Pass a larger
+    ``max_rows`` explicitly to accept the quadratic cost on purpose.
+
     Per-pair work is a single dot product: each row's norm is computed
     ONCE before the join (the same double value the per-pair formula
     would produce, so the oracle still agrees bit-for-bit), and the probe
     side is repartitioned so the nested-loop join runs one task per core
     instead of inheriting the scan's (often single) partitioning.
     """
+    n_rows = vectors.count()
+    if n_rows > max_rows:
+        raise ValueError(
+            f"embedding_near_dup is the O(n²) exactness baseline and is "
+            f"quarantined above max_rows={max_rows} (input has {n_rows} "
+            f"rows) — use embedding_near_dup_lsh for production scale, "
+            f"or pass max_rows explicitly to accept the quadratic cost"
+        )
     base = vectors.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("__v"),

@@ -146,8 +146,14 @@ def linear_trend(
     aggregate — mirror the left-join back yourself if presence
     matters).
 
-    The index moments (``sum i``, ``sum i²``) are EXACT bigint sums —
-    no float freedom — so the only float aggregations are ``sum y`` and
+    The index moments (``sum i``, ``sum i²``) are EXACT wide-integer
+    sums — ``decimal(38,0)`` here, ``HUGEINT`` in the DuckDB twin — so
+    they cannot wrap for any realistic series (an int64 ``sum i²``
+    silently overflows past ~3.04M rows/series under non-ANSI Spark;
+    decimal stays exact to ``n < ~4.6e12``). Both engines then convert
+    the exact moments to double (IEEE round-to-nearest, identical in
+    both) and run the same double-arithmetic slope formula, so parity
+    holds at any scale. The only float aggregations are ``sum y`` and
     ``sum i*y`` (quantization absorbs their summation-order ulp, the
     same convention as the corpus LM scores). One row_number window
     pass + one map-side-combinable groupBy on the series key: the
@@ -163,20 +169,23 @@ def linear_trend(
     base = df.select(
         F.col(key), y.alias("__y"), idx.alias("__i"),
     ).where(F.col("__y").isNotNull())
+    i_dec = F.col("__i").cast("decimal(19,0)")
     agg = base.groupBy(key).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("__i").alias("__si"),
-        F.sum(F.col("__i") * F.col("__i")).alias("__si2"),
+        F.sum(F.col("__i").cast("decimal(38,0)")).alias("__si_w"),
+        F.sum(i_dec * i_dec).alias("__si2_w"),
         F.sum("__y").alias("__sy"),
         F.sum(F.col("__i") * F.col("__y")).alias("__siy"),
     )
     n = F.col("n").cast("double")
-    denom = n * F.col("__si2") - F.col("__si") * F.col("__si")
+    si = F.col("__si_w").cast("double")
+    si2 = F.col("__si2_w").cast("double")
+    denom = n * si2 - si * si
     slope = F.when(
         (F.col("n") >= 2) & (denom != 0),
-        (n * F.col("__siy") - F.col("__si") * F.col("__sy")) / denom,
+        (n * F.col("__siy") - si * F.col("__sy")) / denom,
     )
-    intercept = (F.col("__sy") - slope * F.col("__si")) / n
+    intercept = (F.col("__sy") - slope * si) / n
     return agg.select(
         key,
         "n",

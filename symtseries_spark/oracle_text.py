@@ -856,7 +856,8 @@ FROM fresh GROUP BY content_hash
 def hll_distinct_sql(*, p: int = 9, table: str = "documents") -> str:
     """Mirror of sketches.hll_registers + hll_estimate over the
     normalized document text: identical bucket/rank integer math, exact
-    integer harmonic sum (2^(52-rank) lifted terms), same alpha literal
+    integer harmonic sum (2^(61-p-rank) lifted terms — lift exponent is
+    rank width + 1, not a constant), same alpha literal
     and small-range correction."""
     from .operators.sketches import hll_alpha, hll_rank_width
 

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     LongType,
     StructField,
@@ -61,7 +62,10 @@ def cusum_stream(
     which is what a production drift monitor wants (alarm on arrival,
     no reprocessing). Same arrival-order/null-skip/quantize-downstream
     conventions as :func:`ewma_stream`; the oracle replays the exact
-    recursion as a seed-0 list fold.
+    recursion as a seed-0 list fold. Rows BEFORE the first non-null
+    value of their series emit NULL (matching the batch twin, whose
+    cumulative sum over an empty frame is NULL) — the state carries a
+    ``seen`` flag so the convention survives micro-batch boundaries.
 
     NaN parity caveat (same as ``rolling_zscore_stream``): past the
     Arrow boundary NULL and NaN data are indistinguishable, so the
@@ -78,14 +82,22 @@ def cusum_stream(
             StructField(out, DoubleType()),
         ]
     )
-    state_schema = StructType([StructField("acc", DoubleType())])
+    state_schema = StructType(
+        [
+            StructField("acc", DoubleType()),
+            StructField("seen", BooleanType()),
+        ]
+    )
     cols = [key, *order, value]
     shift = float(target) + float(slack)
 
     def handle(
         key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        acc = state.get[0] if state.exists else 0.0
+        acc, seen = (state.get[0], bool(state.get[1])) if state.exists else (
+            0.0,
+            False,
+        )
         whole = coalesce_chunks(pdfs)
         if whole is not None:
             pdf = whole.sort_values(order, kind="mergesort")
@@ -93,12 +105,15 @@ def cusum_stream(
             outs = []
             # NULL/NaN values are skipped from the fold (mirrors the
             # batch operator, whose window sum drops nulls); the row
-            # still emits the running statistic.
+            # still emits the running statistic — except BEFORE the
+            # first valid value, where the batch twin's empty-frame
+            # cumulative sum is NULL, so the stream emits None too.
             for x in vals:
                 x = float(x)
                 if x == x:  # not NaN
                     acc = max(0.0, acc + (x - shift))
-                outs.append(acc)
+                    seen = True
+                outs.append(acc if seen else None)
             yield pd.DataFrame(
                 {
                     key_field.name: pdf[key].to_numpy(),
@@ -107,7 +122,7 @@ def cusum_stream(
                     out: pd.array(outs, dtype="Float64"),
                 }
             )
-        state.update((float(acc),))
+        state.update((float(acc), bool(seen)))
 
     return (
         events.select(*cols)
