@@ -144,6 +144,11 @@ ANN = dict(query_id=0, k=10, num_planes=4, seed=13)
 MMR = dict(query_id=0, n_candidates=32, k=10, lam=0.5)
 KNN = dict(max_query_id=5, k=10)
 IVF = dict(query_id=3, k=20, num_lists=8)
+# Recall@k reporting panel for the approximate ANN legs (r3 verdict
+# item #8): 8 queries, recall of each approximate top-10 vs the exact
+# top-10, as a driver-gated query result. nprobe=2 of 8 lists is the
+# partial-probe point the property tests exercise.
+RECALL = dict(max_query_id=8, k=10, ivf_nprobe=2)
 PQ = dict(query_id=3, k=20, m=4, ks=16, dim=EMB_DIM)
 
 
@@ -973,6 +978,48 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=IVF["k"],
         num_lists=IVF["num_lists"],
         nprobe=IVF["num_lists"],
+        dim=EMB_DIM,
+    )
+
+
+def q_emb_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible recall@k of single-bucket LSH vs exact top-k
+    (operators/simsearch.py:ann_lsh_recall) — approximation quality as
+    an oracle-gated query result, not just a property test."""
+    from symtseries_spark.operators.simsearch import ann_lsh_recall
+
+    return ann_lsh_recall(
+        load(spark, sf_dir, "embeddings"),
+        max_query_id=RECALL["max_query_id"], k=RECALL["k"],
+        num_planes=ANN["num_planes"], seed=ANN["seed"], dim=EMB_DIM,
+        probe_hamming=0,
+    )
+
+
+def q_emb_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of hamming-1 multiprobe LSH vs exact top-k — shows the
+    multiprobe recall lift over q_emb_lsh_recall at ~num_planes+1 times
+    the scanned buckets."""
+    from symtseries_spark.operators.simsearch import ann_lsh_recall
+
+    return ann_lsh_recall(
+        load(spark, sf_dir, "embeddings"),
+        max_query_id=RECALL["max_query_id"], k=RECALL["k"],
+        num_planes=ANN["num_planes"], seed=ANN["seed"], dim=EMB_DIM,
+        probe_hamming=1,
+    )
+
+
+def q_emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of PARTIAL-probe IVF (nprobe=2 of 8 lists, seed-only
+    quantizer for cross-engine parity) vs exact top-k
+    (operators/simsearch.py:ivf_recall)."""
+    from symtseries_spark.operators.simsearch import ivf_recall
+
+    return ivf_recall(
+        load(spark, sf_dir, "embeddings"),
+        max_query_id=RECALL["max_query_id"], k=RECALL["k"],
+        num_lists=IVF["num_lists"], nprobe=RECALL["ivf_nprobe"],
         dim=EMB_DIM,
     )
 
@@ -3373,59 +3420,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Registry order = driver-verification priority, NOT topic order:
         # the round driver's correctness window checks a ~50-entry
-        # prefix, so entries go (1) queries whose parity changed this
-        # round, (2) queries never covered by a driver round, (3) ones
-        # last covered in round 1, (4) the long-stable re-verified tail.
-        "events_mad_anomaly": q_events_mad_anomaly,
-        "events_mad_stream": q_events_mad_stream,
-        "events_trend": q_events_trend,
-        "docs_corpus_filter2": q_docs_corpus_filter2,
-        "docs_hll_distinct": q_docs_hll_distinct,
-        "docs_hll_stream": q_docs_hll_stream,
-        "emb_mmr_rerank": q_emb_mmr_rerank,
-        "events_cusum": q_events_cusum,
-        "events_cusum_stream": q_events_cusum_stream,
-        "emb_int8_quant": q_emb_int8_quant,
-        "docs_bigram_lp": q_docs_bigram_lp,
-        "docs_winnow": q_docs_winnow,
-        "dedup_winnow_pairs": q_dedup_winnow_pairs,
-        "dedup_containment": q_dedup_containment,
-        "docs_boilerplate": q_docs_boilerplate,
-        "events_holt": q_events_holt,
-        "events_holt_stream": q_events_holt_stream,
-        "events_ewma": q_events_ewma,
-        "events_ewma_stream": q_events_ewma_stream,
-        "docs_contamination": q_docs_contamination,
-        "docs_chunk": q_docs_chunk,
-        "docs_scrub": q_docs_scrub,
-        "docs_unigram_lp": q_docs_unigram_lp,
-        "docs_vocab_coverage": q_docs_vocab_coverage,
-        "docs_mixture_sample": q_docs_mixture_sample,
-        "docs_train_order": q_docs_train_order,
-        "emb_ivf_at_rest": q_emb_ivf_at_rest,
-        "dedup_incremental": q_dedup_incremental,
-        "docs_pmi_bigrams": q_docs_pmi_bigrams,
-        "emb_dedup_keep": q_emb_dedup_keep,
-        "events_funnel": q_events_funnel,
-        "events_funnel_stream": q_events_funnel_stream,
-        "docs_cms_terms": q_docs_cms_terms,
-        "docs_cms_stream": q_docs_cms_stream,
-        "events_late_drop": q_events_late_drop,
-        "events_cube": q_events_cube,
-        "events_retention": q_events_retention,
-        "events_dow_hour": q_events_dow_hour,
-        "docs_corpus_filter": q_docs_corpus_filter,
-        "dedup_lsh_refined": q_dedup_lsh_refined,
-        "dedup_keep": q_dedup_keep,
-        "docs_clean": q_docs_clean,
-        "dedup_exact_stream": q_dedup_exact_stream,
-        "events_asof_join": q_events_asof_join,
-        "events_asof_tolerance": q_events_asof_tolerance,
-        "docs_kmv_distinct": q_docs_kmv_distinct,
-        "docs_stratified_sample": q_docs_stratified_sample,
-        "docs_pack_shards": q_docs_pack_shards,
-        "events_interval_agg": q_events_interval_agg,
-        "events_sessions": q_events_sessions,
+        # prefix, so entries go (1) queries NEW or changed this round
+        # (3 recall reports), (2) the 16 queries never covered by a
+        # driver round (r3 verdict item #2), (3) the 21 last covered in
+        # round 1, (4) round-2-covered entries rotating through,
+        # (5) the round-3-verified tail.
+        "emb_lsh_recall": q_emb_lsh_recall,
+        "emb_multiprobe_recall": q_emb_multiprobe_recall,
+        "emb_ivf_recall": q_emb_ivf_recall,
         "events_sessions_stream": q_events_sessions_stream,
         "events_histogram": q_events_histogram,
         "events_ntile": q_events_ntile,
@@ -3511,6 +3513,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lang_confusion": q_docs_lang_confusion,
         "docs_bloom_prefilter": q_docs_bloom_prefilter,
         "emb_pq_topk": q_emb_pq_topk,
+        "events_mad_anomaly": q_events_mad_anomaly,
+        "events_mad_stream": q_events_mad_stream,
+        "events_trend": q_events_trend,
+        "docs_corpus_filter2": q_docs_corpus_filter2,
+        "docs_hll_distinct": q_docs_hll_distinct,
+        "docs_hll_stream": q_docs_hll_stream,
+        "emb_mmr_rerank": q_emb_mmr_rerank,
+        "events_cusum": q_events_cusum,
+        "events_cusum_stream": q_events_cusum_stream,
+        "emb_int8_quant": q_emb_int8_quant,
+        "docs_bigram_lp": q_docs_bigram_lp,
+        "docs_winnow": q_docs_winnow,
+        "dedup_winnow_pairs": q_dedup_winnow_pairs,
+        "dedup_containment": q_dedup_containment,
+        "docs_boilerplate": q_docs_boilerplate,
+        "events_holt": q_events_holt,
+        "events_holt_stream": q_events_holt_stream,
+        "events_ewma": q_events_ewma,
+        "events_ewma_stream": q_events_ewma_stream,
+        "docs_contamination": q_docs_contamination,
+        "docs_chunk": q_docs_chunk,
+        "docs_scrub": q_docs_scrub,
+        "docs_unigram_lp": q_docs_unigram_lp,
+        "docs_vocab_coverage": q_docs_vocab_coverage,
+        "docs_mixture_sample": q_docs_mixture_sample,
+        "docs_train_order": q_docs_train_order,
+        "emb_ivf_at_rest": q_emb_ivf_at_rest,
+        "dedup_incremental": q_dedup_incremental,
+        "docs_pmi_bigrams": q_docs_pmi_bigrams,
+        "emb_dedup_keep": q_emb_dedup_keep,
+        "events_funnel": q_events_funnel,
+        "events_funnel_stream": q_events_funnel_stream,
+        "docs_cms_terms": q_docs_cms_terms,
+        "docs_cms_stream": q_docs_cms_stream,
+        "events_late_drop": q_events_late_drop,
+        "events_cube": q_events_cube,
+        "events_retention": q_events_retention,
+        "events_dow_hour": q_events_dow_hour,
+        "docs_corpus_filter": q_docs_corpus_filter,
+        "dedup_lsh_refined": q_dedup_lsh_refined,
+        "dedup_keep": q_dedup_keep,
+        "docs_clean": q_docs_clean,
+        "dedup_exact_stream": q_dedup_exact_stream,
+        "events_asof_join": q_events_asof_join,
+        "events_asof_tolerance": q_events_asof_tolerance,
+        "docs_kmv_distinct": q_docs_kmv_distinct,
+        "docs_stratified_sample": q_docs_stratified_sample,
+        "docs_pack_shards": q_docs_pack_shards,
+        "events_interval_agg": q_events_interval_agg,
+        "events_sessions": q_events_sessions,
     }
 
 
@@ -4808,6 +4860,21 @@ FROM documents
         # full-probe IVF scans every list -> provably the exact top-k
         "emb_ivf_topk": ov.cosine_topk_sql(
             query_id=IVF["query_id"], k=IVF["k"], dim=EMB_DIM
+        ),
+        "emb_lsh_recall": ov.ann_lsh_recall_sql(
+            max_query_id=RECALL["max_query_id"], k=RECALL["k"],
+            num_planes=ANN["num_planes"], seed=ANN["seed"], dim=EMB_DIM,
+            probe_hamming=0,
+        ),
+        "emb_multiprobe_recall": ov.ann_lsh_recall_sql(
+            max_query_id=RECALL["max_query_id"], k=RECALL["k"],
+            num_planes=ANN["num_planes"], seed=ANN["seed"], dim=EMB_DIM,
+            probe_hamming=1,
+        ),
+        "emb_ivf_recall": ov.ivf_recall_sql(
+            max_query_id=RECALL["max_query_id"], k=RECALL["k"],
+            num_lists=IVF["num_lists"], nprobe=RECALL["ivf_nprobe"],
+            dim=EMB_DIM,
         ),
         "emb_ivf_at_rest": ov.cosine_topk_sql(
             query_id=IVF["query_id"], k=IVF["k"], dim=EMB_DIM

@@ -292,3 +292,158 @@ cb AS (
 )
 SELECT vec_id, adc FROM adc ORDER BY adc, vec_id LIMIT {k}
 """
+
+
+def _sq_l2_expr(a: str, b: str, dim: int) -> str:
+    """Mirror of simsearch._sq_l2: left-to-right fold of (a[i]-b[i])²."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {dim + 1}), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        f"* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def _recall_tail_sql(k: int) -> str:
+    """Shared approx-vs-exact recall tail: expects CTEs ``q(query_id)``,
+    ``approx(query_id, cand_id)`` (rank already applied) and
+    ``exact(query_id, neighbor_id)`` to be in scope."""
+    return f"""
+, a_cnt AS (
+  SELECT query_id, count(*) AS n_approx FROM approx GROUP BY query_id
+), h_cnt AS (
+  SELECT a.query_id, count(*) AS n_hit
+  FROM approx a JOIN exact e
+    ON a.query_id = e.query_id AND a.cand_id = e.neighbor_id
+  GROUP BY a.query_id
+)
+SELECT q.query_id,
+       coalesce(n_approx, 0) AS n_approx,
+       coalesce(n_hit, 0) AS n_hit,
+       round(CAST(coalesce(n_hit, 0) AS DOUBLE)
+             / CAST({k} AS DOUBLE), 6) AS recall
+FROM q
+LEFT JOIN a_cnt ON q.query_id = a_cnt.query_id
+LEFT JOIN h_cnt ON q.query_id = h_cnt.query_id
+"""
+
+
+def _exact_topk_cte(*, max_query_id: int, k: int, dim: int, table: str) -> str:
+    """knn_join mirror as an ``exact(query_id, neighbor_id)`` CTE body."""
+    return f"""
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT eq.query_id, v.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY eq.query_id
+             ORDER BY round({cosine_expr('v.embedding', 'eq.qv', dim)}, 6)
+               DESC, v.vec_id) AS r
+    FROM {table} v, (
+      SELECT vec_id AS query_id, embedding AS qv FROM {table}
+      WHERE vec_id < {max_query_id}) eq
+    WHERE v.vec_id != eq.query_id)
+  WHERE r <= {k}
+)"""
+
+
+def ann_lsh_recall_sql(
+    *,
+    max_query_id: int,
+    k: int,
+    num_planes: int,
+    seed: int,
+    dim: int,
+    probe_hamming: int = 0,
+    table: str = "embeddings",
+) -> str:
+    """Twin of simsearch.ann_lsh_recall: LSH approximate top-k per panel
+    query vs exact top-k, joined into (query_id, n_approx, n_hit,
+    recall)."""
+    planes = hyperplanes(num_planes, dim, seed)
+    bucket = bucket_expr("embedding", planes, dim)
+    probe = (
+        "b.bucket = q.qbucket"
+        if probe_hamming == 0
+        else (
+            f"bit_count(xor(CAST(b.bucket AS BIGINT), "
+            f"CAST(q.qbucket AS BIGINT))) <= {probe_hamming}"
+        )
+    )
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id AS cand_id, embedding, {bucket} AS bucket FROM {table}
+), q AS (
+  SELECT cand_id AS query_id, embedding AS qv, bucket AS qbucket
+  FROM bucketed WHERE cand_id < {max_query_id}
+), approx AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.query_id, b.cand_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round({cosine_expr('b.embedding', 'q.qv', dim)}, 6)
+               DESC, b.cand_id) AS r
+    FROM bucketed b, q
+    WHERE {probe} AND b.cand_id != q.query_id)
+  WHERE r <= {k}
+), {_exact_topk_cte(max_query_id=max_query_id, k=k, dim=dim, table=table)}
+{_recall_tail_sql(k)}
+"""
+
+
+def ivf_recall_sql(
+    *,
+    max_query_id: int,
+    k: int,
+    num_lists: int,
+    nprobe: int,
+    dim: int,
+    table: str = "embeddings",
+) -> str:
+    """Twin of simsearch.ivf_recall (seed-only quantizer,
+    ivf_index(refine=False)): centroids are the num_lists lowest-id raw
+    vectors, assignment/probe are argmin over the same left-to-right
+    squared-L2 fold with (d2, list_id) tie order — no cross-engine mean
+    arithmetic anywhere."""
+    assign_d2 = _sq_l2_expr("v.embedding", "s.centroid", dim)
+    probe_d2 = _sq_l2_expr("s.centroid", "q.qv", dim)
+    return f"""
+WITH seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id,
+         embedding AS centroid
+  FROM (SELECT vec_id, embedding FROM {table}
+        ORDER BY vec_id LIMIT {num_lists})
+), assigned AS (
+  SELECT vec_id, embedding, list_id FROM (
+    SELECT v.vec_id, v.embedding, s.list_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {assign_d2}, s.list_id) AS r
+    FROM {table} v, seeds s)
+  WHERE r = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM {table}
+  WHERE vec_id < {max_query_id}
+), probe AS (
+  SELECT query_id, list_id FROM (
+    SELECT q.query_id, s.list_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {probe_d2}, s.list_id) AS r
+    FROM seeds s, q)
+  WHERE r <= {nprobe}
+), approx AS (
+  SELECT query_id, cand_id FROM (
+    SELECT p.query_id, a.vec_id AS cand_id,
+           row_number() OVER (
+             PARTITION BY p.query_id
+             ORDER BY round({cosine_expr('a.embedding', 'q.qv', dim)}, 6)
+               DESC, a.vec_id) AS r
+    FROM assigned a
+    JOIN probe p ON a.list_id = p.list_id
+    JOIN q ON q.query_id = p.query_id
+    WHERE a.vec_id != p.query_id)
+  WHERE r <= {k}
+), {_exact_topk_cte(max_query_id=max_query_id, k=k, dim=dim, table=table)}
+{_recall_tail_sql(k)}
+"""

@@ -1,0 +1,78 @@
+"""Tests for the driver-visible recall reporting queries
+(simsearch.ann_lsh_recall / ivf_recall) and the embedding_near_dup
+quarantine gate."""
+
+import pytest
+
+from symtseries_spark.operators.simsearch import (
+    ann_lsh_recall,
+    embedding_near_dup,
+    ivf_recall,
+)
+from symtseries_spark.sources import load
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load(spark, sf_dir, "embeddings")
+
+
+class TestAnnRecall:
+    def test_lsh_recall_shape_and_bounds(self, emb):
+        rows = ann_lsh_recall(
+            emb, max_query_id=4, k=5, num_planes=4, seed=13, dim=64
+        ).collect()
+        assert {r["query_id"] for r in rows} == {0, 1, 2, 3}
+        for r in rows:
+            assert 0 <= r["n_hit"] <= r["n_approx"] <= 5 or r["n_approx"] >= 5
+            assert 0.0 <= r["recall"] <= 1.0
+            assert r["recall"] == pytest.approx(r["n_hit"] / 5, abs=1e-9)
+
+    def test_multiprobe_dominates_single_bucket(self, emb):
+        """Hamming-1 probing scans a strict superset of the single
+        bucket, and a superset candidate pool can only displace an
+        exact-top-k member with another exact-top-k member — so per-query
+        hits are monotone in the probe radius."""
+        single = {
+            r["query_id"]: r["n_hit"]
+            for r in ann_lsh_recall(
+                emb, max_query_id=4, k=5, num_planes=4, seed=13, dim=64,
+                probe_hamming=0,
+            ).collect()
+        }
+        multi = {
+            r["query_id"]: r["n_hit"]
+            for r in ann_lsh_recall(
+                emb, max_query_id=4, k=5, num_planes=4, seed=13, dim=64,
+                probe_hamming=1,
+            ).collect()
+        }
+        for qid, hits in single.items():
+            assert multi[qid] >= hits
+
+    def test_ivf_full_probe_recall_is_one(self, emb):
+        """Probing every list scans the whole corpus -> the approximate
+        top-k IS the exact top-k, recall exactly 1.0 for every query."""
+        rows = ivf_recall(
+            emb, max_query_id=4, k=5, num_lists=4, nprobe=4, dim=64
+        ).collect()
+        assert len(rows) == 4
+        assert all(r["recall"] == 1.0 for r in rows)
+
+    def test_ivf_partial_probe_bounds(self, emb):
+        rows = ivf_recall(
+            emb, max_query_id=4, k=5, num_lists=8, nprobe=2, dim=64
+        ).collect()
+        for r in rows:
+            assert 0.0 <= r["recall"] <= 1.0
+
+
+class TestNearDupQuarantine:
+    def test_guard_raises_above_bound(self, emb):
+        with pytest.raises(ValueError, match="quarantined"):
+            embedding_near_dup(emb, threshold=0.4, max_rows=10)
+
+    def test_guard_passes_at_validation_scale(self, emb):
+        # default bound (50k) admits the validation tables
+        df = embedding_near_dup(emb.limit(50), threshold=0.4)
+        assert df.columns == ["vec_a", "vec_b", "cos"]
