@@ -745,15 +745,18 @@ def q_sax_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, key="user_id", order=["ts", "event_id"], value="value", **SLIDE
     )
     name = f"sax_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        words.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sax_stream_chk_"))
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    # keyed state is partition-count-invariant; size the state
+    # store to the key cardinality, not the batch default
+    with _state_partitions(spark):
+        q = (
+            words.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="sax_stream_chk_"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return spark.table(name).select("user_id", "event_id", "sax_word")
 
 
@@ -1345,15 +1348,18 @@ def q_events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"enrich_{uuid.uuid4().hex[:8]}"
-    q = (
-        enriched.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="enrich_chk_"))
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    # keyed state is partition-count-invariant; size the state
+    # store to the key cardinality, not the batch default
+    with _state_partitions(spark):
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="enrich_chk_"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return (
         spark.table(name)
         .select(
@@ -1611,15 +1617,18 @@ def q_dedup_exact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = streaming_exact_dedup(stream)
     name = f"dedup_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="dedup_chk_"))
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    # keyed state is partition-count-invariant; size the state
+    # store to the key cardinality, not the batch default
+    with _state_partitions(spark):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="dedup_chk_"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return spark.table(name).select(
         "doc_id", "content_hash", "canonical_id", "is_duplicate"
     )
@@ -1684,15 +1693,18 @@ def q_dedup_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard_state=64,
     )
     name = f"mh_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        per_band.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="mh_chk_"))
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    # keyed state is partition-count-invariant; size the state
+    # store to the key cardinality, not the batch default
+    with _state_partitions(spark, n=8):
+        q = (
+            per_band.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="mh_chk_"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return (
         spark.table(name)
         .groupBy("doc_id")
@@ -2430,15 +2442,18 @@ def q_events_ewma_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha=EWMA_P["alpha"],
     )
     name = f"ewma_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        ew.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ewma_chk_"))
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    # keyed state is partition-count-invariant; size the state
+    # store to the key cardinality, not the batch default
+    with _state_partitions(spark):
+        q = (
+            ew.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ewma_chk_"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     from symtseries_spark.operators import quantize
 
     return spark.table(name).select(
@@ -2516,15 +2531,18 @@ def q_events_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stages=list(FUNNEL_STAGES), order=["ts_us", "event_id"],
     )
     name = f"funnel_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        trans.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="fun_chk_"))
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    # keyed state is partition-count-invariant; size the state
+    # store to the key cardinality, not the batch default
+    with _state_partitions(spark):
+        q = (
+            trans.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="fun_chk_"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return spark.table(name).select("user_id", "stage_idx", "stage", "ts_us")
 
 
@@ -2912,15 +2930,18 @@ def q_events_anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         window=ANOM_WINDOW,
     )
     name = f"anom_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        z.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="anom_chk_"))
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    # keyed state is partition-count-invariant; size the state
+    # store to the key cardinality, not the batch default
+    with _state_partitions(spark):
+        q = (
+            z.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="anom_chk_"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     rounded = F.round(F.when(~F.isnan("zscore"), F.col("zscore")), 4)
     return (
         spark.table(name)
@@ -3154,15 +3175,18 @@ def q_events_mad_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         window=MAD_P["window"],
     )
     name = f"mad_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        ms.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="mad_chk_"))
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    # keyed state is partition-count-invariant; size the state
+    # store to the key cardinality, not the batch default
+    with _state_partitions(spark):
+        q = (
+            ms.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="mad_chk_"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     rz = quantize(F.nanvl(F.col("rzscore"), F.lit(None)), 4)
     return (
         spark.table(name)
@@ -3304,15 +3328,18 @@ def q_events_cusum_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         target=CUSUM_P["target"], slack=CUSUM_P["slack"],
     )
     name = f"cusum_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        cs.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="cusum_chk_"))
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    # keyed state is partition-count-invariant; size the state
+    # store to the key cardinality, not the batch default
+    with _state_partitions(spark):
+        q = (
+            cs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="cusum_chk_"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     qc = quantize(F.col("cusum"), 6)
     return spark.table(name).select(
         "user_id",
@@ -3417,15 +3444,18 @@ def q_events_holt_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha=HOLT_P["alpha"], beta=HOLT_P["beta"],
     )
     name = f"holt_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        hs.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="holt_chk_"))
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    # keyed state is partition-count-invariant; size the state
+    # store to the key cardinality, not the batch default
+    with _state_partitions(spark):
+        q = (
+            hs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="holt_chk_"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return spark.table(name).select(
         "user_id",
         "event_id",
