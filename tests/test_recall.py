@@ -76,3 +76,12 @@ class TestNearDupQuarantine:
         # default bound (50k) admits the validation tables
         df = embedding_near_dup(emb.limit(50), threshold=0.4)
         assert df.columns == ["vec_a", "vec_b", "cos"]
+
+
+def test_version_surface():
+    """L9 `sax.version()` parity surface (lua/lua_sax.c version export):
+    the package exposes a semver string."""
+    import symtseries_spark
+
+    parts = symtseries_spark.__version__.split(".")
+    assert len(parts) == 3 and all(p.isdigit() for p in parts)
