@@ -85,3 +85,22 @@ def test_version_surface():
 
     parts = symtseries_spark.__version__.split(".")
     assert len(parts) == 3 and all(p.isdigit() for p in parts)
+
+
+def test_bench_segmentation_partitions_suite_exactly():
+    """The segmented bench must run every timed query exactly once
+    across its fresh-JVM segments (bench.py chunking math)."""
+    import math
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    names = bench.timed_query_names()
+    n_segments = max(1, math.ceil(len(names) / bench.SEGMENT_SIZE))
+    chunk = math.ceil(len(names) / n_segments)
+    seen = []
+    for i in range(n_segments):
+        seen.extend(names[i * chunk : (i + 1) * chunk])
+    assert seen == names
+    assert "emb_near_dup" not in names  # quarantined from timing
