@@ -77,16 +77,21 @@ def cosine_topk(
     """Brute-force top-k nearest to the vector with ``query_id`` ->
     ``(vec_id, cos)`` ordered by (cos desc, vec_id). The single query row
     is broadcast; scoring happens inside the scan stage."""
+    # the broadcast query row's norm is computed once (it used to be
+    # re-folded per corpus row); corpus rows still pay dot + own norm
     q = vectors.where(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("__qv")
-    )
+        F.col(vec_col).cast("array<double>").alias("__qv")
+    ).withColumn("__qn", norm(F.col("__qv")))
     scored = vectors.where(F.col(id_col) != query_id).crossJoin(
         F.broadcast(q)
     )
+    vd = F.col(vec_col).cast("array<double>")
     return (
         scored.select(
             F.col(id_col).alias("vec_id"),
-            F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cos"),
+            F.round(
+                dot(vd, F.col("__qv")) / (norm(vd) * F.col("__qn")), 6
+            ).alias("cos"),
         )
         .orderBy(F.col("cos").desc(), F.col("vec_id"))
         .limit(k)
@@ -206,18 +211,30 @@ def knn_join(
     Broadcast the query set, score in the scan stage, per-query top-k via
     ranked window — the shuffle moves only (query_id, candidate) rows.
     """
+    # norms and double-casts computed ONCE per row on each side of the
+    # broadcast join (Catalyst keeps per-side Projects below the join),
+    # so a (row, query) pair costs one dot fold instead of three — the
+    # same measured-2x prenorm trade as embedding_near_dup_lsh
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
-        F.col(query_vec_col).alias("__qv"),
-    )
+        F.col(query_vec_col).cast("array<double>").alias("__qv"),
+    ).withColumn("__qn", norm(F.col("__qv")))
     scored = (
-        vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v"))
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .withColumn("__n", norm(F.col("__v")))
         .crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("__v"), F.col("__qv")), 6).alias("cos"),
+            F.round(
+                dot(F.col("__v"), F.col("__qv"))
+                / (F.col("__n") * F.col("__qn")),
+                6,
+            ).alias("cos"),
         )
     )
     rank = F.row_number().over(
@@ -362,13 +379,16 @@ def _ann_lsh(
     probe_hamming: int,
 ) -> DataFrame:
     planes = hyperplanes(num_planes, dim, seed)
+    # prenorm: see embedding_near_dup_lsh — one dot fold per probed pair
     with_bucket = vectors.select(
         F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("__v"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
+    ).withColumn("__n", norm(F.col("__v")))
     q = with_bucket.where(F.col("vec_id") == query_id).select(
-        F.col("__v").alias("__qv"), F.col("bucket").alias("qbucket")
+        F.col("__v").alias("__qv"),
+        F.col("__n").alias("__qn"),
+        F.col("bucket").alias("qbucket"),
     )
     near = (
         F.bit_count(
@@ -381,7 +401,11 @@ def _ann_lsh(
         .where(near & (F.col("vec_id") != query_id))
         .select(
             "vec_id",
-            F.round(cosine(F.col("__v"), F.col("__qv")), 6).alias("cos"),
+            F.round(
+                dot(F.col("__v"), F.col("__qv"))
+                / (F.col("__n") * F.col("__qn")),
+                6,
+            ).alias("cos"),
         )
         .orderBy(F.col("cos").desc(), F.col("vec_id"))
         .limit(k)
@@ -530,13 +554,28 @@ def ivf_topk(
         .limit(nprobe)
         .select("list_id")
     )
-    return (
+    # prenorm both sides of the rerank (one dot fold per probed row)
+    qn = q.select(
+        F.col("__qv").cast("array<double>").alias("__qv")
+    ).withColumn("__qn", norm(F.col("__qv")))
+    cand = (
         assigned.join(F.broadcast(probe), "list_id")
         .where(F.col(id_col) != query_id)
-        .crossJoin(F.broadcast(q))
         .select(
             F.col(id_col).alias("vec_id"),
-            F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cos"),
+            F.col(vec_col).cast("array<double>").alias("__vd"),
+        )
+        .withColumn("__n", norm(F.col("__vd")))
+    )
+    return (
+        cand.crossJoin(F.broadcast(qn))
+        .select(
+            "vec_id",
+            F.round(
+                dot(F.col("__vd"), F.col("__qv"))
+                / (F.col("__n") * F.col("__qn")),
+                6,
+            ).alias("cos"),
         )
         .orderBy(F.col("cos").desc(), F.col("vec_id"))
         .limit(k)
@@ -712,14 +751,16 @@ def ann_lsh_recall(
     cosines, (cos desc, id) rank ties), so the DuckDB twin
     (oracle_vec.ann_lsh_recall_sql) reproduces it hash-exactly."""
     planes = hyperplanes(num_planes, dim, seed)
+    # prenorm: see embedding_near_dup_lsh — one dot fold per probed pair
     with_bucket = vectors.select(
         F.col(id_col).alias("cand_id"),
-        F.col(vec_col).alias("__v"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
+    ).withColumn("__n", norm(F.col("__v")))
     q = with_bucket.where(F.col("cand_id") < max_query_id).select(
         F.col("cand_id").alias("query_id"),
         F.col("__v").alias("__qv"),
+        F.col("__n").alias("__qn"),
         F.col("bucket").alias("qbucket"),
     )
     near = (
@@ -733,7 +774,11 @@ def ann_lsh_recall(
         .select(
             "query_id",
             "cand_id",
-            F.round(cosine(F.col("__v"), F.col("__qv")), 6).alias("cos"),
+            F.round(
+                dot(F.col("__v"), F.col("__qv"))
+                / (F.col("__n") * F.col("__qn")),
+                6,
+            ).alias("cos"),
         )
     )
     rank = F.row_number().over(
@@ -806,14 +851,27 @@ def ivf_recall(
         .where(F.col("__pr") <= nprobe)
         .select("query_id", "list_id")
     )
+    qn = q.withColumn("__qn", norm(F.col("__qv"))).select(
+        "query_id", "__qv", "__qn"
+    )
     cand = (
-        assigned.join(F.broadcast(probe), "list_id")
-        .join(F.broadcast(q.select("query_id", "__qv")), "query_id")
-        .where(F.col(id_col) != F.col("query_id"))
+        assigned.select(
+            "list_id",
+            F.col(id_col).alias("cand_id"),
+            F.col(vec_col).cast("array<double>").alias("__vd"),
+        )
+        .withColumn("__n", norm(F.col("__vd")))
+        .join(F.broadcast(probe), "list_id")
+        .join(F.broadcast(qn), "query_id")
+        .where(F.col("cand_id") != F.col("query_id"))
         .select(
             "query_id",
-            F.col(id_col).alias("cand_id"),
-            F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cos"),
+            "cand_id",
+            F.round(
+                dot(F.col("__vd"), F.col("__qv"))
+                / (F.col("__n") * F.col("__qn")),
+                6,
+            ).alias("cos"),
         )
     )
     rank = F.row_number().over(
