@@ -308,6 +308,23 @@ def q_sax_allpairs_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sax_word",
     )
     scale = (TUMBLE_DIST["n"] / TUMBLE_DIST["w"]) ** 0.5
+    vals = tumbling_values(
+        ev, key="user_id", order=["ts", "event_id"], value="value",
+        n=TUMBLE_DIST["n"],
+    ).select(
+        (F.col("series_key") * 10000 + F.col("window_id")).alias("wkey"),
+        "vals",
+    )
+    # FUSED refine (r4): z-normalized windows ride the pair expansion as
+    # payload columns, so the exact distance is a scan-stage expression
+    # over the expansion output — euclidean_refine's two extra joins
+    # against the 14M-row candidate set were ~half the query's cost
+    # (13.8s -> see BASELINE.md round 4). Identical arithmetic
+    # (sax_znorm once per window, sax_zeuclidean per pair) and identical
+    # filters, so the oracle is unchanged.
+    from symtseries_spark.functions.sax import sax_zeuclidean, sax_znorm
+
+    z = vals.select("wkey", sax_znorm(F.col("vals")).alias("__z"))
     pairs = allpairs_within(
         words,
         w=TUMBLE_DIST["w"],
@@ -316,31 +333,28 @@ def q_sax_allpairs_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_col="wkey",
         word_col="sax_word",
         n_col=None,
+        attach=z,
+        attach_key="wkey",
+        attach_col="__z",
     )
     cand = pairs.select(
         "key_a",
         "key_b",
         F.round(F.col("mindist") * scale, 4).alias("dist"),
+        sax_zeuclidean(F.col("payload_a"), F.col("payload_b")).alias("__exact"),
     ).where(F.col("dist") <= REFINE_DELTA)
-    vals = tumbling_values(
-        ev, key="user_id", order=["ts", "event_id"], value="value",
-        n=TUMBLE_DIST["n"],
-    ).select(
-        (F.col("series_key") * 10000 + F.col("window_id")).alias("wkey"),
-        "vals",
+    # the unrounded gate is loosened by 1e-3 so it can never disagree
+    # with the rounded oracle filter below (same convention as before)
+    return (
+        cand.where(F.col("__exact") <= REFINE_DELTA + 1e-3)
+        .select(
+            "key_a",
+            "key_b",
+            "dist",
+            F.round("__exact", 4).alias("exact_dist"),
+        )
+        .where(F.col("exact_dist") <= REFINE_DELTA)
     )
-    # the operator's filter delta is loosened by 1e-3 so its unrounded
-    # gate can never disagree with the rounded oracle filter below
-    refined = euclidean_refine(
-        cand, vals, key_col="wkey", vals_col="vals",
-        delta=REFINE_DELTA + 1e-3,
-    )
-    return refined.select(
-        "key_a",
-        "key_b",
-        "dist",
-        F.round("exact_dist", 4).alias("exact_dist"),
-    ).where(F.col("exact_dist") <= REFINE_DELTA)
 
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -268,6 +268,9 @@ def allpairs_within(
     word_col: str = "sax_word",
     n_col: str | None = "n",
     broadcast_right: bool = True,
+    attach: DataFrame | None = None,
+    attach_key: str = "series_key",
+    attach_col: str = "payload",
 ) -> DataFrame:
     """All unordered pairs of series whose words are mindist-compatible
     (equal w, compatible n) and within ``delta``.
@@ -286,6 +289,17 @@ def allpairs_within(
 
     mindist is a lower bound on true Euclidean distance, so the output is
     a candidate set guaranteed to contain every true match within delta.
+
+    ``attach`` (optional): a per-key payload table (``attach_key`` ->
+    ``attach_col``) joined onto BOTH key sides BEFORE the pair
+    expansion, emitted as ``payload_a``/``payload_b`` (flip-corrected).
+    This exists for fused prune-then-refine: attaching the z-normalized
+    windows here lets the caller compute the exact distance scan-stage
+    on the expansion output, instead of running two more joins against
+    the (candidate-count-sized) pair set — the refine joins were ~half
+    the cost of the end-to-end all-pairs query at sf0.1. Keys missing
+    from ``attach`` keep NULL payloads (inner semantics preserved by the
+    caller's distance filter).
     """
     cols = [F.col(key_col).alias("k"), F.col(word_col).alias("wd")] + (
         [F.col(n_col).alias("n")] if n_col else []
@@ -356,6 +370,22 @@ def allpairs_within(
         F.col("k").alias("kb"), F.col("wd").alias("__wb"),
         *([F.col("n").alias("__nb")] if n_col else []),
     )
+    if attach is not None:
+        # payload feeds both sides — materialize once (same
+        # single-compute story as the word table above)
+        pay = attach.select(
+            F.col(attach_key).alias("__pk"), F.col(attach_col).alias("__pay")
+        ).localCheckpoint(eager=True)
+        a_keys = (
+            a_keys.join(pay, F.col("ka") == F.col("__pk"), "left")
+            .drop("__pk")
+            .withColumnRenamed("__pay", "__paya")
+        )
+        b_keys = (
+            b_keys.join(pay, F.col("kb") == F.col("__pk"), "left")
+            .drop("__pk")
+            .withColumnRenamed("__pay", "__payb")
+        )
     join_a = ["word_a"] + (["n_a"] if n_col else [])
     b_cond = F.col("word_b") == F.col("__wb")
     if n_col:
@@ -370,7 +400,7 @@ def allpairs_within(
         )
     )
     flip = F.col("ka") > F.col("kb")
-    return expanded.select(
+    out_cols = [
         F.when(flip, F.col("kb")).otherwise(F.col("ka")).alias("key_a"),
         F.when(flip, F.col("ka")).otherwise(F.col("kb")).alias("key_b"),
         F.when(flip, F.col("word_b")).otherwise(F.col("word_a")).alias("word_a"),
@@ -378,4 +408,12 @@ def allpairs_within(
         F.col("__d").alias("mindist"),
         F.when(flip, F.col("__be")).otherwise(F.col("__ab")).alias("above"),
         F.when(flip, F.col("__ab")).otherwise(F.col("__be")).alias("below"),
-    )
+    ]
+    if attach is not None:
+        out_cols += [
+            F.when(flip, F.col("__payb")).otherwise(F.col("__paya"))
+            .alias("payload_a"),
+            F.when(flip, F.col("__paya")).otherwise(F.col("__payb"))
+            .alias("payload_b"),
+        ]
+    return expanded.select(*out_cols)
