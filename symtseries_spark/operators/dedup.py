@@ -160,6 +160,118 @@ def jaccard_pairs(
     ).where(F.col("jaccard") >= threshold)
 
 
+def jaccard_pairs_prefix(
+    docs: DataFrame,
+    *,
+    k: int,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Prefix-filtered exact Jaccard join — IDENTICAL output to
+    :func:`jaccard_pairs` (equality-tested), with the candidate volume
+    of a position-aware set-similarity join (PPJoin's prefix filter, a
+    public-literature standard for set joins at scale).
+
+    Prefix-filter theorem: order every doc's shingles by one GLOBAL
+    total order; if ``J(A, B) >= t`` then A and B must share at least
+    one shingle among each doc's first ``|d| - ceil(t * |d|) + 1``
+    shingles under that order. So the inverted index holds only PREFIX
+    shingles — with rarest-first ordering (ascending document
+    frequency, shingle string as the deterministic tiebreak) the prefix
+    entries are the rare shingles, so index postings shrink on BOTH
+    axes: fewer entries per doc AND fewer docs per entry. Candidates
+    surviving the prefix join are verified with the exact intersection
+    count over the FULL (capped) shingle sets, making the filter
+    lossless by construction.
+
+    The ceil is computed with a 1e-9 slack so float rounding can only
+    ENLARGE the prefix (keeping completeness), never shrink it.
+    ``max_shingle_freq`` capping, sizes, and the jaccard formula are
+    byte-identical to :func:`jaccard_pairs` (cap first, sizes from the
+    capped table), so the two plans return the same rows and values.
+
+    MEASURED VERDICT at validation scale (kept for the record, and why
+    this is an unregistered alternative rather than the default): at
+    sf0.1 AND at the 10x sf1-equivalent corpus, this plan runs ~2.5x
+    SLOWER than :func:`jaccard_pairs` (2.0s vs 5.6s; 7.6s vs 16.5s) —
+    with short docs and the 256 hot-shingle cap already bounding
+    postings, the extra machinery (global-df window, per-doc rank,
+    candidate distinct, array-verify joins) costs more than the
+    candidate reduction saves. The prefix filter earns its keep when
+    posting lists are long and UNCAPPED — e.g. web-scale corpora where
+    dropping hot shingles (the cap's recall trade) is unacceptable and
+    the full inverted index would explode; there its rarest-first
+    prefix index bounds the join without discarding any shingle."""
+    sh = shingle_table(docs, k=k, id_col=id_col, text_col=text_col)
+    df_w = Window.partitionBy("shingle")
+    ex = sh.withColumn("__df", F.count(F.lit(1)).over(df_w))
+    if max_shingle_freq is not None:
+        ex = ex.where(F.col("__df") <= max_shingle_freq)
+    # materialize once: feeds sizes, the prefix index, and BOTH
+    # verification sides (same single-compute story as allpairs_within)
+    ex = ex.localCheckpoint(eager=True)
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
+    ranked = ex.join(sizes, "doc_id").withColumn(
+        "__r",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("__df", "shingle")
+        ),
+    )
+    prefix_len = (
+        F.col("__n")
+        - F.ceil(F.lit(float(threshold)) * F.col("__n") - F.lit(1e-9))
+        + 1
+    )
+    pref = ranked.where(F.col("__r") <= prefix_len).select("doc_id", "shingle")
+    cand = (
+        pref.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(pref.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # verification WITHOUT re-exploding the candidates: each doc's
+    # (capped) shingle set rides as ONE array column through two
+    # candidate-sized joins, and n_common is a per-pair
+    # array_intersect — the explode-join verify variant multiplied the
+    # candidate relation by shingles-per-doc before re-aggregating
+    groups = ex.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("__set"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    ga = groups.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("__set").alias("__sa"),
+        F.col("__n").alias("n_a"),
+    )
+    gb = groups.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("__set").alias("__sb"),
+        F.col("__n").alias("n_b"),
+    )
+    pairs = (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .withColumn(
+            "n_common",
+            F.size(F.array_intersect(F.col("__sa"), F.col("__sb"))).cast(
+                "long"
+            ),
+        )
+    )
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        "n_a",
+        "n_b",
+        F.round(jac, 4).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
+
+
 def containment_pairs(
     docs: DataFrame,
     *,

@@ -104,3 +104,27 @@ def test_bench_segmentation_partitions_suite_exactly():
         seen.extend(names[i * chunk : (i + 1) * chunk])
     assert seen == names
     assert "emb_near_dup" not in names  # quarantined from timing
+
+
+class TestJaccardPrefix:
+    def test_identical_to_full_index_plan(self, spark, sf_dir):
+        """The prefix filter is lossless: pair set and every value must
+        equal jaccard_pairs exactly (same cap, sizes, rounding)."""
+        from symtseries_spark.operators import jaccard_pairs, jaccard_pairs_prefix
+        from symtseries_spark.sources import load
+
+        docs = load(spark, sf_dir, "documents")
+        kw = dict(k=3, threshold=0.35, max_shingle_freq=256)
+        full = {tuple(r) for r in jaccard_pairs(docs, **kw).collect()}
+        pref = {tuple(r) for r in jaccard_pairs_prefix(docs, **kw).collect()}
+        assert pref == full and len(full) > 0
+
+    def test_low_threshold_still_lossless(self, spark, sf_dir):
+        from symtseries_spark.operators import jaccard_pairs, jaccard_pairs_prefix
+        from symtseries_spark.sources import load
+
+        docs = load(spark, sf_dir, "documents").limit(120)
+        kw = dict(k=2, threshold=0.1)
+        full = {tuple(r) for r in jaccard_pairs(docs, **kw).collect()}
+        pref = {tuple(r) for r in jaccard_pairs_prefix(docs, **kw).collect()}
+        assert pref == full
