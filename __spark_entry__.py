@@ -1983,12 +1983,14 @@ def q_events_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = (
         spark.readStream.schema(ev.schema)
-        # 8 files/trigger: late rows (delayed one file) still cross batch
-        # boundaries at every chunk seam, which is all the scenario needs
-        # — the emitted session set is batching-invariant (watermark
-        # admits all rows), so fewer, larger micro-batches only cut the
-        # planning + state-commit overhead (r3 verdict item #5)
-        .option("maxFilesPerTrigger", "8")
+        # 4 files/trigger: the ~8 data files replay as 2 data batches +
+        # a sentinel batch, so late rows (delayed one file) still cross
+        # a genuine mid-data batch seam — 8/trigger would swallow all
+        # data in ONE batch and gut the late-admission scenario, while
+        # the original 2/trigger paid 2.5x the planning + state-commit
+        # rounds for no extra semantics (the emitted session set is
+        # batching-invariant either way; r3 verdict item #5)
+        .option("maxFilesPerTrigger", "4")
         .parquet(indir)
     )
     sessions = session_rollup_stream(
