@@ -28,11 +28,14 @@ pairs broadcast, then two shuffle-free equi-joins expand back to key
 pairs — row-pair work proportional to OUTPUT size, not |rows|^2. The
 word table is computed once (eager localCheckpoint, freed on release —
 the `Scan ExistingRDD` leaves).""",
-    "sax_allpairs_refined": """Prune-then-refine end to end: the candidate pair set
-(mindist <= delta, small) joins back to the raw tumbling windows;
-z-normalization is projected on the VALUES side before the joins, so
-each window normalizes once regardless of pair fan-out, and the exact
-distance is a zip_with/aggregate over the two z-arrays — all JVM-side.""",
+    "sax_allpairs_refined": """Prune-then-refine end to end, FUSED (round 4): the
+z-normalized windows are attached to both (small) key sides BEFORE the
+pair expansion (allpairs_within's attach payload), so the exact
+distance is a zip_with/aggregate over the two payload arrays computed
+scan-stage on the expansion output — the former euclidean_refine step's
+two joins against the candidate-sized relation are gone from the plan.
+Each window still z-normalizes exactly once (eager-checkpointed payload
+table feeding both sides).""",
     "sax_event_windows": """Batch path of the event-time operator: fully
 long-form (row_number + frame groupBy + stats join + w-row collect) —
 no per-window array, so window size is unbounded. Streaming runs the
@@ -49,6 +52,12 @@ join-back. No nested loop anywhere.""",
 per self-join side (was ~8x recompute), chunk fan-out via posexplode of
 a built array, candidates from the (chunk_id, chunk_key) equi-join,
 exact Hamming verify inline.""",
+    "emb_lsh_recall": """Recall@k report: both legs are broadcast-query plans — the
+LSH leg probes buckets against the broadcast panel and ranks inside
+probed buckets, the exact leg is the knn_join shape — and the final
+joins are per-query-small (<= k rows each side). Norms and double-casts
+are computed once per row BELOW the joins (the round-4 prenorm rule), so
+every scored pair pays a single dot fold.""",
     "emb_cosine_topk": """Single-row query side broadcast; cosine computed in
 the scan-stage projection; TakeOrderedAndProject does the global top-k
 as per-partition partial top-k + driver merge of k rows — no full sort,
