@@ -1631,9 +1631,12 @@ def q_dedup_exact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = streaming_exact_dedup(stream)
     name = f"dedup_stream_{uuid.uuid4().hex[:8]}"
-    # keyed state is partition-count-invariant; size the state
-    # store to the key cardinality, not the batch default
-    with _state_partitions(spark):
+    # keyed state is partition-count-invariant; size the state store
+    # to the key cardinality: dedup state is CONTENT-HASH-keyed
+    # (thousands of keys, unlike the 15-user event streams), so it
+    # wants real parallelism — A/B at sf0.1/10x: n=4 3.6s/21.8s,
+    # n=16 2.7s/7.5s, n=32 2.8s/6.0s
+    with _state_partitions(spark, n=16):
         q = (
             deduped.writeStream.format("memory")
             .queryName(name)
@@ -1709,7 +1712,9 @@ def q_dedup_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"mh_stream_{uuid.uuid4().hex[:8]}"
     # keyed state is partition-count-invariant; size the state
     # store to the key cardinality, not the batch default
-    with _state_partitions(spark, n=8):
+    # hash-shard-keyed state (64 shards): same sizing rule as
+    # dedup_exact_stream — give the shards real parallelism
+    with _state_partitions(spark, n=16):
         q = (
             per_band.writeStream.format("memory")
             .queryName(name)
