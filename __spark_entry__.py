@@ -150,6 +150,13 @@ IVF = dict(query_id=3, k=20, num_lists=8)
 # partial-probe point the property tests exercise.
 RECALL = dict(max_query_id=8, k=10, ivf_nprobe=2)
 PQ = dict(query_id=3, k=20, m=4, ks=16, dim=EMB_DIM)
+# K-means / SemDeDup (round 4): k=8 semantic regions, 2 quantized Lloyd
+# refinements; the 0.35 cosine threshold sits just above the corpus's
+# within-cluster p99 (0.334 at sf0.01), so the drop set is meaningful at
+# every SF (500->407 kept at sf0.01, 5000->1191 at sf0.1) without
+# degenerating to drop-everything.
+KMEANS = dict(k=8, iters=2)
+SEMDEDUP_THRESHOLD = 0.35
 
 
 def _events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1038,6 +1045,33 @@ def q_emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_query_id=RECALL["max_query_id"], k=RECALL["k"],
         num_lists=IVF["num_lists"], nprobe=RECALL["ivf_nprobe"],
         dim=EMB_DIM,
+    )
+
+
+def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means partition of the embedding corpus
+    (operators/cluster.py:kmeans_assign): seed = k lowest-id vectors,
+    2 quantized Lloyd refinements, broadcast centroids everywhere ->
+    (vec_id, cluster, d2). The clustering leg of the SemDeDup pipeline,
+    driver-checked bit-exact against an unrolled-CTE DuckDB twin."""
+    from symtseries_spark.operators.cluster import kmeans_assign
+
+    return kmeans_assign(
+        load(spark, sf_dir, "embeddings"), dim=EMB_DIM, **KMEANS
+    ).select("vec_id", "cluster", "d2")
+
+
+def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (Abbas et al. 2023): k-means partition,
+    then drop vectors with a lower-id within-cluster quantized-cosine
+    twin >= 0.35 -> kept (vec_id, cluster). The quadratic pair search is
+    bounded by cluster size — the k knob is the 100 TB lever
+    (operators/cluster.py:semdedup_keep)."""
+    from symtseries_spark.operators.cluster import semdedup_keep
+
+    return semdedup_keep(
+        load(spark, sf_dir, "embeddings"),
+        dim=EMB_DIM, threshold=SEMDEDUP_THRESHOLD, **KMEANS,
     )
 
 
@@ -3497,6 +3531,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_recall": q_emb_lsh_recall,
         "emb_multiprobe_recall": q_emb_multiprobe_recall,
         "emb_ivf_recall": q_emb_ivf_recall,
+        "emb_kmeans": q_emb_kmeans,
+        "emb_semdedup": q_emb_semdedup,
         "events_sessions_stream": q_events_sessions_stream,
         "events_histogram": q_events_histogram,
         "events_ntile": q_events_ntile,
@@ -4944,6 +4980,13 @@ FROM documents
             max_query_id=RECALL["max_query_id"], k=RECALL["k"],
             num_lists=IVF["num_lists"], nprobe=RECALL["ivf_nprobe"],
             dim=EMB_DIM,
+        ),
+        "emb_kmeans": ov.kmeans_assign_sql(
+            k=KMEANS["k"], iters=KMEANS["iters"], dim=EMB_DIM
+        ),
+        "emb_semdedup": ov.semdedup_keep_sql(
+            k=KMEANS["k"], iters=KMEANS["iters"], dim=EMB_DIM,
+            threshold=SEMDEDUP_THRESHOLD,
         ),
         "emb_ivf_at_rest": ov.cosine_topk_sql(
             query_id=IVF["query_id"], k=IVF["k"], dim=EMB_DIM

@@ -1,0 +1,220 @@
+"""K-means clustering and SemDeDup-style semantic deduplication over
+embedding columns.
+
+The reference library has no clustering surface (it is a SAX kernel,
+src/symtseries.c:515-532); these operators extend the engine with the
+clustering leg a pretraining-data pipeline runs over document
+embeddings — group the corpus into semantic regions, then deduplicate
+*within* regions so the quadratic pair search is bounded by cluster
+size instead of corpus size (the SemDeDup recipe: Abbas et al. 2023,
+"SemDeDup: Data-efficient learning at web-scale through semantic
+deduplication", arXiv:2303.09540).
+
+Determinism / oracle parity
+---------------------------
+Everything is deterministic by construction so the driver's DuckDB
+oracle can twin it bit-for-bit:
+
+* seed centroids are the ``k`` lowest-id vectors (no RNG);
+* every distance is the same left-to-right squared-L2 fold as
+  :func:`..operators.simsearch._sq_l2`, so argmin comparisons see
+  bit-identical operands in both engines;
+* argmin ties break on cluster id (``min_by`` over a
+  ``struct(d2, cluster)``, mirroring ``ORDER BY d2, cluster``);
+* each Lloyd mean is quantized to 1e-6 (``floor(x*1e6+0.5)/1e6``)
+  before it becomes the next iteration's centroid — a grouped mean's
+  summation order differs between engines (sub-ulp drift), and an
+  unquantized drifting centroid could flip a later argmin. Quantizing
+  re-synchronizes the engines after every mean (same lesson as the
+  EWMA quantization in operators/timeseries.py).
+
+Scale design (100 TB)
+---------------------
+The centroid relation is ``k x dim`` doubles — kilobytes — and is
+BROADCAST to every assignment; the corpus is never shuffled on a
+cluster key during Lloyd iterations (assignment is a map-side
+broadcast join + per-row argmin; the mean is one map-side-combinable
+groupBy with ``k x dim`` aggregation state). Iteration count is a
+fixed small constant, so the whole fit is ``iters + 1`` corpus scans.
+At production scale each iteration's assignment would be checkpointed
+to break lineage (here the fixed iters=2 keeps the composed plan
+small, so the operators stay pure DataFrame transforms the driver can
+plan end-to-end). SemDeDup's pair stage self-joins on ``cluster``:
+candidate volume is sum_c(|c| choose 2) — bounded by the cluster
+granularity knob ``k``, which at web scale is chosen so clusters hold
+~1e4 vectors (the paper uses 50k clusters for LAION-440M). That knob,
+not code, is the scale lever — identical to the ``num_planes ~
+log2(n)`` rule recorded for hyperplane LSH in docs/SCALING.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .simsearch import _sq_l2, dot
+
+
+def _q6(col: Column) -> Column:
+    """Engine-stable 1e-6 quantization (floor-based half-up, the
+    repo-wide cross-engine rounding idiom)."""
+    return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
+
+
+def _seed_centroids(
+    vectors: DataFrame, *, k: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """The ``k`` lowest-id vectors as ``(cluster, centroid)`` — the
+    deterministic, RNG-free init (same convention as
+    :func:`.simsearch.ivf_index` seeds)."""
+    return (
+        vectors.orderBy(id_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cluster"),
+            F.col(vec_col).cast("array<double>").alias("centroid"),
+        )
+    )
+
+
+def _assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Nearest-centroid assignment -> ``(id, vec, cluster, __d2)``.
+
+    Broadcast nested-loop over the tiny centroid relation (k rows),
+    then a per-id argmin with ``struct(d2, cluster)`` tie order. The
+    corpus side is never shuffled: the pre-aggregation for ``min_by``
+    collapses the k candidate rows map-side.
+    """
+    vd = F.col(vec_col).cast("array<double>")
+    scored = (
+        vectors.select(id_col, vec_col)
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("cluster"),
+            _sq_l2(vd, F.col("centroid")).alias("__d2"),
+        )
+    )
+    best = F.min(F.struct("__d2", "cluster"))
+    return scored.groupBy(id_col).agg(
+        F.first(vec_col).alias(vec_col),
+        best.getField("cluster").alias("cluster"),
+        best.getField("__d2").alias("__d2"),
+    )
+
+
+def kmeans_assign(
+    vectors: DataFrame,
+    *,
+    k: int,
+    dim: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means -> ``(id, vec, cluster, d2)``
+    with ``d2`` the quantized squared L2 distance to the final
+    centroid.
+
+    ``iters`` Lloyd refinements after the seed assignment, each mean
+    quantized to 1e-6 (see module docstring); a cluster that loses all
+    members falls back to its seed centroid, so no centroid is ever
+    NULL and the output always has exactly ``k`` possible labels.
+    """
+    seeds = _seed_centroids(vectors, k=k, id_col=id_col, vec_col=vec_col)
+    cent = seeds
+    for _ in range(iters):
+        assigned = _assign(vectors, cent, id_col=id_col, vec_col=vec_col)
+        vd = F.col(vec_col).cast("array<double>")
+        means = (
+            assigned.select("cluster", vd.alias("__v"))
+            .groupBy("cluster")
+            .agg(
+                *[
+                    F.avg(F.element_at("__v", i + 1)).alias(f"__m{i}")
+                    for i in range(dim)
+                ]
+            )
+            .select(
+                "cluster",
+                F.array(
+                    *[_q6(F.col(f"__m{i}")) for i in range(dim)]
+                ).alias("centroid"),
+            )
+        )
+        cent = (
+            seeds.select("cluster", F.col("centroid").alias("__seed"))
+            .join(means, "cluster", "left")
+            .select(
+                "cluster", F.coalesce("centroid", "__seed").alias("centroid")
+            )
+        )
+    final = _assign(vectors, cent, id_col=id_col, vec_col=vec_col)
+    return final.select(
+        id_col, vec_col, "cluster", _q6(F.col("__d2")).alias("d2")
+    )
+
+
+def semdedup_keep(
+    vectors: DataFrame,
+    *,
+    k: int,
+    dim: int,
+    threshold: float,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup: k-means partition, then drop every vector whose
+    quantized cosine similarity to a LOWER-id vector in the SAME
+    cluster is >= ``threshold`` -> kept set ``(id, cluster)``.
+
+    The keep rule ("survive unless a lower-id near-twin exists") needs
+    only one anti-join over the within-cluster pair relation — no
+    iterative component search — and keeps exactly one representative
+    (the minimum id) of every mutually-similar group, matching the
+    paper's keep-one-per-group semantics for transitive duplicate sets.
+
+    The pairwise cosine compares RAW vectors (not centroids), is
+    prenormed below the join (one dot fold per pair — the round-4
+    hot-loop rule, docs/SCALING.md), and is quantized to 1e-6 BEFORE
+    the threshold compare so the keep decision is engine-stable.
+    """
+    assigned = kmeans_assign(
+        vectors, k=k, dim=dim, iters=iters, id_col=id_col, vec_col=vec_col
+    ).select(id_col, "cluster")
+    vd = F.col(vec_col).cast("array<double>")
+    pre = vectors.select(
+        F.col(id_col), vd.alias("__v")
+    ).withColumn("__n", F.sqrt(dot(F.col("__v"), F.col("__v"))))
+    sides = assigned.join(pre, id_col)
+    a = sides.select(
+        F.col(id_col).alias("__ida"),
+        F.col("cluster"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = sides.select(
+        F.col(id_col).alias("__idb"),
+        F.col("cluster"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    cos_q = _q6(
+        dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .where(F.col("__ida") < F.col("__idb"))
+        .where(cos_q >= F.lit(threshold))
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dropped, id_col, "left_anti").select(id_col, "cluster")

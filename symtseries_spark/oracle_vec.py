@@ -447,3 +447,94 @@ WITH seeds AS (
 ), {_exact_topk_cte(max_query_id=max_query_id, k=k, dim=dim, table=table)}
 {_recall_tail_sql(k)}
 """
+
+
+def _kmeans_ctes(*, k: int, dim: int, iters: int, table: str) -> str:
+    """CTE chain mirroring operators.cluster.kmeans_assign, ending in
+    ``kassign(vec_id, embedding, cluster, d2)``.
+
+    Parity contract (see cluster.py module docstring): seed centroids
+    are the k lowest-id vectors; every distance is the shared
+    left-to-right squared-L2 fold; argmin ties break ``(d2, cluster)``;
+    each Lloyd mean is floor-quantized to 1e-6 before reuse, so both
+    engines iterate over bit-identical centroids."""
+    parts = [
+        f"""seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+  FROM (SELECT vec_id, embedding FROM {table} ORDER BY vec_id LIMIT {k}))"""
+    ]
+    prev = "seeds"
+    for t in range(iters):
+        d2 = _sq_l2_expr("v.embedding", "c.centroid", dim)
+        parts.append(
+            f"""a{t} AS (
+  SELECT vec_id, embedding, cluster FROM (
+    SELECT v.vec_id, v.embedding, c.cluster,
+           row_number() OVER (
+             PARTITION BY v.vec_id ORDER BY {d2}, c.cluster) AS r
+    FROM {table} v, {prev} c) WHERE r = 1)"""
+        )
+        parts.append(
+            f"""m{t} AS (
+  SELECT cluster, i,
+         floor(avg(CAST(embedding[i] AS DOUBLE)) * 1000000.0 + 0.5)
+           / 1000000.0 AS m
+  FROM a{t}, range(1, {dim + 1}) t(i) GROUP BY cluster, i)"""
+        )
+        parts.append(
+            f"""c{t} AS (
+  SELECT s.cluster, coalesce(mm.cen, s.centroid) AS centroid
+  FROM seeds s LEFT JOIN (
+    SELECT cluster, list(m ORDER BY i) AS cen FROM m{t} GROUP BY cluster
+  ) mm USING (cluster))"""
+        )
+        prev = f"c{t}"
+    d2f = _sq_l2_expr("v.embedding", "c.centroid", dim)
+    parts.append(
+        f"""kassign AS (
+  SELECT vec_id, embedding, cluster,
+         floor(d2 * 1000000.0 + 0.5) / 1000000.0 AS d2 FROM (
+    SELECT v.vec_id, v.embedding, c.cluster, {d2f} AS d2,
+           row_number() OVER (
+             PARTITION BY v.vec_id ORDER BY {d2f}, c.cluster) AS r
+    FROM {table} v, {prev} c) WHERE r = 1)"""
+    )
+    return ",\n".join(parts)
+
+
+def kmeans_assign_sql(
+    *, k: int, dim: int, iters: int = 2, table: str = "embeddings"
+) -> str:
+    """Twin of operators.cluster.kmeans_assign (minus the vector
+    payload column, which the query projects away)."""
+    return f"""
+WITH {_kmeans_ctes(k=k, dim=dim, iters=iters, table=table)}
+SELECT vec_id, cluster, d2 FROM kassign
+"""
+
+
+def semdedup_keep_sql(
+    *,
+    k: int,
+    dim: int,
+    threshold: float,
+    iters: int = 2,
+    table: str = "embeddings",
+) -> str:
+    """Twin of operators.cluster.semdedup_keep: within-cluster pairs on
+    the k-means partition, drop ids with a lower-id >=threshold
+    quantized-cosine twin, keep the rest."""
+    cos = cosine_expr("a.embedding", "b.embedding", dim)
+    return f"""
+WITH {_kmeans_ctes(k=k, dim=dim, iters=iters, table=table)},
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM kassign a JOIN kassign b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE floor({cos} * 1000000.0 + 0.5) / 1000000.0 >= {threshold!r}
+)
+SELECT k.vec_id, k.cluster
+FROM kassign k LEFT JOIN dropped d ON k.vec_id = d.vec_id
+WHERE d.vec_id IS NULL
+"""
