@@ -157,6 +157,10 @@ PQ = dict(query_id=3, k=20, m=4, ks=16, dim=EMB_DIM)
 # degenerating to drop-everything.
 KMEANS = dict(k=8, iters=2)
 SEMDEDUP_THRESHOLD = 0.35
+# HOT-SAX discords over the motif word space (c=4 keeps the histogram
+# dense enough that "rare" is meaningful: 73 distinct words / 554
+# windows at sf0.01, 15 singletons).
+DISCORD = dict(rare_words=10, top=5)
 
 
 def _events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1072,6 +1076,21 @@ def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_keep(
         load(spark, sf_dir, "embeddings"),
         dim=EMB_DIM, threshold=SEMDEDUP_THRESHOLD, **KMEANS,
+    )
+
+
+def q_sax_discords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOT-SAX discord discovery (Keogh/Lin/Fu 2005) over the motif
+    word space: the 10 rarest tumbling words flag candidate windows,
+    exact same-series NN distance ranks them, top-5 reported
+    (operators/search.py:discords). The anomaly-detection twin of
+    sax_tumbling_motifs — rare words instead of frequent ones."""
+    from symtseries_spark.operators.search import discords
+
+    return discords(
+        load(spark, sf_dir, "events"),
+        key="user_id", order=["ts", "event_id"], value="value",
+        **TUMBLE_MOTIF, **DISCORD,
     )
 
 
@@ -3533,6 +3552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_recall": q_emb_ivf_recall,
         "emb_kmeans": q_emb_kmeans,
         "emb_semdedup": q_emb_semdedup,
+        "sax_discords": q_sax_discords,
         "events_sessions_stream": q_events_sessions_stream,
         "events_histogram": q_events_histogram,
         "events_ntile": q_events_ntile,
@@ -4980,6 +5000,10 @@ FROM documents
             max_query_id=RECALL["max_query_id"], k=RECALL["k"],
             num_lists=IVF["num_lists"], nprobe=RECALL["ivf_nprobe"],
             dim=EMB_DIM,
+        ),
+        "sax_discords": oc.discords_sql(
+            TUMBLE_MOTIF["n"], TUMBLE_MOTIF["w"], TUMBLE_MOTIF["c"],
+            **DISCORD,
         ),
         "emb_kmeans": ov.kmeans_assign_sql(
             k=KMEANS["k"], iters=KMEANS["iters"], dim=EMB_DIM

@@ -114,6 +114,103 @@ def motif_counts(
     )
 
 
+def discords(
+    df: DataFrame,
+    *,
+    key: str,
+    order: str | list[str],
+    value: str,
+    n: int,
+    w: int,
+    c: int,
+    rare_words: int = 10,
+    top: int = 5,
+) -> DataFrame:
+    """HOT-SAX-style discord discovery over tumbling windows ->
+    the ``top`` most anomalous windows as
+    ``(series_key, window_id, sax_word, word_count, nn_dist)``.
+
+    A *discord* is the subsequence farthest from its nearest neighbor
+    (Keogh, Lin & Fu 2005, "HOT SAX: Efficiently Finding the Most
+    Unusual Time Series Subsequence"). The paper's insight — rare SAX
+    words flag discord candidates, because an unusual shape lands in a
+    sparsely-populated word bucket — is exactly the reference's word
+    space (src/symtseries.c:515-532) put to anomaly work. This operator
+    is the candidate-bounded variant: candidates are the windows whose
+    word is among the ``rare_words`` rarest (count asc, word asc — a
+    deterministic plan-time bound, the role the paper's search budget
+    plays); each candidate's exact nearest-neighbor distance is then
+    computed against every other full window of the SAME series, and
+    the ``top`` candidates by descending NN distance are the reported
+    discords. Raw (not z-normed) Euclidean distance, on the engine's
+    repo-wide left-to-right fold so the DuckDB oracle matches
+    bit-for-bit; quantized 1e-6 after the sqrt.
+
+    Scale shape: the word histogram is one map-side-combinable groupBy
+    (word-space bounded: c^w keys); the rare-word table and the
+    candidate windows (``rare_words`` × their occurrence count, small
+    by construction — rare words are rare) are BROADCAST against the
+    window relation, so the corpus-sized side is never shuffled for
+    the refine; the per-candidate argmin collapses map-side. Windows
+    materialize n<=4096 doubles per row (the reference's own cap).
+    Series with a single full window have no neighbor and are not
+    reported. Assumes finite values (NaN-bearing windows would need a
+    finite-only prefilter; the SAX word itself handles NaN natively).
+    """
+    from ..functions.sax import sax_encode
+    from .windows import tumbling_values
+
+    wins = tumbling_values(df, key=key, order=order, value=value, n=n)
+    words = wins.select(
+        "series_key",
+        "window_id",
+        sax_encode(F.col("vals"), w, c).alias("sax_word"),
+        "vals",
+    )
+    counts = words.groupBy("sax_word").agg(
+        F.count(F.lit(1)).alias("word_count")
+    )
+    rare = counts.orderBy("word_count", "sax_word").limit(rare_words)
+    cand = words.join(F.broadcast(rare), "sax_word").select(
+        "series_key",
+        F.col("window_id"),
+        "sax_word",
+        "word_count",
+        F.col("vals").alias("__cvals"),
+    )
+    others = words.select(
+        "series_key",
+        F.col("window_id").alias("__oid"),
+        F.col("vals").alias("__ovals"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("__cvals"), F.col("__ovals"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nn = (
+        F.broadcast(cand)
+        .join(others, "series_key")
+        .where(F.col("window_id") != F.col("__oid"))
+        .groupBy("series_key", "window_id", "sax_word", "word_count")
+        .agg(F.min(d2).alias("__m"))
+    )
+    scored = nn.select(
+        "series_key",
+        "window_id",
+        "sax_word",
+        "word_count",
+        (F.floor(F.sqrt(F.col("__m")) * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "nn_dist"
+        ),
+    )
+    return scored.orderBy(
+        F.desc("nn_dist"), "series_key", "window_id"
+    ).limit(top)
+
+
 def isax_buckets(
     words: DataFrame,
     *,

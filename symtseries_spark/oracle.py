@@ -309,3 +309,70 @@ def mindist_lut_values(c: int) -> str:
 
 def positions_values(w: int) -> str:
     return "(VALUES " + ", ".join(f"({i})" for i in range(1, w + 1)) + ") AS pos(i)"
+
+
+def discords_sql(
+    n: int,
+    w: int,
+    c: int,
+    *,
+    rare_words: int = 10,
+    top: int = 5,
+    table: str = "events",
+    key: str = "user_id",
+    order: str = "ts, event_id",
+    value: str = "value",
+) -> str:
+    """Twin of operators.search.discords: tumbling words (via
+    :func:`tumbling_words_sql` embedded as a CTE), global word
+    histogram, the ``rare_words`` rarest words as candidates, exact
+    same-series NN distance on the shared left-to-right squared-diff
+    fold, top ``top`` by quantized descending NN distance."""
+    words_stmt = tumbling_words_sql(
+        n, w, c, table=table, key=key, order=order, value=value
+    )
+    d2 = (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {n + 1}), "
+        f"i -> (c.vals[i] - o.vals[i]) * (c.vals[i] - o.vals[i]))), "
+        f"(x, y) -> x + y)"
+    )
+    return f"""
+WITH base AS (
+  SELECT {key} AS series_key, {value} AS v,
+         row_number() OVER (PARTITION BY {key} ORDER BY {order}) AS rn
+  FROM {table}
+), pos AS (
+  SELECT series_key, v,
+         CAST(floor((rn - 1) / {n}) AS BIGINT) AS window_id,
+         CAST((rn - 1) % {n} AS INT) AS p
+  FROM base
+), wins AS (
+  SELECT series_key, window_id, list(CAST(v AS DOUBLE) ORDER BY p) AS vals
+  FROM pos GROUP BY series_key, window_id HAVING count(*) = {n}
+), words AS (
+{words_stmt}
+), wt AS (
+  SELECT wo.series_key, wo.window_id, wo.sax_word, wi.vals
+  FROM words wo JOIN wins wi USING (series_key, window_id)
+), counts AS (
+  SELECT sax_word, count(*) AS word_count FROM wt GROUP BY sax_word
+), rare AS (
+  SELECT sax_word, word_count FROM counts
+  ORDER BY word_count, sax_word LIMIT {rare_words}
+), cand AS (
+  SELECT wt.series_key, wt.window_id, wt.sax_word, rare.word_count, wt.vals
+  FROM wt JOIN rare USING (sax_word)
+), nn AS (
+  SELECT c.series_key, c.window_id, c.sax_word, c.word_count,
+         min({d2}) AS m
+  FROM cand c JOIN wins o
+    ON o.series_key = c.series_key AND o.window_id != c.window_id
+  GROUP BY c.series_key, c.window_id, c.sax_word, c.word_count
+)
+SELECT series_key, window_id, sax_word, word_count,
+       floor(sqrt(m) * 1000000.0 + 0.5) / 1000000.0 AS nn_dist
+FROM nn
+ORDER BY nn_dist DESC, series_key, window_id
+LIMIT {top}
+"""
