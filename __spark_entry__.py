@@ -161,6 +161,10 @@ SEMDEDUP_THRESHOLD = 0.35
 # dense enough that "rare" is meaningful: 73 distinct words / 554
 # windows at sf0.01, 15 singletons).
 DISCORD = dict(rare_words=10, top=5)
+# DSIR importance resampling: 1024 hashed-unigram buckets, target =
+# English rows (the corpus plurality, 218/500 at sf0.01).
+DSIR = dict(n_buckets=1024, target_col="lang", target_value="en")
+SOURCE_CAP = 10
 
 
 def _events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1092,6 +1096,27 @@ def q_sax_discords(spark: SparkSession, sf_dir: str) -> DataFrame:
         key="user_id", order=["ts", "event_id"], value="value",
         **TUMBLE_MOTIF, **DISCORD,
     )
+
+
+def q_docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed-unigram bucket
+    models for the lang='en' target vs the raw corpus, per-doc
+    sum ln(p_target/p_raw) (operators/pipeline.py:dsir_logweights).
+    The 1024-bucket feature table is broadcast; the corpus is never
+    shuffled on the token key."""
+    from symtseries_spark.operators.pipeline import dsir_logweights
+
+    return dsir_logweights(load(spark, sf_dir, "documents"), **DSIR)
+
+
+def q_docs_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality quota (domain cap): keep the top-10 docs per
+    source by (quality_score DESC, doc_id), via the lossless salted
+    two-stage top-k (operators/pipeline.py:source_cap) so no single
+    mega-domain serializes through one task at 100 TB."""
+    from symtseries_spark.operators.pipeline import source_cap
+
+    return source_cap(load(spark, sf_dir, "documents"), per_source=SOURCE_CAP)
 
 
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3553,6 +3578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans": q_emb_kmeans,
         "emb_semdedup": q_emb_semdedup,
         "sax_discords": q_sax_discords,
+        "docs_dsir_weights": q_docs_dsir_weights,
+        "docs_source_cap": q_docs_source_cap,
         "events_sessions_stream": q_events_sessions_stream,
         "events_histogram": q_events_histogram,
         "events_ntile": q_events_ntile,
@@ -5001,6 +5028,8 @@ FROM documents
             num_lists=IVF["num_lists"], nprobe=RECALL["ivf_nprobe"],
             dim=EMB_DIM,
         ),
+        "docs_dsir_weights": ot.dsir_logweights_sql(**DSIR),
+        "docs_source_cap": ot.source_cap_sql(per_source=SOURCE_CAP),
         "sax_discords": oc.discords_sql(
             TUMBLE_MOTIF["n"], TUMBLE_MOTIF["w"], TUMBLE_MOTIF["c"],
             **DISCORD,

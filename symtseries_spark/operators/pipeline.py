@@ -437,3 +437,136 @@ def global_order_index(
         )
         .drop("__h", "__shard", "__off")
     )
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    *,
+    n_buckets: int = 1024,
+    target_col: str = "lang",
+    target_value: str = "en",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights for domain-targeted data selection
+    (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling", arXiv:2302.03169) -> ``(doc_id, n_tokens,
+    dsir_logweight)``.
+
+    Features are hashed unigram buckets (the paper's hashed n-gram
+    feature space): each token maps to ``doc_hash60(term) % n_buckets``.
+    Two smoothed bag-of-buckets unigram models are fitted — the TARGET
+    distribution over rows where ``target_col == target_value`` and the
+    RAW distribution over the whole corpus — and each document scores
+    the sum over its token instances of
+    ``ln(p_target(bucket) / p_raw(bucket))`` with add-one smoothing,
+    quantized to 1e-6. High weight = looks like the target domain;
+    resampling by these weights is the paper's selection step (the
+    deterministic sampler in :func:`mixture_sample` composes directly).
+
+    Documents with zero tokens produce no row (no feature evidence).
+
+    Scale shape: the feature table is ``n_buckets`` rows — broadcast —
+    so the corpus is scanned twice (once to fit both models: a single
+    map-side-combinable groupBy(bucket) with a conditional count; once
+    to score) and is never shuffled on the token key, the same
+    two-scan/broadcast profile as retrieval.unigram_logprob.
+    """
+    flag = F.col(target_col) == F.lit(target_value)
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        flag.alias("__is_tgt"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    ).select(
+        "doc_id",
+        "__is_tgt",
+        (doc_hash60(F.col("term")) % n_buckets).alias("bucket"),
+    )
+    counts = tok.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count(F.when(F.col("__is_tgt"), 1)).alias("ct"),
+    )
+    totals = counts.agg(
+        F.sum("cr").cast("double").alias("__nr"),
+        F.sum("ct").cast("double").alias("__nt"),
+    )
+    b = float(n_buckets)
+    table = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.log(
+            ((F.col("ct") + F.lit(1.0)) / (F.col("__nt") + F.lit(b)))
+            / ((F.col("cr") + F.lit(1.0)) / (F.col("__nr") + F.lit(b)))
+        ).alias("__lr"),
+    )
+    return (
+        tok.join(F.broadcast(table), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.floor(F.sum("__lr") * 1e6 + F.lit(0.5)) / 1e6
+            ).alias("dsir_logweight"),
+        )
+    )
+
+
+def source_cap(
+    docs: DataFrame,
+    *,
+    per_source: int = 10,
+    n_salts: int = 32,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source quality quota (the CommonCrawl-pipeline "domain cap":
+    no single source may dominate the corpus): keep the ``per_source``
+    highest-quality documents of each source, ranked by
+    ``(quality_score DESC, doc_id)`` -> ``(doc_id, source, src_rank,
+    quality_score)``.
+
+    Quality is the deterministic 4-decimal ``quality_metrics`` score
+    (functions/text.py), so the rank order — and therefore the kept
+    set — is engine-stable with no float drift in the compare.
+
+    Scale shape: a naive per-key window rank shuffles the whole corpus
+    on ``source`` and serializes each source through one task — fatal
+    when one domain holds 10% of 100 TB. This runs the standard
+    two-stage top-k instead: stage 1 ranks within ``(source, salt)``
+    (salt = doc_id % n_salts) and keeps ``per_source`` per salt — an
+    evenly-spread shuffle that cuts every source to at most
+    ``n_salts * per_source`` rows; stage 2 ranks the survivors within
+    ``source``. The stage-1 prune is lossless: the global top-k of a
+    source is contained in the union of its per-salt top-k. Output is
+    identical to the naive plan; only the shuffle geometry differs.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import quality_metrics
+
+    # explode(array(...)) is a Generate barrier: the (token-bound)
+    # quality struct is evaluated once per row, not once per extracted
+    # field (same trick as the text_quality query)
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.explode(F.array(quality_metrics(F.col(text_col)))).alias("__q"),
+    ).select(
+        "doc_id", "source", F.col("__q.quality_score").alias("quality_score")
+    )
+    stage1 = Window.partitionBy(
+        "source", F.col("doc_id") % n_salts
+    ).orderBy(F.desc("quality_score"), "doc_id")
+    pruned = (
+        scored.withColumn("__r1", F.row_number().over(stage1))
+        .where(F.col("__r1") <= per_source)
+        .drop("__r1")
+    )
+    stage2 = Window.partitionBy("source").orderBy(
+        F.desc("quality_score"), "doc_id"
+    )
+    return (
+        pruned.withColumn("src_rank", F.row_number().over(stage2))
+        .where(F.col("src_rank") <= per_source)
+        .select("doc_id", "source", "src_rank", "quality_score")
+    )

@@ -958,3 +958,80 @@ WHERE n_pair >= {min_count}
 ORDER BY pmi DESC, w1, w2
 LIMIT {topk}
 """
+
+
+def dsir_logweights_sql(
+    *,
+    n_buckets: int = 1024,
+    target_col: str = "lang",
+    target_value: str = "en",
+    table: str = "documents",
+) -> str:
+    """Twin of operators.pipeline.dsir_logweights: hashed-unigram
+    bucket features, add-one-smoothed target/raw bucket models,
+    per-doc sum of ln(p_target/p_raw) quantized to 1e-6. The division
+    tree mirrors the Spark expression exactly so the per-token log
+    ratios are bit-identical; only the per-doc sum order differs,
+    which the quantization absorbs."""
+    toks = tokens_expr()
+    b = float(n_buckets)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {target_col} = '{target_value}' AS is_tgt,
+         unnest({toks}) AS term
+  FROM {table}
+), tb AS (
+  SELECT doc_id, is_tgt, {hash60('term')} % {n_buckets} AS bucket FROM tok
+), counts AS (
+  SELECT bucket, count(*) AS cr, count(*) FILTER (is_tgt) AS ct
+  FROM tb GROUP BY bucket
+), tot AS (
+  SELECT CAST(sum(cr) AS DOUBLE) AS nr, CAST(sum(ct) AS DOUBLE) AS nt
+  FROM counts
+), tbl AS (
+  SELECT bucket,
+         ln(((ct + 1.0) / (nt + {b!r})) / ((cr + 1.0) / (nr + {b!r}))) AS lr
+  FROM counts CROSS JOIN tot
+)
+SELECT doc_id, count(*) AS n_tokens,
+       floor(sum(lr) * 1000000.0 + 0.5) / 1000000.0 AS dsir_logweight
+FROM tb JOIN tbl USING (bucket)
+GROUP BY doc_id
+"""
+
+
+def source_cap_sql(*, per_source: int = 10, table: str = "documents") -> str:
+    """Twin of operators.pipeline.source_cap (the oracle ranks within
+    source directly — the operator's salted two-stage plan is a
+    lossless shuffle-geometry rewrite with identical output)."""
+    toks = "toks"
+    score = (
+        "CASE WHEN len(toks) > 0 THEN "
+        "least(CASE WHEN len(toks) > 0 THEN "
+        f"len(list_filter(toks, t -> list_contains({_str_list(EN_STOPWORDS)}, t)))"
+        " * 1.0 / len(toks) ELSE 0.0 END * 4, 1.0) * 0.4 "
+        "+ (CASE WHEN (CASE WHEN len(toks) > 0 THEN "
+        "len(array_to_string(toks, '')) * 1.0 / len(toks) ELSE 0.0 END) >= 3 "
+        "AND (CASE WHEN len(toks) > 0 THEN "
+        "len(array_to_string(toks, '')) * 1.0 / len(toks) ELSE 0.0 END) <= 10 "
+        "THEN 0.4 ELSE 0.0 END) "
+        "+ (CASE WHEN (CASE WHEN len(text) > 0 THEN "
+        "len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / len(text) "
+        "ELSE 0.0 END) < 0.3 THEN 0.2 ELSE 0.0 END) "
+        "ELSE 0.0 END"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, text, {tokens_expr()} AS {toks} FROM {table}
+), s AS (
+  SELECT doc_id, source, round({score}, 4) AS quality_score FROM base
+), r AS (
+  SELECT doc_id, source, quality_score,
+         row_number() OVER (
+           PARTITION BY source ORDER BY quality_score DESC, doc_id
+         ) AS src_rank
+  FROM s
+)
+SELECT doc_id, source, src_rank, quality_score
+FROM r WHERE src_rank <= {per_source}
+"""
