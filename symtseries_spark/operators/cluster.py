@@ -151,7 +151,7 @@ def kmeans_assign(
         )
         cent = (
             seeds.select("cluster", F.col("centroid").alias("__seed"))
-            .join(means, "cluster", "left")
+            .join(F.broadcast(means), "cluster", "left")
             .select(
                 "cluster", F.coalesce("centroid", "__seed").alias("centroid")
             )
