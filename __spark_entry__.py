@@ -165,6 +165,10 @@ DISCORD = dict(rare_words=10, top=5)
 # English rows (the corpus plurality, 218/500 at sf0.01).
 DSIR = dict(n_buckets=1024, target_col="lang", target_value="en")
 SOURCE_CAP = 10
+NOVELTY_K = 3
+# SAX-VSM: n=8/w=4/c=4 gives dense-enough bags that series share words;
+# df_cap=200 bounds the word-keyed pair fanout (hot-key insurance).
+VSM = dict(n=8, w=4, c=4, df_cap=200, top=20)
 
 
 def _events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1117,6 +1121,32 @@ def q_docs_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from symtseries_spark.operators.pipeline import source_cap
 
     return source_cap(load(spark, sf_dir, "documents"), per_source=SOURCE_CAP)
+
+
+def q_docs_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence n-gram novelty in train order: fraction of each
+    doc's shingles whose earliest corpus appearance is that doc
+    (operators/decontam.py:novelty_scores) — the repetition diagnostic
+    that complements whole-doc dedup. Same shuffle profile as
+    docs_tfidf; no pair expansion, so no caps needed."""
+    from symtseries_spark.operators.decontam import novelty_scores
+
+    return novelty_scores(load(spark, sf_dir, "documents"), k=NOVELTY_K)
+
+
+def q_sax_vsm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX-VSM series similarity (Senin/Malinchik 2013): tumbling word
+    bags, tf*ln(N/df) weights on the df-capped word space, top-20
+    series pairs by tf-idf cosine (operators/search.py:vsm_series_pairs).
+    The df cap bounds the word-keyed pair fanout — the max_shingle_freq
+    rule applied to the SAX word space."""
+    from symtseries_spark.operators.search import vsm_series_pairs
+
+    return vsm_series_pairs(
+        load(spark, sf_dir, "events"),
+        key="user_id", order=["ts", "event_id"], value="value",
+        **VSM,
+    )
 
 
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3580,6 +3610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_discords": q_sax_discords,
         "docs_dsir_weights": q_docs_dsir_weights,
         "docs_source_cap": q_docs_source_cap,
+        "docs_novelty": q_docs_novelty,
+        "sax_vsm_pairs": q_sax_vsm_pairs,
         "events_sessions_stream": q_events_sessions_stream,
         "events_histogram": q_events_histogram,
         "events_ntile": q_events_ntile,
@@ -5030,6 +5062,11 @@ FROM documents
         ),
         "docs_dsir_weights": ot.dsir_logweights_sql(**DSIR),
         "docs_source_cap": ot.source_cap_sql(per_source=SOURCE_CAP),
+        "docs_novelty": ot.novelty_scores_sql(k=NOVELTY_K),
+        "sax_vsm_pairs": oc.vsm_series_pairs_sql(
+            VSM["n"], VSM["w"], VSM["c"],
+            df_cap=VSM["df_cap"], top=VSM["top"],
+        ),
         "sax_discords": oc.discords_sql(
             TUMBLE_MOTIF["n"], TUMBLE_MOTIF["w"], TUMBLE_MOTIF["c"],
             **DISCORD,

@@ -79,3 +79,56 @@ def benchmark_contamination(
         "total_shingles",
         (F.floor(ratio * 1e6 + F.lit(0.5)) / 1e6).alias("contamination"),
     )
+
+
+def novelty_scores(
+    docs: DataFrame,
+    *,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """First-occurrence n-gram novelty in corpus (training) order ->
+    ``(doc_id, total_shingles, novel_shingles, novelty_ratio)``.
+
+    A shingle is *novel* for a document iff that document is its
+    earliest appearance in the corpus (global ``min(doc_id)``). Low
+    novelty late in the train order marks documents that mostly repeat
+    earlier data — the cheap curriculum/repetition diagnostic a
+    pretraining run uses alongside dedup (dedup asks "is the whole doc
+    a copy?", novelty asks "how much of it has been seen at all?").
+    Documents with fewer than ``k`` tokens have no shingles and are
+    not scored.
+
+    Scale shape: one explode + a map-side-combinable groupBy(shingle)
+    for the first-occurrence table (min is combinable), one
+    shingle-keyed hash join back, one combinable per-doc re-aggregate
+    — the docs_tfidf shuffle profile exactly; no caps needed because
+    no pair expansion happens (every shingle row joins one first-
+    occurrence row). The ratio divides after casting both counts to
+    double, quantized 1e-6, mirroring the oracle tree.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), k)).alias("shingle"),
+    )
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("__first"))
+    agg = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_shingles"),
+            F.count(F.when(F.col("__first") == F.col("doc_id"), 1)).alias(
+                "novel_shingles"
+            ),
+        )
+    )
+    ratio = F.col("novel_shingles").cast("double") / F.col(
+        "total_shingles"
+    ).cast("double")
+    return agg.select(
+        "doc_id",
+        "total_shingles",
+        "novel_shingles",
+        (F.floor(ratio * 1e6 + F.lit(0.5)) / 1e6).alias("novelty_ratio"),
+    )

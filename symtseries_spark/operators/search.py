@@ -514,3 +514,108 @@ def allpairs_within(
             .alias("payload_b"),
         ]
     return expanded.select(*out_cols)
+
+
+def vsm_series_pairs(
+    df: DataFrame,
+    *,
+    key: str,
+    order: str | list[str],
+    value: str,
+    n: int,
+    w: int,
+    c: int,
+    df_cap: int = 200,
+    top: int = 20,
+) -> DataFrame:
+    """SAX-VSM series similarity (Senin & Malinchik 2013, "SAX-VSM:
+    Interpretable Time Series Classification Using SAX and Vector Space
+    Model"): each series becomes a bag of its tumbling SAX words,
+    weighted tf * ln(N/df) (the engine's tf-idf convention,
+    operators/retrieval.py), and the ``top`` most-similar series pairs
+    by tf-idf cosine are reported ->
+    ``(series_a, series_b, shared_words, cos_sim)``.
+
+    Words with document frequency above ``df_cap`` are pruned BEFORE
+    the pair expansion — they carry near-zero idf anyway, and the cap
+    bounds the word-keyed self-join fanout at df_cap^2 per word: the
+    same hot-key insurance as ``max_shingle_freq`` in the Jaccard
+    dedup (docs/SCALING.md). Norms are computed over the same pruned
+    space, so the cosine is exact within it; series whose words are
+    all pruned drop out. Cosine is quantized 1e-6 before the ordering
+    so the reported top set is engine-stable.
+
+    Scale shape: word bags via one tumbling pass (map-side
+    combinable); tf/df from the same shuffled relation; N as a
+    broadcast scalar row; the pair dot is one equi-join on the word
+    key (bounded by the cap) + a combinable groupBy; norms join is on
+    series keys. No cartesian anywhere.
+    """
+    from .windows import tumbling_sax
+
+    words = tumbling_sax(
+        df, key=key, order=order, value=value, n=n, w=w, c=c
+    )
+    tf = words.groupBy("series_key", "sax_word").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfw = tf.groupBy("sax_word").agg(F.count(F.lit(1)).alias("df"))
+    n_row = words.agg(
+        F.countDistinct("series_key").alias("n")
+    )
+    weights = (
+        tf.join(dfw.where(F.col("df") <= df_cap), "sax_word")
+        .join(F.broadcast(n_row))
+        .select(
+            "series_key",
+            "sax_word",
+            (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("__w"),
+        )
+    )
+    norms = weights.groupBy("series_key").agg(
+        F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__nrm")
+    )
+    a = weights.select(
+        F.col("series_key").alias("series_a"),
+        "sax_word",
+        F.col("__w").alias("__wa"),
+    )
+    b = weights.select(
+        F.col("series_key").alias("series_b"),
+        "sax_word",
+        F.col("__w").alias("__wb"),
+    )
+    dots = (
+        a.join(b, "sax_word")
+        .where(F.col("series_a") < F.col("series_b"))
+        .groupBy("series_a", "series_b")
+        .agg(
+            F.count(F.lit(1)).alias("shared_words"),
+            F.sum(F.col("__wa") * F.col("__wb")).alias("__dot"),
+        )
+    )
+    na = norms.select(
+        F.col("series_key").alias("series_a"), F.col("__nrm").alias("__na")
+    )
+    nb = norms.select(
+        F.col("series_key").alias("series_b"), F.col("__nrm").alias("__nb")
+    )
+    scored = (
+        dots.join(na, "series_a")
+        .join(nb, "series_b")
+        .select(
+            "series_a",
+            "series_b",
+            "shared_words",
+            (
+                F.floor(
+                    F.col("__dot") / (F.col("__na") * F.col("__nb")) * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("cos_sim"), "series_a", "series_b"
+    ).limit(top)

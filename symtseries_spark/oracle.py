@@ -376,3 +376,56 @@ FROM nn
 ORDER BY nn_dist DESC, series_key, window_id
 LIMIT {top}
 """
+
+
+def vsm_series_pairs_sql(
+    n: int,
+    w: int,
+    c: int,
+    *,
+    df_cap: int = 200,
+    top: int = 20,
+    table: str = "events",
+    key: str = "user_id",
+    order: str = "ts, event_id",
+    value: str = "value",
+) -> str:
+    """Twin of operators.search.vsm_series_pairs: tumbling word bags,
+    tf * ln(N/df) weights over the df-capped word space, pairwise
+    tf-idf cosine, top pairs by quantized descending similarity."""
+    words_stmt = tumbling_words_sql(
+        n, w, c, table=table, key=key, order=order, value=value
+    )
+    return f"""
+WITH words AS (
+{words_stmt}
+), tf AS (
+  SELECT series_key, sax_word, count(*) AS tf
+  FROM words GROUP BY series_key, sax_word
+), dfw AS (
+  SELECT sax_word, count(*) AS df FROM tf GROUP BY sax_word
+), nrow AS (
+  SELECT count(DISTINCT series_key) AS n FROM words
+), wts AS (
+  SELECT series_key, sax_word, tf * ln(n / df) AS wgt
+  FROM tf JOIN dfw USING (sax_word) CROSS JOIN nrow
+  WHERE df <= {df_cap}
+), norms AS (
+  SELECT series_key, sqrt(sum(wgt * wgt)) AS nrm
+  FROM wts GROUP BY series_key
+), dots AS (
+  SELECT a.series_key AS series_a, b.series_key AS series_b,
+         count(*) AS shared_words, sum(a.wgt * b.wgt) AS d
+  FROM wts a JOIN wts b
+    ON a.sax_word = b.sax_word AND a.series_key < b.series_key
+  GROUP BY a.series_key, b.series_key
+)
+SELECT series_a, series_b, shared_words,
+       floor(d / (na.nrm * nb.nrm) * 1000000.0 + 0.5) / 1000000.0
+         AS cos_sim
+FROM dots
+JOIN norms na ON na.series_key = series_a
+JOIN norms nb ON nb.series_key = series_b
+ORDER BY cos_sim DESC, series_a, series_b
+LIMIT {top}
+"""

@@ -1035,3 +1035,25 @@ WITH base AS (
 SELECT doc_id, source, src_rank, quality_score
 FROM r WHERE src_rank <= {per_source}
 """
+
+
+def novelty_scores_sql(*, k: int = 3, table: str = "documents") -> str:
+    """Twin of operators.decontam.novelty_scores: shingle
+    first-occurrence table, per-doc novel/total counts, quantized
+    double-cast ratio."""
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({shingles_expr(k)}) AS shingle FROM {table}
+), first AS (
+  SELECT shingle, min(doc_id) AS fd FROM sh GROUP BY shingle
+), agg AS (
+  SELECT doc_id, count(*) AS total_shingles,
+         count(*) FILTER (fd = doc_id) AS novel_shingles
+  FROM sh JOIN first USING (shingle)
+  GROUP BY doc_id
+)
+SELECT doc_id, total_shingles, novel_shingles,
+       floor((CAST(novel_shingles AS DOUBLE) / CAST(total_shingles AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS novelty_ratio
+FROM agg
+"""
