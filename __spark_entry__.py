@@ -169,6 +169,7 @@ NOVELTY_K = 3
 # SAX-VSM: n=8/w=4/c=4 gives dense-enough bags that series share words;
 # df_cap=200 bounds the word-keyed pair fanout (hot-key insurance).
 VSM = dict(n=8, w=4, c=4, df_cap=200, top=20)
+PCA_ITERS = 3
 
 
 def _events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1146,6 +1147,19 @@ def q_sax_vsm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "events"),
         key="user_id", order=["ts", "event_id"], value="value",
         **VSM,
+    )
+
+
+def q_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-PC projection scores via covariance-free deterministic
+    power iteration (operators/cluster.py:pca_power_scores): the
+    anisotropy probe run before trusting cosine geometry. mu and v are
+    1-row broadcasts; each step is one fused corpus scan; every
+    iterate quantized 1e-6 for cross-engine parity."""
+    from symtseries_spark.operators.cluster import pca_power_scores
+
+    return pca_power_scores(
+        load(spark, sf_dir, "embeddings"), dim=EMB_DIM, iters=PCA_ITERS
     )
 
 
@@ -3612,6 +3626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_source_cap": q_docs_source_cap,
         "docs_novelty": q_docs_novelty,
         "sax_vsm_pairs": q_sax_vsm_pairs,
+        "emb_pca_power": q_emb_pca_power,
         "events_sessions_stream": q_events_sessions_stream,
         "events_histogram": q_events_histogram,
         "events_ntile": q_events_ntile,
@@ -5071,6 +5086,7 @@ FROM documents
             TUMBLE_MOTIF["n"], TUMBLE_MOTIF["w"], TUMBLE_MOTIF["c"],
             **DISCORD,
         ),
+        "emb_pca_power": ov.pca_power_sql(dim=EMB_DIM, iters=PCA_ITERS),
         "emb_kmeans": ov.kmeans_assign_sql(
             k=KMEANS["k"], iters=KMEANS["iters"], dim=EMB_DIM
         ),

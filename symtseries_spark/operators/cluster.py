@@ -218,3 +218,112 @@ def semdedup_keep(
         .distinct()
     )
     return assigned.join(dropped, id_col, "left_anti").select(id_col, "cluster")
+
+
+def pca_power_scores(
+    vectors: DataFrame,
+    *,
+    dim: int,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """First-principal-component projection scores via deterministic
+    power iteration -> ``(id, pc1)`` with ``pc1 = (x - mu) . v``
+    quantized 1e-6 — the embedding-space structure probe (dominant
+    direction / whitening diagnostic) a curation pipeline runs before
+    trusting cosine geometry (anisotropic embedding spaces concentrate
+    mass on one axis; a huge top eigenvalue says cosine thresholds are
+    really measuring that axis).
+
+    COVARIANCE-FREE: the d x d covariance is never materialized.
+    Each iteration computes ``u = sum_i s_i (x_i - mu)`` with
+    ``s_i = (x_i - mu) . v`` — two corpus-wide passes fused into one
+    scan: a projection computes every ``s_i`` once (Project node, so
+    the fold runs once per row, not once per dimension), then one
+    map-side-combinable aggregate accumulates the d per-dimension
+    sums. ``mu`` and ``v`` are 1-row relations, always broadcast.
+
+    Determinism / parity: ``v_0 = e_1`` (no RNG; e_1 being exactly
+    orthogonal to the top eigenvector is measure-zero and would show
+    as all-zero u); the per-dim mean, every per-dim sum, and the
+    normalized iterate are floor-quantized to 1e-6 before reuse, so
+    both engines iterate over bit-identical (mu, v) even though their
+    grouped-sum orders differ — the kmeans_assign centroid rule
+    applied to the eigenvector. All dot products use the repo-wide
+    left-to-right fold. The sign convention is inherited from v_0
+    (power iteration converges up to sign; fixed init fixes the sign).
+    """
+    vd = F.col(vec_col).cast("array<double>")
+    mu_row = (
+        vectors.agg(
+            *[
+                F.avg(F.element_at(vd, i + 1)).alias(f"__m{i}")
+                for i in range(dim)
+            ]
+        ).select(
+            F.array(*[_q6(F.col(f"__m{i}")) for i in range(dim)]).alias("mu")
+        )
+    )
+    v_row = mu_row.select(
+        F.array(
+            *[F.lit(1.0 if i == 0 else 0.0) for i in range(dim)]
+        ).alias("v")
+    )
+
+    def centered_dot(v_expr: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.zip_with(vd, F.col("mu"), lambda x, m: x - m),
+                v_expr,
+                lambda cx, vv: cx * vv,
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    for _ in range(iters):
+        proj = (
+            vectors.select(vec_col)
+            .crossJoin(F.broadcast(mu_row))
+            .crossJoin(F.broadcast(v_row))
+            .select(
+                vd.alias("__x"),
+                F.col("mu"),
+                centered_dot(F.col("v")).alias("__s"),
+            )
+        )
+        u_row = proj.agg(
+            *[
+                F.sum(
+                    F.col("__s")
+                    * (
+                        F.element_at(F.col("__x"), i + 1)
+                        - F.element_at(F.col("mu"), i + 1)
+                    )
+                ).alias(f"__u{i}")
+                for i in range(dim)
+            ]
+        ).select(
+            F.array(*[_q6(F.col(f"__u{i}")) for i in range(dim)]).alias("u")
+        )
+        nrm = F.sqrt(
+            F.aggregate(
+                F.transform(F.col("u"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+        )
+        v_row = u_row.select(
+            F.transform(F.col("u"), lambda x: _q6(x / nrm)).alias("v")
+        )
+
+    return (
+        vectors.select(id_col, vec_col)
+        .crossJoin(F.broadcast(mu_row))
+        .crossJoin(F.broadcast(v_row))
+        .select(
+            F.col(id_col),
+            _q6(centered_dot(F.col("v"))).alias("pc1"),
+        )
+    )

@@ -538,3 +538,56 @@ SELECT k.vec_id, k.cluster
 FROM kassign k LEFT JOIN dropped d ON k.vec_id = d.vec_id
 WHERE d.vec_id IS NULL
 """
+
+
+def pca_power_sql(*, dim: int, iters: int = 3, table: str = "embeddings") -> str:
+    """Twin of operators.cluster.pca_power_scores: quantized per-dim
+    mean, v0 = e1, ``iters`` power steps with each per-dim sum and the
+    normalized iterate floor-quantized to 1e-6, then per-vector
+    centered projection — every fold left-to-right like the Spark
+    expression, so both engines see bit-identical (mu, v)."""
+    q = "floor({expr} * 1000000.0 + 0.5) / 1000000.0"
+    e1 = "[" + ", ".join("1.0" if i == 0 else "0.0" for i in range(dim)) + "]"
+
+    def s_expr(vname: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(range(1, {dim + 1}), "
+            f"i -> (CAST(e.embedding[i] AS DOUBLE) - mu.mu[i]) * {vname}.v[i])), "
+            f"(a, b) -> a + b)"
+        )
+
+    parts = [
+        f"""mu AS (
+  SELECT list(m ORDER BY i) AS mu FROM (
+    SELECT i, {q.format(expr=f'avg(CAST(embedding[i] AS DOUBLE))')} AS m
+    FROM {table}, range(1, {dim + 1}) t(i) GROUP BY i))""",
+        f"v0 AS (SELECT {e1} AS v)",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"""st{t} AS (
+  SELECT e.embedding, mu.mu, {s_expr(f'v{t}')} AS s
+  FROM {table} e CROSS JOIN mu CROSS JOIN v{t})"""
+        )
+        parts.append(
+            f"""u{t} AS (
+  SELECT list(u ORDER BY i) AS u FROM (
+    SELECT i,
+           {q.format(expr='sum(s * (CAST(embedding[i] AS DOUBLE) - mu[i]))')} AS u
+    FROM st{t}, range(1, {dim + 1}) t(i) GROUP BY i))"""
+        )
+        nrm = (
+            "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            "list_transform(u, y -> y * y)), (a, b) -> a + b))"
+        )
+        parts.append(
+            f"""v{t + 1} AS (
+  SELECT list_transform(u, x -> {q.format(expr=f'x / {nrm}')}) AS v
+  FROM u{t})"""
+        )
+    return f"""
+WITH {','.join(parts)}
+SELECT e.vec_id, {q.format(expr=s_expr(f'v{iters}'))} AS pc1
+FROM {table} e CROSS JOIN mu CROSS JOIN v{iters}
+"""

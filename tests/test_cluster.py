@@ -117,3 +117,37 @@ class TestSemDeDup:
             emb, k=K, dim=DIM, iters=ITERS, threshold=0.5
         ).count()
         assert k_lo <= k_hi
+
+
+class TestPcaPower:
+    def test_deterministic_and_centered(self, emb):
+        from symtseries_spark.operators.cluster import pca_power_scores
+
+        a = {r["vec_id"]: r["pc1"] for r in
+             pca_power_scores(emb, dim=64, iters=2).collect()}
+        b = {r["vec_id"]: r["pc1"] for r in
+             pca_power_scores(emb, dim=64, iters=2).collect()}
+        assert a == b
+        assert len(a) == emb.count()
+        mean = sum(a.values()) / len(a)
+        assert abs(mean) < 1e-3  # centered projection sums to ~0
+
+    def test_power_iteration_improves_rayleigh_quotient(self, emb):
+        """var(pc1) after iterating must beat the raw e1-axis variance
+        (v0 = e1): each power step is monotone in the Rayleigh
+        quotient, up to the 1e-6 iterate quantization."""
+        import statistics
+
+        from symtseries_spark.operators.cluster import pca_power_scores
+
+        rows = emb.select("embedding").collect()
+        mu0 = sum(r["embedding"][0] for r in rows) / len(rows)
+        var_e1 = statistics.pvariance(
+            [r["embedding"][0] - mu0 for r in rows]
+        )
+        scores = [
+            r["pc1"]
+            for r in pca_power_scores(emb, dim=64, iters=3).collect()
+        ]
+        var_pc1 = statistics.pvariance(scores)
+        assert var_pc1 >= var_e1 - 1e-4
