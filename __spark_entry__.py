@@ -170,6 +170,7 @@ NOVELTY_K = 3
 # df_cap=200 bounds the word-keyed pair fanout (hot-key insurance).
 VSM = dict(n=8, w=4, c=4, df_cap=200, top=20)
 PCA_ITERS = 3
+CORPUS_FILTER3 = dict(min_novelty=0.2)
 
 
 def _events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1147,6 +1148,56 @@ def q_sax_vsm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "events"),
         key="user_id", order=["ts", "event_id"], value="value",
         **VSM,
+    )
+
+
+def q_docs_corpus_filter3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus filter upgraded with THIS round's curation signals,
+    composed: survive the per-source quality quota (docs_source_cap),
+    carry >= 0.2 first-occurrence n-gram novelty (docs_novelty), and
+    rank in the top half of the corpus by per-token DSIR target
+    likeness (docs_dsir_weights) — an absolute DSIR threshold does not
+    travel across corpus scales (the bucket models renormalize), so
+    the gate is rank-based. The global rank is exact here
+    (driver-gate scale); a 100 TB run would replace it with an
+    approximate-quantile threshold (one pass, no global sort) — same
+    kept semantics up to quantile error. Survivors with all three
+    signals attached."""
+    from symtseries_spark.operators.decontam import novelty_scores
+    from symtseries_spark.operators.pipeline import dsir_logweights, source_cap
+
+    docs = load(spark, sf_dir, "documents")
+    cap = source_cap(docs, per_source=SOURCE_CAP)
+    nov = novelty_scores(docs, k=NOVELTY_K).select("doc_id", "novelty_ratio")
+    pt = dsir_logweights(docs, **DSIR).select(
+        "doc_id",
+        (
+            F.floor(
+                F.col("dsir_logweight") / F.col("n_tokens") * 1e6 + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("dsir_pt"),
+    )
+    from pyspark.sql import Window
+
+    rk = pt.select(
+        "doc_id",
+        "dsir_pt",
+        F.row_number()
+        .over(Window.orderBy(F.desc("dsir_pt"), "doc_id"))
+        .alias("dsir_rank"),
+    ).crossJoin(F.broadcast(pt.agg(F.count(F.lit(1)).alias("__total"))))
+    return (
+        cap.join(nov, "doc_id")
+        .join(rk, "doc_id")
+        .where(
+            (F.col("novelty_ratio") >= CORPUS_FILTER3["min_novelty"])
+            & (F.col("dsir_rank") <= F.floor(F.col("__total") / 2))
+        )
+        .select(
+            "doc_id", "source", "src_rank", "novelty_ratio",
+            "dsir_pt", "dsir_rank",
+        )
     )
 
 
@@ -3627,6 +3678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_novelty": q_docs_novelty,
         "sax_vsm_pairs": q_sax_vsm_pairs,
         "emb_pca_power": q_emb_pca_power,
+        "docs_corpus_filter3": q_docs_corpus_filter3,
         "events_sessions_stream": q_events_sessions_stream,
         "events_histogram": q_events_histogram,
         "events_ntile": q_events_ntile,
@@ -5087,6 +5139,10 @@ FROM documents
             **DISCORD,
         ),
         "emb_pca_power": ov.pca_power_sql(dim=EMB_DIM, iters=PCA_ITERS),
+        "docs_corpus_filter3": ot.corpus_filter3_sql(
+            min_novelty=CORPUS_FILTER3["min_novelty"],
+            per_source=SOURCE_CAP, novelty_k=NOVELTY_K, **DSIR,
+        ),
         "emb_kmeans": ov.kmeans_assign_sql(
             k=KMEANS["k"], iters=KMEANS["iters"], dim=EMB_DIM
         ),

@@ -221,6 +221,30 @@ frame, then a single projection whose nested HOF lambdas bind each
 intermediate (sorted frame, median, sorted deviations) exactly once —
 the named-column formulation re-inlined the median into the deviation
 lambda and re-evaluated it per element (measured 10x).""",
+    "emb_kmeans": """Lloyd iterations as pure plan: each assignment is a
+BroadcastNestedLoopJoin of the corpus against the k-row centroid
+relation (IdentityBroadcastMode — centroids are kilobytes) followed by
+a map-side-combinable min_by argmin; each mean is one groupBy with
+k x dim aggregation state, re-broadcast into the seed-fallback join.
+The corpus is never shuffled on a cluster key; the only corpus-wide
+Exchanges are the argmin pre-aggregations.""",
+    "emb_semdedup": """SemDeDup pair stage: the within-cluster self-join is an
+equi-join ON cluster (no cartesian), with both sides prenormed below
+the join so a scored pair is one dot fold; the drop set re-enters the
+keep anti-join as a broadcast. Candidate volume is bounded by cluster
+size — the k knob, not the plan, is the scale lever.""",
+    "docs_source_cap": """The salted two-stage top-k: Exchange on
+(source, doc_id % 32) for the stage-1 window rank (caps every slice at
+k rows), then Exchange on source alone for the final rank over the
+pruned survivors — the plan witnesses that the corpus-sized shuffle is
+the SALTED one, and the per-source shuffle sees at most
+n_salts * per_source rows per source.""",
+    "sax_discords": """HOT-SAX candidate-bounded refine: the word histogram and
+rare-word limit reduce to a tiny relation that re-enters as a
+BroadcastExchange against the window-values table; the exact-NN join
+is BroadcastHashJoin with the CANDIDATES broadcast (the corpus-sized
+window relation streams), and the per-candidate argmin collapses in a
+map-side partial aggregate.""",
 }
 
 spark = (

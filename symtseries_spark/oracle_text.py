@@ -1057,3 +1057,44 @@ SELECT doc_id, total_shingles, novel_shingles,
              * 1000000.0 + 0.5) / 1000000.0 AS novelty_ratio
 FROM agg
 """
+
+
+def corpus_filter3_sql(
+    *,
+    min_novelty: float,
+    per_source: int = 10,
+    novelty_k: int = 3,
+    n_buckets: int = 1024,
+    target_col: str = "lang",
+    target_value: str = "en",
+    table: str = "documents",
+) -> str:
+    """Twin of the q_docs_corpus_filter3 composition: source-cap
+    membership, novelty floor, and top-half per-token DSIR rank."""
+    cap = source_cap_sql(per_source=per_source, table=table)
+    nov = novelty_scores_sql(k=novelty_k, table=table)
+    ds = dsir_logweights_sql(
+        n_buckets=n_buckets, target_col=target_col,
+        target_value=target_value, table=table,
+    )
+    return f"""
+WITH cap AS ({cap}),
+nov AS ({nov}),
+ds AS ({ds}),
+pt AS (
+  SELECT doc_id,
+         floor(dsir_logweight / n_tokens * 1000000.0 + 0.5) / 1000000.0
+           AS dsir_pt
+  FROM ds
+), rk AS (
+  SELECT doc_id, dsir_pt,
+         row_number() OVER (ORDER BY dsir_pt DESC, doc_id) AS dsir_rank,
+         count(*) OVER () AS total
+  FROM pt
+)
+SELECT cap.doc_id, cap.source, cap.src_rank, nov.novelty_ratio,
+       rk.dsir_pt, rk.dsir_rank
+FROM cap JOIN nov USING (doc_id) JOIN rk USING (doc_id)
+WHERE nov.novelty_ratio >= {min_novelty!r}
+  AND rk.dsir_rank <= floor(total / 2)
+"""
