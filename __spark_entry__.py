@@ -171,6 +171,7 @@ NOVELTY_K = 3
 VSM = dict(n=8, w=4, c=4, df_cap=200, top=20)
 PCA_ITERS = 3
 CORPUS_FILTER3 = dict(min_novelty=0.2)
+STL = dict(trend_window=12)
 
 
 def _events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2839,6 +2840,25 @@ def q_docs_corpus_filter2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite decomposition (operators/timeseries.py:stl_decompose):
+    centered-moving-average trend, hour-of-day cycle-subseries
+    seasonal, residual. The hour bucket comes from pure epoch
+    arithmetic (the events_dow_hour rule) so no engine calendar
+    conventions leak into the seasonal key."""
+    from symtseries_spark.operators.timeseries import stl_decompose
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .withColumn("ts_us", F.expr("ts div 1000"))
+        .withColumn("hh", F.expr("((ts div 1000) div 3600000000) % 24"))
+    )
+    return stl_decompose(
+        ev, key="user_id", order=["ts_us", "event_id"], value="value",
+        season="hh", **STL,
+    ).select("user_id", "event_id", "trend", "seasonal", "resid")
+
+
 def q_events_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Activity heatmap: day-of-week x hour-of-day event counts. Both
     coordinates derive from pure integer epoch arithmetic (epoch day
@@ -3679,6 +3699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_vsm_pairs": q_sax_vsm_pairs,
         "emb_pca_power": q_emb_pca_power,
         "docs_corpus_filter3": q_docs_corpus_filter3,
+        "events_stl": q_events_stl,
         "events_sessions_stream": q_events_sessions_stream,
         "events_histogram": q_events_histogram,
         "events_ntile": q_events_ntile,
@@ -4481,6 +4502,31 @@ FROM e WINDOW fr AS (PARTITION BY user_id ORDER BY ts_us
         # engines (round() ties can disagree at the 6th decimal).
         # list(x) FILTER (x IS NOT NULL) mirrors collect_list's
         # null-dropping (operators/timeseries.py ewma docstring).
+        "events_stl": f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         (epoch_us(ts) // 3600000000) % 24 AS hh,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+), t AS (
+  SELECT user_id, event_id, hh, v,
+         floor(avg(v) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN {STL["trend_window"]} PRECEDING
+                      AND {STL["trend_window"]} FOLLOWING)
+           * 1000000.0 + 0.5) / 1000000.0 AS trend
+  FROM e
+), d AS (
+  SELECT *, v - trend AS det FROM t
+), s AS (
+  SELECT *, floor(avg(det) OVER (PARTITION BY user_id, hh)
+                  * 1000000.0 + 0.5) / 1000000.0 AS seasonal
+  FROM d
+)
+SELECT user_id, event_id, trend, seasonal,
+       floor((det - seasonal) * 1000000.0 + 0.5) / 1000000.0 AS resid
+FROM s
+""",
         "events_ewma": f"""
 WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) AS ts_us,

@@ -401,3 +401,60 @@ def holt(
         .withColumn("forecast", quantize(lt["l"] + lt["t"], round_to))
         .drop("__lt")
     )
+
+
+def stl_decompose(
+    df: DataFrame,
+    *,
+    key: str,
+    order: Sequence[str],
+    value: str,
+    season: str,
+    trend_window: int = 12,
+    round_to: int = 6,
+) -> DataFrame:
+    """STL-lite additive decomposition per series ->
+    ``value = trend + seasonal + resid`` with
+    ``(key, order..., trend, seasonal, resid)`` columns.
+
+    Classical decomposition (the moving-average core of STL without
+    its loess robustness loop): *trend* is the centered moving average
+    over ``+/-trend_window`` rows (edges average the available frame —
+    identical partial-frame semantics in Spark and the SQL twin);
+    *seasonal* is the per-(series, ``season``-bucket) mean of the
+    detrended series — the cycle-subseries mean, with the season
+    bucket supplied by the caller as an existing column (e.g.
+    hour-of-day from pure epoch arithmetic, so no engine calendar
+    conventions leak in); *resid* is what remains — the series a
+    seasonal-aware anomaly detector actually thresholds.
+
+    Plan: ONE shuffle on the series key for the trend WindowExec, then
+    one shuffle on (series, season) for the whole-partition seasonal
+    mean window — both bounded-state passes; no join, no collect.
+    Trend and seasonal are quantized (grouped/windowed means drift
+    across engines); the detrend subtraction then operates on
+    engine-identical operands.
+    """
+    order_cols = list(order)
+    w_t = (
+        Window.partitionBy(key)
+        .orderBy(*order_cols)
+        .rowsBetween(-trend_window, trend_window)
+    )
+    base = df.select(
+        key, *order_cols, season, F.col(value).cast("double").alias("__v")
+    )
+    t = base.withColumn(
+        "trend", quantize(F.avg("__v").over(w_t), round_to)
+    ).withColumn("__det", F.col("__v") - F.col("trend"))
+    w_s = Window.partitionBy(key, season)
+    s = t.withColumn(
+        "seasonal", quantize(F.avg("__det").over(w_s), round_to)
+    )
+    return s.select(
+        key,
+        *order_cols,
+        "trend",
+        "seasonal",
+        quantize(F.col("__det") - F.col("seasonal"), round_to).alias("resid"),
+    )

@@ -241,3 +241,55 @@ class TestEwmaNullSkip:
         assert out[1] == pytest.approx(2.0)
         # row 2: frame [2.0, NULL, 6.0] -> 0.25*6 + 0.75*2
         assert out[2] == pytest.approx(0.25 * 6.0 + 0.75 * 2.0)
+
+
+class TestStlDecompose:
+    def test_reconstruction_identity_and_determinism(self, spark):
+        from symtseries_spark.operators.timeseries import stl_decompose
+
+        import math
+
+        rows = [
+            (1, i, float(10 + 5 * math.sin(i % 24 / 24 * 2 * math.pi) + 0.1 * i))
+            for i in range(96)
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts long, value double")
+        dfh = df.withColumn("hh", (F.col("ts") % 24).cast("long"))
+        out = stl_decompose(
+            dfh, key="user_id", order=["ts"], value="value",
+            season="hh", trend_window=12,
+        ).collect()
+        assert len(out) == 96
+        by_ts = {r["ts"]: r for r in out}
+        for (uid, ts, v) in rows:
+            r = by_ts[ts]
+            # additive identity holds to quantization error (3 x 1e-6)
+            assert abs(r["trend"] + r["seasonal"] + r["resid"] - v) < 5e-6
+        again = stl_decompose(
+            dfh, key="user_id", order=["ts"], value="value",
+            season="hh", trend_window=12,
+        ).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    def test_seasonal_captures_cycle(self, spark):
+        """Pure seasonal signal, no trend: the residual should be tiny
+        compared to the signal amplitude (seasonal soaks up the cycle)."""
+        from symtseries_spark.operators.timeseries import stl_decompose
+
+        import math
+
+        rows = [
+            (1, i, float(5 * math.sin((i % 24) / 24 * 2 * math.pi)))
+            for i in range(24 * 8)
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts long, value double"
+        ).withColumn("hh", (F.col("ts") % 24).cast("long"))
+        out = stl_decompose(
+            df, key="user_id", order=["ts"], value="value",
+            season="hh", trend_window=12,
+        ).collect()
+        # interior rows (full trend frames): residual well under amplitude
+        interior = [r for r in out if 24 <= r["ts"] < 24 * 7]
+        rms = (sum(r["resid"] ** 2 for r in interior) / len(interior)) ** 0.5
+        assert rms < 1.0  # amplitude is 5
