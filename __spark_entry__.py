@@ -1090,6 +1090,20 @@ def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sax_numerosity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numerosity reduction of the sliding word stream (Lin/Keogh):
+    one row per RUN of consecutive identical words per series
+    (operators/windows.py:numerosity_reduce) — the preprocessing step
+    word-based SAX algorithms assume; same single-shuffle shape as
+    sliding_sax itself."""
+    from symtseries_spark.operators.windows import numerosity_reduce
+
+    return numerosity_reduce(
+        _events_sliding(spark, sf_dir),
+        key="user_id", order=["ts", "event_id"], id_col="event_id",
+    )
+
+
 def q_sax_discords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HOT-SAX discord discovery (Keogh/Lin/Fu 2005) over the motif
     word space: the 10 rarest tumbling words flag candidate windows,
@@ -3700,6 +3714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pca_power": q_emb_pca_power,
         "docs_corpus_filter3": q_docs_corpus_filter3,
         "events_stl": q_events_stl,
+        "sax_numerosity": q_sax_numerosity,
         "events_sessions_stream": q_events_sessions_stream,
         "events_histogram": q_events_histogram,
         "events_ntile": q_events_ntile,
@@ -5179,6 +5194,9 @@ FROM documents
         "sax_vsm_pairs": oc.vsm_series_pairs_sql(
             VSM["n"], VSM["w"], VSM["c"],
             df_cap=VSM["df_cap"], top=VSM["top"],
+        ),
+        "sax_numerosity": oc.numerosity_reduce_sql(
+            SLIDE["n"], SLIDE["w"], SLIDE["c"]
         ),
         "sax_discords": oc.discords_sql(
             TUMBLE_MOTIF["n"], TUMBLE_MOTIF["w"], TUMBLE_MOTIF["c"],

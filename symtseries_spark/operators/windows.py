@@ -323,3 +323,52 @@ def whole_series_sax(
             ),
         ).alias(out)
     ).select("series_key", F.col("n").cast("int").alias("n"), out)
+
+
+def numerosity_reduce(
+    words: DataFrame,
+    *,
+    key: str,
+    order: str | list[str],
+    id_col: str,
+    word_col: str = "sax_word",
+) -> DataFrame:
+    """Numerosity reduction: collapse RUNS of consecutive identical SAX
+    words per series -> ``(key, start_<id>, word, run_length)``.
+
+    The standard SAX-stream preprocessing step (Lin & Keogh's
+    numerosity reduction): overlapping sliding windows emit long runs
+    of the same word over smooth stretches; downstream word-based
+    algorithms (VSM bags, discord candidate sets, motif streams) want
+    one row per run, not per window. Run boundaries are where the
+    lagged word differs (first row of a series always starts a run);
+    run ids are the running sum of boundary flags — two chained window
+    expressions over ONE partitioning, then a map-side-combinable
+    groupBy on (key, run id): the same single-shuffle shape as
+    sliding_sax itself.
+    """
+    order_cols = [order] if isinstance(order, str) else list(order)
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    lagged = F.lag(F.col(word_col)).over(w)
+    chg = F.when(
+        lagged.isNull() | (lagged != F.col(word_col)), 1
+    ).otherwise(0)
+    run = F.sum(chg).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grouped = (
+        words.select(
+            F.col(key),
+            *[F.col(o) for o in order_cols],
+            F.col(id_col),
+            F.col(word_col),
+            run.alias("__run"),
+        )
+        .groupBy(key, "__run")
+        .agg(
+            F.min_by(id_col, F.struct(*order_cols)).alias(f"start_{id_col}"),
+            F.min(word_col).alias(word_col),
+            F.count(F.lit(1)).alias("run_length"),
+        )
+    )
+    return grouped.select(key, f"start_{id_col}", word_col, "run_length")

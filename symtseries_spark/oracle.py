@@ -429,3 +429,41 @@ JOIN norms nb ON nb.series_key = series_b
 ORDER BY cos_sim DESC, series_a, series_b
 LIMIT {top}
 """
+
+
+def numerosity_reduce_sql(
+    n: int,
+    w: int,
+    c: int,
+    *,
+    table: str = "events",
+    key: str = "user_id",
+    order: str = "ts, event_id",
+    id_col: str = "event_id",
+) -> str:
+    """Twin of operators.windows.numerosity_reduce over the sliding
+    words of :func:`sliding_words_sql`: boundary flags where the lagged
+    word differs, running-sum run ids, one row per run."""
+    sw = sliding_words_sql(
+        n, w, c, table=table, key=key, order=order,
+        id_cols=f"{key}, {id_col}, ts",
+    )
+    return f"""
+WITH sw AS (
+{sw}
+), chg AS (
+  SELECT {key}, {id_col}, ts, sax_word,
+         CASE WHEN lag(sax_word) OVER o IS DISTINCT FROM sax_word
+              THEN 1 ELSE 0 END AS c
+  FROM sw
+  WINDOW o AS (PARTITION BY {key} ORDER BY {order})
+), g AS (
+  SELECT *, sum(c) OVER (
+      PARTITION BY {key} ORDER BY {order}
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM chg
+)
+SELECT {key}, first({id_col} ORDER BY {order}) AS start_{id_col},
+       min(sax_word) AS sax_word, count(*) AS run_length
+FROM g GROUP BY {key}, run
+"""

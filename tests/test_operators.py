@@ -323,3 +323,36 @@ class TestNullHandling:
         by_win = {r.window_id: r.sax_word for r in tumb}
         assert by_win[0] == pk.encode([1.0, math.nan, 3.0, 10.0], 2, 4)
         assert by_win[1] == pk.encode([math.nan, math.nan, 2.0, 5.0], 2, 4)
+
+
+class TestNumerosityReduce:
+    def test_runs_collapse_and_reconstruct(self, spark):
+        from pyspark.sql import functions as F
+
+        from symtseries_spark.operators.windows import numerosity_reduce
+
+        rows = [
+            (1, 0, "AA"), (1, 1, "AA"), (1, 2, "AB"), (1, 3, "AA"),
+            (1, 4, "AA"), (1, 5, "AA"),
+            (2, 0, "CC"),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts long, sax_word string"
+        ).withColumn("event_id", F.col("ts") + 100)
+        out = sorted(
+            map(
+                tuple,
+                numerosity_reduce(
+                    df, key="user_id", order=["ts", "event_id"],
+                    id_col="event_id",
+                ).collect(),
+            )
+        )
+        assert out == [
+            (1, 100, "AA", 2),
+            (1, 102, "AB", 1),
+            (1, 103, "AA", 3),
+            (2, 100, "CC", 1),
+        ]
+        # run lengths reconstruct the original row count
+        assert sum(r[3] for r in out) == len(rows)
