@@ -1130,6 +1130,81 @@ def q_docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_logweights(load(spark, sf_dir, "documents"), **DSIR)
 
 
+def q_docs_dsir_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR scoring as a STREAM: the bucket model is fitted OFFLINE on
+    the static corpus (operators/pipeline.py:dsir_bucket_table, 1024
+    rows, broadcast per micro-batch), then the documents replay as a
+    4-batch file stream and each arriving doc is scored by the
+    stream-static join + running per-doc aggregate — the production
+    fit-offline/score-online split. Complete-mode memory sink;
+    quantization applied in the final select so the oracle is exactly
+    the batch docs_dsir_weights SQL."""
+    import glob as globmod
+    import os
+    import tempfile
+    import uuid
+
+    from symtseries_spark.functions.text import doc_hash60, tokens
+    from symtseries_spark.operators.pipeline import dsir_bucket_table
+
+    docs = load(spark, sf_dir, "documents")
+    model = dsir_bucket_table(docs, **DSIR)
+
+    tmp = tempfile.mkdtemp(prefix="dsir_stream_")
+    indir = f"{tmp}/in"
+    os.makedirs(indir)
+    quarter = (F.abs(F.hash("doc_id")) % 4).alias("__bid")
+    src = docs.select("doc_id", "text")
+    src.withColumn("__bid", quarter).coalesce(1).write.partitionBy(
+        "__bid"
+    ).parquet(f"{tmp}/staged")
+    for i, d in enumerate(sorted(globmod.glob(f"{tmp}/staged/__bid=*"))):
+        part = globmod.glob(f"{d}/part-*.parquet")[0]
+        dst = f"{indir}/b{i:04d}.parquet"
+        os.rename(part, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+    )
+    tok = stream.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).select(
+        "doc_id",
+        (doc_hash60(F.col("term")) % DSIR["n_buckets"]).alias("bucket"),
+    )
+    scored = (
+        tok.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__lr").alias("__sum_lr"),
+        )
+    )
+    name = f"dsir_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = (
+            scored.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="dsir_chk_")
+            )
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    return spark.table(name).select(
+        "doc_id",
+        "n_tokens",
+        (F.floor(F.col("__sum_lr") * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "dsir_logweight"
+        ),
+    )
+
+
 def q_docs_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality quota (domain cap): keep the top-10 docs per
     source by (quality_score DESC, doc_id), via the lossless salted
@@ -3715,6 +3790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_corpus_filter3": q_docs_corpus_filter3,
         "events_stl": q_events_stl,
         "sax_numerosity": q_sax_numerosity,
+        "docs_dsir_stream": q_docs_dsir_stream,
         "events_sessions_stream": q_events_sessions_stream,
         "events_histogram": q_events_histogram,
         "events_ntile": q_events_ntile,
@@ -5189,6 +5265,9 @@ FROM documents
             dim=EMB_DIM,
         ),
         "docs_dsir_weights": ot.dsir_logweights_sql(**DSIR),
+        # the stream twin scores the SAME corpus against the SAME
+        # offline-fitted model, so its oracle IS the batch SQL
+        "docs_dsir_stream": ot.dsir_logweights_sql(**DSIR),
         "docs_source_cap": ot.source_cap_sql(per_source=SOURCE_CAP),
         "docs_novelty": ot.novelty_scores_sql(k=NOVELTY_K),
         "sax_vsm_pairs": oc.vsm_series_pairs_sql(

@@ -472,31 +472,13 @@ def dsir_logweights(
     to score) and is never shuffled on the token key, the same
     two-scan/broadcast profile as retrieval.unigram_logprob.
     """
-    flag = F.col(target_col) == F.lit(target_value)
-    tok = docs.select(
-        F.col(id_col).alias("doc_id"),
-        flag.alias("__is_tgt"),
-        F.explode(tokens(F.col(text_col))).alias("term"),
-    ).select(
-        "doc_id",
-        "__is_tgt",
-        (doc_hash60(F.col("term")) % n_buckets).alias("bucket"),
+    tok = _dsir_tokens(
+        docs, n_buckets=n_buckets, target_col=target_col,
+        target_value=target_value, id_col=id_col, text_col=text_col,
     )
-    counts = tok.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("cr"),
-        F.count(F.when(F.col("__is_tgt"), 1)).alias("ct"),
-    )
-    totals = counts.agg(
-        F.sum("cr").cast("double").alias("__nr"),
-        F.sum("ct").cast("double").alias("__nt"),
-    )
-    b = float(n_buckets)
-    table = counts.crossJoin(F.broadcast(totals)).select(
-        "bucket",
-        F.log(
-            ((F.col("ct") + F.lit(1.0)) / (F.col("__nt") + F.lit(b)))
-            / ((F.col("cr") + F.lit(1.0)) / (F.col("__nr") + F.lit(b)))
-        ).alias("__lr"),
+    table = dsir_bucket_table(
+        docs, n_buckets=n_buckets, target_col=target_col,
+        target_value=target_value, id_col=id_col, text_col=text_col,
     )
     return (
         tok.join(F.broadcast(table), "bucket")
@@ -507,6 +489,66 @@ def dsir_logweights(
                 F.floor(F.sum("__lr") * 1e6 + F.lit(0.5)) / 1e6
             ).alias("dsir_logweight"),
         )
+    )
+
+
+def _dsir_tokens(
+    docs: DataFrame,
+    *,
+    n_buckets: int,
+    target_col: str,
+    target_value: str,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(doc_id, __is_tgt, bucket) exploded token rows — shared by the
+    model fit and the scoring join."""
+    flag = F.col(target_col) == F.lit(target_value)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        flag.alias("__is_tgt"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    ).select(
+        "doc_id",
+        "__is_tgt",
+        (doc_hash60(F.col("term")) % n_buckets).alias("bucket"),
+    )
+
+
+def dsir_bucket_table(
+    docs: DataFrame,
+    *,
+    n_buckets: int = 1024,
+    target_col: str = "lang",
+    target_value: str = "en",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The fitted DSIR model as a relation: ``(bucket, __lr)`` with
+    ``__lr = ln(p_target(bucket)/p_raw(bucket))`` under add-one
+    smoothing — ``n_buckets`` rows, always broadcastable. Exposed
+    separately so a stream can score incoming documents against the
+    offline-fitted model (the production fit-offline/score-online
+    split; see q_docs_dsir_stream)."""
+    tok = _dsir_tokens(
+        docs, n_buckets=n_buckets, target_col=target_col,
+        target_value=target_value, id_col=id_col, text_col=text_col,
+    )
+    counts = tok.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count(F.when(F.col("__is_tgt"), 1)).alias("ct"),
+    )
+    totals = counts.agg(
+        F.sum("cr").cast("double").alias("__nr"),
+        F.sum("ct").cast("double").alias("__nt"),
+    )
+    b = float(n_buckets)
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.log(
+            ((F.col("ct") + F.lit(1.0)) / (F.col("__nt") + F.lit(b)))
+            / ((F.col("cr") + F.lit(1.0)) / (F.col("__nr") + F.lit(b)))
+        ).alias("__lr"),
     )
 
 
