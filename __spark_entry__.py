@@ -172,6 +172,7 @@ VSM = dict(n=8, w=4, c=4, df_cap=200, top=20)
 PCA_ITERS = 3
 CORPUS_FILTER3 = dict(min_novelty=0.2)
 STL = dict(trend_window=12)
+ACF_MAX_LAG = 5
 
 
 def _events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2948,6 +2949,23 @@ def q_events_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_id", "trend", "seasonal", "resid")
 
 
+def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series autocorrelation at lags 1..5
+    (operators/timeseries.py:autocorrelation): one shuffle on the
+    series key, combinable numerator/denominator aggregates, UNION-
+    free unpivot via explode. The window-sizing / threshold-trust
+    diagnostic for the SAX surface."""
+    from symtseries_spark.operators.timeseries import autocorrelation
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    return autocorrelation(
+        ev, key="user_id", order=["ts_us", "event_id"], value="value",
+        max_lag=ACF_MAX_LAG,
+    )
+
+
 def q_events_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Activity heatmap: day-of-week x hour-of-day event counts. Both
     coordinates derive from pure integer epoch arithmetic (epoch day
@@ -3791,6 +3809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stl": q_events_stl,
         "sax_numerosity": q_sax_numerosity,
         "docs_dsir_stream": q_docs_dsir_stream,
+        "events_acf": q_events_acf,
         "events_sessions_stream": q_events_sessions_stream,
         "events_histogram": q_events_histogram,
         "events_ntile": q_events_ntile,
@@ -4593,6 +4612,7 @@ FROM e WINDOW fr AS (PARTITION BY user_id ORDER BY ts_us
         # engines (round() ties can disagree at the 6th decimal).
         # list(x) FILTER (x IS NOT NULL) mirrors collect_list's
         # null-dropping (operators/timeseries.py ewma docstring).
+        "events_acf": oc.autocorrelation_sql(max_lag=ACF_MAX_LAG),
         "events_stl": f"""
 WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) AS ts_us,

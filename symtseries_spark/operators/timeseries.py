@@ -458,3 +458,84 @@ def stl_decompose(
         "seasonal",
         quantize(F.col("__det") - F.col("seasonal"), round_to).alias("resid"),
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    *,
+    key: str,
+    order: Sequence[str],
+    value: str,
+    max_lag: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-series sample autocorrelation at lags ``1..max_lag`` ->
+    ``(key, lag_k, n_pairs, acf)`` — the shape diagnostic run before
+    choosing SAX window sizes (a series with strong lag-k structure
+    wants n a multiple of k) or trusting an anomaly threshold.
+
+    Standard biased estimator: ``acf_k = sum((x_t - mu)(x_{t+k} - mu))
+    / sum((x_t - mu)^2)`` with the per-series global mean — both sums
+    over the full series, denominator shared across lags.
+
+    Plan: the series shuffles ONCE (partitionBy key for the lag
+    window); the per-(key, lag) numerator and the per-key denominator
+    are map-side-combinable aggregates over that same relation; the
+    tiny per-key denominator re-joins broadcast-style. Mean and the
+    final ratio are quantized (grouped sums drift across engines);
+    NULL lag partners (series edges) drop out of the numerator exactly
+    like the SQL twin's ``lag()`` NULLs.
+    """
+    order_cols = list(order)
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    v = F.col(value).cast("double")
+    mu_tbl = (
+        df.groupBy(key)
+        .agg(quantize(F.avg(v), round_to).alias("__mu"))
+    )
+    base = df.select(F.col(key), *order_cols, v.alias("__v")).join(
+        mu_tbl, key
+    )
+    lagged = base.select(
+        F.col(key),
+        (F.col("__v") - F.col("__mu")).alias("__c"),
+        *[
+            (F.lag(F.col("__v"), k).over(w) - F.col("__mu")).alias(f"__c{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    denom = lagged.groupBy(key).agg(
+        F.sum(F.col("__c") * F.col("__c")).alias("__d")
+    )
+    nums = lagged.groupBy(key).agg(
+        *[
+            F.sum(F.col("__c") * F.col(f"__c{k}")).alias(f"__n{k}")
+            for k in range(1, max_lag + 1)
+        ],
+        *[
+            F.count(F.col(f"__c{k}")).alias(f"__cnt{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    lag_rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("lag_k"),
+                    F.col(f"__n{k}").alias("__n"),
+                    F.col(f"__cnt{k}").alias("n_pairs"),
+                )
+                for k in range(1, max_lag + 1)
+            ]
+        )
+    )
+    return (
+        nums.join(denom, key)
+        .select(F.col(key), F.col("__d"), lag_rows.alias("__l"))
+        .select(
+            key,
+            F.col("__l.lag_k").alias("lag_k"),
+            F.col("__l.n_pairs").alias("n_pairs"),
+            quantize(F.col("__l.__n") / F.col("__d"), round_to).alias("acf"),
+        )
+    )

@@ -467,3 +467,50 @@ SELECT {key}, first({id_col} ORDER BY {order}) AS start_{id_col},
        min(sax_word) AS sax_word, count(*) AS run_length
 FROM g GROUP BY {key}, run
 """
+
+
+def autocorrelation_sql(
+    *,
+    max_lag: int = 5,
+    table: str = "events",
+    key: str = "user_id",
+    order: str = "ts, event_id",
+    value: str = "value",
+) -> str:
+    """Twin of operators.timeseries.autocorrelation: quantized
+    per-series mean, lagged centered products, shared denominator,
+    UNION ALL unpivot over the lags."""
+    lag_cols = ",\n         ".join(
+        f"lag(CAST({value} AS DOUBLE), {k}) OVER o - mu AS c{k}"
+        for k in range(1, max_lag + 1)
+    )
+    num_aggs = ",\n         ".join(
+        f"sum(c * c{k}) AS n{k}, count(c{k}) AS cnt{k}"
+        for k in range(1, max_lag + 1)
+    )
+    arms = "\nUNION ALL\n".join(
+        f"SELECT {key}, {k} AS lag_k, cnt{k} AS n_pairs,\n"
+        f"       floor(n{k} / dd * 1000000.0 + 0.5) / 1000000.0 AS acf\n"
+        f"FROM n JOIN d USING ({key})"
+        for k in range(1, max_lag + 1)
+    )
+    return f"""
+WITH mu AS (
+  SELECT {key},
+         floor(avg(CAST({value} AS DOUBLE)) * 1000000.0 + 0.5)
+           / 1000000.0 AS mu
+  FROM {table} GROUP BY {key}
+), b AS (
+  SELECT e.{key}, CAST({value} AS DOUBLE) - mu AS c,
+         {lag_cols}
+  FROM {table} e JOIN mu USING ({key})
+  WINDOW o AS (PARTITION BY e.{key} ORDER BY {order})
+), d AS (
+  SELECT {key}, sum(c * c) AS dd FROM b GROUP BY {key}
+), n AS (
+  SELECT {key},
+         {num_aggs}
+  FROM b GROUP BY {key}
+)
+{arms}
+"""

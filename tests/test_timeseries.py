@@ -293,3 +293,39 @@ class TestStlDecompose:
         interior = [r for r in out if 24 <= r["ts"] < 24 * 7]
         rms = (sum(r["resid"] ** 2 for r in interior) / len(interior)) ** 0.5
         assert rms < 1.0  # amplitude is 5
+
+
+class TestAutocorrelation:
+    def test_alternating_series_closed_form(self, spark):
+        """x = +1,-1,+1,... (mean 0): the biased estimator gives
+        acf_k = (-1)^k * (n-k)/n exactly."""
+        from symtseries_spark.operators.timeseries import autocorrelation
+
+        n = 40
+        rows = [(1, i, 1.0 if i % 2 == 0 else -1.0) for i in range(n)]
+        df = spark.createDataFrame(rows, "user_id long, ts long, value double")
+        out = {
+            r["lag_k"]: r
+            for r in autocorrelation(
+                df, key="user_id", order=["ts"], value="value", max_lag=3
+            ).collect()
+        }
+        import pytest as pt
+
+        for k in (1, 2, 3):
+            expected = ((-1) ** k) * (n - k) / n
+            assert out[k]["acf"] == pt.approx(expected, abs=1e-6)
+            assert out[k]["n_pairs"] == n - k
+
+    def test_acf_bounds_on_real_data(self, spark, sf_dir):
+        from symtseries_spark.operators.timeseries import autocorrelation
+        from symtseries_spark.sources import load
+
+        ev = load(spark, sf_dir, "events")
+        out = autocorrelation(
+            ev, key="user_id", order=["ts", "event_id"], value="value",
+            max_lag=5,
+        ).collect()
+        assert all(-1.000001 <= r["acf"] <= 1.000001 for r in out)
+        n_series = ev.select("user_id").distinct().count()
+        assert len(out) == 5 * n_series
