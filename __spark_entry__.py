@@ -1216,6 +1216,16 @@ def q_docs_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_cap(load(spark, sf_dir, "documents"), per_source=SOURCE_CAP)
 
 
+def q_docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per doc
+    (operators/retrieval.py:char_entropy): the gibberish /
+    compressibility gate beside the token-level quality signals. One
+    scan, alphabet-bounded groupBy keys."""
+    from symtseries_spark.operators.retrieval import char_entropy
+
+    return char_entropy(load(spark, sf_dir, "documents"))
+
+
 def q_docs_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-occurrence n-gram novelty in train order: fraction of each
     doc's shingles whose earliest corpus appearance is that doc
@@ -3810,6 +3820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_numerosity": q_sax_numerosity,
         "docs_dsir_stream": q_docs_dsir_stream,
         "events_acf": q_events_acf,
+        "docs_char_entropy": q_docs_char_entropy,
         "events_sessions_stream": q_events_sessions_stream,
         "events_histogram": q_events_histogram,
         "events_ntile": q_events_ntile,
@@ -5290,6 +5301,7 @@ FROM documents
         "docs_dsir_stream": ot.dsir_logweights_sql(**DSIR),
         "docs_source_cap": ot.source_cap_sql(per_source=SOURCE_CAP),
         "docs_novelty": ot.novelty_scores_sql(k=NOVELTY_K),
+        "docs_char_entropy": ot.char_entropy_sql(),
         "sax_vsm_pairs": oc.vsm_series_pairs_sql(
             VSM["n"], VSM["w"], VSM["c"],
             df_cap=VSM["df_cap"], top=VSM["top"],

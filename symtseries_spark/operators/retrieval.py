@@ -489,3 +489,57 @@ def pmi_bigrams(
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(topk)
     )
+
+
+def char_entropy(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document character-level Shannon entropy ->
+    ``(doc_id, n_chars, distinct_chars, char_entropy)`` in nats —
+    the cheap gibberish/compressibility filter (near-zero entropy =
+    repeated filler; implausibly high = binary junk or key mash) run
+    next to the token-level quality gates.
+
+    ``H = -sum_ch (c/n) ln(c/n)`` over the exact character histogram.
+    Relational shape rather than a per-row O(len x alphabet) HOF: one
+    char explode, a map-side-combinable groupBy(doc, char) (per-doc
+    key space is the alphabet), and a combinable per-doc re-aggregate
+    — the corpus is scanned once and never shuffled on anything wider
+    than (doc_id, char). Empty documents have no characters and are
+    not scored. The entropy sum is quantized 1e-6 (group-sum order
+    drifts across engines); each ``(c/n) ln(c/n)`` term is identical
+    arithmetic on identical integers in both engines.
+    """
+    # NB the length guard: Spark's sequence(1, 0) counts DOWN ([1, 0]),
+    # so an empty document would fabricate two empty-string "chars";
+    # the guard reproduces DuckDB's empty range(1, 1) => doc dropped
+    ch = docs.where(F.length(text_col) > 0).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length(text_col)),
+                lambda i: F.col(text_col).substr(i, F.lit(1)),
+            )
+        ).alias("ch"),
+    )
+    counts = ch.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_chars"),
+        F.count(F.lit(1)).alias("distinct_chars"),
+    )
+    p = F.col("c").cast("double") / F.col("n_chars").cast("double")
+    ent = (
+        counts.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_chars").alias("n_chars"),
+            F.first("distinct_chars").alias("distinct_chars"),
+            (
+                F.floor(F.sum(-p * F.log(p)) * 1e6 + F.lit(0.5)) / 1e6
+            ).alias("char_entropy"),
+        )
+    )
+    return ent

@@ -1098,3 +1098,29 @@ FROM cap JOIN nov USING (doc_id) JOIN rk USING (doc_id)
 WHERE nov.novelty_ratio >= {min_novelty!r}
   AND rk.dsir_rank <= floor(total / 2)
 """
+
+
+def char_entropy_sql(*, table: str = "documents") -> str:
+    """Twin of operators.retrieval.char_entropy: exact character
+    histogram via 1-based string indexing, per-doc Shannon entropy in
+    nats, quantized 1e-6."""
+    return f"""
+WITH ch AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(text) + 1), i -> text[i]))
+           AS ch
+  FROM {table}
+), counts AS (
+  SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch
+), tot AS (
+  SELECT doc_id, sum(c) AS n_chars, count(*) AS distinct_chars
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id, first(n_chars) AS n_chars,
+       first(distinct_chars) AS distinct_chars,
+       floor(sum(-(CAST(c AS DOUBLE) / CAST(n_chars AS DOUBLE))
+                 * ln(CAST(c AS DOUBLE) / CAST(n_chars AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS char_entropy
+FROM counts JOIN tot USING (doc_id)
+GROUP BY doc_id
+"""

@@ -79,3 +79,35 @@ class TestVsmPairs:
         sims = [r["cos_sim"] for r in out]
         assert all(-1.000001 <= s <= 1.000001 for s in sims)
         assert sims == sorted(sims, reverse=True)
+
+
+class TestCharEntropy:
+    def test_closed_forms(self, spark):
+        from symtseries_spark.operators.retrieval import char_entropy
+
+        import math
+
+        df = spark.createDataFrame(
+            [
+                (0, "aaaa"),            # zero entropy
+                (1, "abab"),            # ln 2
+                (2, "abcd"),            # ln 4
+                (3, ""),                # unscored
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in char_entropy(df).collect()}
+        assert 3 not in out
+        assert out[0]["char_entropy"] == 0.0
+        assert abs(out[1]["char_entropy"] - math.log(2)) < 1e-6
+        assert abs(out[2]["char_entropy"] - math.log(4)) < 1e-6
+        assert out[2]["distinct_chars"] == 4 and out[2]["n_chars"] == 4
+
+    def test_bounded_by_log_alphabet(self, spark, sf_dir):
+        from symtseries_spark.operators.retrieval import char_entropy
+        from symtseries_spark.sources import load
+
+        import math
+
+        for r in char_entropy(load(spark, sf_dir, "documents")).collect():
+            assert -1e-9 <= r["char_entropy"] <= math.log(r["distinct_chars"]) + 1e-6
