@@ -1113,7 +1113,11 @@ WITH ch AS (
 ), counts AS (
   SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch
 ), tot AS (
-  SELECT doc_id, sum(c) AS n_chars, count(*) AS distinct_chars
+  -- CAST: DuckDB's sum(BIGINT) is HUGEINT, which lands in pandas as
+  -- float (54.0) and dtype-mismatches Spark's int64 under a strict
+  -- comparator
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+         count(*) AS distinct_chars
   FROM counts GROUP BY doc_id
 )
 SELECT doc_id, first(n_chars) AS n_chars,
