@@ -173,6 +173,7 @@ PCA_ITERS = 3
 CORPUS_FILTER3 = dict(min_novelty=0.2)
 STL = dict(trend_window=12)
 ACF_MAX_LAG = 5
+SEASONAL_ANOM = dict(threshold=3.5)
 
 
 def _events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2976,6 +2977,85 @@ def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-aware anomaly capstone: STL-lite residuals (events_stl)
+    thresholded by a per-series robust median/MAD z — the detector
+    that neither the daily cycle nor a single earlier spike can
+    poison. Per-series medians are exact sorted-array middle-element
+    arithmetic (operators/timeseries.py:sorted_median) over the
+    quantized residuals, so both engines see identical arrays; series
+    arrays are bounded by series length (the per-key collect is the
+    validation-scale exactness path — production replaces it with the
+    windowed mad_zscore over a trailing frame)."""
+    from symtseries_spark.operators.timeseries import (
+        sorted_median,
+        stl_decompose,
+    )
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .withColumn("ts_us", F.expr("ts div 1000"))
+        .withColumn("hh", F.expr("((ts div 1000) div 3600000000) % 24"))
+    )
+    stl = stl_decompose(
+        ev, key="user_id", order=["ts_us", "event_id"], value="value",
+        season="hh", **STL,
+    )
+    stats = (
+        stl.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("resid")).alias("__sv"))
+        .select(
+            "user_id",
+            F.element_at(
+                F.transform(
+                    F.array(F.col("__sv")),
+                    lambda sv: F.struct(
+                        sorted_median(sv).alias("med"),
+                        F.lit(0.0).alias("pad"),
+                    ),
+                ),
+                1,
+            ).alias("__m"),
+            F.col("__sv"),
+        )
+        .select(
+            "user_id",
+            F.col("__m.med").alias("__med"),
+            F.element_at(
+                F.transform(
+                    F.array(
+                        F.array_sort(
+                            F.transform(
+                                F.col("__sv"),
+                                lambda x: F.abs(x - F.col("__m.med")),
+                            )
+                        )
+                    ),
+                    lambda sv: sorted_median(sv),
+                ),
+                1,
+            ).alias("__mad"),
+        )
+    )
+    rz = (
+        F.floor(
+            F.lit(0.6745)
+            * (F.col("resid") - F.col("__med"))
+            / F.col("__mad")
+            * 1e4
+            + F.lit(0.5)
+        )
+        / 1e4
+    )
+    return (
+        stl.join(stats, "user_id")
+        .where(F.col("__mad") > 0)
+        .withColumn("rz", rz)
+        .where(F.abs(F.col("rz")) >= SEASONAL_ANOM["threshold"])
+        .select("user_id", "event_id", "resid", "rz")
+    )
+
+
 def q_events_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Activity heatmap: day-of-week x hour-of-day event counts. Both
     coordinates derive from pure integer epoch arithmetic (epoch day
@@ -3361,6 +3441,36 @@ def q_docs_unigram_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from symtseries_spark.operators.retrieval import unigram_logprob
 
     return unigram_logprob(load(spark, sf_dir, "documents"))
+
+
+def q_docs_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): rank the
+    corpus by the unigram-LM score and split into head/middle/tail
+    terciles — the standard quality-tier assignment a pretraining mix
+    consumes. Tercile cuts are integer comparisons (rank*3 vs total),
+    no division rounding anywhere; rank ties break on doc_id. Exact
+    global rank at gate scale; production swaps in approx-quantile
+    cuts (same buckets up to quantile error)."""
+    from pyspark.sql import Window
+
+    from symtseries_spark.operators.retrieval import unigram_logprob
+
+    lp = unigram_logprob(load(spark, sf_dir, "documents"))
+    rk = lp.select(
+        "doc_id",
+        "avg_logprob",
+        F.row_number()
+        .over(Window.orderBy(F.desc("avg_logprob"), "doc_id"))
+        .alias("__rk"),
+    ).crossJoin(F.broadcast(lp.agg(F.count(F.lit(1)).alias("__n"))))
+    return rk.select(
+        "doc_id",
+        "avg_logprob",
+        F.when(F.col("__rk") * 3 <= F.col("__n"), "head")
+        .when(F.col("__rk") * 3 <= F.col("__n") * 2, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )
 
 
 def q_docs_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3823,6 +3933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dsir_stream": q_docs_dsir_stream,
         "events_acf": q_events_acf,
         "docs_char_entropy": q_docs_char_entropy,
+        "docs_ccnet_bucket": q_docs_ccnet_bucket,
+        "events_seasonal_anomaly": q_events_seasonal_anomaly,
         "events_sessions_stream": q_events_sessions_stream,
         "events_histogram": q_events_histogram,
         "events_ntile": q_events_ntile,
@@ -4196,6 +4308,36 @@ WITH e AS (
 SELECT user_id, event_id, cusum,
        cusum > CAST({CUSUM_P["threshold"]} AS DOUBLE) AS alarm
 FROM c
+"""
+
+
+def _stl_oracle_sql() -> str:
+    """Shared STL-lite SQL body (events_stl and the seasonal-anomaly
+    capstone's CTE)."""
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         (epoch_us(ts) // 3600000000) % 24 AS hh,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+), t AS (
+  SELECT user_id, event_id, hh, v,
+         floor(avg(v) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN {STL["trend_window"]} PRECEDING
+                      AND {STL["trend_window"]} FOLLOWING)
+           * 1000000.0 + 0.5) / 1000000.0 AS trend
+  FROM e
+), d AS (
+  SELECT *, v - trend AS det FROM t
+), s AS (
+  SELECT *, floor(avg(det) OVER (PARTITION BY user_id, hh)
+                  * 1000000.0 + 0.5) / 1000000.0 AS seasonal
+  FROM d
+)
+SELECT user_id, event_id, trend, seasonal,
+       floor((det - seasonal) * 1000000.0 + 0.5) / 1000000.0 AS resid
+FROM s
 """
 
 
@@ -4626,30 +4768,34 @@ FROM e WINDOW fr AS (PARTITION BY user_id ORDER BY ts_us
         # list(x) FILTER (x IS NOT NULL) mirrors collect_list's
         # null-dropping (operators/timeseries.py ewma docstring).
         "events_acf": oc.autocorrelation_sql(max_lag=ACF_MAX_LAG),
-        "events_stl": f"""
-WITH e AS (
-  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-         (epoch_us(ts) // 3600000000) % 24 AS hh,
-         CAST(value AS DOUBLE) AS v
-  FROM events
-), t AS (
-  SELECT user_id, event_id, hh, v,
-         floor(avg(v) OVER (
-             PARTITION BY user_id ORDER BY ts_us, event_id
-             ROWS BETWEEN {STL["trend_window"]} PRECEDING
-                      AND {STL["trend_window"]} FOLLOWING)
-           * 1000000.0 + 0.5) / 1000000.0 AS trend
-  FROM e
-), d AS (
-  SELECT *, v - trend AS det FROM t
-), s AS (
-  SELECT *, floor(avg(det) OVER (PARTITION BY user_id, hh)
-                  * 1000000.0 + 0.5) / 1000000.0 AS seasonal
-  FROM d
+        "events_stl": _stl_oracle_sql(),
+        "events_seasonal_anomaly": f"""
+WITH stl AS ({_stl_oracle_sql()}),
+sv AS (
+  SELECT user_id, list_sort(list(resid)) AS sv FROM stl GROUP BY user_id
+), m AS (
+  SELECT user_id, sv,
+         CASE WHEN len(sv) % 2 = 1 THEN sv[len(sv) // 2 + 1]
+              ELSE (sv[len(sv) // 2] + sv[len(sv) // 2 + 1]) / 2.0
+         END AS med
+  FROM sv
+), md AS (
+  SELECT user_id, med,
+         CASE WHEN len(dv) % 2 = 1 THEN dv[len(dv) // 2 + 1]
+              ELSE (dv[len(dv) // 2] + dv[len(dv) // 2 + 1]) / 2.0
+         END AS mad
+  FROM (SELECT user_id, med,
+               list_sort(list_transform(sv, x -> abs(x - med))) AS dv
+        FROM m)
 )
-SELECT user_id, event_id, trend, seasonal,
-       floor((det - seasonal) * 1000000.0 + 0.5) / 1000000.0 AS resid
-FROM s
+SELECT user_id, event_id, resid, rz FROM (
+  SELECT s.user_id, s.event_id, s.resid,
+         floor(0.6745 * (s.resid - md.med) / md.mad * 10000.0 + 0.5)
+           / 10000.0 AS rz
+  FROM stl s JOIN md USING (user_id)
+  WHERE md.mad > 0
+)
+WHERE abs(rz) >= {SEASONAL_ANOM["threshold"]!r}
 """,
         "events_ewma": f"""
 WITH e AS (
@@ -5304,6 +5450,20 @@ FROM documents
         "docs_source_cap": ot.source_cap_sql(per_source=SOURCE_CAP),
         "docs_novelty": ot.novelty_scores_sql(k=NOVELTY_K),
         "docs_char_entropy": ot.char_entropy_sql(),
+        "docs_ccnet_bucket": f"""
+WITH lp AS ({ot.unigram_logprob_sql()}),
+rk AS (
+  SELECT doc_id, avg_logprob,
+         row_number() OVER (ORDER BY avg_logprob DESC, doc_id) AS r,
+         count(*) OVER () AS n
+  FROM lp
+)
+SELECT doc_id, avg_logprob,
+       CASE WHEN r * 3 <= n THEN 'head'
+            WHEN r * 3 <= n * 2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM rk
+""",
         "sax_vsm_pairs": oc.vsm_series_pairs_sql(
             VSM["n"], VSM["w"], VSM["c"],
             df_cap=VSM["df_cap"], top=VSM["top"],

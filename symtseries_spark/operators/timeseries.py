@@ -539,3 +539,18 @@ def autocorrelation(
             quantize(F.col("__l.__n") / F.col("__d"), round_to).alias("acf"),
         )
     )
+
+
+def sorted_median(sorted_col: Column) -> Column:
+    """Exact median of an already-sorted array column via
+    middle-element arithmetic — deterministic doubles any engine
+    reproduces (no accumulation-order freedom). The caller must pass a
+    LAMBDA VARIABLE when the argument is expensive (it is referenced
+    five times; see mad_zscore's _let rationale)."""
+    n = F.size(sorted_col)
+    half = F.floor(n / 2).cast("int")
+    mid = F.element_at(sorted_col, half + 1)
+    even = (
+        F.element_at(sorted_col, half) + F.element_at(sorted_col, half + 1)
+    ) / 2.0
+    return F.when(n % 2 == 1, mid).otherwise(even)
