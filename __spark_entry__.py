@@ -1253,6 +1253,21 @@ def q_sax_vsm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_abtt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top whitened cosine top-k (Mu/Viswanath 2018):
+    remove the corpus mean and the top principal direction (the
+    emb_pca_power anisotropy probe's fix), then exact cosine — the
+    query the PCA probe exists to enable
+    (operators/cluster.py:abtt_topk)."""
+    from symtseries_spark.operators.cluster import abtt_topk
+
+    return abtt_topk(
+        load(spark, sf_dir, "embeddings"),
+        query_id=ANN["query_id"], k=ANN["k"], dim=EMB_DIM,
+        iters=PCA_ITERS,
+    )
+
+
 def q_docs_corpus_filter3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus filter upgraded with THIS round's curation signals,
     composed: survive the per-source quality quota (docs_source_cap),
@@ -3935,6 +3950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_char_entropy": q_docs_char_entropy,
         "docs_ccnet_bucket": q_docs_ccnet_bucket,
         "events_seasonal_anomaly": q_events_seasonal_anomaly,
+        "emb_abtt_topk": q_emb_abtt_topk,
         "events_sessions_stream": q_events_sessions_stream,
         "events_histogram": q_events_histogram,
         "events_ntile": q_events_ntile,
@@ -5476,6 +5492,10 @@ FROM rk
             **DISCORD,
         ),
         "emb_pca_power": ov.pca_power_sql(dim=EMB_DIM, iters=PCA_ITERS),
+        "emb_abtt_topk": ov.abtt_topk_sql(
+            query_id=ANN["query_id"], k=ANN["k"], dim=EMB_DIM,
+            iters=PCA_ITERS,
+        ),
         "docs_corpus_filter3": ot.corpus_filter3_sql(
             min_novelty=CORPUS_FILTER3["min_novelty"],
             per_source=SOURCE_CAP, novelty_k=NOVELTY_K, **DSIR,

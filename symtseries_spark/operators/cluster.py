@@ -254,6 +254,43 @@ def pca_power_scores(
     left-to-right fold. The sign convention is inherited from v_0
     (power iteration converges up to sign; fixed init fixes the sign).
     """
+    mu_row, v_row = _pca_mu_v(
+        vectors, dim=dim, iters=iters, vec_col=vec_col
+    )
+    vd = F.col(vec_col).cast("array<double>")
+
+    def centered_dot(v_expr: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.zip_with(vd, F.col("mu"), lambda x, m: x - m),
+                v_expr,
+                lambda cx, vv: cx * vv,
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    return (
+        vectors.select(id_col, vec_col)
+        .crossJoin(F.broadcast(mu_row))
+        .crossJoin(F.broadcast(v_row))
+        .select(
+            F.col(id_col),
+            _q6(centered_dot(F.col("v"))).alias("pc1"),
+        )
+    )
+
+
+def _pca_mu_v(
+    vectors: DataFrame,
+    *,
+    dim: int,
+    iters: int,
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Fit the (mu, v) pair of the power iteration — shared by
+    :func:`pca_power_scores` and :func:`abtt_topk`. Both are 1-row
+    relations with quantized entries (see pca_power_scores)."""
     vd = F.col(vec_col).cast("array<double>")
     mu_row = (
         vectors.agg(
@@ -318,12 +355,69 @@ def pca_power_scores(
             F.transform(F.col("u"), lambda x: _q6(x / nrm)).alias("v")
         )
 
-    return (
+    return mu_row, v_row
+
+
+def abtt_topk(
+    vectors: DataFrame,
+    *,
+    query_id: int,
+    k: int,
+    dim: int,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-but-the-top whitened cosine search (Mu & Viswanath 2018,
+    "All-but-the-Top: Simple and Effective Postprocessing for Word
+    Representations"): subtract the corpus mean and remove the
+    projection onto the top principal component, then exact cosine
+    top-k in the whitened space -> ``(vec_id, cos)``.
+
+    The anisotropy fix the :func:`pca_power_scores` probe motivates:
+    when one dominant direction carries most of the mass, raw cosine
+    mostly measures that direction; removing it restores contrast.
+    ``x' = (x - mu) - ((x - mu) . v) v`` — per-row arithmetic against
+    the two broadcast 1-row relations (mu, v), with the centered array
+    and its projection each bound ONCE via lambda variables (the
+    _let rule: a repeated O(dim) subexpression re-evaluates per
+    reference otherwise). Deterministic given the quantized (mu, v);
+    cosine quantized 1e-6 with (cos DESC, id) order.
+    """
+    from ..functions.sax import _let
+
+    mu_row, v_row = _pca_mu_v(
+        vectors, dim=dim, iters=iters, vec_col=vec_col
+    )
+    vd = F.col(vec_col).cast("array<double>")
+    wx = _let(
+        F.zip_with(vd, F.col("mu"), lambda x, m: x - m),
+        lambda cx: _let(
+            F.aggregate(
+                F.zip_with(cx, F.col("v"), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+            lambda s: F.zip_with(cx, F.col("v"), lambda a, b: a - s * b),
+        ),
+    )
+    whitened = (
         vectors.select(id_col, vec_col)
         .crossJoin(F.broadcast(mu_row))
         .crossJoin(F.broadcast(v_row))
-        .select(
-            F.col(id_col),
-            _q6(centered_dot(F.col("v"))).alias("pc1"),
-        )
+        .select(F.col(id_col), wx.alias("__wx"))
+        .withColumn("__wn", F.sqrt(dot(F.col("__wx"), F.col("__wx"))))
+    )
+    q = whitened.where(F.col(id_col) == query_id).select(
+        F.col("__wx").alias("__qx"), F.col("__wn").alias("__qn")
+    )
+    cos_q = _q6(
+        dot(F.col("__wx"), F.col("__qx")) / (F.col("__wn") * F.col("__qn"))
+    )
+    return (
+        whitened.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != query_id)
+        .select(F.col(id_col), cos_q.alias("cos"))
+        .orderBy(F.desc("cos"), id_col)
+        .limit(k)
     )

@@ -540,12 +540,9 @@ WHERE d.vec_id IS NULL
 """
 
 
-def pca_power_sql(*, dim: int, iters: int = 3, table: str = "embeddings") -> str:
-    """Twin of operators.cluster.pca_power_scores: quantized per-dim
-    mean, v0 = e1, ``iters`` power steps with each per-dim sum and the
-    normalized iterate floor-quantized to 1e-6, then per-vector
-    centered projection — every fold left-to-right like the Spark
-    expression, so both engines see bit-identical (mu, v)."""
+def _pca_ctes(*, dim: int, iters: int, table: str) -> tuple[str, str]:
+    """(CTE chain, final v name) for the power iteration — shared by
+    pca_power_sql and abtt_topk_sql."""
     q = "floor({expr} * 1000000.0 + 0.5) / 1000000.0"
     e1 = "[" + ", ".join("1.0" if i == 0 else "0.0" for i in range(dim)) + "]"
 
@@ -586,8 +583,82 @@ def pca_power_sql(*, dim: int, iters: int = 3, table: str = "embeddings") -> str
   SELECT list_transform(u, x -> {q.format(expr=f'x / {nrm}')}) AS v
   FROM u{t})"""
         )
+    return ",\n".join(parts), f"v{iters}"
+
+
+def pca_power_sql(*, dim: int, iters: int = 3, table: str = "embeddings") -> str:
+    """Twin of operators.cluster.pca_power_scores: quantized per-dim
+    mean, v0 = e1, ``iters`` power steps with each per-dim sum and the
+    normalized iterate floor-quantized to 1e-6, then per-vector
+    centered projection — every fold left-to-right like the Spark
+    expression, so both engines see bit-identical (mu, v)."""
+    ctes, vf = _pca_ctes(dim=dim, iters=iters, table=table)
+    s_final = (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {dim + 1}), "
+        f"i -> (CAST(e.embedding[i] AS DOUBLE) - mu.mu[i]) * {vf}.v[i])), "
+        f"(a, b) -> a + b)"
+    )
     return f"""
-WITH {','.join(parts)}
-SELECT e.vec_id, {q.format(expr=s_expr(f'v{iters}'))} AS pc1
-FROM {table} e CROSS JOIN mu CROSS JOIN v{iters}
+WITH {ctes}
+SELECT e.vec_id,
+       floor({s_final} * 1000000.0 + 0.5) / 1000000.0 AS pc1
+FROM {table} e CROSS JOIN mu CROSS JOIN {vf}
+"""
+
+
+def abtt_topk_sql(
+    *,
+    query_id: int,
+    k: int,
+    dim: int,
+    iters: int = 3,
+    table: str = "embeddings",
+) -> str:
+    """Twin of operators.cluster.abtt_topk: whiten with the shared
+    power-iteration (mu, v) — x' = (x-mu) - ((x-mu).v) v — then exact
+    cosine top-k in the whitened space, quantized 1e-6, (cos DESC, id)
+    order."""
+    ctes, vf = _pca_ctes(dim=dim, iters=iters, table=table)
+    s_proj = (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {dim + 1}), "
+        f"i -> (CAST(e.embedding[i] AS DOUBLE) - mu.mu[i]) * {vf}.v[i])), "
+        f"(a, b) -> a + b)"
+    )
+    wdot = (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {dim + 1}), "
+        f"i -> w.wx[i] * q.qx[i])), (a, b) -> a + b)"
+    )
+    wnorm = (
+        f"sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {dim + 1}), "
+        f"i -> w.wx[i] * w.wx[i])), (a, b) -> a + b))"
+    )
+    qnorm = (
+        f"sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {dim + 1}), "
+        f"i -> q.qx[i] * q.qx[i])), (a, b) -> a + b))"
+    )
+    return f"""
+WITH {ctes},
+wv AS (
+  SELECT e.vec_id,
+         list_transform(range(1, {dim + 1}),
+           i -> (CAST(e.embedding[i] AS DOUBLE) - mu.mu[i]) - s * {vf}.v[i])
+           AS wx
+  FROM (SELECT e.vec_id, e.embedding, {s_proj} AS s
+        FROM {table} e CROSS JOIN mu CROSS JOIN {vf}) e
+  CROSS JOIN mu CROSS JOIN {vf}
+), q AS (
+  SELECT wx AS qx FROM wv WHERE vec_id = {query_id}
+)
+SELECT vec_id,
+       floor({wdot} / ({wnorm} * {qnorm}) * 1000000.0 + 0.5) / 1000000.0
+         AS cos
+FROM wv w CROSS JOIN q
+WHERE vec_id != {query_id}
+ORDER BY cos DESC, vec_id
+LIMIT {k}
 """

