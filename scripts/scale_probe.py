@@ -77,6 +77,21 @@ QUERIES = [
     "docs_hll_distinct",
     "docs_winnow",
     "emb_int8_quant",
+    # round-4 additions: STL/ACF/seasonal-anomaly are key-cardinality-
+    # driven series passes; numerosity is the sliding shuffle shape;
+    # discords' candidate set is rare-word-bounded; the docs ops are
+    # scan + bounded-key-space aggregates (dsir: 1024 buckets; entropy:
+    # alphabet; novelty: linear first-occurrence index; ccnet: global
+    # rank over doc-count rows)
+    "events_stl",
+    "events_acf",
+    "events_seasonal_anomaly",
+    "sax_numerosity",
+    "sax_discords",
+    "docs_novelty",
+    "docs_char_entropy",
+    "docs_dsir_weights",
+    "docs_ccnet_bucket",
 ]
 
 # Stateful streaming replays: timed WITHOUT a warm pass (each call
