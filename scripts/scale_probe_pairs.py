@@ -238,6 +238,21 @@ def main() -> None:
         "scaled_pN": lsh_candidate_pairs(spark, out, scaled_planes, E.EMB_DIM),
     }
 
+    # round-4 embedding analytics at 10x vectors. kmeans with k held
+    # FIXED is broadcast-argmin work linear in rows (the PAIR stage is
+    # where fixed-k goes quadratic — measured separately via the
+    # in-cluster pair-volume table in BASELINE.md); pca is pure
+    # two-pass scan arithmetic, the most linear thing in the repo.
+    for name in ("emb_kmeans", "emb_pca_power", "emb_abtt_topk"):
+        fn = qdict[name]
+        fn(spark, BASE).write.format("noop").mode("overwrite").save()  # warm
+        tb, nb = timed(fn, spark, BASE)
+        ts, ns = timed(fn, spark, out)
+        rows.append((name, tb, nb, ts, ns))
+        print(f"[probe] {name}: base {tb:.2f}s/{nb} rows  "
+              f"{FACTOR}x {ts:.2f}s/{ns} rows  time x{ts/tb:.2f} "
+              f"rows x{ns/max(nb,1):.2f}", file=sys.stderr)
+
     print(f"\n| query | sf0.1 time/rows | {FACTOR}x time/rows | time ratio |"
           " rows ratio |")
     print("|---|---|---|---|---|")
