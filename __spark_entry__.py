@@ -174,6 +174,7 @@ CORPUS_FILTER3 = dict(min_novelty=0.2)
 STL = dict(trend_window=12)
 ACF_MAX_LAG = 5
 SEASONAL_ANOM = dict(threshold=3.5)
+HW_P = dict(alpha=0.5, beta=0.3, gamma=0.2, season=8, window=32)
 
 
 def _events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2992,6 +2993,25 @@ def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_hw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters over trailing windows — the seasonal
+    completion of the exponential family (events_ewma -> events_holt ->
+    this): flat array-state fold shared term-for-term with the DuckDB
+    list_reduce mirror (operators/timeseries.py:holt_winters)."""
+    from symtseries_spark.operators.timeseries import holt_winters
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    hw = holt_winters(
+        ev, key="user_id", order=["ts_us", "event_id"], value="value",
+        **HW_P,
+    )
+    return hw.select(
+        "user_id", "event_id", "level", "trend", "season_adj", "forecast"
+    )
+
+
 def q_events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-aware anomaly capstone: STL-lite residuals (events_stl)
     thresholded by a per-series robust median/MAD z — the detector
@@ -3952,6 +3972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_ccnet_bucket": q_docs_ccnet_bucket,
         "events_seasonal_anomaly": q_events_seasonal_anomaly,
         "emb_abtt_topk": q_emb_abtt_topk,
+        "events_hw": q_events_hw,
         "events_sessions_stream": q_events_sessions_stream,
         "events_histogram": q_events_histogram,
         "events_ntile": q_events_ntile,
@@ -4785,6 +4806,41 @@ FROM e WINDOW fr AS (PARTITION BY user_id ORDER BY ts_us
         # list(x) FILTER (x IS NOT NULL) mirrors collect_list's
         # null-dropping (operators/timeseries.py ewma docstring).
         "events_acf": oc.autocorrelation_sql(max_lag=ACF_MAX_LAG),
+        "events_hw": f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(value AS DOUBLE) AS x
+  FROM events
+), p AS (
+  SELECT user_id, event_id, ts_us, x,
+         (row_number() OVER o - 1) % 8 AS j,
+         CAST((row_number() OVER o - 1) % 8 AS DOUBLE) AS jd
+  FROM e
+  WINDOW o AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), w AS (
+  SELECT user_id, event_id, j,
+         list([x, jd]) FILTER (x IS NOT NULL)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN 31 PRECEDING AND CURRENT ROW) AS vals
+  FROM p
+), f AS (
+  SELECT user_id, event_id, j,
+         CASE WHEN len(vals) > 0 THEN
+           list_reduce(
+             list_prepend(list_value(vals[1][1], 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+                          list_slice(vals, 2, len(vals))),
+             (acc, e) -> list_value(0.5 * (e[1] - acc[CAST(e[2] AS INT) + 3]) + 0.5 * (acc[1] + acc[2]), 0.3 * ((0.5 * (e[1] - acc[CAST(e[2] AS INT) + 3]) + 0.5 * (acc[1] + acc[2])) - acc[1]) + 0.7 * acc[2]) || list_transform(range(0, 8), i -> CASE WHEN CAST(i AS DOUBLE) = e[2] THEN 0.2 * (e[1] - (0.5 * (e[1] - acc[CAST(e[2] AS INT) + 3]) + 0.5 * (acc[1] + acc[2]))) + 0.8 * acc[CAST(e[2] AS INT) + 3] ELSE acc[i + 3] END))
+         END AS hw
+  FROM w
+)
+SELECT user_id, event_id,
+       floor(hw[1] * 1000000.0 + 0.5) / 1000000.0 AS level,
+       floor(hw[2] * 1000000.0 + 0.5) / 1000000.0 AS trend,
+       floor(hw[j + 3] * 1000000.0 + 0.5) / 1000000.0 AS season_adj,
+       floor((hw[1] + hw[2] + hw[((j + 1) % 8) + 3]) * 1000000.0 + 0.5)
+         / 1000000.0 AS forecast
+FROM f
+""",
         "events_stl": _stl_oracle_sql(),
         "events_seasonal_anomaly": f"""
 WITH stl AS ({_stl_oracle_sql()}),

@@ -554,3 +554,115 @@ def sorted_median(sorted_col: Column) -> Column:
         F.element_at(sorted_col, half) + F.element_at(sorted_col, half + 1)
     ) / 2.0
     return F.when(n % 2 == 1, mid).otherwise(even)
+
+
+def holt_winters(
+    df: DataFrame,
+    *,
+    key: str,
+    order: Sequence[str],
+    value: str,
+    alpha: float,
+    beta: float,
+    gamma: float,
+    season: int,
+    window: int,
+    round_to: int = 6,
+) -> DataFrame:
+    """Trailing-window additive Holt-Winters (level + trend +
+    ``season``-slot seasonal): fold
+
+    ``l' = alpha * (x - s_j) + (1 - alpha) * (l + t)``
+    ``t' = beta * (l' - l) + (1 - beta) * t``
+    ``s_j' = gamma * (x - l') + (1 - gamma) * s_j``
+
+    over the last ``window`` values, where ``j = position % season``
+    (positional seasonality — the caller's ordering defines the cycle
+    phase). Seeded ``(l, t, s*) = (first value, 0, zeros)``. Emits
+    ``level``, ``trend``, ``season_adj`` (the just-updated seasonal
+    slot), and the one-step-ahead ``forecast = level + trend +
+    s_{(j+1) % season}`` — all quantized.
+
+    Same single-shuffle WindowExec shape as :func:`holt`, upgraded to a
+    FLAT ``array<double>`` accumulator ``[l, t, s_0..s_{m-1}]`` folded
+    over ``[x, j]`` elements: DuckDB's ``list_reduce`` has no separate
+    accumulator type (seed and elements must share one), so the state
+    IS a list and the seed is prepended — and the Spark fold uses the
+    identical flat representation so every arithmetic tree matches the
+    mirror term for term. ``l'`` is deliberately recomputed inline in
+    the trend and seasonal updates (the :func:`holt` rule: identical
+    expression trees, not let-bound intermediates, are what two
+    engines reproduce bit-for-bit). O(window x season) doubles per row
+    — bounded plan-time constants. NULL values are skipped exactly as
+    in :func:`ewma` (they do not advance the seasonal phase, matching
+    the FILTERed mirror).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("holt_winters needs 0 < alpha <= 1")
+    if not 0.0 <= beta <= 1.0 or not 0.0 <= gamma <= 1.0:
+        raise ValueError("holt_winters needs beta, gamma in [0, 1]")
+    if season < 2 or window < season:
+        raise ValueError("holt_winters needs season >= 2, window >= season")
+    order_cols = list(order)
+    wrow = Window.partitionBy(key).orderBy(*order_cols)
+    w = wrow.rowsBetween(-(window - 1), Window.currentRow)
+    v = F.col(value).cast("double")
+    pos = (F.row_number().over(wrow) - 1) % season
+    elem = F.when(v.isNotNull(), F.array(v, pos.cast("double")))
+    vals = F.collect_list(elem).over(w)
+    a, na = F.lit(float(alpha)), F.lit(1.0 - float(alpha))
+    b, nb = F.lit(float(beta)), F.lit(1.0 - float(beta))
+    g, ng = F.lit(float(gamma)), F.lit(1.0 - float(gamma))
+
+    def step(acc: Column, e: Column) -> Column:
+        x = F.element_at(e, 1)
+        j = F.element_at(e, 2)
+        sj = F.element_at(acc, (j + 3).cast("int"))
+        l1 = a * (x - sj) + na * (F.element_at(acc, 1) + F.element_at(acc, 2))
+        t1 = (
+            b * ((a * (x - sj) + na * (F.element_at(acc, 1) + F.element_at(acc, 2))) - F.element_at(acc, 1))
+            + nb * F.element_at(acc, 2)
+        )
+        s1 = (
+            g * (x - (a * (x - sj) + na * (F.element_at(acc, 1) + F.element_at(acc, 2))))
+            + ng * sj
+        )
+        seasons = F.transform(
+            F.sequence(F.lit(0), F.lit(season - 1)),
+            lambda i: F.when(i.cast("double") == j, s1).otherwise(
+                F.element_at(acc, (i + 3).cast("int"))
+            ),
+        )
+        return F.concat(F.array(l1, t1), seasons)
+
+    def fold(vv: Column) -> Column:
+        seed = F.concat(
+            F.array(F.element_at(F.element_at(vv, 1), 1), F.lit(0.0)),
+            F.array_repeat(F.lit(0.0), season),
+        )
+        rest = F.slice(vv, F.lit(2), F.greatest(F.size(vv) - 1, F.lit(0)))
+        return F.aggregate(rest, seed, step)
+
+    with_st = df.withColumn("__j", pos).withColumn(
+        "__hw", F.when(F.size(vals) > 0, fold(vals))
+    )
+    hw = F.col("__hw")
+    jn = ((F.col("__j") + 1) % season + 3).cast("int")
+    return (
+        with_st.withColumn("level", quantize(F.element_at(hw, 1), round_to))
+        .withColumn("trend", quantize(F.element_at(hw, 2), round_to))
+        .withColumn(
+            "season_adj",
+            quantize(F.element_at(hw, (F.col("__j") + 3).cast("int")), round_to),
+        )
+        .withColumn(
+            "forecast",
+            quantize(
+                F.element_at(hw, 1)
+                + F.element_at(hw, 2)
+                + F.element_at(hw, jn),
+                round_to,
+            ),
+        )
+        .drop("__hw", "__j")
+    )

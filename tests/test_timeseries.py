@@ -329,3 +329,61 @@ class TestAutocorrelation:
         assert all(-1.000001 <= r["acf"] <= 1.000001 for r in out)
         n_series = ev.select("user_id").distinct().count()
         assert len(out) == 5 * n_series
+
+
+class TestHoltWinters:
+    def test_gamma_zero_reduces_to_holt(self, spark):
+        """With gamma=0 the seasonal slots stay at their zero seed, so
+        level/trend follow the plain Holt recursion exactly."""
+        from symtseries_spark.operators.timeseries import holt, holt_winters
+
+        rows = [(1, i, float((i * 7) % 13) + 0.25 * i) for i in range(48)]
+        df = spark.createDataFrame(rows, "user_id long, ts long, value double")
+        hw = {
+            r["ts"]: (r["level"], r["trend"])
+            for r in holt_winters(
+                df, key="user_id", order=["ts"], value="value",
+                alpha=0.5, beta=0.3, gamma=0.0, season=4, window=16,
+            ).collect()
+        }
+        h = {
+            r["ts"]: (r["level"], r["trend"])
+            for r in holt(
+                df, key="user_id", order=["ts"], value="value",
+                alpha=0.5, beta=0.3, window=16,
+            ).collect()
+        }
+        assert hw == h
+
+    def test_seasonal_beats_holt_on_periodic_signal(self, spark):
+        """On a pure period-4 signal the HW one-step forecast error is
+        far below Holt's once the seasonal slots have been visited."""
+        from symtseries_spark.operators.timeseries import holt, holt_winters
+
+        cycle = [10.0, 0.0, 5.0, -5.0]
+        rows = [(1, i, cycle[i % 4]) for i in range(64)]
+        df = spark.createDataFrame(rows, "user_id long, ts long, value double")
+        common = dict(key="user_id", order=["ts"], value="value")
+        hw = {r["ts"]: r["forecast"] for r in holt_winters(
+            df, alpha=0.3, beta=0.1, gamma=0.8, season=4, window=32, **common
+        ).collect()}
+        ho = {r["ts"]: r["forecast"] for r in holt(
+            df, alpha=0.3, beta=0.1, window=32, **common
+        ).collect()}
+        actual = {i: cycle[(i + 1) % 4] for i in range(63)}
+        hw_err = sum(abs(hw[i] - actual[i]) for i in range(40, 63))
+        ho_err = sum(abs(ho[i] - actual[i]) for i in range(40, 63))
+        assert hw_err < ho_err * 0.5
+
+    def test_deterministic(self, spark, sf_dir):
+        from symtseries_spark.operators.timeseries import holt_winters
+        from symtseries_spark.sources import load
+
+        ev = load(spark, sf_dir, "events")
+        common = dict(
+            key="user_id", order=["ts", "event_id"], value="value",
+            alpha=0.5, beta=0.3, gamma=0.2, season=8, window=32,
+        )
+        a = sorted(map(tuple, holt_winters(ev, **common).collect()))
+        b = sorted(map(tuple, holt_winters(ev, **common).collect()))
+        assert a == b
