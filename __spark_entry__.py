@@ -2721,6 +2721,47 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_hw_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded recursive Holt-Winters through a REAL stream:
+    2 + season doubles of keyed state per series, O(1) per event — the
+    oracle replays the recursion as an O(prefix) list fold per row
+    (streaming/timeseries.py:holt_winters_stream)."""
+    import tempfile
+    import uuid
+
+    from symtseries_spark.operators import quantize
+    from symtseries_spark.sources import load_events_stream
+    from symtseries_spark.streaming.timeseries import holt_winters_stream
+
+    stream = load_events_stream(spark, sf_dir).withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    hs = holt_winters_stream(
+        stream, key="user_id", order=["ts_us", "event_id"], value="value",
+        alpha=HW_P["alpha"], beta=HW_P["beta"], gamma=HW_P["gamma"],
+        season=HW_P["season"],
+    )
+    name = f"hw_stream_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = (
+            hs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="hw_chk_"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    return spark.table(name).select(
+        "user_id",
+        "event_id",
+        quantize(F.col("level"), 6).alias("level"),
+        quantize(F.col("trend"), 6).alias("trend"),
+        quantize(F.col("season_adj"), 6).alias("season_adj"),
+        quantize(F.col("forecast"), 6).alias("forecast"),
+    )
+
+
 def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window EWMA per user series: collect_list over a bounded
     frame + a JVM higher-order fold — bit-identical on any engine that
@@ -3973,6 +4014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_seasonal_anomaly": q_events_seasonal_anomaly,
         "emb_abtt_topk": q_emb_abtt_topk,
         "events_hw": q_events_hw,
+        "events_hw_stream": q_events_hw_stream,
         "events_sessions_stream": q_events_sessions_stream,
         "events_histogram": q_events_histogram,
         "events_ntile": q_events_ntile,
@@ -4376,6 +4418,68 @@ WITH e AS (
 SELECT user_id, event_id, trend, seasonal,
        floor((det - seasonal) * 1000000.0 + 0.5) / 1000000.0 AS resid
 FROM s
+"""
+
+
+def _hw_oracle_sql(*, unbounded: bool) -> str:
+    """Holt-Winters mirror: flat-list state [l, t, s0..s_{m-1}] folded
+    over [x, phase] elements with the exact expression trees of
+    operators/timeseries.py:holt_winters. ``unbounded=False`` is the
+    trailing-window batch twin (events_hw); ``unbounded=True`` replays
+    the streaming recursion as an O(prefix) fold per row
+    (events_hw_stream)."""
+    m = HW_P["season"]
+    a, b, g = HW_P["alpha"], HW_P["beta"], HW_P["gamma"]
+    na, nb, ng = 1.0 - a, 1.0 - b, 1.0 - g
+    sj = "acc[CAST(e[2] AS INT) + 3]"
+    l1 = f"{a!r} * (e[1] - {sj}) + {na!r} * (acc[1] + acc[2])"
+    t1 = f"{b!r} * (({l1}) - acc[1]) + {nb!r} * acc[2]"
+    s1 = f"{g!r} * (e[1] - ({l1})) + {ng!r} * {sj}"
+    zeros = ", ".join(["0.0"] * m)
+    lam = (
+        f"(acc, e) -> list_value({l1}, {t1}) || "
+        f"list_transform(range(0, {m}), i -> "
+        f"CASE WHEN CAST(i AS DOUBLE) = e[2] THEN {s1} ELSE acc[i + 3] END)"
+    )
+    frame = (
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        if unbounded
+        else f"ROWS BETWEEN {HW_P['window'] - 1} PRECEDING AND CURRENT ROW"
+    )
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(value AS DOUBLE) AS x
+  FROM events
+), p AS (
+  SELECT user_id, event_id, ts_us, x,
+         (row_number() OVER o - 1) % {m} AS j,
+         CAST((row_number() OVER o - 1) % {m} AS DOUBLE) AS jd
+  FROM e
+  WINDOW o AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), w AS (
+  SELECT user_id, event_id, j,
+         list([x, jd]) FILTER (x IS NOT NULL)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 {frame}) AS vals
+  FROM p
+), f AS (
+  SELECT user_id, event_id, j,
+         CASE WHEN len(vals) > 0 THEN
+           list_reduce(
+             list_prepend(list_value(vals[1][1], 0.0, {zeros}),
+                          list_slice(vals, 2, len(vals))),
+             {lam})
+         END AS hw
+  FROM w
+)
+SELECT user_id, event_id,
+       floor(hw[1] * 1000000.0 + 0.5) / 1000000.0 AS level,
+       floor(hw[2] * 1000000.0 + 0.5) / 1000000.0 AS trend,
+       floor(hw[j + 3] * 1000000.0 + 0.5) / 1000000.0 AS season_adj,
+       floor((hw[1] + hw[2] + hw[((j + 1) % {m}) + 3]) * 1000000.0 + 0.5)
+         / 1000000.0 AS forecast
+FROM f
 """
 
 
@@ -4806,41 +4910,8 @@ FROM e WINDOW fr AS (PARTITION BY user_id ORDER BY ts_us
         # list(x) FILTER (x IS NOT NULL) mirrors collect_list's
         # null-dropping (operators/timeseries.py ewma docstring).
         "events_acf": oc.autocorrelation_sql(max_lag=ACF_MAX_LAG),
-        "events_hw": f"""
-WITH e AS (
-  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-         CAST(value AS DOUBLE) AS x
-  FROM events
-), p AS (
-  SELECT user_id, event_id, ts_us, x,
-         (row_number() OVER o - 1) % 8 AS j,
-         CAST((row_number() OVER o - 1) % 8 AS DOUBLE) AS jd
-  FROM e
-  WINDOW o AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-), w AS (
-  SELECT user_id, event_id, j,
-         list([x, jd]) FILTER (x IS NOT NULL)
-           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                 ROWS BETWEEN 31 PRECEDING AND CURRENT ROW) AS vals
-  FROM p
-), f AS (
-  SELECT user_id, event_id, j,
-         CASE WHEN len(vals) > 0 THEN
-           list_reduce(
-             list_prepend(list_value(vals[1][1], 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
-                          list_slice(vals, 2, len(vals))),
-             (acc, e) -> list_value(0.5 * (e[1] - acc[CAST(e[2] AS INT) + 3]) + 0.5 * (acc[1] + acc[2]), 0.3 * ((0.5 * (e[1] - acc[CAST(e[2] AS INT) + 3]) + 0.5 * (acc[1] + acc[2])) - acc[1]) + 0.7 * acc[2]) || list_transform(range(0, 8), i -> CASE WHEN CAST(i AS DOUBLE) = e[2] THEN 0.2 * (e[1] - (0.5 * (e[1] - acc[CAST(e[2] AS INT) + 3]) + 0.5 * (acc[1] + acc[2]))) + 0.8 * acc[CAST(e[2] AS INT) + 3] ELSE acc[i + 3] END))
-         END AS hw
-  FROM w
-)
-SELECT user_id, event_id,
-       floor(hw[1] * 1000000.0 + 0.5) / 1000000.0 AS level,
-       floor(hw[2] * 1000000.0 + 0.5) / 1000000.0 AS trend,
-       floor(hw[j + 3] * 1000000.0 + 0.5) / 1000000.0 AS season_adj,
-       floor((hw[1] + hw[2] + hw[((j + 1) % 8) + 3]) * 1000000.0 + 0.5)
-         / 1000000.0 AS forecast
-FROM f
-""",
+        "events_hw": _hw_oracle_sql(unbounded=False),
+        "events_hw_stream": _hw_oracle_sql(unbounded=True),
         "events_stl": _stl_oracle_sql(),
         "events_seasonal_anomaly": f"""
 WITH stl AS ({_stl_oracle_sql()}),

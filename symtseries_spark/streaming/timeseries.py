@@ -39,6 +39,7 @@ __all__ = [
     "cusum_stream",
     "ewma_stream",
     "holt_stream",
+    "holt_winters_stream",
     "mad_zscore_stream",
     "rolling_zscore_stream",
 ]
@@ -498,6 +499,138 @@ def rolling_zscore_stream(
                 }
             )
         state.update((buf,))
+
+    return (
+        events.select(*cols)
+        .groupBy(key)
+        .applyInPandasWithState(
+            handle,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def holt_winters_stream(
+    events: DataFrame,
+    *,
+    key: str,
+    order: list[str],
+    value: str,
+    alpha: float,
+    beta: float,
+    gamma: float,
+    season: int,
+) -> DataFrame:
+    """Streaming twin of ``operators.timeseries.holt_winters`` run
+    UNBOUNDED: per-series additive Holt-Winters with keyed state of
+    ``2 + season`` doubles plus the seasonal phase counter — O(season)
+    state per series, O(1) multiply-adds per event, where the batch
+    engine replays an O(prefix) fold per row.
+
+    The seasonal phase advances with EVERY arriving row (null-valued
+    rows hold the fold but consume their phase slot, mirroring the
+    batch operator's row_number phase); the update expressions are the
+    exact trees of the batch fold, so engines agree bit-for-bit. Emits
+    the running (unrounded) ``level``, ``trend``, ``season_adj`` (this
+    row's phase slot), and one-step ``forecast``; callers quantize
+    downstream. Same NaN caveat as :func:`holt_stream`.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("holt_winters_stream needs 0 < alpha <= 1")
+    if not 0.0 <= beta <= 1.0 or not 0.0 <= gamma <= 1.0:
+        raise ValueError("holt_winters_stream needs beta, gamma in [0, 1]")
+    if season < 2:
+        raise ValueError("holt_winters_stream needs season >= 2")
+    key_field = events.schema[key]
+    order_fields = [events.schema[o] for o in order]
+    out_schema = StructType(
+        [
+            StructField(key_field.name, key_field.dataType),
+            *[StructField(f.name, f.dataType) for f in order_fields],
+            StructField(value, DoubleType()),
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+            StructField("season_adj", DoubleType()),
+            StructField("forecast", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("l", DoubleType()),
+            StructField("t", DoubleType()),
+            StructField("s", ArrayType(DoubleType())),
+            StructField("phase", LongType()),
+        ]
+    )
+    cols = [key, *order, value]
+    a, na = float(alpha), 1.0 - float(alpha)
+    b, nb = float(beta), 1.0 - float(beta)
+    g, ng = float(gamma), 1.0 - float(gamma)
+    m = int(season)
+
+    def handle(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            l0, t0, s, phase = state.get
+            s = list(s)
+            st = (l0, t0) if l0 is not None else None
+        else:
+            st, s, phase = None, [0.0] * m, 0
+        whole = coalesce_chunks(pdfs)
+        if whole is not None:
+            pdf = whole.sort_values(order, kind="mergesort")
+            vals = pdf[value].astype("float64").to_numpy()
+            levels, trends, seas, fores = [], [], [], []
+            for x in vals:
+                x = float(x)
+                j = phase % m
+                if x == x:  # not NaN/NULL
+                    if st is None:
+                        st = (x, 0.0)
+                    else:
+                        l0, t0 = st
+                        sj = s[j]
+                        # identical expression trees to the batch fold
+                        # (l' recomputed inline in trend and seasonal)
+                        st = (
+                            a * (x - sj) + na * (l0 + t0),
+                            b * ((a * (x - sj) + na * (l0 + t0)) - l0)
+                            + nb * t0,
+                        )
+                        s[j] = (
+                            g * (x - (a * (x - sj) + na * (l0 + t0)))
+                            + ng * sj
+                        )
+                phase += 1
+                if st is None:
+                    levels.append(None)
+                    trends.append(None)
+                    seas.append(None)
+                    fores.append(None)
+                else:
+                    levels.append(st[0])
+                    trends.append(st[1])
+                    seas.append(s[j])
+                    fores.append(st[0] + st[1] + s[(j + 1) % m])
+            yield pd.DataFrame(
+                {
+                    key_field.name: pdf[key].to_numpy(),
+                    **{o: pdf[o].to_numpy() for o in order},
+                    value: vals,
+                    "level": pd.array(levels, dtype="Float64"),
+                    "trend": pd.array(trends, dtype="Float64"),
+                    "season_adj": pd.array(seas, dtype="Float64"),
+                    "forecast": pd.array(fores, dtype="Float64"),
+                }
+            )
+        if st is not None:
+            state.update((float(st[0]), float(st[1]), list(s), int(phase)))
+        elif phase:
+            state.update((None, None, list(s), int(phase)))
 
     return (
         events.select(*cols)
