@@ -2762,6 +2762,59 @@ def q_events_hw_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin one-step forecast backtest — the model-selection
+    capstone over the exponential family: each method's quantized
+    one-step forecast (EWMA = its smoothed value; Holt = level+trend;
+    Holt-Winters = level+trend+next-season) scored against the next
+    actual value of its series, MAE per method -> 3 rows
+    (method, n_evals, mae). Composes the three already-verified
+    operators; the oracle embeds each method's own SQL twin as a CTE,
+    so this row is green only if the family AND the composition are."""
+    from pyspark.sql import Window
+
+    from symtseries_spark.operators import ewma, holt
+    from symtseries_spark.operators.timeseries import holt_winters
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    actual = ev.select(
+        "user_id",
+        "event_id",
+        F.lead(F.col("value").cast("double")).over(w).alias("__a"),
+    )
+    common = dict(key="user_id", order=["ts_us", "event_id"], value="value")
+    arms = []
+    for method, fdf, fcol in (
+        ("ewma", ewma(ev, **common, **EWMA_P), "ewma"),
+        ("holt", holt(ev, **common, **HOLT_P), "forecast"),
+        ("holt_winters", holt_winters(ev, **common, **HW_P), "forecast"),
+    ):
+        joined = (
+            fdf.select("user_id", "event_id", F.col(fcol).alias("__f"))
+            .join(actual, ["user_id", "event_id"])
+            .where(F.col("__f").isNotNull() & F.col("__a").isNotNull())
+        )
+        arms.append(
+            joined.agg(
+                F.count(F.lit(1)).alias("n_evals"),
+                (
+                    F.floor(
+                        F.avg(F.abs(F.col("__f") - F.col("__a"))) * 1e6
+                        + F.lit(0.5)
+                    )
+                    / 1e6
+                ).alias("mae"),
+            ).select(F.lit(method).alias("method"), "n_evals", "mae")
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("method")
+
+
 def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window EWMA per user series: collect_list over a bounded
     frame + a JVM higher-order fold — bit-identical on any engine that
@@ -4015,6 +4068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_abtt_topk": q_emb_abtt_topk,
         "events_hw": q_events_hw,
         "events_hw_stream": q_events_hw_stream,
+        "events_forecast_backtest": q_events_forecast_backtest,
         "events_sessions_stream": q_events_sessions_stream,
         "events_histogram": q_events_histogram,
         "events_ntile": q_events_ntile,
@@ -4483,6 +4537,40 @@ FROM f
 """
 
 
+def _backtest_sql(ewma_sql: str, holt_sql: str, hw_sql: str) -> str:
+    """Rolling-origin one-step backtest: each method's QUANTIZED
+    forecast (its own oracle, embedded as a CTE) against the next
+    actual value of its series, MAE per method. The join keys and the
+    lead() ordering are shared, so the three arms score identical
+    evaluation sets except where a method has no forecast (NULL rows
+    drop per arm — mirrored in the Spark composition)."""
+    arms = []
+    for method, sub, fcol in (
+        ("ewma", ewma_sql, "ewma"),
+        ("holt", holt_sql, "forecast"),
+        ("holt_winters", hw_sql, "forecast"),
+    ):
+        arms.append(
+            f"""SELECT '{method}' AS method, count(*) AS n_evals,
+       floor(avg(abs(m.{fcol} - a.actual)) * 1000000.0 + 0.5)
+         / 1000000.0 AS mae
+FROM ({sub}) m JOIN actual a USING (user_id, event_id)
+WHERE m.{fcol} IS NOT NULL AND a.actual IS NOT NULL"""
+        )
+    union = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH actual AS (
+  SELECT user_id, event_id,
+         lead(CAST(value AS DOUBLE)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS actual
+  FROM events
+)
+{union}
+ORDER BY method
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     slide = oc.sliding_words_sql(SLIDE["n"], SLIDE["w"], SLIDE["c"])
     motifs = _tumbling_sql(TUMBLE_MOTIF)
@@ -4630,7 +4718,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
   AND l_quantity < 24
 """
 
-    return {
+    out = {
         "sax_sliding_words": f"SELECT user_id, event_id, sax_word FROM ({slide})",
         # chunk-parallel and streaming forms are semantics-identical to
         # the plain sliding plan -> same oracle
@@ -5652,3 +5740,7 @@ FROM rk
         "media_decode_features": om.decode_features_sql(),
         "media_resize": om.resize_media_sql(factor=RESIZE_FACTOR),
     }
+    out["events_forecast_backtest"] = _backtest_sql(
+        out["events_ewma"], out["events_holt"], out["events_hw"]
+    )
+    return out
