@@ -4039,10 +4039,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Registry order = driver-verification priority, NOT topic order:
         # the round driver's correctness window checks a ~50-entry
         # prefix, so entries go (1) queries NEW this round (3 recall
-        # reports + the 19 round-4 additions: kmeans/semdedup/pca/abtt,
+        # reports + the 20 round-4 additions: kmeans/semdedup/pca/abtt,
         # discords/vsm/numerosity, dsir batch+stream, source cap,
         # novelty, filter3, stl, acf, char entropy, ccnet buckets, seasonal
-        # anomaly, Holt-Winters batch+stream), (2) the 16 queries
+        # anomaly, Holt-Winters batch+stream, forecast backtest), (2) the 16
+        # queries
         # never covered by a driver round (r3 verdict item #2), (3) the
         # entries last covered in round 1, (4) round-2-covered entries
         # rotating through, (5) the round-3-verified tail.
