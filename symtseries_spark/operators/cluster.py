@@ -128,6 +128,8 @@ def kmeans_assign(
     members falls back to its seed centroid, so no centroid is ever
     NULL and the output always has exactly ``k`` possible labels.
     """
+    if k < 1 or dim < 1 or iters < 0:
+        raise ValueError("kmeans_assign needs k >= 1, dim >= 1, iters >= 0")
     seeds = _seed_centroids(vectors, k=k, id_col=id_col, vec_col=vec_col)
     cent = seeds
     for _ in range(iters):
@@ -187,6 +189,10 @@ def semdedup_keep(
     hot-loop rule, docs/SCALING.md), and is quantized to 1e-6 BEFORE
     the threshold compare so the keep decision is engine-stable.
     """
+    if not -1.0 <= threshold <= 2.0:
+        # values just above 1 are a legal degenerate ("drop nothing")
+        # and the tests use one; far outside [-1, 1] is a caller bug
+        raise ValueError("semdedup_keep needs a cosine threshold in [-1, 2]")
     assigned = kmeans_assign(
         vectors, k=k, dim=dim, iters=iters, id_col=id_col, vec_col=vec_col
     ).select(id_col, "cluster")
@@ -254,6 +260,8 @@ def pca_power_scores(
     left-to-right fold. The sign convention is inherited from v_0
     (power iteration converges up to sign; fixed init fixes the sign).
     """
+    if dim < 1 or iters < 0:
+        raise ValueError("pca_power_scores needs dim >= 1, iters >= 0")
     mu_row, v_row = _pca_mu_v(
         vectors, dim=dim, iters=iters, vec_col=vec_col
     )
@@ -386,6 +394,8 @@ def abtt_topk(
     """
     from ..functions.sax import _let
 
+    if k < 1 or dim < 1 or iters < 0:
+        raise ValueError("abtt_topk needs k >= 1, dim >= 1, iters >= 0")
     mu_row, v_row = _pca_mu_v(
         vectors, dim=dim, iters=iters, vec_col=vec_col
     )

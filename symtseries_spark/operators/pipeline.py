@@ -472,6 +472,8 @@ def dsir_logweights(
     to score) and is never shuffled on the token key, the same
     two-scan/broadcast profile as retrieval.unigram_logprob.
     """
+    if n_buckets < 2:
+        raise ValueError("dsir_logweights needs n_buckets >= 2")
     tok = _dsir_tokens(
         docs, n_buckets=n_buckets, target_col=target_col,
         target_value=target_value, id_col=id_col, text_col=text_col,
@@ -585,6 +587,9 @@ def source_cap(
     from pyspark.sql import Window
 
     from ..functions.text import quality_metrics
+
+    if per_source < 1 or n_salts < 1:
+        raise ValueError("source_cap needs per_source >= 1, n_salts >= 1")
 
     # explode(array(...)) is a Generate barrier: the (token-bound)
     # quality struct is evaluated once per row, not once per extracted

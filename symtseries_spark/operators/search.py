@@ -160,6 +160,8 @@ def discords(
     from ..functions.sax import sax_encode
     from .windows import tumbling_values
 
+    if rare_words < 1 or top < 1:
+        raise ValueError("discords needs rare_words >= 1, top >= 1")
     wins = tumbling_values(df, key=key, order=order, value=value, n=n)
     words = wins.select(
         "series_key",
@@ -553,6 +555,8 @@ def vsm_series_pairs(
     """
     from .windows import tumbling_sax
 
+    if df_cap < 1 or top < 1:
+        raise ValueError("vsm_series_pairs needs df_cap >= 1, top >= 1")
     words = tumbling_sax(
         df, key=key, order=order, value=value, n=n, w=w, c=c
     )

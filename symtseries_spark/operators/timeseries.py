@@ -435,6 +435,8 @@ def stl_decompose(
     across engines); the detrend subtraction then operates on
     engine-identical operands.
     """
+    if trend_window < 1:
+        raise ValueError("stl_decompose needs trend_window >= 1")
     order_cols = list(order)
     w_t = (
         Window.partitionBy(key)
@@ -486,6 +488,8 @@ def autocorrelation(
     NULL lag partners (series edges) drop out of the numerator exactly
     like the SQL twin's ``lag()`` NULLs.
     """
+    if max_lag < 1:
+        raise ValueError("autocorrelation needs max_lag >= 1")
     order_cols = list(order)
     w = Window.partitionBy(key).orderBy(*order_cols)
     v = F.col(value).cast("double")

@@ -175,3 +175,23 @@ class TestAbtt:
         a = [tuple(r) for r in abtt_topk(emb, query_id=3, k=5, dim=64, iters=2).collect()]
         b = [tuple(r) for r in abtt_topk(emb, query_id=3, k=5, dim=64, iters=2).collect()]
         assert a == b
+
+
+class TestDomainGuards:
+    def test_invalid_params_raise(self, emb):
+        from symtseries_spark.operators.cluster import (
+            abtt_topk,
+            pca_power_scores,
+            semdedup_keep,
+        )
+
+        with pytest.raises(ValueError):
+            kmeans_assign(emb, k=0, dim=64)
+        with pytest.raises(ValueError):
+            kmeans_assign(emb, k=4, dim=64, iters=-1)
+        with pytest.raises(ValueError):
+            semdedup_keep(emb, k=4, dim=64, threshold=-2.0)
+        with pytest.raises(ValueError):
+            pca_power_scores(emb, dim=0)
+        with pytest.raises(ValueError):
+            abtt_topk(emb, query_id=0, k=0, dim=64)
