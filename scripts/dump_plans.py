@@ -245,6 +245,28 @@ BroadcastExchange against the window-values table; the exact-NN join
 is BroadcastHashJoin with the CANDIDATES broadcast (the corpus-sized
 window relation streams), and the per-candidate argmin collapses in a
 map-side partial aggregate.""",
+    "events_hw": """Holt-Winters as ONE WindowExec pass (the events_holt shape
+with a flat array accumulator): collect_list of [x, phase] pairs over
+the bounded frame, then the O(window x season) higher-order fold runs
+codegen'd in the projection above the window pass — the fold is bound
+once as a named column and the four quantized outputs extract from it
+(the 8x re-evaluation lesson).""",
+    "events_stl": """Two bounded-state window passes sharing no join: Exchange
+on the series key for the centered-moving-average trend WindowExec,
+then Exchange on (series, season-bucket) for the whole-partition
+seasonal mean — the detrend/residual arithmetic is plain projection
+between them. No collect, no join, no third shuffle.""",
+    "emb_abtt_topk": """Whitening as scan arithmetic: the power-iteration (mu, v)
+1-row relations enter as IdentityBroadcast cross joins; each row's
+centered array and its projection bind ONCE (lambda variables), the
+whitened vector never materializes at rest, and the final top-k is
+TakeOrderedAndProject over the quantized cosine.""",
+    "events_forecast_backtest": """The capstone composition plan: three
+independent window-fold arms (EWMA / Holt / Holt-Winters WindowExec
+passes over the same Exchange-on-series partitioning), each joined to
+the lead()-derived actuals and collapsed to a 1-row aggregate before
+the 3-row union — the per-arm evaluation join is on (series, event)
+keys the arms already carry.""",
 }
 
 spark = (
