@@ -963,6 +963,68 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup FUNNEL capstone: survivors after each chained stage —
+    (1) all docs, (2) exact dedup (min-id per content hash), (3)
+    MinHash-LSH near-dup clustering of the exact survivors (components,
+    min-id keep), (4) winnowing substring dedup of those (drop the
+    larger doc_id of every >=0.5-overlap pair) -> 4 rows
+    (stage_idx, stage, survivors). Each stage runs on the PREVIOUS
+    stage's survivor set, which is what a production pipeline actually
+    does (cheap exact first, each pricier stage sees a smaller corpus);
+    the oracle chains the same stage CTEs through the table parameter
+    of each stage's own SQL generator. On this corpus the substring
+    stage drops ZERO docs at both SFs — measured, not assumed: the
+    MinHash stage at threshold 0.35 subsumes every >=0.5-overlap
+    winnow pair here, so stage 4 is the leakage CHECK a pipeline keeps
+    precisely because it should usually come back empty."""
+    from symtseries_spark.functions.text import doc_hash60, normalized_text
+    from symtseries_spark.operators import minhash_lsh_pairs, winnow_pairs
+    from symtseries_spark.operators.graph import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    s1 = (
+        exact_dedup_map(docs)
+        .where(~F.col("is_duplicate"))
+        .select("doc_id")
+        .join(docs, "doc_id")
+    )
+    pairs = minhash_lsh_pairs(s1, **MINHASH).select("doc_a", "doc_b")
+    cc = connected_components(
+        pairs, s1.select(F.col("doc_id").alias("v")), src="doc_a", dst="doc_b"
+    )
+    s2 = (
+        cc.where(F.col("v") == F.col("canonical_id"))
+        .select(F.col("v").alias("doc_id"))
+        .join(s1, "doc_id")
+    )
+    losers = (
+        winnow_pairs(s2, **WINNOW, **WINNOW_PAIRS)
+        .where(F.col("overlap") >= CORPUS_FILTER2["winnow_overlap"])
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    s3 = s2.join(losers, "doc_id", "left_anti")
+    arms = []
+    for idx, stage, df in (
+        (1, "all", docs),
+        (2, "exact", s1),
+        (3, "near_dup", s2),
+        (4, "substring", s3),
+    ):
+        arms.append(
+            df.agg(F.count(F.lit(1)).alias("survivors")).select(
+                F.lit(idx).alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                "survivors",
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("stage_idx")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_map(load(spark, sf_dir, "documents"))
 
@@ -4070,6 +4132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hw": q_events_hw,
         "events_hw_stream": q_events_hw_stream,
         "events_forecast_backtest": q_events_forecast_backtest,
+        "docs_dedup_funnel": q_docs_dedup_funnel,
         "events_sessions_stream": q_events_sessions_stream,
         "events_histogram": q_events_histogram,
         "events_ntile": q_events_ntile,
@@ -5483,6 +5546,44 @@ ORDER BY c.c_nationkey
         "text_split": ot.split_sql(SPLITS),
         "text_length_buckets": ot.length_buckets_sql(bucket_tokens=BUCKET_TOKENS),
         "dedup_exact": ot.exact_dedup_sql(),
+        "docs_dedup_funnel": f"""
+WITH RECURSIVE s1 AS (
+  SELECT d.* FROM documents d
+  JOIN ({ot.exact_dedup_sql()}) m ON d.doc_id = m.doc_id
+  WHERE NOT m.is_duplicate
+), fpairs AS (
+  SELECT doc_a, doc_b
+  FROM ({ot.minhash_lsh_pairs_sql(**MINHASH, table='s1')}) __p
+), fedges AS (
+  SELECT doc_a AS a, doc_b AS b FROM fpairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM fpairs
+), fconn(a, b) AS (
+  SELECT doc_id, doc_id FROM s1
+  UNION
+  SELECT c.a, e.b FROM fconn c JOIN fedges e ON c.b = e.a
+), fcanon AS (
+  SELECT a AS doc_id, min(b) AS canonical_id FROM fconn GROUP BY a
+), s2 AS (
+  SELECT d.* FROM s1 d JOIN fcanon c ON d.doc_id = c.doc_id
+  WHERE c.doc_id = c.canonical_id
+), floser AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM ({ot.winnow_pairs_sql(**WINNOW, **WINNOW_PAIRS, table='s2')}) __w
+  WHERE overlap >= {CORPUS_FILTER2["winnow_overlap"]!r}
+), s3 AS (
+  SELECT d.* FROM s2 d LEFT JOIN floser l ON d.doc_id = l.doc_id
+  WHERE l.doc_id IS NULL
+)
+SELECT 1 AS stage_idx, 'all' AS stage, count(*) AS survivors FROM documents
+UNION ALL
+SELECT 2, 'exact', count(*) FROM s1
+UNION ALL
+SELECT 3, 'near_dup', count(*) FROM s2
+UNION ALL
+SELECT 4, 'substring', count(*) FROM s3
+ORDER BY stage_idx
+""",
         "dedup_exact_stream": ot.exact_dedup_sql(),
         "docs_contamination": ot.contamination_sql(**DECONTAM),
         "docs_chunk": ot.chunk_sql(**CHUNK),
