@@ -1280,6 +1280,33 @@ def q_docs_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_cap(load(spark, sf_dir, "documents"), per_source=SOURCE_CAP)
 
 
+def q_docs_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: chars-per-BPE-token (and
+    whitespace-words-per-BPE-token) aggregated per lang — the
+    diagnostic that tells you which languages a byte/BPE tokenizer
+    taxes hardest (high chars/token = cheap; low = fragmenting).
+    Pure scan-stage expressions + one lang-keyed combinable groupBy."""
+    from symtseries_spark.functions.text import bpe_token_count, token_count
+
+    docs = load(spark, sf_dir, "documents").select(
+        "lang",
+        F.length("text").cast("double").alias("__chars"),
+        bpe_token_count(F.col("text")).cast("double").alias("__bpe"),
+        token_count(F.col("text")).cast("double").alias("__words"),
+    )
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+    return (
+        docs.where(F.col("__bpe") > 0)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            q6(F.sum("__chars") / F.sum("__bpe")).alias("chars_per_token"),
+            q6(F.sum("__bpe") / F.sum("__words")).alias("tokens_per_word"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level Shannon entropy per doc
     (operators/retrieval.py:char_entropy): the gibberish /
@@ -4127,6 +4154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_acf": q_events_acf,
         "docs_char_entropy": q_docs_char_entropy,
         "docs_ccnet_bucket": q_docs_ccnet_bucket,
+        "docs_token_fertility": q_docs_token_fertility,
         "events_seasonal_anomaly": q_events_seasonal_anomaly,
         "emb_abtt_topk": q_emb_abtt_topk,
         "events_hw": q_events_hw,
@@ -5784,6 +5812,7 @@ FROM documents
         "docs_source_cap": ot.source_cap_sql(per_source=SOURCE_CAP),
         "docs_novelty": ot.novelty_scores_sql(k=NOVELTY_K),
         "docs_char_entropy": ot.char_entropy_sql(),
+        "docs_token_fertility": ot.token_fertility_sql(),
         "docs_ccnet_bucket": f"""
 WITH lp AS ({ot.unigram_logprob_sql()}),
 rk AS (

@@ -92,6 +92,13 @@ QUERIES = [
     "docs_char_entropy",
     "docs_dsir_weights",
     "docs_ccnet_bucket",
+    # round-4 third batch: HW is the heaviest window fold in the repo
+    # (O(window x season)/row); the backtest runs all three family
+    # folds plus evaluation joins; the funnel chains three dedup stages
+    # (content unique per replica keeps its pair stages output-honest)
+    "events_hw",
+    "events_forecast_backtest",
+    "docs_dedup_funnel",
 ]
 
 # Stateful streaming replays: timed WITHOUT a warm pass (each call

@@ -1128,3 +1128,25 @@ SELECT doc_id, first(n_chars) AS n_chars,
 FROM counts JOIN tot USING (doc_id)
 GROUP BY doc_id
 """
+
+
+def token_fertility_sql(*, table: str = "documents") -> str:
+    """Twin of q_docs_token_fertility: per-lang chars-per-BPE-token and
+    BPE-tokens-per-whitespace-word, sums quantized after the divide."""
+    return f"""
+WITH m AS (
+  SELECT lang,
+         CAST(len(text) AS DOUBLE) AS chars,
+         CAST(len(regexp_extract_all(lower(text), '{BPE_REGEX}'))
+              AS DOUBLE) AS bpe,
+         CAST(len({tokens_expr()}) AS DOUBLE) AS words
+  FROM {table}
+)
+SELECT lang, count(*) AS n_docs,
+       floor(sum(chars) / sum(bpe) * 1000000.0 + 0.5) / 1000000.0
+         AS chars_per_token,
+       floor(sum(bpe) / sum(words) * 1000000.0 + 0.5) / 1000000.0
+         AS tokens_per_word
+FROM m WHERE bpe > 0
+GROUP BY lang
+"""
