@@ -3176,6 +3176,20 @@ def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series single changepoint (binary-segmentation step 1,
+    operators/timeseries.py:changepoint): the split minimizing the
+    two-segment piecewise-constant SSE over quantized prefix sums —
+    the unknown-shift localizer beside CUSUM's known-target test. One
+    window pass + argmin on the same key partitioning."""
+    from symtseries_spark.operators.timeseries import changepoint
+
+    return changepoint(
+        load(spark, sf_dir, "events"),
+        key="user_id", order=["ts", "event_id"], value="value",
+    )
+
+
 def q_events_hw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive Holt-Winters over trailing windows — the seasonal
     completion of the exponential family (events_ewma -> events_holt ->
@@ -4139,6 +4153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_recall": q_emb_lsh_recall,
         "emb_multiprobe_recall": q_emb_multiprobe_recall,
         "emb_ivf_recall": q_emb_ivf_recall,
+        "events_changepoint": q_events_changepoint,
         "emb_kmeans": q_emb_kmeans,
         "emb_semdedup": q_emb_semdedup,
         "sax_discords": q_sax_discords,
@@ -5090,6 +5105,7 @@ FROM e WINDOW fr AS (PARTITION BY user_id ORDER BY ts_us
         # list(x) FILTER (x IS NOT NULL) mirrors collect_list's
         # null-dropping (operators/timeseries.py ewma docstring).
         "events_acf": oc.autocorrelation_sql(max_lag=ACF_MAX_LAG),
+        "events_changepoint": oc.changepoint_sql(),
         "events_hw": _hw_oracle_sql(unbounded=False),
         "events_hw_stream": _hw_oracle_sql(unbounded=True),
         "events_stl": _stl_oracle_sql(),

@@ -670,3 +670,98 @@ def holt_winters(
         )
         .drop("__hw", "__j")
     )
+
+
+def changepoint(
+    df: DataFrame,
+    *,
+    key: str,
+    order: Sequence[str],
+    value: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-series single changepoint (binary-segmentation step 1):
+    the split ``i`` minimizing the two-segment piecewise-constant SSE
+    ``(Q_i - S_i^2/i) + ((Q_n - Q_i) - (S_n - S_i)^2/(n-i))`` over
+    quantized prefix sums -> ``(key, n, split_i, sse_none, sse_split,
+    gain)``. The level-shift detector that complements CUSUM (CUSUM
+    needs a known target; this finds the most likely shift point with
+    no prior) — reference scope: the anomaly surface around
+    ``sts_mindist`` thresholds (src/symtseries.c:245-636 scores known
+    patterns; this localizes an unknown regime change).
+
+    Plan: ONE shuffle on the series key — the prefix sums S_i, Q_i are
+    running window sums over (key, order); totals (n, S_n, Q_n) are an
+    ``arg_max`` of those same quantized running sums (never a second
+    independently-ordered sum, so both engines see identical totals);
+    the argmin is a min(struct) with the deterministic (sse, i)
+    tiebreak. Per the parity method, S_i/Q_i are floor-quantized the
+    moment they leave the window aggregate (running-sum fold order is
+    engine-internal), and every downstream expression is plain IEEE
+    double arithmetic on those quantized inputs — bit-identical across
+    engines. NULL values are dropped before indexing (the split index
+    counts valid points, mirroring the SQL twin's WHERE). Series with
+    n < 2 have no candidate split and drop out.
+
+    At 100 TB: window pass + map-side-combinable argmin on the same
+    partitioning, no pair expansion, state O(1) per row — the same
+    single-shuffle shape as linear_trend/autocorrelation.
+    """
+    order_cols = list(order)
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    v = F.col(value).cast("double")
+    base = df.select(F.col(key), *order_cols, v.alias("__v")).where(
+        F.col("__v").isNotNull()
+    )
+    cum = base.select(
+        F.col(key),
+        F.row_number().over(w).alias("__i"),
+        quantize(F.sum("__v").over(run), round_to).alias("__s"),
+        quantize(F.sum(F.col("__v") * F.col("__v")).over(run), round_to)
+        .alias("__q"),
+    )
+    tot = cum.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.struct("__i", "__s")).getField("__s").alias("__sn"),
+        F.max(F.struct("__i", "__q")).getField("__q").alias("__qn"),
+    )
+    i = F.col("__i").cast("double")
+    nn = F.col("n").cast("double")
+    sse = (
+        (F.col("__q") - F.col("__s") * F.col("__s") / i)
+        + (
+            (F.col("__qn") - F.col("__q"))
+            - (F.col("__sn") - F.col("__s"))
+            * (F.col("__sn") - F.col("__s"))
+            / (nn - i)
+        )
+    )
+    cand = (
+        cum.join(tot, key)
+        .where(F.col("__i") < F.col("n"))
+        .select(
+            F.col(key),
+            F.col("n"),
+            F.col("__sn"),
+            F.col("__qn"),
+            F.struct(
+                quantize(sse, round_to).alias("__sse"),
+                F.col("__i").alias("__at"),
+            ).alias("__c"),
+        )
+    )
+    best = cand.groupBy(key, "n", "__sn", "__qn").agg(
+        F.min("__c").alias("__b")
+    )
+    sse_none = quantize(
+        F.col("__qn") - F.col("__sn") * F.col("__sn") / nn, round_to
+    )
+    return best.select(
+        key,
+        "n",
+        F.col("__b.__at").alias("split_i"),
+        sse_none.alias("sse_none"),
+        F.col("__b.__sse").alias("sse_split"),
+        quantize(sse_none - F.col("__b.__sse"), round_to).alias("gain"),
+    )

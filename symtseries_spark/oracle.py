@@ -514,3 +514,55 @@ WITH mu AS (
 )
 {arms}
 """
+
+
+def changepoint_sql(
+    *,
+    table: str = "events",
+    key: str = "user_id",
+    order: str = "ts, event_id",
+    value: str = "value",
+) -> str:
+    """Twin of operators.timeseries.changepoint: quantized running
+    prefix sums, arg_max totals off those SAME running sums, candidate
+    SSE on the quantized inputs, row_number (sse, i) argmin."""
+    qz = "floor(({}) * 1000000.0 + 0.5) / 1000000.0"
+    s_run = qz.format(
+        "sum(v) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    q_run = qz.format(
+        "sum(v * v) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    sse = qz.format(
+        "(q - s * s / i) + ((qn - q) - (sn - s) * (sn - s) / (n - i))"
+    )
+    sse_none = qz.format("qn - sn * sn / n")
+    return f"""
+WITH b AS (
+  SELECT {key}, {order}, CAST({value} AS DOUBLE) AS v
+  FROM {table} WHERE {value} IS NOT NULL
+), c AS (
+  SELECT {key},
+         row_number() OVER w AS i,
+         {s_run} AS s,
+         {q_run} AS q
+  FROM b
+  WINDOW w AS (PARTITION BY {key} ORDER BY {order})
+), t AS (
+  SELECT {key}, count(*) AS n, arg_max(s, i) AS sn, arg_max(q, i) AS qn
+  FROM c GROUP BY {key}
+), cand AS (
+  SELECT c.{key}, CAST(i AS DOUBLE) AS i, s, q,
+         CAST(n AS DOUBLE) AS n, sn, qn,
+         {sse} AS sse
+  FROM c JOIN t USING ({key}) WHERE i < n
+), r AS (
+  SELECT {key}, CAST(n AS BIGINT) AS n, CAST(i AS BIGINT) AS split_i,
+         {sse_none} AS sse_none, sse AS sse_split,
+         row_number() OVER (PARTITION BY {key} ORDER BY sse, i) AS rn
+  FROM cand
+)
+SELECT {key}, n, split_i, sse_none, sse_split,
+       floor((sse_none - sse_split) * 1000000.0 + 0.5) / 1000000.0 AS gain
+FROM r WHERE rn = 1
+"""

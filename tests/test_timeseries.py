@@ -387,3 +387,55 @@ class TestHoltWinters:
         a = sorted(map(tuple, holt_winters(ev, **common).collect()))
         b = sorted(map(tuple, holt_winters(ev, **common).collect()))
         assert a == b
+
+
+class TestChangepoint:
+    def test_finds_level_shift(self, spark):
+        from symtseries_spark.operators.timeseries import changepoint
+
+        vals = [0.0] * 10 + [10.0] * 10
+        r = changepoint(
+            _series(spark, vals), key="k", order=["i"], value="v"
+        ).collect()
+        assert len(r) == 1
+        row = r[0]
+        assert row.n == 20
+        assert row.split_i == 10  # split after the last 0.0
+        assert row.sse_split == pytest.approx(0.0, abs=1e-6)
+        # no-split SSE of a half-0 half-10 series: n * var = 20 * 25
+        assert row.sse_none == pytest.approx(500.0, abs=1e-4)
+        assert row.gain == pytest.approx(500.0, abs=1e-4)
+
+    def test_nulls_dropped_and_short_series_omitted(self, spark):
+        from pyspark.sql import Row
+
+        from symtseries_spark.operators.timeseries import changepoint
+
+        df = spark.createDataFrame(
+            [
+                Row(k=1, i=0, v=1.0),
+                Row(k=1, i=1, v=None),
+                Row(k=1, i=2, v=1.0),
+                Row(k=1, i=3, v=9.0),
+                Row(k=2, i=0, v=5.0),  # n=1 -> no candidate split
+            ],
+            "k int, i int, v double",
+        )
+        out = {r.k: r for r in changepoint(
+            df, key="k", order=["i"], value="v"
+        ).collect()}
+        assert set(out) == {1}
+        assert out[1].n == 3  # null dropped before indexing
+        assert out[1].split_i == 2
+
+    def test_monotone_ramp_prefers_middle(self, spark):
+        from symtseries_spark.operators.timeseries import changepoint
+
+        vals = [float(x) for x in range(21)]
+        row = changepoint(
+            _series(spark, vals), key="k", order=["i"], value="v"
+        ).collect()[0]
+        # symmetric ramp: best two-mean split is dead center, and the
+        # (sse, i) tiebreak keeps it deterministic
+        assert row.split_i in (10, 11)
+        assert row.gain > 0
