@@ -131,6 +131,7 @@ SCRUB_PATTERNS = {
     "customer_ref": "customer [a-z]+",
 }
 MINHASH = dict(k=3, num_hashes=32, bands=8, threshold=0.35, seed=7)
+PAGERANK = dict(damping=0.85, n_iter=5)
 SIMHASH_BITS = 32
 SIMHASH_PAIRS = dict(bits=32, max_hamming=3, chunks=4)
 EMB_DIM = 64
@@ -1894,6 +1895,24 @@ def q_emb_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.stddev_pop("x"), 6).alias("std_x"),
         )
         .orderBy("label", "dim")
+    )
+
+
+def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-graph centrality: MinHash-LSH near-dup pairs -> 5 rounds of
+    degree-normalized PageRank (operators/graph.py:pagerank). Ranks
+    each pair-incident doc by how central it is in its dup
+    neighborhood — the canonical-pick / boilerplate-hub signal beside
+    dedup_clusters' membership. Fixed-round iteration with per-round
+    quantization makes even this iterative query oracle-exact (the
+    DuckDB twin unrolls the same 5 rounds as chained CTEs)."""
+    from symtseries_spark.operators.graph import pagerank
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, **MINHASH).select("doc_a", "doc_b")
+    pr = pagerank(pairs, src="doc_a", dst="doc_b", **PAGERANK)
+    return pr.select(
+        F.col("v").alias("doc_id"), "degree", "pagerank"
     )
 
 
@@ -4154,6 +4173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_multiprobe_recall": q_emb_multiprobe_recall,
         "emb_ivf_recall": q_emb_ivf_recall,
         "events_changepoint": q_events_changepoint,
+        "dedup_pagerank": q_dedup_pagerank,
         "emb_kmeans": q_emb_kmeans,
         "emb_semdedup": q_emb_semdedup,
         "sax_discords": q_sax_discords,
@@ -4549,6 +4569,49 @@ WITH e AS (
 SELECT user_id, event_id, cusum,
        cusum > CAST({CUSUM_P["threshold"]} AS DOUBLE) AS alarm
 FROM c
+"""
+
+
+def _pagerank_oracle_sql() -> str:
+    """Unrolled twin of operators.graph.pagerank over the MinHash-LSH
+    pair graph: PAGERANK['n_iter'] chained CTEs, each mirroring one
+    Spark round — sum(pr/deg) over the symmetric edges, damped and
+    floor-quantized with the teleport term quantized separately
+    (exactly the Spark expression: quantized constants + quantized
+    damped sum, so the addition itself is drift-free)."""
+    d = PAGERANK["damping"]
+    rounds = []
+    for t in range(1, PAGERANK["n_iter"] + 1):
+        rounds.append(
+            f"""p{t} AS (
+  SELECT dg.v, dg.deg,
+         floor((1.0 - {d}) / nn.n * 1000000.0 + 0.5) / 1000000.0
+           + floor({d} * s.s * 1000000.0 + 0.5) / 1000000.0 AS pr
+  FROM (
+    SELECT e.a AS v, sum(p.pr / p.deg) AS s
+    FROM e JOIN p{t - 1} p ON e.b = p.v GROUP BY e.a
+  ) s JOIN deg dg USING (v), nn
+)"""
+        )
+    chain = ",\n".join(rounds)
+    last = PAGERANK["n_iter"]
+    return f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({ot.minhash_lsh_pairs_sql(**MINHASH)}) __p
+), e AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), deg AS (
+  SELECT a AS v, count(*) AS deg FROM e GROUP BY a
+), nn AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM deg
+), p0 AS (
+  SELECT v, deg, floor(1.0 / nn.n * 1000000.0 + 0.5) / 1000000.0 AS pr
+  FROM deg, nn
+),
+{chain}
+SELECT v AS doc_id, deg AS degree, pr AS pagerank FROM p{last}
 """
 
 
@@ -5106,6 +5169,7 @@ FROM e WINDOW fr AS (PARTITION BY user_id ORDER BY ts_us
         # null-dropping (operators/timeseries.py ewma docstring).
         "events_acf": oc.autocorrelation_sql(max_lag=ACF_MAX_LAG),
         "events_changepoint": oc.changepoint_sql(),
+        "dedup_pagerank": _pagerank_oracle_sql(),
         "events_hw": _hw_oracle_sql(unbounded=False),
         "events_hw_stream": _hw_oracle_sql(unbounded=True),
         "events_stl": _stl_oracle_sql(),

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "pagerank"]
 
 
 def connected_components(
@@ -69,3 +69,78 @@ def connected_components(
         raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
     return labels.select(F.col("v"), F.col("lbl").alias("canonical_id"))
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Degree-normalized PageRank over an undirected pair graph ->
+    ``(v, degree, pagerank)`` — the dup-graph CENTRALITY ranking that
+    complements :func:`connected_components`' membership: within a
+    near-dup cluster the highest-PR doc is the natural canonical pick
+    (the one most pairs agree on), and across the corpus high-PR docs
+    are template/boilerplate hubs worth a human look.
+
+    Nodes are the vertices incident to at least one pair, so every
+    node has degree >= 1 and there is no dangling-mass term; the
+    update is the classic ``pr' = (1-d)/N + d * sum_{u~v} pr_u/deg_u``
+    run a FIXED ``n_iter`` rounds (no convergence test -> no scalar
+    driver traffic at all, and the DuckDB twin unrolls the same
+    rounds as chained CTEs). Per the parity method, each iteration's
+    grouped float sum is floor-quantized before the next round reuses
+    it, so summation-order drift never compounds across iterations.
+
+    Plan shape per round: one equi-join of the (static, checkpointed)
+    symmetric edge list against the N-row rank table + one
+    map-side-combinable sum on the SAME dst key — identical to a
+    connected_components round, with the degree table and the 1-row
+    node count broadcast. At 100 TB the edge list is the dedup pair
+    output (already hot-key-capped upstream), so per-round cost is
+    |pairs| shuffle bytes, n_iter bounded at plan time.
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError("pagerank needs 0 < damping < 1")
+    if n_iter < 1:
+        raise ValueError("pagerank needs n_iter >= 1")
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.localCheckpoint(eager=True)
+
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).select(
+        F.col("a").alias("v"), "deg"
+    )
+    n_tbl = deg.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    q = 10.0 ** round_to
+    teleport = F.floor((1.0 - damping) / F.col("__n") * q + 0.5) / q
+    init = F.floor(1.0 / F.col("__n") * q + 0.5) / q
+
+    pr = (
+        deg.crossJoin(F.broadcast(n_tbl))
+        .select("v", "deg", init.alias("pr"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iter):
+        contrib = (
+            sym.join(pr, sym["b"] == pr["v"])
+            .select(F.col("a").alias("v"), (F.col("pr") / F.col("deg")).alias("__c"))
+            .groupBy("v")
+            .agg(F.sum("__c").alias("__s"))
+        )
+        pr = (
+            deg.join(contrib, "v")
+            .crossJoin(F.broadcast(n_tbl))
+            .select(
+                "v",
+                "deg",
+                (teleport + F.floor(damping * F.col("__s") * q + 0.5) / q)
+                .alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr.select("v", F.col("deg").alias("degree"), F.col("pr").alias("pagerank"))

@@ -266,3 +266,41 @@ class TestGapfill:
             (2, 10): (None, True), (2, 11): (5.0, False),
             (2, 12): (5.0, True), (2, 13): (5.0, True),
         }
+
+
+class TestPagerank:
+    def _pr(self, spark, pairs, **kw):
+        from symtseries_spark.operators.graph import pagerank
+
+        edges = spark.createDataFrame(pairs, "src long, dst long")
+        return {r.v: r for r in pagerank(edges, **kw).collect()}
+
+    def test_star_center_dominates(self, spark):
+        # star: 0 touches 1..4 -> center collects damped mass
+        out = self._pr(spark, [(0, j) for j in range(1, 5)])
+        assert set(out) == {0, 1, 2, 3, 4}
+        assert out[0].degree == 4
+        assert all(out[0].pagerank > out[j].pagerank for j in range(1, 5))
+        # leaves are symmetric -> identical scores
+        assert len({out[j].pagerank for j in range(1, 5)}) == 1
+
+    def test_regular_graph_uniform_and_conserved(self, spark):
+        # 4-cycle: every node degree 2 -> stationary at 1/4 each round
+        out = self._pr(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+        assert all(abs(r.pagerank - 0.25) < 1e-5 for r in out.values())
+        assert abs(sum(r.pagerank for r in out.values()) - 1.0) < 1e-4
+
+    def test_deterministic_and_param_guards(self, spark):
+        import pytest as _pt
+
+        from symtseries_spark.operators.graph import pagerank
+
+        pairs = [(0, 1), (1, 2), (0, 2), (2, 3)]
+        a = sorted(self._pr(spark, pairs).items())
+        b = sorted(self._pr(spark, pairs).items())
+        assert a == b
+        edges = spark.createDataFrame(pairs, "src long, dst long")
+        with _pt.raises(ValueError):
+            pagerank(edges, damping=1.0)
+        with _pt.raises(ValueError):
+            pagerank(edges, n_iter=0)
