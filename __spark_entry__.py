@@ -1957,6 +1957,40 @@ def q_dedup_lsh_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+def q_dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator quality, driver-visible (the dedup analogue of
+    the emb_*_recall reports): for every banded candidate pair, the
+    32-hash est_jaccard vs the EXACT shingle Jaccard, binned by exact
+    decile -> (bucket, n_pairs, mean_err, mean_abs_err, max_abs_err).
+    Shows the estimator's bias/spread exactly where the 0.35 dedup
+    threshold cuts. Cost = candidate count (prune-then-refine), never
+    |docs|^2."""
+    from symtseries_spark.operators import jaccard_refine
+    from symtseries_spark.operators.timeseries import quantize
+
+    docs = load(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs, **{**MINHASH, "threshold": 0.0})
+    exact = jaccard_refine(
+        cand.select("doc_a", "doc_b"), docs, k=MINHASH["k"], threshold=0.0
+    )
+    j = cand.join(
+        exact.select("doc_a", "doc_b", "jaccard"), ["doc_a", "doc_b"]
+    )
+    err = F.col("est_jaccard") - F.col("jaccard")
+    return (
+        j.groupBy(
+            F.floor(F.col("jaccard") * 10).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            quantize(F.avg(err), 6).alias("mean_err"),
+            quantize(F.avg(F.abs(err)), 6).alias("mean_abs_err"),
+            F.max(F.abs(err)).alias("max_abs_err"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup endgame's MATERIALIZATION: the surviving corpus after
     near-dup clustering (keep the min-id member of every cluster,
@@ -4174,6 +4208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_recall": q_emb_ivf_recall,
         "events_changepoint": q_events_changepoint,
         "dedup_pagerank": q_dedup_pagerank,
+        "dedup_minhash_accuracy": q_dedup_minhash_accuracy,
         "emb_kmeans": q_emb_kmeans,
         "emb_semdedup": q_emb_semdedup,
         "sax_discords": q_sax_discords,
@@ -5805,6 +5840,32 @@ SELECT c.doc_id, c.canonical_id, s.cluster_size,
        c.doc_id <> c.canonical_id AS is_duplicate
 FROM canon c JOIN sizes s USING (canonical_id)
 ORDER BY c.doc_id
+""",
+        "dedup_minhash_accuracy": f"""
+WITH cand AS (
+  SELECT doc_a, doc_b, est_jaccard
+  FROM ({ot.minhash_lsh_pairs_sql(**{**MINHASH, "threshold": 0.0})}) __c
+), sets AS (
+  SELECT doc_id, {ot.shingles_expr(MINHASH["k"])} AS sh FROM documents
+), jx AS (
+  SELECT c.doc_a, c.doc_b, c.est_jaccard,
+         len(list_intersect(sa.sh, sb.sh)) AS n_common,
+         len(sa.sh) AS n_a, len(sb.sh) AS n_b
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.doc_a
+  JOIN sets sb ON sb.doc_id = c.doc_b
+), er AS (
+  SELECT est_jaccard - round(n_common * 1.0 / (n_a + n_b - n_common), 4)
+           AS err,
+         round(n_common * 1.0 / (n_a + n_b - n_common), 4) AS jac
+  FROM jx WHERE (n_a + n_b - n_common) > 0
+)
+SELECT CAST(floor(jac * 10) AS INTEGER) AS bucket,
+       count(*) AS n_pairs,
+       floor(avg(err) * 1000000.0 + 0.5) / 1000000.0 AS mean_err,
+       floor(avg(abs(err)) * 1000000.0 + 0.5) / 1000000.0 AS mean_abs_err,
+       max(abs(err)) AS max_abs_err
+FROM er GROUP BY 1 ORDER BY 1
 """,
         "dedup_lsh_refined": f"""
 WITH cand AS (
