@@ -132,6 +132,7 @@ SCRUB_PATTERNS = {
 }
 MINHASH = dict(k=3, num_hashes=32, bands=8, threshold=0.35, seed=7)
 PAGERANK = dict(damping=0.85, n_iter=5)
+ZIPF_TOP_V = 100
 SIMHASH_BITS = 32
 SIMHASH_PAIRS = dict(bits=32, max_hamming=3, chunks=4)
 EMB_DIM = 64
@@ -1316,6 +1317,17 @@ def q_docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from symtseries_spark.operators.retrieval import char_entropy
 
     return char_entropy(load(spark, sf_dir, "documents"))
+
+
+def q_docs_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law OLS fit (ln freq vs ln rank, top-100 terms) per lang
+    slice (operators/retrieval.py:zipf_fit): the distribution-level
+    corpus health check — natural text sits near slope -1, boilerplate
+    drifts toward 0, collapsed vocab goes steep. docs_top_terms'
+    shuffle + a |lang|*100-row OLS."""
+    from symtseries_spark.operators.retrieval import zipf_fit
+
+    return zipf_fit(load(spark, sf_dir, "documents"), top_v=ZIPF_TOP_V)
 
 
 def q_docs_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4209,6 +4221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_changepoint": q_events_changepoint,
         "dedup_pagerank": q_dedup_pagerank,
         "dedup_minhash_accuracy": q_dedup_minhash_accuracy,
+        "docs_zipf_slope": q_docs_zipf_slope,
         "emb_kmeans": q_emb_kmeans,
         "emb_semdedup": q_emb_semdedup,
         "sax_discords": q_sax_discords,
@@ -5205,6 +5218,7 @@ FROM e WINDOW fr AS (PARTITION BY user_id ORDER BY ts_us
         "events_acf": oc.autocorrelation_sql(max_lag=ACF_MAX_LAG),
         "events_changepoint": oc.changepoint_sql(),
         "dedup_pagerank": _pagerank_oracle_sql(),
+        "docs_zipf_slope": ot.zipf_fit_sql(top_v=ZIPF_TOP_V),
         "events_hw": _hw_oracle_sql(unbounded=False),
         "events_hw_stream": _hw_oracle_sql(unbounded=True),
         "events_stl": _stl_oracle_sql(),

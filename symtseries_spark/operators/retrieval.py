@@ -543,3 +543,71 @@ def char_entropy(
         )
     )
     return ent
+
+
+def zipf_fit(
+    docs: DataFrame,
+    *,
+    top_v: int = 100,
+    group_col: str = "lang",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Zipf's-law fit per corpus slice: OLS of ``ln(freq)`` on
+    ``ln(rank)`` over the ``top_v`` most frequent terms ->
+    ``(group, n_terms, zipf_slope, zipf_intercept)``. Natural text
+    sits near slope -1; a slice drifting toward 0 is
+    template/boilerplate-heavy and a steep slope flags a collapsed
+    vocabulary — the distribution-level health check beside the
+    per-doc quality gates (repetition_metrics, char_entropy).
+
+    Plan: one explode + one map-side-combinable (group, term) count,
+    one rank window over the per-group term table, then a ``top_v``-row
+    per-group OLS — map-side-combinable sums again. Ranks tiebreak on
+    the term string, so the fitted point set is deterministic; the
+    closed-form slope/intercept are quantized (grouped float sums
+    drift across engines, and ln() may differ in the last ulp — both
+    absorbed at 1e-6). The term table never leaves the cluster: at
+    100 TB this is the docs_top_terms shuffle plus a window over
+    |groups| * top_v rows.
+    """
+    from pyspark.sql import Window
+
+    from .timeseries import quantize
+
+    if top_v < 3:
+        raise ValueError("zipf_fit needs top_v >= 3")
+    tok = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    freqs = tok.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy("grp").orderBy(F.desc("freq"), "term")
+    ranked = freqs.select(
+        "grp",
+        "freq",
+        F.row_number().over(w).alias("rank"),
+    ).where(F.col("rank") <= top_v)
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    pts = ranked.select("grp", x.alias("__x"), y.alias("__y"))
+    agg = pts.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+    )
+    n = F.col("n_terms").cast("double")
+    denom = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = F.when(
+        (F.col("n_terms") >= 3) & (denom != 0),
+        (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / denom,
+    )
+    intercept = (F.col("__sy") - slope * F.col("__sx")) / n
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_terms",
+        quantize(slope, round_to).alias("zipf_slope"),
+        quantize(intercept, round_to).alias("zipf_intercept"),
+    )

@@ -1150,3 +1150,48 @@ SELECT lang, count(*) AS n_docs,
 FROM m WHERE bpe > 0
 GROUP BY lang
 """
+
+
+def zipf_fit_sql(
+    *,
+    top_v: int = 100,
+    group_col: str = "lang",
+    table: str = "documents",
+) -> str:
+    """Twin of operators.retrieval.zipf_fit: same token expression,
+    (freq DESC, term) rank tiebreak, closed-form OLS on ln/ln with the
+    UNQUANTIZED slope feeding the intercept (mirroring the Spark
+    expression tree), both outputs floor-quantized."""
+    return f"""
+WITH tk AS (
+  SELECT {group_col} AS grp, unnest({tokens_expr()}) AS term FROM {table}
+), fr AS (
+  SELECT grp, term, count(*) AS freq FROM tk GROUP BY grp, term
+), rk AS (
+  SELECT grp, freq,
+         row_number() OVER (PARTITION BY grp ORDER BY freq DESC, term)
+           AS rank
+  FROM fr
+), pt AS (
+  SELECT grp, ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+  FROM rk WHERE rank <= {top_v}
+), ag AS (
+  SELECT grp, count(*) AS n_terms,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM pt GROUP BY grp
+), fit AS (
+  SELECT grp, n_terms, CAST(n_terms AS DOUBLE) AS n, sx, sy, sxx, sxy,
+         CASE WHEN n_terms >= 3
+                   AND (CAST(n_terms AS DOUBLE) * sxx - sx * sx) <> 0
+              THEN (CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(n_terms AS DOUBLE) * sxx - sx * sx)
+         END AS slope_raw
+  FROM ag
+)
+SELECT grp AS {group_col}, n_terms,
+       floor(slope_raw * 1000000.0 + 0.5) / 1000000.0 AS zipf_slope,
+       floor((sy - slope_raw * sx) / n * 1000000.0 + 0.5) / 1000000.0
+         AS zipf_intercept
+FROM fit
+"""

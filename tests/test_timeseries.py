@@ -439,3 +439,45 @@ class TestChangepoint:
         # (sse, i) tiebreak keeps it deterministic
         assert row.split_i in (10, 11)
         assert row.gain > 0
+
+
+class TestZipfFit:
+    def test_power_law_slope_near_minus_one(self, spark):
+        from pyspark.sql import Row
+
+        from symtseries_spark.operators.retrieval import zipf_fit
+
+        # term i occurs floor(600/i) times -> ideal Zipf slope -1
+        words = []
+        for i in range(1, 31):
+            words += [f"w{i:02d}"] * (600 // i)
+        df = spark.createDataFrame(
+            [Row(doc_id=0, lang="en", text=" ".join(words))]
+        )
+        row = zipf_fit(df, top_v=30).collect()[0]
+        assert row.lang == "en"
+        assert row.n_terms == 30
+        assert -1.1 < row.zipf_slope < -0.9
+        assert row.zipf_intercept > 0
+
+    def test_uniform_corpus_flat_slope(self, spark):
+        from pyspark.sql import Row
+
+        from symtseries_spark.operators.retrieval import zipf_fit
+
+        text = " ".join(
+            f"t{i}" for _ in range(5) for i in range(20)
+        )  # all freqs equal
+        df = spark.createDataFrame([Row(doc_id=0, lang="xx", text=text)])
+        row = zipf_fit(df, top_v=20).collect()[0]
+        assert abs(row.zipf_slope) < 1e-9
+
+    def test_top_v_guard(self, spark):
+        import pytest as _pt
+        from pyspark.sql import Row
+
+        from symtseries_spark.operators.retrieval import zipf_fit
+
+        df = spark.createDataFrame([Row(doc_id=0, lang="en", text="a b")])
+        with _pt.raises(ValueError):
+            zipf_fit(df, top_v=2)
