@@ -133,6 +133,7 @@ SCRUB_PATTERNS = {
 MINHASH = dict(k=3, num_hashes=32, bands=8, threshold=0.35, seed=7)
 PAGERANK = dict(damping=0.85, n_iter=5)
 ZIPF_TOP_V = 100
+TRUNC_DIM = 16  # Matryoshka recall probe: prefix dims scored vs full 64
 SIMHASH_BITS = 32
 SIMHASH_PAIRS = dict(bits=32, max_hamming=3, chunks=4)
 EMB_DIM = 64
@@ -1113,6 +1114,20 @@ def q_emb_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_query_id=RECALL["max_query_id"], k=RECALL["k"],
         num_planes=ANN["num_planes"], seed=ANN["seed"], dim=EMB_DIM,
         probe_hamming=1,
+    )
+
+
+def q_emb_trunc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of 16-of-64-dim truncated cosine search vs the full-dim
+    exact top-k (operators/simsearch.py:truncated_dim_recall) — the
+    Matryoshka dimension/quality trade as a driver-visible report: how
+    much ranking survives reading a quarter of the vector bytes."""
+    from symtseries_spark.operators.simsearch import truncated_dim_recall
+
+    return truncated_dim_recall(
+        load(spark, sf_dir, "embeddings"),
+        max_query_id=RECALL["max_query_id"], k=RECALL["k"],
+        trunc_dim=TRUNC_DIM, dim=EMB_DIM,
     )
 
 
@@ -4222,6 +4237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_pagerank": q_dedup_pagerank,
         "dedup_minhash_accuracy": q_dedup_minhash_accuracy,
         "docs_zipf_slope": q_docs_zipf_slope,
+        "emb_trunc_recall": q_emb_trunc_recall,
         "emb_kmeans": q_emb_kmeans,
         "emb_semdedup": q_emb_semdedup,
         "sax_discords": q_sax_discords,
@@ -5219,6 +5235,10 @@ FROM e WINDOW fr AS (PARTITION BY user_id ORDER BY ts_us
         "events_changepoint": oc.changepoint_sql(),
         "dedup_pagerank": _pagerank_oracle_sql(),
         "docs_zipf_slope": ot.zipf_fit_sql(top_v=ZIPF_TOP_V),
+        "emb_trunc_recall": ov.truncated_dim_recall_sql(
+            max_query_id=RECALL["max_query_id"], k=RECALL["k"],
+            trunc_dim=TRUNC_DIM, dim=EMB_DIM,
+        ),
         "events_hw": _hw_oracle_sql(unbounded=False),
         "events_hw_stream": _hw_oracle_sql(unbounded=True),
         "events_stl": _stl_oracle_sql(),

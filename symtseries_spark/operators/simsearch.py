@@ -892,3 +892,73 @@ def ivf_recall(
     return _recall_vs_exact(
         q.select("query_id"), approx.select("query_id", "cand_id"), exact, k=k
     )
+
+
+def truncated_dim_recall(
+    vectors: DataFrame,
+    *,
+    max_query_id: int,
+    k: int,
+    trunc_dim: int,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of TRUNCATED-dimension cosine search vs the full-dim
+    exact top-k, for the query panel ``id < max_query_id`` ->
+    ``(query_id, n_approx, n_hit, recall)`` — the Matryoshka-style
+    (Kusupati et al. 2022) dimension/quality trade, driver-visible
+    like the LSH/IVF recall reports.
+
+    The approximate leg scores candidates on only the FIRST
+    ``trunc_dim`` components (cosine renormalized over the prefix) —
+    the at-scale play where a prefix scan reads ``trunc_dim/dim`` of
+    the vector bytes (with Parquet column-of-arrays this is a cheaper
+    decode; with a materialized prefix column it is true byte-level
+    pruning, the sources-layout story). The exact leg is
+    :func:`knn_join`'s full-dim plan. Deterministic: both legs round
+    cosines to 6 decimals and rank with the (cos desc, id) tiebreak,
+    and the truncated dot folds the same left-to-right prefix order as
+    the oracle's unrolled expression.
+    """
+    if not 1 <= trunc_dim <= dim:
+        raise ValueError("truncated_dim_recall needs 1 <= trunc_dim <= dim")
+    if k < 1:
+        raise ValueError("truncated_dim_recall needs k >= 1")
+    v = F.col(vec_col).cast("array<double>")
+    base = vectors.select(
+        F.col(id_col).alias("cand_id"),
+        F.slice(v, 1, trunc_dim).alias("__v"),
+    )
+    q = base.where(F.col("cand_id") < max_query_id).select(
+        F.col("cand_id").alias("query_id"), F.col("__v").alias("__qv")
+    )
+    scored = base.join(
+        F.broadcast(q), F.col("cand_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "cand_id",
+        F.round(
+            dot(F.col("__v"), F.col("__qv"))
+            / (norm(F.col("__v")) * norm(F.col("__qv"))),
+            6,
+        ).alias("cos"),
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("cand_id")
+        )
+    )
+    approx = scored.withColumn("__r", rank).where(F.col("__r") <= k)
+    exact = knn_join(
+        vectors,
+        vectors.where(F.col(id_col) < max_query_id),
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=id_col,
+        query_vec_col=vec_col,
+    )
+    return _recall_vs_exact(
+        q.select("query_id"), approx.select("query_id", "cand_id"), exact, k=k
+    )

@@ -662,3 +662,34 @@ WHERE vec_id != {query_id}
 ORDER BY cos DESC, vec_id
 LIMIT {k}
 """
+
+
+def truncated_dim_recall_sql(
+    *,
+    max_query_id: int,
+    k: int,
+    trunc_dim: int,
+    dim: int,
+    table: str = "embeddings",
+) -> str:
+    """Twin of simsearch.truncated_dim_recall: the approx leg is
+    cosine_expr over only the first trunc_dim components (the same
+    prefix fold as the Spark slice), the exact leg is the shared
+    full-dim knn CTE."""
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv
+  FROM {table} WHERE vec_id < {max_query_id}
+), approx AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.query_id, v.vec_id AS cand_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round({cosine_expr('v.embedding', 'q.qv', trunc_dim)}, 6)
+               DESC, v.vec_id) AS r
+    FROM {table} v, q
+    WHERE v.vec_id != q.query_id)
+  WHERE r <= {k}
+), {_exact_topk_cte(max_query_id=max_query_id, k=k, dim=dim, table=table)}
+{_recall_tail_sql(k)}
+"""

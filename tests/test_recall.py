@@ -128,3 +128,36 @@ class TestJaccardPrefix:
         full = {tuple(r) for r in jaccard_pairs(docs, **kw).collect()}
         pref = {tuple(r) for r in jaccard_pairs_prefix(docs, **kw).collect()}
         assert pref == full
+
+
+class TestTruncatedDimRecall:
+    def test_full_dim_is_perfect(self, emb):
+        from symtseries_spark.operators.simsearch import truncated_dim_recall
+
+        rows = truncated_dim_recall(
+            emb, max_query_id=4, k=5, trunc_dim=64, dim=64
+        ).collect()
+        assert {r["query_id"] for r in rows} == {0, 1, 2, 3}
+        # trunc_dim == dim -> approx leg IS the exact leg
+        assert all(r["recall"] == pytest.approx(1.0) for r in rows)
+
+    def test_prefix_recall_bounded_and_monotone_ish(self, emb):
+        from symtseries_spark.operators.simsearch import truncated_dim_recall
+
+        r16 = truncated_dim_recall(
+            emb, max_query_id=4, k=5, trunc_dim=16, dim=64
+        ).collect()
+        for r in r16:
+            assert 0.0 <= r["recall"] <= 1.0
+            assert r["n_approx"] == 5
+            assert r["recall"] == pytest.approx(r["n_hit"] / 5, abs=1e-9)
+
+    def test_param_guards(self, emb):
+        from symtseries_spark.operators.simsearch import truncated_dim_recall
+
+        with pytest.raises(ValueError):
+            truncated_dim_recall(emb, max_query_id=4, k=5, trunc_dim=0)
+        with pytest.raises(ValueError):
+            truncated_dim_recall(emb, max_query_id=4, k=5, trunc_dim=65)
+        with pytest.raises(ValueError):
+            truncated_dim_recall(emb, max_query_id=4, k=0, trunc_dim=16)
