@@ -4222,7 +4222,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Registry order = driver-verification priority, NOT topic order:
         # the round driver's correctness window checks a ~50-entry
         # prefix, so entries go (1) queries NEW this round (3 recall
-        # reports + the 20 round-4 additions: kmeans/semdedup/pca/abtt,
+        # reports, then the late-round-4 five: changepoint, pagerank,
+        # minhash accuracy, zipf slope, truncated-dim recall; then
+        # the 20 earlier round-4 additions: kmeans/semdedup/pca/abtt,
         # discords/vsm/numerosity, dsir batch+stream, source cap,
         # novelty, filter3, stl, acf, char entropy, ccnet buckets, seasonal
         # anomaly, Holt-Winters batch+stream, forecast backtest), (2) the 16

@@ -267,6 +267,19 @@ passes over the same Exchange-on-series partitioning), each joined to
 the lead()-derived actuals and collapsed to a 1-row aggregate before
 the 3-row union — the per-arm evaluation join is on (series, event)
 keys the arms already carry.""",
+    "events_changepoint": """Changepoint: ONE Exchange on the series key feeds two
+stacked WindowExecs over the same partitioning — running prefix sums,
+then full-frame count/last for the per-key totals — so the totals
+come from the SAME materialized rows (the groupBy+join formulation
+re-scanned and re-shuffled the input; exchange reuse does not unify
+differently-pruned subtrees). Filter + min(struct) argmin finish on
+the same keys. No join, no second scan, candidate rows = input rows.""",
+    "dedup_pagerank": """Fixed-round PageRank: the symmetric edge list enters as a
+checkpointed `Scan ExistingRDD` reused by all 5 rounds; each round is
+one equi-join of edges against the previous rank table + one hash
+aggregate on the dst key, with the degree table joined and the 1-row
+node count as an IdentityBroadcast cross join — per-round cost is
+|pairs| shuffle bytes, and no scalar ever returns to the driver.""",
 }
 
 spark = (

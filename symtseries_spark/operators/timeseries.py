@@ -691,11 +691,15 @@ def changepoint(
     patterns; this localizes an unknown regime change).
 
     Plan: ONE shuffle on the series key — the prefix sums S_i, Q_i are
-    running window sums over (key, order); totals (n, S_n, Q_n) are an
-    ``arg_max`` of those same quantized running sums (never a second
-    independently-ordered sum, so both engines see identical totals);
-    the argmin is a min(struct) with the deterministic (sse, i)
-    tiebreak. Per the parity method, S_i/Q_i are floor-quantized the
+    running window sums over (key, order); totals (n, S_n, Q_n) are
+    FULL-FRAME window functions (count / last) over the SAME
+    partitioning and the SAME quantized running sums — never a second
+    independently-ordered sum, so both engines see identical totals,
+    and the whole query is scan -> one Exchange -> stacked WindowExecs
+    -> argmin, with no self-join (a groupBy+join formulation re-scans
+    and re-shuffles the input because Spark's exchange reuse does not
+    unify the differently-pruned subtrees); the argmin is a
+    min(struct) with the deterministic (sse, i) tiebreak. Per the parity method, S_i/Q_i are floor-quantized the
     moment they leave the window aggregate (running-sum fold order is
     engine-internal), and every downstream expression is plain IEEE
     double arithmetic on those quantized inputs — bit-identical across
@@ -721,10 +725,19 @@ def changepoint(
         quantize(F.sum(F.col("__v") * F.col("__v")).over(run), round_to)
         .alias("__q"),
     )
-    tot = cum.groupBy(key).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.max(F.struct("__i", "__s")).getField("__s").alias("__sn"),
-        F.max(F.struct("__i", "__q")).getField("__q").alias("__qn"),
+    full = (
+        Window.partitionBy(key)
+        .orderBy("__i")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    with_tot = cum.select(
+        F.col(key),
+        "__i",
+        "__s",
+        "__q",
+        F.count(F.lit(1)).over(full).alias("n"),
+        F.last("__s").over(full).alias("__sn"),
+        F.last("__q").over(full).alias("__qn"),
     )
     i = F.col("__i").cast("double")
     nn = F.col("n").cast("double")
@@ -738,8 +751,7 @@ def changepoint(
         )
     )
     cand = (
-        cum.join(tot, key)
-        .where(F.col("__i") < F.col("n"))
+        with_tot.where(F.col("__i") < F.col("n"))
         .select(
             F.col(key),
             F.col("n"),
