@@ -1131,6 +1131,20 @@ def q_emb_trunc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of compressed-domain PQ/ADC search vs the exact
+    full-dim L2 top-k (operators/pq.py:pq_recall) — completes the
+    recall family (LSH / multiprobe / IVF / truncated-dim / PQ):
+    pure quantization loss, m one-byte codes vs dim floats."""
+    from symtseries_spark.operators.pq import pq_recall
+
+    return pq_recall(
+        load(spark, sf_dir, "embeddings"),
+        max_query_id=RECALL["max_query_id"], k=RECALL["k"],
+        m=PQ["m"], ks=PQ["ks"], dim=EMB_DIM,
+    )
+
+
 def q_emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of PARTIAL-probe IVF (nprobe=2 of 8 lists, seed-only
     quantizer for cross-engine parity) vs exact top-k
@@ -4240,6 +4254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_accuracy": q_dedup_minhash_accuracy,
         "docs_zipf_slope": q_docs_zipf_slope,
         "emb_trunc_recall": q_emb_trunc_recall,
+        "emb_pq_recall": q_emb_pq_recall,
         "emb_kmeans": q_emb_kmeans,
         "emb_semdedup": q_emb_semdedup,
         "sax_discords": q_sax_discords,
@@ -5240,6 +5255,10 @@ FROM e WINDOW fr AS (PARTITION BY user_id ORDER BY ts_us
         "emb_trunc_recall": ov.truncated_dim_recall_sql(
             max_query_id=RECALL["max_query_id"], k=RECALL["k"],
             trunc_dim=TRUNC_DIM, dim=EMB_DIM,
+        ),
+        "emb_pq_recall": ov.pq_recall_sql(
+            max_query_id=RECALL["max_query_id"], k=RECALL["k"],
+            m=PQ["m"], ks=PQ["ks"], dim=EMB_DIM,
         ),
         "events_hw": _hw_oracle_sql(unbounded=False),
         "events_hw_stream": _hw_oracle_sql(unbounded=True),

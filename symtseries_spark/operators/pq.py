@@ -230,3 +230,92 @@ def pq_topk(
         .orderBy("adc", "vec_id")
         .limit(k)
     )
+
+
+def pq_recall(
+    vectors: DataFrame,
+    *,
+    max_query_id: int,
+    k: int,
+    m: int,
+    ks: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Recall@k of compressed-domain ADC search vs the EXACT full-dim
+    squared-L2 top-k, for the query panel ``id < max_query_id`` ->
+    ``(query_id, n_approx, n_hit, recall)`` — the PQ entry in the
+    driver-visible recall family (LSH / multiprobe / IVF / truncated-
+    dim). Both legs rank the same metric (L2), so the report isolates
+    pure quantization loss: how much ranking survives scoring
+    ``m`` one-byte codes instead of ``dim`` floats.
+
+    The approximate leg is :func:`pq_topk`'s own plan generalized to a
+    panel: the per-query LUT join stays broadcast (panel * m * ks
+    rows) and the ADC sum shuffles one pre-aggregated row per
+    (query, vector). The exact leg broadcasts the panel's full
+    vectors. Deterministic: ADC rounded to ``round_to``, exact d2
+    rounded to 6, both ranked with the (score, id) tiebreak."""
+    if max_query_id < 1 or k < 1:
+        raise ValueError("pq_recall needs max_query_id >= 1 and k >= 1")
+    from .simsearch import _recall_vs_exact
+
+    codebook = pq_codebook(
+        vectors, m=m, ks=ks, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    codes = pq_encode(
+        vectors, codebook, m=m, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    qs = vectors.where(F.col(id_col) < max_query_id).select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(
+            _subvectors(F.col(vec_col).cast("array<double>"), m=m, dim=dim)
+        ).alias("sub_id", "__qv"),
+    )
+    lut = codebook.join(F.broadcast(qs), "sub_id").select(
+        "query_id",
+        "sub_id",
+        "code",
+        _sq_l2(F.col("centroid"), F.col("__qv")).alias("__pd"),
+    )
+    expl = codes.select(
+        F.col(id_col), F.posexplode("codes").alias("sub_id", "code")
+    )
+    adc = (
+        expl.join(F.broadcast(lut), ["sub_id", "code"])
+        .where(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("__pd"), round_to).alias("adc"))
+    )
+    a_rank = F.row_number().over(
+        Window.partitionBy("query_id").orderBy("adc", id_col)
+    )
+    approx = (
+        adc.withColumn("__r", a_rank)
+        .where(F.col("__r") <= k)
+        .select("query_id", F.col(id_col).alias("cand_id"))
+    )
+    v = F.col(vec_col).cast("array<double>")
+    qfull = vectors.where(F.col(id_col) < max_query_id).select(
+        F.col(id_col).alias("query_id"), v.alias("__qfv")
+    )
+    scored = (
+        vectors.select(F.col(id_col).alias("neighbor_id"), v.alias("__v"))
+        .join(F.broadcast(qfull), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_sq_l2(F.col("__v"), F.col("__qfv")), 6).alias("__d2"),
+        )
+    )
+    e_rank = F.row_number().over(
+        Window.partitionBy("query_id").orderBy("__d2", "neighbor_id")
+    )
+    exact = (
+        scored.withColumn("__r", e_rank)
+        .where(F.col("__r") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    return _recall_vs_exact(qfull.select("query_id"), approx, exact, k=k)

@@ -161,3 +161,36 @@ class TestTruncatedDimRecall:
             truncated_dim_recall(emb, max_query_id=4, k=5, trunc_dim=65)
         with pytest.raises(ValueError):
             truncated_dim_recall(emb, max_query_id=4, k=0, trunc_dim=16)
+
+
+class TestPqRecall:
+    def test_shape_bounds_and_consistency(self, emb):
+        from symtseries_spark.operators.pq import pq_recall
+
+        rows = pq_recall(
+            emb, max_query_id=4, k=5, m=4, ks=16, dim=64
+        ).collect()
+        assert {r["query_id"] for r in rows} == {0, 1, 2, 3}
+        for r in rows:
+            assert r["n_approx"] == 5
+            assert 0 <= r["n_hit"] <= 5
+            assert r["recall"] == pytest.approx(r["n_hit"] / 5, abs=1e-9)
+
+    def test_saturated_codebook_is_exact(self, emb):
+        from symtseries_spark.operators.pq import pq_recall
+
+        # ks >= |vectors|: every vector is its own centroid, so ADC
+        # reproduces the exact distances and recall must be perfect
+        n = emb.count()
+        rows = pq_recall(
+            emb, max_query_id=4, k=5, m=4, ks=n, dim=64
+        ).collect()
+        assert all(r["recall"] == pytest.approx(1.0) for r in rows)
+
+    def test_param_guards(self, emb):
+        from symtseries_spark.operators.pq import pq_recall
+
+        with pytest.raises(ValueError):
+            pq_recall(emb, max_query_id=0, k=5, m=4, ks=16, dim=64)
+        with pytest.raises(ValueError):
+            pq_recall(emb, max_query_id=4, k=0, m=4, ks=16, dim=64)
