@@ -3253,6 +3253,30 @@ def q_events_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_id", "trend", "seasonal", "resid")
 
 
+def q_events_stl_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyndman-Wang STL features per series: trend strength
+    F_T = max(0, 1 - Var(R)/Var(T+R)) and seasonal strength
+    F_S = max(0, 1 - Var(R)/Var(S+R)) over the events_stl
+    decomposition — the one-row-per-series summary that makes the STL
+    output actionable (which series are trend-driven vs cycle-driven
+    vs noise). Variances via quantized avg/avg-of-squares on the
+    already-quantized components, so the ratios are engine-exact; the
+    aggregate rides the decomposition's series partitioning
+    (operators/timeseries.py:stl_strength)."""
+    from symtseries_spark.operators.timeseries import stl_decompose, stl_strength
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .withColumn("ts_us", F.expr("ts div 1000"))
+        .withColumn("hh", F.expr("((ts div 1000) div 3600000000) % 24"))
+    )
+    stl = stl_decompose(
+        ev, key="user_id", order=["ts_us", "event_id"], value="value",
+        season="hh", **STL,
+    )
+    return stl_strength(stl, key="user_id")
+
+
 def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series autocorrelation at lags 1..5
     (operators/timeseries.py:autocorrelation): one shuffle on the
@@ -4255,6 +4279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_zipf_slope": q_docs_zipf_slope,
         "emb_trunc_recall": q_emb_trunc_recall,
         "emb_pq_recall": q_emb_pq_recall,
+        "events_stl_strength": q_events_stl_strength,
         "emb_kmeans": q_emb_kmeans,
         "emb_semdedup": q_emb_semdedup,
         "sax_discords": q_sax_discords,
@@ -5263,6 +5288,30 @@ FROM e WINDOW fr AS (PARTITION BY user_id ORDER BY ts_us
         "events_hw": _hw_oracle_sql(unbounded=False),
         "events_hw_stream": _hw_oracle_sql(unbounded=True),
         "events_stl": _stl_oracle_sql(),
+        "events_stl_strength": f"""
+WITH stl AS ({_stl_oracle_sql()}),
+b AS (
+  SELECT user_id, resid AS r, trend + resid AS tr, seasonal + resid AS sr
+  FROM stl
+), a AS (
+  SELECT user_id, count(*) AS n,
+         floor(avg(r) * 1000000.0 + 0.5) / 1000000.0 AS mr,
+         floor(avg(tr) * 1000000.0 + 0.5) / 1000000.0 AS mtr,
+         floor(avg(sr) * 1000000.0 + 0.5) / 1000000.0 AS msr,
+         floor(avg(r * r) * 1000000.0 + 0.5) / 1000000.0 AS mr2,
+         floor(avg(tr * tr) * 1000000.0 + 0.5) / 1000000.0 AS mtr2,
+         floor(avg(sr * sr) * 1000000.0 + 0.5) / 1000000.0 AS msr2
+  FROM b GROUP BY user_id
+)
+SELECT user_id, n,
+       CASE WHEN (mtr2 - mtr * mtr) > 0 THEN greatest(0.0,
+         floor((1.0 - (mr2 - mr * mr) / (mtr2 - mtr * mtr))
+               * 1000000.0 + 0.5) / 1000000.0) END AS trend_strength,
+       CASE WHEN (msr2 - msr * msr) > 0 THEN greatest(0.0,
+         floor((1.0 - (mr2 - mr * mr) / (msr2 - msr * msr))
+               * 1000000.0 + 0.5) / 1000000.0) END AS seasonal_strength
+FROM a
+""",
         "events_seasonal_anomaly": f"""
 WITH stl AS ({_stl_oracle_sql()}),
 sv AS (

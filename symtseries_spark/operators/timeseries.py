@@ -777,3 +777,57 @@ def changepoint(
         F.col("__b.__sse").alias("sse_split"),
         quantize(sse_none - F.col("__b.__sse"), round_to).alias("gain"),
     )
+
+
+def stl_strength(
+    stl: DataFrame,
+    *,
+    key: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Hyndman-Wang strength features over an :func:`stl_decompose`
+    output -> ``(key, n, trend_strength, seasonal_strength)`` with
+    ``F_T = max(0, 1 - Var(R)/Var(T+R))`` and
+    ``F_S = max(0, 1 - Var(R)/Var(S+R))`` (population variances).
+    Variances come from quantized avg / avg-of-squares over the
+    already-quantized components, so the ratios are engine-exact; a
+    zero denominator yields NULL (constant component). One
+    map-side-combinable aggregate on the decomposition's own series
+    partitioning."""
+    base = stl.select(
+        F.col(key),
+        F.col("resid").alias("__r"),
+        (F.col("trend") + F.col("resid")).alias("__tr"),
+        (F.col("seasonal") + F.col("resid")).alias("__sr"),
+    )
+    agg = base.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            quantize(F.avg(F.col(c)), round_to).alias(f"__m{c[2:]}")
+            for c in ("__r", "__tr", "__sr")
+        ],
+        *[
+            quantize(F.avg(F.col(c) * F.col(c)), round_to)
+            .alias(f"__m{c[2:]}2")
+            for c in ("__r", "__tr", "__sr")
+        ],
+    )
+    var_r = F.col("__mr2") - F.col("__mr") * F.col("__mr")
+    var_tr = F.col("__mtr2") - F.col("__mtr") * F.col("__mtr")
+    var_sr = F.col("__msr2") - F.col("__msr") * F.col("__msr")
+    return agg.select(
+        key,
+        "n",
+        F.when(
+            var_tr > 0,
+            F.greatest(
+                F.lit(0.0), quantize(F.lit(1.0) - var_r / var_tr, round_to)
+            ),
+        ).alias("trend_strength"),
+        F.when(
+            var_sr > 0,
+            F.greatest(
+                F.lit(0.0), quantize(F.lit(1.0) - var_r / var_sr, round_to)
+            ),
+        ).alias("seasonal_strength"),
+    )

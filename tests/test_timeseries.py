@@ -481,3 +481,42 @@ class TestZipfFit:
         df = spark.createDataFrame([Row(doc_id=0, lang="en", text="a b")])
         with _pt.raises(ValueError):
             zipf_fit(df, top_v=2)
+
+
+class TestStlStrength:
+    def _strength(self, spark, vals):
+        import math
+
+        from pyspark.sql import Row
+
+        from symtseries_spark.operators.timeseries import (
+            stl_decompose,
+            stl_strength,
+        )
+
+        df = spark.createDataFrame(
+            [
+                Row(k=1, i=i, hh=i % 4, v=float(v))
+                for i, v in enumerate(vals)
+            ]
+        )
+        stl = stl_decompose(
+            df, key="k", order=["i"], value="v", season="hh", trend_window=4
+        )
+        return stl_strength(stl, key="k").collect()[0]
+
+    def test_ramp_is_trend_dominated(self, spark):
+        row = self._strength(spark, [float(x) for x in range(40)])
+        assert row.n == 40
+        assert row.trend_strength > 0.95
+        # the ramp has no cycle: seasonal leg explains ~nothing
+        assert (
+            row.seasonal_strength is None
+            or row.seasonal_strength < row.trend_strength
+        )
+
+    def test_pure_cycle_is_seasonal_dominated(self, spark):
+        cyc = [0.0, 5.0, 0.0, -5.0] * 12
+        row = self._strength(spark, cyc)
+        assert row.seasonal_strength > 0.9
+        assert row.seasonal_strength > (row.trend_strength or 0.0)
