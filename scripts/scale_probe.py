@@ -99,6 +99,15 @@ QUERIES = [
     "events_hw",
     "events_forecast_backtest",
     "docs_dedup_funnel",
+    # round-4 fourth batch: changepoint/STL-strength are single-shuffle
+    # series passes (candidate rows = input rows); zipf is the
+    # top-terms shuffle + a |lang|*100-row OLS; pagerank's edge list is
+    # replica-local (content unique per replica keeps the pair graph
+    # linear in replicas), so 5 rounds scale with |pairs|
+    "events_changepoint",
+    "events_stl_strength",
+    "docs_zipf_slope",
+    "dedup_pagerank",
 ]
 
 # Stateful streaming replays: timed WITHOUT a warm pass (each call
@@ -210,7 +219,12 @@ def main() -> None:
 
     qdict = E.queries()
     rows = []
-    for name in QUERIES + STREAMING_QUERIES:
+    only = os.environ.get("SPARK_GRAFT_PROBE_ONLY")
+    names = QUERIES + STREAMING_QUERIES
+    if only:
+        keep = {n.strip() for n in only.split(",")}
+        names = [n for n in names if n in keep]
+    for name in names:
         fn = qdict[name]
         # warm plan/codegen at base scale (batch only), then time both
         if name not in STREAMING_QUERIES:
