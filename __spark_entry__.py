@@ -134,6 +134,7 @@ MINHASH = dict(k=3, num_hashes=32, bands=8, threshold=0.35, seed=7)
 PAGERANK = dict(damping=0.85, n_iter=5)
 ZIPF_TOP_V = 100
 TRUNC_DIM = 16  # Matryoshka recall probe: prefix dims scored vs full 64
+HIST_BINS = 256
 SIMHASH_BITS = 32
 SIMHASH_PAIRS = dict(bits=32, max_hamming=3, chunks=4)
 EMB_DIM = 64
@@ -2291,6 +2292,21 @@ def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram quantile sketch + accuracy report
+    (operators/sketches.py:histogram_quantiles): p50/p90/p99 estimated
+    from a 256-bucket mergeable histogram beside the exact
+    interpolated percentile — the sketch-vs-exact entry of the
+    sketch family (HLL/KMV/CMS/Bloom), same contract as the recall
+    probes: the scalable plan IS the query, the exact leg is the
+    reference."""
+    from symtseries_spark.operators.sketches import histogram_quantiles
+
+    return histogram_quantiles(
+        load(spark, sf_dir, "events"), value="value", bins=HIST_BINS
+    )
+
+
 def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles per event type (p50/p90/p99):
     Spark's percentile == DuckDB's quantile_cont (linear interpolation
@@ -4280,6 +4296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_trunc_recall": q_emb_trunc_recall,
         "emb_pq_recall": q_emb_pq_recall,
         "events_stl_strength": q_events_stl_strength,
+        "events_hist_quantiles": q_events_hist_quantiles,
         "emb_kmeans": q_emb_kmeans,
         "emb_semdedup": q_emb_semdedup,
         "sax_discords": q_sax_discords,
@@ -5276,6 +5293,50 @@ FROM e WINDOW fr AS (PARTITION BY user_id ORDER BY ts_us
         "events_acf": oc.autocorrelation_sql(max_lag=ACF_MAX_LAG),
         "events_changepoint": oc.changepoint_sql(),
         "dedup_pagerank": _pagerank_oracle_sql(),
+        "events_hist_quantiles": f"""
+WITH b AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL
+), st AS (
+  SELECT min(v) AS lo, max(v) AS hi, count(*) AS n,
+         quantile_cont(v, 0.5) AS e0,
+         quantile_cont(v, 0.9) AS e1,
+         quantile_cont(v, 0.99) AS e2
+  FROM b
+), h AS (
+  SELECT CAST(CASE WHEN hi > lo
+              THEN least(floor((v - lo) / ((hi - lo) / {HIST_BINS}.0)),
+                         {HIST_BINS - 1})
+              ELSE 0 END AS BIGINT) AS bin,
+         count(*) AS c
+  FROM b, st GROUP BY 1
+), cum AS (
+  SELECT bin, sum(c) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+  FROM h
+), q AS (
+  SELECT CAST(0.5 AS DOUBLE) AS quantile, round(e0, 6) AS exact,
+         lo, hi, n FROM st
+  UNION ALL
+  SELECT CAST(0.9 AS DOUBLE), round(e1, 6), lo, hi, n FROM st
+  UNION ALL
+  SELECT CAST(0.99 AS DOUBLE), round(e2, 6), lo, hi, n FROM st
+), sel AS (
+  SELECT quantile, exact, lo, hi, min(bin) AS bin
+  FROM q JOIN cum ON cm >= CAST(ceil(quantile * n) AS BIGINT)
+  GROUP BY quantile, exact, lo, hi
+), f AS (
+  SELECT quantile, exact,
+         CASE WHEN hi > lo
+              THEN lo + (bin + 1) * ((hi - lo) / {HIST_BINS}.0)
+              ELSE lo END AS est_raw
+  FROM sel
+)
+SELECT quantile,
+       floor(est_raw * 1000000.0 + 0.5) / 1000000.0 AS est,
+       exact,
+       floor(abs(est_raw - exact) * 1000000.0 + 0.5) / 1000000.0 AS abs_err
+FROM f
+""",
         "docs_zipf_slope": ot.zipf_fit_sql(top_v=ZIPF_TOP_V),
         "emb_trunc_recall": ov.truncated_dim_recall_sql(
             max_query_id=RECALL["max_query_id"], k=RECALL["k"],

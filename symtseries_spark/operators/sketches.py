@@ -291,3 +291,109 @@ def hll_estimate(registers: DataFrame, *, p: int = 9) -> DataFrame:
         "n_buckets_used",
         (F.floor(est * 1e4 + F.lit(0.5)) / 1e4).alias("hll_est"),
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    *,
+    value: str,
+    bins: int = 256,
+    quantiles: tuple = (0.5, 0.9, 0.99),
+    round_to: int = 6,
+) -> DataFrame:
+    """Fixed-width histogram quantile ESTIMATION with its accuracy
+    report -> ``(quantile, est, exact, abs_err)``: each requested
+    quantile estimated from a ``bins``-bucket equi-width histogram
+    (right bucket edge of the first bucket whose cumulative count
+    reaches ``ceil(q*n)``) beside the exact interpolated percentile.
+
+    This is the sketch a 100 TB profile actually ships — the histogram
+    is FIXED-SIZE and MERGEABLE (bins ints per partition, one
+    map-side-combinable groupBy; the exact leg's full sort is the
+    test-time reference only, same contract as the recall family's
+    exact legs). Deterministic: bucket math is closed-form double
+    arithmetic on the exact min/max, the bucket pick is a min() over
+    an integer predicate, and Spark's ``percentile`` == DuckDB's
+    ``quantile_cont`` (the events_quantiles precedent).
+    Flat inputs (min == max) estimate every quantile at that value.
+    """
+    if bins < 2:
+        raise ValueError("histogram_quantiles needs bins >= 2")
+    if not quantiles or not all(0.0 < q < 1.0 for q in quantiles):
+        raise ValueError("histogram_quantiles needs 0 < q < 1")
+    v = F.col(value).cast("double")
+    b = df.select(v.alias("__v")).where(v.isNotNull())
+    qarr = ", ".join(repr(float(q)) + "D" for q in quantiles)
+    st = b.agg(
+        F.min("__v").alias("__lo"),
+        F.max("__v").alias("__hi"),
+        F.count(F.lit(1)).alias("__n"),
+        F.expr(f"percentile(__v, array({qarr}))").alias("__ex"),
+    )
+    w = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+    bin_ = F.when(
+        F.col("__hi") > F.col("__lo"),
+        F.least(
+            F.floor((F.col("__v") - F.col("__lo")) / w),
+            F.lit(bins - 1),
+        ),
+    ).otherwise(F.lit(0)).cast("long")
+    hist = (
+        b.crossJoin(F.broadcast(st))
+        .select(bin_.alias("__bin"))
+        .groupBy("__bin")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    from pyspark.sql import Window
+
+    cum = hist.select(
+        "__bin",
+        F.sum("__c")
+        .over(
+            Window.orderBy("__bin").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("__cum"),
+    )
+    qdf = st.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(q)).alias("quantile"),
+                        F.round(
+                            F.element_at(F.col("__ex"), i + 1), round_to
+                        ).alias("exact"),
+                    )
+                    for i, q in enumerate(quantiles)
+                ]
+            )
+        ).alias("__q"),
+        "__lo",
+        "__hi",
+        "__n",
+    ).select("__q.quantile", "__q.exact", "__lo", "__hi", "__n")
+    sel = (
+        qdf.join(
+            F.broadcast(cum),
+            F.col("__cum")
+            >= F.ceil(F.col("quantile") * F.col("__n")).cast("long"),
+        )
+        .groupBy("quantile", "exact", "__lo", "__hi")
+        .agg(F.min("__bin").alias("__bin"))
+    )
+    est = F.when(
+        F.col("__hi") > F.col("__lo"),
+        F.col("__lo")
+        + (F.col("__bin") + 1)
+        * ((F.col("__hi") - F.col("__lo")) / F.lit(float(bins))),
+    ).otherwise(F.col("__lo"))
+    from .timeseries import quantize
+
+    return sel.select(
+        "quantile",
+        quantize(est, round_to).alias("est"),
+        "exact",
+        quantize(F.abs(est - F.col("exact")), round_to).alias("abs_err"),
+    )

@@ -171,3 +171,43 @@ class TestBloomColumnCollision:
         out = bloom_probe(df, filt, col="x", m_bits=M_BITS, k=K).collect()
         assert {r.bloom for r in out} == {"keep-me", "me-too"}
         assert {r.x: r.bloom_hit for r in out}[1] is True
+
+
+class TestHistogramQuantiles:
+    def test_uniform_grid_is_near_exact(self, spark):
+        from pyspark.sql import Row
+
+        from symtseries_spark.operators.sketches import histogram_quantiles
+
+        # 0..1023 with 256 bins: bucket width 4, estimate error <= 4
+        df = spark.createDataFrame([Row(v=float(x)) for x in range(1024)])
+        rows = {r.quantile: r for r in histogram_quantiles(
+            df, value="v", bins=256
+        ).collect()}
+        assert set(rows) == {0.5, 0.9, 0.99}
+        for r in rows.values():
+            assert r.abs_err <= 4.0 + 1e-9
+            assert r.est == pytest.approx(r.exact, abs=4.0 + 1e-9)
+
+    def test_flat_input(self, spark):
+        from pyspark.sql import Row
+
+        from symtseries_spark.operators.sketches import histogram_quantiles
+
+        df = spark.createDataFrame([Row(v=7.5)] * 10)
+        rows = histogram_quantiles(df, value="v", bins=16).collect()
+        for r in rows:
+            assert r.est == pytest.approx(7.5)
+            assert r.exact == pytest.approx(7.5)
+            assert r.abs_err == pytest.approx(0.0)
+
+    def test_param_guards(self, spark):
+        from pyspark.sql import Row
+
+        from symtseries_spark.operators.sketches import histogram_quantiles
+
+        df = spark.createDataFrame([Row(v=1.0)])
+        with pytest.raises(ValueError):
+            histogram_quantiles(df, value="v", bins=1)
+        with pytest.raises(ValueError):
+            histogram_quantiles(df, value="v", quantiles=(0.0, 0.5))
