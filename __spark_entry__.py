@@ -3324,6 +3324,20 @@ def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_changepoint2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-2 binary segmentation
+    (operators/timeseries.py:changepoint_segments): the root split plus
+    independent re-splits of each side — up to 3 changepoints per
+    series from the SAME quantized prefix-sum relation, no second scan.
+    The greedy multi-changepoint extension of events_changepoint."""
+    from symtseries_spark.operators.timeseries import changepoint_segments
+
+    return changepoint_segments(
+        load(spark, sf_dir, "events"),
+        key="user_id", order=["ts", "event_id"], value="value",
+    )
+
+
 def q_events_hw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive Holt-Winters over trailing windows — the seasonal
     completion of the exponential family (events_ewma -> events_holt ->
@@ -4297,6 +4311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pq_recall": q_emb_pq_recall,
         "events_stl_strength": q_events_stl_strength,
         "events_hist_quantiles": q_events_hist_quantiles,
+        "events_changepoint2": q_events_changepoint2,
         "emb_kmeans": q_emb_kmeans,
         "emb_semdedup": q_emb_semdedup,
         "sax_discords": q_sax_discords,
@@ -5292,6 +5307,7 @@ FROM e WINDOW fr AS (PARTITION BY user_id ORDER BY ts_us
         # null-dropping (operators/timeseries.py ewma docstring).
         "events_acf": oc.autocorrelation_sql(max_lag=ACF_MAX_LAG),
         "events_changepoint": oc.changepoint_sql(),
+        "events_changepoint2": oc.changepoint_segments_sql(),
         "dedup_pagerank": _pagerank_oracle_sql(),
         "events_hist_quantiles": f"""
 WITH b AS (

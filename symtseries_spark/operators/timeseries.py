@@ -831,3 +831,164 @@ def stl_strength(
             ),
         ).alias("seasonal_strength"),
     )
+
+
+def changepoint_segments(
+    df: DataFrame,
+    *,
+    key: str,
+    order: Sequence[str],
+    value: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Depth-2 binary segmentation per series -> one row per FOUND
+    split ``(key, level, side, split_i, sse_before, sse_after, gain)``:
+    level 1 is :func:`changepoint`'s root split; level 2 re-splits the
+    left ``[1, s1]`` and right ``(s1, n]`` segments independently
+    (side = 'root' | 'left' | 'right'). Up to three changepoints per
+    series — the standard greedy multi-changepoint scheme (Scott &
+    Knott), expressed relationally: a segment's SSE needs only prefix
+    differences ``(Q_b - Q_a) - (S_b - S_a)^2/(b - a)``, so BOTH
+    levels read the SAME quantized prefix-sum relation — no per-series
+    recursion, no second scan of the input.
+
+    Plan: the :func:`changepoint` window stack (one Exchange, stacked
+    WindowExecs), then the root argmin aggregate, then ONE broadcast
+    join of the tiny per-key root table back onto the prefix rows and
+    a second argmin keyed by (series, side). Level-2 arithmetic runs
+    on quantized prefixes and the root row's captured (S, Q) at the
+    split, so every emitted number is engine-exact. Segments with
+    fewer than 2 points emit no row; gains can be ~0 when a segment is
+    already homogeneous — thresholding is the caller's policy.
+    """
+    order_cols = list(order)
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    v = F.col(value).cast("double")
+    base = df.select(F.col(key), *order_cols, v.alias("__v")).where(
+        F.col("__v").isNotNull()
+    )
+    cum = base.select(
+        F.col(key),
+        F.row_number().over(w).alias("__i"),
+        quantize(F.sum("__v").over(run), round_to).alias("__s"),
+        quantize(F.sum(F.col("__v") * F.col("__v")).over(run), round_to)
+        .alias("__q"),
+    )
+    full = (
+        Window.partitionBy(key)
+        .orderBy("__i")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wt = cum.select(
+        F.col(key),
+        "__i",
+        "__s",
+        "__q",
+        F.count(F.lit(1)).over(full).alias("__n"),
+        F.last("__s").over(full).alias("__sn"),
+        F.last("__q").over(full).alias("__qn"),
+    )
+    i = F.col("__i").cast("double")
+    nn = F.col("__n").cast("double")
+    sse_root = (
+        (F.col("__q") - F.col("__s") * F.col("__s") / i)
+        + (
+            (F.col("__qn") - F.col("__q"))
+            - (F.col("__sn") - F.col("__s"))
+            * (F.col("__sn") - F.col("__s"))
+            / (nn - i)
+        )
+    )
+    root = (
+        wt.where(F.col("__i") < F.col("__n"))
+        .select(
+            F.col(key),
+            F.col("__n"),
+            F.col("__sn"),
+            F.col("__qn"),
+            F.struct(
+                quantize(sse_root, round_to).alias("__sse"),
+                F.col("__i").alias("__at"),
+                F.col("__s").alias("__sx"),
+                F.col("__q").alias("__qx"),
+            ).alias("__c"),
+        )
+        .groupBy(key, "__n", "__sn", "__qn")
+        .agg(F.min("__c").alias("__b"))
+        .select(
+            F.col(key),
+            F.col("__n").alias("__rn"),
+            F.col("__sn").alias("__rsn"),
+            F.col("__qn").alias("__rqn"),
+            F.col("__b.__sse").alias("__rsse"),
+            F.col("__b.__at").alias("__s1"),
+            F.col("__b.__sx").alias("__s1s"),
+            F.col("__b.__qx").alias("__s1q"),
+        )
+    )
+    sse_none = quantize(
+        F.col("__rqn")
+        - F.col("__rsn") * F.col("__rsn") / F.col("__rn").cast("double"),
+        round_to,
+    )
+    root_rows = root.select(
+        F.col(key),
+        F.lit(1).alias("level"),
+        F.lit("root").alias("side"),
+        F.col("__s1").alias("split_i"),
+        sse_none.alias("sse_before"),
+        F.col("__rsse").alias("sse_after"),
+        quantize(sse_none - F.col("__rsse"), round_to).alias("gain"),
+    )
+    # level 2: segment-local candidates over the SAME prefix relation.
+    # Prefix offsets (a_s, a_q, a_i) are (0,0,0) left of the root split
+    # and the root row's captured (S,Q,i) right of it; b_* are the
+    # segment's right boundary prefixes.
+    j = cum.join(F.broadcast(root), key)
+    is_left = F.col("__i") < F.col("__s1")
+    a_i = F.when(is_left, F.lit(0)).otherwise(F.col("__s1"))
+    a_s = F.when(is_left, F.lit(0.0)).otherwise(F.col("__s1s"))
+    a_q = F.when(is_left, F.lit(0.0)).otherwise(F.col("__s1q"))
+    b_i = F.when(is_left, F.col("__s1")).otherwise(F.col("__rn"))
+    b_s = F.when(is_left, F.col("__s1s")).otherwise(F.col("__rsn"))
+    b_q = F.when(is_left, F.col("__s1q")).otherwise(F.col("__rqn"))
+    li = (F.col("__i") - a_i).cast("double")
+    ri = (b_i - F.col("__i")).cast("double")
+    seg_sse_before = quantize(
+        (b_q - a_q) - (b_s - a_s) * (b_s - a_s) / (b_i - a_i).cast("double"),
+        round_to,
+    )
+    sse2 = (
+        ((F.col("__q") - a_q) - (F.col("__s") - a_s) * (F.col("__s") - a_s) / li)
+        + (
+            (b_q - F.col("__q"))
+            - (b_s - F.col("__s")) * (b_s - F.col("__s")) / ri
+        )
+    )
+    cand2 = j.where(
+        (F.col("__i") != F.col("__s1")) & (F.col("__i") < b_i)
+    ).select(
+        F.col(key),
+        F.when(is_left, F.lit("left")).otherwise(F.lit("right")).alias("side"),
+        seg_sse_before.alias("sse_before"),
+        F.struct(
+            quantize(sse2, round_to).alias("__sse"),
+            F.col("__i").alias("__at"),
+        ).alias("__c"),
+    )
+    seg_rows = (
+        cand2.groupBy(key, "side", "sse_before")
+        .agg(F.min("__c").alias("__b"))
+        .select(
+            F.col(key),
+            F.lit(2).alias("level"),
+            "side",
+            F.col("__b.__at").alias("split_i"),
+            "sse_before",
+            F.col("__b.__sse").alias("sse_after"),
+            quantize(F.col("sse_before") - F.col("__b.__sse"), round_to)
+            .alias("gain"),
+        )
+    )
+    return root_rows.unionByName(seg_rows)

@@ -566,3 +566,92 @@ SELECT {key}, n, split_i, sse_none, sse_split,
        floor((sse_none - sse_split) * 1000000.0 + 0.5) / 1000000.0 AS gain
 FROM r WHERE rn = 1
 """
+
+
+def changepoint_segments_sql(
+    *,
+    table: str = "events",
+    key: str = "user_id",
+    order: str = "ts, event_id",
+    value: str = "value",
+) -> str:
+    """Twin of operators.timeseries.changepoint_segments: the
+    changepoint_sql prefix/total CTEs, a root argmin that also captures
+    (S, Q) at the split, then segment-local level-2 candidates over the
+    SAME prefix relation with CASE'd boundary offsets."""
+    qz = "floor(({}) * 1000000.0 + 0.5) / 1000000.0"
+    s_run = qz.format(
+        "sum(v) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    q_run = qz.format(
+        "sum(v * v) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    sse_root = qz.format(
+        "(q - s * s / CAST(i AS DOUBLE))"
+        " + ((qn - q) - (sn - s) * (sn - s) / (CAST(n AS DOUBLE) - i))"
+    )
+    sse_none = qz.format("rqn - rsn * rsn / CAST(rn AS DOUBLE)")
+    seg_before = qz.format(
+        "(bq - aq) - (bs - as_) * (bs - as_) / CAST(bi - ai AS DOUBLE)"
+    )
+    sse2 = qz.format(
+        "((q - aq) - (s - as_) * (s - as_) / CAST(i - ai AS DOUBLE))"
+        " + ((bq - q) - (bs - s) * (bs - s) / CAST(bi - i AS DOUBLE))"
+    )
+    return f"""
+WITH b AS (
+  SELECT {key}, {order}, CAST({value} AS DOUBLE) AS v
+  FROM {table} WHERE {value} IS NOT NULL
+), c AS (
+  SELECT {key},
+         row_number() OVER w AS i,
+         {s_run} AS s,
+         {q_run} AS q
+  FROM b
+  WINDOW w AS (PARTITION BY {key} ORDER BY {order})
+), t AS (
+  SELECT {key}, count(*) AS n, arg_max(s, i) AS sn, arg_max(q, i) AS qn
+  FROM c GROUP BY {key}
+), cand AS (
+  SELECT c.{key}, i, s, q, n, sn, qn, {sse_root} AS sse
+  FROM c JOIN t USING ({key}) WHERE i < n
+), root AS (
+  SELECT {key}, n AS rn, sn AS rsn, qn AS rqn,
+         sse AS rsse, i AS s1, s AS s1s, q AS s1q
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY {key} ORDER BY sse, i) AS rk
+    FROM cand) WHERE rk = 1
+), root_rows AS (
+  SELECT {key}, 1 AS level, 'root' AS side,
+         CAST(s1 AS BIGINT) AS split_i,
+         {sse_none} AS sse_before, rsse AS sse_after,
+         floor(({sse_none} - rsse) * 1000000.0 + 0.5) / 1000000.0 AS gain
+  FROM root
+), j AS (
+  SELECT c.{key}, c.i, c.s, c.q, r.rn, r.rsn, r.rqn, r.s1, r.s1s, r.s1q,
+         CASE WHEN c.i < r.s1 THEN 0 ELSE r.s1 END AS ai,
+         CASE WHEN c.i < r.s1 THEN 0.0 ELSE r.s1s END AS as_,
+         CASE WHEN c.i < r.s1 THEN 0.0 ELSE r.s1q END AS aq,
+         CASE WHEN c.i < r.s1 THEN r.s1 ELSE r.rn END AS bi,
+         CASE WHEN c.i < r.s1 THEN r.s1s ELSE r.rsn END AS bs,
+         CASE WHEN c.i < r.s1 THEN r.s1q ELSE r.rqn END AS bq,
+         CASE WHEN c.i < r.s1 THEN 'left' ELSE 'right' END AS side
+  FROM c JOIN root r USING ({key})
+), cand2 AS (
+  SELECT {key}, side, {seg_before} AS sse_before, i,
+         {sse2} AS sse2
+  FROM j WHERE i <> s1 AND i < bi
+), seg_rows AS (
+  SELECT {key}, 2 AS level, side, CAST(i AS BIGINT) AS split_i,
+         sse_before, sse2 AS sse_after,
+         floor((sse_before - sse2) * 1000000.0 + 0.5) / 1000000.0 AS gain
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY {key}, side ORDER BY sse2, i) AS rk
+    FROM cand2) WHERE rk = 1
+)
+SELECT * FROM root_rows
+UNION ALL
+SELECT * FROM seg_rows
+"""

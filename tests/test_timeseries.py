@@ -520,3 +520,50 @@ class TestStlStrength:
         row = self._strength(spark, cyc)
         assert row.seasonal_strength > 0.9
         assert row.seasonal_strength > (row.trend_strength or 0.0)
+
+
+class TestChangepointSegments:
+    def test_two_shifts_found(self, spark):
+        from symtseries_spark.operators.timeseries import changepoint_segments
+
+        vals = [0.0] * 10 + [5.0] * 10 + [9.0] * 10
+        rows = changepoint_segments(
+            _series(spark, vals), key="k", order=["i"], value="v"
+        ).collect()
+        by = {(r.level, r.side): r for r in rows}
+        root = by[(1, "root")]
+        assert root.split_i in (10, 20)
+        # the OTHER shift is recovered by the level-2 pass on the
+        # segment that still contains it
+        lvl2_splits = {r.split_i for r in rows if r.level == 2}
+        assert {10, 20} - {root.split_i} <= lvl2_splits
+        # every emitted gain is the sse drop of its own segment
+        for r in rows:
+            assert r.gain == pytest.approx(
+                r.sse_before - r.sse_after, abs=2e-6
+            )
+            assert r.gain >= -1e-9
+
+    def test_homogeneous_segment_gains_nothing(self, spark):
+        from symtseries_spark.operators.timeseries import changepoint_segments
+
+        vals = [0.0] * 12 + [100.0] * 12
+        rows = changepoint_segments(
+            _series(spark, vals), key="k", order=["i"], value="v"
+        ).collect()
+        by = {(r.level, r.side): r for r in rows}
+        assert by[(1, "root")].split_i == 12
+        # both halves are constant: re-splitting explains nothing
+        for side in ("left", "right"):
+            assert by[(2, side)].gain == pytest.approx(0.0, abs=1e-6)
+
+    def test_tiny_segments_emit_no_row(self, spark):
+        from symtseries_spark.operators.timeseries import changepoint_segments
+
+        # n=3, root split isolates a 1-point segment -> that side absent
+        rows = changepoint_segments(
+            _series(spark, [0.0, 0.0, 9.0]), key="k", order=["i"], value="v"
+        ).collect()
+        sides = {(r.level, r.side) for r in rows}
+        assert (1, "root") in sides
+        assert (2, "right") not in sides  # [9.0] alone cannot split
