@@ -135,6 +135,7 @@ PAGERANK = dict(damping=0.85, n_iter=5)
 ZIPF_TOP_V = 100
 TRUNC_DIM = 16  # Matryoshka recall probe: prefix dims scored vs full 64
 HIST_BINS = 256
+KNN_ACC = dict(max_query_id=32, k=10)
 SIMHASH_BITS = 32
 SIMHASH_PAIRS = dict(bits=32, max_hamming=3, chunks=4)
 EMB_DIM = 64
@@ -1129,6 +1130,19 @@ def q_emb_trunc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "embeddings"),
         max_query_id=RECALL["max_query_id"], k=RECALL["k"],
         trunc_dim=TRUNC_DIM, dim=EMB_DIM,
+    )
+
+
+def q_emb_knn_label_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote label recovery on the embedding panel
+    (operators/simsearch.py:knn_label_accuracy) — the labeled-probe
+    eval of embedding quality: per panel point, do its 10 nearest
+    neighbors vote its own label back? Deterministic vote tiebreak,
+    so the eval is oracle-exact."""
+    from symtseries_spark.operators.simsearch import knn_label_accuracy
+
+    return knn_label_accuracy(
+        load(spark, sf_dir, "embeddings"), **KNN_ACC
     )
 
 
@@ -4350,6 +4364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_join": q_events_stream_join,
         "emb_ivf_topk": q_emb_ivf_topk,
         "media_resize": q_media_resize,
+        "emb_knn_label_acc": q_emb_knn_label_acc,
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
         "events_lag_delta": q_events_lag_delta,
@@ -5357,6 +5372,10 @@ FROM f
         "emb_trunc_recall": ov.truncated_dim_recall_sql(
             max_query_id=RECALL["max_query_id"], k=RECALL["k"],
             trunc_dim=TRUNC_DIM, dim=EMB_DIM,
+        ),
+        "emb_knn_label_acc": ov.knn_label_accuracy_sql(
+            max_query_id=KNN_ACC["max_query_id"], k=KNN_ACC["k"],
+            dim=EMB_DIM,
         ),
         "emb_pq_recall": ov.pq_recall_sql(
             max_query_id=RECALL["max_query_id"], k=RECALL["k"],

@@ -962,3 +962,58 @@ def truncated_dim_recall(
     return _recall_vs_exact(
         q.select("query_id"), approx.select("query_id", "cand_id"), exact, k=k
     )
+
+
+def knn_label_accuracy(
+    vectors: DataFrame,
+    *,
+    max_query_id: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN majority-vote label prediction for the query panel
+    ``id < max_query_id`` -> ``(query_id, own_label, pred_label,
+    n_votes, is_correct)`` — the embedding-quality eval a training
+    pipeline runs on a labeled probe set: if k nearest neighbors can't
+    recover a point's own label, the embedding space isn't separating
+    that class. Uses :func:`knn_join`'s broadcast-panel plan (the
+    query point itself is excluded), then a label vote with the
+    deterministic (votes desc, label asc) tiebreak, so the whole eval
+    is oracle-exact. Cost: |panel| x corpus scored in-scan, only
+    (query, candidate) rows shuffle."""
+    if max_query_id < 1 or k < 1:
+        raise ValueError("knn_label_accuracy needs max_query_id/k >= 1")
+    nn = knn_join(
+        vectors,
+        vectors.where(F.col(id_col) < max_query_id),
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=id_col,
+        query_vec_col=vec_col,
+    )
+    lbl = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__nl")
+    )
+    votes = (
+        nn.join(lbl, "neighbor_id")
+        .groupBy("query_id", "__nl")
+        .agg(F.count(F.lit(1)).alias("__nv"))
+    )
+    pick = votes.groupBy("query_id").agg(
+        F.min(
+            F.struct((-F.col("__nv")).alias("__neg"), F.col("__nl").alias("__lb"))
+        ).alias("__p")
+    )
+    own = vectors.where(F.col(id_col) < max_query_id).select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("own_label")
+    )
+    return own.join(pick, "query_id").select(
+        "query_id",
+        "own_label",
+        F.col("__p.__lb").alias("pred_label"),
+        (-F.col("__p.__neg")).alias("n_votes"),
+        (F.col("__p.__lb") == F.col("own_label")).alias("is_correct"),
+    )

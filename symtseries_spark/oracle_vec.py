@@ -768,3 +768,32 @@ cb AS (
 )
 {_recall_tail_sql(k)}
 """
+
+
+def knn_label_accuracy_sql(
+    *,
+    max_query_id: int,
+    k: int,
+    dim: int,
+    table: str = "embeddings",
+) -> str:
+    """Twin of simsearch.knn_label_accuracy: the shared exact-knn CTE,
+    a label vote, and the (votes desc, label asc) argmax."""
+    return f"""
+WITH {_exact_topk_cte(max_query_id=max_query_id, k=k, dim=dim, table=table)},
+votes AS (
+  SELECT e.query_id, v.label AS nl, count(*) AS nv
+  FROM exact e JOIN {table} v ON v.vec_id = e.neighbor_id
+  GROUP BY e.query_id, v.label
+), pick AS (
+  SELECT query_id, nl AS pred_label, nv AS n_votes FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY nv DESC, nl) AS rk
+    FROM votes) WHERE rk = 1
+)
+SELECT q.vec_id AS query_id, q.label AS own_label,
+       p.pred_label, p.n_votes,
+       p.pred_label = q.label AS is_correct
+FROM {table} q JOIN pick p ON p.query_id = q.vec_id
+WHERE q.vec_id < {max_query_id}
+"""

@@ -194,3 +194,50 @@ class TestPqRecall:
             pq_recall(emb, max_query_id=0, k=5, m=4, ks=16, dim=64)
         with pytest.raises(ValueError):
             pq_recall(emb, max_query_id=4, k=0, m=4, ks=16, dim=64)
+
+
+class TestKnnLabelAccuracy:
+    def test_separable_clusters_recover_labels(self, spark):
+        from pyspark.sql import Row
+
+        from symtseries_spark.operators.simsearch import knn_label_accuracy
+
+        # two tight, well-separated clusters: every panel point's
+        # neighbors share its label
+        rows = []
+        for i in range(10):
+            rows.append(Row(vec_id=i, embedding=[1.0 + 0.01 * i, 0.0], label=0))
+            rows.append(Row(vec_id=10 + i, embedding=[0.0, 1.0 + 0.01 * i], label=1))
+        df = spark.createDataFrame(rows)
+        out = knn_label_accuracy(df, max_query_id=4, k=3).collect()
+        assert len(out) == 4
+        assert all(r.is_correct for r in out)
+        assert all(r.n_votes == 3 for r in out)
+
+    def test_vote_tiebreak_is_min_label(self, spark):
+        from pyspark.sql import Row
+
+        from symtseries_spark.operators.simsearch import knn_label_accuracy
+
+        # query 0 with k=2: one neighbor of each label -> tie -> label 1
+        # (the smaller label among the tied) must win deterministically
+        df = spark.createDataFrame(
+            [
+                Row(vec_id=0, embedding=[1.0, 0.0], label=9),
+                Row(vec_id=1, embedding=[1.0, 0.1], label=2),
+                Row(vec_id=2, embedding=[1.0, -0.1], label=1),
+                Row(vec_id=3, embedding=[-1.0, 0.0], label=5),
+            ]
+        )
+        out = knn_label_accuracy(df, max_query_id=1, k=2).collect()[0]
+        assert out.pred_label == 1
+        assert out.n_votes == 1
+        assert not out.is_correct
+
+    def test_guards(self, emb):
+        from symtseries_spark.operators.simsearch import knn_label_accuracy
+
+        with pytest.raises(ValueError):
+            knn_label_accuracy(emb, max_query_id=0, k=3)
+        with pytest.raises(ValueError):
+            knn_label_accuracy(emb, max_query_id=4, k=0)
