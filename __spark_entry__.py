@@ -3976,6 +3976,50 @@ def q_events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_anomaly_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detector-ensemble capstone: events flagged by >= 2 of the three
+    registered monitors — rolling z (|z| >= 3), robust MAD z
+    (|rz| >= 3.5), CUSUM alarm -> (user_id, event_id, detectors,
+    n_detectors) with a 1/2/4 bitmask. The standard production pattern
+    (single detectors false-positive on their own blind spots; the
+    mean-based z inflates sigma after a spike exactly where MAD does
+    not). All three legs are the operators' own single-shuffle plans
+    over the same series partitioning; the vote is one more combinable
+    groupBy."""
+    from symtseries_spark.operators import cusum, rolling_zscore
+    from symtseries_spark.operators.timeseries import mad_zscore
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    kw = dict(key="user_id", order=["ts_us", "event_id"], value="value")
+    z = (
+        rolling_zscore(ev, window=ANOM_WINDOW, **kw)
+        .where(F.abs(F.col("zscore")) >= ANOM_THRESHOLD)
+        .select("user_id", "event_id", F.lit(1).alias("b"))
+    )
+    m = (
+        mad_zscore(ev, window=MAD_P["window"], **kw)
+        .where(F.abs(F.col("rzscore")) >= MAD_P["threshold"])
+        .select("user_id", "event_id", F.lit(2).alias("b"))
+    )
+    c = (
+        cusum(ev, **CUSUM_P, **kw)
+        .where(F.col("alarm"))
+        .select("user_id", "event_id", F.lit(4).alias("b"))
+    )
+    return (
+        z.unionByName(m)
+        .unionByName(c)
+        .groupBy("user_id", "event_id")
+        .agg(
+            F.sum("b").alias("detectors"),
+            F.count(F.lit(1)).alias("n_detectors"),
+        )
+        .where(F.col("n_detectors") >= 2)
+    )
+
+
 def q_events_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series OLS trend (slope/intercept over the row index): one
     row_number window pass + one map-side-combinable groupBy; integer
@@ -4365,6 +4409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": q_emb_ivf_topk,
         "media_resize": q_media_resize,
         "emb_knn_label_acc": q_emb_knn_label_acc,
+        "events_anomaly_consensus": q_events_anomaly_consensus,
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
         "events_lag_delta": q_events_lag_delta,
@@ -5968,6 +6013,23 @@ ORDER BY d.doc_id
         "docs_hll_stream": ot.hll_distinct_sql(p=HLL_P),
         "emb_mmr_rerank": ov.mmr_rerank_sql(dim=EMB_DIM, **MMR),
         "events_cusum": _CUSUM_SQL_BATCH,
+        "events_anomaly_consensus": f"""
+WITH za AS (
+  SELECT user_id, event_id, 1 AS b FROM ({_ANOM_SQL}) __z
+), ma AS (
+  SELECT user_id, event_id, 2 AS b FROM ({_MAD_SQL}) __m
+), ca AS (
+  SELECT user_id, event_id, 4 AS b FROM ({_CUSUM_SQL_BATCH}) __c
+  WHERE alarm
+), u AS (
+  SELECT * FROM za UNION ALL SELECT * FROM ma UNION ALL SELECT * FROM ca
+)
+SELECT user_id, event_id,
+       CAST(sum(b) AS BIGINT) AS detectors,
+       count(*) AS n_detectors
+FROM u GROUP BY user_id, event_id
+HAVING count(*) >= 2
+""",
         "events_cusum_stream": _CUSUM_SQL_STREAM,
         "emb_int8_quant": ov.int8_quant_sql(dim=EMB_DIM),
         "docs_bigram_lp": ot.bigram_logprob_sql(),
