@@ -178,6 +178,7 @@ PCA_ITERS = 3
 CORPUS_FILTER3 = dict(min_novelty=0.2)
 STL = dict(trend_window=12)
 ACF_MAX_LAG = 5
+SAX_MOTIF_K = 20
 SEASONAL_ANOM = dict(threshold=3.5)
 HW_P = dict(alpha=0.5, beta=0.3, gamma=0.2, season=8, window=32)
 
@@ -215,6 +216,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def q_sax_sliding_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _events_sliding(spark, sf_dir).select("user_id", "event_id", "sax_word")
+
+
+def q_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX motif discovery (Lin/Keogh's original application): the
+    top-20 most recurring COMPLETE sliding words corpus-wide, with how
+    many distinct series exhibit each -> (sax_word, occurrences,
+    n_series). The frequency dual of sax_discords' rarity probe;
+    '#'-words (unfilled history) are excluded. One combinable groupBy
+    over the sliding relation, top-k as TakeOrderedAndProject."""
+    words = _events_sliding(spark, sf_dir).select("user_id", "sax_word")
+    return (
+        words.where(~F.col("sax_word").contains("#"))
+        .groupBy("sax_word")
+        .agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.countDistinct("user_id").alias("n_series"),
+        )
+        .orderBy(F.desc("occurrences"), "sax_word")
+        .limit(SAX_MOTIF_K)
+    )
 
 
 def q_sax_sliding_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4410,6 +4431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": q_media_resize,
         "emb_knn_label_acc": q_emb_knn_label_acc,
         "events_anomaly_consensus": q_events_anomaly_consensus,
+        "sax_motifs": q_sax_motifs,
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
         "events_lag_delta": q_events_lag_delta,
@@ -5088,6 +5110,15 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 
     out = {
         "sax_sliding_words": f"SELECT user_id, event_id, sax_word FROM ({slide})",
+        "sax_motifs": f"""
+SELECT sax_word, count(*) AS occurrences,
+       count(DISTINCT user_id) AS n_series
+FROM ({slide}) __w
+WHERE sax_word NOT LIKE '%#%'
+GROUP BY sax_word
+ORDER BY occurrences DESC, sax_word
+LIMIT {SAX_MOTIF_K}
+""",
         # chunk-parallel and streaming forms are semantics-identical to
         # the plain sliding plan -> same oracle
         "sax_sliding_chunked": f"SELECT user_id, event_id, sax_word FROM ({slide})",
