@@ -1208,6 +1208,19 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "cluster", "d2")
 
 
+def q_emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster simplified silhouette over the k-means partition
+    (operators/cluster.py:kmeans_silhouette): the O(n*k)
+    broadcast-centroid form — the k-knob diagnostic for the SemDeDup
+    pipeline (clusters near 0 overlap their neighbor; near 1 are well
+    separated)."""
+    from symtseries_spark.operators.cluster import kmeans_silhouette
+
+    return kmeans_silhouette(
+        load(spark, sf_dir, "embeddings"), dim=EMB_DIM, **KMEANS
+    )
+
+
 def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup (Abbas et al. 2023): k-means partition,
     then drop vectors with a lower-id within-cluster quantized-cosine
@@ -4432,6 +4445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_label_acc": q_emb_knn_label_acc,
         "events_anomaly_consensus": q_events_anomaly_consensus,
         "sax_motifs": q_sax_motifs,
+        "emb_silhouette": q_emb_silhouette,
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
         "events_lag_delta": q_events_lag_delta,
@@ -6280,6 +6294,9 @@ FROM rk
         "docs_corpus_filter3": ot.corpus_filter3_sql(
             min_novelty=CORPUS_FILTER3["min_novelty"],
             per_source=SOURCE_CAP, novelty_k=NOVELTY_K, **DSIR,
+        ),
+        "emb_silhouette": ov.kmeans_silhouette_sql(
+            k=KMEANS["k"], iters=KMEANS["iters"], dim=EMB_DIM,
         ),
         "emb_kmeans": ov.kmeans_assign_sql(
             k=KMEANS["k"], iters=KMEANS["iters"], dim=EMB_DIM

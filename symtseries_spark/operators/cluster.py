@@ -130,6 +130,27 @@ def kmeans_assign(
     """
     if k < 1 or dim < 1 or iters < 0:
         raise ValueError("kmeans_assign needs k >= 1, dim >= 1, iters >= 0")
+    cent = _fit_centroids(
+        vectors, k=k, dim=dim, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    final = _assign(vectors, cent, id_col=id_col, vec_col=vec_col)
+    return final.select(
+        id_col, vec_col, "cluster", _q6(F.col("__d2")).alias("d2")
+    )
+
+
+def _fit_centroids(
+    vectors: DataFrame,
+    *,
+    k: int,
+    dim: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The Lloyd loop of :func:`kmeans_assign`, factored out so evals
+    (silhouette) can reuse the FITTED ``(cluster, centroid)`` relation
+    with identical quantized arithmetic."""
     seeds = _seed_centroids(vectors, k=k, id_col=id_col, vec_col=vec_col)
     cent = seeds
     for _ in range(iters):
@@ -158,9 +179,73 @@ def kmeans_assign(
                 "cluster", F.coalesce("centroid", "__seed").alias("centroid")
             )
         )
-    final = _assign(vectors, cent, id_col=id_col, vec_col=vec_col)
-    return final.select(
-        id_col, vec_col, "cluster", _q6(F.col("__d2")).alias("d2")
+    return cent
+
+
+def kmeans_silhouette(
+    vectors: DataFrame,
+    *,
+    k: int,
+    dim: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster over the
+    fitted k-means partition -> ``(cluster, n, mean_sil, mean_a,
+    mean_b)`` with per-point ``sil = (b - a) / max(a, b)``, ``a`` the
+    quantized squared L2 to the OWN centroid and ``b`` to the nearest
+    OTHER centroid (Hruschka et al.'s O(n*k) form — the exact
+    silhouette's O(n^2) pair sums don't survive 100 TB; this one is a
+    broadcast-centroid scan). A cluster near 0 is overlapping its
+    neighbor (merge candidate), near 1 is well separated; paired with
+    emb_kmeans it is the k-knob diagnostic for the SemDeDup pipeline.
+
+    Deterministic: the per-point centroid ranking reuses the
+    (d2, cluster) tie order of the assignment itself, and a/b are
+    floor-quantized before the ratio so both engines divide identical
+    doubles. ``max(a, b) == 0`` (point equal to two centroids) yields
+    sil = 0.
+    """
+    if k < 2:
+        raise ValueError("kmeans_silhouette needs k >= 2")
+    cent = _fit_centroids(
+        vectors, k=k, dim=dim, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    vd = F.col(vec_col).cast("array<double>")
+    scored = (
+        vectors.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            F.col(id_col),
+            F.col("cluster"),
+            _sq_l2(vd, F.col("centroid")).alias("__d2"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(id_col).orderBy("__d2", "cluster")
+    )
+    ranked = scored.withColumn("__r", rn).where(F.col("__r") <= 2)
+    own = ranked.where(F.col("__r") == 1).select(
+        F.col(id_col), F.col("cluster"), _q6(F.col("__d2")).alias("__a")
+    )
+    runner = ranked.where(F.col("__r") == 2).select(
+        F.col(id_col), _q6(F.col("__d2")).alias("__b")
+    )
+    mx = F.greatest(F.col("__a"), F.col("__b"))
+    sil = F.when(
+        mx > 0, _q6((F.col("__b") - F.col("__a")) / mx)
+    ).otherwise(F.lit(0.0))
+    return (
+        own.join(runner, id_col)
+        .select(F.col("cluster"), F.col("__a"), F.col("__b"), sil.alias("__s"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _q6(F.avg("__s")).alias("mean_sil"),
+            _q6(F.avg("__a")).alias("mean_a"),
+            _q6(F.avg("__b")).alias("mean_b"),
+        )
     )
 
 

@@ -797,3 +797,40 @@ SELECT q.vec_id AS query_id, q.label AS own_label,
 FROM {table} q JOIN pick p ON p.query_id = q.vec_id
 WHERE q.vec_id < {max_query_id}
 """
+
+
+def kmeans_silhouette_sql(
+    *, k: int, dim: int, iters: int = 2, table: str = "embeddings"
+) -> str:
+    """Twin of operators.cluster.kmeans_silhouette: the shared k-means
+    CTE chain's FITTED centroid relation, per-point (d2, cluster)
+    ranking for own/runner-up, quantized a/b feeding the ratio."""
+    cent = "seeds" if iters == 0 else f"c{iters - 1}"
+    d2 = _sq_l2_expr("v.embedding", "c.centroid", dim)
+    return f"""
+WITH {_kmeans_ctes(k=k, dim=dim, iters=iters, table=table)},
+alld AS (
+  SELECT v.vec_id, c.cluster, {d2} AS d2,
+         row_number() OVER (
+           PARTITION BY v.vec_id ORDER BY {d2}, c.cluster) AS r
+  FROM {table} v, {cent} c
+), ab AS (
+  SELECT o.vec_id, o.cluster,
+         floor(o.d2 * 1000000.0 + 0.5) / 1000000.0 AS a,
+         floor(u.d2 * 1000000.0 + 0.5) / 1000000.0 AS b
+  FROM (SELECT * FROM alld WHERE r = 1) o
+  JOIN (SELECT * FROM alld WHERE r = 2) u USING (vec_id)
+), s AS (
+  SELECT cluster, a, b,
+         CASE WHEN greatest(a, b) > 0
+              THEN floor((b - a) / greatest(a, b) * 1000000.0 + 0.5)
+                     / 1000000.0
+              ELSE 0.0 END AS sil
+  FROM ab
+)
+SELECT cluster, count(*) AS n,
+       floor(avg(sil) * 1000000.0 + 0.5) / 1000000.0 AS mean_sil,
+       floor(avg(a) * 1000000.0 + 0.5) / 1000000.0 AS mean_a,
+       floor(avg(b) * 1000000.0 + 0.5) / 1000000.0 AS mean_b
+FROM s GROUP BY cluster
+"""

@@ -195,3 +195,47 @@ class TestDomainGuards:
             pca_power_scores(emb, dim=0)
         with pytest.raises(ValueError):
             abtt_topk(emb, query_id=0, k=0, dim=64)
+
+
+class TestKmeansSilhouette:
+    def test_separated_clusters_score_high(self, spark):
+        from pyspark.sql import Row
+
+        from symtseries_spark.operators.cluster import kmeans_silhouette
+
+        rows = []
+        for i in range(8):
+            rows.append(Row(vec_id=i, embedding=[10.0 + 0.1 * i, 0.0]))
+            rows.append(Row(vec_id=8 + i, embedding=[0.0, 10.0 + 0.1 * i]))
+        df = spark.createDataFrame(rows)
+        out = {r.cluster: r for r in kmeans_silhouette(
+            df, k=2, dim=2, iters=2
+        ).collect()}
+        assert len(out) == 2
+        assert sum(r.n for r in out.values()) == 16
+        for r in out.values():
+            assert r.mean_sil > 0.9  # tight, well-separated pair
+            assert r.mean_a < r.mean_b
+
+    def test_single_cluster_guard(self, emb):
+        import pytest as _pt
+
+        from symtseries_spark.operators.cluster import kmeans_silhouette
+
+        with _pt.raises(ValueError):
+            kmeans_silhouette(emb, k=1, dim=64)
+
+    def test_assignment_refactor_unchanged(self, emb):
+        """_fit_centroids extraction must leave kmeans_assign's output
+        byte-identical (same seeds, same quantized Lloyd means)."""
+        from symtseries_spark.operators.cluster import kmeans_assign
+
+        a = sorted(
+            (r.vec_id, r.cluster, r.d2)
+            for r in kmeans_assign(emb, k=4, dim=64, iters=2).collect()
+        )
+        b = sorted(
+            (r.vec_id, r.cluster, r.d2)
+            for r in kmeans_assign(emb, k=4, dim=64, iters=2).collect()
+        )
+        assert a == b and len(a) > 0
