@@ -3634,6 +3634,50 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution for the ordered funnel: per
+    user, first signup, first click AFTER it, first purchase after
+    that; then p50/p90 of each hop's latency (microseconds) ->
+    (hop, n_converted, p50_us, p90_us). The time-to-convert complement
+    of events_funnel's counts. Three conditional min-aggregates on the
+    same user partitioning; percentiles via the proven
+    percentile == quantile_cont parity."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    s = ev.where(F.col("event_type") == FUNNEL_STAGES[0]).groupBy(
+        "user_id"
+    ).agg(F.min("ts_us").alias("t0"))
+    c = (
+        ev.where(F.col("event_type") == FUNNEL_STAGES[1])
+        .join(s, "user_id")
+        .where(F.col("ts_us") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"), F.first("t0").alias("t0"))
+    )
+    p = (
+        ev.where(F.col("event_type") == FUNNEL_STAGES[2])
+        .join(c, "user_id")
+        .where(F.col("ts_us") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"), F.first("t1").alias("t1"))
+    )
+    hop1 = c.select((F.col("t1") - F.col("t0")).alias("lat"))
+    hop2 = p.select((F.col("t2") - F.col("t1")).alias("lat"))
+
+    def report(df: DataFrame, hop: str) -> DataFrame:
+        return df.agg(
+            F.lit(hop).alias("hop"),
+            F.count(F.lit(1)).alias("n_converted"),
+            F.round(F.expr("percentile(lat, 0.5D)"), 6).alias("p50_us"),
+            F.round(F.expr("percentile(lat, 0.9D)"), 6).alias("p90_us"),
+        )
+
+    return report(hop1, "signup->click").unionByName(
+        report(hop2, "click->purchase")
+    )
+
+
 def q_docs_cms_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch demo with ground truth: estimate the exact
     top-term counts through a (depth x width) integer sketch — est >=
@@ -4446,6 +4490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly_consensus": q_events_anomaly_consensus,
         "sax_motifs": q_sax_motifs,
         "emb_silhouette": q_emb_silhouette,
+        "events_funnel_latency": q_events_funnel_latency,
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
         "events_lag_delta": q_events_lag_delta,
@@ -6058,6 +6103,33 @@ ORDER BY d.doc_id
         "docs_hll_stream": ot.hll_distinct_sql(p=HLL_P),
         "emb_mmr_rerank": ov.mmr_rerank_sql(dim=EMB_DIM, **MMR),
         "events_cusum": _CUSUM_SQL_BATCH,
+        "events_funnel_latency": f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+), s AS (
+  SELECT user_id, min(ts_us) AS t0 FROM e
+  WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(ts_us) AS t1, min(t0) AS t0
+  FROM e JOIN s USING (user_id)
+  WHERE event_type = '{FUNNEL_STAGES[1]}' AND ts_us >= t0
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(ts_us) AS t2, min(t1) AS t1
+  FROM e JOIN c USING (user_id)
+  WHERE event_type = '{FUNNEL_STAGES[2]}' AND ts_us >= t1
+  GROUP BY e.user_id
+)
+SELECT 'signup->click' AS hop, count(*) AS n_converted,
+       round(quantile_cont(t1 - t0, 0.5), 6) AS p50_us,
+       round(quantile_cont(t1 - t0, 0.9), 6) AS p90_us
+FROM c
+UNION ALL
+SELECT 'click->purchase', count(*),
+       round(quantile_cont(t2 - t1, 0.5), 6),
+       round(quantile_cont(t2 - t1, 0.9), 6)
+FROM p
+""",
         "events_anomaly_consensus": f"""
 WITH za AS (
   SELECT user_id, event_id, 1 AS b FROM ({_ANOM_SQL}) __z
