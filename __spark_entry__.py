@@ -2081,6 +2081,35 @@ def q_dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_simhash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash calibration table: for each Hamming distance level in
+    the banded candidate set, the exact-Jaccard stats of its pairs ->
+    (hamming, n_pairs, mean_jaccard, min_jaccard). Answers "how many
+    bit flips can I allow before false positives creep in" — the
+    simhash analogue of dedup_minhash_accuracy, prune-then-refine
+    priced by candidate count."""
+    from symtseries_spark.operators import jaccard_refine
+    from symtseries_spark.operators.timeseries import quantize
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = simhash_pairs(docs, **SIMHASH_PAIRS)
+    exact = jaccard_refine(
+        pairs.select("doc_a", "doc_b"), docs, k=JACCARD["k"], threshold=0.0
+    )
+    j = pairs.join(
+        exact.select("doc_a", "doc_b", "jaccard"), ["doc_a", "doc_b"]
+    )
+    return (
+        j.groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            quantize(F.avg("jaccard"), 6).alias("mean_jaccard"),
+            F.min("jaccard").alias("min_jaccard"),
+        )
+        .orderBy("hamming")
+    )
+
+
 def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup endgame's MATERIALIZATION: the surviving corpus after
     near-dup clustering (keep the min-id member of every cluster,
@@ -4491,6 +4520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_motifs": q_sax_motifs,
         "emb_silhouette": q_emb_silhouette,
         "events_funnel_latency": q_events_funnel_latency,
+        "dedup_simhash_fidelity": q_dedup_simhash_fidelity,
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
         "events_lag_delta": q_events_lag_delta,
@@ -6219,6 +6249,30 @@ SELECT c.doc_id, c.canonical_id, s.cluster_size,
        c.doc_id <> c.canonical_id AS is_duplicate
 FROM canon c JOIN sizes s USING (canonical_id)
 ORDER BY c.doc_id
+""",
+        "dedup_simhash_fidelity": f"""
+WITH cand AS (
+  SELECT doc_a, doc_b, hamming
+  FROM ({ot.simhash_pairs_sql(**SIMHASH_PAIRS)}) __c
+), sets AS (
+  SELECT doc_id, {ot.shingles_expr(JACCARD["k"])} AS sh FROM documents
+), jx AS (
+  SELECT c.hamming,
+         len(list_intersect(sa.sh, sb.sh)) AS n_common,
+         len(sa.sh) AS n_a, len(sb.sh) AS n_b
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.doc_a
+  JOIN sets sb ON sb.doc_id = c.doc_b
+  WHERE (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) > 0
+), er AS (
+  SELECT hamming,
+         round(n_common * 1.0 / (n_a + n_b - n_common), 4) AS jac
+  FROM jx
+)
+SELECT hamming, count(*) AS n_pairs,
+       floor(avg(jac) * 1000000.0 + 0.5) / 1000000.0 AS mean_jaccard,
+       min(jac) AS min_jaccard
+FROM er GROUP BY hamming ORDER BY hamming
 """,
         "dedup_minhash_accuracy": f"""
 WITH cand AS (
