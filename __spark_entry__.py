@@ -1167,6 +1167,20 @@ def q_emb_knn_label_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of asymmetric int8 search (corpus stored as int8
+    codes, scored dequantized against full-precision queries) vs the
+    exact cosine top-k (operators/pq.py:int8_recall) — the
+    compression-eval family's 4x-at-rest entry beside PQ and
+    truncated-dim."""
+    from symtseries_spark.operators.pq import int8_recall
+
+    return int8_recall(
+        load(spark, sf_dir, "embeddings"),
+        max_query_id=RECALL["max_query_id"], k=RECALL["k"],
+    )
+
+
 def q_emb_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of compressed-domain PQ/ADC search vs the exact
     full-dim L2 top-k (operators/pq.py:pq_recall) — completes the
@@ -4521,6 +4535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_silhouette": q_emb_silhouette,
         "events_funnel_latency": q_events_funnel_latency,
         "dedup_simhash_fidelity": q_dedup_simhash_fidelity,
+        "emb_int8_recall": q_emb_int8_recall,
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
         "events_lag_delta": q_events_lag_delta,
@@ -5537,6 +5552,9 @@ FROM f
         "emb_trunc_recall": ov.truncated_dim_recall_sql(
             max_query_id=RECALL["max_query_id"], k=RECALL["k"],
             trunc_dim=TRUNC_DIM, dim=EMB_DIM,
+        ),
+        "emb_int8_recall": ov.int8_recall_sql(
+            max_query_id=RECALL["max_query_id"], k=RECALL["k"], dim=EMB_DIM,
         ),
         "emb_knn_label_acc": ov.knn_label_accuracy_sql(
             max_query_id=KNN_ACC["max_query_id"], k=KNN_ACC["k"],

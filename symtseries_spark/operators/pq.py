@@ -319,3 +319,96 @@ def pq_recall(
         .select("query_id", "neighbor_id")
     )
     return _recall_vs_exact(qfull.select("query_id"), approx, exact, k=k)
+
+
+def int8_recall(
+    vectors: DataFrame,
+    *,
+    max_query_id: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of ASYMMETRIC int8 search — corpus vectors stored as
+    symmetric int8 codes (scale = max|v|/127, the
+    :func:`int8_quantize_stats` format) and scored dequantized against
+    FULL-precision queries — vs the exact cosine top-k ->
+    ``(query_id, n_approx, n_hit, recall)``. Completes the
+    compression-eval family (PQ = 32x, truncated-dim = 4x, int8 = 4x
+    with no dimension loss): the report that says whether the 4x
+    at-rest saving costs any ranking quality on this corpus.
+
+    Same panel contract as the other recall probes: broadcast 8-query
+    panel, rounded cosines, (cos desc, id) ranks, exact leg =
+    :func:`.simsearch.knn_join`. The dequantization is scan-stage
+    array math (floor(x/scale + 0.5) clamp, identical expression tree
+    to the int8 audit), so both engines score bit-identical vectors.
+    All-zero vectors dequantize to zeros and are excluded by a
+    positive-norm predicate BEFORE the division (ANSI Spark raises on
+    0/0 — the cosine is computed under a CASE guard), mirrored as a
+    ``dot(x, x) > 0`` WHERE clause in the SQL twin."""
+    if max_query_id < 1 or k < 1:
+        raise ValueError("int8_recall needs max_query_id >= 1 and k >= 1")
+    from .simsearch import _recall_vs_exact, dot, knn_join, norm
+
+    v = F.col(vec_col)
+    absmax = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    )
+
+    def build(amax: Column) -> Column:
+        scale = amax / F.lit(127.0)
+        return F.when(
+            amax > 0,
+            F.transform(
+                v,
+                lambda x: F.least(
+                    F.greatest(
+                        F.floor(x.cast("double") / scale + F.lit(0.5)),
+                        F.lit(-127),
+                    ),
+                    F.lit(127),
+                )
+                * scale,
+            ),
+        ).otherwise(F.transform(v, lambda x: F.lit(0.0)))
+
+    deq = F.element_at(F.transform(F.array(absmax), build), 1)
+    base = vectors.select(F.col(id_col).alias("cand_id"), deq.alias("__v"))
+    q = vectors.where(F.col(id_col) < max_query_id).select(
+        F.col(id_col).alias("query_id"),
+        v.cast("array<double>").alias("__qv"),
+    )
+    sq = dot(F.col("__v"), F.col("__v"))
+    qq = dot(F.col("__qv"), F.col("__qv"))
+    scored = (
+        base.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
+        .where((sq > 0) & (qq > 0))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                dot(F.col("__v"), F.col("__qv"))
+                / (norm(F.col("__v")) * norm(F.col("__qv"))),
+                6,
+            ).alias("cos"),
+        )
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("cand_id")
+        )
+    )
+    approx = scored.withColumn("__r", rank).where(F.col("__r") <= k)
+    exact = knn_join(
+        vectors,
+        vectors.where(F.col(id_col) < max_query_id),
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=id_col,
+        query_vec_col=vec_col,
+    )
+    return _recall_vs_exact(
+        q.select("query_id"), approx.select("query_id", "cand_id"), exact, k=k
+    )

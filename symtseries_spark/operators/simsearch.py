@@ -227,6 +227,10 @@ def knn_join(
         .withColumn("__n", norm(F.col("__v")))
         .crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
+        # zero-norm rows are excluded BEFORE the division: ANSI Spark
+        # raises on 0/0, and a NaN cosine would sort first desc anyway.
+        # Mirrored as `dot(x, x) > 0` in oracle_vec._exact_topk_cte.
+        .where((F.col("__n") > 0) & (F.col("__qn") > 0))
         .select(
             "query_id",
             "neighbor_id",

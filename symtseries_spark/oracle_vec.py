@@ -342,7 +342,9 @@ exact AS (
     FROM {table} v, (
       SELECT vec_id AS query_id, embedding AS qv FROM {table}
       WHERE vec_id < {max_query_id}) eq
-    WHERE v.vec_id != eq.query_id)
+    WHERE v.vec_id != eq.query_id
+      AND {_dot('v.embedding', 'v.embedding', dim)} > 0
+      AND {_dot('eq.qv', 'eq.qv', dim)} > 0)
   WHERE r <= {k}
 )"""
 
@@ -833,4 +835,56 @@ SELECT cluster, count(*) AS n,
        floor(avg(a) * 1000000.0 + 0.5) / 1000000.0 AS mean_a,
        floor(avg(b) * 1000000.0 + 0.5) / 1000000.0 AS mean_b
 FROM s GROUP BY cluster
+"""
+
+
+def int8_recall_sql(
+    *,
+    max_query_id: int,
+    k: int,
+    dim: int,
+    table: str = "embeddings",
+) -> str:
+    """Twin of operators.pq.int8_recall: the int8_quant_sql
+    dequantization materialized as a list column, asymmetric cosine
+    against the full-precision panel behind a positive-norm predicate
+    (zero vectors excluded before the division, as in the ANSI Spark
+    plan), shared exact CTE and recall tail."""
+    xd = "CAST(v[i] AS DOUBLE)"
+    absmax = (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {dim + 1}), i -> abs({xd}))), "
+        f"(a, x) -> greatest(a, x))"
+    )
+    code = f"least(greatest(floor({xd} / scale + 0.5), -127), 127)"
+    cos = cosine_expr("b.dv", "q.qv", dim)
+    return f"""
+WITH sc AS (
+  SELECT vec_id, embedding AS v,
+         {absmax} / CAST(127.0 AS DOUBLE) AS scale
+  FROM {table}
+), dq AS (
+  SELECT vec_id,
+         CASE WHEN scale > 0
+              THEN list_transform(range(1, {dim + 1}), i -> {code} * scale)
+              ELSE list_transform(range(1, {dim + 1}), i -> 0.0)
+         END AS dv
+  FROM sc
+), q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM {table} WHERE vec_id < {max_query_id}
+), approx AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.query_id, b.vec_id AS cand_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round({cos}, 6) DESC, b.vec_id) AS r
+    FROM dq b, q
+    WHERE b.vec_id != q.query_id
+      AND {_dot('b.dv', 'b.dv', dim)} > 0
+      AND {_dot('q.qv', 'q.qv', dim)} > 0)
+  WHERE r <= {k}
+), {_exact_topk_cte(max_query_id=max_query_id, k=k, dim=dim, table=table)}
+{_recall_tail_sql(k)}
 """

@@ -241,3 +241,38 @@ class TestKnnLabelAccuracy:
             knn_label_accuracy(emb, max_query_id=0, k=3)
         with pytest.raises(ValueError):
             knn_label_accuracy(emb, max_query_id=4, k=0)
+
+
+class TestInt8Recall:
+    def test_int8_is_near_lossless_here(self, emb):
+        from symtseries_spark.operators.pq import int8_recall
+
+        rows = int8_recall(emb, max_query_id=4, k=5).collect()
+        assert {r["query_id"] for r in rows} == {0, 1, 2, 3}
+        # int8 keeps ~7 significant bits per component: ranking should
+        # survive essentially intact on gaussian-ish embeddings
+        assert sum(r["recall"] for r in rows) / 4 >= 0.8
+
+    def test_zero_vector_is_excluded_from_candidates(self, spark):
+        from pyspark.sql import Row
+
+        from symtseries_spark.operators.pq import int8_recall
+
+        df = spark.createDataFrame(
+            [
+                Row(vec_id=0, embedding=[1.0, 0.5]),
+                Row(vec_id=1, embedding=[0.9, 0.6]),
+                Row(vec_id=2, embedding=[0.0, 0.0]),  # NaN cosine
+                Row(vec_id=3, embedding=[0.8, 0.4]),
+            ]
+        )
+        rows = int8_recall(df, max_query_id=1, k=2).collect()
+        assert len(rows) == 1
+        # the zero vector must not rank (NaN sorts first desc in Spark)
+        assert rows[0]["n_approx"] == 2 and rows[0]["recall"] > 0
+
+    def test_guards(self, emb):
+        from symtseries_spark.operators.pq import int8_recall
+
+        with pytest.raises(ValueError):
+            int8_recall(emb, max_query_id=0, k=5)
