@@ -3401,6 +3401,71 @@ def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per series (the TimescaleDB
+    time_weight / financial TWAP op): each observation weighted by its
+    holding time to the next event, so sparse bursts don't dominate
+    the mean the way row-weighted avg() lets them. Last observation
+    carries no weight (no successor). One lag-window pass + one
+    combinable aggregate on the series key; integer microsecond
+    durations, quantized ratio."""
+    from pyspark.sql import Window
+
+    from symtseries_spark.operators.timeseries import quantize
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    dt = (F.lead("ts_us").over(w) - F.col("ts_us")).cast("double")
+    base = ev.select(
+        "user_id",
+        F.col("value").cast("double").alias("__v"),
+        dt.alias("__dt"),
+    ).where(F.col("__dt").isNotNull())
+    agg = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col("__v") * F.col("__dt")).alias("__wsum"),
+        F.sum("__dt").alias("__tsum"),
+    )
+    return agg.select(
+        "user_id",
+        "n_intervals",
+        F.when(
+            F.col("__tsum") > 0,
+            quantize(F.col("__wsum") / F.col("__tsum"), 6),
+        ).alias("twap"),
+    )
+
+
+def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars per (series, day): open/close = value at
+    the first/last event of the bucket (deterministic (ts, event_id)
+    order), high/low = max/min, volume = count — the TSDB downsampling
+    primitive. One combinable aggregate: open/close via min/max over
+    (ts, event_id, value) structs, no window pass at all."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    day = F.expr("ts_us div 86400000000")
+    v = F.col("value").cast("double")
+    key = F.struct(
+        F.col("ts_us").alias("t"), F.col("event_id").alias("e"),
+        v.alias("v"),
+    )
+    return (
+        ev.select("user_id", day.alias("day"), v.alias("__v"), key.alias("__k"))
+        .groupBy("user_id", "day")
+        .agg(
+            F.min("__k").getField("v").alias("open"),
+            F.max("__v").alias("high"),
+            F.min("__v").alias("low"),
+            F.max("__k").getField("v").alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+    )
+
+
 def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series single changepoint (binary-segmentation step 1,
     operators/timeseries.py:changepoint): the split minimizing the
@@ -4536,6 +4601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel_latency": q_events_funnel_latency,
         "dedup_simhash_fidelity": q_dedup_simhash_fidelity,
         "emb_int8_recall": q_emb_int8_recall,
+        "events_twap": q_events_twap,
+        "events_ohlc": q_events_ohlc,
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
         "events_lag_delta": q_events_lag_delta,
@@ -6151,6 +6218,41 @@ ORDER BY d.doc_id
         "docs_hll_stream": ot.hll_distinct_sql(p=HLL_P),
         "emb_mmr_rerank": ov.mmr_rerank_sql(dim=EMB_DIM, **MMR),
         "events_cusum": _CUSUM_SQL_BATCH,
+        "events_twap": """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+), d AS (
+  SELECT user_id, v,
+         CAST(lead(ts_us) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id) - ts_us
+           AS DOUBLE) AS dt
+  FROM e
+), a AS (
+  SELECT user_id, count(*) AS n_intervals,
+         sum(v * dt) AS wsum, sum(dt) AS tsum
+  FROM d WHERE dt IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, n_intervals,
+       CASE WHEN tsum > 0
+            THEN floor(wsum / tsum * 1000000.0 + 0.5) / 1000000.0
+       END AS twap
+FROM a
+""",
+        "events_ohlc": """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+)
+SELECT user_id, ts_us // 86400000000 AS day,
+       first(v ORDER BY ts_us, event_id) AS open,
+       max(v) AS high, min(v) AS low,
+       last(v ORDER BY ts_us, event_id) AS close,
+       count(*) AS volume
+FROM e GROUP BY user_id, ts_us // 86400000000
+""",
         "events_funnel_latency": f"""
 WITH e AS (
   SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
