@@ -3157,6 +3157,46 @@ def q_events_ewma_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_twap_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running TWAP through a REAL stream
+    (streaming/timeseries.py:twap_stream): four doubles of keyed state
+    per series, O(1)/event — each arriving event closes its
+    predecessor's interval and emits the time-weighted mean over all
+    closed intervals. The oracle replays the identical prefix with
+    lag + running window sums. One micro-batch replay: arrival order
+    == sort order."""
+    import tempfile
+    import uuid
+
+    from symtseries_spark.sources import load_events_stream
+    from symtseries_spark.streaming import twap_stream
+
+    stream = load_events_stream(spark, sf_dir).withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    tw = twap_stream(
+        stream, key="user_id", order=["ts_us", "event_id"],
+        ts="ts_us", value="value",
+    )
+    name = f"twap_stream_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = (
+            tw.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="twap_chk_"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    from symtseries_spark.operators import quantize
+
+    return spark.table(name).select(
+        "user_id", "event_id", "n_intervals",
+        quantize(F.col("twap"), 6).alias("twap"),
+    )
+
+
 def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC search: codes table + broadcast LUT —
     the compressed-domain ANN leg (see operators/pq.py docstring for the
@@ -4602,6 +4642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_fidelity": q_dedup_simhash_fidelity,
         "emb_int8_recall": q_emb_int8_recall,
         "events_twap": q_events_twap,
+        "events_twap_stream": q_events_twap_stream,
         "events_ohlc": q_events_ohlc,
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
@@ -6239,6 +6280,32 @@ SELECT user_id, n_intervals,
             THEN floor(wsum / tsum * 1000000.0 + 0.5) / 1000000.0
        END AS twap
 FROM a
+""",
+        "events_twap_stream": """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+), lg AS (
+  SELECT user_id, ts_us, event_id,
+         CAST(ts_us - lag(ts_us) OVER o AS DOUBLE) AS dt,
+         lag(v) OVER o AS pv
+  FROM e
+  WINDOW o AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), r AS (
+  SELECT user_id, event_id,
+         count(dt) OVER w AS n_intervals,
+         sum(pv * dt) OVER w AS wsum,
+         sum(dt) OVER w AS tsum
+  FROM lg
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, n_intervals,
+       CASE WHEN tsum > 0
+            THEN floor(wsum / tsum * 1000000.0 + 0.5) / 1000000.0
+       END AS twap
+FROM r
 """,
         "events_ohlc": """
 WITH e AS (

@@ -643,3 +643,95 @@ def holt_winters_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def twap_stream(
+    events: DataFrame,
+    *,
+    key: str,
+    order: list[str],
+    ts: str,
+    value: str,
+) -> DataFrame:
+    """Running time-weighted average through a REAL stream: per series,
+    keyed state is four doubles (previous timestamp/value, weighted
+    sum, duration sum) — O(1) per event. Each event closes the
+    interval opened by its predecessor, then emits the TWAP over all
+    CLOSED intervals so far (first event emits NULL, no interval yet)
+    -> ``(key, order..., n_intervals, twap)``, twap UNROUNDED
+    (quantize downstream, same contract as ewma_stream).
+
+    NULL/NaN previous values contribute duration but no weighted mass
+    (Spark's ``sum`` skips NULL products) — exactly the batch
+    operator's semantics; the oracle replays the same running prefix
+    with lag + running window sums."""
+    key_field = events.schema[key]
+    order_fields = [events.schema[o] for o in order]
+    out_schema = StructType(
+        [
+            StructField(key_field.name, key_field.dataType),
+            *[StructField(f.name, f.dataType) for f in order_fields],
+            StructField("n_intervals", LongType()),
+            StructField("twap", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("pts", DoubleType()),
+            StructField("pv", DoubleType()),
+            StructField("wsum", DoubleType()),
+            StructField("tsum", DoubleType()),
+            StructField("n", DoubleType()),
+        ]
+    )
+    cols = list(dict.fromkeys([key, *order, ts, value]))
+
+    def handle(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            pts, pv, wsum, tsum, n = state.get
+        else:
+            pts = pv = None
+            wsum = tsum = n = 0.0
+        whole = coalesce_chunks(pdfs)
+        if whole is not None:
+            pdf = whole.sort_values(order, kind="mergesort")
+            tvals = pdf[ts].astype("float64").to_numpy()
+            vvals = pdf[value].astype("float64").to_numpy()
+            twaps, counts = [], []
+            for t, x in zip(tvals, vvals):
+                t = float(t)
+                if pts is not None:
+                    dt = t - pts
+                    tsum += dt
+                    n += 1.0
+                    if pv == pv:  # previous value not NaN
+                        wsum += pv * dt
+                twaps.append(wsum / tsum if tsum > 0 else None)
+                counts.append(int(n))
+                pts, pv = t, float(x)
+            yield pd.DataFrame(
+                {
+                    key_field.name: pdf[key].to_numpy(),
+                    **{o: pdf[o].to_numpy() for o in order},
+                    "n_intervals": pd.array(counts, dtype="Int64"),
+                    "twap": pd.array(twaps, dtype="Float64"),
+                }
+            )
+        if pts is not None:
+            state.update(
+                (float(pts), float(pv), float(wsum), float(tsum), float(n))
+            )
+
+    return (
+        events.select(*cols)
+        .groupBy(key)
+        .applyInPandasWithState(
+            handle,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

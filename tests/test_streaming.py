@@ -631,3 +631,57 @@ class TestFunnelStream:
             (1, 0): 10, (1, 1): 40, (1, 2): 50,
             (2, 0): 10, (2, 1): 45,
         }
+
+
+class TestTwapStream:
+    def test_state_carries_across_batches(self, spark):
+        """Running TWAP over two micro-batches must equal the direct
+        prefix computation over the concatenated series."""
+        import glob as globmod
+        import os
+        import tempfile
+        import uuid
+
+        from symtseries_spark.streaming import twap_stream
+
+        rows = [
+            (1, t, i, float(v))
+            for i, (t, v) in enumerate(
+                [(0, 10.0), (10, 20.0), (15, 2.0), (35, 8.0), (40, 4.0)]
+            )
+        ]
+        df = spark.createDataFrame(rows, "k long, t long, i long, v double")
+        in_dir = tempfile.mkdtemp(prefix="twap_in_")
+        stage = tempfile.mkdtemp(prefix="twap_stage_")
+        df.where("i < 3").coalesce(1).write.parquet(f"{stage}/b0")
+        df.where("i >= 3").coalesce(1).write.parquet(f"{stage}/b1")
+        for i in range(2):
+            part = globmod.glob(f"{stage}/b{i}/part-*.parquet")[0]
+            dst = f"{in_dir}/b{i}.parquet"
+            os.rename(part, dst)
+            os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+        stream = spark.readStream.schema(df.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(in_dir)
+        tw = twap_stream(stream, key="k", order=["t", "i"], ts="t", value="v")
+        name = f"twap_t_{uuid.uuid4().hex[:8]}"
+        q = (
+            tw.writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="twap_tc_"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {r.i: (r.n_intervals, r.twap) for r in spark.table(name).collect()}
+        # manual prefix: intervals (0,10)*10 + (10,15)*20 + (15,35)*2 + (35,40)*8
+        pts = [(0, 10.0), (10, 20.0), (15, 2.0), (35, 8.0), (40, 4.0)]
+        wsum = tsum = 0.0
+        assert got[0] == (0, None)
+        for i in range(1, 5):
+            dt = pts[i][0] - pts[i - 1][0]
+            wsum += pts[i - 1][1] * dt
+            tsum += dt
+            n, tw_v = got[i]
+            assert n == i
+            assert tw_v == pytest.approx(wsum / tsum, abs=1e-9)
