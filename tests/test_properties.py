@@ -248,3 +248,62 @@ class TestSketchProperties:
                 for r in range(depth)
             )
             assert est >= true_n
+
+
+class TestLateRound4Invariants:
+    """Seeded-random invariant checks for the late-round-4 operators
+    (one Spark job per assertion, not per example)."""
+
+    def _series_df(self, spark, n_series=6, n=40, seed=11):
+        rng = random.Random(seed)
+        rows = [
+            (k, i, rng.gauss(10.0 * (i > n // 2), 3.0))
+            for k in range(n_series)
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "k long, i long, v double")
+
+    def test_changepoint_split_invariant_under_affine(self, spark):
+        """SSE scales by a^2 under v -> a*v + b (a > 0), so the argmin
+        split must not move."""
+        from pyspark.sql import functions as F
+
+        from symtseries_spark.operators.timeseries import changepoint
+
+        df = self._series_df(spark)
+        base = {
+            r.k: r.split_i
+            for r in changepoint(df, key="k", order=["i"], value="v").collect()
+        }
+        aff = df.withColumn("v", F.col("v") * 3.5 - 7.0)
+        moved = {
+            r.k: r.split_i
+            for r in changepoint(aff, key="k", order=["i"], value="v").collect()
+        }
+        assert base == moved and len(base) == 6
+
+    def test_pagerank_mass_conserved_and_positive(self, spark):
+        from symtseries_spark.operators.graph import pagerank
+
+        rng = random.Random(5)
+        edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(60)})
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        rows = pagerank(df).collect()
+        total = sum(r.pagerank for r in rows)
+        assert abs(total - 1.0) < 1e-3  # per-round 1e-6 quantization x n
+        assert all(r.pagerank > 0 for r in rows)
+        assert all(r.degree >= 1 for r in rows)
+
+    def test_histogram_quantile_error_bounded_by_bucket_width(self, spark):
+        from symtseries_spark.operators.sketches import histogram_quantiles
+
+        rng = random.Random(7)
+        vals = [rng.expovariate(0.01) for _ in range(3000)]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        width = (max(vals) - min(vals)) / 64
+        rows = histogram_quantiles(df, value="v", bins=64).collect()
+        assert len(rows) == 3
+        for r in rows:
+            # right-edge estimate overshoots by at most one bucket
+            assert r.abs_err <= width + 1e-6
