@@ -280,6 +280,20 @@ one equi-join of edges against the previous rank table + one hash
 aggregate on the dst key, with the degree table joined and the 1-row
 node count as an IdentityBroadcast cross join — per-round cost is
 |pairs| shuffle bytes, and no scalar ever returns to the driver.""",
+    "events_twap": """Time-weighted average: one Exchange on the series key, one
+WindowExec for the lead() interval close, then a map-side-combinable
+aggregate on the SAME partitioning — the sum(v*dt)/sum(dt) ratio is
+pure projection arithmetic above it. No join, no second shuffle.""",
+    "events_hist_quantiles": """Histogram quantile sketch: the corpus collapses to a
+256-row histogram in ONE combinable hash aggregate (the 1-row
+min/max/percentile stats enter as an IdentityBroadcast cross join);
+the quantile pick is a broadcast non-equi join over 256 x 3 rows —
+driver never sees data, exact leg shares the same single scan.""",
+    "emb_silhouette": """Silhouette: the fitted centroids arrive as a broadcast
+k-row relation; candidate distances are scan-stage array folds; the
+own/runner-up split is ONE WindowExec over (id, d2, cluster) rows
+(k per vector, pre-pruned by the rank filter) and the per-cluster
+report is one final combinable aggregate.""",
 }
 
 spark = (
