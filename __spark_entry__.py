@@ -2124,6 +2124,20 @@ def q_dedup_simhash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the MinHash dup graph
+    (operators/graph.py:triangle_stats): global clustering coefficient
+    as the threshold-health diagnostic — near-dup components should be
+    cliques (coeff -> 1); a low coefficient means borderline matches
+    are chaining dissimilar docs, exactly when connected-components
+    over-merges."""
+    from symtseries_spark.operators.graph import triangle_stats
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, **MINHASH).select("doc_a", "doc_b")
+    return triangle_stats(pairs, src="doc_a", dst="doc_b")
+
+
 def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup endgame's MATERIALIZATION: the surviving corpus after
     near-dup clustering (keep the min-id member of every cluster,
@@ -4644,6 +4658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_twap": q_events_twap,
         "events_twap_stream": q_events_twap_stream,
         "events_ohlc": q_events_ohlc,
+        "dedup_triangles": q_dedup_triangles,
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
         "events_lag_delta": q_events_lag_delta,
@@ -6436,6 +6451,35 @@ SELECT c.doc_id, c.canonical_id, s.cluster_size,
        c.doc_id <> c.canonical_id AS is_duplicate
 FROM canon c JOIN sizes s USING (canonical_id)
 ORDER BY c.doc_id
+""",
+        "dedup_triangles": f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({ot.minhash_lsh_pairs_sql(**MINHASH)}) __p
+), e AS (
+  SELECT DISTINCT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+  FROM pairs WHERE doc_a <> doc_b
+), tri AS (
+  SELECT count(*) AS n_triangles
+  FROM e ab
+  JOIN e bc ON ab.b = bc.a
+  JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+), deg AS (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY v
+), st AS (
+  SELECT count(*) AS n_nodes,
+         CAST(sum(d * (d - 1)) / 2 AS BIGINT) AS n_wedges
+  FROM deg
+), ne AS (
+  SELECT count(*) AS n_edges FROM e
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges > 0
+            THEN floor(3.0 * n_triangles / n_wedges * 1000000.0 + 0.5)
+                   / 1000000.0
+       END AS clustering_coeff
+FROM st, ne, tri
 """,
         "dedup_simhash_fidelity": f"""
 WITH cand AS (

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "pagerank"]
+__all__ = ["connected_components", "pagerank", "triangle_stats"]
 
 
 def connected_components(
@@ -144,3 +144,78 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return pr.select("v", F.col("deg").alias("degree"), F.col("pr").alias("pagerank"))
+
+
+def triangle_stats(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    round_to: int = 6,
+) -> DataFrame:
+    """Global triangle census of an undirected pair graph -> one row
+    ``(n_nodes, n_edges, n_wedges, n_triangles, clustering_coeff)``
+    with ``coeff = 3 * triangles / wedges`` — the density diagnostic
+    for a dedup graph: near-dup components are cliques (coefficient
+    -> 1), chains of borderline matches score near 0, so a LOW global
+    coefficient warns that the threshold is linking dissimilar docs
+    through intermediates (exactly when connected-components
+    over-merges).
+
+    Plan: canonical a < b edges, then the standard two-join triangle
+    enumeration ordered a < b < c so each triangle is counted ONCE —
+    both joins are equi-joins on a vertex key (never a cross product),
+    with per-key fanout bounded by the max degree, which the upstream
+    dedup pair caps already bound. Wedges are a per-vertex
+    ``deg*(deg-1)/2`` sum off one degree aggregate. Integer counts are
+    exact; only the final coefficient is quantized.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e = e.localCheckpoint(eager=True)
+    ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    bc = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    ac = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = (
+        ab.join(bc, "y")
+        .join(ac, ["x", "z"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    sym = e.select(F.col("a").alias("v")).unionByName(
+        e.select(F.col("b").alias("v"))
+    )
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long")
+        .alias("n_wedges"),
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    q = 10.0 ** round_to
+    return (
+        stats.crossJoin(n_edges)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.floor(
+                    3.0
+                    * F.col("n_triangles").cast("double")
+                    / F.col("n_wedges").cast("double")
+                    * q
+                    + 0.5
+                )
+                / q,
+            ).alias("clustering_coeff"),
+        )
+    )

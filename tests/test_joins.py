@@ -304,3 +304,35 @@ class TestPagerank:
             pagerank(edges, damping=1.0)
         with _pt.raises(ValueError):
             pagerank(edges, n_iter=0)
+
+
+class TestTriangleStats:
+    def _stats(self, spark, pairs):
+        from symtseries_spark.operators.graph import triangle_stats
+
+        edges = spark.createDataFrame(pairs, "src long, dst long")
+        return triangle_stats(edges).collect()[0]
+
+    def test_triangle_plus_tail(self, spark):
+        # triangle 0-1-2 plus a tail 2-3: 1 triangle, wedges = 1+1+3+0
+        r = self._stats(spark, [(0, 1), (1, 2), (0, 2), (2, 3)])
+        assert r.n_nodes == 4 and r.n_edges == 4
+        assert r.n_triangles == 1
+        assert r.n_wedges == 5  # deg 1,2,3,... -> C(1,2)+C(2,2)... = 0+1+3+1? no: degs 2,2,3,1 -> 1+1+3+0
+        assert r.clustering_coeff == pytest.approx(3 * 1 / 5, abs=1e-6)
+
+    def test_clique_is_fully_clustered(self, spark):
+        from itertools import combinations
+
+        r = self._stats(spark, list(combinations(range(5), 2)))
+        assert r.n_triangles == 10  # C(5,3)
+        assert r.clustering_coeff == pytest.approx(1.0, abs=1e-6)
+
+    def test_duplicate_and_reversed_edges_collapse(self, spark):
+        r = self._stats(spark, [(0, 1), (1, 0), (0, 1), (1, 2), (0, 2)])
+        assert r.n_edges == 3 and r.n_triangles == 1
+
+    def test_chain_has_no_triangles(self, spark):
+        r = self._stats(spark, [(0, 1), (1, 2), (2, 3)])
+        assert r.n_triangles == 0
+        assert r.clustering_coeff == pytest.approx(0.0, abs=1e-6)
