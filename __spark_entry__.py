@@ -104,6 +104,53 @@ HOLT_P = dict(alpha=0.25, beta=0.125, window=16)
 # slack and threshold sized so alarms are non-trivial but sparse; all
 # three are binary-exact double literals.
 CUSUM_P = dict(target=50.0, slack=8.0, threshold=256.0)
+PH_P = dict(delta=5.0, lam=256.0)
+
+# Twin of operators.timeseries.page_hinkley (and its streaming replay):
+# value + running mean floor-quantized ONCE to BIGINT micro counts,
+# then pure integer term sum / running min / alarm compare — zero
+# float accumulation, so both engines are bit-identical by
+# construction (see the operator docstring for why a float running
+# sum re-quantized at 1e-6 is boundary-unstable here).
+_PH_SQL = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+), vi AS (
+  SELECT user_id, ts_us, event_id,
+         CASE WHEN v IS NOT NULL
+              THEN CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) END AS v_int
+  FROM e
+), a AS (
+  SELECT user_id, ts_us, event_id,
+         CASE WHEN v_int IS NOT NULL
+              THEN v_int
+                   - (2 * sum(v_int) OVER w + count(v_int) OVER w)
+                       // (2 * count(v_int) OVER w)
+                   - {int(round(PH_P["delta"] * 1e6))}
+         END AS term
+  FROM vi
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), m AS (
+  SELECT user_id, ts_us, event_id,
+         sum(term) OVER w AS mm
+  FROM a
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), r AS (
+  SELECT user_id, event_id,
+         mm - min(mm) OVER w AS ph_int
+  FROM m
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id,
+       ph_int / 1000000.0 AS ph,
+       ph_int > {int(round(PH_P["lam"] * 1e6))} AS alarm
+FROM r
+"""
 # Robust (median/MAD) anomaly scoring: same frame as ANOM_WINDOW, the
 # classic 3.5 robust-z cutoff (Iglewicz-Hoaglin), threshold applied to
 # the QUANTIZED score.
@@ -4260,6 +4307,53 @@ def q_events_anomaly_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift test (operators/timeseries.py:page_hinkley):
+    the adaptive-mean CUSUM — no known target needed, the running mean
+    IS the baseline. Three stacked window passes on one series
+    Exchange; alarm evaluated on the quantized statistic."""
+    from symtseries_spark.operators.timeseries import page_hinkley
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    return page_hinkley(
+        ev, key="user_id", order=["ts_us", "event_id"], value="value", **PH_P
+    ).select("user_id", "event_id", "ph", "alarm")
+
+
+def q_events_page_hinkley_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same Page-Hinkley monitor as a REAL stream
+    (streaming/timeseries.py:page_hinkley_stream): four doubles of
+    keyed state, O(1)/event, stream state ≡ batch windows row for
+    row."""
+    import tempfile
+    import uuid
+
+    from symtseries_spark.sources import load_events_stream
+    from symtseries_spark.streaming import page_hinkley_stream
+
+    stream = load_events_stream(spark, sf_dir).withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    ph = page_hinkley_stream(
+        stream, key="user_id", order=["ts_us", "event_id"], value="value",
+        **PH_P,
+    )
+    name = f"ph_stream_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = (
+            ph.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ph_chk_"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    return spark.table(name).select("user_id", "event_id", "ph", "alarm")
+
+
 def q_events_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series OLS trend (slope/intercept over the row index): one
     row_number window pass + one map-side-combinable groupBy; integer
@@ -4659,6 +4753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_twap_stream": q_events_twap_stream,
         "events_ohlc": q_events_ohlc,
         "dedup_triangles": q_dedup_triangles,
+        "events_page_hinkley": q_events_page_hinkley,
+        "events_page_hinkley_stream": q_events_page_hinkley_stream,
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
         "events_lag_delta": q_events_lag_delta,
@@ -6296,6 +6392,10 @@ SELECT user_id, n_intervals,
        END AS twap
 FROM a
 """,
+        # Page-Hinkley: batch and stream share one prefix computation
+        # (stream replay covers the full series in arrival==sort order)
+        "events_page_hinkley": _PH_SQL,
+        "events_page_hinkley_stream": _PH_SQL,
         "events_twap_stream": """
 WITH e AS (
   SELECT user_id, epoch_us(ts) AS ts_us, event_id,

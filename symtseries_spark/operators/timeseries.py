@@ -992,3 +992,71 @@ def changepoint_segments(
         )
     )
     return root_rows.unionByName(seg_rows)
+
+
+def page_hinkley(
+    df: DataFrame,
+    *,
+    key: str,
+    order: Sequence[str],
+    value: str,
+    delta: float,
+    lam: float,
+    round_to: int = 6,
+) -> DataFrame:
+    """Page-Hinkley drift test per series: the adaptive-mean CUSUM.
+    ``m_t = sum_{i<=t} (x_i - mean_i - delta)`` with ``mean_i`` the
+    RUNNING mean, ``PH_t = m_t - min_{i<=t} m_i``, alarm when
+    ``PH_t > lam`` -> input rows + ``(ph, alarm)``. Where
+    :func:`cusum` needs a known target level, Page-Hinkley estimates
+    it as it goes — the drift monitor you can deploy on series with
+    unknown baselines.
+
+    Plan: ONE Exchange on the series key and three stacked window
+    passes over the same partitioning (running avg -> running sum of
+    the term -> running min); no joins, no recursion (the O(1)-state
+    recursion is the streaming twin's job,
+    :func:`streaming.timeseries.page_hinkley_stream`).
+
+    Parity: the statistic runs in EXACT INTEGER MICRO-UNITS end to
+    end. Values are floor-quantized ONCE to BIGINT micro counts
+    (stable: raw data sits off the half-micro boundary), the running
+    mean is the INTEGER-DIVISION round ``(2*sx + n) div (2n)`` of the
+    integer running sum (never a float ratio: a float mean quantized
+    at 1e-6 lands EXACTLY on half-micro boundaries whenever the
+    prefix count has a factor like 32 — measured 335/10k flipped
+    digits between engines), and the term sum / running min / alarm
+    compare are int64 arithmetic — bit-identical in any engine and
+    any summation order. Only the final emitted ``ph`` divides back
+    to a double. Nonnegative-value domain assumed (integer division
+    conventions agree there). NULL values contribute nothing and
+    carry the running statistic unchanged (the cusum convention).
+    """
+    if lam <= 0:
+        raise ValueError("page_hinkley needs lam > 0")
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scale = float(10 ** round_to)
+    x = F.col(value).cast("double")
+    v_int = F.floor(x * scale + F.lit(0.5)).cast("long")
+    delta_int = F.lit(int(round(float(delta) * scale)))
+    with_s = df.withColumn("__vi", v_int).withColumn(
+        "__sx", F.sum("__vi").over(w)
+    ).withColumn("__n", F.count("__vi").over(w))
+    mean_int = F.expr("(2 * __sx + __n) div (2 * __n)")
+    term = F.when(
+        F.col("__vi").isNotNull(), F.col("__vi") - mean_int - delta_int
+    )
+    with_m = with_s.withColumn("__t", term).withColumn(
+        "__m", F.sum("__t").over(w)
+    )
+    ph_int = F.col("__m") - F.min("__m").over(w)
+    lam_int = int(round(float(lam) * scale))
+    return (
+        with_m.withColumn("ph", ph_int.cast("double") / F.lit(scale))
+        .withColumn("alarm", ph_int > F.lit(lam_int))
+        .drop("__vi", "__sx", "__n", "__t", "__m")
+    )

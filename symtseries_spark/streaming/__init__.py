@@ -10,6 +10,7 @@ from .timeseries import (
     holt_stream,
     mad_zscore_stream,
     rolling_zscore_stream,
+    page_hinkley_stream,
     twap_stream,
 )
 from .tumbling import tumbling_sax_event_time
@@ -20,6 +21,7 @@ __all__ = [
     "holt_stream",
     "mad_zscore_stream",
     "funnel_stream",
+    "page_hinkley_stream",
     "rolling_zscore_stream",
     "twap_stream",
     "sliding_sax_stream",

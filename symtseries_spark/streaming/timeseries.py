@@ -735,3 +735,107 @@ def twap_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def page_hinkley_stream(
+    events: DataFrame,
+    *,
+    key: str,
+    order: list[str],
+    value: str,
+    delta: float,
+    lam: float,
+    round_to: int = 6,
+) -> DataFrame:
+    """Page-Hinkley drift monitor as a REAL stream: keyed state is
+    (count, integer value sum, integer statistic, integer running
+    min) —
+    O(1) per event, the recursion the batch twin replaces with
+    stacked window passes. The statistic runs in the batch operator's
+    EXACT INTEGER MICRO-UNITS (value and running mean floor-quantized
+    once to micro counts, then pure int64 sums/min), so stream state
+    ≡ batch windows row for row with no float-accumulation drift.
+    NULL/NaN values update nothing and emit the running PH unchanged
+    (NULL before the first real value)."""
+    key_field = events.schema[key]
+    order_fields = [events.schema[o] for o in order]
+    out_schema = StructType(
+        [
+            StructField(key_field.name, key_field.dataType),
+            *[StructField(f.name, f.dataType) for f in order_fields],
+            StructField("ph", DoubleType()),
+            StructField("alarm", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", DoubleType()),
+            StructField("sx", DoubleType()),
+            StructField("sraw", DoubleType()),
+            StructField("minm", DoubleType()),
+        ]
+    )
+    cols = [key, *order, value]
+    scale = float(10 ** round_to)
+    delta_int = int(round(float(delta) * scale))
+    lam_int = int(round(float(lam) * scale))
+
+    def handle(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        if state.exists:
+            n, sx_int, m_int, min_int = state.get
+            n, sx_int = int(n), int(sx_int)
+            m_int, min_int = int(m_int), int(min_int)
+        else:
+            n = sx_int = m_int = 0
+            min_int = None
+        whole = coalesce_chunks(pdfs)
+        if whole is not None:
+            pdf = whole.sort_values(order, kind="mergesort")
+            vals = pdf[value].astype("float64").to_numpy()
+            phs, alarms = [], []
+            for x in vals:
+                x = float(x)
+                if x == x:  # not NaN
+                    n += 1
+                    v_int = int(math.floor(x * scale + 0.5))
+                    sx_int += v_int
+                    mean_int = (2 * sx_int + n) // (2 * n)
+                    m_int += v_int - mean_int - delta_int
+                    min_int = (
+                        m_int if min_int is None else min(min_int, m_int)
+                    )
+                if n > 0:
+                    ph_int = m_int - min_int
+                    phs.append(ph_int / scale)
+                    alarms.append(ph_int > lam_int)
+                else:
+                    phs.append(None)
+                    alarms.append(None)
+            yield pd.DataFrame(
+                {
+                    key_field.name: pdf[key].to_numpy(),
+                    **{o: pdf[o].to_numpy() for o in order},
+                    "ph": pd.array(phs, dtype="Float64"),
+                    "alarm": pd.array(alarms, dtype="boolean"),
+                }
+            )
+        if n > 0:
+            state.update(
+                (float(n), float(sx_int), float(m_int), float(min_int))
+            )
+
+    return (
+        events.select(*cols)
+        .groupBy(key)
+        .applyInPandasWithState(
+            handle,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -567,3 +567,33 @@ class TestChangepointSegments:
         sides = {(r.level, r.side) for r in rows}
         assert (1, "root") in sides
         assert (2, "right") not in sides  # [9.0] alone cannot split
+
+
+class TestPageHinkley:
+    def test_drift_alarms_stationary_does_not(self, spark):
+        from symtseries_spark.operators.timeseries import page_hinkley
+
+        flat = [50.0 + (1.0 if i % 2 else -1.0) for i in range(30)]
+        drift = [50.0] * 15 + [90.0] * 15
+        df = _series(spark, flat, key=1).union(_series(spark, drift, key=2))
+        out = page_hinkley(
+            df, key="k", order=["i"], value="v", delta=5.0, lam=100.0
+        )
+        rows = out.collect()
+        flat_alarms = [r.alarm for r in rows if r.k == 1]
+        drift_alarms = [r.alarm for r in rows if r.k == 2]
+        assert not any(flat_alarms)
+        assert any(drift_alarms)
+        # PH is nonnegative by construction
+        assert all(r.ph >= 0 for r in rows)
+
+    def test_lam_guard(self, spark):
+        import pytest as _pt
+
+        from symtseries_spark.operators.timeseries import page_hinkley
+
+        with _pt.raises(ValueError):
+            page_hinkley(
+                _series(spark, [1.0]), key="k", order=["i"], value="v",
+                delta=1.0, lam=0.0,
+            )
