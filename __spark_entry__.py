@@ -4307,6 +4307,99 @@ def q_events_anomaly_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_cross_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair matrix by language pair: counts MinHash-LSH pairs
+    per (lang_a, lang_b) with lang_a <= lang_b — cross-language cells
+    flag translation/template duplicates that monolingual dedup
+    sweeps would keep twice. Two broadcast label joins over the pair
+    output."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, **MINHASH).select("doc_a", "doc_b")
+    la = docs.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("__la"))
+    lb = docs.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("__lb"))
+    return (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .select(
+            F.least("__la", "__lb").alias("lang_a"),
+            F.greatest("__la", "__lb").alias("lang_b"),
+        )
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM user scoring (recency / frequency / monetary), the classic
+    behavioral segmentation: per user days-since-last-event (vs the
+    corpus max timestamp), event count, and value sum, each mapped to
+    a 1-5 ntile score with deterministic (metric, user_id) tie order
+    -> (user_id, recency_days, frequency, monetary, r, f, m). One
+    aggregate + three rank windows over the per-user table
+    (|users| rows, not |events|)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts_us").alias("__last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("value"), 6).alias("monetary"),
+    )
+    mx = per_user.agg(F.max("__last").alias("__mx"))
+    base = per_user.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.expr("(__mx - __last) div 86400000000").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    rw = Window.orderBy(F.col("recency_days").desc(), F.col("user_id"))
+    fw = Window.orderBy(F.col("frequency"), F.col("user_id"))
+    mw = Window.orderBy(F.col("monetary"), F.col("user_id"))
+    return base.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(rw).alias("r"),
+        F.ntile(5).over(fw).alias("f"),
+        F.ntile(5).over(mw).alias("m"),
+    )
+
+
+def q_events_session_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-size distribution: how many sessions have 1, 2, 3, ...
+    events (log2-bucketed above 8) — the bounce-rate / engagement
+    shape read off the same single-window sessionization as
+    events_sessions, collapsed to a histogram whose key space is
+    bounded by log(max session length)."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    s = sessionize(ev, key="user_id", ts="ts_us", gap=SESSION_GAP_US)
+    sizes = s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    # explicit integer boundaries, NOT floor(log2(n)): Spark computes
+    # log2 as ln(x)/ln(2), which lands BELOW the exact integer for
+    # powers of two (floor flips vs an engine with a true log2)
+    bucket = (
+        F.when(F.col("__n") <= 8, F.lpad(F.col("__n").cast("string"), 2, "0"))
+        .when(F.col("__n") <= 16, F.lit("09-16"))
+        .when(F.col("__n") <= 32, F.lit("17-32"))
+        .when(F.col("__n") <= 64, F.lit("33-64"))
+        .when(F.col("__n") <= 128, F.lit("65-128"))
+        .otherwise(F.lit(">128"))
+    )
+    return (
+        sizes.groupBy(bucket.alias("size_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy("size_bucket")
+    )
+
+
 def q_events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page-Hinkley drift test (operators/timeseries.py:page_hinkley):
     the adaptive-mean CUSUM — no known target needed, the running mean
@@ -4755,6 +4848,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_triangles": q_dedup_triangles,
         "events_page_hinkley": q_events_page_hinkley,
         "events_page_hinkley_stream": q_events_page_hinkley_stream,
+        "dedup_cross_lang": q_dedup_cross_lang,
+        "events_rfm": q_events_rfm,
+        "events_session_sizes": q_events_session_sizes,
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
         "events_lag_delta": q_events_lag_delta,
@@ -6391,6 +6487,61 @@ SELECT user_id, n_intervals,
             THEN floor(wsum / tsum * 1000000.0 + 0.5) / 1000000.0
        END AS twap
 FROM a
+""",
+        "dedup_cross_lang": f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({ot.minhash_lsh_pairs_sql(**MINHASH)}) __p
+)
+SELECT least(la.lang, lb.lang) AS lang_a,
+       greatest(la.lang, lb.lang) AS lang_b,
+       count(*) AS n_pairs
+FROM pairs p
+JOIN documents la ON la.doc_id = p.doc_a
+JOIN documents lb ON lb.doc_id = p.doc_b
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "events_rfm": """
+WITH pu AS (
+  SELECT user_id, max(epoch_us(ts)) AS last_us,
+         count(*) AS frequency,
+         round(sum(value), 6) AS monetary
+  FROM events GROUP BY user_id
+), mx AS (SELECT max(last_us) AS mxv FROM pu)
+SELECT user_id,
+       (mxv - last_us) // 86400000000 AS recency_days,
+       frequency, monetary,
+       ntile(5) OVER (ORDER BY (mxv - last_us) // 86400000000 DESC,
+                      user_id) AS r,
+       ntile(5) OVER (ORDER BY frequency, user_id) AS f,
+       ntile(5) OVER (ORDER BY monetary, user_id) AS m
+FROM pu, mx
+""",
+        "events_session_sizes": f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+), f AS (
+  SELECT user_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+), g AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM f
+), sz AS (
+  SELECT user_id, session_id, count(*) AS n
+  FROM g GROUP BY user_id, session_id
+)
+SELECT CASE WHEN n <= 8 THEN lpad(CAST(n AS VARCHAR), 2, '0')
+            WHEN n <= 16 THEN '09-16'
+            WHEN n <= 32 THEN '17-32'
+            WHEN n <= 64 THEN '33-64'
+            WHEN n <= 128 THEN '65-128'
+            ELSE '>128' END AS size_bucket,
+       count(*) AS n_sessions
+FROM sz GROUP BY 1 ORDER BY 1
 """,
         # Page-Hinkley: batch and stream share one prefix computation
         # (stream replay covers the full series in arrival==sort order)
