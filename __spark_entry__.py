@@ -106,6 +106,35 @@ HOLT_P = dict(alpha=0.25, beta=0.125, window=16)
 CUSUM_P = dict(target=50.0, slack=8.0, threshold=256.0)
 PH_P = dict(delta=5.0, lam=256.0)
 
+
+def _key_skew_sql(table: str, key: str, top_n: int = 10) -> str:
+    """Twin of operators.pipeline.key_skew: exact integer rank sums
+    over the per-key count table, quantized ratios."""
+    return f"""
+WITH c AS (
+  SELECT {key} AS k, count(*) AS n FROM {table} GROUP BY {key}
+), r AS (
+  SELECT n,
+         row_number() OVER (ORDER BY n, k) AS ra,
+         row_number() OVER (ORDER BY n DESC, k) AS rd
+  FROM c
+), a AS (
+  SELECT count(*) AS n_keys, sum(n) AS total_rows, max(n) AS mx,
+         sum(ra * n) AS si,
+         sum(CASE WHEN rd <= {top_n} THEN n ELSE 0 END) AS topn
+  FROM r
+)
+SELECT n_keys, CAST(total_rows AS BIGINT) AS total_rows,
+       floor(CAST(mx AS DOUBLE) / total_rows * 1000000.0 + 0.5)
+         / 1000000.0 AS max_share,
+       floor(CAST(topn AS DOUBLE) / total_rows * 1000000.0 + 0.5)
+         / 1000000.0 AS top{top_n}_share,
+       floor((2.0 * si / (CAST(n_keys AS DOUBLE) * total_rows)
+              - (n_keys + 1.0) / n_keys) * 1000000.0 + 0.5)
+         / 1000000.0 AS gini
+FROM a
+"""
+
 # Twin of operators.timeseries.page_hinkley (and its streaming replay):
 # value + running mean floor-quantized ONCE to BIGINT micro counts,
 # then pure integer term sum / running min / alarm compare — zero
@@ -4307,6 +4336,26 @@ def q_events_anomaly_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew report for the events shuffle key
+    (operators/pipeline.py:key_skew): max/topN share + Gini of the
+    user_id histogram — the diagnostic behind every salting / AQE
+    skew-join decision in SCALING.md, as a first-class query."""
+    from symtseries_spark.operators.pipeline import key_skew
+
+    return key_skew(load(spark, sf_dir, "events"), key="user_id")
+
+
+def q_docs_source_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew report for the documents source/domain key — the
+    mega-domain detector that motivates docs_source_cap's salted
+    two-stage rank (a max_share near 1 means one domain would own a
+    partition)."""
+    from symtseries_spark.operators.pipeline import key_skew
+
+    return key_skew(load(spark, sf_dir, "documents"), key="source")
+
+
 def q_dedup_cross_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pair matrix by language pair: counts MinHash-LSH pairs
     per (lang_a, lang_b) with lang_a <= lang_b — cross-language cells
@@ -4851,6 +4900,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cross_lang": q_dedup_cross_lang,
         "events_rfm": q_events_rfm,
         "events_session_sizes": q_events_session_sizes,
+        "events_key_skew": q_events_key_skew,
+        "docs_source_skew": q_docs_source_skew,
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
         "events_lag_delta": q_events_lag_delta,
@@ -6488,6 +6539,8 @@ SELECT user_id, n_intervals,
        END AS twap
 FROM a
 """,
+        "events_key_skew": _key_skew_sql("events", "user_id"),
+        "docs_source_skew": _key_skew_sql("documents", "source"),
         "dedup_cross_lang": f"""
 WITH pairs AS (
   SELECT doc_a, doc_b FROM ({ot.minhash_lsh_pairs_sql(**MINHASH)}) __p

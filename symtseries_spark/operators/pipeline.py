@@ -617,3 +617,63 @@ def source_cap(
         .where(F.col("src_rank") <= per_source)
         .select("doc_id", "source", "src_rank", "quality_score")
     )
+
+
+def key_skew(
+    df: DataFrame,
+    *,
+    key: str,
+    top_n: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-row key-distribution skew report ->
+    ``(n_keys, total_rows, max_share, top{N}_share, gini)`` — the
+    operational diagnostic behind every partitioning decision in this
+    repo: a max_share near 1/partitions stalls a shuffle on one task,
+    and the Gini coefficient summarizes how far the key histogram is
+    from uniform (0 = uniform, -> 1 = one dominant key). Run it on
+    the join/groupBy key BEFORE picking salting or AQE skew handling.
+
+    Plan: one combinable count per key, then two rank windows over the
+    |keys|-row table (key-count-sized, NOT row-count-sized — the
+    single-partition global sort is over keys only) and one final
+    aggregate. All sums are exact integers (rank * count), so only
+    the emitted ratios are quantized: ``gini = 2*sum(i*x_i)/(k*total)
+    - (k+1)/k`` over ascending (count, key) ranks.
+    """
+    from pyspark.sql import Window
+
+    from .timeseries import quantize
+
+    if top_n < 1:
+        raise ValueError("key_skew needs top_n >= 1")
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
+    asc = Window.orderBy(F.col("__n"), F.col(key))
+    desc = Window.orderBy(F.col("__n").desc(), F.col(key))
+    ranked = counts.select(
+        "__n",
+        F.row_number().over(asc).alias("__ra"),
+        F.row_number().over(desc).alias("__rd"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("__n").alias("total_rows"),
+        F.max("__n").alias("__mx"),
+        F.sum(F.col("__ra") * F.col("__n")).alias("__si"),
+        F.sum(F.when(F.col("__rd") <= top_n, F.col("__n")).otherwise(0))
+        .alias("__topn"),
+    )
+    k = F.col("n_keys").cast("double")
+    tot = F.col("total_rows").cast("double")
+    gini = (
+        2.0 * F.col("__si").cast("double") / (k * tot) - (k + 1.0) / k
+    )
+    return agg.select(
+        "n_keys",
+        "total_rows",
+        quantize(F.col("__mx").cast("double") / tot, round_to)
+        .alias("max_share"),
+        quantize(F.col("__topn").cast("double") / tot, round_to)
+        .alias(f"top{top_n}_share"),
+        quantize(gini, round_to).alias("gini"),
+    )

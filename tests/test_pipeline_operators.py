@@ -506,3 +506,32 @@ class TestJaccardRefine:
             pair_a="left_id", pair_b="right_id",
         ).collect()
         assert r.left_id == 1 and r.right_id == 2 and r.jaccard > 0.2
+
+
+class TestKeySkew:
+    def test_uniform_keys_gini_zero(self, spark):
+        from symtseries_spark.operators.pipeline import key_skew
+
+        rows = [(k, i) for k in range(10) for i in range(5)]
+        df = spark.createDataFrame(rows, "k long, i long")
+        r = key_skew(df, key="k").collect()[0]
+        assert r.n_keys == 10 and r.total_rows == 50
+        assert r.max_share == pytest.approx(0.1, abs=1e-6)
+        assert r.gini == pytest.approx(0.0, abs=1e-6)
+
+    def test_dominant_key_detected(self, spark):
+        from symtseries_spark.operators.pipeline import key_skew
+
+        rows = [(0, i) for i in range(90)] + [(k, 0) for k in range(1, 11)]
+        df = spark.createDataFrame(rows, "k long, i long")
+        r = key_skew(df, key="k", top_n=1).collect()[0]
+        assert r.max_share == pytest.approx(0.9, abs=1e-6)
+        assert r.top1_share == pytest.approx(0.9, abs=1e-6)
+        assert r.gini > 0.7  # heavily skewed
+
+    def test_guard(self, spark):
+        from symtseries_spark.operators.pipeline import key_skew
+
+        df = spark.createDataFrame([(1, 1)], "k long, i long")
+        with pytest.raises(ValueError):
+            key_skew(df, key="k", top_n=0)
