@@ -4336,6 +4336,21 @@ def q_events_anomaly_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group HLL: distinct users per event type estimated through
+    the deterministic md5 register sketch, reported beside the exact
+    count-distinct with per-group relative error
+    (operators/sketches.py:hll_grouped) — the sketch the way
+    production uses it, as a grouped aggregate that merges by max
+    across shards."""
+    from symtseries_spark.operators.sketches import hll_grouped
+
+    return hll_grouped(
+        load(spark, sf_dir, "events"),
+        group="event_type", col="user_id", p=HLL_P,
+    )
+
+
 def q_events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew report for the events shuffle key
     (operators/pipeline.py:key_skew): max/topN share + Gini of the
@@ -4901,6 +4916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rfm": q_events_rfm,
         "events_session_sizes": q_events_session_sizes,
         "events_key_skew": q_events_key_skew,
+        "events_hll_by_type": q_events_hll_by_type,
         "docs_source_skew": q_docs_source_skew,
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
@@ -6540,6 +6556,9 @@ SELECT user_id, n_intervals,
 FROM a
 """,
         "events_key_skew": _key_skew_sql("events", "user_id"),
+        "events_hll_by_type": ot.hll_grouped_sql(
+            group="event_type", col="user_id", p=HLL_P, table="events",
+        ),
         "docs_source_skew": _key_skew_sql("documents", "source"),
         "dedup_cross_lang": f"""
 WITH pairs AS (

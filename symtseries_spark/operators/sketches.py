@@ -397,3 +397,73 @@ def histogram_quantiles(
         "exact",
         quantize(F.abs(est - F.col("exact")), round_to).alias("abs_err"),
     )
+
+
+def hll_grouped(
+    df: DataFrame,
+    *,
+    group: str,
+    col: str,
+    p: int = 9,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate WITH its exact
+    reference -> ``(group, exact_distinct, n_buckets_used, hll_est,
+    rel_err)`` — the sketch used the way production uses it: as a
+    GROUPED aggregate (distinct users per event type / distinct urls
+    per domain), with the accuracy driver-visible per group like the
+    recall family. Registers are the deterministic md5 bucket/rank of
+    :func:`hll_registers`, keyed by (group, bucket) — still bounded at
+    ``|groups| * m`` rows and still max-mergeable across shards. The
+    exact leg is one count-distinct sharing the same shuffle key; at
+    100 TB you drop it and keep the sketch."""
+    if not 4 <= p <= 14:
+        raise ValueError("hll_grouped needs 4 <= p <= 14")
+    m = 1 << p
+    width = hll_rank_width(p)
+    h = doc_hash60(F.col(col).cast("string"))
+    w = F.shiftrightunsigned(h, p)
+    rank = F.when(w > 0, F.lit(width) - F.length(F.bin(w)) + 1).otherwise(
+        F.lit(width + 1)
+    )
+    regs = (
+        df.where(F.col(col).isNotNull())
+        .select(F.col(group), (h % m).alias("bucket"), rank.alias("__r"))
+        .groupBy(group, "bucket")
+        .agg(F.max("__r").alias("max_rank"))
+    )
+    alpha = hll_alpha(m)
+    lift = width + 1
+    scale = 1 << lift
+    agg = regs.groupBy(group).agg(
+        F.count(F.lit(1)).alias("n_buckets_used"),
+        F.sum(F.expr(f"shiftleft(1L, cast({lift} - max_rank as int))"))
+        .alias("__s_used"),
+    )
+    s_int = F.col("__s_used") + (F.lit(m) - F.col("n_buckets_used")) * F.lit(
+        scale
+    ).cast("long")
+    raw = F.lit(alpha * m * m) * F.lit(float(scale)) / s_int.cast("double")
+    zeros = (F.lit(m) - F.col("n_buckets_used")).cast("double")
+    small = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    est = F.when((raw <= 2.5 * m) & (zeros > 0), small).otherwise(raw)
+    q = float(10 ** round_to)
+    est_q = F.floor(est * q + F.lit(0.5)) / q
+    exact = df.where(F.col(col).isNotNull()).groupBy(group).agg(
+        F.countDistinct(col).alias("exact_distinct")
+    )
+    return exact.join(agg, group).select(
+        group,
+        "exact_distinct",
+        "n_buckets_used",
+        est_q.alias("hll_est"),
+        (
+            F.floor(
+                F.abs(est_q - F.col("exact_distinct").cast("double"))
+                / F.col("exact_distinct").cast("double")
+                * q
+                + F.lit(0.5)
+            )
+            / q
+        ).alias("rel_err"),
+    )

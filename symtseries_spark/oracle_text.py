@@ -1195,3 +1195,57 @@ SELECT grp AS {group_col}, n_terms,
          AS zipf_intercept
 FROM fit
 """
+
+
+def hll_grouped_sql(
+    *, group: str, col: str, p: int = 9, table: str = "events"
+) -> str:
+    """Twin of sketches.hll_grouped: the hll_distinct_sql register /
+    estimate math keyed by a group column, joined to the exact
+    count-distinct, with the relative error computed from the
+    QUANTIZED estimate exactly as the Spark side does."""
+    from .operators.sketches import hll_alpha, hll_rank_width
+
+    m = 1 << p
+    width = hll_rank_width(p)
+    lift = width + 1
+    am2 = repr(hll_alpha(m) * m * m)
+    scale = float(1 << lift)
+    h = hash60(f"CAST({col} AS VARCHAR)")
+    return f"""
+WITH h AS (
+  SELECT {group} AS grp, {h} AS h FROM {table} WHERE {col} IS NOT NULL
+), r AS (
+  SELECT grp, h % {m} AS bucket,
+         max(CASE WHEN (h >> {p}) > 0
+                  THEN {width} - length(bin(h >> {p})) + 1
+                  ELSE {width + 1} END) AS max_rank
+  FROM h GROUP BY grp, bucket
+), a AS (
+  SELECT grp, count(*) AS n_buckets_used,
+         CAST(sum(1::BIGINT << ({lift} - max_rank)) AS BIGINT) AS s_used
+  FROM r GROUP BY grp
+), e AS (
+  SELECT grp, n_buckets_used,
+         CAST({m} - n_buckets_used AS DOUBLE) AS zeros,
+         CAST({am2} AS DOUBLE) * CAST({scale!r} AS DOUBLE) /
+           CAST(s_used + ({m} - n_buckets_used) * (1::BIGINT << {lift})
+                AS DOUBLE) AS raw
+  FROM a
+), q AS (
+  SELECT grp, n_buckets_used,
+         floor((CASE WHEN raw <= 2.5 * {m} AND zeros > 0
+                     THEN CAST({m} AS DOUBLE)
+                          * ln(CAST({m} AS DOUBLE) / zeros)
+                     ELSE raw END) * 1e4 + 0.5) / 1e4 AS hll_est
+  FROM e
+), x AS (
+  SELECT {group} AS grp, count(DISTINCT {col}) AS exact_distinct
+  FROM {table} WHERE {col} IS NOT NULL GROUP BY 1
+)
+SELECT x.grp AS {group}, exact_distinct, n_buckets_used, hll_est,
+       floor(abs(hll_est - CAST(exact_distinct AS DOUBLE))
+             / CAST(exact_distinct AS DOUBLE) * 1e4 + 0.5) / 1e4
+         AS rel_err
+FROM x JOIN q USING (grp)
+"""

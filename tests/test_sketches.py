@@ -211,3 +211,33 @@ class TestHistogramQuantiles:
             histogram_quantiles(df, value="v", bins=1)
         with pytest.raises(ValueError):
             histogram_quantiles(df, value="v", quantiles=(0.0, 0.5))
+
+
+class TestHllGrouped:
+    def test_per_group_estimates_track_exact(self, spark):
+        from pyspark.sql import Row
+
+        from symtseries_spark.operators.sketches import hll_grouped
+
+        rows = [Row(g="a", u=i) for i in range(200)]
+        rows += [Row(g="b", u=i) for i in range(40)]
+        rows += [Row(g="b", u=i) for i in range(40)]  # duplicates
+        df = spark.createDataFrame(rows)
+        out = {r.g: r for r in hll_grouped(
+            df, group="g", col="u", p=9
+        ).collect()}
+        assert out["a"].exact_distinct == 200
+        assert out["b"].exact_distinct == 40
+        for r in out.values():
+            # p=9 small-range correction: should be within a few %
+            assert r.rel_err < 0.1
+            assert r.n_buckets_used <= r.exact_distinct
+
+    def test_guard(self, spark):
+        from pyspark.sql import Row
+
+        from symtseries_spark.operators.sketches import hll_grouped
+
+        df = spark.createDataFrame([Row(g="a", u=1)])
+        with pytest.raises(ValueError):
+            hll_grouped(df, group="g", col="u", p=2)
