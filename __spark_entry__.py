@@ -4351,6 +4351,46 @@ def q_events_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: Jaccard of the USER SETS behind each
+    event-type pair -> (type_a, type_b, n_common, n_a, n_b, jaccard).
+    The segmentation sanity check (near-1 pairs are the same audience
+    twice; near-0 pairs genuinely partition the users). One distinct
+    (type, user) projection, an equi-join on user, integer set sizes —
+    the same inverted-index shape as the shingle dedup legs, keyed by
+    user instead of shingle."""
+    ev = load(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("__n"))
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    common = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("__n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("__n").alias("n_b"))
+    return (
+        common.join(sa, "type_a")
+        .join(sb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
 def q_events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew report for the events shuffle key
     (operators/pipeline.py:key_skew): max/topN share + Gini of the
@@ -4917,6 +4957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_sizes": q_events_session_sizes,
         "events_key_skew": q_events_key_skew,
         "events_hll_by_type": q_events_hll_by_type,
+        "events_audience_overlap": q_events_audience_overlap,
         "docs_source_skew": q_docs_source_skew,
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
@@ -6556,6 +6597,25 @@ SELECT user_id, n_intervals,
 FROM a
 """,
         "events_key_skew": _key_skew_sql("events", "user_id"),
+        "events_audience_overlap": """
+WITH tu AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), sz AS (
+  SELECT event_type, count(*) AS n FROM tu GROUP BY event_type
+), cm AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n_common
+  FROM tu a JOIN tu b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_common, sa.n AS n_a, sb.n AS n_b,
+       round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM cm
+JOIN sz sa ON sa.event_type = cm.type_a
+JOIN sz sb ON sb.event_type = cm.type_b
+ORDER BY type_a, type_b
+""",
         "events_hll_by_type": ot.hll_grouped_sql(
             group="event_type", col="user_id", p=HLL_P, table="events",
         ),
