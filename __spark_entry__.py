@@ -255,6 +255,7 @@ CORPUS_FILTER3 = dict(min_novelty=0.2)
 STL = dict(trend_window=12)
 ACF_MAX_LAG = 5
 SAX_MOTIF_K = 20
+DOM_PERIOD_MAX_LAG = 12
 SEASONAL_ANOM = dict(threshold=3.5)
 HW_P = dict(alpha=0.5, beta=0.3, gamma=0.2, season=8, window=32)
 
@@ -3624,6 +3625,76 @@ def q_events_changepoint2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution shape per event type: population skewness and
+    excess kurtosis from quantized raw moments -> (event_type, n,
+    mean, variance, skewness, kurt_excess). NOT Spark's built-in
+    skewness/kurtosis (engine-internal one-pass updates differ
+    across engines): avg(x^k) for k=1..4 are each quantized, then the
+    central-moment combination is identical IEEE arithmetic on both
+    sides, with var*sqrt(var) instead of pow(var, 1.5). One
+    map-side-combinable aggregate."""
+    from symtseries_spark.operators.timeseries import quantize
+
+    x = F.col("value").cast("double")
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        quantize(F.avg(x), 6).alias("__m1"),
+        quantize(F.avg(x * x), 6).alias("__m2"),
+        quantize(F.avg(x * x * x), 6).alias("__m3"),
+        quantize(F.avg(x * x * x * x), 6).alias("__m4"),
+    )
+    m1, m2 = F.col("__m1"), F.col("__m2")
+    m3, m4 = F.col("__m3"), F.col("__m4")
+    var = m2 - m1 * m1
+    c3 = m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1
+    c4 = m4 - 4.0 * m1 * m3 + 6.0 * m1 * m1 * m2 - 3.0 * m1 * m1 * m1 * m1
+    return agg.select(
+        "event_type",
+        "n",
+        quantize(m1, 6).alias("mean"),
+        quantize(var, 6).alias("variance"),
+        F.when(var > 0, quantize(c3 / (var * F.sqrt(var)), 6))
+        .alias("skewness"),
+        F.when(var > 0, quantize(c4 / (var * var) - 3.0, 6))
+        .alias("kurt_excess"),
+    ).orderBy("event_type")
+
+
+def q_events_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant period per series: the lag in 1..12 with the largest
+    |ACF|, with the (|acf| desc, lag asc) tiebreak -> (user_id, lag_k,
+    acf, n_pairs). The automatic season-picker feeding Holt-Winters /
+    STL period choices — composition over
+    operators/timeseries.py:autocorrelation at a wider lag range."""
+    from symtseries_spark.operators.timeseries import autocorrelation
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    acf = autocorrelation(
+        ev, key="user_id", order=["ts_us", "event_id"], value="value",
+        max_lag=DOM_PERIOD_MAX_LAG,
+    )
+    pick = acf.where(F.col("acf").isNotNull()).groupBy("user_id").agg(
+        F.min(
+            F.struct(
+                (-F.abs(F.col("acf"))).alias("__neg"),
+                F.col("lag_k").alias("__lag"),
+                F.col("acf").alias("__acf"),
+                F.col("n_pairs").alias("__np"),
+            )
+        ).alias("__b")
+    )
+    return pick.select(
+        "user_id",
+        F.col("__b.__lag").alias("lag_k"),
+        F.col("__b.__acf").alias("acf"),
+        F.col("__b.__np").alias("n_pairs"),
+    )
+
+
 def q_events_hw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive Holt-Winters over trailing windows — the seasonal
     completion of the exponential family (events_ewma -> events_holt ->
@@ -4958,6 +5029,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_key_skew": q_events_key_skew,
         "events_hll_by_type": q_events_hll_by_type,
         "events_audience_overlap": q_events_audience_overlap,
+        "events_dominant_period": q_events_dominant_period,
+        "events_moments": q_events_moments,
         "docs_source_skew": q_docs_source_skew,
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
@@ -5925,6 +5998,14 @@ FROM e WINDOW fr AS (PARTITION BY user_id ORDER BY ts_us
         # null-dropping (operators/timeseries.py ewma docstring).
         "events_acf": oc.autocorrelation_sql(max_lag=ACF_MAX_LAG),
         "events_changepoint": oc.changepoint_sql(),
+        "events_dominant_period": f"""
+WITH acf AS ({oc.autocorrelation_sql(max_lag=DOM_PERIOD_MAX_LAG)})
+SELECT user_id, lag_k, acf, n_pairs FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY abs(acf) DESC, lag_k) AS rk
+  FROM acf WHERE acf IS NOT NULL)
+WHERE rk = 1
+""",
         "events_changepoint2": oc.changepoint_segments_sql(),
         "dedup_pagerank": _pagerank_oracle_sql(),
         "events_hist_quantiles": f"""
@@ -6597,6 +6678,38 @@ SELECT user_id, n_intervals,
 FROM a
 """,
         "events_key_skew": _key_skew_sql("events", "user_id"),
+        "events_moments": """
+WITH a AS (
+  SELECT event_type, count(*) AS n,
+         floor(avg(CAST(value AS DOUBLE)) * 1000000.0 + 0.5)
+           / 1000000.0 AS m1,
+         floor(avg(CAST(value AS DOUBLE) * CAST(value AS DOUBLE))
+               * 1000000.0 + 0.5) / 1000000.0 AS m2,
+         floor(avg(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+                   * CAST(value AS DOUBLE)) * 1000000.0 + 0.5)
+           / 1000000.0 AS m3,
+         floor(avg(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+                   * CAST(value AS DOUBLE) * CAST(value AS DOUBLE))
+               * 1000000.0 + 0.5) / 1000000.0 AS m4
+  FROM events GROUP BY event_type
+), c AS (
+  SELECT event_type, n, m1, m2 - m1 * m1 AS var,
+         m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1 AS c3,
+         m4 - 4.0 * m1 * m3 + 6.0 * m1 * m1 * m2
+            - 3.0 * m1 * m1 * m1 * m1 AS c4
+  FROM a
+)
+SELECT event_type, n,
+       floor(m1 * 1000000.0 + 0.5) / 1000000.0 AS mean,
+       floor(var * 1000000.0 + 0.5) / 1000000.0 AS variance,
+       CASE WHEN var > 0
+            THEN floor(c3 / (var * sqrt(var)) * 1000000.0 + 0.5)
+                   / 1000000.0 END AS skewness,
+       CASE WHEN var > 0
+            THEN floor((c4 / (var * var) - 3.0) * 1000000.0 + 0.5)
+                   / 1000000.0 END AS kurt_excess
+FROM c ORDER BY event_type
+""",
         "events_audience_overlap": """
 WITH tu AS (
   SELECT DISTINCT event_type, user_id FROM events
