@@ -108,6 +108,25 @@ QUERIES = [
     "events_stl_strength",
     "docs_zipf_slope",
     "dedup_pagerank",
+    # round-4 fifth batch: changepoint2 doubles the window stack on the
+    # same shuffle; PH/TWAP/OHLC/moments are single-pass series ops;
+    # hist-quantiles collapses to 256 rows; RFM/skew/audience run over
+    # key-cardinality tables; session-sizes rides the sessionize
+    # window; hll_by_type is groups x m registers; triangles' pair
+    # graph stays replica-local (content unique per replica)
+    "events_changepoint2",
+    "events_page_hinkley",
+    "events_twap",
+    "events_ohlc",
+    "events_moments",
+    "events_hist_quantiles",
+    "events_rfm",
+    "events_session_sizes",
+    "events_key_skew",
+    "events_hll_by_type",
+    "events_audience_overlap",
+    "events_dominant_period",
+    "dedup_triangles",
 ]
 
 # Stateful streaming replays: timed WITHOUT a warm pass (each call
