@@ -4512,7 +4512,11 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1-5 ntile score with deterministic (metric, user_id) tie order
     -> (user_id, recency_days, frequency, monetary, r, f, m). One
     aggregate + three rank windows over the per-user table
-    (|users| rows, not |events|)."""
+    (|users| rows, not |events|). The exact global ntile is the
+    oracle-able form; at 100 TB swap the three windows for
+    percentile_approx quintile THRESHOLDS broadcast back (one pass,
+    no global sort) — same pattern as docs_ccnet_bucket's rank
+    gate."""
     from pyspark.sql import Window
 
     ev = load(spark, sf_dir, "events").withColumn(
