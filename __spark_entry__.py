@@ -3597,6 +3597,44 @@ def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_ohlc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running OHLC bars through a REAL stream
+    (streaming/timeseries.py:ohlc_stream): one open bar of keyed state
+    (six numbers), O(1)/event, bars roll at the day boundary. Emits
+    the running bar per event; the oracle replays the prefix with
+    running first/max/min frames per (user, day). Raw value
+    comparisons only — no arithmetic, so parity needs no
+    quantization."""
+    import tempfile
+    import uuid
+
+    from symtseries_spark.sources import load_events_stream
+    from symtseries_spark.streaming import ohlc_stream
+
+    stream = load_events_stream(spark, sf_dir).withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    bars = ohlc_stream(
+        stream, key="user_id", order=["ts_us", "event_id"],
+        ts="ts_us", value="value",
+    )
+    name = f"ohlc_stream_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = (
+            bars.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ohlc_chk_"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    return spark.table(name).select(
+        "user_id", "event_id", "day", "open", "high", "low", "close",
+        "volume",
+    )
+
+
 def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series single changepoint (binary-segmentation step 1,
     operators/timeseries.py:changepoint): the split minimizing the
@@ -5035,6 +5073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_audience_overlap": q_events_audience_overlap,
         "events_dominant_period": q_events_dominant_period,
         "events_moments": q_events_moments,
+        "events_ohlc_stream": q_events_ohlc_stream,
         "docs_source_skew": q_docs_source_skew,
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
@@ -6682,6 +6721,23 @@ SELECT user_id, n_intervals,
 FROM a
 """,
         "events_key_skew": _key_skew_sql("events", "user_id"),
+        "events_ohlc_stream": """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+)
+SELECT user_id, event_id, ts_us // 86400000000 AS day,
+       first_value(v) OVER w AS open,
+       max(v) OVER w AS high,
+       min(v) OVER w AS low,
+       v AS close,
+       count(*) OVER w AS volume
+FROM e
+WINDOW w AS (PARTITION BY user_id, ts_us // 86400000000
+             ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
         "events_moments": """
 WITH a AS (
   SELECT event_type, count(*) AS n,

@@ -10,6 +10,7 @@ from .timeseries import (
     holt_stream,
     mad_zscore_stream,
     rolling_zscore_stream,
+    ohlc_stream,
     page_hinkley_stream,
     twap_stream,
 )
@@ -21,6 +22,7 @@ __all__ = [
     "holt_stream",
     "mad_zscore_stream",
     "funnel_stream",
+    "ohlc_stream",
     "page_hinkley_stream",
     "rolling_zscore_stream",
     "twap_stream",

@@ -839,3 +839,105 @@ def page_hinkley_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def ohlc_stream(
+    events: DataFrame,
+    *,
+    key: str,
+    order: list[str],
+    ts: str,
+    value: str,
+    bucket_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Running OHLC bar through a REAL stream: keyed state is ONE open
+    bar (bucket id + open/high/low/close/volume — six numbers), O(1)
+    per event; a new time bucket closes the previous bar and opens a
+    fresh one (arrival order == event-time order, the replay-stream
+    contract shared by every stream twin here). Emits the RUNNING bar
+    per event -> ``(key, order..., day, open, high, low, close,
+    volume)`` — the oracle replays the same prefix with running
+    first/max/min window frames per (key, bucket)."""
+    key_field = events.schema[key]
+    order_fields = [events.schema[o] for o in order]
+    out_schema = StructType(
+        [
+            StructField(key_field.name, key_field.dataType),
+            *[StructField(f.name, f.dataType) for f in order_fields],
+            StructField("day", LongType()),
+            StructField("open", DoubleType()),
+            StructField("high", DoubleType()),
+            StructField("low", DoubleType()),
+            StructField("close", DoubleType()),
+            StructField("volume", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("day", DoubleType()),
+            StructField("o", DoubleType()),
+            StructField("h", DoubleType()),
+            StructField("l", DoubleType()),
+            StructField("c", DoubleType()),
+            StructField("n", DoubleType()),
+        ]
+    )
+    cols = list(dict.fromkeys([key, *order, ts, value]))
+
+    def handle(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            day, o, h, l, c, n = state.get
+            day, n = int(day), int(n)
+        else:
+            day = None
+            o = h = l = c = None
+            n = 0
+        whole = coalesce_chunks(pdfs)
+        if whole is not None:
+            pdf = whole.sort_values(order, kind="mergesort")
+            tvals = pdf[ts].astype("int64").to_numpy()
+            vvals = pdf[value].astype("float64").to_numpy()
+            out = {k: [] for k in ("day", "o", "h", "l", "c", "n")}
+            for t, x in zip(tvals, vvals):
+                d = int(t) // bucket_us
+                x = float(x)
+                if d != day:
+                    day, o, h, l, c, n = d, x, x, x, x, 1
+                else:
+                    h, l, c, n = max(h, x), min(l, x), x, n + 1
+                out["day"].append(day)
+                out["o"].append(o)
+                out["h"].append(h)
+                out["l"].append(l)
+                out["c"].append(c)
+                out["n"].append(n)
+            yield pd.DataFrame(
+                {
+                    key_field.name: pdf[key].to_numpy(),
+                    **{oc_: pdf[oc_].to_numpy() for oc_ in order},
+                    "day": pd.array(out["day"], dtype="Int64"),
+                    "open": pd.array(out["o"], dtype="Float64"),
+                    "high": pd.array(out["h"], dtype="Float64"),
+                    "low": pd.array(out["l"], dtype="Float64"),
+                    "close": pd.array(out["c"], dtype="Float64"),
+                    "volume": pd.array(out["n"], dtype="Int64"),
+                }
+            )
+        if day is not None:
+            state.update(
+                (float(day), float(o), float(h), float(l), float(c), float(n))
+            )
+
+    return (
+        events.select(*cols)
+        .groupBy(key)
+        .applyInPandasWithState(
+            handle,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

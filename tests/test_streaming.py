@@ -685,3 +685,56 @@ class TestTwapStream:
             n, tw_v = got[i]
             assert n == i
             assert tw_v == pytest.approx(wsum / tsum, abs=1e-9)
+
+
+class TestOhlcStream:
+    def test_bars_roll_at_bucket_boundary_across_batches(self, spark):
+        import glob as globmod
+        import os
+        import tempfile
+        import uuid
+
+        from symtseries_spark.streaming import ohlc_stream
+
+        # bucket 0: t in [0,10); bucket 1: t in [10,20) — batch split
+        # mid-bucket to prove state carries the open bar over
+        rows = [
+            (1, 0, 0, 5.0), (1, 3, 1, 9.0), (1, 6, 2, 2.0),
+            (1, 12, 3, 7.0), (1, 15, 4, 1.0),
+        ]
+        df = spark.createDataFrame(rows, "k long, t long, i long, v double")
+        in_dir = tempfile.mkdtemp(prefix="ohlc_in_")
+        stage = tempfile.mkdtemp(prefix="ohlc_stage_")
+        df.where("i < 2").coalesce(1).write.parquet(f"{stage}/b0")
+        df.where("i >= 2").coalesce(1).write.parquet(f"{stage}/b1")
+        for i in range(2):
+            part = globmod.glob(f"{stage}/b{i}/part-*.parquet")[0]
+            dst = f"{in_dir}/b{i}.parquet"
+            os.rename(part, dst)
+            os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+        stream = spark.readStream.schema(df.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(in_dir)
+        bars = ohlc_stream(
+            stream, key="k", order=["t", "i"], ts="t", value="v",
+            bucket_us=10,
+        )
+        name = f"ohlc_t_{uuid.uuid4().hex[:8]}"
+        q = (
+            bars.writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ohlc_tc_"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {r.i: r for r in spark.table(name).collect()}
+        # running bar within bucket 0 (incl. the cross-batch row i=2)
+        assert (got[0].open, got[0].high, got[0].low, got[0].close,
+                got[0].volume) == (5.0, 5.0, 5.0, 5.0, 1)
+        assert (got[2].open, got[2].high, got[2].low, got[2].close,
+                got[2].volume) == (5.0, 9.0, 2.0, 2.0, 3)
+        # bucket rolls at t=12
+        assert got[3].day == 1
+        assert (got[3].open, got[3].volume) == (7.0, 1)
+        assert (got[4].high, got[4].low, got[4].close) == (7.0, 1.0, 1.0)
