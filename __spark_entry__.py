@@ -1299,6 +1299,58 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "cluster", "d2")
 
 
+def q_emb_fisher_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension Fisher ratio (between-class / within-class
+    variance over the label column), top-10 dims -> (dim, fisher,
+    between_var, within_var). The linear-separability complement of
+    emb_knn_label_acc: which coordinates actually carry the labels
+    (feature selection / probe design). One posexplode bounded by
+    dim, two combinable groupBys, a 10-row result."""
+    from symtseries_spark.operators.timeseries import quantize
+
+    emb = load(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "__x"
+        ),
+    )
+    cls = d.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("__nc"),
+        quantize(F.avg("__x"), 6).alias("__muc"),
+        quantize(F.avg(F.col("__x") * F.col("__x")), 6).alias("__m2c"),
+    )
+    glob = d.groupBy("dim").agg(
+        quantize(F.avg("__x"), 6).alias("__mu"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    j = cls.join(glob, "dim")
+    dm = F.col("__muc") - F.col("__mu")
+    per_dim = j.groupBy("dim").agg(
+        quantize(
+            F.sum(F.col("__nc") * dm * dm) / F.first("__n"), 6
+        ).alias("between_var"),
+        quantize(
+            F.sum(
+                F.col("__nc")
+                * (F.col("__m2c") - F.col("__muc") * F.col("__muc"))
+            )
+            / F.first("__n"),
+            6,
+        ).alias("within_var"),
+    )
+    fisher = F.when(
+        F.col("within_var") > 0,
+        quantize(F.col("between_var") / F.col("within_var"), 6),
+    )
+    return (
+        per_dim.select("dim", fisher.alias("fisher"), "between_var",
+                       "within_var")
+        .orderBy(F.desc("fisher"), "dim")
+        .limit(10)
+    )
+
+
 def q_emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster simplified silhouette over the k-means partition
     (operators/cluster.py:kmeans_silhouette): the O(n*k)
@@ -1486,6 +1538,41 @@ def q_docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from symtseries_spark.operators.retrieval import char_entropy
 
     return char_entropy(load(spark, sf_dir, "documents"))
+
+
+def q_docs_source_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level template detection: per source, the share of docs
+    OPENING with the same 3-token prefix -> (source, n_docs,
+    top_prefix, top_prefix_share). A high share means the source
+    wraps every page in the same header — the cross-doc complement of
+    docs_boilerplate's within-doc metric, and the trigger for
+    source-targeted scrubbing. One scan-stage prefix expression + two
+    combinable groupBys."""
+    from symtseries_spark.functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    prefix = F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 3))
+    counts = (
+        docs.select("source", prefix.alias("__p"))
+        .groupBy("source", "__p")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    pick = counts.groupBy("source").agg(
+        F.sum("__c").alias("n_docs"),
+        F.min(
+            F.struct(
+                (-F.col("__c")).alias("__neg"), F.col("__p").alias("__pp")
+            )
+        ).alias("__b"),
+    )
+    return pick.select(
+        "source",
+        "n_docs",
+        F.col("__b.__pp").alias("top_prefix"),
+        F.round(
+            (-F.col("__b.__neg")).cast("double") / F.col("n_docs"), 6
+        ).alias("top_prefix_share"),
+    ).orderBy("source")
 
 
 def q_docs_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5074,6 +5161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dominant_period": q_events_dominant_period,
         "events_moments": q_events_moments,
         "events_ohlc_stream": q_events_ohlc_stream,
+        "docs_source_boilerplate": q_docs_source_boilerplate,
+        "emb_fisher_dims": q_emb_fisher_dims,
         "docs_source_skew": q_docs_source_skew,
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
@@ -6721,6 +6810,24 @@ SELECT user_id, n_intervals,
 FROM a
 """,
         "events_key_skew": _key_skew_sql("events", "user_id"),
+        "docs_source_boilerplate": f"""
+WITH p AS (
+  SELECT source,
+         array_to_string(list_slice({ot.tokens_expr()}, 1, 3), ' ') AS pfx
+  FROM documents
+), c AS (
+  SELECT source, pfx, count(*) AS n FROM p GROUP BY source, pfx
+), pick AS (
+  SELECT source, n, pfx,
+         sum(n) OVER (PARTITION BY source) AS n_docs,
+         row_number() OVER (PARTITION BY source ORDER BY n DESC, pfx)
+           AS rk
+  FROM c
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs, pfx AS top_prefix,
+       round(CAST(n AS DOUBLE) / n_docs, 6) AS top_prefix_share
+FROM pick WHERE rk = 1 ORDER BY source
+""",
         "events_ohlc_stream": """
 WITH e AS (
   SELECT user_id, epoch_us(ts) AS ts_us, event_id,
@@ -7208,6 +7315,34 @@ FROM rk
             min_novelty=CORPUS_FILTER3["min_novelty"],
             per_source=SOURCE_CAP, novelty_k=NOVELTY_K, **DSIR,
         ),
+        "emb_fisher_dims": f"""
+WITH d AS (
+  SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, range(1, {EMB_DIM + 1}) t(i)
+), cls AS (
+  SELECT label, dim, count(*) AS nc,
+         floor(avg(x) * 1000000.0 + 0.5) / 1000000.0 AS muc,
+         floor(avg(x * x) * 1000000.0 + 0.5) / 1000000.0 AS m2c
+  FROM d GROUP BY label, dim
+), g AS (
+  SELECT dim, floor(avg(x) * 1000000.0 + 0.5) / 1000000.0 AS mu,
+         count(*) AS n
+  FROM d GROUP BY dim
+), pd AS (
+  SELECT c.dim,
+         floor(sum(nc * (muc - mu) * (muc - mu)) / min(n)
+               * 1000000.0 + 0.5) / 1000000.0 AS between_var,
+         floor(sum(nc * (m2c - muc * muc)) / min(n)
+               * 1000000.0 + 0.5) / 1000000.0 AS within_var
+  FROM cls c JOIN g USING (dim) GROUP BY c.dim
+)
+SELECT dim,
+       CASE WHEN within_var > 0
+            THEN floor(between_var / within_var * 1000000.0 + 0.5)
+                   / 1000000.0 END AS fisher,
+       between_var, within_var
+FROM pd ORDER BY fisher DESC NULLS LAST, dim LIMIT 10
+""",
         "emb_silhouette": ov.kmeans_silhouette_sql(
             k=KMEANS["k"], iters=KMEANS["iters"], dim=EMB_DIM,
         ),
