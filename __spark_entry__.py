@@ -3787,6 +3787,25 @@ def q_events_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_events_p95_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-latency drift per event type: daily p95 of value, then the
+    OLS slope of that daily series (operators/timeseries.py:
+    linear_trend over the percentile aggregate) -> (event_type, n,
+    slope, intercept). The "is the tail degrading week over week"
+    monitor — an aggregate-then-trend composition whose inner
+    percentile and outer OLS are both already engine-proven."""
+    from symtseries_spark.operators import linear_trend
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("(ts div 1000) div 86400000000").alias("day"),
+    ).agg(F.round(F.expr("percentile(value, 0.95D)"), 6).alias("p95"))
+    return linear_trend(
+        daily, key="event_type", order=["day"], value="p95"
+    )
+
+
 def q_events_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant period per series: the lag in 1..12 with the largest
     |ACF|, with the (|acf| desc, lag asc) tiebreak -> (user_id, lag_k,
@@ -5163,6 +5182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ohlc_stream": q_events_ohlc_stream,
         "docs_source_boilerplate": q_docs_source_boilerplate,
         "emb_fisher_dims": q_emb_fisher_dims,
+        "events_p95_trend": q_events_p95_trend,
         "docs_source_skew": q_docs_source_skew,
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
@@ -6844,6 +6864,39 @@ FROM e
 WINDOW w AS (PARTITION BY user_id, ts_us // 86400000000
              ORDER BY ts_us, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+        "events_p95_trend": """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         round(quantile_cont(CAST(value AS DOUBLE), 0.95), 6) AS y
+  FROM events GROUP BY 1, 2
+), idx AS (
+  SELECT event_type, y,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS i
+  FROM daily
+), base AS (
+  SELECT event_type, y, i FROM idx WHERE y IS NOT NULL
+), agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(i) AS DOUBLE) AS si,
+         CAST(sum(CAST(i AS HUGEINT) * i) AS DOUBLE) AS si2,
+         sum(y) AS sy, sum(i * y) AS siy
+  FROM base GROUP BY event_type
+), s AS (
+  SELECT event_type, n,
+         CASE WHEN n >= 2 AND (CAST(n AS DOUBLE) * si2 - si * si) != 0 THEN
+           (CAST(n AS DOUBLE) * siy - si * sy)
+             / (CAST(n AS DOUBLE) * si2 - si * si)
+         END AS slope,
+         sy, si
+  FROM agg
+)
+SELECT event_type, n,
+       floor(slope * 1000000.0 + 0.5) / 1000000.0 AS slope,
+       floor((sy - slope * si) / CAST(n AS DOUBLE) * 1000000.0 + 0.5)
+         / 1000000.0 AS intercept
+FROM s
 """,
         "events_moments": """
 WITH a AS (
