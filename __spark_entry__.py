@@ -3787,6 +3787,31 @@ def q_events_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_events_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume (rate) anomaly per event type: daily event COUNTS fed
+    through the trailing-window z-score
+    (operators/timeseries.py:rolling_zscore, window=7 days) and
+    flagged at |z| >= 2 -> (event_type, day, n_events, n_window,
+    zscore). The count-based twin of the value-based events_anomaly —
+    catches traffic drops/spikes that value statistics never see.
+    The inner aggregate collapses events to |types| x |days| rows
+    before any window work."""
+    from symtseries_spark.operators import rolling_zscore
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("(ts div 1000) div 86400000000").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    z = rolling_zscore(
+        daily.withColumn("__v", F.col("n_events").cast("double")),
+        key="event_type", order=["day"], value="__v", window=7,
+    )
+    return z.where(F.abs(F.col("zscore")) >= 2.0).select(
+        "event_type", "day", "n_events", "n_window", "zscore"
+    )
+
+
 def q_events_p95_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tail-latency drift per event type: daily p95 of value, then the
     OLS slope of that daily series (operators/timeseries.py:
@@ -5183,6 +5208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_source_boilerplate": q_docs_source_boilerplate,
         "emb_fisher_dims": q_emb_fisher_dims,
         "events_p95_trend": q_events_p95_trend,
+        "events_volume_anomaly": q_events_volume_anomaly,
         "docs_source_skew": q_docs_source_skew,
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
@@ -6864,6 +6890,33 @@ FROM e
 WINDOW w AS (PARTITION BY user_id, ts_us // 86400000000
              ORDER BY ts_us, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+        "events_volume_anomaly": """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT event_type, day, n_events,
+         CAST(n_events AS DOUBLE) AS x,
+         count(n_events) OVER fr AS n_window,
+         sum(CAST(n_events AS DOUBLE)) OVER fr AS s1,
+         sum(CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE))
+           OVER fr AS s2
+  FROM daily
+  WINDOW fr AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+), z AS (
+  SELECT event_type, day, n_events, n_window,
+         CASE WHEN s2 / n_window - (s1 / n_window) * (s1 / n_window) > 0
+              THEN round((x - s1 / n_window)
+                         / sqrt(s2 / n_window
+                                - (s1 / n_window) * (s1 / n_window)), 4)
+         END AS zscore
+  FROM w
+)
+SELECT event_type, day, n_events, n_window, zscore
+FROM z WHERE abs(zscore) >= 2.0
 """,
         "events_p95_trend": """
 WITH daily AS (
