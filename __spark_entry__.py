@@ -5122,10 +5122,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Registry order = driver-verification priority, NOT topic order:
         # the round driver's correctness window checks a ~50-entry
-        # prefix, so entries go (1) queries NEW this round (3 recall
-        # reports, then the late-round-4 five: changepoint, pagerank,
-        # minhash accuracy, zipf slope, truncated-dim recall; then
-        # the 20 earlier round-4 additions: kmeans/semdedup/pca/abtt,
+        # prefix. Layout: positions 0-2 recall reports; 3-11 the first
+        # late-round-4 batch (changepoint, pagerank, minhash accuracy,
+        # zipf, trunc/pq recall, stl strength, hist quantiles,
+        # changepoint2); 12-33 the earlier round-4 additions; 34-49 the
+        # 16 entries never driver-checked before round 4 (r3 verdict
+        # item #2 — they MUST stay inside the window, so every later
+        # addition goes AFTER media_resize at 49). Positions 50+ hold
+        # the second-session additions (all bit-exact in the builder's
+        # full %.17g sweeps) and then the earlier rotation. Original
+        # round-4 note: (1) queries NEW this round (3 recall
+        # reports + the 20 round-4 additions: kmeans/semdedup/pca/abtt,
         # discords/vsm/numerosity, dsir batch+stream, source cap,
         # novelty, filter3, stl, acf, char entropy, ccnet buckets, seasonal
         # anomaly, Holt-Winters batch+stream, forecast backtest), (2) the 16
