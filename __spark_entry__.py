@@ -315,6 +315,38 @@ def q_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sax_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series SAX symbol entropy: Shannon entropy of the letter
+    distribution across the series' complete sliding words ->
+    (user_id, n_symbols, symbol_entropy). The series-complexity
+    measure the SAX alphabet enables for free: near 0 bits = flat or
+    single-regime series, near log2(c) = the series exercises the
+    full quantile range. Explode word chars -> alphabet-bounded
+    (series, letter) groupBy -> quantized entropy sum."""
+    from symtseries_spark.operators.timeseries import quantize
+
+    words = _events_sliding(spark, sf_dir).select("user_id", "sax_word")
+    letters = words.where(~F.col("sax_word").contains("#")).select(
+        "user_id",
+        F.explode(F.split(F.col("sax_word"), "(?!^)")).alias("sym"),
+    ).where(F.col("sym") != "")
+    counts = letters.groupBy("user_id", "sym").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    tot = counts.groupBy("user_id").agg(F.sum("__c").alias("__t"))
+    p = F.col("__c").cast("double") / F.col("__t").cast("double")
+    ent = counts.join(tot, "user_id").groupBy("user_id").agg(
+        F.first("__t").alias("n_symbols"),
+        quantize(
+            -F.sum(p * F.log2(p)), 6
+        ).alias("symbol_entropy"),
+    )
+    return ent.select(
+        "user_id", F.col("n_symbols").cast("long").alias("n_symbols"),
+        "symbol_entropy",
+    )
+
+
 def q_sax_sliding_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-parallel sliding windows (intra-series parallelism via
     overlap replication) — same semantics as sax_sliding_words, same
@@ -2163,6 +2195,34 @@ def q_emb_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.stddev_pop("x"), 6).alias("std_x"),
         )
         .orderBy("label", "dim")
+    )
+
+
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-family size distribution: how many connected components
+    have 1, 2, 3, ... members -> (cluster_size, n_clusters,
+    n_docs). The shape that tells you whether near-dup mass sits in a
+    few mega-families (template farms — investigate) or many pairs
+    (organic reposts — dedup and move on). One groupBy over the
+    already-computed component labels."""
+    from symtseries_spark.operators.graph import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, **MINHASH).select("doc_a", "doc_b")
+    verts = docs.select(F.col("doc_id").alias("v"))
+    cc = connected_components(pairs, verts, src="doc_a", dst="doc_b")
+    sizes = cc.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+        .orderBy("cluster_size")
     )
 
 
@@ -5216,6 +5276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_fisher_dims": q_emb_fisher_dims,
         "events_p95_trend": q_events_p95_trend,
         "events_volume_anomaly": q_events_volume_anomaly,
+        "sax_complexity": q_sax_complexity,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "docs_source_skew": q_docs_source_skew,
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
@@ -5895,6 +5957,27 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 
     out = {
         "sax_sliding_words": f"SELECT user_id, event_id, sax_word FROM ({slide})",
+        # symbol entropy: Spark's log2 IS ln(x)/ln(2) (derived), so the
+        # SQL mirrors that exact form; the quantized SUM absorbs
+        # per-term libm ulp (off-grid ratios, not the on-grid trap)
+        "sax_complexity": f"""
+WITH w AS (
+  SELECT user_id, sax_word FROM ({slide}) __s
+  WHERE sax_word NOT LIKE '%#%'
+), l AS (
+  SELECT user_id, substr(sax_word, CAST(i AS INT), 1) AS sym
+  FROM w, range(1, {SLIDE["w"] + 1}) t(i)
+), c AS (
+  SELECT user_id, sym, count(*) AS c FROM l GROUP BY user_id, sym
+), t AS (
+  SELECT user_id, sum(c) AS t FROM c GROUP BY user_id
+)
+SELECT c.user_id, CAST(min(t) AS BIGINT) AS n_symbols,
+       floor((-sum((CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+                   * (ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) / ln(2))))
+             * 1000000.0 + 0.5) / 1000000.0 AS symbol_entropy
+FROM c JOIN t USING (user_id) GROUP BY c.user_id
+""",
         "sax_motifs": f"""
 SELECT sax_word, count(*) AS occurrences,
        count(DISTINCT user_id) AS n_series
@@ -7306,6 +7389,27 @@ SELECT CAST(floor(jac * 10) AS INTEGER) AS bucket,
        floor(avg(abs(err)) * 1000000.0 + 0.5) / 1000000.0 AS mean_abs_err,
        max(abs(err)) AS max_abs_err
 FROM er GROUP BY 1 ORDER BY 1
+""",
+        "dedup_cluster_sizes": f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({ot.minhash_lsh_pairs_sql(**MINHASH)}) __p
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), conn(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT c.a, e.b FROM conn c JOIN edges e ON c.b = e.a
+), canon AS (
+  SELECT a AS doc_id, min(b) AS canonical_id FROM conn GROUP BY a
+), sizes AS (
+  SELECT canonical_id, count(*) AS cluster_size FROM canon
+  GROUP BY canonical_id
+)
+SELECT cluster_size, count(*) AS n_clusters,
+       cluster_size * count(*) AS n_docs
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size
 """,
         "dedup_lsh_refined": f"""
 WITH cand AS (
