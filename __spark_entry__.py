@@ -4734,6 +4734,29 @@ def q_dedup_cross_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-lifetime summary: per-user first-to-last event span in
+    days, collapsed to (n_users, p50_days, p90_days, mean_days).
+    The churn-horizon number behind retention planning; spans are
+    exact integer microsecond differences scaled once, percentiles
+    via the proven interpolation parity, mean quantized."""
+    from symtseries_spark.operators.timeseries import quantize
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    spans = ev.groupBy("user_id").agg(
+        ((F.max("ts_us") - F.min("ts_us")) / F.lit(86_400_000_000.0))
+        .alias("__d")
+    )
+    return spans.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.expr("percentile(__d, 0.5D)"), 6).alias("p50_days"),
+        F.round(F.expr("percentile(__d, 0.9D)"), 6).alias("p90_days"),
+        quantize(F.avg("__d"), 6).alias("mean_days"),
+    )
+
+
 def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM user scoring (recency / frequency / monetary), the classic
     behavioral segmentation: per user days-since-last-event (vs the
@@ -5278,6 +5301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_volume_anomaly": q_events_volume_anomaly,
         "sax_complexity": q_sax_complexity,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "events_user_lifetime": q_events_user_lifetime,
         "docs_source_skew": q_docs_source_skew,
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
@@ -7107,6 +7131,18 @@ FROM pairs p
 JOIN documents la ON la.doc_id = p.doc_a
 JOIN documents lb ON lb.doc_id = p.doc_b
 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "events_user_lifetime": """
+WITH s AS (
+  SELECT user_id,
+         (max(epoch_us(ts)) - min(epoch_us(ts))) / 86400000000.0 AS d
+  FROM events GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       round(quantile_cont(d, 0.5), 6) AS p50_days,
+       round(quantile_cont(d, 0.9), 6) AS p90_days,
+       floor(avg(d) * 1000000.0 + 0.5) / 1000000.0 AS mean_days
+FROM s
 """,
         "events_rfm": """
 WITH pu AS (
