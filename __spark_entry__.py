@@ -1607,6 +1607,44 @@ def q_docs_source_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def q_docs_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row corpus curation scorecard — the number a pipeline
+    owner reads first: (n_docs, n_exact_dups, n_near_pairs,
+    n_dup_docs, mean_quality, n_contaminated). Every column is an
+    aggregate of an already-registered leg (exact dedup map, MinHash
+    pairs, text-quality profile, benchmark contamination), cross-
+    joined as 1-row relations — the composition costs one extra
+    reduce per leg, nothing else."""
+    from symtseries_spark.operators.timeseries import quantize
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    exact = exact_dedup_map(docs).where(F.col("is_duplicate")).agg(
+        F.count(F.lit(1)).alias("n_exact_dups")
+    )
+    pairs = minhash_lsh_pairs(docs, **MINHASH)
+    n_pairs = pairs.agg(F.count(F.lit(1)).alias("n_near_pairs"))
+    dup_docs = (
+        pairs.select(F.col("doc_a").alias("d"))
+        .unionByName(pairs.select(F.col("doc_b").alias("d")))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_dup_docs"))
+    )
+    qual = q_text_quality(spark, sf_dir).agg(
+        quantize(F.avg("quality_score"), 6).alias("mean_quality")
+    )
+    cont = q_docs_contamination(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+    return (
+        n.crossJoin(exact)
+        .crossJoin(n_pairs)
+        .crossJoin(dup_docs)
+        .crossJoin(qual)
+        .crossJoin(cont)
+    )
+
+
 def q_docs_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law OLS fit (ln freq vs ln rank, top-100 terms) per lang
     slice (operators/retrieval.py:zipf_fit): the distribution-level
@@ -5302,6 +5340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_complexity": q_sax_complexity,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "events_user_lifetime": q_events_user_lifetime,
+        "docs_scorecard": q_docs_scorecard,
         "docs_source_skew": q_docs_source_skew,
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
@@ -7425,6 +7464,30 @@ SELECT CAST(floor(jac * 10) AS INTEGER) AS bucket,
        floor(avg(abs(err)) * 1000000.0 + 0.5) / 1000000.0 AS mean_abs_err,
        max(abs(err)) AS max_abs_err
 FROM er GROUP BY 1 ORDER BY 1
+""",
+        "docs_scorecard": f"""
+WITH n AS (SELECT count(*) AS n_docs FROM documents),
+ex AS (
+  SELECT count(*) AS n_exact_dups
+  FROM ({ot.exact_dedup_sql()}) __e WHERE is_duplicate
+), pr AS (
+  SELECT doc_a, doc_b FROM ({ot.minhash_lsh_pairs_sql(**MINHASH)}) __p
+), np AS (SELECT count(*) AS n_near_pairs FROM pr),
+dd AS (
+  SELECT count(*) AS n_dup_docs FROM (
+    SELECT DISTINCT d FROM (
+      SELECT doc_a AS d FROM pr UNION ALL SELECT doc_b FROM pr))
+), q AS (
+  SELECT floor(avg(quality_score) * 1000000.0 + 0.5) / 1000000.0
+           AS mean_quality
+  FROM ({ot.text_quality_sql()}) __q
+), ct AS (
+  SELECT count(*) AS n_contaminated
+  FROM ({ot.contamination_sql(**DECONTAM)}) __c
+)
+SELECT n_docs, n_exact_dups, n_near_pairs, n_dup_docs, mean_quality,
+       n_contaminated
+FROM n, ex, np, dd, q, ct
 """,
         "dedup_cluster_sizes": f"""
 WITH RECURSIVE pairs AS (
