@@ -294,6 +294,12 @@ k-row relation; candidate distances are scan-stage array folds; the
 own/runner-up split is ONE WindowExec over (id, d2, cluster) rows
 (k per vector, pre-pruned by the rank filter) and the per-cluster
 report is one final combinable aggregate.""",
+    "docs_scorecard": """The capstone composition: six independent legs (count,
+exact-dedup filter-count, MinHash pair count, pair-incident distinct,
+quality mean, contamination count) each collapse to a 1-row aggregate
+before the chain of BroadcastNestedLoopJoin cross products — the
+joins multiply single rows, so the scorecard costs exactly the sum
+of its legs plus six trivial broadcasts.""",
 }
 
 spark = (
