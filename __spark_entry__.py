@@ -1607,6 +1607,44 @@ def q_docs_source_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def q_docs_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty decay across ingestion order: bucket the corpus into
+    10 arrival deciles (doc_id order = train order, the docs_train_order
+    convention) and report the fraction of each decile's docs whose
+    normalized content appears for the FIRST time in that decile ->
+    (decile, n_docs, n_novel, novel_frac). A healthy feed stays near
+    1.0; a collapsing curve means the source re-sends old content and
+    incremental dedup will carry the load. First-occurrence via one
+    min-by-hash aggregate joined back — the exact-dedup shuffle, no
+    pair work."""
+    from symtseries_spark.functions.text import doc_hash60, normalized_text
+
+    docs = load(spark, sf_dir, "documents")
+    n_tbl = docs.agg(F.count(F.lit(1)).alias("__n"))
+    h = docs.select(
+        "doc_id", doc_hash60(normalized_text(F.col("text"))).alias("__h")
+    )
+    first = h.groupBy("__h").agg(F.min("doc_id").alias("__first"))
+    j = h.join(first, "__h").crossJoin(F.broadcast(n_tbl))
+    decile = F.least(
+        F.floor(F.col("doc_id") * 10 / F.col("__n")).cast("int"), F.lit(9)
+    )
+    return (
+        j.select(
+            decile.alias("decile"),
+            (F.col("doc_id") == F.col("__first")).cast("int").alias("__nov"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nov").alias("n_novel"),
+            F.round(F.sum("__nov") / F.count(F.lit(1)), 6)
+            .alias("novel_frac"),
+        )
+        .orderBy("decile")
+    )
+
+
 def q_docs_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The one-row corpus curation scorecard — the number a pipeline
     owner reads first: (n_docs, n_exact_dups, n_near_pairs,
@@ -5341,6 +5379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "events_user_lifetime": q_events_user_lifetime,
         "docs_scorecard": q_docs_scorecard,
+        "docs_novelty_decay": q_docs_novelty_decay,
         "docs_source_skew": q_docs_source_skew,
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
@@ -7464,6 +7503,22 @@ SELECT CAST(floor(jac * 10) AS INTEGER) AS bucket,
        floor(avg(abs(err)) * 1000000.0 + 0.5) / 1000000.0 AS mean_abs_err,
        max(abs(err)) AS max_abs_err
 FROM er GROUP BY 1 ORDER BY 1
+""",
+        "docs_novelty_decay": f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+hs AS (
+  SELECT doc_id, {ot.hash60(ot.normalized_expr())} AS h FROM documents
+), fs AS (
+  SELECT h, min(doc_id) AS first FROM hs GROUP BY h
+), j AS (
+  SELECT CAST(least(floor(hs.doc_id * 10 / nn.n), 9) AS INT) AS decile,
+         CASE WHEN hs.doc_id = fs.first THEN 1 ELSE 0 END AS nov
+  FROM hs JOIN fs USING (h), nn
+)
+SELECT decile, count(*) AS n_docs,
+       CAST(sum(nov) AS BIGINT) AS n_novel,
+       round(CAST(sum(nov) AS DOUBLE) / count(*), 6) AS novel_frac
+FROM j GROUP BY decile ORDER BY decile
 """,
         "docs_scorecard": f"""
 WITH n AS (SELECT count(*) AS n_docs FROM documents),
