@@ -4810,6 +4810,42 @@ def q_dedup_cross_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event types: within
+    each user's timeline, count (type -> next type) hops and the
+    conditional probability P(next | current) -> (type_from, type_to,
+    n, p). The behavioral model behind next-action prediction and
+    funnel design; one lag window on the series partitioning + one
+    combinable pair count, probabilities quantized against the
+    row-count-exact denominators."""
+    from pyspark.sql import Window
+
+    from symtseries_spark.operators.timeseries import quantize
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    hops = ev.select(
+        F.col("event_type").alias("type_from"),
+        F.lead("event_type").over(w).alias("type_to"),
+    ).where(F.col("type_to").isNotNull())
+    pairs = hops.groupBy("type_from", "type_to").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = pairs.groupBy("type_from").agg(F.sum("n").alias("__t"))
+    return (
+        pairs.join(totals, "type_from")
+        .select(
+            "type_from",
+            "type_to",
+            "n",
+            quantize(F.col("n") / F.col("__t"), 6).alias("p"),
+        )
+        .orderBy("type_from", "type_to")
+    )
+
+
 def q_events_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-lifetime summary: per-user first-to-last event span in
     days, collapsed to (n_users, p50_days, p90_days, mean_days).
@@ -5380,6 +5416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_lifetime": q_events_user_lifetime,
         "docs_scorecard": q_docs_scorecard,
         "docs_novelty_decay": q_docs_novelty_decay,
+        "events_type_transitions": q_events_type_transitions,
         "docs_source_skew": q_docs_source_skew,
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
@@ -7209,6 +7246,25 @@ FROM pairs p
 JOIN documents la ON la.doc_id = p.doc_a
 JOIN documents lb ON lb.doc_id = p.doc_b
 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "events_type_transitions": """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events
+), h AS (
+  SELECT event_type AS type_from,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id) AS type_to
+  FROM e
+), p AS (
+  SELECT type_from, type_to, count(*) AS n
+  FROM h WHERE type_to IS NOT NULL GROUP BY 1, 2
+), t AS (
+  SELECT type_from, sum(n) AS tt FROM p GROUP BY type_from
+)
+SELECT p.type_from, p.type_to, p.n,
+       floor(CAST(p.n AS DOUBLE) / tt * 1000000.0 + 0.5) / 1000000.0 AS p
+FROM p JOIN t USING (type_from)
+ORDER BY type_from, type_to
 """,
         "events_user_lifetime": """
 WITH s AS (
