@@ -1331,6 +1331,48 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "cluster", "d2")
 
 
+def q_emb_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding norm sanity profile: one row (n_vectors, mean_norm,
+    std_norm, min_norm, max_norm, n_outliers) with outliers = vectors
+    whose norm sits >= 3 quantized-sigma from the quantized mean. The
+    first gate on a new embedding batch — collapsed/exploded vectors
+    show up here before any search metric does. Norms are the shared
+    sequential fold; two scan passes (stats, then the broadcast-stats
+    outlier count), no shuffle beyond two 1-row aggregates."""
+    from symtseries_spark.operators.simsearch import norm
+    from symtseries_spark.operators.timeseries import quantize
+
+    emb = load(spark, sf_dir, "embeddings")
+    nv = emb.select(
+        norm(F.col("embedding").cast("array<double>")).alias("__nm")
+    )
+    stats = nv.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        quantize(F.avg("__nm"), 6).alias("mean_norm"),
+        quantize(
+            F.sqrt(
+                F.greatest(
+                    F.lit(0.0),
+                    F.avg(F.col("__nm") * F.col("__nm"))
+                    - F.avg("__nm") * F.avg("__nm"),
+                )
+            ),
+            6,
+        ).alias("std_norm"),
+        quantize(F.min("__nm"), 6).alias("min_norm"),
+        quantize(F.max("__nm"), 6).alias("max_norm"),
+    )
+    out = (
+        nv.crossJoin(F.broadcast(stats))
+        .where(
+            F.abs(F.col("__nm") - F.col("mean_norm"))
+            >= 3.0 * F.col("std_norm")
+        )
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return stats.crossJoin(out)
+
+
 def q_emb_fisher_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension Fisher ratio (between-class / within-class
     variance over the label column), top-10 dims -> (dim, fisher,
@@ -5417,6 +5459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_scorecard": q_docs_scorecard,
         "docs_novelty_decay": q_docs_novelty_decay,
         "events_type_transitions": q_events_type_transitions,
+        "emb_norm_profile": q_emb_norm_profile,
         "docs_source_skew": q_docs_source_skew,
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
@@ -7742,6 +7785,29 @@ FROM rk
             min_novelty=CORPUS_FILTER3["min_novelty"],
             per_source=SOURCE_CAP, novelty_k=NOVELTY_K, **DSIR,
         ),
+        "emb_norm_profile": f"""
+WITH nv AS (
+  SELECT sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(range(1, {EMB_DIM + 1}),
+             i -> CAST(embedding[i] AS DOUBLE)
+                  * CAST(embedding[i] AS DOUBLE))),
+           (x, y) -> x + y)) AS nm
+  FROM embeddings
+), st AS (
+  SELECT count(*) AS n_vectors,
+         floor(avg(nm) * 1000000.0 + 0.5) / 1000000.0 AS mean_norm,
+         floor(sqrt(greatest(0.0, avg(nm * nm) - avg(nm) * avg(nm)))
+               * 1000000.0 + 0.5) / 1000000.0 AS std_norm,
+         floor(min(nm) * 1000000.0 + 0.5) / 1000000.0 AS min_norm,
+         floor(max(nm) * 1000000.0 + 0.5) / 1000000.0 AS max_norm
+  FROM nv
+), o AS (
+  SELECT count(*) AS n_outliers
+  FROM nv, st WHERE abs(nm - mean_norm) >= 3.0 * std_norm
+)
+SELECT n_vectors, mean_norm, std_norm, min_norm, max_norm, n_outliers
+FROM st, o
+""",
         "emb_fisher_dims": f"""
 WITH d AS (
   SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
