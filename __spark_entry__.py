@@ -1365,8 +1365,11 @@ def q_emb_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         nv.crossJoin(F.broadcast(stats))
         .where(
-            F.abs(F.col("__nm") - F.col("mean_norm"))
-            >= 3.0 * F.col("std_norm")
+            (F.col("std_norm") > 0)
+            & (
+                F.abs(F.col("__nm") - F.col("mean_norm"))
+                >= 3.0 * F.col("std_norm")
+            )
         )
         .agg(F.count(F.lit(1)).alias("n_outliers"))
     )
@@ -7803,7 +7806,8 @@ WITH nv AS (
   FROM nv
 ), o AS (
   SELECT count(*) AS n_outliers
-  FROM nv, st WHERE abs(nm - mean_norm) >= 3.0 * std_norm
+  FROM nv, st
+  WHERE std_norm > 0 AND abs(nm - mean_norm) >= 3.0 * std_norm
 )
 SELECT n_vectors, mean_norm, std_norm, min_norm, max_norm, n_outliers
 FROM st, o
