@@ -256,6 +256,11 @@ STL = dict(trend_window=12)
 ACF_MAX_LAG = 5
 SAX_MOTIF_K = 20
 DOM_PERIOD_MAX_LAG = 12
+# Benford expected leading-digit fractions log10(1 + 1/d), shared as
+# EXACT double literals by both engines (never computed engine-side)
+BENFORD_EXPECTED = {
+    d: float(__import__("math").log10(1.0 + 1.0 / d)) for d in range(1, 10)
+}
 SEASONAL_ANOM = dict(threshold=3.5)
 HW_P = dict(alpha=0.5, beta=0.3, gamma=0.2, season=8, window=32)
 
@@ -3931,6 +3936,54 @@ def q_events_changepoint2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law leading-digit audit of the value column ->
+    (digit, n, observed_frac, expected_frac, abs_dev). The classic
+    fabricated-data / unit-mixing detector: organically-generated
+    positive values follow log10(1+1/d); a flat or spiked profile
+    flags synthetic injection or a unit change upstream. Leading
+    digits come from EXACT integer CASE thresholds (never log10 —
+    engine log implementations disagree at power-of-ten boundaries);
+    expected fractions are shared Python literals."""
+    from symtseries_spark.operators.timeseries import quantize
+
+    v = F.col("value").cast("double")
+    # magnitude-banded leading digit, all comparisons exact
+    digit = (
+        F.when(v >= 1000, F.floor(v / 1000))
+        .when(v >= 100, F.floor(v / 100))
+        .when(v >= 10, F.floor(v / 10))
+        .when(v >= 1, F.floor(v))
+        .when(v >= 0.1, F.floor(v * 10))
+        .when(v > 0, F.floor(v * 100))
+    ).cast("int")
+    ev = load(spark, sf_dir, "events").where(v > 0).select(
+        digit.alias("digit")
+    ).where(F.col("digit").between(1, 9))
+    counts = ev.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("__t"))
+    expected = F.create_map(
+        *[
+            x
+            for d in range(1, 10)
+            for x in (F.lit(d), F.lit(BENFORD_EXPECTED[d]))
+        ]
+    )
+    obs = F.col("n") / F.col("__t")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            quantize(obs, 6).alias("observed_frac"),
+            expected[F.col("digit")].alias("expected_frac"),
+            quantize(F.abs(obs - expected[F.col("digit")]), 6)
+            .alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
 def q_events_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution shape per event type: population skewness and
     excess kurtosis from quantized raw moments -> (event_type, n,
@@ -5463,6 +5516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_novelty_decay": q_docs_novelty_decay,
         "events_type_transitions": q_events_type_transitions,
         "emb_norm_profile": q_emb_norm_profile,
+        "events_benford": q_events_benford,
         "docs_source_skew": q_docs_source_skew,
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
@@ -7225,6 +7279,34 @@ SELECT event_type, n,
        floor((sy - slope * si) / CAST(n AS DOUBLE) * 1000000.0 + 0.5)
          / 1000000.0 AS intercept
 FROM s
+""",
+        "events_benford": f"""
+WITH v AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events
+  WHERE CAST(value AS DOUBLE) > 0
+), d AS (
+  SELECT CAST(CASE WHEN v >= 1000 THEN floor(v / 1000)
+                   WHEN v >= 100 THEN floor(v / 100)
+                   WHEN v >= 10 THEN floor(v / 10)
+                   WHEN v >= 1 THEN floor(v)
+                   WHEN v >= 0.1 THEN floor(v * 10)
+                   ELSE floor(v * 100) END AS INT) AS digit
+  FROM v
+), c AS (
+  SELECT digit, count(*) AS n FROM d
+  WHERE digit BETWEEN 1 AND 9 GROUP BY digit
+), t AS (SELECT sum(n) AS tt FROM c),
+x(digit, expected_frac) AS (VALUES
+  {", ".join(f"({d}, CAST({BENFORD_EXPECTED[d]!r} AS DOUBLE))" for d in range(1, 10))}
+)
+SELECT c.digit, c.n,
+       floor(CAST(c.n AS DOUBLE) / tt * 1000000.0 + 0.5)
+         / 1000000.0 AS observed_frac,
+       x.expected_frac,
+       floor(abs(CAST(c.n AS DOUBLE) / tt - x.expected_frac)
+             * 1000000.0 + 0.5) / 1000000.0 AS abs_dev
+FROM c JOIN x USING (digit), t
+ORDER BY c.digit
 """,
         "events_moments": """
 WITH a AS (
