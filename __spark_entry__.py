@@ -1657,6 +1657,39 @@ def q_docs_source_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def q_docs_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical richness per language: vocabulary size, hapax legomena
+    (terms occurring exactly once), and the hapax ratio ->
+    (lang, vocab, hapax, hapax_ratio). The companion statistic to
+    docs_zipf_slope: natural corpora run ~40-60% hapax; a collapsing
+    ratio means templated text, an inflating one means tokenizer
+    noise. Same (lang, term) count shuffle as the Zipf fit."""
+    from symtseries_spark.functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    freqs = (
+        docs.select(
+            F.col("lang"), F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("__f"))
+    )
+    return (
+        freqs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum(F.when(F.col("__f") == 1, 1).otherwise(0)).alias("hapax"),
+        )
+        .select(
+            "lang",
+            "vocab",
+            "hapax",
+            F.round(F.col("hapax") / F.col("vocab"), 6).alias("hapax_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_docs_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Novelty decay across ingestion order: bucket the corpus into
     10 arrival deciles (doc_id order = train order, the docs_train_order
@@ -5517,6 +5550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_transitions": q_events_type_transitions,
         "emb_norm_profile": q_emb_norm_profile,
         "events_benford": q_events_benford,
+        "docs_hapax": q_docs_hapax,
         "docs_source_skew": q_docs_source_skew,
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
@@ -7687,6 +7721,18 @@ SELECT CAST(floor(jac * 10) AS INTEGER) AS bucket,
        floor(avg(abs(err)) * 1000000.0 + 0.5) / 1000000.0 AS mean_abs_err,
        max(abs(err)) AS max_abs_err
 FROM er GROUP BY 1 ORDER BY 1
+""",
+        "docs_hapax": f"""
+WITH tk AS (
+  SELECT lang, unnest({ot.tokens_expr()}) AS term FROM documents
+), fr AS (
+  SELECT lang, term, count(*) AS f FROM tk GROUP BY lang, term
+)
+SELECT lang, count(*) AS vocab,
+       CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       round(CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS hapax_ratio
+FROM fr GROUP BY lang ORDER BY lang
 """,
         "docs_novelty_decay": f"""
 WITH nn AS (SELECT count(*) AS n FROM documents),
