@@ -1657,6 +1657,43 @@ def q_docs_source_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def q_docs_quality_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between document length (chars) and the
+    quality score -> (n_docs, r, mean_len, mean_quality). THE audit
+    every heuristic quality gate needs: r near 1 means the "quality"
+    signal is just length in disguise and the gate will silently
+    strip short-form content. Quantized raw moments feed the
+    closed-form r (clamped variances), identical arithmetic both
+    engines — never an engine-internal corr() aggregate."""
+    from symtseries_spark.operators.timeseries import quantize
+
+    prof = q_text_quality(spark, sf_dir).select(
+        F.col("n_chars").cast("double").alias("__x"),
+        F.col("quality_score").alias("__y"),
+    )
+    agg = prof.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        quantize(F.avg("__x"), 6).alias("__mx"),
+        quantize(F.avg("__y"), 6).alias("__my"),
+        quantize(F.avg(F.col("__x") * F.col("__x")), 6).alias("__mxx"),
+        quantize(F.avg(F.col("__y") * F.col("__y")), 6).alias("__myy"),
+        quantize(F.avg(F.col("__x") * F.col("__y")), 6).alias("__mxy"),
+    )
+    vx = F.greatest(F.lit(0.0), F.col("__mxx") - F.col("__mx") * F.col("__mx"))
+    vy = F.greatest(F.lit(0.0), F.col("__myy") - F.col("__my") * F.col("__my"))
+    cov = F.col("__mxy") - F.col("__mx") * F.col("__my")
+    r = F.when(
+        (vx > 0) & (vy > 0),
+        quantize(cov / (F.sqrt(vx) * F.sqrt(vy)), 6),
+    )
+    return agg.select(
+        "n_docs",
+        r.alias("r"),
+        F.col("__mx").alias("mean_len"),
+        F.col("__my").alias("mean_quality"),
+    )
+
+
 def q_docs_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical richness per language: vocabulary size, hapax legomena
     (terms occurring exactly once), and the hapax ratio ->
@@ -4898,6 +4935,49 @@ def q_events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_value_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-mass concentration across users (the whale report):
+    per-user value sums ranked into max / top-10 shares and a
+    weighted Gini -> (n_users, total_value, max_share, top10_share,
+    gini). The revenue twin of events_key_skew's row-count report —
+    row balance can be fine while 10 whales carry the value mass.
+    Per-user sums are rounded once (engine-identical), the rank
+    windows run over the |users|-row table, and every emitted ratio
+    is quantized."""
+    from pyspark.sql import Window
+
+    from symtseries_spark.operators.timeseries import quantize
+
+    ev = load(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.round(F.sum("value"), 6).alias("__w")
+    )
+    asc = Window.orderBy(F.col("__w"), F.col("user_id"))
+    desc = Window.orderBy(F.col("__w").desc(), F.col("user_id"))
+    ranked = per.select(
+        "__w",
+        F.row_number().over(asc).alias("__ra"),
+        F.row_number().over(desc).alias("__rd"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("__w").alias("__tot"),
+        F.max("__w").alias("__mx"),
+        F.sum(F.col("__ra") * F.col("__w")).alias("__si"),
+        F.sum(F.when(F.col("__rd") <= 10, F.col("__w")).otherwise(0.0))
+        .alias("__topn"),
+    )
+    k = F.col("n_users").cast("double")
+    gini = 2.0 * F.col("__si") / (k * F.col("__tot")) - (k + 1.0) / k
+    return agg.select(
+        "n_users",
+        quantize(F.col("__tot"), 6).alias("total_value"),
+        quantize(F.col("__mx") / F.col("__tot"), 6).alias("max_share"),
+        quantize(F.col("__topn") / F.col("__tot"), 6).alias("top10_share"),
+        quantize(gini, 6).alias("gini"),
+    )
+
+
 def q_events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew report for the events shuffle key
     (operators/pipeline.py:key_skew): max/topN share + Gini of the
@@ -5551,6 +5631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_norm_profile": q_emb_norm_profile,
         "events_benford": q_events_benford,
         "docs_hapax": q_docs_hapax,
+        "events_value_skew": q_events_value_skew,
+        "docs_quality_length_corr": q_docs_quality_length_corr,
         "docs_source_skew": q_docs_source_skew,
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
@@ -7218,6 +7300,29 @@ SELECT user_id, n_intervals,
        END AS twap
 FROM a
 """,
+        "events_value_skew": """
+WITH per AS (
+  SELECT user_id, round(sum(value), 6) AS w FROM events GROUP BY user_id
+), r AS (
+  SELECT w,
+         row_number() OVER (ORDER BY w, user_id) AS ra,
+         row_number() OVER (ORDER BY w DESC, user_id) AS rd
+  FROM per
+), a AS (
+  SELECT count(*) AS n_users, sum(w) AS tot, max(w) AS mx,
+         sum(ra * w) AS si,
+         sum(CASE WHEN rd <= 10 THEN w ELSE 0.0 END) AS topn
+  FROM r
+)
+SELECT n_users,
+       floor(tot * 1000000.0 + 0.5) / 1000000.0 AS total_value,
+       floor(mx / tot * 1000000.0 + 0.5) / 1000000.0 AS max_share,
+       floor(topn / tot * 1000000.0 + 0.5) / 1000000.0 AS top10_share,
+       floor((2.0 * si / (CAST(n_users AS DOUBLE) * tot)
+              - (n_users + 1.0) / n_users) * 1000000.0 + 0.5)
+         / 1000000.0 AS gini
+FROM a
+""",
         "events_key_skew": _key_skew_sql("events", "user_id"),
         "docs_source_boilerplate": f"""
 WITH p AS (
@@ -7721,6 +7826,32 @@ SELECT CAST(floor(jac * 10) AS INTEGER) AS bucket,
        floor(avg(abs(err)) * 1000000.0 + 0.5) / 1000000.0 AS mean_abs_err,
        max(abs(err)) AS max_abs_err
 FROM er GROUP BY 1 ORDER BY 1
+""",
+        "docs_quality_length_corr": f"""
+WITH q AS (
+  SELECT CAST(n_chars AS DOUBLE) AS x, quality_score AS y
+  FROM ({ot.text_quality_sql()}) __q
+), a AS (
+  SELECT count(*) AS n_docs,
+         floor(avg(x) * 1000000.0 + 0.5) / 1000000.0 AS mx,
+         floor(avg(y) * 1000000.0 + 0.5) / 1000000.0 AS my,
+         floor(avg(x * x) * 1000000.0 + 0.5) / 1000000.0 AS mxx,
+         floor(avg(y * y) * 1000000.0 + 0.5) / 1000000.0 AS myy,
+         floor(avg(x * y) * 1000000.0 + 0.5) / 1000000.0 AS mxy
+  FROM q
+), v AS (
+  SELECT n_docs, mx, my,
+         greatest(0.0, mxx - mx * mx) AS vx,
+         greatest(0.0, myy - my * my) AS vy,
+         mxy - mx * my AS cov
+  FROM a
+)
+SELECT n_docs,
+       CASE WHEN vx > 0 AND vy > 0
+            THEN floor(cov / (sqrt(vx) * sqrt(vy)) * 1000000.0 + 0.5)
+                   / 1000000.0 END AS r,
+       mx AS mean_len, my AS mean_quality
+FROM v
 """,
         "docs_hapax": f"""
 WITH tk AS (
