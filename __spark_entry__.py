@@ -1694,6 +1694,43 @@ def q_docs_quality_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle document-frequency histogram -> (df_bucket, n_shingles,
+    n_postings) with explicit integer buckets (1, 2, 3-4, 5-8, ...,
+    >256). THE tuning evidence for the dedup legs' max_shingle_freq
+    cap: the postings column shows how much inverted-index fanout
+    each df band contributes, i.e. exactly what the 256 cap cuts.
+    One distinct-shingle explode + two bounded groupBys."""
+    from symtseries_spark.functions.text import shingles
+
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.explode(shingles(F.col("text"), JACCARD["k"])).alias("sh"),
+        "doc_id",
+    )
+    df_tbl = sh.groupBy("sh").agg(F.countDistinct("doc_id").alias("__df"))
+    d = F.col("__df")
+    bucket = (
+        F.when(d <= 2, F.lpad(d.cast("string"), 3, "0"))
+        .when(d <= 4, F.lit("003-4"))
+        .when(d <= 8, F.lit("005-8"))
+        .when(d <= 16, F.lit("009-16"))
+        .when(d <= 32, F.lit("017-32"))
+        .when(d <= 64, F.lit("033-64"))
+        .when(d <= 128, F.lit("065-128"))
+        .when(d <= 256, F.lit("129-256"))
+        .otherwise(F.lit(">256"))
+    )
+    return (
+        df_tbl.groupBy(bucket.alias("df_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("__df").alias("n_postings"),
+        )
+        .orderBy("df_bucket")
+    )
+
+
 def q_docs_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical richness per language: vocabulary size, hapax legomena
     (terms occurring exactly once), and the hapax ratio ->
@@ -5633,6 +5670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_hapax": q_docs_hapax,
         "events_value_skew": q_events_value_skew,
         "docs_quality_length_corr": q_docs_quality_length_corr,
+        "docs_shingle_df_profile": q_docs_shingle_df_profile,
         "docs_source_skew": q_docs_source_skew,
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
@@ -7826,6 +7864,26 @@ SELECT CAST(floor(jac * 10) AS INTEGER) AS bucket,
        floor(avg(abs(err)) * 1000000.0 + 0.5) / 1000000.0 AS mean_abs_err,
        max(abs(err)) AS max_abs_err
 FROM er GROUP BY 1 ORDER BY 1
+""",
+        "docs_shingle_df_profile": f"""
+WITH sh AS (
+  SELECT doc_id, unnest({ot.shingles_expr(JACCARD["k"])}) AS s
+  FROM documents
+), dfq AS (
+  SELECT s, count(DISTINCT doc_id) AS df FROM sh GROUP BY s
+)
+SELECT CASE WHEN df <= 2 THEN lpad(CAST(df AS VARCHAR), 3, '0')
+            WHEN df <= 4 THEN '003-4'
+            WHEN df <= 8 THEN '005-8'
+            WHEN df <= 16 THEN '009-16'
+            WHEN df <= 32 THEN '017-32'
+            WHEN df <= 64 THEN '033-64'
+            WHEN df <= 128 THEN '065-128'
+            WHEN df <= 256 THEN '129-256'
+            ELSE '>256' END AS df_bucket,
+       count(*) AS n_shingles,
+       CAST(sum(df) AS BIGINT) AS n_postings
+FROM dfq GROUP BY 1 ORDER BY 1
 """,
         "docs_quality_length_corr": f"""
 WITH q AS (
