@@ -1336,6 +1336,49 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "cluster", "d2")
 
 
+def q_emb_compression_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compression decision table: mean recall@k of the three
+    at-rest compression schemes over the shared query panel ->
+    (method, compression_x, mean_recall). One row each for int8 (4x,
+    no dimension loss), truncated-dim (4x, first 16 of 64), and
+    PQ/ADC (16x, m one-byte codes) — the single table an infra owner
+    reads to pick the embedding storage format. Each leg is the
+    registered recall query's own plan collapsed to its mean."""
+    from symtseries_spark.operators.pq import int8_recall, pq_recall
+    from symtseries_spark.operators.simsearch import truncated_dim_recall
+    from symtseries_spark.operators.timeseries import quantize
+
+    emb = load(spark, sf_dir, "embeddings")
+    kw = dict(max_query_id=RECALL["max_query_id"], k=RECALL["k"])
+
+    def leg(df: DataFrame, method: str, factor: float) -> DataFrame:
+        return df.agg(
+            F.lit(method).alias("method"),
+            F.lit(factor).alias("compression_x"),
+            quantize(F.avg("recall"), 6).alias("mean_recall"),
+        )
+
+    return (
+        leg(int8_recall(emb, **kw), "int8", 4.0)
+        .unionByName(
+            leg(
+                truncated_dim_recall(
+                    emb, trunc_dim=TRUNC_DIM, dim=EMB_DIM, **kw
+                ),
+                "trunc16",
+                4.0,
+            )
+        )
+        .unionByName(
+            leg(
+                pq_recall(emb, m=PQ["m"], ks=PQ["ks"], dim=EMB_DIM, **kw),
+                "pq",
+                float(EMB_DIM * 4 / PQ["m"]),
+            )
+        )
+    )
+
+
 def q_emb_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding norm sanity profile: one row (n_vectors, mean_norm,
     std_norm, min_norm, max_norm, n_outliers) with outliers = vectors
@@ -5671,6 +5714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_skew": q_events_value_skew,
         "docs_quality_length_corr": q_docs_quality_length_corr,
         "docs_shingle_df_profile": q_docs_shingle_df_profile,
+        "emb_compression_tradeoff": q_emb_compression_tradeoff,
         "docs_source_skew": q_docs_source_skew,
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
@@ -8105,6 +8149,19 @@ FROM rk
             min_novelty=CORPUS_FILTER3["min_novelty"],
             per_source=SOURCE_CAP, novelty_k=NOVELTY_K, **DSIR,
         ),
+        "emb_compression_tradeoff": f"""
+SELECT 'int8' AS method, CAST(4.0 AS DOUBLE) AS compression_x,
+       floor(avg(recall) * 1000000.0 + 0.5) / 1000000.0 AS mean_recall
+FROM ({ov.int8_recall_sql(max_query_id=RECALL["max_query_id"], k=RECALL["k"], dim=EMB_DIM)}) __i
+UNION ALL
+SELECT 'trunc16', CAST(4.0 AS DOUBLE),
+       floor(avg(recall) * 1000000.0 + 0.5) / 1000000.0
+FROM ({ov.truncated_dim_recall_sql(max_query_id=RECALL["max_query_id"], k=RECALL["k"], trunc_dim=TRUNC_DIM, dim=EMB_DIM)}) __t
+UNION ALL
+SELECT 'pq', CAST({float(EMB_DIM * 4 / PQ["m"])!r} AS DOUBLE),
+       floor(avg(recall) * 1000000.0 + 0.5) / 1000000.0
+FROM ({ov.pq_recall_sql(max_query_id=RECALL["max_query_id"], k=RECALL["k"], m=PQ["m"], ks=PQ["ks"], dim=EMB_DIM)}) __p
+""",
         "emb_norm_profile": f"""
 WITH nv AS (
   SELECT sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
