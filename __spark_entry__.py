@@ -4086,6 +4086,38 @@ def q_events_changepoint2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day load curve per event type -> (event_type, hh,
+    n_events, mean_value, share_of_type). The capacity-planning /
+    batch-window read (when is each traffic class quiet), with the
+    hour bucket from pure epoch arithmetic (the events_dow_hour rule —
+    no engine calendar conventions). One combinable 24 x |types|
+    aggregate + a broadcast per-type total."""
+    from symtseries_spark.operators.timeseries import quantize
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "hh", F.expr("((ts div 1000) div 3600000000) % 24")
+    )
+    cell = ev.groupBy("event_type", "hh").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        quantize(F.avg(F.col("value").cast("double")), 6)
+        .alias("mean_value"),
+    )
+    tot = cell.groupBy("event_type").agg(F.sum("n_events").alias("__t"))
+    return (
+        cell.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "hh",
+            "n_events",
+            "mean_value",
+            quantize(F.col("n_events") / F.col("__t"), 6)
+            .alias("share_of_type"),
+        )
+        .orderBy("event_type", "hh")
+    )
+
+
 def q_events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford's-law leading-digit audit of the value column ->
     (digit, n, observed_frac, expected_frac, abs_dev). The classic
@@ -5715,6 +5747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_length_corr": q_docs_quality_length_corr,
         "docs_shingle_df_profile": q_docs_shingle_df_profile,
         "emb_compression_tradeoff": q_emb_compression_tradeoff,
+        "events_hourly_profile": q_events_hourly_profile,
         "docs_source_skew": q_docs_source_skew,
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
@@ -7500,6 +7533,24 @@ SELECT event_type, n,
        floor((sy - slope * si) / CAST(n AS DOUBLE) * 1000000.0 + 0.5)
          / 1000000.0 AS intercept
 FROM s
+""",
+        "events_hourly_profile": """
+WITH e AS (
+  SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hh,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+), c AS (
+  SELECT event_type, hh, count(*) AS n_events,
+         floor(avg(v) * 1000000.0 + 0.5) / 1000000.0 AS mean_value
+  FROM e GROUP BY event_type, hh
+), t AS (
+  SELECT event_type, sum(n_events) AS tt FROM c GROUP BY event_type
+)
+SELECT c.event_type, c.hh, c.n_events, c.mean_value,
+       floor(CAST(c.n_events AS DOUBLE) / tt * 1000000.0 + 0.5)
+         / 1000000.0 AS share_of_type
+FROM c JOIN t USING (event_type)
+ORDER BY c.event_type, c.hh
 """,
         "events_benford": f"""
 WITH v AS (
