@@ -1737,6 +1737,41 @@ def q_docs_quality_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination rate per source -> (source, n_docs,
+    n_contaminated, rate). The triage view on top of
+    docs_contamination's per-doc flags: a source with a high rate is
+    scraping the benchmark's origin and needs a feed-level block, not
+    per-doc filtering. One broadcast join of the flagged ids back to
+    the scanned corpus slice."""
+    from symtseries_spark.operators.timeseries import quantize
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % DECONTAM["bench_mod"] != 0)
+    flagged = q_docs_contamination(spark, sf_dir).select(
+        "doc_id", F.lit(1).alias("__c")
+    )
+    j = corpus.select("doc_id", "source").join(
+        F.broadcast(flagged), "doc_id", "left"
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("__c"), F.lit(0))).alias("n_contaminated"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_contaminated",
+            quantize(
+                F.col("n_contaminated") / F.col("n_docs"), 6
+            ).alias("rate"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_docs_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle document-frequency histogram -> (df_bucket, n_shingles,
     n_postings) with explicit integer buckets (1, 2, 3-4, 5-8, ...,
@@ -5748,6 +5783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_shingle_df_profile": q_docs_shingle_df_profile,
         "emb_compression_tradeoff": q_emb_compression_tradeoff,
         "events_hourly_profile": q_events_hourly_profile,
+        "docs_contamination_by_source": q_docs_contamination_by_source,
         "docs_source_skew": q_docs_source_skew,
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
@@ -7959,6 +7995,22 @@ SELECT CAST(floor(jac * 10) AS INTEGER) AS bucket,
        floor(avg(abs(err)) * 1000000.0 + 0.5) / 1000000.0 AS mean_abs_err,
        max(abs(err)) AS max_abs_err
 FROM er GROUP BY 1 ORDER BY 1
+""",
+        "docs_contamination_by_source": f"""
+WITH fl AS (
+  SELECT doc_id FROM ({ot.contamination_sql(**DECONTAM)}) __c
+), corp AS (
+  SELECT doc_id, source FROM documents
+  WHERE doc_id % {DECONTAM["bench_mod"]} != 0
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN fl.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated,
+       floor(CAST(sum(CASE WHEN fl.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*) * 1000000.0 + 0.5)
+         / 1000000.0 AS rate
+FROM corp LEFT JOIN fl USING (doc_id)
+GROUP BY source ORDER BY source
 """,
         "docs_shingle_df_profile": f"""
 WITH sh AS (
