@@ -4121,6 +4121,31 @@ def q_events_changepoint2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users with the 7-day trailing mean -> (day, dau,
+    dau_7d). THE product health metric: one count-distinct per epoch
+    day (exact here; the 100 TB path swaps in the registered grouped
+    HLL and keeps the same shape), then a 7-row window over the
+    |days|-row table."""
+    from pyspark.sql import Window
+
+    from symtseries_spark.operators.timeseries import quantize
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("(ts div 1000) div 86400000000").alias("day")
+    ).agg(F.countDistinct("user_id").alias("dau"))
+    w = (
+        Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "day",
+        "dau",
+        quantize(F.avg(F.col("dau").cast("double")).over(w), 6)
+        .alias("dau_7d"),
+    ).orderBy("day")
+
+
 def q_events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-of-day load curve per event type -> (event_type, hh,
     n_events, mean_value, share_of_type). The capacity-planning /
@@ -5784,6 +5809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_compression_tradeoff": q_emb_compression_tradeoff,
         "events_hourly_profile": q_events_hourly_profile,
         "docs_contamination_by_source": q_docs_contamination_by_source,
+        "events_dau": q_events_dau,
         "docs_source_skew": q_docs_source_skew,
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
@@ -7569,6 +7595,18 @@ SELECT event_type, n,
        floor((sy - slope * si) / CAST(n AS DOUBLE) * 1000000.0 + 0.5)
          / 1000000.0 AS intercept
 FROM s
+""",
+        "events_dau": """
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         count(DISTINCT user_id) AS dau
+  FROM events GROUP BY 1
+)
+SELECT day, dau,
+       floor(avg(CAST(dau AS DOUBLE)) OVER (
+           ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         * 1000000.0 + 0.5) / 1000000.0 AS dau_7d
+FROM d ORDER BY day
 """,
         "events_hourly_profile": """
 WITH e AS (
