@@ -4146,6 +4146,38 @@ def q_events_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly engagement stickiness -> (week, wau, avg_dau,
+    stickiness = avg_dau / wau). The DAU/WAU ratio product teams
+    steer by: near 1 means the weekly audience shows up daily, near
+    1/7 means once-a-week visitors. Two count-distinct aggregates on
+    epoch-derived day/week keys, a |days|-row averaging join —
+    calendar-free arithmetic throughout."""
+    from symtseries_spark.operators.timeseries import quantize
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.expr("(ts div 1000) div 86400000000")
+    ).withColumn("week", F.expr("day div 7"))
+    daily = ev.groupBy("week", "day").agg(
+        F.countDistinct("user_id").alias("__dau")
+    )
+    wk_day = daily.groupBy("week").agg(
+        quantize(F.avg(F.col("__dau").cast("double")), 6).alias("avg_dau")
+    )
+    wau = ev.groupBy("week").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        wau.join(wk_day, "week")
+        .select(
+            "week",
+            "wau",
+            "avg_dau",
+            quantize(F.col("avg_dau") / F.col("wau"), 6)
+            .alias("stickiness"),
+        )
+        .orderBy("week")
+    )
+
+
 def q_events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-of-day load curve per event type -> (event_type, hh,
     n_events, mean_value, share_of_type). The capacity-planning /
@@ -5810,6 +5842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_profile": q_events_hourly_profile,
         "docs_contamination_by_source": q_docs_contamination_by_source,
         "events_dau": q_events_dau,
+        "events_stickiness": q_events_stickiness,
         "docs_source_skew": q_docs_source_skew,
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
@@ -7595,6 +7628,27 @@ SELECT event_type, n,
        floor((sy - slope * si) / CAST(n AS DOUBLE) * 1000000.0 + 0.5)
          / 1000000.0 AS intercept
 FROM s
+""",
+        "events_stickiness": """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         (epoch_us(ts) // 86400000000) // 7 AS week
+  FROM events
+), daily AS (
+  SELECT week, day, count(DISTINCT user_id) AS dau
+  FROM e GROUP BY week, day
+), wd AS (
+  SELECT week,
+         floor(avg(CAST(dau AS DOUBLE)) * 1000000.0 + 0.5)
+           / 1000000.0 AS avg_dau
+  FROM daily GROUP BY week
+), w AS (
+  SELECT week, count(DISTINCT user_id) AS wau FROM e GROUP BY week
+)
+SELECT w.week, w.wau, wd.avg_dau,
+       floor(wd.avg_dau / w.wau * 1000000.0 + 0.5) / 1000000.0
+         AS stickiness
+FROM w JOIN wd USING (week) ORDER BY w.week
 """,
         "events_dau": """
 WITH d AS (
