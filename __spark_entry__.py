@@ -320,6 +320,44 @@ def q_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sax_word_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX shape grammar: the top-20 (word -> next word) transitions
+    across consecutive complete sliding words within each series ->
+    (word_from, word_to, n_transitions, n_series). The sequence-level
+    structure the per-word motif/discord probes can't see (which
+    shapes FOLLOW which); rare transitions between common words are
+    grammar violations worth an anomaly look. One lag window on the
+    sliding relation + a combinable pair count."""
+    from pyspark.sql import Window
+
+    words = _events_sliding(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "sax_word"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hops = (
+        words.withColumn("__next", F.lead("sax_word").over(w))
+        .where(
+            (~F.col("sax_word").contains("#"))
+            & F.col("__next").isNotNull()
+            & (~F.col("__next").contains("#"))
+        )
+        .select(
+            F.col("sax_word").alias("word_from"),
+            F.col("__next").alias("word_to"),
+            "user_id",
+        )
+    )
+    return (
+        hops.groupBy("word_from", "word_to")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.countDistinct("user_id").alias("n_series"),
+        )
+        .orderBy(F.desc("n_transitions"), "word_from", "word_to")
+        .limit(20)
+    )
+
+
 def q_sax_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series SAX symbol entropy: Shannon entropy of the letter
     distribution across the series' complete sliding words ->
@@ -5843,6 +5881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_contamination_by_source": q_docs_contamination_by_source,
         "events_dau": q_events_dau,
         "events_stickiness": q_events_stickiness,
+        "sax_word_transitions": q_sax_word_transitions,
         "docs_source_skew": q_docs_source_skew,
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
@@ -6522,6 +6561,23 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 
     out = {
         "sax_sliding_words": f"SELECT user_id, event_id, sax_word FROM ({slide})",
+        "sax_word_transitions": f"""
+WITH s AS ({oc.sliding_words_sql(SLIDE["n"], SLIDE["w"], SLIDE["c"], id_cols="user_id, event_id, ts")}),
+h AS (
+  SELECT user_id, sax_word AS word_from,
+         lead(sax_word) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS word_to
+  FROM s
+)
+SELECT word_from, word_to, count(*) AS n_transitions,
+       count(DISTINCT user_id) AS n_series
+FROM h
+WHERE word_from NOT LIKE '%#%' AND word_to IS NOT NULL
+  AND word_to NOT LIKE '%#%'
+GROUP BY word_from, word_to
+ORDER BY n_transitions DESC, word_from, word_to
+LIMIT 20
+""",
         # symbol entropy: Spark's log2 IS ln(x)/ln(2) (derived), so the
         # SQL mirrors that exact form; the quantized SUM absorbs
         # per-term libm ulp (off-grid ratios, not the on-grid trap)
