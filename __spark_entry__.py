@@ -5770,24 +5770,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Registry order = driver-verification priority, NOT topic order:
         # the round driver's correctness window checks a ~50-entry
-        # prefix. Layout: positions 0-2 recall reports; 3-11 the first
-        # late-round-4 batch (changepoint, pagerank, minhash accuracy,
-        # zipf, trunc/pq recall, stl strength, hist quantiles,
-        # changepoint2); 12-33 the earlier round-4 additions; 34-49 the
-        # 16 entries never driver-checked before round 4 (r3 verdict
-        # item #2 — they MUST stay inside the window, so every later
-        # addition goes AFTER media_resize at 49). Positions 50+ hold
-        # the second-session additions (all bit-exact in the builder's
-        # full %.17g sweeps) and then the earlier rotation. Original
-        # round-4 note: (1) queries NEW this round (3 recall
-        # reports + the 20 round-4 additions: kmeans/semdedup/pca/abtt,
-        # discords/vsm/numerosity, dsir batch+stream, source cap,
-        # novelty, filter3, stl, acf, char entropy, ccnet buckets, seasonal
-        # anomaly, Holt-Winters batch+stream, forecast backtest), (2) the 16
-        # queries
-        # never covered by a driver round (r3 verdict item #2), (3) the
-        # entries last covered in round 1, (4) round-2-covered entries
-        # rotating through, (5) the round-3-verified tail.
+        # prefix. Round-6 layout (r5 verdict item #1): positions 0-44
+        # are the 45 entries never driver-checked in r01-r05
+        # (emb_knn_label_acc ... docs_source_skew); positions 45-49 are
+        # the 5 stale sax encode/mindist core rows last driver-checked
+        # in r01/r02 (sax_whole_series, sax_sliding_words,
+        # sax_mindist_topk, sax_mindist_decomp, sax_c16_decomp).
+        # Together the prefix closes the cumulative driver record at
+        # 214/214. Positions 50+ hold everything already driver-green
+        # (r01-r05), in prior relative order. Future additions go at
+        # the HEAD of the dict so the next driver window covers them.
+        "emb_knn_label_acc": q_emb_knn_label_acc,
+        "events_anomaly_consensus": q_events_anomaly_consensus,
+        "sax_motifs": q_sax_motifs,
+        "emb_silhouette": q_emb_silhouette,
+        "events_funnel_latency": q_events_funnel_latency,
+        "dedup_simhash_fidelity": q_dedup_simhash_fidelity,
+        "emb_int8_recall": q_emb_int8_recall,
+        "events_twap": q_events_twap,
+        "events_twap_stream": q_events_twap_stream,
+        "events_ohlc": q_events_ohlc,
+        "dedup_triangles": q_dedup_triangles,
+        "events_page_hinkley": q_events_page_hinkley,
+        "events_page_hinkley_stream": q_events_page_hinkley_stream,
+        "dedup_cross_lang": q_dedup_cross_lang,
+        "events_rfm": q_events_rfm,
+        "events_session_sizes": q_events_session_sizes,
+        "events_key_skew": q_events_key_skew,
+        "events_hll_by_type": q_events_hll_by_type,
+        "events_audience_overlap": q_events_audience_overlap,
+        "events_dominant_period": q_events_dominant_period,
+        "events_moments": q_events_moments,
+        "events_ohlc_stream": q_events_ohlc_stream,
+        "docs_source_boilerplate": q_docs_source_boilerplate,
+        "emb_fisher_dims": q_emb_fisher_dims,
+        "events_p95_trend": q_events_p95_trend,
+        "events_volume_anomaly": q_events_volume_anomaly,
+        "sax_complexity": q_sax_complexity,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "events_user_lifetime": q_events_user_lifetime,
+        "docs_scorecard": q_docs_scorecard,
+        "docs_novelty_decay": q_docs_novelty_decay,
+        "events_type_transitions": q_events_type_transitions,
+        "emb_norm_profile": q_emb_norm_profile,
+        "events_benford": q_events_benford,
+        "docs_hapax": q_docs_hapax,
+        "events_value_skew": q_events_value_skew,
+        "docs_quality_length_corr": q_docs_quality_length_corr,
+        "docs_shingle_df_profile": q_docs_shingle_df_profile,
+        "emb_compression_tradeoff": q_emb_compression_tradeoff,
+        "events_hourly_profile": q_events_hourly_profile,
+        "docs_contamination_by_source": q_docs_contamination_by_source,
+        "events_dau": q_events_dau,
+        "events_stickiness": q_events_stickiness,
+        "sax_word_transitions": q_sax_word_transitions,
+        "docs_source_skew": q_docs_source_skew,
+        "sax_whole_series": q_sax_whole_series,
+        "sax_sliding_words": q_sax_sliding_words,
+        "sax_mindist_topk": q_sax_mindist_topk,
+        "sax_mindist_decomp": q_sax_mindist_decomp,
+        "sax_c16_decomp": q_sax_c16_decomp,
         "emb_lsh_recall": q_emb_lsh_recall,
         "emb_multiprobe_recall": q_emb_multiprobe_recall,
         "emb_ivf_recall": q_emb_ivf_recall,
@@ -5838,51 +5880,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_join": q_events_stream_join,
         "emb_ivf_topk": q_emb_ivf_topk,
         "media_resize": q_media_resize,
-        "emb_knn_label_acc": q_emb_knn_label_acc,
-        "events_anomaly_consensus": q_events_anomaly_consensus,
-        "sax_motifs": q_sax_motifs,
-        "emb_silhouette": q_emb_silhouette,
-        "events_funnel_latency": q_events_funnel_latency,
-        "dedup_simhash_fidelity": q_dedup_simhash_fidelity,
-        "emb_int8_recall": q_emb_int8_recall,
-        "events_twap": q_events_twap,
-        "events_twap_stream": q_events_twap_stream,
-        "events_ohlc": q_events_ohlc,
-        "dedup_triangles": q_dedup_triangles,
-        "events_page_hinkley": q_events_page_hinkley,
-        "events_page_hinkley_stream": q_events_page_hinkley_stream,
-        "dedup_cross_lang": q_dedup_cross_lang,
-        "events_rfm": q_events_rfm,
-        "events_session_sizes": q_events_session_sizes,
-        "events_key_skew": q_events_key_skew,
-        "events_hll_by_type": q_events_hll_by_type,
-        "events_audience_overlap": q_events_audience_overlap,
-        "events_dominant_period": q_events_dominant_period,
-        "events_moments": q_events_moments,
-        "events_ohlc_stream": q_events_ohlc_stream,
-        "docs_source_boilerplate": q_docs_source_boilerplate,
-        "emb_fisher_dims": q_emb_fisher_dims,
-        "events_p95_trend": q_events_p95_trend,
-        "events_volume_anomaly": q_events_volume_anomaly,
-        "sax_complexity": q_sax_complexity,
-        "dedup_cluster_sizes": q_dedup_cluster_sizes,
-        "events_user_lifetime": q_events_user_lifetime,
-        "docs_scorecard": q_docs_scorecard,
-        "docs_novelty_decay": q_docs_novelty_decay,
-        "events_type_transitions": q_events_type_transitions,
-        "emb_norm_profile": q_emb_norm_profile,
-        "events_benford": q_events_benford,
-        "docs_hapax": q_docs_hapax,
-        "events_value_skew": q_events_value_skew,
-        "docs_quality_length_corr": q_docs_quality_length_corr,
-        "docs_shingle_df_profile": q_docs_shingle_df_profile,
-        "emb_compression_tradeoff": q_emb_compression_tradeoff,
-        "events_hourly_profile": q_events_hourly_profile,
-        "docs_contamination_by_source": q_docs_contamination_by_source,
-        "events_dau": q_events_dau,
-        "events_stickiness": q_events_stickiness,
-        "sax_word_transitions": q_sax_word_transitions,
-        "docs_source_skew": q_docs_source_skew,
         "events_json_stats": q_events_json_stats,
         "docs_rollup": q_docs_rollup,
         "events_lag_delta": q_events_lag_delta,
@@ -5904,14 +5901,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_byte_histogram": q_media_byte_histogram,
         "media_frame_sample": q_media_frame_sample,
         "media_decode_features": q_media_decode_features,
-        "sax_sliding_words": q_sax_sliding_words,
         "sax_sliding_chunked": q_sax_sliding_chunked,
         "sax_tumbling_motifs": q_sax_tumbling_motifs,
-        "sax_whole_series": q_sax_whole_series,
         "sax_pattern_match": q_sax_pattern_match,
-        "sax_mindist_topk": q_sax_mindist_topk,
-        "sax_mindist_decomp": q_sax_mindist_decomp,
-        "sax_c16_decomp": q_sax_c16_decomp,
         "sax_allpairs": q_sax_allpairs,
         "sax_allpairs_refined": q_sax_allpairs_refined,
         "sax_tumbling_partial": q_sax_tumbling_partial,
