@@ -1,0 +1,70 @@
+"""distributed_row_number / distributed_ntile must be bit-identical to
+the single-partition global window they replace — including ties,
+descending order, and degenerate (constant-key, tiny, n<k) inputs."""
+
+import random
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from symtseries_spark.operators.rank import (
+    distributed_ntile,
+    distributed_row_number,
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "id long, v double")
+
+
+def _rows(n, n_distinct):
+    rng = random.Random(42)
+    return [(i, float(rng.randrange(n_distinct))) for i in range(n)]
+
+
+@pytest.mark.parametrize("descending", [False, True])
+@pytest.mark.parametrize(
+    "n,n_distinct,buckets",
+    [(500, 400, 8), (500, 5, 8), (500, 1, 4), (3, 3, 64), (0, 1, 8)],
+)
+def test_row_number_matches_global_window(
+    spark, n, n_distinct, buckets, descending
+):
+    df = _mk(spark, _rows(n, n_distinct))
+    got = distributed_row_number(
+        df, "v", tiebreak="id", out="rn", descending=descending,
+        buckets=buckets,
+    )
+    key = F.col("v").desc() if descending else F.col("v").asc()
+    exp = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy(key, "id")).cast("long")
+    )
+    g = {(r["id"]): r["rn"] for r in got.collect()}
+    e = {(r["id"]): r["rn"] for r in exp.collect()}
+    assert g == e
+
+
+@pytest.mark.parametrize("descending", [False, True])
+@pytest.mark.parametrize("n,k", [(503, 5), (500, 5), (3, 5), (20, 7)])
+def test_ntile_matches_global_window(spark, n, k, descending):
+    df = _mk(spark, _rows(n, max(1, n // 3)))
+    got = distributed_ntile(
+        df, "v", tiebreak="id", n_tiles=k, out="t", descending=descending,
+        buckets=8,
+    )
+    key = F.col("v").desc() if descending else F.col("v").asc()
+    exp = df.withColumn("t", F.ntile(k).over(Window.orderBy(key, "id")))
+    g = {(r["id"]): r["t"] for r in got.collect()}
+    e = {(r["id"]): r["t"] for r in exp.collect()}
+    assert g == e
+
+
+def test_plan_has_no_global_sort(spark):
+    """The physical plan must show a partitionBy window, not an
+    unpartitioned one (single-task sort)."""
+    df = _mk(spark, _rows(200, 50))
+    got = distributed_row_number(df, "v", tiebreak="id", buckets=8)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # Window spec must include the bucket partition key
+    assert "__bkt" in plan
