@@ -2035,21 +2035,26 @@ def q_docs_corpus_filter3(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("dsir_pt"),
     )
-    from pyspark.sql import Window
+    from symtseries_spark.operators.rank import ranked_with_total
 
-    rk = pt.select(
-        "doc_id",
+    # Distributed exact global rank (operators/rank.py) — the median
+    # cut needs the true rank, but never a single-partition sort; the
+    # total enters the plan as a literal from the rank's count pass.
+    rk, n_total = ranked_with_total(
+        pt.select("doc_id", "dsir_pt"),
         "dsir_pt",
-        F.row_number()
-        .over(Window.orderBy(F.desc("dsir_pt"), "doc_id"))
-        .alias("dsir_rank"),
-    ).crossJoin(F.broadcast(pt.agg(F.count(F.lit(1)).alias("__total"))))
+        tiebreak="doc_id",
+        out="dsir_rank",
+        descending=True,
+        buckets=64,
+        rel_err=0.01,
+    )
     return (
         cap.join(nov, "doc_id")
         .join(rk, "doc_id")
         .where(
             (F.col("novelty_ratio") >= CORPUS_FILTER3["min_novelty"])
-            & (F.col("dsir_rank") <= F.floor(F.col("__total") / 2))
+            & (F.col("dsir_rank") <= F.lit(n_total // 2))
         )
         .select(
             "doc_id", "source", "src_rank", "novelty_ratio",
@@ -4944,26 +4949,30 @@ def q_docs_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus by the unigram-LM score and split into head/middle/tail
     terciles — the standard quality-tier assignment a pretraining mix
     consumes. Tercile cuts are integer comparisons (rank*3 vs total),
-    no division rounding anywhere; rank ties break on doc_id. Exact
-    global rank at gate scale; production swaps in approx-quantile
-    cuts (same buckets up to quantile error)."""
-    from pyspark.sql import Window
-
+    no division rounding anywhere; rank ties break on doc_id. The rank
+    is the DISTRIBUTED exact two-pass form (operators/rank.py: bucket
+    by approxQuantile bounds -> broadcast prefix offsets -> per-bucket
+    window), bit-identical to the global window the DuckDB oracle
+    runs, with no single-partition sort; the total falls out of the
+    count pass as a plan literal (no crossJoin count)."""
+    from symtseries_spark.operators.rank import ranked_with_total
     from symtseries_spark.operators.retrieval import unigram_logprob
 
     lp = unigram_logprob(load(spark, sf_dir, "documents"))
-    rk = lp.select(
-        "doc_id",
+    rk, n_docs = ranked_with_total(
+        lp,
         "avg_logprob",
-        F.row_number()
-        .over(Window.orderBy(F.desc("avg_logprob"), "doc_id"))
-        .alias("__rk"),
-    ).crossJoin(F.broadcast(lp.agg(F.count(F.lit(1)).alias("__n"))))
+        tiebreak="doc_id",
+        out="__rk",
+        descending=True,
+        buckets=64,
+        rel_err=0.01,
+    )
     return rk.select(
         "doc_id",
         "avg_logprob",
-        F.when(F.col("__rk") * 3 <= F.col("__n"), "head")
-        .when(F.col("__rk") * 3 <= F.col("__n") * 2, "middle")
+        F.when(F.col("__rk") * 3 <= F.lit(n_docs), "head")
+        .when(F.col("__rk") * 3 <= F.lit(n_docs) * 2, "middle")
         .otherwise("tail")
         .alias("ppl_bucket"),
     )
@@ -5183,24 +5192,24 @@ def q_events_value_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted Gini -> (n_users, total_value, max_share, top10_share,
     gini). The revenue twin of events_key_skew's row-count report —
     row balance can be fine while 10 whales carry the value mass.
-    Per-user sums are rounded once (engine-identical), the rank
-    windows run over the |users|-row table, and every emitted ratio
-    is quantized."""
-    from pyspark.sql import Window
-
+    Per-user sums are rounded once (engine-identical), the ranks are
+    the DISTRIBUTED exact two-pass form (operators/rank.py — no
+    single-partition sort over the |users|-row table), and every
+    emitted ratio is quantized."""
+    from symtseries_spark.operators.rank import distributed_row_number
     from symtseries_spark.operators.timeseries import quantize
 
     ev = load(spark, sf_dir, "events")
     per = ev.groupBy("user_id").agg(
         F.round(F.sum("value"), 6).alias("__w")
     )
-    asc = Window.orderBy(F.col("__w"), F.col("user_id"))
-    desc = Window.orderBy(F.col("__w").desc(), F.col("user_id"))
-    ranked = per.select(
+    ranked = distributed_row_number(
+        distributed_row_number(per, "__w", tiebreak="user_id", out="__ra"),
         "__w",
-        F.row_number().over(asc).alias("__ra"),
-        F.row_number().over(desc).alias("__rd"),
-    )
+        tiebreak="user_id",
+        out="__rd",
+        descending=True,
+    ).select("__w", "__ra", "__rd")
     agg = ranked.agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum("__w").alias("__tot"),
@@ -5328,13 +5337,11 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus max timestamp), event count, and value sum, each mapped to
     a 1-5 ntile score with deterministic (metric, user_id) tie order
     -> (user_id, recency_days, frequency, monetary, r, f, m). One
-    aggregate + three rank windows over the per-user table
-    (|users| rows, not |events|). The exact global ntile is the
-    oracle-able form; at 100 TB swap the three windows for
-    percentile_approx quintile THRESHOLDS broadcast back (one pass,
-    no global sort) — same pattern as docs_ccnet_bucket's rank
-    gate."""
-    from pyspark.sql import Window
+    aggregate + three DISTRIBUTED exact global ntiles over the
+    per-user table (|users| rows, not |events|; operators/rank.py
+    two-pass form — bit-identical to the window ntile the DuckDB
+    oracle runs, with no single-partition sort at any scale)."""
+    from symtseries_spark.operators.rank import distributed_ntile
 
     ev = load(spark, sf_dir, "events").withColumn(
         "ts_us", F.expr("ts div 1000")
@@ -5351,17 +5358,28 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary",
     )
-    rw = Window.orderBy(F.col("recency_days").desc(), F.col("user_id"))
-    fw = Window.orderBy(F.col("frequency"), F.col("user_id"))
-    mw = Window.orderBy(F.col("monetary"), F.col("user_id"))
-    return base.select(
-        "user_id",
-        "recency_days",
-        "frequency",
+    scored = distributed_ntile(
+        distributed_ntile(
+            distributed_ntile(
+                base,
+                "recency_days",
+                tiebreak="user_id",
+                n_tiles=5,
+                out="r",
+                descending=True,
+            ),
+            "frequency",
+            tiebreak="user_id",
+            n_tiles=5,
+            out="f",
+        ),
         "monetary",
-        F.ntile(5).over(rw).alias("r"),
-        F.ntile(5).over(fw).alias("f"),
-        F.ntile(5).over(mw).alias("m"),
+        tiebreak="user_id",
+        n_tiles=5,
+        out="m",
+    )
+    return scored.select(
+        "user_id", "recency_days", "frequency", "monetary", "r", "f", "m"
     )
 
 

@@ -634,27 +634,27 @@ def key_skew(
     from uniform (0 = uniform, -> 1 = one dominant key). Run it on
     the join/groupBy key BEFORE picking salting or AQE skew handling.
 
-    Plan: one combinable count per key, then two rank windows over the
-    |keys|-row table (key-count-sized, NOT row-count-sized — the
-    single-partition global sort is over keys only) and one final
-    aggregate. All sums are exact integers (rank * count), so only
-    the emitted ratios are quantized: ``gini = 2*sum(i*x_i)/(k*total)
-    - (k+1)/k`` over ascending (count, key) ranks.
+    Plan: one combinable count per key, then two DISTRIBUTED exact
+    global ranks over the |keys|-row table (operators/rank.py two-pass
+    approxQuantile-bucket form — no single-partition sort even when
+    the key space itself is large) and one final aggregate. All sums
+    are exact integers (rank * count), so only the emitted ratios are
+    quantized: ``gini = 2*sum(i*x_i)/(k*total) - (k+1)/k`` over
+    ascending (count, key) ranks.
     """
-    from pyspark.sql import Window
-
+    from .rank import distributed_row_number
     from .timeseries import quantize
 
     if top_n < 1:
         raise ValueError("key_skew needs top_n >= 1")
     counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
-    asc = Window.orderBy(F.col("__n"), F.col(key))
-    desc = Window.orderBy(F.col("__n").desc(), F.col(key))
-    ranked = counts.select(
+    ranked = distributed_row_number(
+        distributed_row_number(counts, "__n", tiebreak=key, out="__ra"),
         "__n",
-        F.row_number().over(asc).alias("__ra"),
-        F.row_number().over(desc).alias("__rd"),
-    )
+        tiebreak=key,
+        out="__rd",
+        descending=True,
+    ).select("__n", "__ra", "__rd")
     agg = ranked.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("__n").alias("total_rows"),

@@ -13,12 +13,16 @@ Gini/skew reports, RFM ntiles):
    equal keys always share a bucket.
 2. **Count pass** — per-bucket row counts, collected to the driver
    (bounded: at most ``buckets`` rows) and turned into cumulative
-   prefix offsets, re-entering the plan as a literal map.
+   prefix offsets, re-entering the plan as a literal map. The same
+   pass counts null/NaN keys and fails fast if any exist (they would
+   bucket differently than they sort, silently corrupting ranks).
 3. **Rank pass** — ``row_number()`` WITHIN each bucket (parallel
    window, one task per bucket) plus the bucket's offset. Bucket order
    + in-bucket order = global order, so the result is bit-identical to
    the single-task global window — the DuckDB oracles run the literal
-   global form and stay green unchanged.
+   global form and stay green unchanged. A bucket id that was never
+   counted (only possible with a nondeterministic upstream lineage)
+   raises at runtime instead of emitting NULL ranks.
 
 The input lineage is persisted across the two driver actions and
 unpersisted before the final plan is handed back, so upstream work runs
@@ -26,11 +30,11 @@ twice total (once cached for both actions, once in the caller's job)
 instead of three times.
 
 Preconditions: the sort key must be numeric, non-null, and non-NaN
-(NaN orders differently in a bucket comparison than in a sort).
-Heavily tied keys degrade gracefully: all ties land in one bucket, so a
-single dominant key value concentrates its (unavoidable, since ranks
-among ties must be assigned in one place) sort in one task while every
-other bucket still runs in parallel.
+(enforced at runtime in the count pass). Heavily tied keys degrade
+gracefully: all ties land in one bucket, so a single dominant key value
+concentrates its (unavoidable, since ranks among ties must be assigned
+in one place) sort in one task while every other bucket still runs in
+parallel.
 """
 
 from __future__ import annotations
@@ -38,7 +42,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["distributed_row_number", "distributed_ntile"]
+__all__ = [
+    "distributed_row_number",
+    "distributed_ntile",
+    "ranked_with_total",
+]
 
 
 def _bucket_expr(bounds: list[float], key_d):
@@ -47,6 +55,104 @@ def _bucket_expr(bounds: list[float], key_d):
         return F.lit(0)
     arr = F.array(*[F.lit(float(b)) for b in bounds])
     return F.size(F.filter(arr, lambda b: b <= key_d))
+
+
+def ranked_with_total(
+    df: DataFrame,
+    key: str,
+    *,
+    tiebreak: str,
+    out: str,
+    descending: bool,
+    buckets: int,
+    rel_err: float,
+) -> tuple[DataFrame, int]:
+    """Two-pass core: returns ``(ranked df, total row count)``.
+
+    The total falls out of the count pass for free — callers that need
+    it (ntile, rank-vs-total gates like CCNet terciles or the DSIR
+    median cut) must use it as a plan literal, never re-aggregate the
+    ranked lineage.
+    """
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    # Orientation: rank ascending over sgn * key so one code path
+    # serves both directions. Negation of a double/long is exact.
+    key_d = F.col(key).cast("double")
+    oriented = (-key_d) if descending else key_d
+    work = df.withColumn("__dk", oriented)
+
+    work.persist()
+    try:
+        qs = [i / buckets for i in range(1, buckets)]
+        bounds = (
+            sorted(set(work.stat.approxQuantile("__dk", qs, rel_err)))
+            if qs
+            else []
+        )
+        with_bkt = work.withColumn(
+            "__bkt", _bucket_expr(bounds, F.col("__dk"))
+        )
+        # One grouped pass yields bucket counts AND the bad-key count
+        # (null/NaN keys bucket differently than they sort — fail fast
+        # instead of silently mis-ranking).
+        bad_bucket = F.when(
+            F.col("__dk").isNull() | F.isnan("__dk"), F.lit(-1)
+        ).otherwise(F.col("__bkt"))
+        counts = {
+            r["__b"]: r["cnt"]
+            for r in with_bkt.groupBy(bad_bucket.alias("__b"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+    finally:
+        work.unpersist()
+
+    n_bad = counts.pop(-1, 0)
+    if n_bad:
+        raise ValueError(
+            f"distributed rank over {key!r}: {n_bad} null/NaN key rows "
+            "(the sort key must be non-null and non-NaN)"
+        )
+
+    offsets: dict[int, int] = {}
+    total = 0
+    for b in sorted(counts):
+        offsets[b] = total
+        total += counts[b]
+    if offsets:
+        off_map = F.create_map(
+            *[F.lit(v) for kv in sorted(offsets.items()) for v in kv]
+        )
+        # A bucket missing from the counted set means the upstream
+        # lineage is nondeterministic between the two jobs — raise
+        # instead of emitting silent NULL ranks.
+        off = F.coalesce(
+            F.element_at(off_map, F.col("__bkt").cast("int")).cast("long"),
+            F.raise_error(
+                F.lit(
+                    "distributed rank: bucket/offset mismatch — upstream "
+                    "lineage produced a bucket absent from the count pass "
+                    "(nondeterministic input?)"
+                )
+            ).cast("long"),
+        )
+    else:
+        off = F.lit(0).cast("long")
+
+    order_key = F.col(key).desc() if descending else F.col(key).asc()
+    w_in = Window.partitionBy("__bkt").orderBy(order_key, F.col(tiebreak))
+    # Rebuild bucket on the original lineage (post-unpersist) — the
+    # bucket expression is a pure function of the key, so the final
+    # job's bucket ids match the counted ones exactly.
+    key_d2 = F.col(key).cast("double")
+    oriented2 = (-key_d2) if descending else key_d2
+    ranked = (
+        df.withColumn("__bkt", _bucket_expr(bounds, oriented2))
+        .withColumn(out, F.row_number().over(w_in).cast("long") + off)
+        .drop("__bkt")
+    )
+    return ranked, total
 
 
 def distributed_row_number(
@@ -66,57 +172,16 @@ def distributed_row_number(
     tie rule). Ranks are 1-based and bit-identical to the global-window
     form; see the module docstring for the two-pass shape.
     """
-    if buckets < 1:
-        raise ValueError("buckets must be >= 1")
-    # Orientation: rank ascending over sgn * key so one code path
-    # serves both directions. Negation of a double/long is exact.
-    key_d = F.col(key).cast("double")
-    oriented = (-key_d) if descending else key_d
-    work = df.withColumn("__dk", oriented)
-
-    work.persist()
-    try:
-        qs = [i / buckets for i in range(1, buckets)]
-        bounds = sorted(set(work.stat.approxQuantile("__dk", qs, rel_err))) if qs else []
-        with_bkt = work.withColumn(
-            "__bkt", _bucket_expr(bounds, F.col("__dk"))
-        )
-        counts = {
-            r["__bkt"]: r["cnt"]
-            for r in with_bkt.groupBy("__bkt")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        }
-    finally:
-        work.unpersist()
-
-    offsets: dict[int, int] = {}
-    acc = 0
-    for b in sorted(counts):
-        offsets[b] = acc
-        acc += counts[b]
-    if offsets:
-        off_map = F.create_map(
-            *[F.lit(v) for kv in sorted(offsets.items()) for v in kv]
-        )
-        off = F.element_at(off_map, F.col("__bkt").cast("int"))
-    else:
-        off = F.lit(0)
-
-    order_key = F.col(key).desc() if descending else F.col(key).asc()
-    w_in = Window.partitionBy("__bkt").orderBy(order_key, F.col(tiebreak))
-    # Rebuild bucket on the original lineage (post-unpersist) — the
-    # bucket expression is a pure function of the key, so the final
-    # job's bucket ids match the counted ones exactly.
-    key_d2 = F.col(key).cast("double")
-    oriented2 = (-key_d2) if descending else key_d2
-    return (
-        df.withColumn("__bkt", _bucket_expr(bounds, oriented2))
-        .withColumn(
-            out, F.row_number().over(w_in).cast("long") + off.cast("long")
-        )
-        .drop("__bkt")
+    ranked, _ = ranked_with_total(
+        df,
+        key,
+        tiebreak=tiebreak,
+        out=out,
+        descending=descending,
+        buckets=buckets,
+        rel_err=rel_err,
     )
+    return ranked
 
 
 def distributed_ntile(
@@ -128,37 +193,41 @@ def distributed_ntile(
     out: str = "tile",
     descending: bool = False,
     buckets: int = 64,
+    rel_err: float = 0.01,
 ) -> DataFrame:
     """Append ``out`` = exact global ``ntile(n_tiles) OVER (ORDER BY
-    key [DESC], tiebreak)`` via :func:`distributed_row_number`.
+    key [DESC], tiebreak)`` via the shared two-pass rank core.
 
     SQL ntile semantics: with ``n`` rows, the first ``n % k`` tiles get
-    ``n div k + 1`` rows, the rest ``n div k`` — derived arithmetically
-    from the distributed rank and the total count, so the result is
-    bit-identical to the window form (and to DuckDB's ``ntile``).
+    ``n div k + 1`` rows, the rest ``n div k``. The total ``n`` comes
+    from the rank core's count pass (no extra aggregate), so the tile
+    boundaries are driver-side Python integers and the per-row mapping
+    is pure int64 arithmetic — bit-identical to the window form (and to
+    DuckDB's ``ntile``) at any scale, with no FP boundary rounding.
     """
     if n_tiles < 1:
         raise ValueError("n_tiles must be >= 1")
-    ranked = distributed_row_number(
-        df, key, tiebreak=tiebreak, out="__gr", descending=descending,
+    ranked, total = ranked_with_total(
+        df,
+        key,
+        tiebreak=tiebreak,
+        out="__gr",
+        descending=descending,
         buckets=buckets,
+        rel_err=rel_err,
     )
-    total = ranked.agg(F.count(F.lit(1)).alias("__n"))
-    r = F.col("__gr")
-    n = F.col("__n")
-    # q = n div k, rem = n % k; row r (1-based) falls in tile:
-    #   r <= rem*(q+1)          -> ceil(r / (q+1))
-    #   otherwise               -> rem + ceil((r - rem*(q+1)) / q)
-    qq = F.expr(f"__n div {n_tiles}")
-    rem = n % F.lit(n_tiles)
-    cut = rem * (qq + 1)
-    tile = (
-        F.when(r <= cut, F.ceil(r / (qq + 1)))
-        .otherwise(rem + F.ceil((r - cut) / qq))
-        .cast("int")
-    )
-    return (
-        ranked.crossJoin(F.broadcast(total))
-        .withColumn(out, tile)
-        .drop("__gr", "__n")
-    )
+    q, rem = divmod(total, n_tiles)
+    cut = rem * (q + 1)
+    if q == 0:
+        # n < k: every row lands in its own tile (tile = rank).
+        tile = F.col("__gr").cast("int")
+    else:
+        tile = (
+            F.when(
+                F.col("__gr") <= F.lit(cut),
+                F.expr(f"(__gr - 1) div {q + 1} + 1"),
+            )
+            .otherwise(F.expr(f"{rem} + (__gr - 1 - {cut}) div {q} + 1"))
+            .cast("int")
+        )
+    return ranked.withColumn(out, tile).drop("__gr")

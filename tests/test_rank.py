@@ -61,10 +61,35 @@ def test_ntile_matches_global_window(spark, n, k, descending):
 
 
 def test_plan_has_no_global_sort(spark):
-    """The physical plan must show a partitionBy window, not an
-    unpartitioned one (single-task sort)."""
+    """The physical plan must show a window PARTITIONED BY the bucket
+    key and contain NO global sort (a regression to an unpartitioned
+    window would reintroduce the single-task sort)."""
     df = _mk(spark, _rows(200, 50))
     got = distributed_row_number(df, "v", tiebreak="id", buckets=8)
     plan = got._jdf.queryExecution().executedPlan().toString()
-    # Window spec must include the bucket partition key
-    assert "__bkt" in plan
+    # The window's partition spec must be the bucket key...
+    assert "windowspecdefinition(__bkt" in plan
+    # ...and every physical Sort must be partition-local (global flag
+    # prints as ", true," on the Sort node).
+    global_sorts = [
+        line
+        for line in plan.splitlines()
+        if "Sort [" in line and "], true," in line
+    ]
+    assert global_sorts == []
+
+
+def test_null_key_raises(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 3.0)], "id long, v double"
+    )
+    with pytest.raises(Exception, match="null/NaN"):
+        distributed_row_number(df, "v", tiebreak="id", buckets=4)
+
+
+def test_nan_key_raises(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, float("nan"))], "id long, v double"
+    )
+    with pytest.raises(Exception, match="null/NaN"):
+        distributed_row_number(df, "v", tiebreak="id", buckets=4)
