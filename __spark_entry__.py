@@ -3650,51 +3650,28 @@ def q_events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-step forecast (EWMA = its smoothed value; Holt = level+trend;
     Holt-Winters = level+trend+next-season) scored against the next
     actual value of its series, MAE per method -> 3 rows
-    (method, n_evals, mae). Composes the three already-verified
-    operators; the oracle embeds each method's own SQL twin as a CTE,
-    so this row is green only if the family AND the composition are."""
-    from pyspark.sql import Window
-
-    from symtseries_spark.operators import ewma, holt
-    from symtseries_spark.operators.timeseries import holt_winters
+    (method, n_evals, mae). All three method folds plus the
+    next-actual lead run as stacked window expressions over ONE
+    (user_id, ts_us, event_id) shuffle+sort
+    (operators/timeseries.py:forecast_backtest — shared fold builders
+    give expression trees identical to the standalone operators), then
+    one aggregate; the oracle embeds each method's own SQL twin as a
+    CTE, so this row is green only if the family AND the composition
+    are."""
+    from symtseries_spark.operators.timeseries import forecast_backtest
 
     ev = load(spark, sf_dir, "events").withColumn(
         "ts_us", F.expr("ts div 1000")
     )
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    actual = ev.select(
-        "user_id",
-        "event_id",
-        F.lead(F.col("value").cast("double")).over(w).alias("__a"),
+    return forecast_backtest(
+        ev,
+        key="user_id",
+        order=["ts_us", "event_id"],
+        value="value",
+        ewma_p=EWMA_P,
+        holt_p=HOLT_P,
+        hw_p=HW_P,
     )
-    common = dict(key="user_id", order=["ts_us", "event_id"], value="value")
-    arms = []
-    for method, fdf, fcol in (
-        ("ewma", ewma(ev, **common, **EWMA_P), "ewma"),
-        ("holt", holt(ev, **common, **HOLT_P), "forecast"),
-        ("holt_winters", holt_winters(ev, **common, **HW_P), "forecast"),
-    ):
-        joined = (
-            fdf.select("user_id", "event_id", F.col(fcol).alias("__f"))
-            .join(actual, ["user_id", "event_id"])
-            .where(F.col("__f").isNotNull() & F.col("__a").isNotNull())
-        )
-        arms.append(
-            joined.agg(
-                F.count(F.lit(1)).alias("n_evals"),
-                (
-                    F.floor(
-                        F.avg(F.abs(F.col("__f") - F.col("__a"))) * 1e6
-                        + F.lit(0.5)
-                    )
-                    / 1e6
-                ).alias("mae"),
-            ).select(F.lit(method).alias("method"), "n_evals", "mae")
-        )
-    out = arms[0]
-    for a in arms[1:]:
-        out = out.unionByName(a)
-    return out.orderBy("method")
 
 
 def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:

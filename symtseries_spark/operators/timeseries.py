@@ -76,6 +76,21 @@ def rolling_zscore(
     )
 
 
+def _ewma_fold(vals: Column, alpha: float) -> Column:
+    """Left fold ``y = alpha * x + (1 - alpha) * y`` over a value list,
+    seeded with its first element. Shared by :func:`ewma` and
+    :func:`forecast_backtest` so both build the identical expression
+    tree (the cross-engine parity contract)."""
+    a = F.lit(float(alpha))
+    na = F.lit(1.0 - float(alpha))
+
+    def step(acc: Column, x: Column) -> Column:
+        return a * x + na * acc
+
+    rest = F.slice(vals, F.lit(2), F.greatest(F.size(vals) - 1, F.lit(0)))
+    return F.aggregate(rest, F.element_at(vals, 1), step)
+
+
 def ewma(
     df: DataFrame,
     *,
@@ -112,19 +127,14 @@ def ewma(
     )
     vals = F.collect_list(F.col(value).cast("double")).over(w)
 
-    def step(acc: Column, x: Column) -> Column:
-        return F.lit(float(alpha)) * x + F.lit(1.0 - float(alpha)) * acc
-
-    def fold(v: Column) -> Column:
-        rest = F.slice(v, F.lit(2), F.greatest(F.size(v) - 1, F.lit(0)))
-        return F.aggregate(rest, F.element_at(v, 1), step)
-
     # bind the fold once: quantize references its argument twice, and
     # CollapseProject would otherwise inline the fold tree into both
     # (same fix as holt(); the boundary survives because the producer
     # expression is non-cheap and referenced more than once)
     return (
-        df.withColumn("__ew", F.when(F.size(vals) > 0, fold(vals)))
+        df.withColumn(
+            "__ew", F.when(F.size(vals) > 0, _ewma_fold(vals, alpha))
+        )
         .withColumn("ewma", quantize(F.col("__ew"), round_to))
         .drop("__ew")
     )
@@ -327,6 +337,31 @@ def cusum(
     )
 
 
+def _holt_fold(vals: Column, alpha: float, beta: float) -> Column:
+    """Holt level+trend left fold over a value list -> struct ``(l,
+    t)``, seeded ``(first value, 0)``. The ``l'`` term is deliberately
+    recomputed inside the trend update (no let-binding in either
+    engine's lambda) so any engine folding the same expression tree
+    gets bit-identical doubles. Shared by :func:`holt` and
+    :func:`forecast_backtest`."""
+    a = F.lit(float(alpha))
+    na = F.lit(1.0 - float(alpha))
+    b = F.lit(float(beta))
+    nb = F.lit(1.0 - float(beta))
+
+    def step(acc: Column, x: Column) -> Column:
+        level2 = a * x + na * (acc["l"] + acc["t"])
+        trend2 = (
+            b * ((a * x + na * (acc["l"] + acc["t"])) - acc["l"])
+            + nb * acc["t"]
+        )
+        return F.struct(level2.alias("l"), trend2.alias("t"))
+
+    rest = F.slice(vals, F.lit(2), F.greatest(F.size(vals) - 1, F.lit(0)))
+    seed = F.struct(F.element_at(vals, 1).alias("l"), F.lit(0.0).alias("t"))
+    return F.aggregate(rest, seed, step)
+
+
 def holt(
     df: DataFrame,
     *,
@@ -370,22 +405,6 @@ def holt(
         .rowsBetween(-(window - 1), Window.currentRow)
     )
     vals = F.collect_list(F.col(value).cast("double")).over(w)
-    a = F.lit(float(alpha))
-    na = F.lit(1.0 - float(alpha))
-    b = F.lit(float(beta))
-    nb = F.lit(1.0 - float(beta))
-
-    def step(acc: Column, x: Column) -> Column:
-        level2 = a * x + na * (acc["l"] + acc["t"])
-        trend2 = b * ((a * x + na * (acc["l"] + acc["t"])) - acc["l"]) + nb * acc["t"]
-        return F.struct(level2.alias("l"), trend2.alias("t"))
-
-    def fold(v: Column) -> Column:
-        rest = F.slice(v, F.lit(2), F.greatest(F.size(v) - 1, F.lit(0)))
-        seed = F.struct(
-            F.element_at(v, 1).alias("l"), F.lit(0.0).alias("t")
-        )
-        return F.aggregate(rest, seed, step)
 
     # Bind the fold ONCE as a named column: each quantized output
     # references it twice (floor(x*s+0.5)/s), so inlining the fold tree
@@ -393,7 +412,9 @@ def holt(
     # 0.9s at sf0.1). CollapseProject keeps the projection boundary for
     # a non-cheap producer expression referenced more than once, so the
     # fold runs once and the outputs extract from the struct.
-    with_lt = df.withColumn("__lt", F.when(F.size(vals) > 0, fold(vals)))
+    with_lt = df.withColumn(
+        "__lt", F.when(F.size(vals) > 0, _holt_fold(vals, alpha, beta))
+    )
     lt = F.col("__lt")
     return (
         with_lt.withColumn("level", quantize(lt["l"], round_to))
@@ -560,6 +581,48 @@ def sorted_median(sorted_col: Column) -> Column:
     return F.when(n % 2 == 1, mid).otherwise(even)
 
 
+def _hw_fold(
+    vals: Column, alpha: float, beta: float, gamma: float, season: int
+) -> Column:
+    """Additive Holt-Winters left fold over ``[x, j]`` elements -> flat
+    ``array<double>`` state ``[l, t, s_0..s_{m-1}]``, seeded ``(first
+    value, 0, zeros)``. Flat-list state because DuckDB's
+    ``list_reduce`` has no separate accumulator type; ``l'`` is
+    recomputed inline (the :func:`holt` parity rule). Shared by
+    :func:`holt_winters` and :func:`forecast_backtest`."""
+    a, na = F.lit(float(alpha)), F.lit(1.0 - float(alpha))
+    b, nb = F.lit(float(beta)), F.lit(1.0 - float(beta))
+    g, ng = F.lit(float(gamma)), F.lit(1.0 - float(gamma))
+
+    def step(acc: Column, e: Column) -> Column:
+        x = F.element_at(e, 1)
+        j = F.element_at(e, 2)
+        sj = F.element_at(acc, (j + 3).cast("int"))
+        l1 = a * (x - sj) + na * (F.element_at(acc, 1) + F.element_at(acc, 2))
+        t1 = (
+            b * ((a * (x - sj) + na * (F.element_at(acc, 1) + F.element_at(acc, 2))) - F.element_at(acc, 1))
+            + nb * F.element_at(acc, 2)
+        )
+        s1 = (
+            g * (x - (a * (x - sj) + na * (F.element_at(acc, 1) + F.element_at(acc, 2))))
+            + ng * sj
+        )
+        seasons = F.transform(
+            F.sequence(F.lit(0), F.lit(season - 1)),
+            lambda i: F.when(i.cast("double") == j, s1).otherwise(
+                F.element_at(acc, (i + 3).cast("int"))
+            ),
+        )
+        return F.concat(F.array(l1, t1), seasons)
+
+    seed = F.concat(
+        F.array(F.element_at(F.element_at(vals, 1), 1), F.lit(0.0)),
+        F.array_repeat(F.lit(0.0), season),
+    )
+    rest = F.slice(vals, F.lit(2), F.greatest(F.size(vals) - 1, F.lit(0)))
+    return F.aggregate(rest, seed, step)
+
+
 def holt_winters(
     df: DataFrame,
     *,
@@ -614,41 +677,10 @@ def holt_winters(
     pos = (F.row_number().over(wrow) - 1) % season
     elem = F.when(v.isNotNull(), F.array(v, pos.cast("double")))
     vals = F.collect_list(elem).over(w)
-    a, na = F.lit(float(alpha)), F.lit(1.0 - float(alpha))
-    b, nb = F.lit(float(beta)), F.lit(1.0 - float(beta))
-    g, ng = F.lit(float(gamma)), F.lit(1.0 - float(gamma))
-
-    def step(acc: Column, e: Column) -> Column:
-        x = F.element_at(e, 1)
-        j = F.element_at(e, 2)
-        sj = F.element_at(acc, (j + 3).cast("int"))
-        l1 = a * (x - sj) + na * (F.element_at(acc, 1) + F.element_at(acc, 2))
-        t1 = (
-            b * ((a * (x - sj) + na * (F.element_at(acc, 1) + F.element_at(acc, 2))) - F.element_at(acc, 1))
-            + nb * F.element_at(acc, 2)
-        )
-        s1 = (
-            g * (x - (a * (x - sj) + na * (F.element_at(acc, 1) + F.element_at(acc, 2))))
-            + ng * sj
-        )
-        seasons = F.transform(
-            F.sequence(F.lit(0), F.lit(season - 1)),
-            lambda i: F.when(i.cast("double") == j, s1).otherwise(
-                F.element_at(acc, (i + 3).cast("int"))
-            ),
-        )
-        return F.concat(F.array(l1, t1), seasons)
-
-    def fold(vv: Column) -> Column:
-        seed = F.concat(
-            F.array(F.element_at(F.element_at(vv, 1), 1), F.lit(0.0)),
-            F.array_repeat(F.lit(0.0), season),
-        )
-        rest = F.slice(vv, F.lit(2), F.greatest(F.size(vv) - 1, F.lit(0)))
-        return F.aggregate(rest, seed, step)
 
     with_st = df.withColumn("__j", pos).withColumn(
-        "__hw", F.when(F.size(vals) > 0, fold(vals))
+        "__hw",
+        F.when(F.size(vals) > 0, _hw_fold(vals, alpha, beta, gamma, season)),
     )
     hw = F.col("__hw")
     jn = ((F.col("__j") + 1) % season + 3).cast("int")
@@ -669,6 +701,145 @@ def holt_winters(
             ),
         )
         .drop("__hw", "__j")
+    )
+
+
+def forecast_backtest(
+    df: DataFrame,
+    *,
+    key: str,
+    order: Sequence[str],
+    value: str,
+    ewma_p: dict,
+    holt_p: dict,
+    hw_p: dict,
+    round_to: int = 6,
+) -> DataFrame:
+    """Rolling-origin one-step forecast backtest over the exponential
+    family in ONE window stage -> 3 rows ``(method, n_evals, mae)``
+    ordered by method.
+
+    All four window expressions — the ``lead()`` next-actual and the
+    three method folds (:func:`_ewma_fold`, :func:`_holt_fold`,
+    :func:`_hw_fold`) — share one ``(key, order)`` partitioning, so the
+    plan is ONE shuffle + ONE sort feeding stacked WindowExecs, then a
+    single map-side-combinable aggregate; the previous shape (three
+    operator invocations joined back to a lead frame) scanned and
+    sorted the input four times. Each method's forecast is the
+    operator's own quantized expression (identical trees via the
+    shared fold builders), so the per-method MAEs are bit-identical to
+    the composed form and the DuckDB oracle is unchanged. Per-arm MAE
+    is a conditional avg over rows where both forecast and next actual
+    exist, floor-quantized (grouped-sum drift absorbed, the repo
+    convention); ``n_evals`` is an exact integer.
+    """
+    order_cols = list(order)
+    wrow = Window.partitionBy(key).orderBy(*order_cols)
+    v = F.col(value).cast("double")
+
+    # Pin the window stage's parallelism: the folds are CPU-heavy per
+    # row (O(window) / O(window x season) multiply-adds), so AQE's
+    # SIZE-based partition coalescing (tuned for IO-bound stages)
+    # under-parallelizes this stage badly — measured 2 tasks instead
+    # of 32 at sf0.1, 2x wall clock. An explicit series-key
+    # repartition at the session's shuffle parallelism satisfies the
+    # window's required distribution (no second exchange) and AQE
+    # leaves user-specified partition counts alone. Results are
+    # per-series, so partitioning cannot change them.
+    n_part = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    df = df.repartition(n_part, key)
+
+    w_e = wrow.rowsBetween(-(ewma_p["window"] - 1), Window.currentRow)
+    w_h = wrow.rowsBetween(-(holt_p["window"] - 1), Window.currentRow)
+    w_hw = wrow.rowsBetween(-(hw_p["window"] - 1), Window.currentRow)
+    season = hw_p["season"]
+    vals_e = F.collect_list(v).over(w_e)
+    vals_h = F.collect_list(v).over(w_h)
+    pos = (F.row_number().over(wrow) - 1) % season
+    elem = F.when(v.isNotNull(), F.array(v, pos.cast("double")))
+    vals_hw = F.collect_list(elem).over(w_hw)
+
+    base = (
+        df.withColumn("__a", F.lead(v).over(wrow))
+        .withColumn(
+            "__ew",
+            F.when(F.size(vals_e) > 0, _ewma_fold(vals_e, ewma_p["alpha"])),
+        )
+        .withColumn(
+            "__lt",
+            F.when(
+                F.size(vals_h) > 0,
+                _holt_fold(vals_h, holt_p["alpha"], holt_p["beta"]),
+            ),
+        )
+        .withColumn("__j", pos)
+        .withColumn(
+            "__hw",
+            F.when(
+                F.size(vals_hw) > 0,
+                _hw_fold(
+                    vals_hw, hw_p["alpha"], hw_p["beta"], hw_p["gamma"],
+                    season,
+                ),
+            ),
+        )
+    )
+    lt, hw = F.col("__lt"), F.col("__hw")
+    jn = ((F.col("__j") + 1) % season + 3).cast("int")
+    scored = base.select(
+        F.col("__a"),
+        quantize(F.col("__ew"), round_to).alias("__fe"),
+        quantize(lt["l"] + lt["t"], round_to).alias("__fh"),
+        quantize(
+            F.element_at(hw, 1) + F.element_at(hw, 2) + F.element_at(hw, jn),
+            round_to,
+        ).alias("__fw"),
+    )
+
+    def _arm(fcol: str):
+        ok = F.col(fcol).isNotNull() & F.col("__a").isNotNull()
+        n = F.sum(F.when(ok, 1).otherwise(0)).cast("long")
+        mae = (
+            F.floor(
+                F.avg(F.when(ok, F.abs(F.col(fcol) - F.col("__a"))))
+                * (10.0**round_to)
+                + F.lit(0.5)
+            )
+            / (10.0**round_to)
+        )
+        return n, mae
+
+    n_e, mae_e = _arm("__fe")
+    n_h, mae_h = _arm("__fh")
+    n_w, mae_w = _arm("__fw")
+    agg = scored.agg(
+        n_e.alias("__ne"), mae_e.alias("__me"),
+        n_h.alias("__nh"), mae_h.alias("__mh"),
+        n_w.alias("__nw"), mae_w.alias("__mw"),
+    )
+    rows = F.array(
+        F.struct(
+            F.lit("ewma").alias("method"),
+            F.col("__ne").alias("n_evals"),
+            F.col("__me").alias("mae"),
+        ),
+        F.struct(
+            F.lit("holt").alias("method"),
+            F.col("__nh").alias("n_evals"),
+            F.col("__mh").alias("mae"),
+        ),
+        F.struct(
+            F.lit("holt_winters").alias("method"),
+            F.col("__nw").alias("n_evals"),
+            F.col("__mw").alias("mae"),
+        ),
+    )
+    return (
+        agg.select(F.explode(rows).alias("__s"))
+        .select("__s.method", "__s.n_evals", "__s.mae")
+        .orderBy("method")
     )
 
 
