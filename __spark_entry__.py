@@ -2679,14 +2679,30 @@ def q_dedup_simhash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hamming, n_pairs, mean_jaccard, min_jaccard). Answers "how many
     bit flips can I allow before false positives creep in" — the
     simhash analogue of dedup_minhash_accuracy, prune-then-refine
-    priced by candidate count."""
+    priced by candidate count.
+
+    Plan shape: the banded candidate set is PERSISTED (bounded by the
+    candidate count, the quantity the whole design already caps) so
+    the expensive simhash+band join runs once, not once per consumer;
+    the exact-Jaccard refine builds its per-doc shingle table only for
+    docs that appear in a candidate pair (semi-join pushdown — at
+    corpus scale the candidate docs are a tiny fraction, so the second
+    text scan tokenizes almost nothing instead of re-shingling the
+    whole corpus)."""
     from symtseries_spark.operators import jaccard_refine
     from symtseries_spark.operators.timeseries import quantize
 
     docs = load(spark, sf_dir, "documents")
-    pairs = simhash_pairs(docs, **SIMHASH_PAIRS)
+    pairs = simhash_pairs(docs, **SIMHASH_PAIRS).persist()
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_docs = docs.join(cand_ids, "doc_id", "left_semi")
     exact = jaccard_refine(
-        pairs.select("doc_a", "doc_b"), docs, k=JACCARD["k"], threshold=0.0
+        pairs.select("doc_a", "doc_b"), cand_docs, k=JACCARD["k"],
+        threshold=0.0,
     )
     j = pairs.join(
         exact.select("doc_a", "doc_b", "jaccard"), ["doc_a", "doc_b"]
@@ -4238,7 +4254,17 @@ def q_events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags synthetic injection or a unit change upstream. Leading
     digits come from EXACT integer CASE thresholds (never log10 —
     engine log implementations disagree at power-of-ten boundaries);
-    expected fractions are shared Python literals."""
+    expected fractions are shared Python literals.
+
+    Band domain: the CASE covers magnitudes [0.01, 10000) — six
+    decades, chosen to span the events value domain (2-decimal
+    currency-like values). A value OUTSIDE those decades produces a
+    multi-digit or zero "digit" and is dropped by the between(1, 9)
+    gate rather than mis-binned, so out-of-band rows are EXCLUDED
+    from the audit (both engines run the identical CASE, so the
+    exclusion is parity-safe). Auditing a column with a wider
+    magnitude range means adding more .when() decades — one exact
+    comparison + floor each, no log10."""
     from symtseries_spark.operators.timeseries import quantize
 
     v = F.col("value").cast("double")

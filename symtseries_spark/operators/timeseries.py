@@ -660,9 +660,13 @@ def holt_winters(
     the trend and seasonal updates (the :func:`holt` rule: identical
     expression trees, not let-bound intermediates, are what two
     engines reproduce bit-for-bit). O(window x season) doubles per row
-    — bounded plan-time constants. NULL values are skipped exactly as
-    in :func:`ewma` (they do not advance the seasonal phase, matching
-    the FILTERed mirror).
+    — bounded plan-time constants. NULL values are skipped by the fold
+    (dropped from the ``collect_list``, as in :func:`ewma`) but KEEP
+    their row position: ``j = row_number % season`` counts every row,
+    so a NULL row DOES advance the seasonal phase — the phase tracks
+    the series' time axis, gaps included, and the SQL mirror's
+    unfiltered ``row_number`` does the same (only the value list is
+    FILTERed).
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError("holt_winters needs 0 < alpha <= 1")

@@ -767,12 +767,16 @@ def page_hinkley_stream(
             StructField("alarm", BooleanType()),
         ]
     )
+    # LongType state: the counters ARE exact int64 micro-units — a
+    # DoubleType schema would silently lose integer precision past
+    # 2^53 on an unbounded stream, defeating the whole integer-units
+    # design.
     state_schema = StructType(
         [
-            StructField("n", DoubleType()),
-            StructField("sx", DoubleType()),
-            StructField("sraw", DoubleType()),
-            StructField("minm", DoubleType()),
+            StructField("n", LongType()),
+            StructField("sx", LongType()),
+            StructField("sraw", LongType()),
+            StructField("minm", LongType()),
         ]
     )
     cols = [key, *order, value]
@@ -787,8 +791,6 @@ def page_hinkley_stream(
 
         if state.exists:
             n, sx_int, m_int, min_int = state.get
-            n, sx_int = int(n), int(sx_int)
-            m_int, min_int = int(m_int), int(min_int)
         else:
             n = sx_int = m_int = 0
             min_int = None
@@ -824,9 +826,7 @@ def page_hinkley_stream(
                 }
             )
         if n > 0:
-            state.update(
-                (float(n), float(sx_int), float(m_int), float(min_int))
-            )
+            state.update((int(n), int(sx_int), int(m_int), int(min_int)))
 
     return (
         events.select(*cols)

@@ -355,6 +355,54 @@ class TestHoltWinters:
         }
         assert hw == h
 
+    def test_null_rows_advance_phase_but_skip_fold(self, spark):
+        """A NULL value row is dropped from the fold's value list but
+        KEEPS its row position, so it advances the seasonal phase
+        j = row_number % season (the docstring's contract, mirroring
+        the SQL twin's unfiltered row_number + FILTERed list)."""
+        import math
+
+        from symtseries_spark.operators.timeseries import holt_winters
+
+        a, b, g, season, window = 0.5, 0.3, 0.2, 4, 8
+        xs = [5.0, 7.0, None, 4.0, 9.0, None, 6.0, 8.0, 3.0, 10.0]
+        rows = [(1, i, xs[i]) for i in range(len(xs))]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts long, value double"
+        )
+        got = {
+            r["ts"]: (r["level"], r["trend"], r["season_adj"], r["forecast"])
+            for r in holt_winters(
+                df, key="user_id", order=["ts"], value="value",
+                alpha=a, beta=b, gamma=g, season=season, window=window,
+            ).collect()
+        }
+
+        def qz(x):
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        for i in range(len(xs)):
+            # phase from the OVERALL row index — NULL rows counted
+            j_i = i % season
+            frame = [
+                (xs[p], p % season)
+                for p in range(max(0, i - (window - 1)), i + 1)
+                if xs[p] is not None
+            ]
+            assert frame, "fixture keeps every frame non-empty"
+            lv, tr = frame[0][0], 0.0
+            ss = [0.0] * season
+            for x, j in frame[1:]:
+                l1 = a * (x - ss[j]) + (1 - a) * (lv + tr)
+                t1 = b * (l1 - lv) + (1 - b) * tr
+                ss[j] = g * (x - l1) + (1 - g) * ss[j]
+                lv, tr = l1, t1
+            exp = (
+                qz(lv), qz(tr), qz(ss[j_i]),
+                qz(lv + tr + ss[(j_i + 1) % season]),
+            )
+            assert got[i] == pytest.approx(exp, abs=1e-12), f"row {i}"
+
     def test_seasonal_beats_holt_on_periodic_signal(self, spark):
         """On a pure period-4 signal the HW one-step forecast error is
         far below Holt's once the seasonal slots have been visited."""
