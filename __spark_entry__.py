@@ -5789,35 +5789,45 @@ def q_events_holt_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Registry order = driver-verification priority, NOT topic order:
-        # the round driver's correctness window checks a ~50-entry
-        # prefix. Round-6 layout (r5 verdict item #1): positions 0-44
-        # are the 45 entries never driver-checked in r01-r05
-        # (emb_knn_label_acc ... docs_source_skew); positions 45-49 are
-        # the 5 stale sax encode/mindist core rows last driver-checked
-        # in r01/r02 (sax_whole_series, sax_sliding_words,
-        # sax_mindist_topk, sax_mindist_decomp, sax_c16_decomp).
-        # Together the prefix closes the cumulative driver record at
-        # 214/214. Positions 50+ hold everything already driver-green
-        # (r01-r05), in prior relative order. Future additions go at
-        # the HEAD of the dict so the next driver window covers them.
+        # Registry order = driver-verification priority, NOT topic
+        # order: the round driver's correctness window checks a ~50-
+        # entry prefix. Round-7 layout: positions 0-12 are the queries
+        # whose CODE changed this round — the five former global-rank
+        # sites now wired to operators/rank.py's distributed two-pass
+        # rank (ccnet_bucket, corpus_filter3, value_skew, key_skew,
+        # source_skew, rfm), the one-pass forecast backtest + the
+        # fold-refactored ewma/holt/hw family, the shingle-shared
+        # simhash fidelity, the LongType-state page-hinkley stream,
+        # and benford (doc-only) — so r7's driver window re-verifies
+        # every touched plan. Positions 13+ hold the already
+        # driver-green record (214/214 cumulative, r01-r06) in prior
+        # relative order. Future changed/new queries go at the HEAD.
+        "docs_ccnet_bucket": q_docs_ccnet_bucket,
+        "docs_corpus_filter3": q_docs_corpus_filter3,
+        "events_value_skew": q_events_value_skew,
+        "events_key_skew": q_events_key_skew,
+        "docs_source_skew": q_docs_source_skew,
+        "events_rfm": q_events_rfm,
+        "events_forecast_backtest": q_events_forecast_backtest,
+        "events_ewma": q_events_ewma,
+        "events_holt": q_events_holt,
+        "events_hw": q_events_hw,
+        "dedup_simhash_fidelity": q_dedup_simhash_fidelity,
+        "events_page_hinkley_stream": q_events_page_hinkley_stream,
+        "events_benford": q_events_benford,
         "emb_knn_label_acc": q_emb_knn_label_acc,
         "events_anomaly_consensus": q_events_anomaly_consensus,
         "sax_motifs": q_sax_motifs,
         "emb_silhouette": q_emb_silhouette,
         "events_funnel_latency": q_events_funnel_latency,
-        "dedup_simhash_fidelity": q_dedup_simhash_fidelity,
         "emb_int8_recall": q_emb_int8_recall,
         "events_twap": q_events_twap,
         "events_twap_stream": q_events_twap_stream,
         "events_ohlc": q_events_ohlc,
         "dedup_triangles": q_dedup_triangles,
         "events_page_hinkley": q_events_page_hinkley,
-        "events_page_hinkley_stream": q_events_page_hinkley_stream,
         "dedup_cross_lang": q_dedup_cross_lang,
-        "events_rfm": q_events_rfm,
         "events_session_sizes": q_events_session_sizes,
-        "events_key_skew": q_events_key_skew,
         "events_hll_by_type": q_events_hll_by_type,
         "events_audience_overlap": q_events_audience_overlap,
         "events_dominant_period": q_events_dominant_period,
@@ -5834,9 +5844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_novelty_decay": q_docs_novelty_decay,
         "events_type_transitions": q_events_type_transitions,
         "emb_norm_profile": q_emb_norm_profile,
-        "events_benford": q_events_benford,
         "docs_hapax": q_docs_hapax,
-        "events_value_skew": q_events_value_skew,
         "docs_quality_length_corr": q_docs_quality_length_corr,
         "docs_shingle_df_profile": q_docs_shingle_df_profile,
         "emb_compression_tradeoff": q_emb_compression_tradeoff,
@@ -5845,7 +5853,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dau": q_events_dau,
         "events_stickiness": q_events_stickiness,
         "sax_word_transitions": q_sax_word_transitions,
-        "docs_source_skew": q_docs_source_skew,
         "sax_whole_series": q_sax_whole_series,
         "sax_sliding_words": q_sax_sliding_words,
         "sax_mindist_topk": q_sax_mindist_topk,
@@ -5871,19 +5878,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_novelty": q_docs_novelty,
         "sax_vsm_pairs": q_sax_vsm_pairs,
         "emb_pca_power": q_emb_pca_power,
-        "docs_corpus_filter3": q_docs_corpus_filter3,
         "events_stl": q_events_stl,
         "sax_numerosity": q_sax_numerosity,
         "docs_dsir_stream": q_docs_dsir_stream,
         "events_acf": q_events_acf,
         "docs_char_entropy": q_docs_char_entropy,
-        "docs_ccnet_bucket": q_docs_ccnet_bucket,
         "docs_token_fertility": q_docs_token_fertility,
         "events_seasonal_anomaly": q_events_seasonal_anomaly,
         "emb_abtt_topk": q_emb_abtt_topk,
-        "events_hw": q_events_hw,
         "events_hw_stream": q_events_hw_stream,
-        "events_forecast_backtest": q_events_forecast_backtest,
         "docs_dedup_funnel": q_docs_dedup_funnel,
         "events_sessions_stream": q_events_sessions_stream,
         "events_histogram": q_events_histogram,
@@ -5980,9 +5983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnow_pairs": q_dedup_winnow_pairs,
         "dedup_containment": q_dedup_containment,
         "docs_boilerplate": q_docs_boilerplate,
-        "events_holt": q_events_holt,
         "events_holt_stream": q_events_holt_stream,
-        "events_ewma": q_events_ewma,
         "events_ewma_stream": q_events_ewma_stream,
         "docs_contamination": q_docs_contamination,
         "docs_chunk": q_docs_chunk,

@@ -247,6 +247,21 @@ def main() -> None:
         full["failed_segments"] = failed
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
         json.dump(full, fh, indent=1)
+    # BENCH_FULL.json is overwritten every run, and the driver's
+    # BENCH_rN.json keeps only the stdout line's cost-sorted head —
+    # so ALSO append the complete per-query dict to a history log,
+    # one JSON line per run, stamped with wall time and loadavg.
+    # Committed with the round, this is the durable per-query
+    # evidence trail across rounds.
+    rec = dict(full)
+    rec["ts"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+    try:
+        with open("/proc/loadavg") as fh:
+            rec["loadavg"] = fh.read().strip()
+    except OSError:
+        pass
+    with open(os.path.join(here, "BENCH_FULL_HISTORY.jsonl"), "a") as fh:
+        fh.write(json.dumps(rec, separators=(",", ":")) + "\n")
 
     budget = 1500  # stdout line budget << driver's 2000-char tail buffer
     by_cost = sorted(timings.items(), key=lambda kv: -kv[1])

@@ -52,13 +52,30 @@ import __spark_entry__ as E
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
 
-# distinct vowel permutations per replica (perm 0 = identity)
+# distinct per-replica letter permutations (perm 0 = identity). The
+# 5 vowels alone give 120 permutations — enough for FACTOR <= 120 —
+# but at FACTOR=100 most pairs of replicas would differ in vowels
+# only, and high-frequency short shingles can still collide. Permute
+# vowels AND a consonant group independently: 120 * 120 = 14,400
+# distinct translations, replicas pairwise disjoint in both groups.
 _VOWELS = "aeiou"
-_PERMS = [
-    "aeiou", "eioua", "iouae", "ouaei", "uaeio",
-    "aeoui", "eouia", "ouiae", "uiaeo", "iaeou",
-    "aiueo", "euoia", "ioaue", "oueai", "uoiea",
-]
+_CONS = "rstln"
+
+
+def _perm_tables(n: int) -> list[tuple[str, str]]:
+    """First ``n`` (vowel_perm, consonant_perm) pairs, identity first,
+    enumerated so no two replicas share EITHER group's permutation."""
+    from itertools import permutations
+
+    vps = ["".join(p) for p in permutations(_VOWELS)]
+    if n > len(vps):
+        raise SystemExit(
+            f"FACTOR={n} exceeds the {len(vps)} distinct permutations"
+        )
+    # pair vowel perm i with consonant perm i (both sequences distinct
+    # => any two replicas differ in both groups)
+    return [(vps[i], vps[i].translate(str.maketrans(_VOWELS, _CONS)))
+            for i in range(n)]
 
 
 def _write_single_file(df, dest: str) -> None:
@@ -88,12 +105,14 @@ def _rotation(i: int, dim: int) -> tuple[list[int], list[int]]:
 def build_scaled(spark: SparkSession, out: str, dim: int = 64) -> None:
     os.makedirs(out, exist_ok=True)
     docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    perms = _perm_tables(FACTOR)
     dparts = []
     for i in range(FACTOR):
+        vp, cp = perms[i]
         dparts.append(
             docs.select(
                 (F.col("doc_id") + F.lit(i * 10**9)).alias("doc_id"),
-                F.translate(F.col("text"), _VOWELS, _PERMS[i % len(_PERMS)])
+                F.translate(F.col("text"), _VOWELS + _CONS, vp + cp)
                 .alias("text"),
                 "lang",
                 "source",
