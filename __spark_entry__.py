@@ -1161,34 +1161,43 @@ def q_docs_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from symtseries_spark.operators.graph import connected_components
 
     docs = load(spark, sf_dir, "documents")
-    s1 = (
+    # Each stage's SURVIVOR-ID set (doc_id only — bytes per doc,
+    # negligible next to the corpus at any scale) is persisted, so the
+    # expensive stage machinery (exact-hash groupBy, MinHash banding +
+    # iterative components, winnowing index) runs exactly once even
+    # though every id set feeds both its own count and the next
+    # stage's semi-join; only the cheap pruned corpus scan repeats.
+    s1_ids = (
         exact_dedup_map(docs)
         .where(~F.col("is_duplicate"))
         .select("doc_id")
-        .join(docs, "doc_id")
+        .persist()
     )
+    s1 = docs.join(s1_ids, "doc_id", "left_semi")
     pairs = minhash_lsh_pairs(s1, **MINHASH).select("doc_a", "doc_b")
     cc = connected_components(
-        pairs, s1.select(F.col("doc_id").alias("v")), src="doc_a", dst="doc_b"
+        pairs, s1_ids.select(F.col("doc_id").alias("v")),
+        src="doc_a", dst="doc_b",
     )
-    s2 = (
+    s2_ids = (
         cc.where(F.col("v") == F.col("canonical_id"))
         .select(F.col("v").alias("doc_id"))
-        .join(s1, "doc_id")
+        .persist()
     )
+    s2 = docs.join(s2_ids, "doc_id", "left_semi")
     losers = (
         winnow_pairs(s2, **WINNOW, **WINNOW_PAIRS)
         .where(F.col("overlap") >= CORPUS_FILTER2["winnow_overlap"])
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    s3 = s2.join(losers, "doc_id", "left_anti")
+    s3_ids = s2_ids.join(losers, "doc_id", "left_anti")
     arms = []
     for idx, stage, df in (
         (1, "all", docs),
-        (2, "exact", s1),
-        (3, "near_dup", s2),
-        (4, "substring", s3),
+        (2, "exact", s1_ids),
+        (3, "near_dup", s2_ids),
+        (4, "substring", s3_ids),
     ):
         arms.append(
             df.agg(F.count(F.lit(1)).alias("survivors")).select(
@@ -4422,14 +4431,21 @@ def q_events_hw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive Holt-Winters over trailing windows — the seasonal
     completion of the exponential family (events_ewma -> events_holt ->
     this): flat array-state fold shared term-for-term with the DuckDB
-    list_reduce mirror (operators/timeseries.py:holt_winters)."""
+    list_reduce mirror (operators/timeseries.py:holt_winters). The
+    input is repartitioned on the series key at the session's shuffle
+    parallelism before the window: the O(window x season) fold is
+    CPU-bound per row and AQE's size-based coalescing collapsed the
+    stage to 2 tasks at sf0.1 (measured 4.1s -> 1.2s warm with the
+    pin; per-series results are partitioning-invariant)."""
     from symtseries_spark.operators.timeseries import holt_winters
 
     ev = load(spark, sf_dir, "events").withColumn(
         "ts_us", F.expr("ts div 1000")
     )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     hw = holt_winters(
-        ev, key="user_id", order=["ts_us", "event_id"], value="value",
+        ev.repartition(n_part, "user_id"),
+        key="user_id", order=["ts_us", "event_id"], value="value",
         **HW_P,
     )
     return hw.select(
@@ -5815,6 +5831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_fidelity": q_dedup_simhash_fidelity,
         "events_page_hinkley_stream": q_events_page_hinkley_stream,
         "events_benford": q_events_benford,
+        "docs_dedup_funnel": q_docs_dedup_funnel,
         "emb_knn_label_acc": q_emb_knn_label_acc,
         "events_anomaly_consensus": q_events_anomaly_consensus,
         "sax_motifs": q_sax_motifs,
@@ -5887,7 +5904,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_seasonal_anomaly": q_events_seasonal_anomaly,
         "emb_abtt_topk": q_emb_abtt_topk,
         "events_hw_stream": q_events_hw_stream,
-        "docs_dedup_funnel": q_docs_dedup_funnel,
         "events_sessions_stream": q_events_sessions_stream,
         "events_histogram": q_events_histogram,
         "events_ntile": q_events_ntile,
