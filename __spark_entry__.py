@@ -2049,8 +2049,11 @@ def q_docs_corpus_filter3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Distributed exact global rank (operators/rank.py) — the median
     # cut needs the true rank, but never a single-partition sort; the
     # total enters the plan as a literal from the rank's count pass.
+    # The narrow per-doc score table is persisted across the rank's
+    # count-pass actions and the final job so the DSIR explode+join
+    # fit runs once.
     rk, n_total = ranked_with_total(
-        pt.select("doc_id", "dsir_pt"),
+        pt.select("doc_id", "dsir_pt").persist(),
         "dsir_pt",
         tiebreak="doc_id",
         out="dsir_rank",
@@ -4977,7 +4980,10 @@ def q_docs_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     from symtseries_spark.operators.rank import ranked_with_total
     from symtseries_spark.operators.retrieval import unigram_logprob
 
-    lp = unigram_logprob(load(spark, sf_dir, "documents"))
+    # Persist the NARROW per-doc score table (doc_id + one double —
+    # no text) across the rank's two count-pass actions and the final
+    # job, so the corpus-explode unigram LM fit runs once, not twice.
+    lp = unigram_logprob(load(spark, sf_dir, "documents")).persist()
     rk, n_docs = ranked_with_total(
         lp,
         "avg_logprob",
