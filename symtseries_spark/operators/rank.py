@@ -121,8 +121,17 @@ def ranked_with_total(
         offsets[b] = total
         total += counts[b]
     if offsets:
+        # Explicit int/long casts: a Python-int literal becomes
+        # IntegerType only while it fits in 32 bits, so past 2^31
+        # accumulated offsets the map's value types would conflict
+        # (create_map requires one value type) exactly at the scale
+        # this module targets.
         off_map = F.create_map(
-            *[F.lit(v) for kv in sorted(offsets.items()) for v in kv]
+            *[
+                c
+                for b, off in sorted(offsets.items())
+                for c in (F.lit(b).cast("int"), F.lit(off).cast("long"))
+            ]
         )
         # A bucket missing from the counted set means the upstream
         # lineage is nondeterministic between the two jobs — raise
