@@ -5813,15 +5813,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Registry order = driver-verification priority, NOT topic
         # order: the round driver's correctness window checks a ~50-
-        # entry prefix. Round-7 layout: positions 0-12 are the queries
+        # entry prefix. Round-7 layout: positions 0-13 are the queries
         # whose CODE changed this round — the five former global-rank
         # sites now wired to operators/rank.py's distributed two-pass
         # rank (ccnet_bucket, corpus_filter3, value_skew, key_skew,
         # source_skew, rfm), the one-pass forecast backtest + the
         # fold-refactored ewma/holt/hw family, the shingle-shared
         # simhash fidelity, the LongType-state page-hinkley stream,
-        # and benford (doc-only) — so r7's driver window re-verifies
-        # every touched plan. Positions 13+ hold the already
+        # benford (doc-only), and the stage-persisted dedup funnel —
+        # so r7's driver window re-verifies every touched plan.
+        # Positions 14+ hold the already
         # driver-green record (214/214 cumulative, r01-r06) in prior
         # relative order. Future changed/new queries go at the HEAD.
         "docs_ccnet_bucket": q_docs_ccnet_bucket,
