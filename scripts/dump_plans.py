@@ -250,7 +250,10 @@ with a flat array accumulator): collect_list of [x, phase] pairs over
 the bounded frame, then the O(window x season) higher-order fold runs
 codegen'd in the projection above the window pass — the fold is bound
 once as a named column and the four quantized outputs extract from it
-(the 8x re-evaluation lesson).""",
+(the 8x re-evaluation lesson). The Exchange is an EXPLICIT
+series-key repartition at the session's shuffle parallelism: the fold
+is CPU-bound per row, and AQE's byte-based coalescing otherwise
+collapses the stage to 2 tasks (measured 4.1s -> 1.2s).""",
     "events_stl": """Two bounded-state window passes sharing no join: Exchange
 on the series key for the centered-moving-average trend WindowExec,
 then Exchange on (series, season-bucket) for the whole-partition
@@ -261,12 +264,33 @@ between them. No collect, no join, no third shuffle.""",
 centered array and its projection bind ONCE (lambda variables), the
 whitened vector never materializes at rest, and the final top-k is
 TakeOrderedAndProject over the quantized cosine.""",
-    "events_forecast_backtest": """The capstone composition plan: three
-independent window-fold arms (EWMA / Holt / Holt-Winters WindowExec
-passes over the same Exchange-on-series partitioning), each joined to
-the lead()-derived actuals and collapsed to a 1-row aggregate before
-the 3-row union — the per-arm evaluation join is on (series, event)
-keys the arms already carry.""",
+    "events_forecast_backtest": """The capstone composition plan, round-7
+shape: ONE explicit series-key Exchange + ONE Sort feed stacked
+WindowExecs computing the lead() actual and all THREE method folds
+(EWMA / Holt / Holt-Winters share the partitioning; different frames
+stack without re-shuffling or re-sorting), then a single partial+final
+HashAggregate produces the six per-arm stats and a generator explodes
+them to the 3-row report — no joins, no union, one pass over the
+input (the previous shape ran three operator arms joined back to an
+actuals frame: four scans/sorts + three join shuffles, 11.5s -> 2.2s
+at sf0.1).""",
+    "docs_ccnet_bucket": """The distributed exact global rank
+(operators/rank.py) in its flagship use: the persisted unigram-LM
+score table feeds (1) an approxQuantile boundary job, (2) a bucket
+count job (driver traffic = buckets rows), and the final plan shown
+here — Exchange ON THE BUCKET KEY, partition-local Sort, ONE Window
+partitioned by bucket, plus the broadcast-free literal offset map and
+the tercile CASE against the count-pass total as a plan literal. No
+global Sort node anywhere (tests/test_no_global_sort_regression.py
+pins this); the DuckDB oracle runs the literal global window and
+hash-matches.""",
+    "events_rfm": """Three chained distributed ntiles
+(operators/rank.py) over the per-user table: each metric's tile is a
+bucket-partitioned Window plus pure int64 arithmetic against
+driver-side tile boundaries from the count pass — the plan shows
+three Exchange-on-bucket / local-Sort / Window blocks and zero global
+Sorts, where the window form would funnel |users| rows through one
+task three times.""",
     "events_changepoint": """Changepoint: ONE Exchange on the series key feeds two
 stacked WindowExecs over the same partitioning — running prefix sums,
 then full-frame count/last for the per-key totals — so the totals
