@@ -93,3 +93,51 @@ def test_nan_key_raises(spark):
     )
     with pytest.raises(Exception, match="null/NaN"):
         distributed_row_number(df, "v", tiebreak="id", buckets=4)
+
+
+# Property coverage: random key distributions (heavy ties, negatives,
+# wide magnitude spread) must stay bit-identical to the global window.
+# Spark round-trips per example are expensive, so examples are few but
+# each covers 200 rows x both directions.
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+key_pool = st.sampled_from(
+    [-1e12, -7.5, -1.0, -1e-6, 0.0, 1e-6, 0.25, 3.0, 3.0, 1e9]
+)
+
+
+class TestRankProperties:
+    @given(st.lists(key_pool, min_size=1, max_size=200), st.booleans())
+    @settings(max_examples=10, deadline=None)
+    def test_row_number_property(self, spark, vals, descending):
+        df = _mk(spark, [(i, v) for i, v in enumerate(vals)])
+        got = distributed_row_number(
+            df, "v", tiebreak="id", out="rn", descending=descending,
+            buckets=7,
+        )
+        key = F.col("v").desc() if descending else F.col("v").asc()
+        exp = df.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(key, "id")).cast("long"),
+        )
+        g = {r["id"]: r["rn"] for r in got.collect()}
+        e = {r["id"]: r["rn"] for r in exp.collect()}
+        assert g == e
+
+    @given(
+        st.lists(key_pool, min_size=1, max_size=200),
+        st.integers(min_value=1, max_value=9),
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_ntile_property(self, spark, vals, k):
+        df = _mk(spark, [(i, v) for i, v in enumerate(vals)])
+        got = distributed_ntile(
+            df, "v", tiebreak="id", n_tiles=k, out="t", buckets=5
+        )
+        exp = df.withColumn(
+            "t", F.ntile(k).over(Window.orderBy(F.col("v").asc(), "id"))
+        )
+        g = {r["id"]: r["t"] for r in got.collect()}
+        e = {r["id"]: r["t"] for r in exp.collect()}
+        assert g == e
