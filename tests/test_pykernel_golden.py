@@ -242,3 +242,14 @@ def test_lut_consistency_with_breakpoints():
                     assert d == 0.0
                 else:
                     assert abs(d - (brk[max(i, j) - 1] - brk[min(i, j)])) < 3e-3
+
+
+def test_version_string():
+    """Reference parity L9: lua_sax.c:381-385 exposes sax.version();
+    the package equivalent is symtseries_spark.__version__ — a
+    non-empty dotted semver string, importable without a SparkSession."""
+    import symtseries_spark
+
+    v = symtseries_spark.__version__
+    parts = v.split(".")
+    assert len(parts) >= 2 and all(p.isdigit() for p in parts)
