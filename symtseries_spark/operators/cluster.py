@@ -71,6 +71,7 @@ def _seed_centroids(
         vectors.orderBy(id_col)
         .limit(k)
         .select(
+            # unpartitioned window is BOUNDED: k-row seed table only
             (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cluster"),
             F.col(vec_col).cast("array<double>").alias("centroid"),
         )

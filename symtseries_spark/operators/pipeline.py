@@ -422,6 +422,8 @@ def global_order_index(
     counts = with_shard.groupBy("__shard").agg(
         F.count(F.lit(1)).alias("__n")
     )
+    # unpartitioned window is BOUNDED: the offset table has exactly
+    # `shards` rows (plan-time constant), never data-sized
     w_off = (
         Window.orderBy("__shard")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -127,6 +127,8 @@ def pq_codebook(
         vectors.orderBy(id_col)
         .limit(ks)
         .select(
+            # unpartitioned window is BOUNDED: runs over the ks-row
+            # seed table (TakeOrderedAndProject), never the corpus
             (F.row_number().over(Window.orderBy(id_col)) - 1).alias("code"),
             F.col(vec_col).cast("array<double>").alias("__v"),
         )

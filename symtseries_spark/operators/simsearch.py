@@ -484,6 +484,8 @@ def ivf_index(
         vectors.orderBy(id_col)
         .limit(num_lists)
         .select(
+            # unpartitioned window is BOUNDED: runs over the
+            # num_lists-row seed table, never the corpus
             (F.row_number().over(Window.orderBy(id_col)) - 1).alias("list_id"),
             F.col(vec_col).cast("array<double>").alias("centroid"),
         )

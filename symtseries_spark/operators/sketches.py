@@ -348,6 +348,8 @@ def histogram_quantiles(
 
     cum = hist.select(
         "__bin",
+        # unpartitioned window is BOUNDED: the histogram has at most
+        # `bins` rows (fixed sketch width), never data-sized
         F.sum("__c")
         .over(
             Window.orderBy("__bin").rowsBetween(
