@@ -1156,6 +1156,7 @@ def q_docs_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash stage at threshold 0.35 subsumes every >=0.5-overlap
     winnow pair here, so stage 4 is the leakage CHECK a pipeline keeps
     precisely because it should usually come back empty."""
+    from symtseries_spark.cache import persist_tracked
     from symtseries_spark.functions.text import doc_hash60, normalized_text
     from symtseries_spark.operators import minhash_lsh_pairs, winnow_pairs
     from symtseries_spark.operators.graph import connected_components
@@ -1167,11 +1168,10 @@ def q_docs_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iterative components, winnowing index) runs exactly once even
     # though every id set feeds both its own count and the next
     # stage's semi-join; only the cheap pruned corpus scan repeats.
-    s1_ids = (
+    s1_ids = persist_tracked(
         exact_dedup_map(docs)
         .where(~F.col("is_duplicate"))
         .select("doc_id")
-        .persist()
     )
     s1 = docs.join(s1_ids, "doc_id", "left_semi")
     pairs = minhash_lsh_pairs(s1, **MINHASH).select("doc_a", "doc_b")
@@ -1179,10 +1179,9 @@ def q_docs_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs, s1_ids.select(F.col("doc_id").alias("v")),
         src="doc_a", dst="doc_b",
     )
-    s2_ids = (
+    s2_ids = persist_tracked(
         cc.where(F.col("v") == F.col("canonical_id"))
         .select(F.col("v").alias("doc_id"))
-        .persist()
     )
     s2 = docs.join(s2_ids, "doc_id", "left_semi")
     losers = (
@@ -2044,22 +2043,24 @@ def q_docs_corpus_filter3(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("dsir_pt"),
     )
+    from symtseries_spark.cache import persist_tracked
     from symtseries_spark.operators.rank import ranked_with_total
 
     # Distributed exact global rank (operators/rank.py) — the median
     # cut needs the true rank, but never a single-partition sort; the
     # total enters the plan as a literal from the rank's count pass.
-    # The narrow per-doc score table is persisted across the rank's
-    # count-pass actions and the final job so the DSIR explode+join
-    # fit runs once.
+    # The narrow per-doc score table is persisted (tracked — bench /
+    # oracle harnesses unpersist after the query drains) across the
+    # rank's count-pass actions and the final job so the DSIR
+    # explode+join fit runs once. Rank-key precondition: dsir_pt is
+    # floor-quantized from a COALESCE-free ratio over n_tokens >= 1
+    # docs, non-null by construction.
     rk, n_total = ranked_with_total(
-        pt.select("doc_id", "dsir_pt").persist(),
+        persist_tracked(pt.select("doc_id", "dsir_pt")),
         "dsir_pt",
         tiebreak="doc_id",
         out="dsir_rank",
         descending=True,
-        buckets=64,
-        rel_err=0.01,
     )
     return (
         cap.join(nov, "doc_id")
@@ -2701,11 +2702,12 @@ def q_dedup_simhash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale the candidate docs are a tiny fraction, so the second
     text scan tokenizes almost nothing instead of re-shingling the
     whole corpus)."""
+    from symtseries_spark.cache import persist_tracked
     from symtseries_spark.operators import jaccard_refine
     from symtseries_spark.operators.timeseries import quantize
 
     docs = load(spark, sf_dir, "documents")
-    pairs = simhash_pairs(docs, **SIMHASH_PAIRS).persist()
+    pairs = persist_tracked(simhash_pairs(docs, **SIMHASH_PAIRS))
     cand_ids = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
@@ -4977,21 +4979,26 @@ def q_docs_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     window), bit-identical to the global window the DuckDB oracle
     runs, with no single-partition sort; the total falls out of the
     count pass as a plan literal (no crossJoin count)."""
+    from symtseries_spark.cache import persist_tracked
     from symtseries_spark.operators.rank import ranked_with_total
     from symtseries_spark.operators.retrieval import unigram_logprob
 
     # Persist the NARROW per-doc score table (doc_id + one double —
     # no text) across the rank's two count-pass actions and the final
     # job, so the corpus-explode unigram LM fit runs once, not twice.
-    lp = unigram_logprob(load(spark, sf_dir, "documents")).persist()
+    # Tracked: bench / oracle harnesses unpersist after the query
+    # drains. Rank-key precondition: unigram_logprob emits one row per
+    # doc with avg_logprob = sum/count over n_tokens >= 1 tokens
+    # (every doc contributes its own unigrams, so the count is never
+    # 0) — non-null/non-NaN by construction, which the rank's count
+    # pass re-verifies at runtime.
+    lp = persist_tracked(unigram_logprob(load(spark, sf_dir, "documents")))
     rk, n_docs = ranked_with_total(
         lp,
         "avg_logprob",
         tiebreak="doc_id",
         out="__rk",
         descending=True,
-        buckets=64,
-        rel_err=0.01,
     )
     return rk.select(
         "doc_id",
@@ -5221,12 +5228,22 @@ def q_events_value_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DISTRIBUTED exact two-pass form (operators/rank.py — no
     single-partition sort over the |users|-row table), and every
     emitted ratio is quantized."""
+    from symtseries_spark.cache import persist_tracked
     from symtseries_spark.operators.rank import distributed_row_number
     from symtseries_spark.operators.timeseries import quantize
 
     ev = load(spark, sf_dir, "events")
-    per = ev.groupBy("user_id").agg(
-        F.round(F.sum("value"), 6).alias("__w")
+    # Persist the small |users|-row sum table: the nested rank calls
+    # take four driver actions + the final job over this lineage, and
+    # each rank's internal persist only covers its own two actions —
+    # uncached, the full events scan+groupBy would run ~3x. Tracked
+    # (released by the harness after the query drains). Rank-key
+    # precondition: __w = round(sum(value)) over an inner groupBy —
+    # one non-null double per user by construction.
+    per = persist_tracked(
+        ev.groupBy("user_id").agg(
+            F.round(F.sum("value"), 6).alias("__w")
+        )
     )
     ranked = distributed_row_number(
         distributed_row_number(per, "__w", tiebreak="user_id", out="__ra"),
@@ -5366,6 +5383,7 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user table (|users| rows, not |events|; operators/rank.py
     two-pass form — bit-identical to the window ntile the DuckDB
     oracle runs, with no single-partition sort at any scale)."""
+    from symtseries_spark.cache import persist_tracked
     from symtseries_spark.operators.rank import distributed_ntile
 
     ev = load(spark, sf_dir, "events").withColumn(
@@ -5377,11 +5395,20 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 6).alias("monetary"),
     )
     mx = per_user.agg(F.max("__last").alias("__mx"))
-    base = per_user.crossJoin(F.broadcast(mx)).select(
-        "user_id",
-        F.expr("(__mx - __last) div 86400000000").alias("recency_days"),
-        "frequency",
-        "monetary",
+    # Persist the small |users|-row base: three chained ntiles take
+    # six driver actions + the final job over this lineage — uncached,
+    # the full events scan+groupBy would re-run for each. Tracked
+    # (released by the harness after the query drains). Rank-key
+    # preconditions: all three ntile keys come from the inner
+    # aggregate (count / rounded sum / max-diff), non-null by
+    # construction.
+    base = persist_tracked(
+        per_user.crossJoin(F.broadcast(mx)).select(
+            "user_id",
+            F.expr("(__mx - __last) div 86400000000").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
     )
     scored = distributed_ntile(
         distributed_ntile(

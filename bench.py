@@ -90,6 +90,7 @@ def run_segment(seg_idx: int, n_segments: int) -> None:
 
     # warm the JVM / codegen / parquet footer caches so the first timed
     # query doesn't absorb session startup
+    from symtseries_spark.cache import release_persisted
     from symtseries_spark.sources import load
 
     load(spark, sf_dir, "events").limit(1000).write.format("noop").mode(
@@ -151,6 +152,7 @@ def run_segment(seg_idx: int, n_segments: int) -> None:
                 ).save()
             except Exception as ex:  # warm must never kill the bench
                 print(f"[bench] warm {name} FAILED: {ex}", file=sys.stderr)
+            release_persisted()  # warm-run persists too
             warm_total += time.perf_counter() - t0
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
@@ -158,6 +160,10 @@ def run_segment(seg_idx: int, n_segments: int) -> None:
         df.write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
+        # release tracked caller-side persists AFTER the timed drain
+        # (the unpersist is bookkeeping, not query work) so cached
+        # blocks never accumulate across the ~45 queries of a segment
+        release_persisted()
         print(f"[bench] {name}: {dt:.3f}s", file=sys.stderr)
     print(
         f"[bench] segment {seg_idx + 1}/{n_segments}: "

@@ -34,6 +34,8 @@ def canon(df: pd.DataFrame) -> str:
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return hashlib.md5(df.to_csv(index=False, float_format=HASH_FMT).encode()).hexdigest()
 
+from symtseries_spark.cache import release_persisted
+
 qs = E.queries(); osql = E.oracle_sql()
 only = set(sys.argv[1:])
 fails = []
@@ -45,6 +47,8 @@ for name, fn in qs.items():
         sdf = fn(spark, SF).toPandas()
     except Exception as ex:
         print(f"{name}: SPARK ERROR {ex}"); fails.append(name); continue
+    finally:
+        release_persisted()  # drop tracked caller-side persists per query
     if name not in osql:
         print(f"{name}: rows-only {len(sdf)} ({time.time()-t0:.1f}s)"); continue
     try:

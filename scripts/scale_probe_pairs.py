@@ -55,9 +55,11 @@ FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
 # distinct per-replica letter permutations (perm 0 = identity). The
 # 5 vowels alone give 120 permutations — enough for FACTOR <= 120 —
 # but at FACTOR=100 most pairs of replicas would differ in vowels
-# only, and high-frequency short shingles can still collide. Permute
-# vowels AND a consonant group independently: 120 * 120 = 14,400
-# distinct translations, replicas pairwise disjoint in both groups.
+# only, and high-frequency short shingles can still collide. So each
+# replica also permutes a consonant group, with the SAME permutation
+# structure as its vowel permutation (one shared index, not a cross
+# product): 120 translations total, but any two replicas now differ
+# in BOTH groups — the pairwise-disjointness the probe needs.
 _VOWELS = "aeiou"
 _CONS = "rstln"
 

@@ -644,12 +644,22 @@ def key_skew(
     quantized: ``gini = 2*sum(i*x_i)/(k*total) - (k+1)/k`` over
     ascending (count, key) ranks.
     """
+    from ..cache import persist_tracked
     from .rank import distributed_row_number
     from .timeseries import quantize
 
     if top_n < 1:
         raise ValueError("key_skew needs top_n >= 1")
-    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
+    # Persist the small |keys|-row count table: the two nested rank
+    # calls take four driver actions + the final job over it, and each
+    # rank's internal persist covers only its own two actions —
+    # uncached, the full-corpus scan+groupBy would run ~3x. Tracked
+    # (the bench/oracle harnesses unpersist after the query drains).
+    # Rank-key precondition: __n = count(*) per key — a non-null
+    # positive long by construction.
+    counts = persist_tracked(
+        df.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
+    )
     ranked = distributed_row_number(
         distributed_row_number(counts, "__n", tiebreak=key, out="__ra"),
         "__n",

@@ -21,8 +21,14 @@ Gini/skew reports, RFM ntiles):
    + in-bucket order = global order, so the result is bit-identical to
    the single-task global window — the DuckDB oracles run the literal
    global form and stay green unchanged. A bucket id that was never
-   counted (only possible with a nondeterministic upstream lineage)
-   raises at runtime instead of emitting NULL ranks.
+   counted raises at runtime instead of emitting NULL ranks. That
+   guard is deliberately narrow: it only catches buckets absent from
+   the count pass. A nondeterministic upstream lineage whose rows
+   merely MOVE between already-counted buckets (or change count
+   within them) between the two jobs produces gapped/duplicated ranks
+   and a stale total with no error — determinism of the input lineage
+   remains the caller's contract, as it is for every multi-action
+   Spark plan.
 
 The input lineage is persisted across the two driver actions and
 unpersisted before the final plan is handed back, so upstream work runs
@@ -49,6 +55,24 @@ __all__ = [
 ]
 
 
+def _default_buckets(df: DataFrame) -> int:
+    """Bucket count when the caller doesn't pin one: the session's
+    ``spark.sql.shuffle.partitions``. The rank pass is one window task
+    per bucket, so tying bucket count to shuffle width means the rank
+    stage scales with the cluster instead of capping at a constant (a
+    hardcoded 64 would leave a 1000-executor cluster 94% idle during
+    the rank window). Falls back to ``defaultParallelism`` when the
+    conf is non-numeric (e.g. ``auto`` under some AQE setups)."""
+    sess = df.sparkSession
+    try:
+        n = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        n = 0
+    if n < 1:
+        n = sess.sparkContext.defaultParallelism
+    return max(1, n)
+
+
 def _bucket_expr(bounds: list[float], key_d):
     """Bucket id = number of boundaries <= key (monotone in key)."""
     if not bounds:
@@ -64,8 +88,8 @@ def ranked_with_total(
     tiebreak: str,
     out: str,
     descending: bool,
-    buckets: int,
-    rel_err: float,
+    buckets: int | None = None,
+    rel_err: float = 0.01,
 ) -> tuple[DataFrame, int]:
     """Two-pass core: returns ``(ranked df, total row count)``.
 
@@ -73,7 +97,13 @@ def ranked_with_total(
     it (ntile, rank-vs-total gates like CCNet terciles or the DSIR
     median cut) must use it as a plan literal, never re-aggregate the
     ranked lineage.
+
+    ``buckets=None`` (the default) sizes the rank stage to the
+    session's ``spark.sql.shuffle.partitions`` so parallelism follows
+    the cluster; pass an explicit count only to pin a test plan.
     """
+    if buckets is None:
+        buckets = _default_buckets(df)
     if buckets < 1:
         raise ValueError("buckets must be >= 1")
     # Orientation: rank ascending over sgn * key so one code path
@@ -133,9 +163,11 @@ def ranked_with_total(
                 for c in (F.lit(b).cast("int"), F.lit(off).cast("long"))
             ]
         )
-        # A bucket missing from the counted set means the upstream
-        # lineage is nondeterministic between the two jobs — raise
-        # instead of emitting silent NULL ranks.
+        # A bucket missing from the counted set (one way an upstream
+        # lineage can be nondeterministic between the two jobs) raises
+        # instead of emitting silent NULL ranks. Rows that merely move
+        # between counted buckets are NOT detectable here — see the
+        # module docstring.
         off = F.coalesce(
             F.element_at(off_map, F.col("__bkt").cast("int")).cast("long"),
             F.raise_error(
@@ -171,7 +203,7 @@ def distributed_row_number(
     tiebreak: str,
     out: str = "rn",
     descending: bool = False,
-    buckets: int = 64,
+    buckets: int | None = None,
     rel_err: float = 0.01,
 ) -> DataFrame:
     """Append ``out`` = exact global ``row_number() OVER (ORDER BY key
@@ -201,7 +233,7 @@ def distributed_ntile(
     n_tiles: int,
     out: str = "tile",
     descending: bool = False,
-    buckets: int = 64,
+    buckets: int | None = None,
     rel_err: float = 0.01,
 ) -> DataFrame:
     """Append ``out`` = exact global ``ntile(n_tiles) OVER (ORDER BY
