@@ -1,0 +1,186 @@
+"""Boundary-pathology coverage for operators/rank.py (round-8 ask).
+
+The two-pass rank's correctness argument is "bucket id is a monotone
+function of the key, equal keys share a bucket, so bucket order +
+in-bucket order = global order". These tests attack each leg of that
+argument where it is most fragile:
+
+- keys sitting EXACTLY on the approxQuantile boundaries (the `<=`
+  versus `<` edge of `_bucket_expr`),
+- one dominant value owning almost every row (heavy ties — all must
+  land in ONE bucket or ranks within the tie run would split),
+- ±Infinity keys (valid doubles: must rank first/last, never poison
+  the quantile pass),
+- -0.0 vs 0.0 (equal as doubles, so they must share a bucket while
+  the tiebreak orders them),
+- long keys above 2^53 (the bucket pass casts to double and collapses
+  adjacent values — the FINAL window orders by the original column,
+  so ranks must still be exact),
+- degenerate knobs: buckets=1, buckets >> n, rel_err at its coarsest,
+  and the buckets=None default that sizes from shuffle.partitions.
+
+Every case is checked bit-identical against the single-partition
+global window it replaces, and `ranked_with_total`'s returned total
+against the true row count.
+"""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from symtseries_spark.operators.rank import (
+    _default_buckets,
+    distributed_row_number,
+    ranked_with_total,
+)
+
+
+def _mk(spark, rows, schema="id long, v double"):
+    return spark.createDataFrame(rows, schema)
+
+
+def _assert_matches_window(df, got, *, descending, out="rn"):
+    key = F.col("v").desc() if descending else F.col("v").asc()
+    exp = df.withColumn(
+        out, F.row_number().over(Window.orderBy(key, "id")).cast("long")
+    )
+    g = {r["id"]: r[out] for r in got.collect()}
+    e = {r["id"]: r[out] for r in exp.collect()}
+    assert g == e
+
+
+@pytest.mark.parametrize("descending", [False, True])
+@pytest.mark.parametrize("buckets", [1, 3, 1024])
+def test_keys_on_exact_boundaries(spark, buckets, descending):
+    """Keys drawn from a tiny grid so approxQuantile boundaries land
+    ON key values: the <= bucketing edge must keep equal keys
+    together whichever side of the boundary they fall."""
+    rows = [(i, float(i % 5)) for i in range(100)]
+    df = _mk(spark, rows)
+    ranked, total = ranked_with_total(
+        df, "v", tiebreak="id", out="rn", descending=descending,
+        buckets=buckets, rel_err=0.0,  # exact quantiles: bounds ARE keys
+    )
+    assert total == 100
+    _assert_matches_window(df, ranked, descending=descending)
+
+
+@pytest.mark.parametrize("descending", [False, True])
+def test_heavy_ties_single_dominant_key(spark, descending):
+    """95% of rows share one key value: all ties must land in one
+    bucket (ranks inside a tie run can't be split across buckets) and
+    the remaining keys still rank exactly around them."""
+    rows = [(i, 7.0) for i in range(950)]
+    rows += [(950 + i, float(i)) for i in range(50)]
+    df = _mk(spark, rows)
+    got = distributed_row_number(
+        df, "v", tiebreak="id", out="rn", descending=descending, buckets=16
+    )
+    _assert_matches_window(df, got, descending=descending)
+
+
+@pytest.mark.parametrize("descending", [False, True])
+def test_infinite_keys_rank_at_extremes(spark, descending):
+    """±Inf are legal doubles (only null/NaN are rejected): they must
+    survive the quantile/count passes and rank strictly first/last."""
+    rows = [(0, float("-inf")), (1, float("inf")), (2, float("inf"))]
+    rows += [(3 + i, float(i)) for i in range(20)]
+    df = _mk(spark, rows)
+    got = distributed_row_number(
+        df, "v", tiebreak="id", out="rn", descending=descending, buckets=4
+    )
+    _assert_matches_window(df, got, descending=descending)
+
+
+def test_negative_zero_shares_bucket_with_zero(spark):
+    """-0.0 == 0.0 as doubles: they must share a bucket and be ordered
+    purely by the tiebreak, exactly like the global window does."""
+    rows = [(0, -0.0), (1, 0.0), (2, -0.0), (3, -1.0), (4, 1.0)]
+    df = _mk(spark, rows)
+    got = distributed_row_number(
+        df, "v", tiebreak="id", out="rn", buckets=3
+    )
+    _assert_matches_window(df, got, descending=False)
+
+
+@pytest.mark.parametrize("descending", [False, True])
+def test_long_keys_beyond_double_precision(spark, descending):
+    """Adjacent longs above 2^53 collapse to ONE double in the bucket
+    pass — legal, because collapsed keys simply share a bucket and the
+    final window orders by the ORIGINAL long column. Ranks must stay
+    exact even though the bucket function can't separate the values."""
+    base = 1 << 53
+    rows = [(i, base + i) for i in range(64)]  # consecutive: doubles tie
+    rows += [(64 + i, i) for i in range(16)]
+    df = _mk(spark, rows, "id long, v long")
+    got = distributed_row_number(
+        df, "v", tiebreak="id", out="rn", descending=descending, buckets=8
+    )
+    _assert_matches_window(df, got, descending=descending)
+
+
+def test_default_buckets_follow_shuffle_partitions(spark):
+    """buckets=None must size the rank stage from the session's
+    shuffle width (the round-8 fix for the hardcoded 64)."""
+    conf_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    df = _mk(spark, [(i, float(i % 37)) for i in range(500)])
+    assert _default_buckets(df) == conf_n
+    ranked, total = ranked_with_total(
+        df, "v", tiebreak="id", out="rn", descending=False
+    )
+    assert total == 500
+    _assert_matches_window(df, ranked, descending=False)
+
+
+def test_coarsest_rel_err_still_exact(spark):
+    """Boundary placement only affects balance, never ranks: even a
+    uselessly coarse quantile sketch must yield exact results."""
+    df = _mk(spark, [(i, float(i % 11)) for i in range(300)])
+    got = distributed_row_number(
+        df, "v", tiebreak="id", out="rn", buckets=8, rel_err=0.5
+    )
+    _assert_matches_window(df, got, descending=False)
+
+
+# Adversarial value pool: exact-boundary grid points, denormals, the
+# extremes of the double range, and long tie runs. Each drawn list is
+# checked bit-identical to the global window in both directions.
+pathological_pool = st.sampled_from(
+    [
+        float("-inf"),
+        -1.7976931348623157e308,
+        -1.0,
+        -5e-324,  # smallest denormal
+        -0.0,
+        0.0,
+        5e-324,
+        1e-6,
+        1.0,
+        1.0,
+        1.0,  # weighted: ties are the common case
+        1.0000000000000002,  # 1.0's successor — adjacent doubles
+        1.7976931348623157e308,
+        float("inf"),
+    ]
+)
+
+
+class TestRankBoundaryProperties:
+    @given(
+        st.lists(pathological_pool, min_size=1, max_size=150),
+        st.booleans(),
+        st.sampled_from([1, 2, 5, 64]),
+    )
+    @settings(max_examples=8, deadline=None)
+    def test_pathological_values_property(
+        self, spark, vals, descending, buckets
+    ):
+        df = _mk(spark, [(i, v) for i, v in enumerate(vals)])
+        ranked, total = ranked_with_total(
+            df, "v", tiebreak="id", out="rn", descending=descending,
+            buckets=buckets, rel_err=0.01,
+        )
+        assert total == len(vals)
+        _assert_matches_window(df, ranked, descending=descending)
