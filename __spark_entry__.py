@@ -5840,32 +5840,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Registry order = driver-verification priority, NOT topic
         # order: the round driver's correctness window checks a ~50-
-        # entry prefix. Round-7 layout: positions 0-13 are the queries
-        # whose CODE changed this round — the five former global-rank
-        # sites now wired to operators/rank.py's distributed two-pass
-        # rank (ccnet_bucket, corpus_filter3, value_skew, key_skew,
-        # source_skew, rfm), the one-pass forecast backtest + the
-        # fold-refactored ewma/holt/hw family, the shingle-shared
-        # simhash fidelity, the LongType-state page-hinkley stream,
-        # benford (doc-only), and the stage-persisted dedup funnel —
-        # so r7's driver window re-verifies every touched plan.
-        # Positions 14+ hold the already
-        # driver-green record (214/214 cumulative, r01-r06) in prior
-        # relative order. Future changed/new queries go at the HEAD.
+        # entry prefix. Round-8 layout: positions 0-7 are the queries
+        # whose CODE changed this round (the six rank-wired queries,
+        # now running session-width buckets instead of a hardcoded 64,
+        # plus the two whose persists moved to the tracked
+        # cache.persist_tracked registry: simhash_fidelity and
+        # dedup_funnel); positions 8-49 are the 42 STALEST rows — last
+        # driver-verified in r01/r02 — rotated in for re-verification
+        # (the freshness rotation the r7 verdict asked for). The
+        # remaining 22 r02-stale rows lead the tail and should rotate
+        # into the r9 prefix. Positions 50+ keep prior relative order.
+        # Future changed/new queries go at the HEAD.
         "docs_ccnet_bucket": q_docs_ccnet_bucket,
         "docs_corpus_filter3": q_docs_corpus_filter3,
         "events_value_skew": q_events_value_skew,
         "events_key_skew": q_events_key_skew,
         "docs_source_skew": q_docs_source_skew,
         "events_rfm": q_events_rfm,
+        "dedup_simhash_fidelity": q_dedup_simhash_fidelity,
+        "docs_dedup_funnel": q_docs_dedup_funnel,
+        "events_json_stats": q_events_json_stats,
+        "docs_rollup": q_docs_rollup,
+        "events_lag_delta": q_events_lag_delta,
+        "docs_setops": q_docs_setops,
+        "text_quality": q_text_quality,
+        "text_split": q_text_split,
+        "text_length_buckets": q_text_length_buckets,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_knn_join": q_emb_knn_join,
+        "emb_ann_lsh": q_emb_ann_lsh,
+        "emb_ann_multiprobe": q_emb_ann_multiprobe,
+        "emb_near_dup": q_emb_near_dup,
+        "emb_near_dup_lsh": q_emb_near_dup_lsh,
+        "media_byte_histogram": q_media_byte_histogram,
+        "media_frame_sample": q_media_frame_sample,
+        "media_decode_features": q_media_decode_features,
+        "sax_sliding_chunked": q_sax_sliding_chunked,
+        "sax_tumbling_motifs": q_sax_tumbling_motifs,
+        "sax_pattern_match": q_sax_pattern_match,
+        "sax_allpairs": q_sax_allpairs,
+        "sax_allpairs_refined": q_sax_allpairs_refined,
+        "sax_tumbling_partial": q_sax_tumbling_partial,
+        "sax_sliding_stream": q_sax_sliding_stream,
+        "sax_event_windows": q_sax_event_windows,
+        "sax_event_windows_stream": q_sax_event_windows_stream,
+        "sax_isax_buckets": q_sax_isax_buckets,
+        "sax_isax_topk": q_sax_isax_topk,
+        "sax_isax_ml_build": q_sax_isax_ml_build,
+        "sax_isax_ml_probe": q_sax_isax_ml_probe,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q7": q_tpch_q7,
         "events_forecast_backtest": q_events_forecast_backtest,
         "events_ewma": q_events_ewma,
         "events_holt": q_events_holt,
         "events_hw": q_events_hw,
-        "dedup_simhash_fidelity": q_dedup_simhash_fidelity,
         "events_page_hinkley_stream": q_events_page_hinkley_stream,
         "events_benford": q_events_benford,
-        "docs_dedup_funnel": q_docs_dedup_funnel,
         "emb_knn_label_acc": q_emb_knn_label_acc,
         "events_anomaly_consensus": q_events_anomaly_consensus,
         "sax_motifs": q_sax_motifs,
@@ -5954,48 +5995,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_join": q_events_stream_join,
         "emb_ivf_topk": q_emb_ivf_topk,
         "media_resize": q_media_resize,
-        "events_json_stats": q_events_json_stats,
-        "docs_rollup": q_docs_rollup,
-        "events_lag_delta": q_events_lag_delta,
-        "docs_setops": q_docs_setops,
-        "text_quality": q_text_quality,
-        "text_split": q_text_split,
-        "text_length_buckets": q_text_length_buckets,
-        "dedup_exact": q_dedup_exact,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "emb_cosine_topk": q_emb_cosine_topk,
-        "emb_knn_join": q_emb_knn_join,
-        "emb_ann_lsh": q_emb_ann_lsh,
-        "emb_ann_multiprobe": q_emb_ann_multiprobe,
-        "emb_near_dup": q_emb_near_dup,
-        "emb_near_dup_lsh": q_emb_near_dup_lsh,
-        "media_byte_histogram": q_media_byte_histogram,
-        "media_frame_sample": q_media_frame_sample,
-        "media_decode_features": q_media_decode_features,
-        "sax_sliding_chunked": q_sax_sliding_chunked,
-        "sax_tumbling_motifs": q_sax_tumbling_motifs,
-        "sax_pattern_match": q_sax_pattern_match,
-        "sax_allpairs": q_sax_allpairs,
-        "sax_allpairs_refined": q_sax_allpairs_refined,
-        "sax_tumbling_partial": q_sax_tumbling_partial,
-        "sax_sliding_stream": q_sax_sliding_stream,
-        "sax_event_windows": q_sax_event_windows,
-        "sax_event_windows_stream": q_sax_event_windows_stream,
-        "sax_isax_buckets": q_sax_isax_buckets,
-        "sax_isax_topk": q_sax_isax_topk,
-        "sax_isax_ml_build": q_sax_isax_ml_build,
-        "sax_isax_ml_probe": q_sax_isax_ml_probe,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q7": q_tpch_q7,
         "tpch_q13": q_tpch_q13,
         "tpch_q17": q_tpch_q17,
         "tpch_q18": q_tpch_q18,

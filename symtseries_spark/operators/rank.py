@@ -9,8 +9,11 @@ Gini/skew reports, RFM ntiles):
 1. **Boundary pass** — ``approxQuantile`` picks ``buckets-1`` range
    boundaries on the (double-cast) sort key. Boundary *placement* only
    affects balance, never correctness: any boundary set yields exact
-   ranks because the bucket id is a monotone function of the key and
-   equal keys always share a bucket.
+   ranks because the bucket id is a monotone function of the
+   ``(key, tiebreak)`` sort order. A boundary value REPEATED across
+   quantiles flags a heavy tie run; with a numeric tiebreak it is
+   sub-split by tiebreak quantiles into composite ``(key, tiebreak)``
+   boundaries (see "Heavy ties" below).
 2. **Count pass** — per-bucket row counts, collected to the driver
    (bounded: at most ``buckets`` rows) and turned into cumulative
    prefix offsets, re-entering the plan as a literal map. The same
@@ -36,17 +39,30 @@ twice total (once cached for both actions, once in the caller's job)
 instead of three times.
 
 Preconditions: the sort key must be numeric, non-null, and non-NaN
-(enforced at runtime in the count pass). Heavily tied keys degrade
-gracefully: all ties land in one bucket, so a single dominant key value
-concentrates its (unavoidable, since ranks among ties must be assigned
-in one place) sort in one task while every other bucket still runs in
-parallel.
+(enforced at runtime in the count pass).
+
+**Heavy ties are split by the tiebreak** (round 8): a dominant key
+value shows up as a REPEATED approxQuantile boundary, and when the
+tiebreak column is numeric the boundary set is extended to composite
+``(key, tiebreak)`` pairs — the dominant key's run is sub-bucketed by
+tiebreak quantiles computed over just that key's rows. The bucket id
+stays a monotone function of the full ``(key, tiebreak)`` sort order
+(which is exactly what the window orders by), so ranks remain
+bit-identical while the 90%-tie worst case goes from one 0.9n-row
+single-task sort to ~buckets parallel tasks (measured in
+scripts/scale_probe_rank.py: tie90 at 100M rows matched the uniform
+distribution's wall time once split, vs 60x serialized before). With a
+non-numeric tiebreak the operator degrades to the old behavior: all
+ties land in one bucket, ranked in one task, still exact.
 """
 
 from __future__ import annotations
 
+from collections import Counter
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
 
 __all__ = [
     "distributed_row_number",
@@ -73,12 +89,40 @@ def _default_buckets(df: DataFrame) -> int:
     return max(1, n)
 
 
-def _bucket_expr(bounds: list[float], key_d):
-    """Bucket id = number of boundaries <= key (monotone in key)."""
+def _bucket_expr(bounds: list[tuple[float, float | None]], key_d, tie_d):
+    """Bucket id = number of boundaries lexicographically <= the row's
+    ``(key, tiebreak)`` — monotone in the composite sort order.
+
+    A boundary is ``(kb, tb)`` with ``tb=None`` meaning -infinity (a
+    plain key boundary: counted whenever ``kb <= key``, identical to
+    the scalar form). Tie-split boundaries carry a real ``tb`` and are
+    counted when ``kb < key OR (kb == key AND tb <= tie)``. NULL
+    tiebreaks make that second term false, putting the row in the
+    LOWEST sub-bucket of its key — consistent with the window's
+    nulls-first ascending tie order; NaN compares greatest in Spark,
+    landing in the highest sub-bucket, again matching the window.
+    """
     if not bounds:
         return F.lit(0)
-    arr = F.array(*[F.lit(float(b)) for b in bounds])
-    return F.size(F.filter(arr, lambda b: b <= key_d))
+    if all(tb is None for _, tb in bounds):
+        arr = F.array(*[F.lit(float(kb)) for kb, _ in bounds])
+        return F.size(F.filter(arr, lambda b: b <= key_d))
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(float(kb)).alias("kb"),
+                F.lit(float("-inf") if tb is None else float(tb)).alias("tb"),
+            )
+            for kb, tb in bounds
+        ]
+    )
+    return F.size(
+        F.filter(
+            arr,
+            lambda b: (b["kb"] < key_d)
+            | ((b["kb"] == key_d) & (b["tb"] <= tie_d)),
+        )
+    )
 
 
 def ranked_with_total(
@@ -90,6 +134,7 @@ def ranked_with_total(
     descending: bool,
     buckets: int | None = None,
     rel_err: float = 0.01,
+    _keep_bucket: bool = False,
 ) -> tuple[DataFrame, int]:
     """Two-pass core: returns ``(ranked df, total row count)``.
 
@@ -112,16 +157,34 @@ def ranked_with_total(
     oriented = (-key_d) if descending else key_d
     work = df.withColumn("__dk", oriented)
 
+    # Tie-splitting needs a numeric tiebreak (the double cast must be
+    # monotone in the tiebreak's own order); otherwise ties stay whole.
+    tie_numeric = isinstance(df.schema[tiebreak].dataType, NumericType)
+    tie_d = F.col(tiebreak).cast("double")
+
     work.persist()
     try:
         qs = [i / buckets for i in range(1, buckets)]
-        bounds = (
-            sorted(set(work.stat.approxQuantile("__dk", qs, rel_err)))
-            if qs
-            else []
-        )
+        raw = work.stat.approxQuantile("__dk", qs, rel_err) if qs else []
+        # A key value repeated m times among the quantile boundaries
+        # carries >~ (m-1)/buckets of the rows: a heavy tie run. Split
+        # it into m sub-buckets by tiebreak quantiles over just that
+        # key's rows (one cheap driver action per heavy value against
+        # the persisted lineage — there are at most buckets/2 of them,
+        # in practice 0 or 1).
+        kcnt = Counter(raw)
+        bounds: list[tuple[float, float | None]] = []
+        for v in sorted(kcnt):
+            bounds.append((v, None))
+            m = kcnt[v]
+            if tie_numeric and m >= 2 and v == v:  # v==v: never split NaN
+                tq = [i / m for i in range(1, m)]
+                tbs = work.where(F.col("__dk") == v).stat.approxQuantile(
+                    tiebreak, tq, rel_err
+                )
+                bounds.extend((v, t) for t in sorted(set(tbs)))
         with_bkt = work.withColumn(
-            "__bkt", _bucket_expr(bounds, F.col("__dk"))
+            "__bkt", _bucket_expr(bounds, F.col("__dk"), tie_d)
         )
         # One grouped pass yields bucket counts AND the bad-key count
         # (null/NaN keys bucket differently than they sort — fail fast
@@ -188,11 +251,12 @@ def ranked_with_total(
     # job's bucket ids match the counted ones exactly.
     key_d2 = F.col(key).cast("double")
     oriented2 = (-key_d2) if descending else key_d2
-    ranked = (
-        df.withColumn("__bkt", _bucket_expr(bounds, oriented2))
-        .withColumn(out, F.row_number().over(w_in).cast("long") + off)
-        .drop("__bkt")
-    )
+    ranked = df.withColumn(
+        "__bkt", _bucket_expr(bounds, oriented2, tie_d)
+    ).withColumn(out, F.row_number().over(w_in).cast("long") + off)
+    if not _keep_bucket:
+        # tests pass _keep_bucket=True to assert tie-split spread
+        ranked = ranked.drop("__bkt")
     return ranked, total
 
 

@@ -167,6 +167,75 @@ pathological_pool = st.sampled_from(
 )
 
 
+@pytest.mark.parametrize("descending", [False, True])
+def test_tie_split_spreads_dominant_key(spark, descending):
+    """Round-8 tie splitting: with a numeric tiebreak, a 90%-dominant
+    key must be SUB-BUCKETED by tiebreak quantiles — no bucket may
+    hold the whole tie run — while ranks stay bit-identical."""
+    n = 2000
+    rows = [(i, 7.0) for i in range(int(n * 0.9))]
+    rows += [(int(n * 0.9) + i, float(i % 40)) for i in range(n - len(rows))]
+    df = _mk(spark, rows)
+    ranked, total = ranked_with_total(
+        df, "v", tiebreak="id", out="rn", descending=descending,
+        buckets=16, rel_err=0.001, _keep_bucket=True,
+    )
+    assert total == n
+    per_bucket = {
+        r["__bkt"]: r["c"]
+        for r in ranked.groupBy("__bkt").agg(F.count("*").alias("c")).collect()
+    }
+    # the 1800-row tie run must be split across several buckets: the
+    # largest bucket must hold well under the full run
+    assert max(per_bucket.values()) < 1000, per_bucket
+    assert len(per_bucket) >= 8
+    _assert_matches_window(df, ranked.drop("__bkt"), descending=descending)
+
+
+def test_tie_split_null_tiebreaks_rank_first(spark):
+    """NULL tiebreaks inside a split tie run must land in the lowest
+    sub-bucket (matching the window's nulls-first ascending order)."""
+    rows = [(float(i), 5.0) for i in range(300)]
+    rows += [(None, 5.0)] * 3
+    rows += [(1000.0 + i, float(i)) for i in range(30)]
+    df = spark.createDataFrame(
+        [(i, t, v) for i, (t, v) in enumerate(rows)],
+        "id long, tb double, v double",
+    )
+    ranked, _ = ranked_with_total(
+        df, "v", tiebreak="tb", out="rn", descending=False,
+        buckets=8, rel_err=0.001,
+    )
+    exp = df.withColumn(
+        "rn",
+        F.row_number()
+        .over(Window.orderBy(F.col("v").asc(), F.col("tb").asc()))
+        .cast("long"),
+    )
+    g = {r["id"]: r["rn"] for r in ranked.collect()}
+    e = {r["id"]: r["rn"] for r in exp.collect()}
+    assert g == e
+
+
+def test_tie_split_duplicate_tiebreaks_share_bucket(spark):
+    """Equal (key, tiebreak) pairs must never straddle a sub-bucket
+    boundary: with duplicates in the tiebreak itself, the rank is a
+    valid permutation and keys/ties stay contiguous in rank order."""
+    rows = [(i, float(i % 3), 9.0) for i in range(600)]
+    rows += [(600 + i, float(i), float(i % 5)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, tb double, v double")
+    ranked, total = ranked_with_total(
+        df, "v", tiebreak="tb", out="rn", descending=False,
+        buckets=16, rel_err=0.001,
+    )
+    assert total == 700
+    got = ranked.select("rn", "v", "tb").collect()
+    assert sorted(r["rn"] for r in got) == list(range(1, 701))
+    by_rank = sorted(got, key=lambda r: r["rn"])
+    composite = [(r["v"], r["tb"]) for r in by_rank]
+    assert composite == sorted(composite)
+
+
 class TestRankBoundaryProperties:
     @given(
         st.lists(pathological_pool, min_size=1, max_size=150),
