@@ -168,21 +168,43 @@ def ranked_with_total(
         raw = work.stat.approxQuantile("__dk", qs, rel_err) if qs else []
         # A key value repeated m times among the quantile boundaries
         # carries >~ (m-1)/buckets of the rows: a heavy tie run. Split
-        # it into m sub-buckets by tiebreak quantiles over just that
-        # key's rows (one cheap driver action per heavy value against
-        # the persisted lineage — there are at most buckets/2 of them,
-        # in practice 0 or 1).
+        # each into sub-buckets by tiebreak quantiles over that key's
+        # rows. ALL heavy values are quantiled in ONE grouped
+        # percentile_approx job (a per-value approxQuantile loop cost
+        # one driver action each — measured +3.5s on a zipf-shaped 1M
+        # input with ~8 heavy head values). Every heavy value gets the
+        # max multiplicity's cut count: extra sub-buckets are free
+        # parallelism, never a correctness concern.
         kcnt = Counter(raw)
+        heavy = (
+            [v for v, m in kcnt.items() if m >= 2 and v == v]  # no NaN
+            if tie_numeric
+            else []
+        )
+        tie_bounds: dict[float, list[float]] = {}
+        if heavy:
+            mx = max(kcnt[v] for v in heavy)
+            probs = F.array(*[F.lit(i / mx) for i in range(1, mx)])
+            acc = int(1.0 / max(rel_err, 1e-4))
+            rows = (
+                work.where(F.col("__dk").isin(heavy))
+                .groupBy("__dk")
+                .agg(
+                    F.percentile_approx(tiebreak, probs, F.lit(acc)).alias(
+                        "__tbs"
+                    )
+                )
+                .collect()
+            )
+            tie_bounds = {
+                r["__dk"]: sorted({float(t) for t in r["__tbs"] if t is not None})
+                for r in rows
+                if r["__tbs"] is not None  # all-null tiebreaks: no split
+            }
         bounds: list[tuple[float, float | None]] = []
         for v in sorted(kcnt):
             bounds.append((v, None))
-            m = kcnt[v]
-            if tie_numeric and m >= 2 and v == v:  # v==v: never split NaN
-                tq = [i / m for i in range(1, m)]
-                tbs = work.where(F.col("__dk") == v).stat.approxQuantile(
-                    tiebreak, tq, rel_err
-                )
-                bounds.extend((v, t) for t in sorted(set(tbs)))
+            bounds.extend((v, t) for t in tie_bounds.get(v, []))
         with_bkt = work.withColumn(
             "__bkt", _bucket_expr(bounds, F.col("__dk"), tie_d)
         )
