@@ -883,7 +883,7 @@ def q_docs_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     en = docs.where(F.col("lang") == "en").select("doc_id")
     short = docs.where(F.col("n_chars") < 150).select("doc_id")
     first_half = docs.where(F.col("doc_id") % 2 == 0).select("doc_id")
-    return en.exceptAll(short).intersect(first_half).orderBy("doc_id")
+    return en.exceptAll(short).intersect(first_half)
 
 
 def q_docs_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2134,7 +2134,7 @@ def q_emb_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         cc.where(F.col("v") == F.col("canonical_id"))
         .select(F.col("v").alias("vec_id"))
         .join(vecs.select("vec_id", "label"), "vec_id", "inner")
-        .orderBy("vec_id")
+        
     )
 
 
@@ -2241,7 +2241,7 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize(
             (F.col("ts_us") - F.col("p_ts_us")) / F.lit(1e6), 3
         ).alias("gap_sec"),
-    ).orderBy("click_event_id")
+    )
 
 
 ASOF_TOL_US = 3 * 86400 * 10**6  # 3-day as-of match horizon
@@ -2271,7 +2271,7 @@ def q_events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.select(
         "user_id", "click_event_id", "purchase_event_id"
-    ).orderBy("click_event_id")
+    )
 
 
 def q_events_interval_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2302,7 +2302,7 @@ def q_events_interval_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).alias("n_clicks"),
             F.round(F.coalesce(F.col("s"), F.lit(0.0)), 6).alias("sum_click_value"),
         )
-        .orderBy("purchase_event_id")
+        
     )
 
 
@@ -2318,7 +2318,7 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.max("ts_us") - F.min("ts_us")) / F.lit(1e6), 3).alias("dur_sec"),
             F.round(F.sum("value"), 6).alias("sum_value"),
         )
-        .orderBy("user_id", "session_id")
+        
     )
 
 
@@ -2364,7 +2364,7 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES],
     )
-    return named.join(sums, "user_id").orderBy("user_id")
+    return named.join(sums, "user_id")
 
 
 def q_events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2518,7 +2518,7 @@ def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.unix_micros("c_ts") - F.unix_micros("p_ts")) / F.lit(1e6), 3
             ).alias("gap_sec"),
         )
-        .orderBy("p_event_id", "c_event_id")
+        
     )
 
 
@@ -2534,7 +2534,7 @@ def q_docs_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return tfidf_top_terms(
         load(spark, sf_dir, "documents"), topk=TFIDF_TOPK
-    ).orderBy("doc_id", "rank")
+    )
 
 
 def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2632,7 +2632,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
             (F.col("v") != F.col("canonical_id")).alias("is_duplicate"),
         )
-        .orderBy("doc_id")
+        
     )
 
 
@@ -2649,7 +2649,7 @@ def q_dedup_lsh_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return jaccard_refine(
         cand, docs, k=JACCARD["k"], threshold=JACCARD["threshold"]
-    ).orderBy("doc_a", "doc_b")
+    )
 
 
 def q_dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2764,7 +2764,7 @@ def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.join(keep, "doc_id", "left_semi")
         .select("doc_id", "lang", "source")
-        .orderBy("doc_id")
+        
     )
 
 
@@ -2917,7 +2917,7 @@ def q_dedup_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.min("dup_of").alias("dup_of"))
         .select("doc_id", "dup_of", F.col("dup_of").isNotNull().alias("is_duplicate"))
-        .orderBy("doc_id")
+        
     )
 
 
@@ -2941,7 +2941,7 @@ def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = daily.agg(F.min("day"), F.max("day")).first()
     return gapfill_locf(
         daily, key="user_id", bucket="day", value="avg_value", lo=lo, hi=hi
-    ).orderBy("user_id", "day")
+    )
 
 
 def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3233,7 +3233,7 @@ def q_events_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             F.round("sum_value", 6).alias("sum_value"),
         )
-        .orderBy("user_id", "start_us")
+        
     )
 
 
@@ -3255,7 +3255,7 @@ def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             fraction=SAMPLE_FRACTION,
         )
         .select("doc_id", "lang")
-        .orderBy("lang", "doc_id")
+        
     )
 
 
@@ -3270,7 +3270,7 @@ def q_docs_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents"),
         shard_tokens=SHARD_TOKENS,
         group="lang",
-    ).orderBy("lang", "shard_id")
+    )
 
 
 KMV_K = 32
@@ -3912,7 +3912,7 @@ def q_docs_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("top_share") <= CORPUS_FILTER["max_top_share"])
         )
         .select("doc_id", "lang", "quality_score", "top_share")
-        .orderBy("doc_id")
+        
     )
 
 
@@ -3976,7 +3976,7 @@ def q_docs_corpus_filter2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "lang", "quality_score", "top_share", "boiler_ratio",
             "avg_logprob",
         )
-        .orderBy("doc_id")
+        
     )
 
 
