@@ -43,3 +43,40 @@ def test_no_global_sort_in_rank_wired_query(spark, name):
     assert global_sorts == [], (
         f"{name}: global Sort node(s) reappeared:\n" + "\n".join(global_sorts)
     )
+
+
+# Round-8 policy gate (docs/PLAN_AUDIT.md Class C): queries whose
+# output is ROW-SCALED must not carry a physical total order — at
+# scale a final orderBy is a full extra range-exchange of a
+# corpus-sized relation that no consumer needs (the correctness
+# comparator is order-insensitive; ordered training layouts come from
+# rank COLUMNS instead). Representative members of the 19 cleaned in
+# round 8, one per output family.
+ROW_SCALED_UNSORTED = [
+    "events_sessions",  # per-session table
+    "events_asof_join",  # per-row join output
+    "dedup_keep",  # corpus-sized survivor set
+    "docs_tfidf",  # per-doc top-k terms
+    "events_pivot",  # per-user wide table
+    "docs_setops",  # id set
+]
+
+
+@pytest.mark.parametrize("name", ROW_SCALED_UNSORTED)
+def test_no_global_sort_on_row_scaled_output(spark, name):
+    import __spark_entry__ as entry
+
+    from symtseries_spark.cache import release_persisted
+
+    df = entry.queries()[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    release_persisted()
+    global_sorts = [
+        line
+        for line in plan.splitlines()
+        if "Sort [" in line and "], true," in line
+    ]
+    assert global_sorts == [], (
+        f"{name}: total-order sort on a row-scaled output "
+        "(see docs/PLAN_AUDIT.md Class C):\n" + "\n".join(global_sorts)
+    )
