@@ -78,7 +78,15 @@ def _default_buckets(df: DataFrame) -> int:
     stage scales with the cluster instead of capping at a constant (a
     hardcoded 64 would leave a 1000-executor cluster 94% idle during
     the rank window). Falls back to ``defaultParallelism`` when the
-    conf is non-numeric (e.g. ``auto`` under some AQE setups)."""
+    conf is non-numeric (e.g. ``auto`` under some AQE setups).
+
+    Capped at 4096: the per-row bucket assignment (boundary-array
+    scan) and offset lookup (literal-map scan) are both O(buckets) per
+    row, so an extreme ``shuffle.partitions`` (tens of thousands on a
+    very large cluster) would shift the cost from the sort to the
+    bucket arithmetic. 4096 parallel sort tasks saturate any realistic
+    executor fleet while keeping the per-row constant small; callers
+    can still pin a larger count explicitly."""
     sess = df.sparkSession
     try:
         n = int(sess.conf.get("spark.sql.shuffle.partitions"))
@@ -86,7 +94,7 @@ def _default_buckets(df: DataFrame) -> int:
         n = 0
     if n < 1:
         n = sess.sparkContext.defaultParallelism
-    return max(1, n)
+    return max(1, min(n, 4096))
 
 
 def _bucket_expr(bounds: list[tuple[float, float | None]], key_d, tie_d):
