@@ -2134,7 +2134,6 @@ def q_emb_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         cc.where(F.col("v") == F.col("canonical_id"))
         .select(F.col("v").alias("vec_id"))
         .join(vecs.select("vec_id", "label"), "vec_id", "inner")
-        
     )
 
 
@@ -2302,7 +2301,6 @@ def q_events_interval_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).alias("n_clicks"),
             F.round(F.coalesce(F.col("s"), F.lit(0.0)), 6).alias("sum_click_value"),
         )
-        
     )
 
 
@@ -2318,7 +2316,6 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.max("ts_us") - F.min("ts_us")) / F.lit(1e6), 3).alias("dur_sec"),
             F.round(F.sum("value"), 6).alias("sum_value"),
         )
-        
     )
 
 
@@ -2518,7 +2515,6 @@ def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.unix_micros("c_ts") - F.unix_micros("p_ts")) / F.lit(1e6), 3
             ).alias("gap_sec"),
         )
-        
     )
 
 
@@ -2632,7 +2628,6 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
             (F.col("v") != F.col("canonical_id")).alias("is_duplicate"),
         )
-        
     )
 
 
@@ -2764,7 +2759,6 @@ def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.join(keep, "doc_id", "left_semi")
         .select("doc_id", "lang", "source")
-        
     )
 
 
@@ -2917,7 +2911,6 @@ def q_dedup_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.min("dup_of").alias("dup_of"))
         .select("doc_id", "dup_of", F.col("dup_of").isNotNull().alias("is_duplicate"))
-        
     )
 
 
@@ -3233,7 +3226,6 @@ def q_events_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             F.round("sum_value", 6).alias("sum_value"),
         )
-        
     )
 
 
@@ -3255,7 +3247,6 @@ def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             fraction=SAMPLE_FRACTION,
         )
         .select("doc_id", "lang")
-        
     )
 
 
@@ -3912,7 +3903,6 @@ def q_docs_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("top_share") <= CORPUS_FILTER["max_top_share"])
         )
         .select("doc_id", "lang", "quality_score", "top_share")
-        
     )
 
 
@@ -3976,7 +3966,6 @@ def q_docs_corpus_filter2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "lang", "quality_score", "top_share", "boiler_ratio",
             "avg_logprob",
         )
-        
     )
 
 
@@ -5840,161 +5829,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Registry order = driver-verification priority, NOT topic
         # order: the round driver's correctness window checks a ~50-
-        # entry prefix. Round-8 layout: positions 0-7 are the queries
-        # whose CODE changed this round (the six rank-wired queries,
-        # now running session-width buckets instead of a hardcoded 64,
-        # plus the two whose persists moved to the tracked
-        # cache.persist_tracked registry: simhash_fidelity and
-        # dedup_funnel); positions 8-49 are the 42 STALEST rows — last
-        # driver-verified in r01/r02 — rotated in for re-verification
-        # (the freshness rotation the r7 verdict asked for). The
-        # remaining 22 r02-stale rows lead the tail and should rotate
-        # into the r9 prefix. Positions 50+ keep prior relative order.
-        # Future changed/new queries go at the HEAD.
-        "docs_ccnet_bucket": q_docs_ccnet_bucket,
-        "docs_corpus_filter3": q_docs_corpus_filter3,
-        "events_value_skew": q_events_value_skew,
-        "events_key_skew": q_events_key_skew,
-        "docs_source_skew": q_docs_source_skew,
-        "events_rfm": q_events_rfm,
-        "dedup_simhash_fidelity": q_dedup_simhash_fidelity,
-        "docs_dedup_funnel": q_docs_dedup_funnel,
-        "events_json_stats": q_events_json_stats,
-        "docs_rollup": q_docs_rollup,
-        "events_lag_delta": q_events_lag_delta,
-        "docs_setops": q_docs_setops,
-        "text_quality": q_text_quality,
-        "text_split": q_text_split,
-        "text_length_buckets": q_text_length_buckets,
-        "dedup_exact": q_dedup_exact,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "emb_cosine_topk": q_emb_cosine_topk,
-        "emb_knn_join": q_emb_knn_join,
-        "emb_ann_lsh": q_emb_ann_lsh,
-        "emb_ann_multiprobe": q_emb_ann_multiprobe,
-        "emb_near_dup": q_emb_near_dup,
-        "emb_near_dup_lsh": q_emb_near_dup_lsh,
-        "media_byte_histogram": q_media_byte_histogram,
-        "media_frame_sample": q_media_frame_sample,
-        "media_decode_features": q_media_decode_features,
-        "sax_sliding_chunked": q_sax_sliding_chunked,
-        "sax_tumbling_motifs": q_sax_tumbling_motifs,
-        "sax_pattern_match": q_sax_pattern_match,
-        "sax_allpairs": q_sax_allpairs,
-        "sax_allpairs_refined": q_sax_allpairs_refined,
-        "sax_tumbling_partial": q_sax_tumbling_partial,
-        "sax_sliding_stream": q_sax_sliding_stream,
-        "sax_event_windows": q_sax_event_windows,
-        "sax_event_windows_stream": q_sax_event_windows_stream,
-        "sax_isax_buckets": q_sax_isax_buckets,
-        "sax_isax_topk": q_sax_isax_topk,
-        "sax_isax_ml_build": q_sax_isax_ml_build,
-        "sax_isax_ml_probe": q_sax_isax_ml_probe,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q7": q_tpch_q7,
-        "events_forecast_backtest": q_events_forecast_backtest,
-        "events_ewma": q_events_ewma,
-        "events_holt": q_events_holt,
-        "events_hw": q_events_hw,
-        "events_page_hinkley_stream": q_events_page_hinkley_stream,
-        "events_benford": q_events_benford,
-        "emb_knn_label_acc": q_emb_knn_label_acc,
-        "events_anomaly_consensus": q_events_anomaly_consensus,
-        "sax_motifs": q_sax_motifs,
-        "emb_silhouette": q_emb_silhouette,
-        "events_funnel_latency": q_events_funnel_latency,
-        "emb_int8_recall": q_emb_int8_recall,
-        "events_twap": q_events_twap,
-        "events_twap_stream": q_events_twap_stream,
-        "events_ohlc": q_events_ohlc,
-        "dedup_triangles": q_dedup_triangles,
-        "events_page_hinkley": q_events_page_hinkley,
-        "dedup_cross_lang": q_dedup_cross_lang,
-        "events_session_sizes": q_events_session_sizes,
-        "events_hll_by_type": q_events_hll_by_type,
-        "events_audience_overlap": q_events_audience_overlap,
-        "events_dominant_period": q_events_dominant_period,
-        "events_moments": q_events_moments,
-        "events_ohlc_stream": q_events_ohlc_stream,
-        "docs_source_boilerplate": q_docs_source_boilerplate,
-        "emb_fisher_dims": q_emb_fisher_dims,
-        "events_p95_trend": q_events_p95_trend,
-        "events_volume_anomaly": q_events_volume_anomaly,
-        "sax_complexity": q_sax_complexity,
-        "dedup_cluster_sizes": q_dedup_cluster_sizes,
-        "events_user_lifetime": q_events_user_lifetime,
-        "docs_scorecard": q_docs_scorecard,
-        "docs_novelty_decay": q_docs_novelty_decay,
-        "events_type_transitions": q_events_type_transitions,
-        "emb_norm_profile": q_emb_norm_profile,
-        "docs_hapax": q_docs_hapax,
-        "docs_quality_length_corr": q_docs_quality_length_corr,
-        "docs_shingle_df_profile": q_docs_shingle_df_profile,
-        "emb_compression_tradeoff": q_emb_compression_tradeoff,
-        "events_hourly_profile": q_events_hourly_profile,
-        "docs_contamination_by_source": q_docs_contamination_by_source,
-        "events_dau": q_events_dau,
-        "events_stickiness": q_events_stickiness,
-        "sax_word_transitions": q_sax_word_transitions,
-        "sax_whole_series": q_sax_whole_series,
-        "sax_sliding_words": q_sax_sliding_words,
-        "sax_mindist_topk": q_sax_mindist_topk,
-        "sax_mindist_decomp": q_sax_mindist_decomp,
-        "sax_c16_decomp": q_sax_c16_decomp,
-        "emb_lsh_recall": q_emb_lsh_recall,
-        "emb_multiprobe_recall": q_emb_multiprobe_recall,
-        "emb_ivf_recall": q_emb_ivf_recall,
-        "events_changepoint": q_events_changepoint,
-        "dedup_pagerank": q_dedup_pagerank,
-        "dedup_minhash_accuracy": q_dedup_minhash_accuracy,
-        "docs_zipf_slope": q_docs_zipf_slope,
-        "emb_trunc_recall": q_emb_trunc_recall,
-        "emb_pq_recall": q_emb_pq_recall,
-        "events_stl_strength": q_events_stl_strength,
-        "events_hist_quantiles": q_events_hist_quantiles,
-        "events_changepoint2": q_events_changepoint2,
-        "emb_kmeans": q_emb_kmeans,
-        "emb_semdedup": q_emb_semdedup,
-        "sax_discords": q_sax_discords,
-        "docs_dsir_weights": q_docs_dsir_weights,
-        "docs_source_cap": q_docs_source_cap,
-        "docs_novelty": q_docs_novelty,
-        "sax_vsm_pairs": q_sax_vsm_pairs,
-        "emb_pca_power": q_emb_pca_power,
-        "events_stl": q_events_stl,
-        "sax_numerosity": q_sax_numerosity,
-        "docs_dsir_stream": q_docs_dsir_stream,
-        "events_acf": q_events_acf,
-        "docs_char_entropy": q_docs_char_entropy,
-        "docs_token_fertility": q_docs_token_fertility,
-        "events_seasonal_anomaly": q_events_seasonal_anomaly,
-        "emb_abtt_topk": q_emb_abtt_topk,
-        "events_hw_stream": q_events_hw_stream,
-        "events_sessions_stream": q_events_sessions_stream,
-        "events_histogram": q_events_histogram,
-        "events_ntile": q_events_ntile,
-        "events_time_rollup": q_events_time_rollup,
-        "events_gapfill": q_events_gapfill,
-        "events_quantiles": q_events_quantiles,
-        "dedup_minhash_stream": q_dedup_minhash_stream,
-        "dedup_clusters": q_dedup_clusters,
-        "text_bm25": q_text_bm25,
-        "docs_tfidf": q_docs_tfidf,
-        "emb_dim_profile": q_emb_dim_profile,
-        "events_pivot": q_events_pivot,
-        "events_stream_enrich": q_events_stream_enrich,
-        "events_stream_join": q_events_stream_join,
-        "emb_ivf_topk": q_emb_ivf_topk,
-        "media_resize": q_media_resize,
+        # entry prefix. Round-9 layout: NO query code changed this
+        # round (hygiene + gate-hardening), so the registry is sorted
+        # purely by driver-check staleness (oldest round first, prior
+        # relative order as tiebreak): the 22 rows last verified in
+        # r02 (14 TPC-H shapes, the bloom/lang/repetition/top-terms
+        # doc queries, emb_pq_topk, the anomaly pair, rolling_1h),
+        # then the r03 rows, and so on — so each round's ~50-entry
+        # window re-verifies the stalest rows and the next rotation is
+        # just re-sorting by the updated CORRECTNESS history. Future
+        # changed/new queries go at the HEAD.
         "tpch_q13": q_tpch_q13,
         "tpch_q17": q_tpch_q17,
         "tpch_q18": q_tpch_q18,
@@ -6065,6 +5909,150 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pack_shards": q_docs_pack_shards,
         "events_interval_agg": q_events_interval_agg,
         "events_sessions": q_events_sessions,
+        "emb_lsh_recall": q_emb_lsh_recall,
+        "emb_multiprobe_recall": q_emb_multiprobe_recall,
+        "emb_ivf_recall": q_emb_ivf_recall,
+        "events_changepoint": q_events_changepoint,
+        "dedup_pagerank": q_dedup_pagerank,
+        "dedup_minhash_accuracy": q_dedup_minhash_accuracy,
+        "docs_zipf_slope": q_docs_zipf_slope,
+        "emb_trunc_recall": q_emb_trunc_recall,
+        "emb_pq_recall": q_emb_pq_recall,
+        "events_stl_strength": q_events_stl_strength,
+        "events_hist_quantiles": q_events_hist_quantiles,
+        "events_changepoint2": q_events_changepoint2,
+        "emb_kmeans": q_emb_kmeans,
+        "emb_semdedup": q_emb_semdedup,
+        "sax_discords": q_sax_discords,
+        "docs_dsir_weights": q_docs_dsir_weights,
+        "docs_source_cap": q_docs_source_cap,
+        "docs_novelty": q_docs_novelty,
+        "sax_vsm_pairs": q_sax_vsm_pairs,
+        "emb_pca_power": q_emb_pca_power,
+        "events_stl": q_events_stl,
+        "sax_numerosity": q_sax_numerosity,
+        "docs_dsir_stream": q_docs_dsir_stream,
+        "events_acf": q_events_acf,
+        "docs_char_entropy": q_docs_char_entropy,
+        "docs_token_fertility": q_docs_token_fertility,
+        "events_seasonal_anomaly": q_events_seasonal_anomaly,
+        "emb_abtt_topk": q_emb_abtt_topk,
+        "events_hw_stream": q_events_hw_stream,
+        "events_sessions_stream": q_events_sessions_stream,
+        "events_histogram": q_events_histogram,
+        "events_ntile": q_events_ntile,
+        "events_time_rollup": q_events_time_rollup,
+        "events_gapfill": q_events_gapfill,
+        "events_quantiles": q_events_quantiles,
+        "dedup_minhash_stream": q_dedup_minhash_stream,
+        "dedup_clusters": q_dedup_clusters,
+        "text_bm25": q_text_bm25,
+        "docs_tfidf": q_docs_tfidf,
+        "emb_dim_profile": q_emb_dim_profile,
+        "events_pivot": q_events_pivot,
+        "events_stream_enrich": q_events_stream_enrich,
+        "events_stream_join": q_events_stream_join,
+        "emb_ivf_topk": q_emb_ivf_topk,
+        "media_resize": q_media_resize,
+        "events_stickiness": q_events_stickiness,
+        "sax_word_transitions": q_sax_word_transitions,
+        "sax_whole_series": q_sax_whole_series,
+        "sax_sliding_words": q_sax_sliding_words,
+        "sax_mindist_topk": q_sax_mindist_topk,
+        "sax_mindist_decomp": q_sax_mindist_decomp,
+        "sax_c16_decomp": q_sax_c16_decomp,
+        "events_forecast_backtest": q_events_forecast_backtest,
+        "events_ewma": q_events_ewma,
+        "events_holt": q_events_holt,
+        "events_hw": q_events_hw,
+        "events_page_hinkley_stream": q_events_page_hinkley_stream,
+        "events_benford": q_events_benford,
+        "emb_knn_label_acc": q_emb_knn_label_acc,
+        "events_anomaly_consensus": q_events_anomaly_consensus,
+        "sax_motifs": q_sax_motifs,
+        "emb_silhouette": q_emb_silhouette,
+        "events_funnel_latency": q_events_funnel_latency,
+        "emb_int8_recall": q_emb_int8_recall,
+        "events_twap": q_events_twap,
+        "events_twap_stream": q_events_twap_stream,
+        "events_ohlc": q_events_ohlc,
+        "dedup_triangles": q_dedup_triangles,
+        "events_page_hinkley": q_events_page_hinkley,
+        "dedup_cross_lang": q_dedup_cross_lang,
+        "events_session_sizes": q_events_session_sizes,
+        "events_hll_by_type": q_events_hll_by_type,
+        "events_audience_overlap": q_events_audience_overlap,
+        "events_dominant_period": q_events_dominant_period,
+        "events_moments": q_events_moments,
+        "events_ohlc_stream": q_events_ohlc_stream,
+        "docs_source_boilerplate": q_docs_source_boilerplate,
+        "emb_fisher_dims": q_emb_fisher_dims,
+        "events_p95_trend": q_events_p95_trend,
+        "events_volume_anomaly": q_events_volume_anomaly,
+        "sax_complexity": q_sax_complexity,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "events_user_lifetime": q_events_user_lifetime,
+        "docs_scorecard": q_docs_scorecard,
+        "docs_novelty_decay": q_docs_novelty_decay,
+        "events_type_transitions": q_events_type_transitions,
+        "emb_norm_profile": q_emb_norm_profile,
+        "docs_hapax": q_docs_hapax,
+        "docs_quality_length_corr": q_docs_quality_length_corr,
+        "docs_shingle_df_profile": q_docs_shingle_df_profile,
+        "emb_compression_tradeoff": q_emb_compression_tradeoff,
+        "events_hourly_profile": q_events_hourly_profile,
+        "docs_contamination_by_source": q_docs_contamination_by_source,
+        "events_dau": q_events_dau,
+        "docs_ccnet_bucket": q_docs_ccnet_bucket,
+        "docs_corpus_filter3": q_docs_corpus_filter3,
+        "events_value_skew": q_events_value_skew,
+        "events_key_skew": q_events_key_skew,
+        "docs_source_skew": q_docs_source_skew,
+        "events_rfm": q_events_rfm,
+        "dedup_simhash_fidelity": q_dedup_simhash_fidelity,
+        "docs_dedup_funnel": q_docs_dedup_funnel,
+        "events_json_stats": q_events_json_stats,
+        "docs_rollup": q_docs_rollup,
+        "events_lag_delta": q_events_lag_delta,
+        "docs_setops": q_docs_setops,
+        "text_quality": q_text_quality,
+        "text_split": q_text_split,
+        "text_length_buckets": q_text_length_buckets,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_knn_join": q_emb_knn_join,
+        "emb_ann_lsh": q_emb_ann_lsh,
+        "emb_ann_multiprobe": q_emb_ann_multiprobe,
+        "emb_near_dup": q_emb_near_dup,
+        "emb_near_dup_lsh": q_emb_near_dup_lsh,
+        "media_byte_histogram": q_media_byte_histogram,
+        "media_frame_sample": q_media_frame_sample,
+        "media_decode_features": q_media_decode_features,
+        "sax_sliding_chunked": q_sax_sliding_chunked,
+        "sax_tumbling_motifs": q_sax_tumbling_motifs,
+        "sax_pattern_match": q_sax_pattern_match,
+        "sax_allpairs": q_sax_allpairs,
+        "sax_allpairs_refined": q_sax_allpairs_refined,
+        "sax_tumbling_partial": q_sax_tumbling_partial,
+        "sax_sliding_stream": q_sax_sliding_stream,
+        "sax_event_windows": q_sax_event_windows,
+        "sax_event_windows_stream": q_sax_event_windows_stream,
+        "sax_isax_buckets": q_sax_isax_buckets,
+        "sax_isax_topk": q_sax_isax_topk,
+        "sax_isax_ml_build": q_sax_isax_ml_build,
+        "sax_isax_ml_probe": q_sax_isax_ml_probe,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q7": q_tpch_q7,
     }
 
 

@@ -1,25 +1,32 @@
 #!/usr/bin/env python3
-"""Full-registry physical-plan audit: walk every ``queries()`` entry at
-$SPARK_GRAFT_SF_DIR (default sf0.001 — the audit reads plan SHAPE, not
-timings), grab the executed-plan string, and report every occurrence
-of the two patterns that do not survive a 100x scale-up:
+"""Full-registry physical-plan audit + regression GATE.
 
-- ``Exchange SinglePartition`` — funnels the relation through one task
-  (fine over a bounded aggregate, fatal over a corpus-sized lineage);
-- global ``Sort`` nodes (``Sort [...], true,``) — a full-relation sort
-  on a single ordering, the shape the distributed rank exists to avoid.
+Walks every ``queries()`` entry at $SPARK_GRAFT_SF_DIR (default
+sf0.001 — the audit reads plan SHAPE, not timings), counts the two
+patterns that do not survive a 100x scale-up (``Exchange
+SinglePartition`` and global ``Sort`` nodes — definitions and the
+benign/fatal adjudication live in symtseries_spark/plan_gate.py and
+docs/PLAN_AUDIT.md), and compares the counts against the checked-in
+whitelist ``docs/plan_whitelist.json``.
 
-Output: one line per query with pattern counts, then a summary listing
-queries with hits, ordered by count. Findings are REVIEW INPUT, not
-failures: a global sort over a 9-row Benford table is intentional
-(deterministic presentation of a bounded result); one over documents
-is a bug. The reviewed verdicts live in docs/PLAN_AUDIT.md — keep that
-file in sync when this script's output changes.
+Exit status:
+  0 — every query's counts are within its whitelisted allowance;
+  1 — at least one query EXCEEDS its allowance (a new single-partition
+      exchange or global sort the audit never adjudicated), or a plan
+      failed to build.
 
-Usage: python3 scripts/audit_plans.py [only_these_queries...]
+Usage:
+  python3 scripts/audit_plans.py [only_these_queries...]
+  python3 scripts/audit_plans.py --write-whitelist   # full sweep, then
+      regenerate docs/plan_whitelist.json from observed counts (run
+      after ADJUDICATING new hits in docs/PLAN_AUDIT.md, never to
+      silence a failure you haven't classified).
+
+The marked-slow pytest twin (tests/test_plan_gate.py) runs the same
+gate, so CI catches a regression even when nobody runs this script.
 """
+import json
 import os
-import re
 import sys
 import time
 
@@ -28,9 +35,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession
 
 import __spark_entry__ as E
-from symtseries_spark.cache import release_persisted
+from symtseries_spark.plan_gate import (
+    WHITELIST_PATH,
+    audit_query,
+    check,
+    load_whitelist,
+)
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+args = sys.argv[1:]
+write_whitelist = "--write-whitelist" in args
+only = {a for a in args if not a.startswith("--")}
 
 spark = (
     SparkSession.builder.master("local[8]")
@@ -43,38 +59,59 @@ spark = (
 )
 spark.sparkContext.setLogLevel("ERROR")
 
-only = set(sys.argv[1:])
-results = []
+observed = {}
+errors = []
 for name, fn in E.queries().items():
     if only and name not in only:
         continue
     t0 = time.time()
     try:
-        df = fn(spark, SF)
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        counts = audit_query(fn, spark, SF)
     except Exception as ex:
         print(f"{name}: PLAN ERROR {type(ex).__name__}: {ex}")
-        results.append((name, None, None))
+        errors.append(name)
         continue
-    finally:
-        release_persisted()
-    single = plan.count("Exchange SinglePartition")
-    # global Sort: the Sort node's second argument (global flag) printed true
-    gsorts = len(
-        [ln for ln in plan.splitlines() if re.search(r"Sort \[.*\], true,", ln)]
-    )
-    results.append((name, single, gsorts))
-    flag = " <--" if (single or gsorts) else ""
+    observed[name] = counts
+    flag = " <--" if any(counts.values()) else ""
     print(
-        f"{name}: single_partition={single} global_sorts={gsorts} "
+        f"{name}: single_partition={counts['single_partition']} "
+        f"global_sorts={counts['global_sorts']} "
         f"({time.time()-t0:.1f}s){flag}"
     )
 
-hits = [(n, s, g) for n, s, g in results if (s or 0) + (g or 0) > 0]
-errs = [n for n, s, g in results if s is None]
-print(f"\n=== SUMMARY: {len(results)} plans, {len(hits)} with hits, "
-      f"{len(errs)} errors ===")
-for n, s, g in sorted(hits, key=lambda x: -(x[1] + x[2])):
-    print(f"  {n}: single_partition={s} global_sorts={g}")
-if errs:
-    print("errors:", errs)
+hits = {n: c for n, c in observed.items() if any(c.values())}
+print(f"\n=== SUMMARY: {len(observed)} plans, {len(hits)} with hits, "
+      f"{len(errors)} errors ===")
+for n, c in sorted(hits.items(), key=lambda x: -sum(x[1].values())):
+    print(f"  {n}: single_partition={c['single_partition']} "
+          f"global_sorts={c['global_sorts']}")
+if errors:
+    print("errors:", errors)
+
+if write_whitelist:
+    if only:
+        sys.exit("refusing --write-whitelist on a partial sweep")
+    wl = {n: {k: v for k, v in c.items() if v} for n, c in hits.items()}
+    with open(WHITELIST_PATH, "w") as fh:
+        json.dump(wl, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(f"\nwhitelist regenerated: {WHITELIST_PATH} ({len(wl)} entries)")
+    sys.exit(1 if errors else 0)
+
+try:
+    whitelist = load_whitelist()
+except FileNotFoundError:
+    sys.exit(f"\nGATE SKIP: no whitelist at {WHITELIST_PATH} — run with "
+             f"--write-whitelist after adjudicating the sweep above")
+
+violations, improvements = check(observed, whitelist)
+if improvements:
+    print(f"\n{len(improvements)} below allowance (tighten whitelist):")
+    for ln in improvements:
+        print(f"  {ln}")
+if violations or errors:
+    print(f"\nGATE FAIL: {len(violations)} violations, {len(errors)} errors")
+    for ln in violations:
+        print(f"  {ln}")
+    sys.exit(1)
+print(f"\nGATE PASS: {len(observed)} plans within whitelisted allowances")

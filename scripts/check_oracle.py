@@ -10,6 +10,7 @@ from pyspark.sql import SparkSession
 
 sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 import __spark_entry__ as E
+from symtseries_spark.cache import release_persisted
 
 SF = __import__("os").environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 spark = (SparkSession.builder.master("local[8]")
@@ -33,8 +34,6 @@ def canon(df: pd.DataFrame) -> str:
     df = df.reindex(sorted(df.columns), axis=1)
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return hashlib.md5(df.to_csv(index=False, float_format=HASH_FMT).encode()).hexdigest()
-
-from symtseries_spark.cache import release_persisted
 
 qs = E.queries(); osql = E.oracle_sql()
 only = set(sys.argv[1:])

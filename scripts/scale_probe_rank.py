@@ -13,9 +13,15 @@ synthesizing it probes exactly the operator, not a scan) at
 - ``zipf-ish`` — key = floor(1e6 / (1 + id % 1000)): a few hundred
   heavy values, the realistic skewed-aggregate shape.
 - ``tie90``    — 90% of rows share ONE key value: the adversarial
-  bound. Ties cannot be split across buckets (ranks inside a tie run
-  are assigned by one window task), so this measures the documented
-  worst case, not a bug.
+  bound. Since round 8 the operator SPLITS heavy tie runs: a dominant
+  key shows up as a repeated approxQuantile boundary, and when the
+  tiebreak column is numeric the run is sub-bucketed by tiebreak
+  quantiles into composite ``(key, tiebreak)`` boundaries
+  (operators/rank.py:44-56), so this case now parallelizes like the
+  uniform one (measured: tie90 at 100M ~= uniform wall time, vs 60x
+  serialized before the split). Only a NON-numeric tiebreak degrades
+  to the old single-task-per-tie-run behavior — still exact, just
+  serialized for that run.
 
 Correctness at probe scale can't window-compare 100M rows; instead it
 checks the permutation invariants that uniquely characterize an exact

@@ -11,28 +11,71 @@ JVM) until LRU eviction, adding memory pressure for later queries.
 The contract: query code persists through :func:`persist_tracked`;
 any harness that drains queries in a loop (bench segments, the oracle
 checker, test fixtures) calls :func:`release_persisted` after each
-query's terminal action. A harness that doesn't call it (e.g. the
-round driver's one-query-at-a-time correctness probe at sf0.01) just
-degrades to the old leak-until-LRU behavior, which is safe — persist
-is an optimization hint, never a correctness dependency.
+query's terminal action — or wraps each query in the
+:func:`tracked_persists` context manager, which releases on exit.
+
+A caller that never releases (e.g. the round driver's one-query-at-a-
+time correctness probe, or a plain library consumer) is bounded by a
+FIFO cap: registering past ``_CAP`` entries unpersists the OLDEST
+tracked DataFrame first, so neither the JVM cache nor the driver-side
+reference list grows without bound. Evicting a persist a caller still
+intends to drain is harmless — Spark recomputes the lineage; persist
+is an optimization hint, never a correctness dependency. (Strong
+references are deliberate: the cached blocks live in the JVM
+CacheManager keyed by logical plan, so letting the Python object die
+would leak the blocks with no handle left to unpersist them.)
+
+Thread-affinity: the registry is guarded by a lock, so concurrent
+registration is safe, but bare :func:`release_persisted` releases
+EVERYTHING tracked so far — two harness threads interleaving
+query+release cycles would release each other's persists early
+(harmless for correctness, wasteful for time). Every current harness
+drains queries single-threaded; a concurrent harness should scope each
+thread's queries with :func:`tracked_persists`, which releases only
+the persists registered during its own block.
 """
 
 from __future__ import annotations
 
+import threading
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
-__all__ = ["persist_tracked", "release_persisted"]
+__all__ = ["persist_tracked", "release_persisted", "tracked_persists"]
 
+_LOCK = threading.Lock()
 _TRACKED: list[DataFrame] = []
+# every registered query persists <= ~4 intermediates; 64 outstanding
+# persists means ~16 queries' worth of never-released hints — far past
+# any legitimate single-query working set
+_CAP = 64
+
+
+def _unpersist(df: DataFrame) -> None:
+    try:
+        df.unpersist()
+    except Exception:
+        # a stopped/replaced SparkContext makes unpersist moot
+        pass
 
 
 def persist_tracked(
     df: DataFrame, level: StorageLevel | None = None
 ) -> DataFrame:
-    """``df.persist()`` + register for the next :func:`release_persisted`."""
+    """``df.persist()`` + register for the next :func:`release_persisted`.
+
+    Past ``_CAP`` outstanding registrations the oldest is unpersisted
+    (FIFO), bounding growth for callers that never release."""
     out = df.persist(level) if level is not None else df.persist()
-    _TRACKED.append(out)
+    evicted = None
+    with _LOCK:
+        _TRACKED.append(out)
+        if len(_TRACKED) > _CAP:
+            evicted = _TRACKED.pop(0)
+    if evicted is not None:
+        _unpersist(evicted)
     return out
 
 
@@ -42,13 +85,25 @@ def release_persisted() -> int:
     ``blocking=False`` (the default) — block eviction proceeds async on
     the executors, which is all the memory-pressure fix needs.
     """
-    n = 0
-    while _TRACKED:
-        df = _TRACKED.pop()
-        try:
-            df.unpersist()
-        except Exception:
-            # a stopped/replaced SparkContext makes unpersist moot
-            pass
-        n += 1
-    return n
+    with _LOCK:
+        dfs, _TRACKED[:] = _TRACKED[:], []
+    for df in dfs:
+        _unpersist(df)
+    return len(dfs)
+
+
+@contextmanager
+def tracked_persists():
+    """Scope persists to a block: on exit, release only the persists
+    registered INSIDE the block (safe under concurrent harnesses —
+    each thread's scope releases its own registrations only)."""
+    with _LOCK:
+        before = {id(df) for df in _TRACKED}
+    try:
+        yield
+    finally:
+        with _LOCK:
+            mine = [df for df in _TRACKED if id(df) not in before]
+            _TRACKED[:] = [df for df in _TRACKED if id(df) in before]
+        for df in mine:
+            _unpersist(df)

@@ -209,6 +209,30 @@ def ranked_with_total(
                 for r in rows
                 if r["__tbs"] is not None  # all-null tiebreaks: no split
             }
+            # Budget tie cuts out of the requested bucket count: each
+            # heavy value keeps at most (multiplicity - 1) cuts — the
+            # boundary slots its tie run absorbed from the plain
+            # quantile pass — selected evenly from its mx-1 computed
+            # quantiles. Guarantees len(bounds) <= buckets - 1, so the
+            # O(len(bounds))-per-row bucket assignment honors the
+            # documented O(buckets) cap (the shared mx-sized cut list
+            # could otherwise push the boundary count to ~heavy*mx on
+            # skewed multiplicities). Fewer sub-buckets = less
+            # parallelism for that run, never a correctness change.
+            for v, lst in tie_bounds.items():
+                alloc = kcnt[v] - 1
+                if len(lst) > alloc:
+                    tie_bounds[v] = sorted(
+                        {
+                            lst[
+                                min(
+                                    len(lst) - 1,
+                                    int((j + 1) * len(lst) / (alloc + 1)),
+                                )
+                            ]
+                            for j in range(alloc)
+                        }
+                    )
         bounds: list[tuple[float, float | None]] = []
         for v in sorted(kcnt):
             bounds.append((v, None))

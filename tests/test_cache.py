@@ -1,0 +1,49 @@
+"""Tracked-persist registry semantics (symtseries_spark/cache.py):
+release drains, the FIFO cap bounds never-releasing callers, and the
+context-manager scope releases only its own registrations."""
+
+import symtseries_spark.cache as cache
+from symtseries_spark.cache import (
+    persist_tracked,
+    release_persisted,
+    tracked_persists,
+)
+
+
+def _is_cached(df) -> bool:
+    return df._jdf.queryExecution().optimizedPlan().toString().startswith(
+        "InMemoryRelation"
+    ) or df.storageLevel.useMemory
+
+
+def test_release_drains_everything(spark):
+    release_persisted()
+    a = persist_tracked(spark.range(10))
+    b = persist_tracked(spark.range(20))
+    assert a.storageLevel.useMemory and b.storageLevel.useMemory
+    assert release_persisted() == 2
+    assert not a.storageLevel.useMemory and not b.storageLevel.useMemory
+    assert release_persisted() == 0
+
+
+def test_fifo_cap_bounds_untracked_callers(spark, monkeypatch):
+    release_persisted()
+    monkeypatch.setattr(cache, "_CAP", 3)
+    dfs = [persist_tracked(spark.range(i + 1)) for i in range(5)]
+    # the two oldest were evicted (unpersisted) at registration 4 and 5
+    assert not dfs[0].storageLevel.useMemory
+    assert not dfs[1].storageLevel.useMemory
+    assert all(d.storageLevel.useMemory for d in dfs[2:])
+    assert release_persisted() == 3
+
+
+def test_tracked_persists_scope_releases_own_only(spark):
+    release_persisted()
+    outer = persist_tracked(spark.range(5))
+    with tracked_persists():
+        inner = persist_tracked(spark.range(6))
+        assert inner.storageLevel.useMemory
+    assert not inner.storageLevel.useMemory
+    assert outer.storageLevel.useMemory
+    assert release_persisted() == 1
+    assert not outer.storageLevel.useMemory
