@@ -4720,6 +4720,57 @@ def q_events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_funnel_latency_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_funnel_latency's 100 TB scale twin: same staged funnel
+    joins, but hop latencies quantized to whole SECONDS and p50/p90
+    computed as exact nearest-rank quantiles over the bounded grid
+    (operators/sketches.py:grid_quantiles) instead of the exact
+    ``percentile()`` whose single-reducer buffer grows with distinct
+    microsecond latencies (docs/PLAN_AUDIT.md Class-A caveat). A
+    conversion-latency horizon of a year is ~32M grid seconds — the
+    distinct bound — while integer rank math keeps the DuckDB oracle
+    bit-identical -> (hop, n_converted, p50_s, p90_s)."""
+    from symtseries_spark.operators.sketches import grid_quantiles
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    s = ev.where(F.col("event_type") == FUNNEL_STAGES[0]).groupBy(
+        "user_id"
+    ).agg(F.min("ts_us").alias("t0"))
+    c = (
+        ev.where(F.col("event_type") == FUNNEL_STAGES[1])
+        .join(s, "user_id")
+        .where(F.col("ts_us") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"), F.first("t0").alias("t0"))
+    )
+    p = (
+        ev.where(F.col("event_type") == FUNNEL_STAGES[2])
+        .join(c, "user_id")
+        .where(F.col("ts_us") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"), F.first("t1").alias("t1"))
+    )
+
+    def report(df: DataFrame, hop: str) -> DataFrame:
+        g = grid_quantiles(
+            df,
+            value="lat_s",
+            probs=[(1, 2, "p50_s"), (9, 10, "p90_s")],
+            n_alias="n_converted",
+        )
+        return g.select(
+            F.lit(hop).alias("hop"), "n_converted", "p50_s", "p90_s"
+        )
+
+    hop1 = c.select(F.expr("(t1 - t0) div 1000000").alias("lat_s"))
+    hop2 = p.select(F.expr("(t2 - t1) div 1000000").alias("lat_s"))
+    return report(hop1, "signup->click").unionByName(
+        report(hop2, "click->purchase")
+    )
+
+
 def q_docs_cms_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch demo with ground truth: estimate the exact
     top-term counts through a (depth x width) integer sketch — est >=
@@ -5362,6 +5413,46 @@ def q_events_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_user_lifetime_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_user_lifetime's 100 TB scale twin: the exact
+    ``percentile()`` there buffers a value-count map proportional to
+    DISTINCT span values on ONE reducer (the docs/PLAN_AUDIT.md
+    Class-A caveat). Here spans are quantized to integer MILLI-days
+    first — bounding the distinct count by the grid (a 30-year
+    lifetime is ~11M grid points, vs billions of distinct raw
+    doubles) — then p50/p90 are exact NEAREST-RANK quantiles over the
+    bounded grid (operators/sketches.py:grid_quantiles: combinable
+    groupBy + grid-sized cumulative window; nothing row-scaled crosses
+    one task). Integer rank math end to end, so the DuckDB oracle is
+    bit-identical, not approximately close — the executable form of
+    the approx-percentile prose in PLAN_AUDIT.md. Mean stays the exact
+    quantized average (no distinct-value buffering in avg)."""
+    from symtseries_spark.operators.sketches import grid_quantiles
+    from symtseries_spark.operators.timeseries import quantize
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    spans = ev.groupBy("user_id").agg(
+        F.expr("(max(ts_us) - min(ts_us)) div 86400000").alias("__md"),
+        ((F.max("ts_us") - F.min("ts_us")) / F.lit(86_400_000_000.0))
+        .alias("__d"),
+    )
+    gq = grid_quantiles(
+        spans,
+        value="__md",
+        probs=[(1, 2, "__p50"), (9, 10, "__p90")],
+        n_alias="n_users",
+    )
+    mean = spans.agg(quantize(F.avg("__d"), 6).alias("mean_days"))
+    return gq.crossJoin(F.broadcast(mean)).select(
+        "n_users",
+        (F.col("__p50") / F.lit(1000.0)).alias("p50_days"),
+        (F.col("__p90") / F.lit(1000.0)).alias("p90_days"),
+        "mean_days",
+    )
+
+
 def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM user scoring (recency / frequency / monetary), the classic
     behavioral segmentation: per user days-since-last-event (vs the
@@ -5839,6 +5930,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window re-verifies the stalest rows and the next rotation is
         # just re-sorting by the updated CORRECTNESS history. Future
         # changed/new queries go at the HEAD.
+        # Round-9 additions: the two quantized-grid scale twins of the
+        # exact-percentile Class-A caveat queries.
+        "events_user_lifetime_grid": q_events_user_lifetime_grid,
+        "events_funnel_latency_grid": q_events_funnel_latency_grid,
         "tpch_q13": q_tpch_q13,
         "tpch_q17": q_tpch_q17,
         "tpch_q18": q_tpch_q18,
@@ -7912,6 +8007,63 @@ SELECT count(*) AS n_users,
        round(quantile_cont(d, 0.9), 6) AS p90_days,
        floor(avg(d) * 1000000.0 + 0.5) / 1000000.0 AS mean_days
 FROM s
+""",
+        "events_user_lifetime_grid": """
+WITH s AS (
+  SELECT user_id,
+         (max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000 AS d_md,
+         (max(epoch_us(ts)) - min(epoch_us(ts))) / 86400000000.0 AS d
+  FROM events GROUP BY user_id
+), tot AS (
+  SELECT count(*) AS n,
+         floor(avg(d) * 1000000.0 + 0.5) / 1000000.0 AS mean_d
+  FROM s
+), cnt AS (
+  SELECT d_md, count(*) AS c FROM s GROUP BY d_md
+), cum AS (
+  SELECT d_md, sum(c) OVER (ORDER BY d_md) AS cum FROM cnt
+)
+SELECT n AS n_users,
+       (SELECT min(d_md) FROM cum WHERE cum >= (1 * n + 1) // 2) / 1000.0
+         AS p50_days,
+       (SELECT min(d_md) FROM cum WHERE cum >= (9 * n + 9) // 10) / 1000.0
+         AS p90_days,
+       mean_d AS mean_days
+FROM tot
+""",
+        "events_funnel_latency_grid": f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+), s AS (
+  SELECT user_id, min(ts_us) AS t0 FROM e
+  WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(ts_us) AS t1, min(t0) AS t0
+  FROM e JOIN s USING (user_id)
+  WHERE event_type = '{FUNNEL_STAGES[1]}' AND ts_us >= t0
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(ts_us) AS t2, min(t1) AS t1
+  FROM e JOIN c USING (user_id)
+  WHERE event_type = '{FUNNEL_STAGES[2]}' AND ts_us >= t1
+  GROUP BY e.user_id
+), h1 AS (SELECT (t1 - t0) // 1000000 AS lat_s FROM c),
+h2 AS (SELECT (t2 - t1) // 1000000 AS lat_s FROM p),
+t1r AS (SELECT count(*) AS n FROM h1),
+t2r AS (SELECT count(*) AS n FROM h2),
+c1 AS (SELECT lat_s, sum(cnt) OVER (ORDER BY lat_s) AS cum
+       FROM (SELECT lat_s, count(*) AS cnt FROM h1 GROUP BY lat_s) __g1),
+c2 AS (SELECT lat_s, sum(cnt) OVER (ORDER BY lat_s) AS cum
+       FROM (SELECT lat_s, count(*) AS cnt FROM h2 GROUP BY lat_s) __g2)
+SELECT 'signup->click' AS hop, n AS n_converted,
+       (SELECT min(lat_s) FROM c1 WHERE cum >= (1 * n + 1) // 2) AS p50_s,
+       (SELECT min(lat_s) FROM c1 WHERE cum >= (9 * n + 9) // 10) AS p90_s
+FROM t1r
+UNION ALL
+SELECT 'click->purchase', n,
+       (SELECT min(lat_s) FROM c2 WHERE cum >= (1 * n + 1) // 2),
+       (SELECT min(lat_s) FROM c2 WHERE cum >= (9 * n + 9) // 10)
+FROM t2r
 """,
         "events_rfm": """
 WITH pu AS (

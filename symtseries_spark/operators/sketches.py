@@ -19,7 +19,7 @@ hash-compare results against a SQL oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import doc_hash60
@@ -30,6 +30,7 @@ __all__ = [
     "bloom_probe",
     "cms_build",
     "cms_estimate",
+    "grid_quantiles",
     "hll_estimate",
     "hll_rank_width",
     "hll_registers",
@@ -291,6 +292,63 @@ def hll_estimate(registers: DataFrame, *, p: int = 9) -> DataFrame:
         "n_buckets_used",
         (F.floor(est * 1e4 + F.lit(0.5)) / 1e4).alias("hll_est"),
     )
+
+
+def grid_quantiles(
+    df: DataFrame,
+    *,
+    value: str,
+    probs: list[tuple[int, int, str]],
+    n_alias: str = "n",
+) -> DataFrame:
+    """Exact nearest-rank quantiles over an already-QUANTIZED integer
+    column -> one row ``(n_alias, <name per prob>)`` — the 100 TB
+    scale path for the exact-``percentile()`` queries whose
+    single-reducer buffer grows with DISTINCT input values
+    (docs/PLAN_AUDIT.md Class-A caveat).
+
+    ``probs`` are exact fractions ``(num, den, out_name)`` — e.g.
+    ``(1, 2, "p50")`` — so the rank ``k = ceil(num*n/den)`` is pure
+    integer arithmetic, identical in any engine (no float probability
+    touches the data). Each output is the SMALLEST grid value whose
+    cumulative count reaches k: the nearest-rank (type-1) quantile,
+    deterministic and engine-portable, unlike interpolated percentiles
+    whose averaging step reintroduces float averaging of unbounded
+    distinct values.
+
+    Scale shape: one map-side-combinable ``groupBy(value)`` (output
+    bounded by the GRID, not the row count — that is the caller's
+    contract: quantize first), a cumulative window over that bounded
+    distinct-value table (single-partition but grid-sized, the same
+    Class-A budget as a bounded final aggregate), and a broadcast of
+    the 1-row total. Nothing row-scaled crosses a single task.
+
+    Nulls are excluded (consistent with ``percentile``).
+    """
+    if not probs:
+        raise ValueError("grid_quantiles needs at least one (num, den, name)")
+    for num, den, _name in probs:
+        if not (0 < num <= den):
+            raise ValueError(f"prob {num}/{den} must be in (0, 1]")
+    v = F.col(value)
+    vals = df.select(v.alias("__v")).where(v.isNotNull())
+    counts = vals.groupBy("__v").agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select("__v", F.sum("__c").over(w).alias("__cum"))
+    tot = vals.agg(F.count(F.lit(1)).alias("__n"))
+    j = cum.crossJoin(F.broadcast(tot))
+    # ceil(num*n/den) = (num*n + den - 1) DIV den — pure LONG integer
+    # arithmetic end to end (a double division + floor can flip by one
+    # at exact multiples of den)
+    # empty input: one agg row with n=0 and NULL quantiles (mirrors
+    # count()=0 + percentile()=NULL on the exact form)
+    aggs = [F.coalesce(F.max("__n"), F.lit(0).cast("long")).alias(n_alias)]
+    for num, den, name in probs:
+        k = F.expr(f"({num}L * __n + {den - 1}L) DIV {den}L")
+        aggs.append(
+            F.min(F.when(F.col("__cum") >= k, F.col("__v"))).alias(name)
+        )
+    return j.agg(*aggs)
 
 
 def histogram_quantiles(
