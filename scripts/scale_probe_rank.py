@@ -16,8 +16,9 @@ synthesizing it probes exactly the operator, not a scan) at
   bound. Since round 8 the operator SPLITS heavy tie runs: a dominant
   key shows up as a repeated approxQuantile boundary, and when the
   tiebreak column is numeric the run is sub-bucketed by tiebreak
-  quantiles into composite ``(key, tiebreak)`` boundaries
-  (operators/rank.py:44-56), so this case now parallelizes like the
+  quantiles into composite ``(key, tiebreak)`` boundaries (see the
+  operators/rank.py module docstring), so this case now parallelizes
+  like the
   uniform one (measured: tie90 at 100M ~= uniform wall time, vs 60x
   serialized before the split). Only a NON-numeric tiebreak degrades
   to the old single-task-per-tie-run behavior — still exact, just

@@ -53,7 +53,18 @@ single-task sort to ~buckets parallel tasks (measured in
 scripts/scale_probe_rank.py: tie90 at 100M rows matched the uniform
 distribution's wall time once split, vs 60x serialized before). With a
 non-numeric tiebreak the operator degrades to the old behavior: all
-ties land in one bucket, ranked in one task, still exact.
+ties land in one bucket, ranked in one task, still exact. Tie cuts are
+budgeted out of the requested bucket count (each heavy value keeps at
+most multiplicity-1 cuts), so the boundary list never exceeds
+``buckets - 1`` entries (round 9).
+
+**Per-row cost** (round 9): bucket assignment is an O(2*sqrt(buckets))
+two-level literal scan (see ``_bucket_expr``) and the offset lookup is
+one dense-array ``element_at`` — wide bucket counts no longer pay
+O(buckets) per row, and the default cap is 16384 (``_default_buckets``).
+The quantile pass runs at ``min(rel_err, 0.5/buckets)`` so adjacent
+bucket boundaries stay resolved and a repeated boundary always means a
+genuinely heavy key, not sketch resolution.
 """
 
 from __future__ import annotations
@@ -80,13 +91,17 @@ def _default_buckets(df: DataFrame) -> int:
     the rank window). Falls back to ``defaultParallelism`` when the
     conf is non-numeric (e.g. ``auto`` under some AQE setups).
 
-    Capped at 4096: the per-row bucket assignment (boundary-array
-    scan) and offset lookup (literal-map scan) are both O(buckets) per
-    row, so an extreme ``shuffle.partitions`` (tens of thousands on a
-    very large cluster) would shift the cost from the sort to the
-    bucket arithmetic. 4096 parallel sort tasks saturate any realistic
-    executor fleet while keeping the per-row constant small; callers
-    can still pin a larger count explicitly."""
+    Capped at 16384: per-row cost no longer binds (bucket assignment
+    binary-searches the boundary array in O(log buckets) probes and
+    the offset lookup is one dense-array element_at — round 9; the
+    linear scans they replaced measured 10s -> 242s from 32 -> 4096
+    buckets on a 10M-row rank). What remains is the driver-side
+    boundary collect (<= buckets rows) and the literal boundary/offset
+    arrays embedded twice in the plan — ~buckets struct literals each,
+    which at tens of thousands starts to bloat plan
+    serialization/codegen rather than help: 16384 parallel sort tasks
+    saturate any realistic executor fleet. Callers can still pin a
+    larger count explicitly."""
     sess = df.sparkSession
     try:
         n = int(sess.conf.get("spark.sql.shuffle.partitions"))
@@ -94,7 +109,15 @@ def _default_buckets(df: DataFrame) -> int:
         n = 0
     if n < 1:
         n = sess.sparkContext.defaultParallelism
-    return max(1, min(n, 4096))
+    return max(1, min(n, 16384))
+
+
+# Below this boundary count the whole-array filter scan beats the
+# binary search's aggregate/element_at overhead in codegen (and reads
+# simpler in plans); above it the O(bounds)-per-row scan dominates the
+# rank (measured at 10M rows: 10s at 32 buckets -> 242s at 4096 with
+# the linear scan; flat with the search).
+_LINEAR_SCAN_MAX = 64
 
 
 def _bucket_expr(bounds: list[tuple[float, float | None]], key_d, tie_d):
@@ -109,27 +132,64 @@ def _bucket_expr(bounds: list[tuple[float, float | None]], key_d, tie_d):
     LOWEST sub-bucket of its key — consistent with the window's
     nulls-first ascending tie order; NaN compares greatest in Spark,
     landing in the highest sub-bucket, again matching the window.
+
+    Cost shape: the boundaries are sorted and distinct, so the counted
+    set is always a PREFIX of the array — small boundary lists use one
+    whole-array filter scan; larger ones a two-level (sqrt-decomposed)
+    scan: count the chunks whose LAST boundary passes (``filter`` over
+    ~sqrt(len) chunk-last entries), then scan only the one candidate
+    chunk (``element_at`` + ``filter`` over ~sqrt(len) entries) —
+    O(2*sqrt(buckets)) cheap per-element comparisons per row instead
+    of O(buckets). (An O(log) per-row binary search via an
+    ``aggregate`` fold was measured SLOWER here: each fold step pays
+    interpreted struct/when overhead ~100x a filter comparison, so
+    2*sqrt wins for any boundary count the bucket cap allows.) Both
+    forms use the same comparison lambda over the same literals, so
+    they count identically.
     """
     if not bounds:
         return F.lit(0)
     if all(tb is None for _, tb in bounds):
-        arr = F.array(*[F.lit(float(kb)) for kb, _ in bounds])
-        return F.size(F.filter(arr, lambda b: b <= key_d))
-    arr = F.array(
-        *[
-            F.struct(
+
+        def mk(b):
+            return F.lit(float(b[0]))
+
+        def le(b):
+            return b <= key_d
+
+    else:
+
+        def mk(b):
+            kb, tb = b
+            return F.struct(
                 F.lit(float(kb)).alias("kb"),
                 F.lit(float("-inf") if tb is None else float(tb)).alias("tb"),
             )
-            for kb, tb in bounds
-        ]
-    )
-    return F.size(
-        F.filter(
-            arr,
-            lambda b: (b["kb"] < key_d)
-            | ((b["kb"] == key_d) & (b["tb"] <= tie_d)),
-        )
+
+        def le(b):
+            return (b["kb"] < key_d) | ((b["kb"] == key_d) & (b["tb"] <= tie_d))
+
+    n = len(bounds)
+    if n <= _LINEAR_SCAN_MAX:
+        return F.size(F.filter(F.array(*[mk(b) for b in bounds]), le))
+
+    import math
+
+    c = max(1, math.isqrt(n))
+    chunks = [bounds[i : i + c] for i in range(0, n, c)]
+    n_chunks = len(chunks)
+    # Only the LAST chunk can be short, so every chunk BEFORE the
+    # candidate contributes exactly c boundaries; a row past every
+    # chunk-last is past every boundary (count = n).
+    chunk_last = F.array(*[mk(ch[-1]) for ch in chunks])
+    chunk_arr = F.array(*[F.array(*[mk(b) for b in ch]) for ch in chunks])
+    full = F.size(F.filter(chunk_last, le))
+    cand = F.element_at(chunk_arr, F.least(full + F.lit(1), F.lit(n_chunks)))
+    within = F.when(
+        full < F.lit(n_chunks), F.size(F.filter(cand, le))
+    ).otherwise(F.lit(0))
+    return F.when(full >= F.lit(n_chunks), F.lit(n)).otherwise(
+        full * F.lit(c) + within
     )
 
 
@@ -173,7 +233,18 @@ def ranked_with_total(
     work.persist()
     try:
         qs = [i / buckets for i in range(1, buckets)]
-        raw = work.stat.approxQuantile("__dk", qs, rel_err) if qs else []
+        # The sketch must RESOLVE adjacent bucket quantiles, or
+        # distinct-key boundaries collapse into sketch-resolution
+        # duplicates that masquerade as heavy ties (at rel_err=0.01 a
+        # 16384-bucket request returned ~1700 distinct values over 1M
+        # distinct keys — thousands of spurious "heavy" values, each
+        # buying a pointless tie-split quantile job and composite
+        # boundary). Half a bucket width keeps repeated boundaries
+        # meaning what the splitter assumes: a value carrying more
+        # than a bucket's worth of rows. Boundary precision only moves
+        # rows between buckets — ranks stay exact at any rel_err.
+        eff_rel_err = min(rel_err, 0.5 / buckets) if buckets > 1 else rel_err
+        raw = work.stat.approxQuantile("__dk", qs, eff_rel_err) if qs else []
         # A key value repeated m times among the quantile boundaries
         # carries >~ (m-1)/buckets of the rows: a heavy tie run. Split
         # each into sub-buckets by tiebreak quantiles over that key's
@@ -193,7 +264,7 @@ def ranked_with_total(
         if heavy:
             mx = max(kcnt[v] for v in heavy)
             probs = F.array(*[F.lit(i / mx) for i in range(1, mx)])
-            acc = int(1.0 / max(rel_err, 1e-4))
+            acc = int(1.0 / max(eff_rel_err, 1e-4))
             rows = (
                 work.where(F.col("__dk").isin(heavy))
                 .groupBy("__dk")
@@ -268,25 +339,32 @@ def ranked_with_total(
         offsets[b] = total
         total += counts[b]
     if offsets:
-        # Explicit int/long casts: a Python-int literal becomes
-        # IntegerType only while it fits in 32 bits, so past 2^31
-        # accumulated offsets the map's value types would conflict
-        # (create_map requires one value type) exactly at the scale
-        # this module targets.
-        off_map = F.create_map(
+        # DENSE array indexed by bucket id (possible ids are exactly
+        # 0..len(bounds) by construction of _bucket_expr), so the
+        # per-row lookup is one O(1) element_at instead of a literal-
+        # map scan that is O(buckets) per row. Holes — bucket ids the
+        # count pass never observed — carry NULL. Explicit long casts:
+        # a Python-int literal becomes IntegerType only while it fits
+        # in 32 bits, so past 2^31 accumulated offsets the array's
+        # element types would conflict exactly at the scale this
+        # module targets.
+        off_arr = F.array(
             *[
-                c
-                for b, off in sorted(offsets.items())
-                for c in (F.lit(b).cast("int"), F.lit(off).cast("long"))
+                F.lit(offsets[b]).cast("long")
+                if b in offsets
+                else F.lit(None).cast("long")
+                for b in range(len(bounds) + 1)
             ]
         )
         # A bucket missing from the counted set (one way an upstream
         # lineage can be nondeterministic between the two jobs) raises
         # instead of emitting silent NULL ranks. Rows that merely move
         # between counted buckets are NOT detectable here — see the
-        # module docstring.
+        # module docstring. element_at is 1-based; __bkt is bounded in
+        # [0, len(bounds)] so the index never leaves the array (ANSI
+        # element_at would raise on out-of-range).
         off = F.coalesce(
-            F.element_at(off_map, F.col("__bkt").cast("int")).cast("long"),
+            F.element_at(off_arr, F.col("__bkt").cast("int") + F.lit(1)),
             F.raise_error(
                 F.lit(
                     "distributed rank: bucket/offset mismatch — upstream "

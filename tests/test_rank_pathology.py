@@ -253,3 +253,50 @@ class TestRankBoundaryProperties:
         )
         assert total == len(vals)
         _assert_matches_window(df, ranked, descending=descending)
+
+
+@pytest.mark.parametrize("descending", [False, True])
+def test_binary_search_bucket_path_scalar(spark, descending):
+    """bounds > _LINEAR_SCAN_MAX engages the binary-search bucket
+    assignment (round 9) — distinct keys, many buckets, bit-identical
+    to the global window."""
+    rows = [(i, float((i * 37) % 997)) for i in range(3000)]
+    df = _mk(spark, rows)
+    got = distributed_row_number(
+        df, "v", tiebreak="id", out="rn", descending=descending, buckets=256
+    )
+    _assert_matches_window(df, got, descending=descending)
+
+
+@pytest.mark.parametrize("descending", [False, True])
+def test_binary_search_bucket_path_composite(spark, descending):
+    """Binary search over COMPOSITE (key, tiebreak) boundaries: one
+    dominant key forces tie-split cuts into a >64-entry boundary list;
+    NULL-free and NULL-bearing tiebreaks both must match the window."""
+    rows = [(i, 7.0) for i in range(2500)] + [
+        (10_000 + i, float(i)) for i in range(500)
+    ]
+    df = _mk(spark, rows)
+    got = distributed_row_number(
+        df, "v", tiebreak="id", out="rn", descending=descending, buckets=128
+    )
+    _assert_matches_window(df, got, descending=descending)
+
+
+def test_binary_search_null_tiebreak_on_heavy_key(spark):
+    """A NULL tiebreak probing its own key's tie-split boundary yields
+    a NULL comparison — the search must treat it as FALSE (lowest
+    sub-bucket), matching both the linear filter's NULL-drop and the
+    window's nulls-first ascending tie order."""
+    rows = [(float(i), 7.0) for i in range(2500)] + [(None, 7.0)] * 8 + [
+        (float(10_000 + i), float(i) % 13) for i in range(500)
+    ]
+    df = _mk(spark, rows, schema="id double, v double")
+    got = distributed_row_number(df, "v", tiebreak="id", buckets=128)
+    exp = df.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.col("v").asc(), "id")).cast("long"),
+    )
+    g = {r["rn"]: (r["v"], r["id"]) for r in got.collect()}
+    e = {r["rn"]: (r["v"], r["id"]) for r in exp.collect()}
+    assert g == e
