@@ -4720,6 +4720,34 @@ def q_events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_token_mass_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-MASS-weighted document-length quantiles -> one row
+    (total_tokens, p50_len, p90_len, p99_len): the smallest doc length
+    L such that docs of length <= L hold >= 50/90/99% of all TOKENS —
+    i.e. "the median token lives in a document of length p50_len". The
+    sequence-packing planner's number (how long is the doc the typical
+    token sits in), not the per-doc median, which under-weights the
+    long docs that dominate token mass. Exact nearest-rank integer
+    arithmetic over the length grid with integer token weights
+    (operators/sketches.py:grid_quantiles weight=): bit-identical
+    oracle, nothing row-scaled through one task — the weighted member
+    of the grid-quantile family."""
+    from symtseries_spark.functions.text import tokens
+    from symtseries_spark.operators.sketches import grid_quantiles
+
+    docs = load(spark, sf_dir, "documents")
+    nt = docs.select(
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return grid_quantiles(
+        nt,
+        value="n_tokens",
+        weight="n_tokens",
+        probs=[(1, 2, "p50_len"), (9, 10, "p90_len"), (99, 100, "p99_len")],
+        n_alias="total_tokens",
+    )
+
+
 def q_events_funnel_latency_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events_funnel_latency's 100 TB scale twin: same staged funnel
     joins, but hop latencies quantized to whole SECONDS and p50/p90
@@ -5934,6 +5962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact-percentile Class-A caveat queries.
         "events_user_lifetime_grid": q_events_user_lifetime_grid,
         "events_funnel_latency_grid": q_events_funnel_latency_grid,
+        "docs_token_mass_quantiles": q_docs_token_mass_quantiles,
         "tpch_q13": q_tpch_q13,
         "tpch_q17": q_tpch_q17,
         "tpch_q18": q_tpch_q18,
@@ -8029,6 +8058,25 @@ SELECT n AS n_users,
        (SELECT min(d_md) FROM cum WHERE cum >= (9 * n + 9) // 10) / 1000.0
          AS p90_days,
        mean_d AS mean_days
+FROM tot
+""",
+        "docs_token_mass_quantiles": f"""
+WITH d AS (
+  SELECT CAST(len({ot.tokens_expr()}) AS BIGINT) AS n_tokens FROM documents
+), v AS (
+  SELECT n_tokens AS val, n_tokens AS w FROM d
+  WHERE n_tokens IS NOT NULL AND n_tokens > 0
+), tot AS (
+  SELECT CAST(sum(w) AS BIGINT) AS n FROM v
+), cnt AS (
+  SELECT val, CAST(sum(w) AS BIGINT) AS c FROM v GROUP BY val
+), cum AS (
+  SELECT val, CAST(sum(c) OVER (ORDER BY val) AS BIGINT) AS cum FROM cnt
+)
+SELECT n AS total_tokens,
+       (SELECT min(val) FROM cum WHERE cum >= (1 * n + 1) // 2) AS p50_len,
+       (SELECT min(val) FROM cum WHERE cum >= (9 * n + 9) // 10) AS p90_len,
+       (SELECT min(val) FROM cum WHERE cum >= (99 * n + 99) // 100) AS p99_len
 FROM tot
 """,
         "events_funnel_latency_grid": f"""

@@ -300,6 +300,7 @@ def grid_quantiles(
     value: str,
     probs: list[tuple[int, int, str]],
     n_alias: str = "n",
+    weight: str | None = None,
 ) -> DataFrame:
     """Exact nearest-rank quantiles over an already-QUANTIZED integer
     column -> one row ``(n_alias, <name per prob>)`` — the 100 TB
@@ -323,6 +324,14 @@ def grid_quantiles(
     Class-A budget as a bounded final aggregate), and a broadcast of
     the 1-row total. Nothing row-scaled crosses a single task.
 
+    With ``weight`` (an INTEGER column — integer mass keeps the rank
+    arithmetic exact), each row counts ``weight`` times: the output is
+    the smallest grid value whose cumulative WEIGHT reaches
+    ``ceil(num*W/den)`` of the total weight W — e.g. token-mass
+    quantiles of document length ("the median token lives in a doc of
+    length p50"). Rows with NULL or non-positive weight are excluded
+    (they carry no mass; negative mass has no quantile meaning).
+
     Nulls are excluded (consistent with ``percentile``).
     """
     if not probs:
@@ -331,11 +340,19 @@ def grid_quantiles(
         if not (0 < num <= den):
             raise ValueError(f"prob {num}/{den} must be in (0, 1]")
     v = F.col(value)
-    vals = df.select(v.alias("__v")).where(v.isNotNull())
-    counts = vals.groupBy("__v").agg(F.count(F.lit(1)).alias("__c"))
+    if weight is None:
+        vals = df.select(v.alias("__v")).where(v.isNotNull())
+        mass = F.lit(1).cast("long")
+    else:
+        wc = F.col(weight).cast("long")
+        vals = df.select(v.alias("__v"), wc.alias("__w")).where(
+            v.isNotNull() & wc.isNotNull() & (wc > 0)
+        )
+        mass = F.col("__w")
+    counts = vals.groupBy("__v").agg(F.sum(mass).alias("__c"))
     w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
     cum = counts.select("__v", F.sum("__c").over(w).alias("__cum"))
-    tot = vals.agg(F.count(F.lit(1)).alias("__n"))
+    tot = vals.agg(F.sum(mass).alias("__n"))
     j = cum.crossJoin(F.broadcast(tot))
     # ceil(num*n/den) = (num*n + den - 1) DIV den — pure LONG integer
     # arithmetic end to end (a double division + floor can flip by one

@@ -72,3 +72,68 @@ def test_invalid_probs_raise(spark):
         grid_quantiles(df, value="v", probs=[])
     with pytest.raises(ValueError):
         grid_quantiles(df, value="v", probs=[(3, 2, "bad")])
+
+
+def _nearest_rank_weighted(pairs, num, den):
+    """pairs = (value, weight); reference weighted nearest-rank."""
+    total = sum(w for _, w in pairs if w and w > 0)
+    k = -(-num * total // den)
+    cum = 0
+    for v, w in sorted(p for p in pairs if p[1] and p[1] > 0):
+        cum += w
+        if cum >= k:
+            return v
+    return None
+
+
+def test_weighted_matches_reference(spark):
+    import random
+
+    rng = random.Random(11)
+    pairs = [(rng.randrange(1, 40), rng.randrange(1, 9)) for _ in range(800)]
+    df = spark.createDataFrame(pairs, schema="v long, w long")
+    r = grid_quantiles(
+        df,
+        value="v",
+        weight="w",
+        probs=[(1, 2, "p50"), (9, 10, "p90")],
+        n_alias="total_w",
+    ).collect()[0]
+    assert r["total_w"] == sum(w for _, w in pairs)
+    assert r["p50"] == _nearest_rank_weighted(pairs, 1, 2)
+    assert r["p90"] == _nearest_rank_weighted(pairs, 9, 10)
+
+
+def test_weighted_excludes_nonpositive_and_null_weights(spark):
+    from pyspark.sql import Row
+
+    rows = [
+        Row(v=1, w=5),
+        Row(v=2, w=0),
+        Row(v=3, w=-4),
+        Row(v=4, w=None),
+        Row(v=10, w=5),
+    ]
+    df = spark.createDataFrame(rows, schema="v long, w long")
+    r = grid_quantiles(
+        df, value="v", weight="w", probs=[(1, 2, "p50"), (9, 10, "p90")]
+    ).collect()[0]
+    # only (1,5) and (10,5) carry mass: total 10, p50 at cum>=5 -> 1,
+    # p90 at cum>=9 -> 10
+    assert r["n"] == 10 and r["p50"] == 1 and r["p90"] == 10
+
+
+def test_weight_equals_value_token_mass_semantics(spark):
+    # one doc of length 100 and nine of length 10: the long doc holds
+    # 100/190 of the token mass -> token-mass p50 is 100 (the median
+    # token lives in the long doc), while the per-doc p50 is 10
+    vals = [100] + [10] * 9
+    df = spark.createDataFrame([(v,) for v in vals], schema="v long")
+    r = grid_quantiles(
+        df, value="v", weight="v", probs=[(1, 2, "p50")], n_alias="total"
+    ).collect()[0]
+    assert r["total"] == 190 and r["p50"] == 100
+    unweighted = grid_quantiles(
+        df, value="v", probs=[(1, 2, "p50")]
+    ).collect()[0]
+    assert unweighted["p50"] == 10
