@@ -4748,6 +4748,74 @@ def q_docs_token_mass_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_token_mass_quantiles_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """docs_token_mass_quantiles as a LIVE streaming aggregation: the
+    per-length token-mass counters flow through a complete-mode
+    groupBy whose state is the length-grid counter table — the same
+    sketch-as-streaming-state pattern as docs_cms_stream (state
+    bounded by the GRID, not the stream; a quantile sketch you can
+    read at any micro-batch). Documents replay in two micro-batches to
+    prove cross-batch state carry; the final counters equal the batch
+    groupBy exactly, so the nearest-rank stage
+    (operators/sketches.py:grid_quantiles_from_counts) over them
+    shares docs_token_mass_quantiles' oracle bit-for-bit."""
+    import glob as globmod
+    import os
+    import tempfile
+    import uuid
+
+    from symtseries_spark.functions.text import tokens
+    from symtseries_spark.operators.sketches import grid_quantiles_from_counts
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    half = (F.col("doc_id") > mid).cast("int").alias("__bid")
+    tmp = tempfile.mkdtemp(prefix="gridq_stream_")
+    staged, indir = f"{tmp}/staged", f"{tmp}/in"
+    os.makedirs(indir)
+    docs.withColumn("__bid", half).coalesce(1).write.partitionBy("__bid").parquet(
+        staged
+    )
+    for i, d in enumerate(sorted(globmod.glob(f"{staged}/__bid=*"))):
+        part = globmod.glob(f"{d}/part-*.parquet")[0]
+        dst = f"{indir}/b{i:04d}.parquet"
+        os.rename(part, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+    )
+    counters = (
+        stream.select(
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+        )
+        .where(F.col("n_tokens") > 0)
+        .groupBy("n_tokens")
+        .agg(F.sum("n_tokens").alias("mass"))
+    )
+    name = f"gridq_stream_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = (
+            counters.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="gridq_chk_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return grid_quantiles_from_counts(
+        spark.table(name),
+        value="n_tokens",
+        count="mass",
+        probs=[(1, 2, "p50_len"), (9, 10, "p90_len"), (99, 100, "p99_len")],
+        n_alias="total_tokens",
+    )
+
+
 def q_events_funnel_latency_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events_funnel_latency's 100 TB scale twin: same staged funnel
     joins, but hop latencies quantized to whole SECONDS and p50/p90
@@ -5963,6 +6031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_lifetime_grid": q_events_user_lifetime_grid,
         "events_funnel_latency_grid": q_events_funnel_latency_grid,
         "docs_token_mass_quantiles": q_docs_token_mass_quantiles,
+        "docs_token_mass_quantiles_stream": q_docs_token_mass_quantiles_stream,
         "tpch_q13": q_tpch_q13,
         "tpch_q17": q_tpch_q17,
         "tpch_q18": q_tpch_q18,
@@ -6584,6 +6653,27 @@ WITH actual AS (
 )
 {union}
 ORDER BY method
+"""
+
+
+_TOKEN_MASS_SQL = f"""
+WITH d AS (
+  SELECT CAST(len({ot.tokens_expr()}) AS BIGINT) AS n_tokens FROM documents
+), v AS (
+  SELECT n_tokens AS val, n_tokens AS w FROM d
+  WHERE n_tokens IS NOT NULL AND n_tokens > 0
+), tot AS (
+  SELECT CAST(sum(w) AS BIGINT) AS n FROM v
+), cnt AS (
+  SELECT val, CAST(sum(w) AS BIGINT) AS c FROM v GROUP BY val
+), cum AS (
+  SELECT val, CAST(sum(c) OVER (ORDER BY val) AS BIGINT) AS cum FROM cnt
+)
+SELECT n AS total_tokens,
+       (SELECT min(val) FROM cum WHERE cum >= (1 * n + 1) // 2) AS p50_len,
+       (SELECT min(val) FROM cum WHERE cum >= (9 * n + 9) // 10) AS p90_len,
+       (SELECT min(val) FROM cum WHERE cum >= (99 * n + 99) // 100) AS p99_len
+FROM tot
 """
 
 
@@ -8060,25 +8150,8 @@ SELECT n AS n_users,
        mean_d AS mean_days
 FROM tot
 """,
-        "docs_token_mass_quantiles": f"""
-WITH d AS (
-  SELECT CAST(len({ot.tokens_expr()}) AS BIGINT) AS n_tokens FROM documents
-), v AS (
-  SELECT n_tokens AS val, n_tokens AS w FROM d
-  WHERE n_tokens IS NOT NULL AND n_tokens > 0
-), tot AS (
-  SELECT CAST(sum(w) AS BIGINT) AS n FROM v
-), cnt AS (
-  SELECT val, CAST(sum(w) AS BIGINT) AS c FROM v GROUP BY val
-), cum AS (
-  SELECT val, CAST(sum(c) OVER (ORDER BY val) AS BIGINT) AS cum FROM cnt
-)
-SELECT n AS total_tokens,
-       (SELECT min(val) FROM cum WHERE cum >= (1 * n + 1) // 2) AS p50_len,
-       (SELECT min(val) FROM cum WHERE cum >= (9 * n + 9) // 10) AS p90_len,
-       (SELECT min(val) FROM cum WHERE cum >= (99 * n + 99) // 100) AS p99_len
-FROM tot
-""",
+        "docs_token_mass_quantiles": _TOKEN_MASS_SQL,
+        "docs_token_mass_quantiles_stream": _TOKEN_MASS_SQL,
         "events_funnel_latency_grid": f"""
 WITH e AS (
   SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events

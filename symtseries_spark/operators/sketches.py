@@ -31,6 +31,7 @@ __all__ = [
     "cms_build",
     "cms_estimate",
     "grid_quantiles",
+    "grid_quantiles_from_counts",
     "hll_estimate",
     "hll_rank_width",
     "hll_registers",
@@ -350,9 +351,37 @@ def grid_quantiles(
         )
         mass = F.col("__w")
     counts = vals.groupBy("__v").agg(F.sum(mass).alias("__c"))
+    return grid_quantiles_from_counts(
+        counts, value="__v", count="__c", probs=probs, n_alias=n_alias
+    )
+
+
+def grid_quantiles_from_counts(
+    counts: DataFrame,
+    *,
+    value: str,
+    count: str,
+    probs: list[tuple[int, int, str]],
+    n_alias: str = "n",
+) -> DataFrame:
+    """The rank stage of :func:`grid_quantiles`, entered at the
+    PRE-AGGREGATED level: ``counts`` holds one row per grid value with
+    its positive integer mass — e.g. the final state table of a
+    complete-mode streaming ``groupBy(value).sum(mass)``, which is
+    exactly how the streaming twin keeps quantile state bounded by the
+    grid instead of the stream. Same contract and integer rank math as
+    :func:`grid_quantiles` (which delegates here)."""
+    if not probs:
+        raise ValueError("grid_quantiles needs at least one (num, den, name)")
+    for num, den, _name in probs:
+        if not (0 < num <= den):
+            raise ValueError(f"prob {num}/{den} must be in (0, 1]")
+    base = counts.select(
+        F.col(value).alias("__v"), F.col(count).cast("long").alias("__c")
+    )
     w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = counts.select("__v", F.sum("__c").over(w).alias("__cum"))
-    tot = vals.agg(F.sum(mass).alias("__n"))
+    cum = base.select("__v", F.sum("__c").over(w).alias("__cum"))
+    tot = base.agg(F.sum("__c").alias("__n"))
     j = cum.crossJoin(F.broadcast(tot))
     # ceil(num*n/den) = (num*n + den - 1) DIV den — pure LONG integer
     # arithmetic end to end (a double division + floor can flip by one
