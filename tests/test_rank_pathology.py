@@ -300,3 +300,55 @@ def test_binary_search_null_tiebreak_on_heavy_key(spark):
     g = {r["rn"]: (r["v"], r["id"]) for r in got.collect()}
     e = {r["rn"]: (r["v"], r["id"]) for r in exp.collect()}
     assert g == e
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.data())
+def test_two_level_bucket_expr_equals_linear_scan(spark, data):
+    """The sqrt-decomposed bucket assignment (round 9) must count
+    EXACTLY like the whole-array filter scan it replaced, for any
+    sorted distinct boundary list above the linear cutoff and any
+    probe values — including probes equal to boundaries, below all,
+    above all, and NaN-free extremes."""
+    from symtseries_spark.operators.rank import (
+        _LINEAR_SCAN_MAX,
+        _bucket_expr,
+    )
+
+    n_bounds = data.draw(
+        st.integers(min_value=_LINEAR_SCAN_MAX + 1, max_value=300)
+    )
+    pool = data.draw(
+        st.lists(
+            st.floats(
+                min_value=-1e9,
+                max_value=1e9,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            min_size=n_bounds,
+            max_size=n_bounds,
+            unique=True,
+        )
+    )
+    bounds = [(b, None) for b in sorted(pool)]
+    # probes: each boundary itself, midpoints, and beyond-range values
+    vals = sorted(pool)
+    probes = (
+        vals
+        + [(a + b) / 2 for a, b in zip(vals, vals[1:])][:50]
+        + [vals[0] - 1.0, vals[-1] + 1.0]
+    )
+    df = spark.createDataFrame([(float(p),) for p in probes], "p double")
+    key = F.col("p")
+    linear = F.size(
+        F.filter(
+            F.array(*[F.lit(float(kb)) for kb, _ in bounds]),
+            lambda b: b <= key,
+        )
+    )
+    two_level = _bucket_expr(bounds, key, F.lit(None).cast("double"))
+    bad = df.select(
+        (linear.cast("int") != two_level.cast("int")).alias("diff")
+    ).where(F.col("diff")).count()
+    assert bad == 0
