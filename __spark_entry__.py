@@ -4748,6 +4748,84 @@ def q_docs_token_mass_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_source_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution-drift report: the exact two-sample
+    Kolmogorov-Smirnov statistic between each source's doc-length
+    (n_chars) distribution and the whole corpus ->
+    (source, n_docs, ks_stat) — the curation dashboard's "which feed
+    changed shape" number (a mean/variance check misses bimodal
+    drift; KS is the standard supremum-of-CDF-gap test).
+
+    Exact integer formulation: KS = max over the length grid of
+    |cum_s/n_s - cum_all/N| = max |cum_s*N - cum_all*n_s| / (n_s*N),
+    computed as DECIMAL cross-products (exact far past 2^63 — at
+    corpus scale cum*N overflows a long) with ONE double division at
+    the end, quantized 1e-6. Scale shape: counts are a combinable
+    groupBy bounded by |sources| x |length grid|; the per-source CDF
+    window partitions by source; the corpus CDF window runs over the
+    grid-sized length table (Class-A bounded); output is |sources|
+    rows."""
+    from pyspark.sql import Window
+
+    from symtseries_spark.operators.timeseries import quantize
+
+    docs = load(spark, sf_dir, "documents").where(F.col("n_chars").isNotNull())
+    counts = docs.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    per_len = counts.groupBy("n_chars").agg(F.sum("__c").alias("__ca"))
+    w_all = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum_all = per_len.select(
+        "n_chars", F.sum("__ca").over(w_all).alias("__cum_all")
+    )
+    n_total = docs.count()  # plan-time literal (1-row driver scalar)
+    sources = counts.groupBy("source").agg(F.sum("__c").alias("n_docs"))
+    # evaluate BOTH CDFs at every grid point: cross sources x grid,
+    # fill absent (source, length) cells with zero mass
+    full = (
+        sources.crossJoin(F.broadcast(cum_all))
+        .join(counts, ["source", "n_chars"], "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            "__cum_all",
+            F.coalesce(F.col("__c"), F.lit(0)).alias("__c"),
+        )
+    )
+    w_src = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    gap = F.abs(
+        F.col("__cum_src").cast("decimal(19,0)") * F.lit(n_total).cast(
+            "decimal(19,0)"
+        )
+        - F.col("__cum_all").cast("decimal(19,0)")
+        * F.col("n_docs").cast("decimal(19,0)")
+    )
+    return (
+        full.withColumn("__cum_src", F.sum("__c").over(w_src))
+        .withColumn("__gap", gap)
+        .groupBy("source", "n_docs")
+        .agg(F.max("__gap").alias("__mx"))
+        .select(
+            "source",
+            "n_docs",
+            quantize(
+                F.col("__mx").cast("double")
+                / (
+                    F.col("n_docs").cast("double") * F.lit(float(n_total))
+                ),
+                6,
+            ).alias("ks_stat"),
+        )
+    )
+
+
 def q_docs_token_mass_quantiles_stream(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -6031,6 +6109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_lifetime_grid": q_events_user_lifetime_grid,
         "events_funnel_latency_grid": q_events_funnel_latency_grid,
         "docs_token_mass_quantiles": q_docs_token_mass_quantiles,
+        "docs_source_length_ks": q_docs_source_length_ks,
         "docs_token_mass_quantiles_stream": q_docs_token_mass_quantiles_stream,
         "tpch_q13": q_tpch_q13,
         "tpch_q17": q_tpch_q17,
@@ -8151,6 +8230,40 @@ SELECT n AS n_users,
 FROM tot
 """,
         "docs_token_mass_quantiles": _TOKEN_MASS_SQL,
+        "docs_source_length_ks": """
+WITH d AS (
+  SELECT source, n_chars FROM documents WHERE n_chars IS NOT NULL
+), cnt AS (
+  SELECT source, n_chars, count(*) AS c FROM d GROUP BY source, n_chars
+), tot AS (SELECT count(*) AS n FROM d),
+per_len AS (SELECT n_chars, sum(c) AS ca FROM cnt GROUP BY n_chars),
+cum_all AS (
+  SELECT n_chars, CAST(sum(ca) OVER (ORDER BY n_chars) AS BIGINT) AS cum_all
+  FROM per_len
+), srcs AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_docs FROM cnt GROUP BY source
+), fl AS (
+  SELECT s.source, s.n_docs, g.n_chars, g.cum_all,
+         COALESCE(c.c, 0) AS c
+  FROM srcs s CROSS JOIN cum_all g
+  LEFT JOIN cnt c ON c.source = s.source AND c.n_chars = g.n_chars
+), cdf AS (
+  SELECT source, n_docs, cum_all,
+         CAST(sum(c) OVER (PARTITION BY source ORDER BY n_chars)
+              AS BIGINT) AS cum_src
+  FROM fl
+), gap AS (
+  SELECT source, n_docs,
+         abs(CAST(cum_src AS HUGEINT) * (SELECT n FROM tot)
+             - CAST(cum_all AS HUGEINT) * n_docs) AS g
+  FROM cdf
+)
+SELECT source, n_docs,
+       floor(CAST(max(g) AS DOUBLE)
+             / (CAST(n_docs AS DOUBLE) * (SELECT CAST(n AS DOUBLE) FROM tot))
+             * 1000000.0 + 0.5) / 1000000.0 AS ks_stat
+FROM gap GROUP BY source, n_docs
+""",
         "docs_token_mass_quantiles_stream": _TOKEN_MASS_SQL,
         "events_funnel_latency_grid": f"""
 WITH e AS (

@@ -535,3 +535,42 @@ class TestKeySkew:
         df = spark.createDataFrame([(1, 1)], "k long, i long")
         with pytest.raises(ValueError):
             key_skew(df, key="k", top_n=0)
+
+
+def test_source_length_ks_matches_python_reference(spark, sf_dir):
+    """docs_source_length_ks equals the brute-force two-sample KS
+    statistic (each source vs the whole corpus) computed in pure
+    Python over the same rows."""
+    import __spark_entry__ as entry
+
+    got = {
+        r["source"]: (r["n_docs"], r["ks_stat"])
+        for r in entry.queries()["docs_source_length_ks"](
+            spark, sf_dir
+        ).collect()
+    }
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source", "n_chars")
+        .collect()
+    )
+    all_lens = sorted(r["n_chars"] for r in rows if r["n_chars"] is not None)
+    n = len(all_lens)
+    by_src = {}
+    for r in rows:
+        if r["n_chars"] is not None:
+            by_src.setdefault(r["source"], []).append(r["n_chars"])
+    import bisect
+
+    for src, lens in by_src.items():
+        lens.sort()
+        ks = max(
+            abs(
+                bisect.bisect_right(lens, v) / len(lens)
+                - bisect.bisect_right(all_lens, v) / n
+            )
+            for v in all_lens
+        )
+        exp = __import__("math").floor(ks * 1e6 + 0.5) / 1e6
+        assert got[src][0] == len(lens)
+        assert abs(got[src][1] - exp) < 1e-9, (src, got[src][1], exp)
