@@ -12,17 +12,28 @@ is a pure function of the graph — independent of iteration count,
 partitioning, or engine. That makes the whole iterative computation
 oracle-able: DuckDB reproduces it with a recursive CTE.
 
-Scale notes (100 TB): iterations = graph diameter, and near-dup graphs
-are overwhelmingly tiny star/clique components (diameter 2-3), so the
-loop runs ~3-5 rounds. Each round's lineage is truncated with an eager
-``localCheckpoint`` — without it the plan doubles per round and the
-job dies at iteration ~20 regardless of data size. The driver sees
-only one scalar per round (the convergence test), never data. For
-pathological long-chain graphs, swap in the large-star/small-star
-variant (same join primitives, O(log n) rounds).
+Scale notes (100 TB): each round combines the neighbor-min step with
+POINTER DOUBLING (``l(v) <- min(l(v), neighbors' l, l(l(v)))`` — every
+label is itself a vertex id, so "label of my label" is one more
+equi-join feeding the same min), which squares the propagation
+distance per round: iterations = O(log diameter), not O(diameter).
+Near-dup graphs are overwhelmingly tiny star/clique components
+(diameter 2-3, ~3 rounds either way), but a drift CHAIN of near-dups
+(A~B~C~...) under plain propagation needed one round per hop — a
+60-hop chain exhausted the 50-round cap outright (round-9 probe,
+scripts/scale_probe_components.py) where the doubled form closes any
+realistic diameter in ~10 rounds. The converged labels are a pure
+function of the graph — identical with or without doubling — so the
+DuckDB recursive-CTE oracles are untouched. Each round's lineage is
+truncated with an eager ``localCheckpoint`` — without it the plan
+doubles per round and the job dies at iteration ~20 regardless of
+data size. The driver sees only one scalar per round (the convergence
+test), never data.
 """
 
 from __future__ import annotations
+
+from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -52,13 +63,27 @@ def connected_components(
     ).localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("lbl")).first()[0]
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
+        via_edges = sym.join(labels, sym["b"] == labels["v"]).select(
+            F.col("a").alias("v"), F.col("lbl")
+        )
+        parts = [via_edges, labels]
+        if it > 0:
+            # pointer doubling: l(l(v)) — labels are vertex ids, so
+            # the label column equi-joins back onto the vertex column;
+            # feeding it into the same min squares the propagation
+            # distance per round (O(log diameter) rounds instead of
+            # O(diameter)). Skipped in round 0, where labels are still
+            # the identity and l(l(v)) == l(v) by construction.
+            lx, ly = labels.alias("x"), labels.alias("y")
+            parts.append(
+                lx.join(ly, F.col("x.lbl") == F.col("y.v")).select(
+                    F.col("x.v").alias("v"), F.col("y.lbl").alias("lbl")
+                )
+            )
+        unioned = reduce(lambda a, b: a.unionByName(b), parts)
         prop = (
-            sym.join(labels, sym["b"] == labels["v"])
-            .select(F.col("a").alias("v"), F.col("lbl"))
-            .unionByName(labels)
-            .groupBy("v")
-            .agg(F.min("lbl").alias("lbl"))
+            unioned.groupBy("v").agg(F.min("lbl").alias("lbl"))
         ).localCheckpoint(eager=True)
         new_sum = prop.agg(F.sum("lbl")).first()[0]
         labels = prop

@@ -207,6 +207,21 @@ class TestConnectedComponents:
         got = {r.v: r.canonical_id for r in connected_components(edges, verts).collect()}
         assert got == {v: 0 for v in range(n)}
 
+    def test_chain_past_old_round_cap_converges(self, spark):
+        """Before round 9's pointer doubling, iterations = diameter, so
+        a chain longer than max_iter=50 hops raised outright; doubling
+        closes any diameter in O(log d) rounds with identical labels."""
+        from symtseries_spark.operators.graph import connected_components
+
+        n = 120  # > the 50-round cap under per-hop propagation
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+        )
+        verts = spark.createDataFrame([(v,) for v in range(n)], "v long")
+        cc = connected_components(edges, verts)
+        got = {r.v: r.canonical_id for r in cc.collect()}
+        assert got == {v: 0 for v in range(n)}
+
 
 class TestAsofProperty:
     def test_random_graphs_vs_bruteforce(self, spark):
