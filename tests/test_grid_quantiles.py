@@ -137,3 +137,21 @@ def test_weight_equals_value_token_mass_semantics(spark):
         df, value="v", probs=[(1, 2, "p50")]
     ).collect()[0]
     assert unweighted["p50"] == 10
+
+
+def test_weighted_equals_replicated_rows(spark):
+    """Metamorphic: integer weight w must mean exactly 'this row, w
+    times' — the weighted form over (v, w) equals the unweighted form
+    over v exploded w times."""
+    import random
+
+    rng = random.Random(23)
+    pairs = [(rng.randrange(0, 25), rng.randrange(1, 6)) for _ in range(300)]
+    wdf = spark.createDataFrame(pairs, schema="v long, w long")
+    edf = spark.createDataFrame(
+        [(v,) for v, w in pairs for _ in range(w)], schema="v long"
+    )
+    probs = [(1, 4, "p25"), (1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99")]
+    rw = grid_quantiles(wdf, value="v", weight="w", probs=probs).collect()[0]
+    re_ = grid_quantiles(edf, value="v", probs=probs).collect()[0]
+    assert rw.asDict() == re_.asDict()
