@@ -61,14 +61,25 @@ def _unpersist(df: DataFrame) -> None:
         pass
 
 
+_SCOPES = threading.local()
+
+
 def persist_tracked(
     df: DataFrame, level: StorageLevel | None = None
 ) -> DataFrame:
-    """``df.persist()`` + register for the next :func:`release_persisted`.
+    """``df.persist()`` + register for release.
 
-    Past ``_CAP`` outstanding registrations the oldest is unpersisted
-    (FIFO), bounding growth for callers that never release."""
+    Inside a :func:`tracked_persists` scope on the SAME thread, the
+    registration belongs to that scope (released at its exit, invisible
+    to other threads and to :func:`release_persisted`). Otherwise it
+    joins the global registry, where past ``_CAP`` outstanding
+    registrations the oldest is unpersisted (FIFO), bounding growth for
+    callers that never release."""
     out = df.persist(level) if level is not None else df.persist()
+    stack = getattr(_SCOPES, "stack", None)
+    if stack:
+        stack[-1].append(out)
+        return out
     evicted = None
     with _LOCK:
         _TRACKED.append(out)
@@ -94,16 +105,19 @@ def release_persisted() -> int:
 
 @contextmanager
 def tracked_persists():
-    """Scope persists to a block: on exit, release only the persists
-    registered INSIDE the block (safe under concurrent harnesses —
-    each thread's scope releases its own registrations only)."""
-    with _LOCK:
-        before = {id(df) for df in _TRACKED}
+    """Scope persists to a block: on exit, release exactly the persists
+    registered inside the block ON THIS THREAD (a thread-local scope
+    stack, so concurrent harness threads can never release each other's
+    registrations — a registry snapshot diff would). Nests: an inner
+    scope owns its own registrations."""
+    stack = getattr(_SCOPES, "stack", None)
+    if stack is None:
+        stack = _SCOPES.stack = []
+    mine: list[DataFrame] = []
+    stack.append(mine)
     try:
         yield
     finally:
-        with _LOCK:
-            mine = [df for df in _TRACKED if id(df) not in before]
-            _TRACKED[:] = [df for df in _TRACKED if id(df) in before]
+        stack.pop()
         for df in mine:
             _unpersist(df)
