@@ -6742,7 +6742,9 @@ WITH d AS (
   SELECT n_tokens AS val, n_tokens AS w FROM d
   WHERE n_tokens IS NOT NULL AND n_tokens > 0
 ), tot AS (
-  SELECT CAST(sum(w) AS BIGINT) AS n FROM v
+  -- COALESCE mirrors the Spark side's empty contract: grid_quantiles
+  -- coalesces total mass to 0 on an empty input, so the oracle must too
+  SELECT COALESCE(CAST(sum(w) AS BIGINT), 0) AS n FROM v
 ), cnt AS (
   SELECT val, CAST(sum(w) AS BIGINT) AS c FROM v GROUP BY val
 ), cum AS (

@@ -40,6 +40,7 @@ from symtseries_spark.plan_gate import (
     audit_query,
     check,
     load_whitelist,
+    stale_entries,
 )
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
@@ -105,6 +106,13 @@ except FileNotFoundError:
              f"--write-whitelist after adjudicating the sweep above")
 
 violations, improvements = check(observed, whitelist)
+if not only:
+    stale = stale_entries(observed, whitelist)
+    if stale:
+        print(f"\n{len(stale)} whitelist entries match no registered query "
+              f"(renamed/removed — regenerate with --write-whitelist):")
+        for n in stale:
+            print(f"  {n}")
 if improvements:
     print(f"\n{len(improvements)} below allowance (tighten whitelist):")
     for ln in improvements:

@@ -126,6 +126,22 @@ fail = False
 for shape, stride in [("stars10", 11), ("cliques8", 8), ("chain1k", 1000)]:
     for f in FACTORS:
         n_edges = BASE_EDGES * f
+        if (
+            shape == "chain1k"
+            and n_edges >= 100_000_000
+            and "SPARK_GRAFT_DRIVER_MEM" not in os.environ
+        ):
+            # the 100M-edge chain leg unions ~300M rows into one
+            # aggregate inside the single local JVM; the 16g default
+            # dies in AGGREGATE_OUT_OF_MEMORY deep into a ~20min run.
+            # Fail fast instead (a real cluster spreads this across
+            # executors — single-JVM artifact, see BASELINE.md).
+            sys.exit(
+                f"{shape} x{f}: {n_edges:,} edges needs a bigger driver "
+                f"JVM than the 16g default (measured: 48g suffices). "
+                f"Set SPARK_GRAFT_DRIVER_MEM=48g and rerun, or drop the "
+                f"100x factor via SPARK_GRAFT_CC_FACTORS."
+            )
         e, v, n_comp, size = make_graph(n_edges, shape)
         t0 = time.perf_counter()
         cc = connected_components(e, v)

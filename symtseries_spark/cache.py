@@ -72,13 +72,20 @@ def persist_tracked(
     Inside a :func:`tracked_persists` scope on the SAME thread, the
     registration belongs to that scope (released at its exit, invisible
     to other threads and to :func:`release_persisted`). Otherwise it
-    joins the global registry, where past ``_CAP`` outstanding
-    registrations the oldest is unpersisted (FIFO), bounding growth for
-    callers that never release."""
+    joins the global registry. Either way, past ``_CAP`` outstanding
+    registrations the oldest is unpersisted (FIFO), so growth stays
+    bounded for callers that never release AND for long-lived scopes."""
     out = df.persist(level) if level is not None else df.persist()
     stack = getattr(_SCOPES, "stack", None)
     if stack:
-        stack[-1].append(out)
+        # the same FIFO cap applies inside a scope: a long-lived scope
+        # (a harness wrapping a whole segment rather than one query)
+        # must not accumulate unbounded persists either — the scope
+        # list is thread-owned, so no lock is needed
+        mine = stack[-1]
+        mine.append(out)
+        if len(mine) > _CAP:
+            _unpersist(mine.pop(0))
         return out
     evicted = None
     with _LOCK:

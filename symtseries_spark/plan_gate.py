@@ -96,3 +96,15 @@ def check(
             elif got < cap:
                 improvements.append(f"{name}: {pat}={got} < whitelisted {cap}")
     return violations, improvements
+
+
+def stale_entries(
+    observed: dict[str, dict[str, int]],
+    whitelist: dict[str, dict[str, int]],
+) -> list[str]:
+    """Whitelist names absent from ``observed`` — meaningful only on a
+    FULL registry sweep, where they mark allowances for renamed/removed
+    queries that would otherwise linger silently until the next
+    ``--write-whitelist``. Report them so the whitelist stays in sync
+    with the registry; on a partial sweep the result is noise."""
+    return sorted(set(whitelist) - set(observed))

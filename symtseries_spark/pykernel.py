@@ -102,6 +102,15 @@ def parse(word: str, c: int) -> list[int]:
 
 
 def format_word(indices: Sequence[int], c: int) -> str:
+    """Letter-index list -> SAX string (inverse of :func:`parse_word`).
+
+    ``c`` is required even though :func:`encode` returns a string
+    directly: the missing-value sentinel is the INDEX ``c`` itself
+    (rendered ``#``), so a bare index list is ambiguous — ``[4, 2]``
+    at c=4 is ``#``+letter, at c=8 two letters. The two-layer API is
+    deliberate: ``encode``/``parse_word`` speak strings (self-
+    describing), ``encode_indices``/``format_word`` speak raw indices
+    and always carry ``c`` alongside."""
     return "".join(letter_of(i, c) for i in indices)
 
 

@@ -100,3 +100,17 @@ def test_nested_scopes_each_own_their_registrations(spark):
         assert outer.storageLevel.useMemory
     assert not outer.storageLevel.useMemory
     assert release_persisted() == 0
+
+
+def test_fifo_cap_applies_inside_scopes(spark, monkeypatch):
+    """A long-lived scope must not accumulate unbounded persists: the
+    same FIFO cap evicts the oldest SCOPED registration (ADVICE r9)."""
+    release_persisted()
+    monkeypatch.setattr(cache, "_CAP", 3)
+    with tracked_persists():
+        dfs = [persist_tracked(spark.range(i + 1)) for i in range(5)]
+        assert not dfs[0].storageLevel.useMemory
+        assert not dfs[1].storageLevel.useMemory
+        assert all(d.storageLevel.useMemory for d in dfs[2:])
+    assert not any(d.storageLevel.useMemory for d in dfs)
+    assert release_persisted() == 0

@@ -87,3 +87,18 @@ def test_full_registry_within_whitelist(spark, sf_dir):
         observed[name] = audit_query(fn, spark, sf_dir)
     violations, _ = check(observed, whitelist)
     assert not violations, "\n".join(violations)
+
+
+def test_stale_entries_reports_whitelist_orphans():
+    """Whitelist rows for renamed/removed queries surface as 'stale' on
+    a full sweep instead of lingering silently (ADVICE r9)."""
+    from symtseries_spark.plan_gate import stale_entries
+
+    observed = {"q_live": {"single_partition": 1, "global_sorts": 0}}
+    wl = {
+        "q_live": {"single_partition": 1},
+        "q_renamed_away": {"global_sorts": 2},
+        "q_deleted": {"single_partition": 3},
+    }
+    assert stale_entries(observed, wl) == ["q_deleted", "q_renamed_away"]
+    assert stale_entries(wl, wl) == []
