@@ -6094,68 +6094,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Registry order = driver-verification priority, NOT topic
         # order: the round driver's correctness window checks a ~50-
-        # entry prefix. Round-9 layout: NO query code changed this
-        # round (hygiene + gate-hardening), so the registry is sorted
-        # purely by driver-check staleness (oldest round first, prior
-        # relative order as tiebreak): the 22 rows last verified in
-        # r02 (14 TPC-H shapes, the bloom/lang/repetition/top-terms
-        # doc queries, emb_pq_topk, the anomaly pair, rolling_1h),
-        # then the r03 rows, and so on — so each round's ~50-entry
-        # window re-verifies the stalest rows and the next rotation is
-        # just re-sorting by the updated CORRECTNESS history. Future
-        # changed/new queries go at the HEAD.
-        # Round-9 additions: the two quantized-grid scale twins of the
-        # exact-percentile Class-A caveat queries.
-        "events_user_lifetime_grid": q_events_user_lifetime_grid,
-        "events_funnel_latency_grid": q_events_funnel_latency_grid,
-        "docs_token_mass_quantiles": q_docs_token_mass_quantiles,
-        "docs_source_length_ks": q_docs_source_length_ks,
-        "docs_token_mass_quantiles_stream": q_docs_token_mass_quantiles_stream,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q22": q_tpch_q22,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q21": q_tpch_q21,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q20": q_tpch_q20,
-        "tpch_q16": q_tpch_q16,
-        "events_rolling_1h": q_events_rolling_1h,
-        "events_anomaly": q_events_anomaly,
-        "events_anomaly_stream": q_events_anomaly_stream,
-        "docs_top_terms": q_docs_top_terms,
-        "docs_repetition": q_docs_repetition,
-        "docs_lang_confusion": q_docs_lang_confusion,
-        "docs_bloom_prefilter": q_docs_bloom_prefilter,
-        "emb_pq_topk": q_emb_pq_topk,
-        "events_mad_anomaly": q_events_mad_anomaly,
-        "events_mad_stream": q_events_mad_stream,
-        "events_trend": q_events_trend,
-        "docs_corpus_filter2": q_docs_corpus_filter2,
-        "docs_hll_distinct": q_docs_hll_distinct,
-        "docs_hll_stream": q_docs_hll_stream,
-        "emb_mmr_rerank": q_emb_mmr_rerank,
-        "events_cusum": q_events_cusum,
-        "events_cusum_stream": q_events_cusum_stream,
-        "emb_int8_quant": q_emb_int8_quant,
-        "docs_bigram_lp": q_docs_bigram_lp,
-        "docs_winnow": q_docs_winnow,
-        "dedup_winnow_pairs": q_dedup_winnow_pairs,
-        "dedup_containment": q_dedup_containment,
-        "docs_boilerplate": q_docs_boilerplate,
-        "events_holt_stream": q_events_holt_stream,
-        "events_ewma_stream": q_events_ewma_stream,
-        "docs_contamination": q_docs_contamination,
-        "docs_chunk": q_docs_chunk,
-        "docs_scrub": q_docs_scrub,
-        "docs_unigram_lp": q_docs_unigram_lp,
-        "docs_vocab_coverage": q_docs_vocab_coverage,
-        "docs_mixture_sample": q_docs_mixture_sample,
+        # entry prefix. Round-10 layout: sorted PURELY by driver-check
+        # staleness over CORRECTNESS_r01..r09 (oldest round first,
+        # prior relative order as tiebreak): the 25 rows last verified
+        # in r03 lead, then the 45 r05 rows, the 7 r06 rows, and so on
+        # — each round's ~50-entry window re-verifies the stalest rows
+        # and the next rotation is just re-sorting on the updated
+        # CORRECTNESS history. New/changed queries go at the HEAD.
         "docs_train_order": q_docs_train_order,
         "emb_ivf_at_rest": q_emb_ivf_at_rest,
         "dedup_incremental": q_dedup_incremental,
@@ -6325,6 +6270,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12": q_tpch_q12,
         "tpch_q14": q_tpch_q14,
         "tpch_q7": q_tpch_q7,
+        "events_user_lifetime_grid": q_events_user_lifetime_grid,
+        "events_funnel_latency_grid": q_events_funnel_latency_grid,
+        "docs_token_mass_quantiles": q_docs_token_mass_quantiles,
+        "docs_source_length_ks": q_docs_source_length_ks,
+        "docs_token_mass_quantiles_stream": q_docs_token_mass_quantiles_stream,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q22": q_tpch_q22,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q16": q_tpch_q16,
+        "events_rolling_1h": q_events_rolling_1h,
+        "events_anomaly": q_events_anomaly,
+        "events_anomaly_stream": q_events_anomaly_stream,
+        "docs_top_terms": q_docs_top_terms,
+        "docs_repetition": q_docs_repetition,
+        "docs_lang_confusion": q_docs_lang_confusion,
+        "docs_bloom_prefilter": q_docs_bloom_prefilter,
+        "emb_pq_topk": q_emb_pq_topk,
+        "events_mad_anomaly": q_events_mad_anomaly,
+        "events_mad_stream": q_events_mad_stream,
+        "events_trend": q_events_trend,
+        "docs_corpus_filter2": q_docs_corpus_filter2,
+        "docs_hll_distinct": q_docs_hll_distinct,
+        "docs_hll_stream": q_docs_hll_stream,
+        "emb_mmr_rerank": q_emb_mmr_rerank,
+        "events_cusum": q_events_cusum,
+        "events_cusum_stream": q_events_cusum_stream,
+        "emb_int8_quant": q_emb_int8_quant,
+        "docs_bigram_lp": q_docs_bigram_lp,
+        "docs_winnow": q_docs_winnow,
+        "dedup_winnow_pairs": q_dedup_winnow_pairs,
+        "dedup_containment": q_dedup_containment,
+        "docs_boilerplate": q_docs_boilerplate,
+        "events_holt_stream": q_events_holt_stream,
+        "events_ewma_stream": q_events_ewma_stream,
+        "docs_contamination": q_docs_contamination,
+        "docs_chunk": q_docs_chunk,
+        "docs_scrub": q_docs_scrub,
+        "docs_unigram_lp": q_docs_unigram_lp,
+        "docs_vocab_coverage": q_docs_vocab_coverage,
+        "docs_mixture_sample": q_docs_mixture_sample,
     }
 
 
