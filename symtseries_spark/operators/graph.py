@@ -40,6 +40,12 @@ from pyspark.sql import functions as F
 
 __all__ = ["connected_components", "pagerank", "triangle_stats"]
 
+# Rounds the most recent connected_components call took to converge —
+# observability for the scale probes (O(log diameter) is the claim;
+# this is the measurement). Informational only: concurrent callers in
+# one process overwrite it, and no library code reads it back.
+LAST_ROUNDS: int | None = None
+
 
 def connected_components(
     edges: DataFrame,
@@ -88,6 +94,8 @@ def connected_components(
         new_sum = prop.agg(F.sum("lbl")).first()[0]
         labels = prop
         if new_sum == prev_sum:
+            global LAST_ROUNDS
+            LAST_ROUNDS = it + 1
             break
         prev_sum = new_sum
     else:
