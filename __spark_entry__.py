@@ -6090,8 +6090,71 @@ def q_events_holt_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PSI_BINS = 20       # fixed length-bin domain: least(n_chars div 50, 19)
+MWU_PAIR = ("click", "purchase")
+
+
+def q_docs_length_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Population Stability Index of the doc-length
+    distribution against the whole corpus -> (source, n_rows, psi) —
+    the industry drift score for "did this feed's shape move between
+    crawls" (PSI ~0.1 = investigate, ~0.25 = shifted); with the KS
+    report it forms the curation drift battery. Lengths bin into the
+    FIXED 20-bin domain least(n_chars div 50, 19), add-one smoothed,
+    so PSI is finite by construction and every distribution lives on
+    a grid-bounded spine (operators/drift.py psi_by_group)."""
+    from symtseries_spark.operators.drift import psi_by_group
+
+    docs = load(spark, sf_dir, "documents").where(F.col("n_chars").isNotNull())
+    binned = docs.select(
+        "source",
+        F.least(F.expr("n_chars div 50"), F.lit(19).cast("long")).alias("__b"),
+    )
+    return psi_by_group(binned, group="source", bin_col="__b", n_bins=PSI_BINS)
+
+
+def q_docs_lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of lang x source independence -> one row
+    (n, dof, chisq): a HIGH statistic means language mix varies by
+    source — the signal that per-source language filters can't share
+    one threshold. Full-grid expected counts including observed-zero
+    cells (operators/drift.py chisq_independence)."""
+    from symtseries_spark.operators.drift import chisq_independence
+
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
+    return chisq_independence(docs, a="lang", b="source")
+
+
+def q_events_mwu_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected Mann-Whitney U between click and purchase
+    event values -> one row (n_a, n_b, u_a, auc): auc is the
+    probability-of-superiority effect size (0.5 = no shift) — the
+    rank test that catches a cohort's values shifting when means
+    don't. Values pre-quantized to exact integer centi-units (the
+    grid contract); U from grid counts via DECIMAL products, never a
+    global rank (operators/drift.py mann_whitney_u)."""
+    from symtseries_spark.operators.drift import mann_whitney_u
+
+    a, b = MWU_PAIR
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    g = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("__v"),
+    )
+    return mann_whitney_u(
+        g, group="event_type", value_int="__v", group_a=a, group_b=b
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # Round-10 additions (new queries go at the HEAD): the
+        # distribution-drift battery joining the r9 KS report.
+        "docs_length_psi_by_source": q_docs_length_psi_by_source,
+        "docs_lang_source_chisq": q_docs_lang_source_chisq,
+        "events_mwu_click_purchase": q_events_mwu_click_purchase,
         # Registry order = driver-verification priority, NOT topic
         # order: the round driver's correctness window checks a ~50-
         # entry prefix. Round-10 layout: sorted PURELY by driver-check
@@ -6901,6 +6964,92 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 """
 
     out = {
+        # Round-10 drift battery. Parity notes: p/q/e terms are
+        # exact-rational doubles mirrored operation-for-operation
+        # (IEEE-identical cross-engine); only PSI carries an ln, and
+        # the 1e-6 output quantization absorbs libm ULP + grouped-sum
+        # order drift (the dsir_logweights precedent). MWU is pure
+        # integer/DECIMAL — exact.
+        "docs_length_psi_by_source": f"""
+WITH d AS (
+  SELECT source, least(n_chars // 50, 19) AS b
+  FROM documents WHERE n_chars IS NOT NULL
+), cells AS (
+  SELECT source, b, count(*) AS c FROM d GROUP BY source, b
+), grp AS (SELECT source, sum(c) AS n_rows FROM cells GROUP BY source),
+tot AS (SELECT count(*) AS n FROM d),
+spine AS (
+  SELECT g.source, g.n_rows, r.range AS b
+  FROM grp g CROSS JOIN range(20) r
+), filled AS (
+  SELECT s.source, s.n_rows,
+         COALESCE(c.c, 0) + 1 AS ca,
+         COALESCE(p.cb, 0) + 1 AS cba
+  FROM spine s
+  LEFT JOIN (SELECT b, sum(c) AS cb FROM cells GROUP BY b) p USING (b)
+  LEFT JOIN cells c ON c.source = s.source AND c.b = s.b
+), terms AS (
+  SELECT source, n_rows,
+         (CAST(ca AS DOUBLE) / CAST(n_rows + 20 AS DOUBLE)
+          - CAST(cba AS DOUBLE) / CAST((SELECT n FROM tot) + 20 AS DOUBLE))
+         * ln((CAST(ca AS DOUBLE) / CAST(n_rows + 20 AS DOUBLE))
+              / (CAST(cba AS DOUBLE)
+                 / CAST((SELECT n FROM tot) + 20 AS DOUBLE))) AS t
+  FROM filled
+)
+SELECT source, CAST(n_rows AS BIGINT) AS n_rows,
+       floor(sum(t) * 1000000.0 + 0.5) / 1000000.0 AS psi
+FROM terms GROUP BY source, n_rows
+""",
+        "docs_lang_source_chisq": """
+WITH d AS (
+  SELECT lang, source FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL
+), cells AS (
+  SELECT lang, source, count(*) AS c FROM d GROUP BY lang, source
+), ma AS (SELECT lang, sum(c) AS na FROM cells GROUP BY lang),
+mb AS (SELECT source, sum(c) AS nb FROM cells GROUP BY source),
+tot AS (SELECT count(*) AS n FROM d),
+grid AS (
+  SELECT CAST(COALESCE(c.c, 0) AS DOUBLE) AS nd,
+         CAST(ma.na AS DOUBLE) * CAST(mb.nb AS DOUBLE)
+           / CAST((SELECT n FROM tot) AS DOUBLE) AS e
+  FROM ma CROSS JOIN mb
+  LEFT JOIN cells c ON c.lang = ma.lang AND c.source = mb.source
+)
+SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n,
+       CAST((SELECT count(*) - 1 FROM ma)
+            * (SELECT count(*) - 1 FROM mb) AS BIGINT) AS dof,
+       floor(sum((nd - e) * (nd - e) / e) * 1000000.0 + 0.5)
+         / 1000000.0 AS chisq
+FROM grid
+""",
+        "events_mwu_click_purchase": """
+WITH d AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+), per AS (
+  SELECT v, sum(ia) AS ca, sum(1 - ia) AS cb FROM d GROUP BY v
+), cum AS (
+  SELECT ca, cb,
+         COALESCE(sum(cb) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_b
+  FROM per
+), agg AS (
+  SELECT sum(ca) AS na, sum(cb) AS nb,
+         sum(CAST(ca AS DECIMAL(19,0))
+             * CAST(2 * cum_b + cb AS DECIMAL(19,0))) AS u2
+  FROM cum
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(u2 AS DOUBLE) / 2.0 AS u_a,
+       floor(CAST(u2 AS DOUBLE)
+             / (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS auc
+FROM agg
+""",
         "sax_sliding_words": f"SELECT user_id, event_id, sax_word FROM ({slide})",
         "sax_word_transitions": f"""
 WITH s AS ({oc.sliding_words_sql(SLIDE["n"], SLIDE["w"], SLIDE["c"], id_cols="user_id, event_id, ts")}),
