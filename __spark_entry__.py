@@ -6092,6 +6092,7 @@ def q_events_holt_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PSI_BINS = 20       # fixed length-bin domain: least(n_chars div 50, 19)
 MWU_PAIR = ("click", "purchase")
+FUZZY_TAU = 3       # edit-distance bound for the PassJoin prefix query
 
 
 def q_docs_length_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6148,11 +6149,122 @@ def q_events_mwu_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_length_psi_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """docs_length_psi_by_source as a LIVE streaming aggregation: the
+    per-(source, length-bin) counters flow through a complete-mode
+    groupBy whose state is the |sources| x 20-bin cell table — the
+    sketch-as-streaming-state pattern (state bounded by the GRID, not
+    the stream), so a curation dashboard can read each feed's PSI at
+    any micro-batch. Documents replay in two micro-batches to prove
+    cross-batch state carry; the final counters equal the batch cells
+    exactly, so the smoothing/ln stage (operators/drift.py
+    psi_from_counts) shares docs_length_psi_by_source's oracle
+    bit-for-bit."""
+    import glob as globmod
+    import os
+    import tempfile
+    import uuid
+
+    from symtseries_spark.operators.drift import psi_from_counts
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    half = (F.col("doc_id") > mid).cast("int").alias("__bid")
+    tmp = tempfile.mkdtemp(prefix="psi_stream_")
+    staged, indir = f"{tmp}/staged", f"{tmp}/in"
+    os.makedirs(indir)
+    docs.withColumn("__bid", half).coalesce(1).write.partitionBy(
+        "__bid"
+    ).parquet(staged)
+    for i, d in enumerate(sorted(globmod.glob(f"{staged}/__bid=*"))):
+        part = globmod.glob(f"{d}/part-*.parquet")[0]
+        dst = f"{indir}/b{i:04d}.parquet"
+        os.rename(part, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+    )
+    cells = (
+        stream.where(F.col("n_chars").isNotNull())
+        .select(
+            "source",
+            F.least(F.expr("n_chars div 50"), F.lit(19).cast("long")).alias(
+                "__b"
+            ),
+        )
+        .groupBy("source", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    name = f"psi_stream_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = (
+            cells.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="psi_chk_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # eager localCheckpoint: psi_from_counts references the counter
+    # table three times (groups/bins/cells) and Spark's attribute
+    # dedup cannot re-alias a MemorySink plan across a self-join; the
+    # checkpoint truncates to a (grid-bounded) LogicalRDD — the
+    # operators/graph.py idiom.
+    return psi_from_counts(
+        spark.table(name).localCheckpoint(eager=True),
+        group="source",
+        bin_col="__b",
+        count="__c",
+        n_bins=PSI_BINS,
+    )
+
+
+def q_docs_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance similarity self-join over document prefix
+    keys (first 3 whitespace tokens) -> (dist, n_pairs) for 1 <= dist
+    <= 3: the EXACT string-similarity complement to the probabilistic
+    MinHash/SimHash family — near-identical titles/keys where "within
+    3 edits" is a contract, found by PassJoin pigeonhole segment
+    blocking (operators/fuzzy.py edit_distance_pairs: tau+1 segments
+    as an inverted index, position-bounded substrings as probes, one
+    hash equi-join, levenshtein(threshold) refine — never all-pairs).
+    Keys are ASCII here, so Spark's codepoint levenshtein and
+    DuckDB's byte levenshtein agree; the oracle brute-forces the
+    distinct-key pair set, which the blocked join must reproduce
+    EXACTLY (the same no-false-negative contract as tests/test_fuzzy
+    proves on random strings)."""
+    from symtseries_spark.operators.fuzzy import edit_distance_pairs
+
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    keyed = docs.select(
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ").alias(
+            "k"
+        )
+    )
+    pairs = edit_distance_pairs(keyed, key="k", tau=FUZZY_TAU)
+    return (
+        pairs.groupBy(F.col("dist").cast("long").alias("dist"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Round-10 additions (new queries go at the HEAD): the
-        # distribution-drift battery joining the r9 KS report.
+        # distribution-drift battery joining the r9 KS report, and
+        # the exact edit-distance similarity join.
+        "docs_fuzzy_prefix_pairs": q_docs_fuzzy_prefix_pairs,
         "docs_length_psi_by_source": q_docs_length_psi_by_source,
+        "docs_length_psi_stream": q_docs_length_psi_stream,
         "docs_lang_source_chisq": q_docs_lang_source_chisq,
         "events_mwu_click_purchase": q_events_mwu_click_purchase,
         # Registry order = driver-verification priority, NOT topic
@@ -6816,6 +6928,39 @@ FROM tot
 """
 
 
+_PSI_SQL = """
+WITH d AS (
+  SELECT source, least(n_chars // 50, 19) AS b
+  FROM documents WHERE n_chars IS NOT NULL
+), cells AS (
+  SELECT source, b, count(*) AS c FROM d GROUP BY source, b
+), grp AS (SELECT source, sum(c) AS n_rows FROM cells GROUP BY source),
+tot AS (SELECT count(*) AS n FROM d),
+spine AS (
+  SELECT g.source, g.n_rows, r.range AS b
+  FROM grp g CROSS JOIN range(20) r
+), filled AS (
+  SELECT s.source, s.n_rows,
+         COALESCE(c.c, 0) + 1 AS ca,
+         COALESCE(p.cb, 0) + 1 AS cba
+  FROM spine s
+  LEFT JOIN (SELECT b, sum(c) AS cb FROM cells GROUP BY b) p USING (b)
+  LEFT JOIN cells c ON c.source = s.source AND c.b = s.b
+), terms AS (
+  SELECT source, n_rows,
+         (CAST(ca AS DOUBLE) / CAST(n_rows + 20 AS DOUBLE)
+          - CAST(cba AS DOUBLE) / CAST((SELECT n FROM tot) + 20 AS DOUBLE))
+         * ln((CAST(ca AS DOUBLE) / CAST(n_rows + 20 AS DOUBLE))
+              / (CAST(cba AS DOUBLE)
+                 / CAST((SELECT n FROM tot) + 20 AS DOUBLE))) AS t
+  FROM filled
+)
+SELECT source, CAST(n_rows AS BIGINT) AS n_rows,
+       floor(sum(t) * 1000000.0 + 0.5) / 1000000.0 AS psi
+FROM terms GROUP BY source, n_rows
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     slide = oc.sliding_words_sql(SLIDE["n"], SLIDE["w"], SLIDE["c"])
     motifs = _tumbling_sql(TUMBLE_MOTIF)
@@ -6964,43 +7109,35 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 """
 
     out = {
+        # Round-10 PassJoin query: the oracle is the DEFINITION — a
+        # brute-force distinct-key pair scan (fine at oracle scale;
+        # the |len diff| <= tau join predicate is implied by the
+        # metric, not a semantic change) — while the Spark side runs
+        # the blocked join. ASCII keys keep DuckDB's byte-level
+        # levenshtein identical to Spark's codepoint one.
+        "docs_fuzzy_prefix_pairs": f"""
+WITH keys AS (
+  SELECT DISTINCT array_to_string((string_split(text, ' '))[1:3], ' ') AS k
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+), pairs AS (
+  SELECT levenshtein(a.k, b.k) AS dist
+  FROM keys a JOIN keys b
+    ON a.k < b.k AND abs(length(a.k) - length(b.k)) <= {FUZZY_TAU}
+)
+SELECT CAST(dist AS BIGINT) AS dist, count(*) AS n_pairs
+FROM pairs WHERE dist BETWEEN 1 AND {FUZZY_TAU} GROUP BY dist
+""",
         # Round-10 drift battery. Parity notes: p/q/e terms are
         # exact-rational doubles mirrored operation-for-operation
         # (IEEE-identical cross-engine); only PSI carries an ln, and
         # the 1e-6 output quantization absorbs libm ULP + grouped-sum
         # order drift (the dsir_logweights precedent). MWU is pure
         # integer/DECIMAL — exact.
-        "docs_length_psi_by_source": f"""
-WITH d AS (
-  SELECT source, least(n_chars // 50, 19) AS b
-  FROM documents WHERE n_chars IS NOT NULL
-), cells AS (
-  SELECT source, b, count(*) AS c FROM d GROUP BY source, b
-), grp AS (SELECT source, sum(c) AS n_rows FROM cells GROUP BY source),
-tot AS (SELECT count(*) AS n FROM d),
-spine AS (
-  SELECT g.source, g.n_rows, r.range AS b
-  FROM grp g CROSS JOIN range(20) r
-), filled AS (
-  SELECT s.source, s.n_rows,
-         COALESCE(c.c, 0) + 1 AS ca,
-         COALESCE(p.cb, 0) + 1 AS cba
-  FROM spine s
-  LEFT JOIN (SELECT b, sum(c) AS cb FROM cells GROUP BY b) p USING (b)
-  LEFT JOIN cells c ON c.source = s.source AND c.b = s.b
-), terms AS (
-  SELECT source, n_rows,
-         (CAST(ca AS DOUBLE) / CAST(n_rows + 20 AS DOUBLE)
-          - CAST(cba AS DOUBLE) / CAST((SELECT n FROM tot) + 20 AS DOUBLE))
-         * ln((CAST(ca AS DOUBLE) / CAST(n_rows + 20 AS DOUBLE))
-              / (CAST(cba AS DOUBLE)
-                 / CAST((SELECT n FROM tot) + 20 AS DOUBLE))) AS t
-  FROM filled
-)
-SELECT source, CAST(n_rows AS BIGINT) AS n_rows,
-       floor(sum(t) * 1000000.0 + 0.5) / 1000000.0 AS psi
-FROM terms GROUP BY source, n_rows
-""",
+        "docs_length_psi_by_source": _PSI_SQL,
+        # The stream twin's final counters equal the batch cells
+        # exactly (complete-mode groupBy), so it shares the batch
+        # oracle bit-for-bit — the grid_quantiles_from_counts pattern.
+        "docs_length_psi_stream": _PSI_SQL,
         "docs_lang_source_chisq": """
 WITH d AS (
   SELECT lang, source FROM documents

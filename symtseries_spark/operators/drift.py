@@ -36,7 +36,12 @@ from pyspark.sql import functions as F
 
 from .timeseries import quantize
 
-__all__ = ["psi_by_group", "chisq_independence", "mann_whitney_u"]
+__all__ = [
+    "psi_by_group",
+    "psi_from_counts",
+    "chisq_independence",
+    "mann_whitney_u",
+]
 
 
 def psi_by_group(
@@ -62,17 +67,48 @@ def psi_by_group(
     ``n_bins`` rows with the bin table broadcast. PSI >= 0 always;
     ~0.1 is the conventional "investigate" line, ~0.25 "shifted".
     """
-    if n_bins < 2:
-        raise ValueError("psi_by_group needs n_bins >= 2")
-    if alpha < 1:
-        raise ValueError("psi_by_group needs integer alpha >= 1")
     cells = df.groupBy(group, bin_col).agg(F.count(F.lit(1)).alias("__c"))
+    return psi_from_counts(
+        cells,
+        group=group,
+        bin_col=bin_col,
+        count="__c",
+        n_bins=n_bins,
+        alpha=alpha,
+    )
+
+
+def psi_from_counts(
+    cells: DataFrame,
+    *,
+    group: str,
+    bin_col: str,
+    count: str,
+    n_bins: int,
+    alpha: int = 1,
+) -> DataFrame:
+    """:func:`psi_by_group` starting from pre-aggregated ``(group,
+    bin, count)`` cells — the entry point for callers that already
+    hold the grid-bounded counter table, e.g. a complete-mode
+    streaming aggregation whose state IS those cells (the
+    ``grid_quantiles_from_counts`` pattern). Missing cells are
+    treated as zero observations (the spine materializes them)."""
+    if n_bins < 2:
+        raise ValueError("psi_from_counts needs n_bins >= 2")
+    if alpha < 1:
+        raise ValueError("psi_from_counts needs integer alpha >= 1")
+    cells = cells.select(
+        group, bin_col, F.col(count).cast("long").alias("__c")
+    )
     groups = cells.groupBy(group).agg(F.sum("__c").alias("n_rows"))
     per_bin = cells.groupBy(bin_col).agg(F.sum("__c").alias("__cb"))
-    n_total = df.count()  # 1-row driver scalar -> plan-time literal
+    # 1-row driver scalar -> plan-time literal (grid-bounded input)
+    n_total = cells.agg(F.sum("__c")).first()[0] or 0
     spine = groups.crossJoin(
         F.broadcast(
-            df.sparkSession.range(n_bins).select(F.col("id").alias(bin_col))
+            cells.sparkSession.range(n_bins).select(
+                F.col("id").alias(bin_col)
+            )
         )
     )
     full = (

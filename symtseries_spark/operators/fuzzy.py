@@ -1,0 +1,191 @@
+"""Exact edit-distance similarity self-join via pigeonhole segment
+blocking — the PassJoin partition scheme (Li, Deng & Feng, ICDE 2011)
+re-expressed as relational algebra: segments are an inverted index,
+probes are an equi-join, and the only per-pair work is one built-in
+``levenshtein`` call on a candidate set that provably contains every
+true pair.
+
+Why this exists: the MinHash/SimHash family (operators/dedup.py) is
+probabilistic set-similarity; curation pipelines also need EXACT
+string-similarity joins for short keys — near-identical titles, URLs,
+product names, code lines — where "within 2 edits" is the contract
+and a missed pair is a bug. No reference counterpart (the reference
+is a SAX kernel library, src/symtseries.c); the published algorithm
+is the spec.
+
+The pigeonhole lemma: split every indexed string into ``tau + 1``
+contiguous segments. Any string within edit distance ``tau`` must
+contain at least one segment VERBATIM (tau edits cannot touch all
+tau + 1 disjoint segments), shifted by at most ``tau`` positions
+(each edit shifts alignment by at most one). So:
+
+* index side: each distinct key of length ``l >= tau + 1`` emits its
+  ``tau + 1`` segments keyed ``(segment_no, l, segment_text)``.
+* probe side: each key of length ``m`` emits, for every indexable
+  length ``l`` in ``[m - tau, m]`` and segment ``i``, the substrings
+  at starts within ``tau`` of the segment's home position — at most
+  ``(tau+1)^2 * (2*tau+1)`` probe rows per key, a CONSTANT fanout.
+* candidates = equi-join(index, probe) on the 3-part key; refine with
+  ``levenshtein(a, b, threshold=tau)`` (JVM codegen, early-exit at
+  the threshold).
+
+100 TB contract: index is ``(tau+1) * n`` rows, probe is ``O(tau^3) *
+n`` rows, the join is a hash equi-join on (segment_no, length, text)
+— never an all-pairs product — and the refine runs once per
+candidate. Worst-case skew is a segment shared by a large fraction of
+keys (e.g. a constant prefix); that is inherent to EXACT edit joins —
+there really are that many candidate pairs — and callers who accept
+recall loss for skew immunity should use the MinHash path instead.
+
+Strings shorter than ``tau + 1`` cannot be segmented; they can only
+pair with strings of length ``<= 2 * tau`` (edit distance is bounded
+below by the length gap), so that bounded sliver is handled by a
+broadcast short-bucket join, capped by ``short_cap``.
+
+Engine parity note for oracles: Spark's ``levenshtein`` counts
+UNICODE CODEPOINTS while DuckDB's counts BYTES — identical on ASCII
+keys only. Registered queries normalize keys to ASCII-safe forms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["edit_distance_pairs"]
+
+
+def _seg_cols(k: int, tau: int):
+    """Shared segment geometry for a length-``l`` string split into
+    ``k = tau + 1`` parts: the first ``l % k`` segments take the extra
+    character. Returns (width, start) SQL for current columns l, i."""
+    w = F.expr(f"(l div {k}) + CASE WHEN i < (l % {k}) THEN 1 ELSE 0 END")
+    p = F.expr(f"i * (l div {k}) + least(i, l % {k})")
+    return w, p
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    *,
+    key: str = "key",
+    tau: int = 2,
+    short_cap: int = 100_000,
+) -> DataFrame:
+    """All unordered pairs of DISTINCT non-empty ``key`` values within
+    edit distance ``tau`` -> ``(key_a, key_b, dist)`` with ``key_a <
+    key_b`` and ``1 <= dist <= tau``.
+
+    Exact (no false negatives, no false positives): pigeonhole segment
+    blocking generates a candidate superset, ``levenshtein`` decides.
+    Identical keys are collapsed up front (``dist = 0`` is exact
+    dedup's job, and expanding duplicate groups into pairs is the one
+    quadratic blowup this operator refuses to do).
+
+    ``short_cap`` bounds the driver-checked count of unsegmentable
+    keys (length ``<= tau``) that take the broadcast short-bucket
+    path; raise it only if your key domain really is that degenerate.
+    """
+    if not isinstance(tau, int) or tau < 1:
+        raise ValueError("edit_distance_pairs needs integer tau >= 1")
+    k = tau + 1
+    keys = (
+        df.select(F.col(key).cast("string").alias("k"))
+        .where(F.col("k").isNotNull() & (F.length("k") > 0))
+        .distinct()
+    )
+
+    long_keys = keys.where(F.length("k") >= k)
+    idx = (
+        long_keys.select(
+            "k",
+            F.length("k").alias("l"),
+            F.explode(F.sequence(F.lit(0), F.lit(tau))).alias("i"),
+        )
+        .withColumn("w", _seg_cols(k, tau)[0])
+        .withColumn("p", _seg_cols(k, tau)[1])
+        .select(
+            F.col("i"),
+            F.col("l"),
+            F.expr("substring(k, p + 1, w)").alias("seg"),
+            F.col("k").alias("a"),
+        )
+    )
+    # probe only lengths <= own length: each cross-length pair forms
+    # exactly once; equal-length pairs form twice and dedup below.
+    probe = (
+        long_keys.select(F.col("k").alias("s"), F.length("k").alias("m"))
+        .select(
+            "s",
+            "m",
+            F.explode(
+                F.expr(f"sequence(greatest({k}, m - {tau}), m)")
+            ).alias("l"),
+        )
+        .select(
+            "s",
+            "m",
+            "l",
+            F.explode(F.sequence(F.lit(0), F.lit(tau))).alias("i"),
+        )
+        .withColumn("w", _seg_cols(k, tau)[0])
+        .withColumn("p", _seg_cols(k, tau)[1])
+        .select(
+            "s",
+            "l",
+            "i",
+            F.explode(
+                F.expr(
+                    f"sequence(greatest(0, p - {tau}),"
+                    f" least(m - w, p + {tau}))"
+                )
+            ).alias("q"),
+            "w",
+        )
+        .select(
+            F.col("i"),
+            F.col("l"),
+            F.expr("substring(s, q + 1, w)").alias("seg"),
+            F.col("s").alias("b"),
+        )
+    )
+    cand = (
+        idx.join(probe, ["i", "l", "seg"])
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("key_a"),
+            F.greatest("a", "b").alias("key_b"),
+        )
+    )
+
+    # short bucket: keys of length <= tau pair only within length
+    # <= 2*tau; tiny by construction, broadcast, guarded by short_cap.
+    shorts = keys.where(F.length("k") <= tau)
+    n_short = shorts.count()
+    if n_short > short_cap:
+        raise ValueError(
+            f"edit_distance_pairs: {n_short} keys of length <= tau={tau} "
+            f"exceed short_cap={short_cap}; the key domain is degenerate "
+            f"— pre-filter it or raise short_cap."
+        )
+    if n_short:
+        partners = keys.where(F.length("k") <= 2 * tau)
+        sp = partners.select(F.col("k").alias("b")).join(
+            F.broadcast(shorts.select(F.col("k").alias("a"))),
+            on=(F.col("a") != F.col("b"))
+            & (F.abs(F.length("a") - F.length("b")) <= tau),
+            how="inner",
+        ).select(
+            F.least("a", "b").alias("key_a"),
+            F.greatest("a", "b").alias("key_b"),
+        )
+        cand = cand.unionByName(sp)
+
+    return (
+        cand.distinct()
+        .select(
+            "key_a",
+            "key_b",
+            F.levenshtein("key_a", "key_b", tau).alias("dist"),
+        )
+        .where((F.col("dist") >= 1) & (F.col("dist") <= tau))
+    )

@@ -1,0 +1,86 @@
+"""Exactness tests for operators/fuzzy.py edit_distance_pairs: the
+pigeonhole-blocked join must return EXACTLY the brute-force pair set
+(no false negatives from blocking, none of the candidate superset
+leaking through the refine)."""
+import random
+
+import pytest
+
+from symtseries_spark.operators.fuzzy import edit_distance_pairs
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _brute(keys, tau):
+    ks = sorted(set(k for k in keys if k))
+    out = set()
+    for i, a in enumerate(ks):
+        for b in ks[i + 1:]:
+            d = _lev(a, b)
+            if 1 <= d <= tau:
+                out.add((a, b, d))
+    return out
+
+
+def _spark_pairs(spark, keys, tau):
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    return {
+        (r.key_a, r.key_b, r.dist)
+        for r in edit_distance_pairs(df, key="key", tau=tau).collect()
+    }
+
+
+class TestEditDistancePairs:
+    @pytest.mark.parametrize("tau", [1, 2, 3])
+    def test_random_matches_brute_force(self, spark, tau):
+        rng = random.Random(100 + tau)
+        keys = [
+            "".join(rng.choice("abc") for _ in range(rng.randint(0, 10)))
+            for _ in range(120)
+        ]
+        keys = [k for k in keys if k]  # operator drops empties anyway
+        assert _spark_pairs(spark, keys, tau) == _brute(keys, tau)
+
+    def test_short_keys_route_through_short_bucket(self, spark):
+        # lengths 1..4 with tau=2: every pair with min length <= 2
+        # must come from the broadcast short path and still be exact
+        keys = ["a", "b", "ab", "ba", "abc", "abcd", "x", "xy"]
+        assert _spark_pairs(spark, keys, 2) == _brute(keys, 2)
+
+    def test_duplicates_and_empties_collapse(self, spark):
+        keys = ["foo", "foo", "foo", "fob", "", "fob"]
+        got = _spark_pairs(spark, [k for k in keys], 1)
+        assert got == {("fob", "foo", 1)}
+
+    def test_no_pairs_beyond_tau(self, spark):
+        keys = ["aaaa", "bbbb", "cccc"]
+        assert _spark_pairs(spark, keys, 2) == set()
+
+    def test_variable_lengths_with_shifts(self, spark):
+        # insertions shift segment alignment; the +-tau probe window
+        # must still find them
+        keys = ["abcdefgh", "abcdefghx", "xabcdefgh", "abcxdefgh",
+                "abcdefg", "bcdefgh"]
+        assert _spark_pairs(spark, keys, 2) == _brute(keys, 2)
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([("a",)], "key string")
+        with pytest.raises(ValueError):
+            edit_distance_pairs(df, key="key", tau=0)
+
+    def test_short_cap_raises(self, spark):
+        keys = ["a", "b", "c", "d"]
+        df = spark.createDataFrame([(k,) for k in keys], "key string")
+        with pytest.raises(ValueError, match="short_cap"):
+            edit_distance_pairs(df, key="key", tau=2, short_cap=2).collect()
