@@ -6257,6 +6257,56 @@ def q_docs_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fuzzy-dedup endgame: PassJoin key pairs (within
+    FUZZY_TAU=3 edits on the first-3-token key) -> pointer-doubled
+    connected components (operators/graph.py) -> per-doc canonical
+    assignment -> (doc_id, canonical_id, is_duplicate). The exact
+    edit-distance twin of the MinHash dedup_exact->clusters->keep
+    chain: key-level components keep the graph at |distinct keys|
+    nodes, and docs map back through their key — duplicate-group
+    expansion never produces pairs. Canonical = min doc_id in the
+    cluster (each key's node id IS its min doc_id, so the component
+    min is the cluster-wide min)."""
+    from symtseries_spark.operators.fuzzy import edit_distance_pairs
+    from symtseries_spark.operators.graph import connected_components
+
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    keyed = docs.select(
+        "doc_id",
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ").alias(
+            "k"
+        ),
+    )
+    kid = keyed.groupBy("k").agg(F.min("doc_id").alias("kid"))
+    pairs = edit_distance_pairs(kid, key="k", tau=FUZZY_TAU)
+    edges = (
+        pairs.join(
+            kid.select(F.col("k").alias("key_a"), F.col("kid").alias("src")),
+            "key_a",
+        )
+        .join(
+            kid.select(F.col("k").alias("key_b"), F.col("kid").alias("dst")),
+            "key_b",
+        )
+        .select("src", "dst")
+    )
+    cc = connected_components(
+        edges, kid.select(F.col("kid").alias("v")), vertex="v"
+    )
+    return (
+        keyed.join(kid, "k")
+        .join(cc, F.col("kid") == F.col("v"))
+        .select(
+            "doc_id",
+            F.col("canonical_id"),
+            (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Round-10 additions (new queries go at the HEAD): the
@@ -6265,6 +6315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fuzzy_prefix_pairs": q_docs_fuzzy_prefix_pairs,
         "docs_length_psi_by_source": q_docs_length_psi_by_source,
         "docs_length_psi_stream": q_docs_length_psi_stream,
+        "docs_fuzzy_clusters": q_docs_fuzzy_clusters,
         "docs_lang_source_chisq": q_docs_lang_source_chisq,
         "events_mwu_click_purchase": q_events_mwu_click_purchase,
         # Registry order = driver-verification priority, NOT topic
@@ -7126,6 +7177,32 @@ WITH keys AS (
 )
 SELECT CAST(dist AS BIGINT) AS dist, count(*) AS n_pairs
 FROM pairs WHERE dist BETWEEN 1 AND {FUZZY_TAU} GROUP BY dist
+""",
+        "docs_fuzzy_clusters": f"""
+WITH RECURSIVE keyed AS (
+  SELECT doc_id, array_to_string((string_split(text, ' '))[1:3], ' ') AS k
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+), kid AS (SELECT k, min(doc_id) AS kid FROM keyed GROUP BY k),
+kpairs AS (
+  SELECT a.kid AS ka, b.kid AS kb
+  FROM kid a JOIN kid b
+    ON a.k < b.k AND abs(length(a.k) - length(b.k)) <= {FUZZY_TAU}
+  WHERE levenshtein(a.k, b.k) BETWEEN 1 AND {FUZZY_TAU}
+), edges AS (
+  SELECT ka AS a, kb AS b FROM kpairs
+  UNION ALL
+  SELECT kb AS a, ka AS b FROM kpairs
+), conn(a, b) AS (
+  SELECT kid, kid FROM kid
+  UNION
+  SELECT c.a, e.b FROM conn c JOIN edges e ON c.b = e.a
+), canon AS (
+  SELECT a AS kid, min(b) AS canonical_id FROM conn GROUP BY a
+)
+SELECT d.doc_id, c.canonical_id,
+       d.doc_id <> c.canonical_id AS is_duplicate
+FROM keyed d JOIN kid USING (k) JOIN canon c USING (kid)
+ORDER BY d.doc_id
 """,
         # Round-10 drift battery. Parity notes: p/q/e terms are
         # exact-rational doubles mirrored operation-for-operation
