@@ -6257,6 +6257,36 @@ def q_docs_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_fuzzy_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest fuzzy gate: the odd-doc_id half plays the
+    NEW crawl batch, the even half the at-rest corpus, and the
+    two-table PassJoin (operators/fuzzy.py edit_distance_join —
+    right side indexed once, left side probes lengths m-tau..m+tau)
+    reports how many new keys land within 0..FUZZY_TAU edits of an
+    existing key -> (dist, n_pairs). dist=0 is included: "already
+    present verbatim" is exactly what an ingest gate asks — the
+    edit-distance analogue of dedup_incremental's MinHash path."""
+    from symtseries_spark.operators.fuzzy import edit_distance_join
+
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    keyed = docs.select(
+        "doc_id",
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ").alias(
+            "k"
+        ),
+    )
+    new = keyed.where(F.col("doc_id") % 2 == 1)
+    corpus = keyed.where(F.col("doc_id") % 2 == 0)
+    j = edit_distance_join(
+        new, corpus, left_key="k", right_key="k", tau=FUZZY_TAU
+    )
+    return j.groupBy(F.col("dist").cast("long").alias("dist")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
 def q_docs_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fuzzy-dedup endgame: PassJoin key pairs (within
     FUZZY_TAU=3 edits on the first-3-token key) -> pointer-doubled
@@ -6316,6 +6346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_length_psi_by_source": q_docs_length_psi_by_source,
         "docs_length_psi_stream": q_docs_length_psi_stream,
         "docs_fuzzy_clusters": q_docs_fuzzy_clusters,
+        "docs_fuzzy_incremental": q_docs_fuzzy_incremental,
         "docs_lang_source_chisq": q_docs_lang_source_chisq,
         "events_mwu_click_purchase": q_events_mwu_click_purchase,
         # Registry order = driver-verification priority, NOT topic
@@ -7177,6 +7208,19 @@ WITH keys AS (
 )
 SELECT CAST(dist AS BIGINT) AS dist, count(*) AS n_pairs
 FROM pairs WHERE dist BETWEEN 1 AND {FUZZY_TAU} GROUP BY dist
+""",
+        "docs_fuzzy_incremental": f"""
+WITH keyed AS (
+  SELECT doc_id, array_to_string((string_split(text, ' '))[1:3], ' ') AS k
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+), lk AS (SELECT DISTINCT k FROM keyed WHERE doc_id % 2 = 1),
+rk AS (SELECT DISTINCT k FROM keyed WHERE doc_id % 2 = 0),
+pairs AS (
+  SELECT levenshtein(a.k, b.k) AS dist
+  FROM lk a JOIN rk b ON abs(length(a.k) - length(b.k)) <= {FUZZY_TAU}
+)
+SELECT CAST(dist AS BIGINT) AS dist, count(*) AS n_pairs
+FROM pairs WHERE dist <= {FUZZY_TAU} GROUP BY dist
 """,
         "docs_fuzzy_clusters": f"""
 WITH RECURSIVE keyed AS (

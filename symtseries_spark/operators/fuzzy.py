@@ -20,7 +20,9 @@ tau + 1 disjoint segments), shifted by at most ``tau`` positions
 (each edit shifts alignment by at most one). So:
 
 * index side: each distinct key of length ``l >= tau + 1`` emits its
-  ``tau + 1`` segments keyed ``(segment_no, l, segment_text)``.
+  ``tau + 1`` segments keyed ``(segment_no, l, xxhash64(segment))`` —
+  hashing the segment shrinks the shuffle key to 8 bytes; a hash
+  collision only adds a candidate the refine kills.
 * probe side: each key of length ``m`` emits, for every indexable
   length ``l`` in ``[m - tau, m]`` and segment ``i``, the substrings
   at starts within ``tau`` of the segment's home position — at most
@@ -52,7 +54,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["edit_distance_pairs"]
+__all__ = ["edit_distance_pairs", "edit_distance_join"]
 
 
 def _seg_cols(k: int, tau: int):
@@ -62,6 +64,90 @@ def _seg_cols(k: int, tau: int):
     w = F.expr(f"(l div {k}) + CASE WHEN i < (l % {k}) THEN 1 ELSE 0 END")
     p = F.expr(f"i * (l div {k}) + least(i, l % {k})")
     return w, p
+
+
+def _clean_keys(df: DataFrame, key: str) -> DataFrame:
+    return (
+        df.select(F.col(key).cast("string").alias("k"))
+        .where(F.col("k").isNotNull() & (F.length("k") > 0))
+        .distinct()
+    )
+
+
+def _index_segments(long_keys: DataFrame, tau: int, out: str) -> DataFrame:
+    """(i, l, segh, <out>) — one row per segment of each key."""
+    k = tau + 1
+    return (
+        long_keys.select(
+            "k",
+            F.length("k").alias("l"),
+            F.explode(F.sequence(F.lit(0), F.lit(tau))).alias("i"),
+        )
+        .withColumn("w", _seg_cols(k, tau)[0])
+        .withColumn("p", _seg_cols(k, tau)[1])
+        .select(
+            F.col("i"),
+            F.col("l"),
+            # join on the segment's 64-bit hash, not the string: a
+            # collision only adds a candidate the levenshtein refine
+            # kills, so correctness is untouched and shuffle bytes
+            # drop (8-byte key vs variable-length text)
+            F.xxhash64(F.expr("substring(k, p + 1, w)")).alias("segh"),
+            F.col("k").alias(out),
+        )
+    )
+
+
+def _probe_substrings(
+    long_keys: DataFrame, tau: int, out: str, l_hi: str
+) -> DataFrame:
+    """(i, l, segh, <out>) — candidate substrings of each key against
+    indexed lengths ``l`` in [max(k, m - tau), <l_hi>]; ``l_hi`` is a
+    SQL expression over ``m`` ("m" for self-join orientation,
+    "m + tau" for the two-table join). Start positions are within
+    ``tau`` of the segment's home (alignment shift <= total edits);
+    ranges that fall outside the probe string emit nothing (another
+    segment of the same indexed key must be the one that matches)."""
+    k = tau + 1
+    return (
+        long_keys.select(F.col("k").alias("s"), F.length("k").alias("m"))
+        .select(
+            "s",
+            "m",
+            F.explode(
+                F.expr(f"sequence(greatest({k}, m - {tau}), {l_hi})")
+            ).alias("l"),
+        )
+        .select(
+            "s",
+            "m",
+            "l",
+            F.explode(F.sequence(F.lit(0), F.lit(tau))).alias("i"),
+        )
+        .withColumn("w", _seg_cols(k, tau)[0])
+        .withColumn("p", _seg_cols(k, tau)[1])
+        .select(
+            "s",
+            "l",
+            "i",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN least(m - w, p + {tau})"
+                    f"       >= greatest(0, p - {tau})"
+                    f" THEN sequence(greatest(0, p - {tau}),"
+                    f"               least(m - w, p + {tau}))"
+                    f" ELSE array() END"
+                )
+            ).alias("q"),
+            "w",
+        )
+        .select(
+            F.col("i"),
+            F.col("l"),
+            F.xxhash64(F.expr("substring(s, q + 1, w)")).alias("segh"),
+            F.col("s").alias(out),
+        )
+    )
 
 
 def edit_distance_pairs(
@@ -88,68 +174,15 @@ def edit_distance_pairs(
     if not isinstance(tau, int) or tau < 1:
         raise ValueError("edit_distance_pairs needs integer tau >= 1")
     k = tau + 1
-    keys = (
-        df.select(F.col(key).cast("string").alias("k"))
-        .where(F.col("k").isNotNull() & (F.length("k") > 0))
-        .distinct()
-    )
+    keys = _clean_keys(df, key)
 
     long_keys = keys.where(F.length("k") >= k)
-    idx = (
-        long_keys.select(
-            "k",
-            F.length("k").alias("l"),
-            F.explode(F.sequence(F.lit(0), F.lit(tau))).alias("i"),
-        )
-        .withColumn("w", _seg_cols(k, tau)[0])
-        .withColumn("p", _seg_cols(k, tau)[1])
-        .select(
-            F.col("i"),
-            F.col("l"),
-            F.expr("substring(k, p + 1, w)").alias("seg"),
-            F.col("k").alias("a"),
-        )
-    )
+    idx = _index_segments(long_keys, tau, "a")
     # probe only lengths <= own length: each cross-length pair forms
     # exactly once; equal-length pairs form twice and dedup below.
-    probe = (
-        long_keys.select(F.col("k").alias("s"), F.length("k").alias("m"))
-        .select(
-            "s",
-            "m",
-            F.explode(
-                F.expr(f"sequence(greatest({k}, m - {tau}), m)")
-            ).alias("l"),
-        )
-        .select(
-            "s",
-            "m",
-            "l",
-            F.explode(F.sequence(F.lit(0), F.lit(tau))).alias("i"),
-        )
-        .withColumn("w", _seg_cols(k, tau)[0])
-        .withColumn("p", _seg_cols(k, tau)[1])
-        .select(
-            "s",
-            "l",
-            "i",
-            F.explode(
-                F.expr(
-                    f"sequence(greatest(0, p - {tau}),"
-                    f" least(m - w, p + {tau}))"
-                )
-            ).alias("q"),
-            "w",
-        )
-        .select(
-            F.col("i"),
-            F.col("l"),
-            F.expr("substring(s, q + 1, w)").alias("seg"),
-            F.col("s").alias("b"),
-        )
-    )
+    probe = _probe_substrings(long_keys, tau, "b", "m")
     cand = (
-        idx.join(probe, ["i", "l", "seg"])
+        idx.join(probe, ["i", "l", "segh"])
         .where(F.col("a") != F.col("b"))
         .select(
             F.least("a", "b").alias("key_a"),
@@ -188,4 +221,77 @@ def edit_distance_pairs(
             F.levenshtein("key_a", "key_b", tau).alias("dist"),
         )
         .where((F.col("dist") >= 1) & (F.col("dist") <= tau))
+    )
+
+
+def edit_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_key: str = "key",
+    right_key: str = "key",
+    tau: int = 2,
+    short_cap: int = 100_000,
+) -> DataFrame:
+    """Two-table (R-S) exact edit-distance join over DISTINCT
+    non-empty keys -> ``(key_l, key_r, dist)`` with ``0 <= dist <=
+    tau`` — the incremental-ingest form: probe a new batch (``left``)
+    against an at-rest corpus (``right``) without self-joining
+    either side. Unlike the self-join, ``dist = 0`` IS included: "the
+    new key already exists" is exactly what an ingest gate asks.
+
+    Same pigeonhole machinery as :func:`edit_distance_pairs`, with the
+    RIGHT side indexed once and the LEFT side probing indexed lengths
+    in ``[m - tau, m + tau]`` (both directions, since no orientation
+    trick applies across tables); probe windows that fall outside the
+    left string emit nothing — the matching segment of a longer right
+    key necessarily fits. Unsegmentable keys (length ``<= tau``) on
+    EITHER side take a broadcast short-bucket join against partner
+    lengths ``<= 2 * tau``, each side's bucket capped by
+    ``short_cap``."""
+    if not isinstance(tau, int) or tau < 1:
+        raise ValueError("edit_distance_join needs integer tau >= 1")
+    k = tau + 1
+    lk = _clean_keys(left, left_key)
+    rk = _clean_keys(right, right_key)
+
+    idx = _index_segments(rk.where(F.length("k") >= k), tau, "key_r")
+    probe = _probe_substrings(
+        lk.where(F.length("k") >= k), tau, "key_l", f"m + {tau}"
+    )
+    cand = idx.join(probe, ["i", "l", "segh"]).select("key_l", "key_r")
+
+    for side, other, l_out, r_out in (
+        (lk, rk, "a", "b"),
+        (rk, lk, "b", "a"),
+    ):
+        shorts = side.where(F.length("k") <= tau)
+        n_short = shorts.count()
+        if n_short > short_cap:
+            raise ValueError(
+                f"edit_distance_join: {n_short} keys of length <= "
+                f"tau={tau} exceed short_cap={short_cap}; the key domain "
+                f"is degenerate — pre-filter it or raise short_cap."
+            )
+        if n_short:
+            partners = other.where(F.length("k") <= 2 * tau)
+            sp = partners.select(F.col("k").alias(r_out)).join(
+                F.broadcast(shorts.select(F.col("k").alias(l_out))),
+                on=F.abs(F.length(l_out) - F.length(r_out)) <= tau,
+                how="inner",
+            )
+            cand = cand.unionByName(
+                sp.select(
+                    F.col("a").alias("key_l"), F.col("b").alias("key_r")
+                )
+            )
+
+    return (
+        cand.distinct()
+        .select(
+            "key_l",
+            "key_r",
+            F.levenshtein("key_l", "key_r", tau).alias("dist"),
+        )
+        .where((F.col("dist") >= 0) & (F.col("dist") <= tau))
     )

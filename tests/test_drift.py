@@ -85,6 +85,26 @@ class TestPSI:
         with pytest.raises(ValueError):
             psi_by_group(df, group="g", bin_col="b", n_bins=4, alpha=0)
 
+    def test_from_counts_equals_row_level(self, spark):
+        from symtseries_spark.operators.drift import psi_from_counts
+
+        rows = [("a", i % 3) for i in range(30)] + [
+            ("b", i % 5) for i in range(25)
+        ]
+        df = spark.createDataFrame(rows, "g string, b int")
+        via_rows = {
+            (r.g, r.n_rows, r.psi)
+            for r in psi_by_group(df, group="g", bin_col="b", n_bins=6).collect()
+        }
+        cells = df.groupBy("g", "b").count()
+        via_counts = {
+            (r.g, r.n_rows, r.psi)
+            for r in psi_from_counts(
+                cells, group="g", bin_col="b", count="count", n_bins=6
+            ).collect()
+        }
+        assert via_counts == via_rows
+
 
 class TestChiSquare:
     def test_perfect_independence_is_zero(self, spark):

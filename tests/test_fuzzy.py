@@ -6,7 +6,10 @@ import random
 
 import pytest
 
-from symtseries_spark.operators.fuzzy import edit_distance_pairs
+from symtseries_spark.operators.fuzzy import (
+    edit_distance_join,
+    edit_distance_pairs,
+)
 
 
 def _lev(a: str, b: str) -> int:
@@ -84,3 +87,52 @@ class TestEditDistancePairs:
         df = spark.createDataFrame([(k,) for k in keys], "key string")
         with pytest.raises(ValueError, match="short_cap"):
             edit_distance_pairs(df, key="key", tau=2, short_cap=2).collect()
+
+
+def _brute_rs(lkeys, rkeys, tau):
+    out = set()
+    for a in set(k for k in lkeys if k):
+        for b in set(k for k in rkeys if k):
+            d = _lev(a, b)
+            if d <= tau:
+                out.add((a, b, d))
+    return out
+
+
+class TestEditDistanceJoin:
+    def _run(self, spark, lkeys, rkeys, tau):
+        ldf = spark.createDataFrame([(k,) for k in lkeys], "key string")
+        rdf = spark.createDataFrame([(k,) for k in rkeys], "key string")
+        return {
+            (r.key_l, r.key_r, r.dist)
+            for r in edit_distance_join(ldf, rdf, tau=tau).collect()
+        }
+
+    @pytest.mark.parametrize("tau", [1, 2, 3])
+    def test_random_matches_brute_force(self, spark, tau):
+        rng = random.Random(200 + tau)
+        mk = lambda n: [
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 9)))
+            for _ in range(n)
+        ]
+        lkeys, rkeys = mk(80), mk(80)
+        assert self._run(spark, lkeys, rkeys, tau) == _brute_rs(
+            lkeys, rkeys, tau
+        )
+
+    def test_exact_match_included(self, spark):
+        got = self._run(spark, ["hello"], ["hello", "hellp"], 1)
+        assert got == {("hello", "hello", 0), ("hello", "hellp", 1)}
+
+    def test_right_longer_than_left(self, spark):
+        # the matching segment of a longer indexed key must still fit
+        # inside the shorter probe string
+        got = self._run(spark, ["abcdef"], ["abcdefgh", "abcdefg"], 2)
+        assert got == {("abcdef", "abcdefg", 1), ("abcdef", "abcdefgh", 2)}
+
+    def test_shorts_on_both_sides(self, spark):
+        lkeys = ["a", "ab", "abcd"]
+        rkeys = ["b", "abc", "x"]
+        assert self._run(spark, lkeys, rkeys, 2) == _brute_rs(
+            lkeys, rkeys, 2
+        )
