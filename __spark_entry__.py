@@ -6257,6 +6257,64 @@ def q_docs_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-overlap matrix: Jaccard similarity of
+    each source PAIR's distinct word-3-shingle sets -> (source_a,
+    source_b, n_a, n_b, n_common, jaccard), intersecting pairs only —
+    the corpus-health report for "which feeds re-host whose
+    passages" (inter-source redundancy that per-doc dedup views
+    don't aggregate). Scale shape: one distinct over (source,
+    shingle) — vocabulary-bounded per source, map-side combinable —
+    then a self-equi-join on shingle whose per-key fanout is capped
+    by SOURCE COUNT (<= |sources|^2 pairs per shingle, never
+    corpus-scaled), reduced to the |sources|^2-bounded pair grid.
+    Exact-rational double division; 1e-6 output quantization."""
+    from symtseries_spark.functions.text import shingles
+    from symtseries_spark.operators.timeseries import quantize
+
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    sh = docs.select(
+        "source",
+        F.explode(shingles(F.col("text"), JACCARD["k"])).alias("sh"),
+    ).distinct()
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        sh.select(F.col("source").alias("source_a"), "sh")
+        .join(sh.select(F.col("source").alias("source_b"), "sh"), "sh")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(
+            sizes.select(
+                F.col("source").alias("source_a"), F.col("n").alias("n_a")
+            ),
+            "source_a",
+        )
+        .join(
+            sizes.select(
+                F.col("source").alias("source_b"), F.col("n").alias("n_b")
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            quantize(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def q_docs_fuzzy_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest fuzzy gate: the odd-doc_id half plays the
     NEW crawl batch, the even half the at-rest corpus, and the
@@ -6347,6 +6405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_length_psi_stream": q_docs_length_psi_stream,
         "docs_fuzzy_clusters": q_docs_fuzzy_clusters,
         "docs_fuzzy_incremental": q_docs_fuzzy_incremental,
+        "docs_source_overlap": q_docs_source_overlap,
         "docs_lang_source_chisq": q_docs_lang_source_chisq,
         "events_mwu_click_purchase": q_events_mwu_click_purchase,
         # Registry order = driver-verification priority, NOT topic
@@ -7208,6 +7267,26 @@ WITH keys AS (
 )
 SELECT CAST(dist AS BIGINT) AS dist, count(*) AS n_pairs
 FROM pairs WHERE dist BETWEEN 1 AND {FUZZY_TAU} GROUP BY dist
+""",
+        "docs_source_overlap": f"""
+WITH sh AS (
+  SELECT DISTINCT source, unnest({ot.shingles_expr(JACCARD["k"])}) AS sh
+  FROM documents WHERE text IS NOT NULL
+), sizes AS (
+  SELECT source, count(*) AS n FROM sh GROUP BY source
+), common AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT c.source_a, c.source_b,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       CAST(c.n_common AS BIGINT) AS n_common,
+       floor(c.n_common / CAST(sa.n + sb.n - c.n_common AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+FROM common c
+JOIN sizes sa ON sa.source = c.source_a
+JOIN sizes sb ON sb.source = c.source_b
 """,
         "docs_fuzzy_incremental": f"""
 WITH keyed AS (
