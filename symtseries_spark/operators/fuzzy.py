@@ -54,6 +54,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import persist_tracked
+
 __all__ = ["edit_distance_pairs", "edit_distance_join"]
 
 
@@ -67,7 +69,11 @@ def _seg_cols(k: int, tau: int):
 
 
 def _clean_keys(df: DataFrame, key: str) -> DataFrame:
-    return (
+    """Distinct non-empty keys, persisted (tracked): every caller
+    fans the key table into several consumers (index, probe, short
+    bucket + its count job), and without the persist each branch
+    would re-run the upstream scan AND the distinct shuffle."""
+    return persist_tracked(
         df.select(F.col(key).cast("string").alias("k"))
         .where(F.col("k").isNotNull() & (F.length("k") > 0))
         .distinct()
