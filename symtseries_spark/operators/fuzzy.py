@@ -110,11 +110,22 @@ def _probe_substrings(
     """(i, l, segh, <out>) — candidate substrings of each key against
     indexed lengths ``l`` in [max(k, m - tau), <l_hi>]; ``l_hi`` is a
     SQL expression over ``m`` ("m" for self-join orientation,
-    "m + tau" for the two-table join). Start positions are within
-    ``tau`` of the segment's home (alignment shift <= total edits);
-    ranges that fall outside the probe string emit nothing (another
-    segment of the same indexed key must be the one that matches)."""
+    "m + tau" for the two-table join).
+
+    Start positions use the EXACT feasible shift set, not the naive
+    ``|shift| <= tau``: with ``D = m - l`` the length gap and ``d``
+    the alignment shift of an UNTOUCHED segment, the edits before the
+    segment move alignment by ``d`` (so cost at least ``|d|``) and
+    the edits after must close the remaining gap ``D - d`` (cost at
+    least ``|D - d|``), hence ``|d| + |D - d| <= tau`` — a window of
+    at most ``tau + 1`` starts instead of ``2*tau + 1`` (~2x fewer
+    probe rows at tau=3). Windows that fall outside the probe string
+    emit nothing (another segment of the same indexed key must be
+    the one that matches)."""
     k = tau + 1
+    f = f"((({tau}) - abs(m - l)) div 2)"
+    d_lo = f"(least(0, m - l) - {f})"
+    d_hi = f"(greatest(0, m - l) + {f})"
     return (
         long_keys.select(F.col("k").alias("s"), F.length("k").alias("m"))
         .select(
@@ -138,10 +149,10 @@ def _probe_substrings(
             "i",
             F.explode(
                 F.expr(
-                    f"CASE WHEN least(m - w, p + {tau})"
-                    f"       >= greatest(0, p - {tau})"
-                    f" THEN sequence(greatest(0, p - {tau}),"
-                    f"               least(m - w, p + {tau}))"
+                    f"CASE WHEN least(m - w, p + {d_hi})"
+                    f"       >= greatest(0, p + {d_lo})"
+                    f" THEN sequence(greatest(0, p + {d_lo}),"
+                    f"               least(m - w, p + {d_hi}))"
                     f" ELSE array() END"
                 )
             ).alias("q"),
