@@ -136,3 +136,34 @@ class TestEditDistanceJoin:
         assert self._run(spark, lkeys, rkeys, 2) == _brute_rs(
             lkeys, rkeys, 2
         )
+
+    def test_same_dataframe_both_sides(self, spark):
+        keys = ["foo", "fob", "bar", "barn"]
+        df = spark.createDataFrame([(k,) for k in keys], "key string")
+        got = {
+            (r.key_l, r.key_r, r.dist)
+            for r in edit_distance_join(df, df, tau=1).collect()
+        }
+        assert got == _brute_rs(keys, keys, 1)
+
+    def test_long_strings_planted_edits(self, spark):
+        # 15-30 char strings: segment widths > 1 and every planted
+        # variant type (sub, delete+sub, 3 subs) must be recovered
+        rng = random.Random(7)
+        base = [
+            "".join(rng.choice("abcdef") for _ in range(rng.randint(15, 30)))
+            for _ in range(40)
+        ]
+        variants = []
+        for j, b in enumerate(base[:12]):
+            p = 3 + (j % 9)
+            if j % 3 == 0:
+                variants.append(b[:p] + "z" + b[p + 1:])
+            elif j % 3 == 1:
+                variants.append(b[:p] + "z" + b[p + 1:p + 2] + b[p + 3:])
+            else:
+                variants.append(
+                    b[:p] + "x" + b[p + 1:p + 4] + "y" + b[p + 5:]
+                )
+        keys = base + variants
+        assert _spark_pairs(spark, keys, 3) == _brute(keys, 3)
