@@ -91,7 +91,7 @@ def lsh_pairs_after_exact(sf_dir: str) -> int:
 out = os.path.join(tempfile.gettempdir(), f"scaled_funnel_{FACTOR}x")
 print(f"[probe] building {FACTOR}x replica corpus at {out}", flush=True)
 t0 = time.perf_counter()
-build_scaled(spark, out)
+build_scaled(spark, out, factor=FACTOR)
 print(f"[probe] built in {time.perf_counter() - t0:.1f}s", flush=True)
 
 wall_b, stages_b, rounds_b = run(BASE)

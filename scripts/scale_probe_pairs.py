@@ -104,12 +104,22 @@ def _rotation(i: int, dim: int) -> tuple[list[int], list[int]]:
     return perm, signs
 
 
-def build_scaled(spark: SparkSession, out: str, dim: int = 64) -> None:
+def build_scaled(
+    spark: SparkSession,
+    out: str,
+    dim: int = 64,
+    factor: int | None = None,
+) -> None:
+    """``factor`` defaults to this module's env-read FACTOR; callers
+    from other scripts (scale_probe_funnel) MUST pass their own — the
+    r10 funnel probe's first run built a 10x corpus under a 100x
+    label because the two modules read the env independently."""
+    factor = FACTOR if factor is None else factor
     os.makedirs(out, exist_ok=True)
     docs = spark.read.parquet(f"{BASE}/documents.parquet")
-    perms = _perm_tables(FACTOR)
+    perms = _perm_tables(factor)
     dparts = []
-    for i in range(FACTOR):
+    for i in range(factor):
         vp, cp = perms[i]
         dparts.append(
             docs.select(
@@ -129,7 +139,7 @@ def build_scaled(spark: SparkSession, out: str, dim: int = 64) -> None:
     emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
     others = [c for c in emb.columns if c not in ("vec_id", "embedding")]
     eparts = []
-    for i in range(FACTOR):
+    for i in range(factor):
         perm, signs = _rotation(i, dim)
         rotated = F.array(
             *[
