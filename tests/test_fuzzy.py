@@ -77,6 +77,16 @@ class TestEditDistancePairs:
                 "abcdefg", "bcdefgh"]
         assert _spark_pairs(spark, keys, 2) == _brute(keys, 2)
 
+    def test_unicode_codepoint_semantics(self, spark):
+        # Spark's length/substring/levenshtein are codepoint-based, so
+        # the blocked join must agree with a codepoint-level brute
+        # force on non-ASCII keys (the DuckDB oracle is byte-based and
+        # only used on ASCII corpora — this guards the operator
+        # itself beyond that domain)
+        keys = ["héllo", "hello", "hållo", "héllò", "naïve", "naive",
+                "日本語", "日本誤", "日本", "crème", "creme"]
+        assert _spark_pairs(spark, keys, 2) == _brute(keys, 2)
+
     def test_validation(self, spark):
         df = spark.createDataFrame([("a",)], "key string")
         with pytest.raises(ValueError):
