@@ -221,6 +221,25 @@ if "triangles" in LEGS:
         t1 = None
         for f_ in FACTORS:
             n_edges = BASE_EDGES * f_
+            if shape == "hub1k":
+                # wedge rows = (h/2)^2 per hub: at 100M edges x h=1000
+                # that is 25e9 rows (~600 GB shuffle) — a cluster job
+                # by design (and a measured single-box ENOSPC, r10).
+                # The hubgrow leg below measures this quadratic axis
+                # CONTROLLED, at fixed edge volume. Cap, loudly.
+                wedges = (1000 // 2) ** 2 * (n_edges // 1000)
+                if wedges > int(
+                    os.environ.get("SPARK_GRAFT_WEDGE_CAP", "5000000000")
+                ):
+                    print(
+                        f"triangles {shape:9s} x{f_:<4d} "
+                        f"edges={n_edges:>11,d} SKIP: {wedges:,} wedge "
+                        f"rows exceed SPARK_GRAFT_WEDGE_CAP (single-box "
+                        f"spill; linear-in-wedges on a cluster — the "
+                        f"hubgrow leg measures this axis at fixed "
+                        f"volume)", flush=True,
+                    )
+                    continue
             e, n_comp = make(n_edges)
             t0 = time.perf_counter()
             row = triangle_stats(e).first()
