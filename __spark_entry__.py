@@ -210,6 +210,7 @@ MINHASH = dict(k=3, num_hashes=32, bands=8, threshold=0.35, seed=7)
 PAGERANK = dict(damping=0.85, n_iter=5)
 ZIPF_TOP_V = 100
 TRUNC_DIM = 16  # Matryoshka recall probe: prefix dims scored vs full 64
+JL_DIM = 16  # JL random-sign projection width (same budget as TRUNC_DIM)
 HIST_BINS = 256
 KNN_ACC = dict(max_query_id=32, k=10)
 SIMHASH_BITS = 32
@@ -1311,6 +1312,22 @@ def q_emb_trunc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "embeddings"),
         max_query_id=RECALL["max_query_id"], k=RECALL["k"],
         trunc_dim=TRUNC_DIM, dim=EMB_DIM,
+    )
+
+
+def q_emb_jl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of cosine search in a 16-of-64-dim Johnson-Lindenstrauss
+    random-sign projection vs the full-dim exact top-k
+    (operators/simsearch.py:jl_recall) — the DATA-INDEPENDENT sibling of
+    emb_trunc_recall: same 4x byte budget, but the projection mixes all
+    64 input dims instead of trusting a Matryoshka-trained prefix, so it
+    works on embeddings with no trained dimension ordering."""
+    from symtseries_spark.operators.simsearch import jl_recall
+
+    return jl_recall(
+        load(spark, sf_dir, "embeddings"),
+        max_query_id=RECALL["max_query_id"], k=RECALL["k"],
+        out_dim=JL_DIM, dim=EMB_DIM,
     )
 
 
@@ -6400,6 +6417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Round-10 additions (new queries go at the HEAD): the
         # distribution-drift battery joining the r9 KS report, and
         # the exact edit-distance similarity join.
+        "emb_jl_recall": q_emb_jl_recall,
         "docs_fuzzy_prefix_pairs": q_docs_fuzzy_prefix_pairs,
         "docs_length_psi_by_source": q_docs_length_psi_by_source,
         "docs_length_psi_stream": q_docs_length_psi_stream,
@@ -7769,6 +7787,10 @@ SELECT quantile,
 FROM f
 """,
         "docs_zipf_slope": ot.zipf_fit_sql(top_v=ZIPF_TOP_V),
+        "emb_jl_recall": ov.jl_recall_sql(
+            max_query_id=RECALL["max_query_id"], k=RECALL["k"],
+            out_dim=JL_DIM, dim=EMB_DIM,
+        ),
         "emb_trunc_recall": ov.truncated_dim_recall_sql(
             max_query_id=RECALL["max_query_id"], k=RECALL["k"],
             trunc_dim=TRUNC_DIM, dim=EMB_DIM,

@@ -1023,3 +1023,123 @@ def knn_label_accuracy(
         (-F.col("__p.__neg")).alias("n_votes"),
         (F.col("__p.__lb") == F.col("own_label")).alias("is_correct"),
     )
+
+
+def jl_signs(out_dim: int, dim: int, tag: str = "jl") -> list[list[int]]:
+    """Deterministic ±1 Johnson-Lindenstrauss sign matrix, ``out_dim``
+    rows of ``dim`` signs. ``s[j][i]`` is +1 iff the 60-bit md5 integer
+    of ``"{tag}:{j}:{i}"`` is even — the same engine-independent
+    ``int(md5(s)[:15], 16)`` convention as ``functions.text.doc_hash60``,
+    but evaluated DRIVER-side with hashlib so the Spark operator and the
+    DuckDB oracle consume the identical literal matrix (no per-row
+    hashing in either engine; the matrix is out_dim x dim literals)."""
+    import hashlib
+
+    def sign(j: int, i: int) -> int:
+        h = hashlib.md5(f"{tag}:{j}:{i}".encode()).hexdigest()[:15]
+        return 1 if int(h, 16) % 2 == 0 else -1
+
+    return [[sign(j, i) for i in range(dim)] for j in range(out_dim)]
+
+
+def jl_project(
+    vectors: DataFrame,
+    *,
+    out_dim: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tag: str = "jl",
+) -> DataFrame:
+    """Random-sign Johnson-Lindenstrauss projection of ``dim``-dim
+    vectors down to ``out_dim`` components -> ``(id, jl array<double>)``.
+
+    Each output component is a flat left-to-right ``0.0 ± x[1] ± x[2]
+    ...`` sum with ±1 coefficients from :func:`jl_signs` (Achlioptas
+    2003: ±1 entries satisfy the JL lemma with the same distortion
+    bounds as Gaussian entries). The conventional ``1/sqrt(out_dim)``
+    scale is deliberately omitted — downstream scoring is cosine, which
+    is scale-invariant, and coefficient-free ± sums of doubles are
+    bit-reproducible against the SQL oracle's identical left-assoc
+    expression with zero multiplications.
+
+    Scale shape: a pure scan-stage projection (no shuffle, no UDF —
+    ``out_dim * dim`` codegen'd adds per row), the narrow transform
+    that makes every downstream ANN join read ``out_dim/dim`` of the
+    vector bytes."""
+    if not 1 <= out_dim:
+        raise ValueError("jl_project needs out_dim >= 1")
+    if dim < 1:
+        raise ValueError("jl_project needs dim >= 1")
+    signs = jl_signs(out_dim, dim, tag)
+    v = F.col(vec_col).cast("array<double>")
+    comps = []
+    for row in signs:
+        term = F.lit(0.0)
+        for i, sg in enumerate(row):
+            e = F.element_at(v, i + 1)
+            term = term + e if sg > 0 else term - e
+        comps.append(term)
+    return vectors.select(F.col(id_col), F.array(*comps).alias("jl"))
+
+
+def jl_recall(
+    vectors: DataFrame,
+    *,
+    max_query_id: int,
+    k: int,
+    out_dim: int,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tag: str = "jl",
+) -> DataFrame:
+    """Recall@k of cosine search in the ``out_dim``-dim JL-projected
+    space vs the full-dim exact top-k, for the query panel ``id <
+    max_query_id`` -> ``(query_id, n_approx, n_hit, recall)``.
+
+    The data-independent sibling of :func:`truncated_dim_recall`: the
+    Matryoshka prefix assumes the embedding model front-loaded the
+    information; JL random signs need no such training and mix every
+    input dimension into each output — the right at-rest compression
+    when the embedding is NOT Matryoshka-trained. Deterministic like
+    the other recall legs: cosines rounded to 6 decimals, (cos desc,
+    id) tiebreak, fold order matching the oracle's ``list_reduce``."""
+    if k < 1:
+        raise ValueError("jl_recall needs k >= 1")
+    base = jl_project(
+        vectors, out_dim=out_dim, dim=dim, id_col=id_col,
+        vec_col=vec_col, tag=tag,
+    ).select(F.col(id_col).alias("cand_id"), F.col("jl").alias("__v"))
+    q = base.where(F.col("cand_id") < max_query_id).select(
+        F.col("cand_id").alias("query_id"), F.col("__v").alias("__qv")
+    )
+    scored = base.join(
+        F.broadcast(q), F.col("cand_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "cand_id",
+        F.round(
+            dot(F.col("__v"), F.col("__qv"))
+            / (norm(F.col("__v")) * norm(F.col("__qv"))),
+            6,
+        ).alias("cos"),
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("cand_id")
+        )
+    )
+    approx = scored.withColumn("__r", rank).where(F.col("__r") <= k)
+    exact = knn_join(
+        vectors,
+        vectors.where(F.col(id_col) < max_query_id),
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=id_col,
+        query_vec_col=vec_col,
+    )
+    return _recall_vs_exact(
+        q.select("query_id"), approx.select("query_id", "cand_id"), exact, k=k
+    )

@@ -888,3 +888,55 @@ WITH sc AS (
 ), {_exact_topk_cte(max_query_id=max_query_id, k=k, dim=dim, table=table)}
 {_recall_tail_sql(k)}
 """
+
+
+def _jl_proj_list(vec: str, signs: list[list[int]]) -> str:
+    """JL projection of ``vec`` as a DuckDB list literal-expression:
+    each component is the same left-assoc ``0.0 ± x[1] ± x[2] ...`` sum
+    (coefficient-free, zero multiplications) the Spark operator folds,
+    so projected components match bit-for-bit."""
+    comps = []
+    for row in signs:
+        s = "CAST(0 AS DOUBLE)"
+        for i, sg in enumerate(row):
+            op = "+" if sg > 0 else "-"
+            s += f" {op} CAST({vec}[{i + 1}] AS DOUBLE)"
+        comps.append("(" + s + ")")
+    return "[" + ", ".join(comps) + "]"
+
+
+def jl_recall_sql(
+    *,
+    max_query_id: int,
+    k: int,
+    out_dim: int,
+    dim: int,
+    tag: str = "jl",
+    table: str = "embeddings",
+) -> str:
+    """Twin of simsearch.jl_recall: project every vector through the
+    shared driver-side literal sign matrix (simsearch.jl_signs — both
+    engines consume the identical literals), score cosine in the
+    projected space, and compare the per-query top-k against the shared
+    full-dim exact CTE."""
+    from .operators.simsearch import jl_signs
+
+    signs = jl_signs(out_dim, dim, tag)
+    return f"""
+WITH p AS (
+  SELECT vec_id, {_jl_proj_list('embedding', signs)} AS pv FROM {table}
+), q AS (
+  SELECT vec_id AS query_id, pv AS qv FROM p WHERE vec_id < {max_query_id}
+), approx AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.query_id, v.vec_id AS cand_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round({cosine_expr('v.pv', 'q.qv', out_dim)}, 6)
+               DESC, v.vec_id) AS r
+    FROM p v, q
+    WHERE v.vec_id != q.query_id)
+  WHERE r <= {k}
+), {_exact_topk_cte(max_query_id=max_query_id, k=k, dim=dim, table=table)}
+{_recall_tail_sql(k)}
+"""

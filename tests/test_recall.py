@@ -276,3 +276,63 @@ class TestInt8Recall:
 
         with pytest.raises(ValueError):
             int8_recall(emb, max_query_id=0, k=5)
+
+
+class TestJlRecall:
+    def test_signs_deterministic_and_pm1(self):
+        from symtseries_spark.operators.simsearch import jl_signs
+
+        a = jl_signs(8, 64)
+        b = jl_signs(8, 64)
+        assert a == b
+        assert len(a) == 8 and all(len(r) == 64 for r in a)
+        assert all(s in (-1, 1) for r in a for s in r)
+        # roughly balanced signs (md5 parity): not all one sign per row
+        assert all(-64 < sum(r) < 64 for r in a)
+        # tag changes the matrix
+        assert jl_signs(8, 64, tag="jl2") != a
+
+    def test_project_matches_numpy(self, spark, emb):
+        import numpy as np
+
+        from symtseries_spark.operators.simsearch import jl_project, jl_signs
+
+        rows = (
+            jl_project(emb, out_dim=6, dim=64)
+            .join(emb.select("vec_id", "embedding"), "vec_id")
+            .orderBy("vec_id")
+            .limit(10)
+            .collect()
+        )
+        S = np.array(jl_signs(6, 64), dtype=np.float64)
+        for r in rows:
+            x = np.array(r["embedding"], dtype=np.float64)
+            np.testing.assert_allclose(
+                np.array(r["jl"]), S @ x, rtol=0, atol=1e-9
+            )
+
+    def test_recall_shape_and_bounds(self, emb):
+        from symtseries_spark.operators.simsearch import jl_recall
+
+        rows = jl_recall(emb, max_query_id=4, k=5, out_dim=16, dim=64).collect()
+        assert {r["query_id"] for r in rows} == {0, 1, 2, 3}
+        for r in rows:
+            # the projected scan ranks the full corpus, so it always
+            # fills k candidates; hits are bounded by k
+            assert r["n_approx"] == 5
+            assert 0 <= r["n_hit"] <= 5
+            assert r["recall"] == pytest.approx(r["n_hit"] / 5, abs=1e-9)
+
+    def test_full_width_projection_is_lossless_ranking(self, emb):
+        """out_dim == dim random signs form (almost surely) a full-rank
+        rotation-like map; with out_dim == dim = 64 the projection is a
+        bijection of R^64, but cosine is NOT preserved by a non-
+        orthogonal map — so instead check the cheap invariant: recall in
+        the projected space improves (weakly) as out_dim grows, on
+        average over the panel."""
+        from symtseries_spark.operators.simsearch import jl_recall
+
+        lo = jl_recall(emb, max_query_id=4, k=5, out_dim=4, dim=64).collect()
+        hi = jl_recall(emb, max_query_id=4, k=5, out_dim=48, dim=64).collect()
+        avg = lambda rows: sum(r["recall"] for r in rows) / len(rows)
+        assert avg(hi) >= avg(lo)
