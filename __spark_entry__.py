@@ -211,6 +211,7 @@ PAGERANK = dict(damping=0.85, n_iter=5)
 ZIPF_TOP_V = 100
 TRUNC_DIM = 16  # Matryoshka recall probe: prefix dims scored vs full 64
 JL_DIM = 16  # JL random-sign projection width (same budget as TRUNC_DIM)
+HYBRID = dict(terms=["hash", "join", "spark"], query_vec_id=0, n_leg=50, k=20)
 HIST_BINS = 256
 KNN_ACC = dict(max_query_id=32, k=10)
 SIMHASH_BITS = 32
@@ -1312,6 +1313,22 @@ def q_emb_trunc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "embeddings"),
         max_query_id=RECALL["max_query_id"], k=RECALL["k"],
         trunc_dim=TRUNC_DIM, dim=EMB_DIM,
+    )
+
+
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    top-50 and the cosine semantic top-50 into one top-20
+    (operators/retrieval.py:hybrid_rrf_topk) — the training-free
+    two-tower fusion a RAG stack runs between its inverted index and
+    its vector index. Both legs end in TakeOrderedAndProject; the fuse
+    tail touches at most 2 * n_leg rows."""
+    from symtseries_spark.operators.retrieval import hybrid_rrf_topk
+
+    return hybrid_rrf_topk(
+        load(spark, sf_dir, "documents"),
+        load(spark, sf_dir, "embeddings"),
+        **HYBRID,
     )
 
 
@@ -6418,6 +6435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # distribution-drift battery joining the r9 KS report, and
         # the exact edit-distance similarity join.
         "emb_jl_recall": q_emb_jl_recall,
+        "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "docs_fuzzy_prefix_pairs": q_docs_fuzzy_prefix_pairs,
         "docs_length_psi_by_source": q_docs_length_psi_by_source,
         "docs_length_psi_stream": q_docs_length_psi_stream,
@@ -7787,6 +7805,7 @@ SELECT quantile,
 FROM f
 """,
         "docs_zipf_slope": ot.zipf_fit_sql(top_v=ZIPF_TOP_V),
+        "hybrid_rrf_topk": ot.hybrid_rrf_topk_sql(**HYBRID, dim=EMB_DIM),
         "emb_jl_recall": ov.jl_recall_sql(
             max_query_id=RECALL["max_query_id"], k=RECALL["k"],
             out_dim=JL_DIM, dim=EMB_DIM,

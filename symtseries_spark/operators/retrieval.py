@@ -24,6 +24,7 @@ from ..functions.text import kgram_hashes, tokens
 __all__ = [
     "bigram_logprob",
     "bm25_topk",
+    "hybrid_rrf_topk",
     "boilerplate_metrics",
     "repetition_metrics",
     "tfidf_top_terms",
@@ -610,4 +611,89 @@ def zipf_fit(
         "n_terms",
         quantize(slope, round_to).alias("zipf_slope"),
         quantize(intercept, round_to).alias("zipf_intercept"),
+    )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    vectors: DataFrame,
+    *,
+    terms: list[str],
+    query_vec_id: int,
+    n_leg: int,
+    k: int,
+    rrf_k: int = 60,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Reciprocal-rank-fusion hybrid retrieval: fuse the BM25 lexical
+    top-``n_leg`` (bag-of-words query ``terms``) with the cosine
+    semantic top-``n_leg`` (probe vector ``query_vec_id``; documents
+    and vectors join 1:1 on id) into
+
+        ``rrf = sum over legs of 1 / (rrf_k + rank_in_leg)``
+
+    (Cormack, Clarke & Buettcher 2009, the standard training-free
+    fusion in RAG stacks) -> top ``k`` rows ``(doc_id, r_lex, r_sem,
+    rrf_score)``, rrf descending, doc_id tiebreak. A doc absent from a
+    leg contributes 0 from that leg and reports rank 0 in the output.
+    The probe document itself is excluded from BOTH legs.
+
+    Scale shape: each leg is the corresponding scan-stage operator
+    (``bm25_topk``: two pruned scans + broadcast stats;
+    ``cosine_topk``: broadcast query row) ending in a
+    TakeOrderedAndProject — the corpus never shuffles. Everything after
+    the leg cuts (rank windows, full-outer fuse, final top-k) runs on
+    at most ``2 * n_leg`` rows, bounded by a PLAN-TIME constant — the
+    single-partition exchanges in that tail are k-row, not corpus-row
+    (the docs/PLAN_AUDIT.md Class-B bounded-tail pattern).
+
+    Determinism: leg ranks are row_number over (rounded score desc,
+    id) — both engines produce identical 6-decimal leg scores (the
+    bm25/cosine oracles are value-exact), so ranks, fusion sums over
+    integer ranks, and the final rounded-score cut replay exactly."""
+    from .simsearch import cosine_topk
+
+    if n_leg < 1 or k < 1:
+        raise ValueError("hybrid_rrf_topk needs n_leg >= 1 and k >= 1")
+    if rrf_k < 1:
+        raise ValueError("hybrid_rrf_topk needs rrf_k >= 1")
+    from pyspark.sql import Window
+
+    lex = bm25_topk(
+        docs.where(F.col(id_col) != query_vec_id),
+        terms=terms, topk=n_leg, k1=k1, b=b,
+        id_col=id_col, text_col=text_col,
+    ).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), "doc_id"))
+        .alias("r_lex"),
+    )
+    sem = cosine_topk(
+        vectors, query_id=query_vec_id, k=n_leg,
+        id_col=vec_id_col, vec_col=vec_col,
+    ).select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos"), "vec_id"))
+        .alias("r_sem"),
+    )
+    fused = lex.join(sem, "doc_id", "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(rrf_k) + F.col("r_lex")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("r_sem")), F.lit(0.0))
+    return (
+        fused.select(
+            "doc_id",
+            F.coalesce("r_lex", F.lit(0)).alias("r_lex"),
+            F.coalesce("r_sem", F.lit(0)).alias("r_sem"),
+            F.round(rrf, 6).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(k)
     )

@@ -1249,3 +1249,76 @@ SELECT x.grp AS {group}, exact_distinct, n_buckets_used, hll_est,
          AS rel_err
 FROM x JOIN q USING (grp)
 """
+
+
+def hybrid_rrf_topk_sql(
+    *,
+    terms: list[str],
+    query_vec_id: int,
+    n_leg: int,
+    k: int,
+    rrf_k: int = 60,
+    k1: float = 1.2,
+    b: float = 0.75,
+    dim: int = 64,
+    table: str = "documents",
+    vec_table: str = "embeddings",
+) -> str:
+    """Oracle for retrieval.hybrid_rrf_topk: BM25 leg with the exact
+    bm25_topk_sql expression shape, cosine leg with oracle_vec's fold,
+    ranks over the 6-decimal rounded leg scores, reciprocal-rank fusion
+    over integer ranks."""
+    from .oracle_vec import cosine_expr
+
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(toks, t -> t = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n         ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    parts = " + ".join(
+        f"(ln(1.0 + (n - CAST(df{i} AS DOUBLE) + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5))"
+        f" * CAST(tf{i} AS DOUBLE) * {k1 + 1.0}"
+        f" / (CAST(tf{i} AS DOUBLE) + {k1} * ({1.0 - b} + {b} * dl / avgdl)))"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, len(toks) AS dl,
+         {tf_cols}
+  FROM (SELECT doc_id, {tokens_expr()} AS toks FROM {table}
+        WHERE doc_id != {query_vec_id})
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl,
+         {df_cols}
+  FROM base
+), lex AS (
+  SELECT doc_id, r_lex FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY round({parts}, 6) DESC, doc_id)
+             AS r_lex
+    FROM base, stats)
+  WHERE r_lex <= {n_leg}
+), qv AS (
+  SELECT embedding AS q FROM {vec_table} WHERE vec_id = {query_vec_id}
+), sem AS (
+  SELECT doc_id, r_sem FROM (
+    SELECT vec_id AS doc_id,
+           row_number() OVER (
+             ORDER BY round({cosine_expr('embedding', 'q', dim)}, 6)
+               DESC, vec_id) AS r_sem
+    FROM {vec_table}, qv
+    WHERE vec_id != {query_vec_id})
+  WHERE r_sem <= {n_leg}
+)
+SELECT doc_id,
+       coalesce(r_lex, 0) AS r_lex,
+       coalesce(r_sem, 0) AS r_sem,
+       round(coalesce(1.0 / ({rrf_k} + r_lex), 0.0)
+             + coalesce(1.0 / ({rrf_k} + r_sem), 0.0), 6) AS rrf_score
+FROM lex FULL OUTER JOIN sem USING (doc_id)
+ORDER BY rrf_score DESC, doc_id
+LIMIT {k}
+"""
