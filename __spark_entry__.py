@@ -212,6 +212,7 @@ ZIPF_TOP_V = 100
 TRUNC_DIM = 16  # Matryoshka recall probe: prefix dims scored vs full 64
 JL_DIM = 16  # JL random-sign projection width (same budget as TRUNC_DIM)
 HYBRID = dict(terms=["hash", "join", "spark"], query_vec_id=0, n_leg=50, k=20)
+HOT_NGRAM = dict(k=3, min_df=3)
 HIST_BINS = 256
 KNN_ACC = dict(max_query_id=32, k=10)
 SIMHASH_BITS = 32
@@ -1314,6 +1315,18 @@ def q_emb_trunc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_query_id=RECALL["max_query_id"], k=RECALL["k"],
         trunc_dim=TRUNC_DIM, dim=EMB_DIM,
     )
+
+
+def q_docs_hot_ngram_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate suppression score: per doc, the fraction of its
+    distinct word 3-grams whose corpus document-frequency is >= 3
+    (operators/dedup.py:hot_ngram_coverage) — the Lee et al. 2022
+    hot-n-gram template detector. One shingle explode feeds both the
+    df count and the per-doc totals; the hot set is the heavy-hitter
+    table (bounded by total_grams/min_df) and broadcasts."""
+    from symtseries_spark.operators.dedup import hot_ngram_coverage
+
+    return hot_ngram_coverage(load(spark, sf_dir, "documents"), **HOT_NGRAM)
 
 
 def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6436,6 +6449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the exact edit-distance similarity join.
         "emb_jl_recall": q_emb_jl_recall,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
+        "docs_hot_ngram_cov": q_docs_hot_ngram_cov,
         "docs_fuzzy_prefix_pairs": q_docs_fuzzy_prefix_pairs,
         "docs_length_psi_by_source": q_docs_length_psi_by_source,
         "docs_length_psi_stream": q_docs_length_psi_stream,
@@ -7806,6 +7820,9 @@ FROM f
 """,
         "docs_zipf_slope": ot.zipf_fit_sql(top_v=ZIPF_TOP_V),
         "hybrid_rrf_topk": ot.hybrid_rrf_topk_sql(**HYBRID, dim=EMB_DIM),
+        "docs_hot_ngram_cov": ot.hot_ngram_coverage_sql(
+            k=HOT_NGRAM["k"], min_df=HOT_NGRAM["min_df"]
+        ),
         "emb_jl_recall": ov.jl_recall_sql(
             max_query_id=RECALL["max_query_id"], k=RECALL["k"],
             out_dim=JL_DIM, dim=EMB_DIM,

@@ -675,3 +675,68 @@ def incremental_dedup(
         F.min("doc_id").alias("doc_id")
     )
     return first.select("doc_id", "content_hash")
+
+
+def hot_ngram_coverage(
+    docs: DataFrame,
+    *,
+    k: int,
+    min_df: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-hot n-gram coverage per document -> ``(doc_id, n_grams,
+    n_hot, hot_cov)``: the fraction of a document's distinct word
+    ``k``-grams whose corpus DOCUMENT frequency is >= ``min_df`` — the
+    boilerplate/template detector of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"): a doc largely built
+    of grams that recur across many other docs is navigation chrome,
+    license headers, or generated template, and its coverage is the
+    cleaning pipeline's suppression score. Docs with fewer than ``k``
+    tokens report ``(0, 0, 0.0)``.
+
+    Scale shape: one explode of distinct-per-doc shingles feeds BOTH
+    aggregations (per-gram df and per-doc totals — map-side
+    combinable); the hot-gram table is the heavy-hitter set, bounded
+    above by ``total_grams / min_df`` (each hot gram needs ``min_df``
+    distinct docs), so it is broadcast to the membership join — at
+    corpus scale raise ``min_df`` with volume to hold the broadcast
+    side flat, the same knob rule as the max_freq caps above. The
+    corpus-sized shingle relation shuffles once (on the gram key) for
+    the df count and never again."""
+    if k < 1 or min_df < 1:
+        raise ValueError("hot_ngram_coverage needs k >= 1 and min_df >= 1")
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), k)).alias("shingle"),
+    )
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") >= min_df)
+        .select("shingle")
+    )
+    tot = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__tot"))
+    hcnt = (
+        sh.join(F.broadcast(hot), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__hot"))
+    )
+    n_grams = F.coalesce("__tot", F.lit(0))
+    n_hot = F.coalesce("__hot", F.lit(0))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(tot, "doc_id", "left")
+        .join(hcnt, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_grams.alias("n_grams"),
+            n_hot.alias("n_hot"),
+            F.when(
+                n_grams > 0,
+                F.round(n_hot.cast("double") / n_grams.cast("double"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("hot_cov"),
+        )
+    )

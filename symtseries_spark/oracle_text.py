@@ -1322,3 +1322,33 @@ FROM lex FULL OUTER JOIN sem USING (doc_id)
 ORDER BY rrf_score DESC, doc_id
 LIMIT {k}
 """
+
+
+def hot_ngram_coverage_sql(
+    *, k: int, min_df: int, table: str = "documents"
+) -> str:
+    """Oracle for dedup.hot_ngram_coverage — same distinct-per-doc
+    shingle spine, df >= min_df hot set, per-doc membership fraction."""
+    return f"""
+WITH sh AS ({shingle_cte(k, table=table)}
+), hot AS (
+  SELECT shingle FROM (
+    SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+  WHERE df >= {min_df}
+), tot AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), hcnt AS (
+  SELECT s.doc_id, count(*) AS h FROM sh s JOIN hot USING (shingle)
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       coalesce(n, 0) AS n_grams,
+       coalesce(h, 0) AS n_hot,
+       CASE WHEN coalesce(n, 0) > 0
+            THEN round(CAST(coalesce(h, 0) AS DOUBLE)
+                       / CAST(n AS DOUBLE), 6)
+            ELSE 0.0 END AS hot_cov
+FROM {table} d
+LEFT JOIN tot ON d.doc_id = tot.doc_id
+LEFT JOIN hcnt ON d.doc_id = hcnt.doc_id
+"""

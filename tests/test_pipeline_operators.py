@@ -574,3 +574,58 @@ def test_source_length_ks_matches_python_reference(spark, sf_dir):
         exp = __import__("math").floor(ks * 1e6 + 0.5) / 1e6
         assert got[src][0] == len(lens)
         assert abs(got[src][1] - exp) < 1e-9, (src, got[src][1], exp)
+
+
+class TestHotNgramCoverage:
+    def test_hand_computed(self, spark):
+        from symtseries_spark.operators.dedup import hot_ngram_coverage
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c"),   # bigrams {a b, b c}
+                (2, "a b d"),   # bigrams {a b, b d}
+                (3, "x y"),     # bigrams {x y}
+                (4, "z"),       # < k tokens -> no grams
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in hot_ngram_coverage(docs, k=2, min_df=2).collect()
+        }
+        # only "a b" reaches df >= 2
+        assert (rows[1]["n_grams"], rows[1]["n_hot"]) == (2, 1)
+        assert rows[1]["hot_cov"] == 0.5
+        assert (rows[2]["n_grams"], rows[2]["n_hot"]) == (2, 1)
+        assert (rows[3]["n_grams"], rows[3]["n_hot"]) == (1, 0)
+        assert rows[3]["hot_cov"] == 0.0
+        assert (rows[4]["n_grams"], rows[4]["n_hot"]) == (4 * 0, 0)
+        assert rows[4]["hot_cov"] == 0.0
+
+    def test_distinct_grams_counted_once(self, spark):
+        """A gram repeated WITHIN one doc counts once for df and once
+        for that doc's totals (distinct-per-doc spine)."""
+        from symtseries_spark.operators.dedup import hot_ngram_coverage
+
+        docs = spark.createDataFrame(
+            [(1, "a b a b a b"), (2, "c d")],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in hot_ngram_coverage(docs, k=2, min_df=2).collect()
+        }
+        # doc 1 bigram positions: a b, b a, a b, b a, a b -> distinct
+        # {a b, b a}; neither reaches df 2 across docs
+        assert (rows[1]["n_grams"], rows[1]["n_hot"]) == (2, 0)
+
+    def test_min_df_monotone(self, spark, sf_dir):
+        from symtseries_spark.operators.dedup import hot_ngram_coverage
+        from symtseries_spark.sources import load
+
+        docs = load(spark, sf_dir, "documents").limit(200)
+        lo = hot_ngram_coverage(docs, k=3, min_df=2).collect()
+        hi = hot_ngram_coverage(docs, k=3, min_df=4).collect()
+        lo_m = {r["doc_id"]: r["n_hot"] for r in lo}
+        for r in hi:
+            assert r["n_hot"] <= lo_m[r["doc_id"]]
