@@ -1317,6 +1317,56 @@ def q_emb_trunc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted dedup keep: per near-dup cluster, keep the
+    HIGHEST-quality member (4-decimal quality_metrics composite,
+    doc_id tiebreak) instead of dedup_keep's min-id — what a training
+    pipeline actually wants when duplicates differ in cleanliness ->
+    (cluster_id, doc_id, q_score, lang, source). Same pointer-doubled
+    components as dedup_keep; the pick is one map-side-combinable
+    min(struct(-q, id)) per cluster."""
+    from symtseries_spark.functions.text import quality_metrics
+    from symtseries_spark.operators.graph import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, **MINHASH).select("doc_a", "doc_b")
+    verts = docs.select(F.col("doc_id").alias("v"))
+    cc = connected_components(pairs, verts, src="doc_a", dst="doc_b")
+    q = docs.select(
+        F.col("doc_id").alias("v"),
+        F.round(
+            F.element_at(
+                F.transform(
+                    F.array(quality_metrics(F.col("text"))),
+                    lambda s: s["quality_score"],
+                ),
+                1,
+            ),
+            4,
+        ).alias("q_score"),
+    )
+    memb = cc.join(q, "v")
+    pick = memb.groupBy("canonical_id").agg(
+        F.min(
+            # 0.0 - q, not -q: unary minus on a 0.0 score would emit
+            # -0.0, which %.17g prints as "-0" and the oracle as "0"
+            F.struct(
+                (F.lit(0.0) - F.col("q_score")).alias("__n"),
+                F.col("v").alias("__id"),
+            )
+        ).alias("__p")
+    )
+    keep = pick.select(
+        F.col("canonical_id").alias("cluster_id"),
+        F.col("__p.__id").alias("doc_id"),
+        (F.lit(0.0) - F.col("__p.__n")).alias("q_score"),
+    )
+    return keep.join(
+        load(spark, sf_dir, "documents").select("doc_id", "lang", "source"),
+        "doc_id",
+    ).select("cluster_id", "doc_id", "q_score", "lang", "source")
+
+
 def q_docs_hot_ngram_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate suppression score: per doc, the fraction of its
     distinct word 3-grams whose corpus document-frequency is >= 3
@@ -6450,6 +6500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_jl_recall": q_emb_jl_recall,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "docs_hot_ngram_cov": q_docs_hot_ngram_cov,
+        "dedup_keep_quality": q_dedup_keep_quality,
         "docs_fuzzy_prefix_pairs": q_docs_fuzzy_prefix_pairs,
         "docs_length_psi_by_source": q_docs_length_psi_by_source,
         "docs_length_psi_stream": q_docs_length_psi_stream,
@@ -7823,6 +7874,36 @@ FROM f
         "docs_hot_ngram_cov": ot.hot_ngram_coverage_sql(
             k=HOT_NGRAM["k"], min_df=HOT_NGRAM["min_df"]
         ),
+        "dedup_keep_quality": f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({ot.minhash_lsh_pairs_sql(**MINHASH)}) __p
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), conn(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT c.a, e.b FROM conn c JOIN edges e ON c.b = e.a
+), canon AS (
+  SELECT a AS doc_id, min(b) AS canonical_id FROM conn GROUP BY a
+), q AS ({ot.quality_score_cte()}
+), memb AS (
+  SELECT c.doc_id, c.canonical_id, q.q_score
+  FROM canon c JOIN q ON c.doc_id = q.doc_id
+), pick AS (
+  SELECT canonical_id, doc_id, q_score FROM (
+    SELECT canonical_id, doc_id, q_score,
+           row_number() OVER (
+             PARTITION BY canonical_id
+             ORDER BY q_score DESC, doc_id) AS r
+    FROM memb)
+  WHERE r = 1
+)
+SELECT p.canonical_id AS cluster_id, p.doc_id, p.q_score,
+       d.lang, d.source
+FROM pick p JOIN documents d ON d.doc_id = p.doc_id
+""",
         "emb_jl_recall": ov.jl_recall_sql(
             max_query_id=RECALL["max_query_id"], k=RECALL["k"],
             out_dim=JL_DIM, dim=EMB_DIM,

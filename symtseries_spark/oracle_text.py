@@ -1352,3 +1352,32 @@ FROM {table} d
 LEFT JOIN tot ON d.doc_id = tot.doc_id
 LEFT JOIN hcnt ON d.doc_id = hcnt.doc_id
 """
+
+
+def quality_score_cte(*, table: str = "documents") -> str:
+    """``(doc_id, q_score)`` subquery: the quality_metrics composite
+    rounded to 4 decimals — the same score/rounding text_quality_sql
+    emits, reduced to the canonical-pick key that quality-weighted
+    dedup keep ranks on."""
+    score = (
+        "CASE WHEN n_tokens > 0 THEN "
+        "least(stopword_ratio_raw * 4, 1.0) * 0.4 "
+        "+ (CASE WHEN avg_len_raw >= 3 AND avg_len_raw <= 10 THEN 0.4 ELSE 0.0 END) "
+        "+ (CASE WHEN digit_ratio_raw < 0.3 THEN 0.2 ELSE 0.0 END) "
+        "ELSE 0.0 END"
+    )
+    return f"""
+  SELECT doc_id, round({score}, 4) AS q_score FROM (
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           CASE WHEN len(toks) > 0
+                THEN len(array_to_string(toks, '')) * 1.0 / len(toks)
+                ELSE 0.0 END AS avg_len_raw,
+           CASE WHEN len(toks) > 0
+                THEN len(list_filter(toks, t -> list_contains({_str_list(EN_STOPWORDS)}, t))) * 1.0 / len(toks)
+                ELSE 0.0 END AS stopword_ratio_raw,
+           CASE WHEN len(text) > 0
+                THEN len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / len(text)
+                ELSE 0.0 END AS digit_ratio_raw
+    FROM (SELECT doc_id, text, {tokens_expr()} AS toks FROM {table}))
+"""

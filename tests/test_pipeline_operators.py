@@ -629,3 +629,59 @@ class TestHotNgramCoverage:
         lo_m = {r["doc_id"]: r["n_hot"] for r in lo}
         for r in hi:
             assert r["n_hot"] <= lo_m[r["doc_id"]]
+
+
+class TestDedupKeepQuality:
+    def test_one_keeper_per_cluster_and_quality_dominates(self, spark, sf_dir):
+        import __spark_entry__ as entry_mod
+
+        kq = entry_mod.q_dedup_keep_quality(spark, sf_dir).collect()
+        k_minid = entry_mod.q_dedup_keep(spark, sf_dir).collect()
+        # one keeper per cluster, same cluster count as the min-id keep
+        assert len(kq) == len(k_minid)
+        assert len({r["cluster_id"] for r in kq}) == len(kq)
+        assert len({r["doc_id"] for r in kq}) == len(kq)
+        # the quality pick never keeps a WORSE doc than the min-id pick:
+        # recompute every member's score and check per-cluster argmax
+        from pyspark.sql import functions as F
+
+        from symtseries_spark.functions.text import quality_metrics
+        from symtseries_spark.operators.dedup import minhash_lsh_pairs
+        from symtseries_spark.operators.graph import connected_components
+        from symtseries_spark.sources import load
+
+        docs = load(spark, sf_dir, "documents")
+        pairs = minhash_lsh_pairs(docs, **entry_mod.MINHASH).select(
+            "doc_a", "doc_b"
+        )
+        cc = connected_components(
+            pairs, docs.select(F.col("doc_id").alias("v")),
+            src="doc_a", dst="doc_b",
+        )
+        q = docs.select(
+            F.col("doc_id").alias("v"),
+            F.round(
+                F.element_at(
+                    F.transform(
+                        F.array(quality_metrics(F.col("text"))),
+                        lambda s: s["quality_score"],
+                    ),
+                    1,
+                ),
+                4,
+            ).alias("qs"),
+        )
+        best = {
+            r["canonical_id"]: (r["mx"], r["argmin_id"])
+            for r in cc.join(q, "v")
+            .groupBy("canonical_id")
+            .agg(
+                F.max("qs").alias("mx"),
+                F.min_by("v", F.struct((F.lit(0.0) - F.col("qs")), F.col("v"))).alias("argmin_id"),
+            )
+            .collect()
+        }
+        for r in kq:
+            mx, argmin_id = best[r["cluster_id"]]
+            assert r["q_score"] == mx
+            assert r["doc_id"] == argmin_id
