@@ -213,6 +213,7 @@ TRUNC_DIM = 16  # Matryoshka recall probe: prefix dims scored vs full 64
 JL_DIM = 16  # JL random-sign projection width (same budget as TRUNC_DIM)
 HYBRID = dict(terms=["hash", "join", "spark"], query_vec_id=0, n_leg=50, k=20)
 HOT_NGRAM = dict(k=3, min_df=3)
+BPE_MERGES = 10
 HIST_BINS = 256
 KNN_ACC = dict(max_query_id=32, k=10)
 SIMHASH_BITS = 32
@@ -1315,6 +1316,18 @@ def q_emb_trunc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_query_id=RECALL["max_query_id"], k=RECALL["k"],
         trunc_dim=TRUNC_DIM, dim=EMB_DIM,
     )
+
+
+def q_docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary induction: the first 10 BPE merges learned
+    from the corpus word-frequency table
+    (operators/pipeline.py:bpe_merges) — the actual Sennrich et al.
+    training step, distributed: pair counts are vocab-sized combinable
+    aggregates, each merge decision is a 1-row TakeOrderedAndProject,
+    and merge application is one literal string replace."""
+    from symtseries_spark.operators.pipeline import bpe_merges
+
+    return bpe_merges(load(spark, sf_dir, "documents"), n_merges=BPE_MERGES)
 
 
 def q_dedup_keep_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6501,6 +6514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "docs_hot_ngram_cov": q_docs_hot_ngram_cov,
         "dedup_keep_quality": q_dedup_keep_quality,
+        "docs_bpe_merges": q_docs_bpe_merges,
         "docs_fuzzy_prefix_pairs": q_docs_fuzzy_prefix_pairs,
         "docs_length_psi_by_source": q_docs_length_psi_by_source,
         "docs_length_psi_stream": q_docs_length_psi_stream,
@@ -7874,6 +7888,7 @@ FROM f
         "docs_hot_ngram_cov": ot.hot_ngram_coverage_sql(
             k=HOT_NGRAM["k"], min_df=HOT_NGRAM["min_df"]
         ),
+        "docs_bpe_merges": ot.bpe_merges_sql(n_merges=BPE_MERGES),
         "dedup_keep_quality": f"""
 WITH RECURSIVE pairs AS (
   SELECT doc_a, doc_b FROM ({ot.minhash_lsh_pairs_sql(**MINHASH)}) __p

@@ -684,6 +684,7 @@ def hot_ngram_coverage(
     min_df: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_hot: bool = True,
 ) -> DataFrame:
     """Corpus-hot n-gram coverage per document -> ``(doc_id, n_grams,
     n_hot, hot_cov)``: the fraction of a document's distinct word
@@ -703,7 +704,17 @@ def hot_ngram_coverage(
     corpus scale raise ``min_df`` with volume to hold the broadcast
     side flat, the same knob rule as the max_freq caps above. The
     corpus-sized shingle relation shuffles once (on the gram key) for
-    the df count and never again."""
+    the df count and never again.
+
+    The bound is REAL only when the corpus repeats itself (df
+    saturates): under fresh-content growth at a FIXED ``min_df`` the
+    hot set grows linearly with volume (measured in
+    scripts/scale_probe_hot_ngrams.py leg A) and a forced broadcast
+    would OOM the executors. ``broadcast_hot=False`` switches the
+    membership join to a plain shuffle join on the gram key — one
+    extra exchange of the shingle relation, which AQE skew-splits if
+    a mega-hot gram concentrates — for deployments that cannot hold
+    ``min_df`` proportional to volume."""
     if k < 1 or min_df < 1:
         raise ValueError("hot_ngram_coverage needs k >= 1 and min_df >= 1")
     sh = docs.select(
@@ -718,7 +729,7 @@ def hot_ngram_coverage(
     )
     tot = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__tot"))
     hcnt = (
-        sh.join(F.broadcast(hot), "shingle")
+        sh.join(F.broadcast(hot) if broadcast_hot else hot, "shingle")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("__hot"))
     )

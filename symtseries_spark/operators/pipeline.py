@@ -689,3 +689,101 @@ def key_skew(
         .alias(f"top{top_n}_share"),
         quantize(gini, round_to).alias("gini"),
     )
+
+
+def bpe_merges(
+    docs: DataFrame,
+    *,
+    n_merges: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed BPE tokenizer-vocabulary induction: learn the first
+    ``n_merges`` byte-pair merges over the corpus (Sennrich et al.
+    2016) -> ``(merge_rank, left, right, merged, pair_count)``.
+
+    The classic algorithm runs on the WORD-FREQUENCY table, not the
+    corpus: one corpus scan builds ``(word, count)`` (vocab-sized —
+    millions of rows at 100 TB, not billions), and every merge
+    iteration then touches only that table: count adjacent symbol
+    pairs weighted by word count (map-side-combinable groupBy), pick
+    the argmax pair (TakeOrderedAndProject, 1 row to the driver —
+    the merge decision IS driver-state, exactly like kmeans
+    centroids), and apply the merge everywhere.
+
+    Symbol sequences are encoded as strings — ``" a  b  c "``, every
+    symbol owning one space on each side — so applying a merge is ONE
+    literal ``replace(" l  r ", " lr ")``: non-overlapping left-to-
+    right replacement is EXACTLY greedy BPE application (a merged
+    symbol can never equal its own left half, so chain-merges cannot
+    happen within a pass), and the DuckDB oracle replays the identical
+    primitive. Tokens are ``[a-z0-9]+`` (functions.text.tokens), so
+    symbols never contain spaces and the encoding is unambiguous.
+
+    Each iteration materializes the rewritten vocab (persist +
+    count) and releases its predecessor, keeping lineage depth and
+    cached footprint at one table regardless of ``n_merges``."""
+    if n_merges < 1:
+        raise ValueError("bpe_merges needs n_merges >= 1")
+    spark = docs.sparkSession
+    vocab = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.regexp_replace(F.col("w"), "(.)", " $1 ").alias("repr"),
+            "cnt",
+        )
+    )
+    cur = vocab.persist()
+    cur.count()
+    out: list[tuple[int, str, str, str, int]] = []
+    try:
+        for rank in range(1, n_merges + 1):
+            syms = F.split(F.trim(F.col("repr")), "  ")
+            pairs = cur.select(
+                F.explode(
+                    F.when(
+                        F.size(syms) >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(syms) - 1),
+                            lambda i: F.struct(
+                                F.element_at(syms, i).alias("l"),
+                                F.element_at(syms, i + 1).alias("r"),
+                            ),
+                        ),
+                    ).otherwise(
+                        F.array().cast("array<struct<l:string,r:string>>")
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            best = (
+                pairs.groupBy("p.l", "p.r")
+                .agg(F.sum("cnt").alias("c"))
+                .orderBy(F.desc("c"), "l", "r")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            row = best[0]
+            l, r, c = row["l"], row["r"], int(row["c"])
+            out.append((rank, l, r, l + r, c))
+            nxt = cur.select(
+                F.replace(
+                    F.col("repr"),
+                    F.lit(f" {l}  {r} "),
+                    F.lit(f" {l}{r} "),
+                ).alias("repr"),
+                "cnt",
+            ).persist()
+            nxt.count()
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return spark.createDataFrame(
+        out,
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, pair_count long",
+    )

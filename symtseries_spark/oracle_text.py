@@ -1381,3 +1381,50 @@ def quality_score_cte(*, table: str = "documents") -> str:
                 ELSE 0.0 END AS digit_ratio_raw
     FROM (SELECT doc_id, text, {tokens_expr()} AS toks FROM {table}))
 """
+
+
+def bpe_merges_sql(*, n_merges: int, table: str = "documents") -> str:
+    """Oracle for pipeline.bpe_merges: the identical word-frequency
+    table, spaced-symbol string encoding, max-count/lexicographic-min
+    pair selection, and literal-``replace`` greedy merge application,
+    unrolled as one CTE chain per merge."""
+    ctes = [
+        f"""v0 AS MATERIALIZED (
+  SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS repr, cnt FROM (
+    SELECT w, count(*) AS cnt FROM (
+      SELECT unnest({tokens_expr()}) AS w FROM {table}) GROUP BY w)
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        prev = f"v{k - 1}"
+        ctes.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT syms[i] AS l, syms[i + 1] AS r, sum(cnt) AS c FROM (
+    SELECT syms, cnt, unnest(range(1, len(syms))) AS i FROM (
+      SELECT string_split(trim(repr), '  ') AS syms, cnt FROM {prev}))
+  GROUP BY 1, 2
+), m{k} AS MATERIALIZED (
+  SELECT l, r, c FROM p{k}
+  WHERE c = (SELECT max(c) FROM p{k})
+  ORDER BY l, r LIMIT 1
+)"""
+        )
+        if k < n_merges:
+            ctes.append(
+                f"""v{k} AS MATERIALIZED (
+  SELECT replace(repr,
+           ' ' || (SELECT l FROM m{k}) || '  '
+               || (SELECT r FROM m{k}) || ' ',
+           ' ' || (SELECT l FROM m{k})
+               || (SELECT r FROM m{k}) || ' ') AS repr,
+         cnt
+  FROM {prev}
+)"""
+            )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {k} AS merge_rank, l AS left_sym, r AS right_sym,"
+        f" l || r AS merged, c AS pair_count"
+        f" FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals

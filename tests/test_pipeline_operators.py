@@ -685,3 +685,48 @@ class TestDedupKeepQuality:
             mx, argmin_id = best[r["cluster_id"]]
             assert r["q_score"] == mx
             assert r["doc_id"] == argmin_id
+
+
+class TestBpeMerges:
+    def test_sennrich_style_hand_case(self, spark):
+        from symtseries_spark.operators.pipeline import bpe_merges
+
+        docs = spark.createDataFrame(
+            [(1, "low low low"), (2, "lower lower"), (3, "newest")],
+            "doc_id long, text string",
+        )
+        rows = [
+            (r["merge_rank"], r["left_sym"], r["right_sym"], r["merged"],
+             r["pair_count"])
+            for r in bpe_merges(docs, n_merges=4).collect()
+        ]
+        # (l,o) and (o,w) tie at 5 -> lexicographic min wins
+        assert rows == [
+            (1, "l", "o", "lo", 5),
+            (2, "lo", "w", "low", 5),
+            (3, "e", "r", "er", 2),
+            (4, "low", "er", "lower", 2),
+        ]
+
+    def test_same_symbol_greedy(self, spark):
+        from symtseries_spark.operators.pipeline import bpe_merges
+
+        docs = spark.createDataFrame(
+            [(1, "aaaa aaaa")], "doc_id long, text string"
+        )
+        rows = [
+            (r["merge_rank"], r["merged"], r["pair_count"])
+            for r in bpe_merges(docs, n_merges=2).collect()
+        ]
+        # 'a a a a': 3 adjacent (a,a) pairs x 2 words; greedy apply
+        # yields 'aa aa', then one (aa,aa) pair x 2 words
+        assert rows == [(1, "aa", 6), (2, "aaaa", 2)]
+
+    def test_stops_when_no_pairs_left(self, spark):
+        from symtseries_spark.operators.pipeline import bpe_merges
+
+        docs = spark.createDataFrame(
+            [(1, "ab ab")], "doc_id long, text string"
+        )
+        rows = bpe_merges(docs, n_merges=5).collect()
+        assert [(r["merge_rank"], r["merged"]) for r in rows] == [(1, "ab")]
