@@ -1054,33 +1054,43 @@ def jl_project(
     """Random-sign Johnson-Lindenstrauss projection of ``dim``-dim
     vectors down to ``out_dim`` components -> ``(id, jl array<double>)``.
 
-    Each output component is a flat left-to-right ``0.0 ± x[1] ± x[2]
-    ...`` sum with ±1 coefficients from :func:`jl_signs` (Achlioptas
-    2003: ±1 entries satisfy the JL lemma with the same distortion
-    bounds as Gaussian entries). The conventional ``1/sqrt(out_dim)``
-    scale is deliberately omitted — downstream scoring is cosine, which
-    is scale-invariant, and coefficient-free ± sums of doubles are
-    bit-reproducible against the SQL oracle's identical left-assoc
-    expression with zero multiplications.
+    Each output component is the left-to-right fold ``0.0 + s[1]*x[1]
+    + s[2]*x[2] + ...`` with ±1.0 coefficients from :func:`jl_signs`
+    (Achlioptas 2003: ±1 entries satisfy the JL lemma with the same
+    distortion bounds as Gaussian entries). ``x * ±1.0`` is exact in
+    IEEE doubles, so the values are bit-identical to the oracle's
+    coefficient-free ``0.0 ± x[1] ± x[2] ...`` left-assoc chain. The
+    conventional ``1/sqrt(out_dim)`` scale is deliberately omitted —
+    downstream scoring is cosine, which is scale-invariant.
 
-    Scale shape: a pure scan-stage projection (no shuffle, no UDF —
-    ``out_dim * dim`` codegen'd adds per row), the narrow transform
-    that makes every downstream ANN join read ``out_dim/dim`` of the
-    vector bytes."""
+    Form choice (measured, sf0.1 local[8]): the matrix-multiply runs
+    as ``transform(literal sign matrix, row -> dot(row, x))`` —
+    interpreted higher-order functions, ~8.2 us/row marginal at
+    16 x 64 — NOT as out_dim flat codegen'd add-chains, which
+    evaluate marginally faster (~6.7 us/row) but pay a ~3 s fixed
+    compile/fallback cost PER PLAN for the 1024-term expression
+    (5.5 s vs 0.6 s end-to-end on 2k rows; still 2x slower at 200k).
+    The opposite trade-off from operators/rank.py's bucket scan,
+    where the fold lost — there the flat alternative was small enough
+    to stay cheap to compile.
+
+    Scale shape: a pure scan-stage projection (no shuffle, no UDF,
+    no per-row hashing — the sign matrix is out_dim x dim literals),
+    the narrow transform that makes every downstream ANN join read
+    ``out_dim/dim`` of the vector bytes."""
     if not 1 <= out_dim:
         raise ValueError("jl_project needs out_dim >= 1")
     if dim < 1:
         raise ValueError("jl_project needs dim >= 1")
     signs = jl_signs(out_dim, dim, tag)
+    mat = F.array(
+        *[F.array(*[F.lit(float(s)) for s in row]) for row in signs]
+    )
     v = F.col(vec_col).cast("array<double>")
-    comps = []
-    for row in signs:
-        term = F.lit(0.0)
-        for i, sg in enumerate(row):
-            e = F.element_at(v, i + 1)
-            term = term + e if sg > 0 else term - e
-        comps.append(term)
-    return vectors.select(F.col(id_col), F.array(*comps).alias("jl"))
+    return vectors.select(
+        F.col(id_col),
+        F.transform(mat, lambda row: dot(row, v)).alias("jl"),
+    )
 
 
 def jl_recall(
@@ -1107,10 +1117,20 @@ def jl_recall(
     id) tiebreak, fold order matching the oracle's ``list_reduce``."""
     if k < 1:
         raise ValueError("jl_recall needs k >= 1")
-    base = jl_project(
-        vectors, out_dim=out_dim, dim=dim, id_col=id_col,
-        vec_col=vec_col, tag=tag,
-    ).select(F.col(id_col).alias("cand_id"), F.col("jl").alias("__v"))
+    from ..cache import persist_tracked
+
+    # MATERIALIZE the projection before the scoring join: unpersisted,
+    # the out_dim x dim add-chain is an inline expression that the join
+    # re-evaluates per PAIR per operand use (~6x per pair at k queries
+    # — measured 5.9s vs 1.2s for the trunc sibling at sf0.1). At rest
+    # this column is written once next to the index (docs/SCALING.md);
+    # the persist is the query-time twin of that layout.
+    base = persist_tracked(
+        jl_project(
+            vectors, out_dim=out_dim, dim=dim, id_col=id_col,
+            vec_col=vec_col, tag=tag,
+        ).select(F.col(id_col).alias("cand_id"), F.col("jl").alias("__v"))
+    )
     q = base.where(F.col("cand_id") < max_query_id).select(
         F.col("cand_id").alias("query_id"), F.col("__v").alias("__qv")
     )
