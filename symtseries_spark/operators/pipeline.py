@@ -719,9 +719,11 @@ def bpe_merges(
     primitive. Tokens are ``[a-z0-9]+`` (functions.text.tokens), so
     symbols never contain spaces and the encoding is unambiguous.
 
-    Each iteration materializes the rewritten vocab (persist +
-    count) and releases its predecessor, keeping lineage depth and
-    cached footprint at one table regardless of ``n_merges``."""
+    Each iteration's argmax collect is ALSO the action that populates
+    the current vocab's cache (the pair aggregate reads every
+    partition), so no separate count() job is needed; the predecessor
+    is released one step behind, keeping lineage depth and cached
+    footprint at ~one table regardless of ``n_merges``."""
     if n_merges < 1:
         raise ValueError("bpe_merges needs n_merges >= 1")
     spark = docs.sparkSession
@@ -735,7 +737,7 @@ def bpe_merges(
         )
     )
     cur = vocab.persist()
-    cur.count()
+    prev: DataFrame | None = None
     out: list[tuple[int, str, str, str, int]] = []
     try:
         for rank in range(1, n_merges + 1):
@@ -764,6 +766,12 @@ def bpe_merges(
                 .limit(1)
                 .collect()
             )
+            # the collect above computed every partition of cur (full
+            # pair shuffle), so cur's cache is populated and the
+            # one-step-behind predecessor can go
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not best:
                 break
             row = best[0]
@@ -777,10 +785,11 @@ def bpe_merges(
                 ).alias("repr"),
                 "cnt",
             ).persist()
-            nxt.count()
-            cur.unpersist()
+            prev = cur
             cur = nxt
     finally:
+        if prev is not None:
+            prev.unpersist()
         cur.unpersist()
     return spark.createDataFrame(
         out,
