@@ -1330,6 +1330,24 @@ def q_docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(load(spark, sf_dir, "documents"), n_merges=BPE_MERGES)
 
 
+def q_docs_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit with the LEARNED vocabulary: apply the
+    10 induced BPE merges (q_docs_bpe_merges) back to the corpus and
+    report per-doc symbol counts and compression
+    (operators/pipeline.py:bpe_apply_stats) — the end-to-end check a
+    pipeline runs before committing a tokenizer. The merge list is
+    driver state (10 rows), so application is a pure scan: 10 literal
+    replaces plus one combinable groupBy(doc)."""
+    from symtseries_spark.operators.pipeline import bpe_apply_stats, bpe_merges
+
+    docs = load(spark, sf_dir, "documents")
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_merges(docs, n_merges=BPE_MERGES).collect()
+    ]
+    return bpe_apply_stats(docs, merges=merges)
+
+
 def q_dedup_keep_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted dedup keep: per near-dup cluster, keep the
     HIGHEST-quality member (4-decimal quality_metrics composite,
@@ -6515,6 +6533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_hot_ngram_cov": q_docs_hot_ngram_cov,
         "dedup_keep_quality": q_dedup_keep_quality,
         "docs_bpe_merges": q_docs_bpe_merges,
+        "docs_bpe_apply": q_docs_bpe_apply,
         "docs_fuzzy_prefix_pairs": q_docs_fuzzy_prefix_pairs,
         "docs_length_psi_by_source": q_docs_length_psi_by_source,
         "docs_length_psi_stream": q_docs_length_psi_stream,
@@ -7889,6 +7908,7 @@ FROM f
             k=HOT_NGRAM["k"], min_df=HOT_NGRAM["min_df"]
         ),
         "docs_bpe_merges": ot.bpe_merges_sql(n_merges=BPE_MERGES),
+        "docs_bpe_apply": ot.bpe_apply_stats_sql(n_merges=BPE_MERGES),
         "dedup_keep_quality": f"""
 WITH RECURSIVE pairs AS (
   SELECT doc_a, doc_b FROM ({ot.minhash_lsh_pairs_sql(**MINHASH)}) __p

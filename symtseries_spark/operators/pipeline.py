@@ -796,3 +796,65 @@ def bpe_merges(
         "merge_rank int, left_sym string, right_sym string, "
         "merged string, pair_count long",
     )
+
+
+def bpe_apply_stats(
+    docs: DataFrame,
+    *,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned BPE merge list (see :func:`bpe_merges`) to the
+    corpus and report per-document segmentation stats ->
+    ``(doc_id, n_tokens, n_base_symbols, n_symbols, compression)``
+    where ``n_base_symbols`` counts characters (the merge-0
+    segmentation), ``n_symbols`` counts symbols after the merges, and
+    ``compression = n_base_symbols / n_symbols`` — the fertility
+    audit of the induced vocabulary, run before committing a
+    tokenizer to a training corpus.
+
+    Scale shape: a pure scan-stage pipeline — explode tokens, build
+    the spaced-symbol encoding, apply ``len(merges)`` literal
+    replaces in learned order (each exactly greedy, see
+    :func:`bpe_merges`), and one map-side-combinable groupBy(doc).
+    The merge list is plan-time literals (driver state), so nothing
+    joins and nothing extra shuffles."""
+    sym_sep = "  "
+    tk = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("w"),
+    )
+    repr_col = F.regexp_replace(F.col("w"), "(.)", " $1 ")
+    for l, r in merges:
+        repr_col = F.replace(
+            repr_col, F.lit(f" {l}{sym_sep}{r} "), F.lit(f" {l}{r} ")
+        )
+    per_tok = tk.select(
+        "doc_id",
+        F.length("w").alias("__base"),
+        F.size(F.split(F.trim(repr_col), sym_sep)).alias("__sym"),
+    )
+    agg = per_tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("__base").alias("n_base_symbols"),
+        F.sum("__sym").alias("n_symbols"),
+    )
+    n_base = F.coalesce("n_base_symbols", F.lit(0))
+    n_sym = F.coalesce("n_symbols", F.lit(0))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            n_base.alias("n_base_symbols"),
+            n_sym.alias("n_symbols"),
+            F.when(
+                n_sym > 0,
+                F.round(n_base.cast("double") / n_sym.cast("double"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("compression"),
+        )
+    )

@@ -1383,11 +1383,12 @@ def quality_score_cte(*, table: str = "documents") -> str:
 """
 
 
-def bpe_merges_sql(*, n_merges: int, table: str = "documents") -> str:
-    """Oracle for pipeline.bpe_merges: the identical word-frequency
-    table, spaced-symbol string encoding, max-count/lexicographic-min
-    pair selection, and literal-``replace`` greedy merge application,
-    unrolled as one CTE chain per merge."""
+def _bpe_chain_ctes(*, n_merges: int, table: str) -> list[str]:
+    """The shared v0/p{k}/m{k}/v{k} merge-learning CTE chain (all
+    MATERIALIZED — DuckDB's default CTE inlining makes the unrolled
+    chain exponential). ``v{n_merges}`` is omitted: learners stop at
+    the last decision; appliers rebuild the rewrite on their own
+    relation from the m{k} scalars."""
     ctes = [
         f"""v0 AS MATERIALIZED (
   SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS repr, cnt FROM (
@@ -1421,6 +1422,15 @@ def bpe_merges_sql(*, n_merges: int, table: str = "documents") -> str:
   FROM {prev}
 )"""
             )
+    return ctes
+
+
+def bpe_merges_sql(*, n_merges: int, table: str = "documents") -> str:
+    """Oracle for pipeline.bpe_merges: the identical word-frequency
+    table, spaced-symbol string encoding, max-count/lexicographic-min
+    pair selection, and literal-``replace`` greedy merge application,
+    unrolled as one CTE chain per merge."""
+    ctes = _bpe_chain_ctes(n_merges=n_merges, table=table)
     finals = "\nUNION ALL\n".join(
         f"SELECT {k} AS merge_rank, l AS left_sym, r AS right_sym,"
         f" l || r AS merged, c AS pair_count"
@@ -1428,3 +1438,48 @@ def bpe_merges_sql(*, n_merges: int, table: str = "documents") -> str:
         for k in range(1, n_merges + 1)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+def bpe_apply_stats_sql(*, n_merges: int, table: str = "documents") -> str:
+    """Oracle for pipeline.bpe_apply_stats: learn the merge chain with
+    the shared CTEs, then re-apply it to every corpus token as nested
+    literal replaces (scalar subqueries on the m{k} decisions) and
+    aggregate per document. Docs with zero tokens report (0, 0, 0,
+    0.0) via the left join."""
+    ctes = _bpe_chain_ctes(n_merges=n_merges, table=table)
+    expr = "regexp_replace(w, '(.)', ' \\1 ', 'g')"
+    for k in range(1, n_merges + 1):
+        expr = (
+            f"replace({expr},\n"
+            f"  ' ' || (SELECT l FROM m{k}) || '  '"
+            f" || (SELECT r FROM m{k}) || ' ',\n"
+            f"  ' ' || (SELECT l FROM m{k})"
+            f" || (SELECT r FROM m{k}) || ' ')"
+        )
+    ctes.append(
+        f"""ap AS (
+  SELECT doc_id, len(w) AS base,
+         len(string_split(trim({expr}), '  ')) AS sym
+  FROM (SELECT doc_id, unnest({tokens_expr()}) AS w FROM {table})
+), agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         CAST(sum(base) AS BIGINT) AS n_base_symbols,
+         CAST(sum(sym) AS BIGINT) AS n_symbols
+  FROM ap GROUP BY doc_id
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT d.doc_id,
+       coalesce(n_tokens, 0) AS n_tokens,
+       coalesce(n_base_symbols, 0) AS n_base_symbols,
+       coalesce(n_symbols, 0) AS n_symbols,
+       CASE WHEN coalesce(n_symbols, 0) > 0
+            THEN round(CAST(n_base_symbols AS DOUBLE)
+                       / CAST(n_symbols AS DOUBLE), 6)
+            ELSE 0.0 END AS compression
+FROM {table} d LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
+    )

@@ -730,3 +730,47 @@ class TestBpeMerges:
         )
         rows = bpe_merges(docs, n_merges=5).collect()
         assert [(r["merge_rank"], r["merged"]) for r in rows] == [(1, "ab")]
+
+
+class TestBpeApplyStats:
+    def test_hand_computed(self, spark):
+        from symtseries_spark.operators.pipeline import bpe_apply_stats
+
+        docs = spark.createDataFrame(
+            [(1, "low lower"), (2, ""), (3, "ab")],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in bpe_apply_stats(
+                docs, merges=[("l", "o"), ("lo", "w")]
+            ).collect()
+        }
+        # doc 1: 'low' -> [low] (1 sym), 'lower' -> [low, e, r] (3)
+        assert rows[1]["n_tokens"] == 2
+        assert rows[1]["n_base_symbols"] == 8
+        assert rows[1]["n_symbols"] == 4
+        assert rows[1]["compression"] == 2.0
+        # empty doc: zeros, compression 0.0
+        assert (rows[2]["n_tokens"], rows[2]["n_symbols"]) == (0, 0)
+        assert rows[2]["compression"] == 0.0
+        # untouched token: compression 1.0
+        assert rows[3]["compression"] == 1.0
+
+    def test_compression_monotone_in_merges(self, spark, sf_dir):
+        from symtseries_spark.operators.pipeline import (
+            bpe_apply_stats,
+            bpe_merges,
+        )
+        from symtseries_spark.sources import load
+
+        docs = load(spark, sf_dir, "documents").limit(100)
+        ms = [
+            (r["left_sym"], r["right_sym"])
+            for r in bpe_merges(docs, n_merges=4).collect()
+        ]
+        a = {r["doc_id"]: r["n_symbols"]
+             for r in bpe_apply_stats(docs, merges=ms[:2]).collect()}
+        b = {r["doc_id"]: r["n_symbols"]
+             for r in bpe_apply_stats(docs, merges=ms).collect()}
+        assert all(b[d] <= a[d] for d in a)
