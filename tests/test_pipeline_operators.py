@@ -774,3 +774,43 @@ class TestBpeApplyStats:
         b = {r["doc_id"]: r["n_symbols"]
              for r in bpe_apply_stats(docs, merges=ms).collect()}
         assert all(b[d] <= a[d] for d in a)
+
+
+class TestBpeProperties:
+    def test_merge_counts_non_increasing(self, spark, sf_dir):
+        """Classic BPE invariant: a merge (a,b)->ab only creates pairs
+        (x,ab) / (ab,y) whose counts are bounded by the pre-existing
+        (x,a) / (b,y) counts, which were <= the chosen max — so the
+        selected pair count can never increase across ranks."""
+        from symtseries_spark.operators.pipeline import bpe_merges
+        from symtseries_spark.sources import load
+
+        docs = load(spark, sf_dir, "documents").limit(200)
+        counts = [
+            r["pair_count"]
+            for r in sorted(
+                bpe_merges(docs, n_merges=6).collect(),
+                key=lambda r: r["merge_rank"],
+            )
+        ]
+        assert counts == sorted(counts, reverse=True)
+
+    def test_merged_symbol_reconstructs_word_chars(self, spark):
+        """Applying ALL merges of a single-word corpus collapses the
+        word to one symbol equal to the word itself."""
+        from symtseries_spark.operators.pipeline import (
+            bpe_apply_stats,
+            bpe_merges,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "spark spark spark")], "doc_id long, text string"
+        )
+        ms = [
+            (r["left_sym"], r["right_sym"])
+            for r in bpe_merges(docs, n_merges=4).collect()
+        ]
+        row = bpe_apply_stats(docs, merges=ms).collect()[0]
+        assert row["n_symbols"] == 3  # one symbol per 'spark'
+        assert row["n_base_symbols"] == 15
+        assert row["compression"] == 5.0

@@ -336,3 +336,27 @@ class TestJlRecall:
         hi = jl_recall(emb, max_query_id=4, k=5, out_dim=48, dim=64).collect()
         avg = lambda rows: sum(r["recall"] for r in rows) / len(rows)
         assert avg(hi) >= avg(lo)
+
+
+class TestJlLinearity:
+    def test_exact_linearity_on_integer_vectors(self, spark):
+        """With integer-valued inputs the +-1 projection is exact
+        integer arithmetic in doubles: proj(a + b) == proj(a) + proj(b)
+        componentwise, bit-for-bit."""
+        from pyspark.sql import functions as F
+
+        from symtseries_spark.operators.simsearch import jl_project
+
+        rows = [
+            (0, [float(i % 7) for i in range(16)]),
+            (1, [float((i * 3) % 5) for i in range(16)]),
+            (2, [float((i % 7) + (i * 3) % 5) for i in range(16)]),  # 0 + 1
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        got = {
+            r["vec_id"]: r["jl"]
+            for r in jl_project(df, out_dim=6, dim=16).collect()
+        }
+        assert [a + b for a, b in zip(got[0], got[1])] == got[2]
