@@ -1400,7 +1400,7 @@ def _bpe_chain_ctes(*, n_merges: int, table: str) -> list[str]:
         prev = f"v{k - 1}"
         ctes.append(
             f"""p{k} AS MATERIALIZED (
-  SELECT syms[i] AS l, syms[i + 1] AS r, sum(cnt) AS c FROM (
+  SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(cnt) AS BIGINT) AS c FROM (
     SELECT syms, cnt, unnest(range(1, len(syms))) AS i FROM (
       SELECT string_split(trim(repr), '  ') AS syms, cnt FROM {prev}))
   GROUP BY 1, 2
