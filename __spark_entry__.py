@@ -214,6 +214,7 @@ JL_DIM = 16  # JL random-sign projection width (same budget as TRUNC_DIM)
 HYBRID = dict(terms=["hash", "join", "spark"], query_vec_id=0, n_leg=50, k=20)
 HOT_NGRAM = dict(k=3, min_df=3)
 BPE_MERGES = 10
+SPAN_TOKENS = 10  # C4-style exact span dedup granularity
 HIST_BINS = 256
 KNN_ACC = dict(max_query_id=32, k=10)
 SIMHASH_BITS = 32
@@ -1328,6 +1329,20 @@ def q_docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from symtseries_spark.operators.pipeline import bpe_merges
 
     return bpe_merges(load(spark, sf_dir, "documents"), n_merges=BPE_MERGES)
+
+
+def q_docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style exact span dedup, materialized: drop every 10-token
+    span whose exact text occurs earlier in the corpus (first
+    occurrence by (doc_id, position) survives) and rebuild the cleaned
+    text (operators/dedup.py:span_dedup) — the verbatim-passage
+    cleaner between exact-doc dedup and near-dup MinHash. One shuffle
+    on the span text; the rebuild is a combinable groupBy(doc)."""
+    from symtseries_spark.operators.dedup import span_dedup
+
+    return span_dedup(
+        load(spark, sf_dir, "documents"), span_tokens=SPAN_TOKENS
+    )
 
 
 def q_docs_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6534,6 +6549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_quality": q_dedup_keep_quality,
         "docs_bpe_merges": q_docs_bpe_merges,
         "docs_bpe_apply": q_docs_bpe_apply,
+        "docs_span_dedup": q_docs_span_dedup,
         "docs_fuzzy_prefix_pairs": q_docs_fuzzy_prefix_pairs,
         "docs_length_psi_by_source": q_docs_length_psi_by_source,
         "docs_length_psi_stream": q_docs_length_psi_stream,
@@ -7909,6 +7925,7 @@ FROM f
         ),
         "docs_bpe_merges": ot.bpe_merges_sql(n_merges=BPE_MERGES),
         "docs_bpe_apply": ot.bpe_apply_stats_sql(n_merges=BPE_MERGES),
+        "docs_span_dedup": ot.span_dedup_sql(span_tokens=SPAN_TOKENS),
         "dedup_keep_quality": f"""
 WITH RECURSIVE pairs AS (
   SELECT doc_a, doc_b FROM ({ot.minhash_lsh_pairs_sql(**MINHASH)}) __p

@@ -751,3 +751,80 @@ def hot_ngram_coverage(
             .alias("hot_cov"),
         )
     )
+
+
+def span_dedup(
+    docs: DataFrame,
+    *,
+    span_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style exact SPAN dedup (Raffel et al. 2020 deduplicated
+    three-sentence spans; here the span is a fixed run of
+    ``span_tokens`` consecutive tokens, since granularity must be a
+    pure function of the data): any span whose exact text occurs
+    elsewhere in the corpus is dropped from all but its FIRST
+    occurrence (ordered by (doc_id, position)) ->
+    ``(doc_id, n_spans, n_dropped, clean_text)`` with ``clean_text``
+    the kept spans re-joined in position order — the materialized
+    transform, not just a report.
+
+    Scale shape: one explode of non-overlapping spans (corpus token
+    count / span_tokens rows), ONE shuffle on the span text for the
+    first-occurrence window (per-group input = that span's occurrence
+    count), one combinable groupBy(doc) to rebuild. At corpus scale
+    shuffle the 128-bit span hash instead of the text (a 60-bit key
+    collides near 2^30 distinct spans) and carry the text only
+    through the rebuild side."""
+    if span_tokens < 1:
+        raise ValueError("span_dedup needs span_tokens >= 1")
+    toks = tokens(F.col(text_col))
+    n_sp = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_sp - 1),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.array_join(
+                F.slice(toks, i * span_tokens + 1, span_tokens), " "
+            ).alias("span"),
+        ),
+    )
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.when(n_sp > 0, spans).otherwise(
+            F.array().cast("array<struct<pos:int,span:string>>")
+        )).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.span").alias("span"))
+    first = F.row_number().over(
+        Window.partitionBy("span").orderBy("doc_id", "pos")
+    )
+    marked = ex.withColumn("__r", first)
+    kept = marked.where(F.col("__r") == 1)
+    agg_all = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    agg_kept = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("span")))
+                ),
+                lambda x: x["span"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    n_spans = F.coalesce("n_spans", F.lit(0))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(agg_all, "doc_id", "left")
+        .join(agg_kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_spans.cast("long").alias("n_spans"),
+            (n_spans - F.coalesce("__n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -1483,3 +1483,40 @@ SELECT d.doc_id,
 FROM {table} d LEFT JOIN agg ON d.doc_id = agg.doc_id
 """
     )
+
+
+def span_dedup_sql(*, span_tokens: int, table: str = "documents") -> str:
+    """Oracle for dedup.span_dedup — identical span cutting,
+    first-occurrence window, and position-ordered rebuild."""
+    s = span_tokens
+    return f"""
+WITH ex AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(
+           list_slice(toks, (i - 1) * {s} + 1, (i - 1) * {s} + {s}), ' ')
+           AS span
+  FROM (
+    SELECT doc_id, toks,
+           unnest(range(1,
+             CAST(ceil(len(toks) * 1.0 / {s}) AS BIGINT) + 1)) AS i
+    FROM (SELECT doc_id, {tokens_expr()} AS toks FROM {table}))
+), marked AS (
+  SELECT doc_id, pos, span,
+         row_number() OVER (
+           PARTITION BY span ORDER BY doc_id, pos) AS r
+  FROM ex
+), alla AS (
+  SELECT doc_id, count(*) AS n_spans FROM ex GROUP BY doc_id
+), keptagg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(span, ' ' ORDER BY pos) AS clean_text
+  FROM marked WHERE r = 1 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(n_spans, 0) AS n_spans,
+       coalesce(n_spans, 0) - coalesce(n_kept, 0) AS n_dropped,
+       coalesce(clean_text, '') AS clean_text
+FROM {table} d
+LEFT JOIN alla ON d.doc_id = alla.doc_id
+LEFT JOIN keptagg ON d.doc_id = keptagg.doc_id
+"""

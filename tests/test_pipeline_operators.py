@@ -814,3 +814,49 @@ class TestBpeProperties:
         assert row["n_symbols"] == 3  # one symbol per 'spark'
         assert row["n_base_symbols"] == 15
         assert row["compression"] == 5.0
+
+
+class TestSpanDedup:
+    def test_first_occurrence_survives(self, spark):
+        from symtseries_spark.operators.dedup import span_dedup
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d"),        # spans: 'a b', 'c d'
+                (2, "a b x y"),        # 'a b' duplicates doc1 pos0
+                (3, "c d"),            # duplicates doc1 pos1
+                (4, ""),               # no spans
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r for r in span_dedup(docs, span_tokens=2).collect()
+        }
+        assert (rows[1]["n_spans"], rows[1]["n_dropped"]) == (2, 0)
+        assert rows[1]["clean_text"] == "a b c d"
+        assert (rows[2]["n_spans"], rows[2]["n_dropped"]) == (2, 1)
+        assert rows[2]["clean_text"] == "x y"
+        assert (rows[3]["n_spans"], rows[3]["n_dropped"]) == (1, 1)
+        assert rows[3]["clean_text"] == ""
+        assert (rows[4]["n_spans"], rows[4]["n_dropped"]) == (0, 0)
+
+    def test_within_doc_repeats_dropped(self, spark):
+        from symtseries_spark.operators.dedup import span_dedup
+
+        docs = spark.createDataFrame(
+            [(1, "p q p q p q")], "doc_id long, text string"
+        )
+        r = span_dedup(docs, span_tokens=2).collect()[0]
+        # three identical 'p q' spans; position 0 survives
+        assert (r["n_spans"], r["n_dropped"]) == (3, 2)
+        assert r["clean_text"] == "p q"
+
+    def test_trailing_partial_span(self, spark):
+        from symtseries_spark.operators.dedup import span_dedup
+
+        docs = spark.createDataFrame(
+            [(1, "a b c")], "doc_id long, text string"
+        )
+        r = span_dedup(docs, span_tokens=2).collect()[0]
+        assert r["n_spans"] == 2  # 'a b' + trailing 'c'
+        assert r["clean_text"] == "a b c"
