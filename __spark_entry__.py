@@ -215,6 +215,7 @@ HYBRID = dict(terms=["hash", "join", "spark"], query_vec_id=0, n_leg=50, k=20)
 HOT_NGRAM = dict(k=3, min_df=3)
 BPE_MERGES = 10
 SPAN_TOKENS = 10  # C4-style exact span dedup granularity
+KCENTER_K = 8  # farthest-point coreset size
 HIST_BINS = 256
 KNN_ACC = dict(max_query_id=32, k=10)
 SIMHASH_BITS = 32
@@ -1329,6 +1330,19 @@ def q_docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from symtseries_spark.operators.pipeline import bpe_merges
 
     return bpe_merges(load(spark, sf_dir, "documents"), n_merges=BPE_MERGES)
+
+
+def q_emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric data pruning: the 8-point farthest-point-traversal
+    coreset over the embedding corpus
+    (operators/cluster.py:kcenter_coreset) — Gonzalez's k-center
+    2-approximation, the deterministic diversity picker a curation
+    pipeline uses to seed balanced eval panels. Selected set = driver
+    state; each round is one incremental least() scan + a 1-row
+    TakeOrderedAndProject; the corpus never shuffles."""
+    from symtseries_spark.operators.cluster import kcenter_coreset
+
+    return kcenter_coreset(load(spark, sf_dir, "embeddings"), k=KCENTER_K)
 
 
 def q_docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6550,6 +6564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bpe_merges": q_docs_bpe_merges,
         "docs_bpe_apply": q_docs_bpe_apply,
         "docs_span_dedup": q_docs_span_dedup,
+        "emb_kcenter_coreset": q_emb_kcenter_coreset,
         "docs_fuzzy_prefix_pairs": q_docs_fuzzy_prefix_pairs,
         "docs_length_psi_by_source": q_docs_length_psi_by_source,
         "docs_length_psi_stream": q_docs_length_psi_stream,
@@ -7926,6 +7941,9 @@ FROM f
         "docs_bpe_merges": ot.bpe_merges_sql(n_merges=BPE_MERGES),
         "docs_bpe_apply": ot.bpe_apply_stats_sql(n_merges=BPE_MERGES),
         "docs_span_dedup": ot.span_dedup_sql(span_tokens=SPAN_TOKENS),
+        "emb_kcenter_coreset": ov.kcenter_coreset_sql(
+            k=KCENTER_K, dim=EMB_DIM
+        ),
         "dedup_keep_quality": f"""
 WITH RECURSIVE pairs AS (
   SELECT doc_a, doc_b FROM ({ot.minhash_lsh_pairs_sql(**MINHASH)}) __p

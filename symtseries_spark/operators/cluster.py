@@ -517,3 +517,91 @@ def abtt_topk(
         .orderBy(F.desc("cos"), id_col)
         .limit(k)
     )
+
+
+def kcenter_coreset(
+    vectors: DataFrame,
+    *,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Farthest-point traversal coreset (Gonzalez 1985 k-center
+    2-approximation — the standard geometric data-pruning picker):
+    seed with the smallest id, then ``k - 1`` times add the vector
+    farthest (squared L2, 6-decimal rounded, min-id tiebreak) from
+    everything selected so far ->
+    ``(pick_rank, vec_id, min_dist)`` where ``min_dist`` is the
+    pick's distance to the previously-selected set — the coverage
+    radius sequence, non-increasing by construction.
+
+    Scale shape: the selected set is driver state (<= k rows, like
+    kmeans centroids and the BPE merge list); each iteration is ONE
+    incremental scan — ``md := least(md, d2(v, new_pick))`` against a
+    LITERAL vector — ending in a 1-row TakeOrderedAndProject. The
+    corpus never shuffles; lineage stays flat via the same
+    one-step-behind persist pattern as bpe_merges."""
+    if k < 1:
+        raise ValueError("kcenter_coreset needs k >= 1")
+    spark = vectors.sparkSession
+    v = F.col(vec_col).cast("array<double>")
+    seed = (
+        vectors.select(F.col(id_col).alias("vid"), v.alias("__v"))
+        .orderBy("vid")
+        .limit(1)
+        .collect()
+    )
+    if not seed:
+        return spark.createDataFrame(
+            [], "pick_rank int, vec_id long, min_dist double"
+        )
+    out = [(1, int(seed[0]["vid"]), 0.0)]
+
+    def lit_vec(vals) -> Column:
+        return F.array(*[F.lit(float(x)) for x in vals])
+
+    cur = (
+        vectors.where(F.col(id_col) != seed[0]["vid"])
+        .select(
+            F.col(id_col).alias("vid"),
+            v.alias("__v"),
+            F.round(_sq_l2(v, lit_vec(seed[0]["__v"])), 6).alias("__md"),
+        )
+        .persist()
+    )
+    prev: DataFrame | None = None
+    try:
+        for rank in range(2, k + 1):
+            best = (
+                cur.orderBy(F.desc("__md"), "vid").limit(1).collect()
+            )
+            if prev is not None:
+                prev.unpersist()
+                prev = None
+            if not best:
+                break
+            b = best[0]
+            out.append((rank, int(b["vid"]), float(b["__md"])))
+            nxt = (
+                cur.where(F.col("vid") != b["vid"])
+                .select(
+                    "vid",
+                    "__v",
+                    F.least(
+                        F.col("__md"),
+                        F.round(
+                            _sq_l2(F.col("__v"), lit_vec(b["__v"])), 6
+                        ),
+                    ).alias("__md"),
+                )
+                .persist()
+            )
+            prev = cur
+            cur = nxt
+    finally:
+        if prev is not None:
+            prev.unpersist()
+        cur.unpersist()
+    return spark.createDataFrame(
+        out, "pick_rank int, vec_id long, min_dist double"
+    )

@@ -940,3 +940,48 @@ WITH p AS (
 ), {_exact_topk_cte(max_query_id=max_query_id, k=k, dim=dim, table=table)}
 {_recall_tail_sql(k)}
 """
+
+
+def kcenter_coreset_sql(
+    *, k: int, dim: int, table: str = "embeddings"
+) -> str:
+    """Twin of cluster.kcenter_coreset: min-id seed, then an unrolled
+    MATERIALIZED chain of incremental min-distance updates
+    (``md := least(md, round(d2, 6))``) each ending in the same
+    (md DESC, vec_id) top-1 pick."""
+    ctes = [
+        f"""p1 AS MATERIALIZED (
+  SELECT vec_id, embedding FROM {table}
+  WHERE vec_id = (SELECT min(vec_id) FROM {table})
+)""",
+        f"""d1 AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding,
+         round({_sq_l2_expr('e.embedding', 'p1.embedding', dim)}, 6) AS md
+  FROM {table} e, p1 WHERE e.vec_id != p1.vec_id
+)""",
+    ]
+    for i in range(2, k + 1):
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT vec_id, embedding, md FROM d{i - 1}
+  ORDER BY md DESC, vec_id LIMIT 1
+)"""
+        )
+        if i < k:
+            ctes.append(
+                f"""d{i} AS MATERIALIZED (
+  SELECT d.vec_id, d.embedding,
+         least(d.md,
+               round({_sq_l2_expr('d.embedding', 'p.embedding', dim)}, 6))
+           AS md
+  FROM d{i - 1} d, p{i} p WHERE d.vec_id != p.vec_id
+)"""
+            )
+    finals = "\nUNION ALL\n".join(
+        ["SELECT 1 AS pick_rank, vec_id, 0.0 AS min_dist FROM p1"]
+        + [
+            f"SELECT {i} AS pick_rank, vec_id, md AS min_dist FROM p{i}"
+            for i in range(2, k + 1)
+        ]
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals

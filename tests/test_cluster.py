@@ -239,3 +239,43 @@ class TestKmeansSilhouette:
             for r in kmeans_assign(emb, k=4, dim=64, iters=2).collect()
         )
         assert a == b and len(a) > 0
+
+
+class TestKcenterCoreset:
+    def test_hand_computed_line(self, spark):
+        """Points on a line: 0, 1, 10, 11 (1-d). Seed = id 0 (x=0);
+        farthest is x=11 (d2=121); next maximizes min-dist: x=10 has
+        min(100, 1)=1, x=1 has min(1, 100)=1 -> tie, min id wins."""
+        from symtseries_spark.operators.cluster import kcenter_coreset
+
+        df = spark.createDataFrame(
+            [(0, [0.0]), (1, [1.0]), (2, [10.0]), (3, [11.0])],
+            "vec_id long, embedding array<float>",
+        )
+        rows = [
+            (r["pick_rank"], r["vec_id"], r["min_dist"])
+            for r in kcenter_coreset(df, k=4).collect()
+        ]
+        assert rows == [(1, 0, 0.0), (2, 3, 121.0), (3, 1, 1.0), (4, 2, 1.0)]
+
+    def test_radius_non_increasing_and_distinct(self, spark, sf_dir):
+        from symtseries_spark.operators.cluster import kcenter_coreset
+        from symtseries_spark.sources import load
+
+        rows = sorted(
+            kcenter_coreset(load(spark, sf_dir, "embeddings"), k=6).collect(),
+            key=lambda r: r["pick_rank"],
+        )
+        ids = [r["vec_id"] for r in rows]
+        assert len(set(ids)) == len(ids) == 6
+        radii = [r["min_dist"] for r in rows[1:]]
+        assert radii == sorted(radii, reverse=True)
+
+    def test_k_exceeding_corpus(self, spark):
+        from symtseries_spark.operators.cluster import kcenter_coreset
+
+        df = spark.createDataFrame(
+            [(0, [0.0]), (1, [5.0])], "vec_id long, embedding array<float>"
+        )
+        rows = kcenter_coreset(df, k=10).collect()
+        assert len(rows) == 2
