@@ -1345,6 +1345,36 @@ def q_emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_coreset(load(spark, sf_dir, "embeddings"), k=KCENTER_K)
 
 
+def q_emb_kcenter_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voronoi coverage of the k-center coreset: assign every vector
+    to its nearest of the 8 picks and report per-cell count / mean /
+    max squared distance (operators/cluster.py:kcenter_assign) — the
+    balance check that tells a curation pipeline whether the coreset
+    actually covers the corpus. Nearest-pick selection is ONE integer
+    least() over packed micro-quantized keys; no corpus shuffle."""
+    from symtseries_spark.operators.cluster import (
+        kcenter_assign,
+        kcenter_coreset,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    pick_rows = sorted(
+        kcenter_coreset(emb, k=KCENTER_K).collect(),
+        key=lambda r: r["pick_rank"],
+    )
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.where(
+            F.col("vec_id").isin([p["vec_id"] for p in pick_rows])
+        ).collect()
+    }
+    picks = [
+        (p["pick_rank"], p["vec_id"], [float(x) for x in vecs[p["vec_id"]]])
+        for p in pick_rows
+    ]
+    return kcenter_assign(emb, picks=picks)
+
+
 def q_docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style exact span dedup, materialized: drop every 10-token
     span whose exact text occurs earlier in the corpus (first
@@ -6565,6 +6595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bpe_apply": q_docs_bpe_apply,
         "docs_span_dedup": q_docs_span_dedup,
         "emb_kcenter_coreset": q_emb_kcenter_coreset,
+        "emb_kcenter_assign": q_emb_kcenter_assign,
         "docs_fuzzy_prefix_pairs": q_docs_fuzzy_prefix_pairs,
         "docs_length_psi_by_source": q_docs_length_psi_by_source,
         "docs_length_psi_stream": q_docs_length_psi_stream,
@@ -7942,6 +7973,9 @@ FROM f
         "docs_bpe_apply": ot.bpe_apply_stats_sql(n_merges=BPE_MERGES),
         "docs_span_dedup": ot.span_dedup_sql(span_tokens=SPAN_TOKENS),
         "emb_kcenter_coreset": ov.kcenter_coreset_sql(
+            k=KCENTER_K, dim=EMB_DIM
+        ),
+        "emb_kcenter_assign": ov.kcenter_assign_sql(
             k=KCENTER_K, dim=EMB_DIM
         ),
         "dedup_keep_quality": f"""

@@ -605,3 +605,83 @@ def kcenter_coreset(
     return spark.createDataFrame(
         out, "pick_rank int, vec_id long, min_dist double"
     )
+
+
+def kcenter_assign(
+    vectors: DataFrame,
+    *,
+    picks: list[tuple[int, int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Voronoi coverage report for a k-center coreset: assign every
+    vector to its nearest pick (squared L2; pick_rank breaks exact
+    ties) -> ``(pick_rank, pick_id, n_assigned, mean_d2, max_d2)``.
+    ``picks`` is the driver-state output of :func:`kcenter_coreset`
+    joined back to its vectors: ``(pick_rank, pick_id, vector)``.
+
+    Determinism across engines without struct least() (DuckDB 1.0
+    lacks it): each candidate is ONE BIGINT key
+    ``floor(d2 * 1e6 + 0.5) * 100 + pick_rank`` — the raw d2 doubles
+    are bit-identical on both engines (same fold), so the
+    micro-quantized integer is too, and integer ``least`` picks
+    (nearest, then lowest rank) in one comparison. Stats are sums and
+    maxes of those exact integers, divided back out at the end.
+
+    Scale shape: one scan with k literal-vector distance expressions
+    + one combinable groupBy(rank at most k groups). No shuffle of
+    the corpus, no join — the picks ride in as literals."""
+    if not picks:
+        raise ValueError("kcenter_assign needs at least one pick")
+    if len(picks) >= 100:
+        raise ValueError("pick_rank packs into 2 decimal digits (< 100)")
+    v = F.col(vec_col).cast("array<double>")
+
+    def lit_vec(vals) -> Column:
+        return F.array(*[F.lit(float(x)) for x in vals])
+
+    keys = [
+        (
+            F.floor(_sq_l2(v, lit_vec(vec)) * 1e6 + F.lit(0.5)).cast("long")
+            * 100
+            + F.lit(rank)
+        )
+        for rank, _pid, vec in picks
+    ]
+    key = keys[0] if len(keys) == 1 else F.least(*keys)
+    asg = vectors.select(
+        (key % 100).cast("int").alias("pick_rank"),
+        ((key - key % 100) / F.lit(100)).cast("long").alias("__micro"),
+    )
+    agg = asg.groupBy("pick_rank").agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.sum("__micro").alias("__sum"),
+        F.max("__micro").alias("__max"),
+    )
+    spark = vectors.sparkSession
+    meta = spark.createDataFrame(
+        [(rank, pid) for rank, pid, _ in picks],
+        "pick_rank int, pick_id long",
+    )
+    return meta.join(agg, "pick_rank", "left").select(
+        "pick_rank",
+        "pick_id",
+        F.coalesce("n_assigned", F.lit(0)).alias("n_assigned"),
+        F.when(
+            F.coalesce("n_assigned", F.lit(0)) > 0,
+            F.round(
+                F.col("__sum").cast("double")
+                / F.lit(1000000.0)
+                / F.col("n_assigned"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_d2"),
+        F.when(
+            F.coalesce("n_assigned", F.lit(0)) > 0,
+            F.round(F.col("__max").cast("double") / F.lit(1000000.0), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("max_d2"),
+    )

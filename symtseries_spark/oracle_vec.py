@@ -985,3 +985,43 @@ def kcenter_coreset_sql(
         ]
     )
     return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+def kcenter_assign_sql(
+    *, k: int, dim: int, table: str = "embeddings"
+) -> str:
+    """Twin of cluster.kcenter_assign composed over the coreset chain:
+    the same packed-BIGINT nearest-pick key (micro-quantized d2 * 100
+    + rank), integer least, per-rank integer stats."""
+    # reuse the coreset chain builder (shares the p{i} pick CTEs)
+    chain = kcenter_coreset_sql(k=k, dim=dim, table=table)
+    body = chain[len("WITH "):]
+    cte_block = body.rsplit(")\nSELECT 1 AS pick_rank", 1)[0] + ")"
+    key_terms = ", ".join(
+        f"CAST(floor({_sq_l2_expr('e.embedding', f'p{i}.embedding', dim)}"
+        f" * 1000000.0 + 0.5) AS BIGINT) * 100 + {i}"
+        for i in range(1, k + 1)
+    )
+    least_expr = f"least({key_terms})" if k > 1 else f"({key_terms})"
+    pick_tables = ", ".join(f"p{i}" for i in range(1, k + 1))
+    id_case = " ".join(
+        f"WHEN pick_rank = {i} THEN (SELECT vec_id FROM p{i})"
+        for i in range(1, k + 1)
+    )
+    return f"""WITH {cte_block},
+asg AS MATERIALIZED (
+  SELECT key % 100 AS pick_rank, (key - key % 100) / 100 AS microd
+  FROM (SELECT ({least_expr}) AS key FROM {table} e, {pick_tables})
+), agg AS (
+  SELECT pick_rank, count(*) AS n_assigned,
+         CAST(sum(CAST(microd AS BIGINT)) AS BIGINT) AS s,
+         CAST(max(CAST(microd AS BIGINT)) AS BIGINT) AS mx
+  FROM asg GROUP BY pick_rank
+)
+SELECT CAST(pick_rank AS INTEGER) AS pick_rank,
+       (CASE {id_case} END) AS pick_id,
+       n_assigned,
+       round(CAST(s AS DOUBLE) / 1000000.0 / n_assigned, 6) AS mean_d2,
+       round(CAST(mx AS DOUBLE) / 1000000.0, 6) AS max_d2
+FROM agg
+"""

@@ -279,3 +279,46 @@ class TestKcenterCoreset:
         )
         rows = kcenter_coreset(df, k=10).collect()
         assert len(rows) == 2
+
+
+class TestKcenterAssign:
+    def test_partition_and_stats(self, spark):
+        from symtseries_spark.operators.cluster import kcenter_assign
+
+        df = spark.createDataFrame(
+            [(0, [0.0]), (1, [1.0]), (2, [10.0]), (3, [11.0])],
+            "vec_id long, embedding array<float>",
+        )
+        picks = [(1, 0, [0.0]), (2, 3, [11.0])]
+        rows = {
+            r["pick_rank"]: r
+            for r in kcenter_assign(df, picks=picks).collect()
+        }
+        # cell 1: x=0 (d2 0) and x=1 (d2 1); cell 2: x=11 (0), x=10 (1)
+        assert rows[1]["n_assigned"] == 2 and rows[2]["n_assigned"] == 2
+        assert rows[1]["mean_d2"] == 0.5 and rows[1]["max_d2"] == 1.0
+        assert rows[2]["mean_d2"] == 0.5 and rows[2]["max_d2"] == 1.0
+
+    def test_tie_goes_to_lower_rank(self, spark):
+        from symtseries_spark.operators.cluster import kcenter_assign
+
+        df = spark.createDataFrame(
+            [(0, [5.0])], "vec_id long, embedding array<float>"
+        )
+        picks = [(1, 10, [0.0]), (2, 20, [10.0])]  # both d2 = 25
+        rows = {
+            r["pick_rank"]: r
+            for r in kcenter_assign(df, picks=picks).collect()
+        }
+        assert rows[1]["n_assigned"] == 1
+        assert rows[2]["n_assigned"] == 0
+        assert rows[2]["mean_d2"] == 0.0  # empty-cell contract
+
+    def test_counts_cover_corpus(self, spark, sf_dir):
+        import __spark_entry__ as entry_mod
+        from symtseries_spark.sources import load
+
+        rows = entry_mod.q_emb_kcenter_assign(spark, sf_dir).collect()
+        total = load(spark, sf_dir, "embeddings").count()
+        assert sum(r["n_assigned"] for r in rows) == total
+        assert len(rows) == entry_mod.KCENTER_K
