@@ -6584,9 +6584,12 @@ def q_docs_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Round-10 additions (new queries go at the HEAD): the
-        # distribution-drift battery joining the r9 KS report, and
-        # the exact edit-distance similarity join.
+        # Round-10 additions (new queries go at the HEAD). Second/third
+        # wave: JL projection recall, RRF hybrid retrieval, hot-n-gram
+        # coverage, quality-weighted keep, BPE induction + fertility
+        # audit, span dedup, k-center coreset + Voronoi coverage. First
+        # wave: the distribution-drift battery joining the r9 KS
+        # report, and the exact edit-distance similarity join.
         "emb_jl_recall": q_emb_jl_recall,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "docs_hot_ngram_cov": q_docs_hot_ngram_cov,
