@@ -1332,6 +1332,88 @@ def q_docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(load(spark, sf_dir, "documents"), n_merges=BPE_MERGES)
 
 
+def q_docs_span_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span dedup through a REAL stream: docs arrive in id order across
+    2 micro-batches; state is one (first_doc, first_pos) pair keyed by
+    the exact span TEXT (streaming/dedup.py:streaming_span_dedup).
+    With id-ordered arrival + within-batch (doc_id, pos) sort,
+    first-seen == the batch rule, so the ORACLE is the batch
+    span_dedup SQL — the per-doc rebuild (counts + position-ordered
+    clean_text) runs on the sink output and must reproduce it
+    exactly."""
+    import glob as globmod
+    import os
+    import tempfile
+    import uuid
+
+    from symtseries_spark.streaming import streaming_span_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    tmp = tempfile.mkdtemp(prefix="span_stream_")
+    staged, indir = f"{tmp}/staged", f"{tmp}/in"
+    os.makedirs(indir)
+    half = (F.col("doc_id") > mid).cast("int").alias("__bid")
+    docs.withColumn("__bid", half).coalesce(1).write.partitionBy(
+        "__bid"
+    ).parquet(staged)
+    for i, d in enumerate(sorted(globmod.glob(f"{staged}/__bid=*"))):
+        part = globmod.glob(f"{d}/part-*.parquet")[0]
+        dst = f"{indir}/b{i:04d}.parquet"
+        os.rename(part, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+    )
+    marked = streaming_span_dedup(stream, span_tokens=SPAN_TOKENS)
+    name = f"span_stream_{uuid.uuid4().hex[:8]}"
+    # span-text-keyed state: thousands of keys, same parallelism
+    # reasoning as dedup_exact_stream
+    with _state_partitions(spark, n=16):
+        q = (
+            marked.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="span_chk_")
+            )
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    out = spark.table(name)
+    agg_all = out.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    kept = out.where(~F.col("is_dropped"))
+    agg_kept = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("span")))
+                ),
+                lambda x: x["span"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    n_spans = F.coalesce("n_spans", F.lit(0))
+    return (
+        docs.select("doc_id")
+        .join(agg_all, "doc_id", "left")
+        .join(agg_kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_spans.cast("long").alias("n_spans"),
+            (n_spans - F.coalesce("__n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def q_emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geometric data pruning: the 8-point farthest-point-traversal
     coreset over the embedding corpus
@@ -6599,6 +6681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_span_dedup": q_docs_span_dedup,
         "emb_kcenter_coreset": q_emb_kcenter_coreset,
         "emb_kcenter_assign": q_emb_kcenter_assign,
+        "docs_span_dedup_stream": q_docs_span_dedup_stream,
         "docs_fuzzy_prefix_pairs": q_docs_fuzzy_prefix_pairs,
         "docs_length_psi_by_source": q_docs_length_psi_by_source,
         "docs_length_psi_stream": q_docs_length_psi_stream,
@@ -7975,6 +8058,9 @@ FROM f
         "docs_bpe_merges": ot.bpe_merges_sql(n_merges=BPE_MERGES),
         "docs_bpe_apply": ot.bpe_apply_stats_sql(n_merges=BPE_MERGES),
         "docs_span_dedup": ot.span_dedup_sql(span_tokens=SPAN_TOKENS),
+        "docs_span_dedup_stream": ot.span_dedup_sql(
+            span_tokens=SPAN_TOKENS
+        ),
         "emb_kcenter_coreset": ov.kcenter_coreset_sql(
             k=KCENTER_K, dim=EMB_DIM
         ),

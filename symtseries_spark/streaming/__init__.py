@@ -1,7 +1,7 @@
 """Structured Streaming operators: stateful sliding-window SAX and
 event-time tumbling SAX with watermarks."""
 
-from .dedup import streaming_exact_dedup
+from .dedup import streaming_exact_dedup, streaming_span_dedup
 from .funnel import funnel_stream
 from .sliding import sliding_sax_stream
 from .timeseries import (
@@ -28,5 +28,6 @@ __all__ = [
     "twap_stream",
     "sliding_sax_stream",
     "streaming_exact_dedup",
+    "streaming_span_dedup",
     "tumbling_sax_event_time",
 ]

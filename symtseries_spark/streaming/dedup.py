@@ -22,6 +22,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     BooleanType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -83,6 +84,100 @@ def streaming_exact_dedup(
         handle,
         outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_SPAN_OUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("pos", LongType()),
+        StructField("span", StringType()),
+        StructField("is_dropped", BooleanType()),
+    ]
+)
+
+_SPAN_STATE_SCHEMA = StructType(
+    [StructField("first_doc", LongType()), StructField("first_pos", LongType())]
+)
+
+
+def streaming_span_dedup(
+    docs: DataFrame,
+    *,
+    span_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming first-occurrence SPAN dedup — the ingest-time twin of
+    :func:`..operators.dedup.span_dedup`: per incoming document, every
+    non-overlapping ``span_tokens``-token span is emitted with
+    ``is_dropped`` = "this exact span text was seen before" (earlier
+    micro-batch, or earlier (doc_id, pos) within one — checkpoint-
+    durable, first-seen-wins).
+
+    State is keyed by the span TEXT itself (not a hash), so collisions
+    cannot mis-drop — exactly the batch operator's grouping key — and
+    holds one ``(first_doc, first_pos)`` pair per distinct span:
+    O(distinct spans) state, the minimum any exact span dedup can
+    carry. At volume, the same shard_state rule as streaming MinHash
+    applies (BASELINE.md): per-key rows are the cost driver for the
+    state-store maintenance, not the lookups."""
+    if span_tokens < 1:
+        raise ValueError("streaming_span_dedup needs span_tokens >= 1")
+    from ..functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    n_sp = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_sp - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            F.array_join(
+                F.slice(toks, i * span_tokens + 1, span_tokens), " "
+            ).alias("span"),
+        ),
+    )
+    ex = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(F.when(n_sp > 0, spans).otherwise(
+            F.array().cast("array<struct<pos:long,span:string>>")
+        )).alias("s"),
+    ).select(
+        "doc_id", F.col("s.pos").alias("pos"), F.col("s.span").alias("span")
+    )
+
+    def handle(key, pdfs, state: GroupState):
+        span = key[0]
+        first = tuple(state.get) if state.exists else None
+        whole = coalesce_chunks(pdfs)
+        if whole is not None:
+            pdf = whole.sort_values(["doc_id", "pos"])
+            docs_, poss, dropped = [], [], []
+            for doc_id, pos in zip(pdf["doc_id"], pdf["pos"]):
+                if first is None:
+                    first = (int(doc_id), int(pos))
+                    dropped.append(False)
+                else:
+                    dropped.append((int(doc_id), int(pos)) != first)
+                docs_.append(int(doc_id))
+                poss.append(int(pos))
+            yield pd.DataFrame(
+                {
+                    "doc_id": docs_,
+                    "pos": poss,
+                    "span": [span] * len(docs_),
+                    "is_dropped": dropped,
+                }
+            )
+        if first is not None:
+            state.update((int(first[0]), int(first[1])))
+
+    return ex.groupBy("span").applyInPandasWithState(
+        handle,
+        outputStructType=_SPAN_OUT_SCHEMA,
+        stateStructType=_SPAN_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -329,6 +329,52 @@ class TestStreamingDedup:
             shutil.rmtree(in_dir, ignore_errors=True)
             shutil.rmtree(chk_dir, ignore_errors=True)
 
+    def test_span_first_occurrence_across_batches(self, spark):
+        from symtseries_spark.streaming import streaming_span_dedup
+
+        # spans (2 tokens): b0 doc0 = ['a b', 'c d'], doc1 = ['x y'];
+        # b1 doc2 = ['a b' (dup of doc0 pos0), 'z w'], doc3 = ['x y' dup]
+        b0 = [(0, "a b c d"), (1, "x y")]
+        b1 = [(2, "a b z w"), (3, "x y")]
+        in_dir = tempfile.mkdtemp(prefix="span_in_")
+        chk_dir = tempfile.mkdtemp(prefix="span_chk_")
+        try:
+            import time as _time
+
+            spark.createDataFrame(b0, "doc_id long, text string").coalesce(
+                1
+            ).write.parquet(f"{in_dir}/b0")
+            _time.sleep(1.1)
+            spark.createDataFrame(b1, "doc_id long, text string").coalesce(
+                1
+            ).write.parquet(f"{in_dir}/b1")
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{in_dir}/b*")
+            )
+            out = streaming_span_dedup(stream, span_tokens=2)
+            q = (
+                out.writeStream.format("memory")
+                .queryName("span_out")
+                .outputMode("append")
+                .option("checkpointLocation", chk_dir)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            rows = {
+                (r.doc_id, r.pos): r.is_dropped
+                for r in spark.sql("SELECT * FROM span_out").collect()
+            }
+            assert rows == {
+                (0, 0): False, (0, 1): False, (1, 0): False,
+                (2, 0): True, (2, 1): False, (3, 0): True,
+            }
+        finally:
+            shutil.rmtree(in_dir, ignore_errors=True)
+            shutil.rmtree(chk_dir, ignore_errors=True)
+
 
 def _protobuf_available() -> bool:
     try:
