@@ -1335,12 +1335,13 @@ def q_docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_docs_span_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span dedup through a REAL stream: docs arrive in id order across
     2 micro-batches; state is one (first_doc, first_pos) pair keyed by
-    the exact span TEXT (streaming/dedup.py:streaming_span_dedup).
-    With id-ordered arrival + within-batch (doc_id, pos) sort,
-    first-seen == the batch rule, so the ORACLE is the batch
-    span_dedup SQL — the per-doc rebuild (counts + position-ordered
-    clean_text) runs on the sink output and must reproduce it
-    exactly."""
+    the 128-bit md5 of the span (hash_spans=True — the at-scale layout:
+    32 state-key bytes per distinct span instead of its full text;
+    streaming/dedup.py:streaming_span_dedup). With id-ordered arrival
+    + within-batch (doc_id, pos) sort, first-seen == the batch rule,
+    so the ORACLE is the batch span_dedup SQL — the per-doc rebuild
+    (counts + position-ordered clean_text) runs on the sink output and
+    must reproduce it exactly."""
     import glob as globmod
     import os
     import tempfile
@@ -1367,9 +1368,11 @@ def q_docs_span_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(indir)
     )
-    marked = streaming_span_dedup(stream, span_tokens=SPAN_TOKENS)
+    marked = streaming_span_dedup(
+        stream, span_tokens=SPAN_TOKENS, hash_spans=True
+    )
     name = f"span_stream_{uuid.uuid4().hex[:8]}"
-    # span-text-keyed state: thousands of keys, same parallelism
+    # md5-keyed state: thousands of keys, same parallelism
     # reasoning as dedup_exact_stream
     with _state_partitions(spark, n=16):
         q = (

@@ -759,6 +759,7 @@ def span_dedup(
     span_tokens: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_spans: bool = False,
 ) -> DataFrame:
     """C4-style exact SPAN dedup (Raffel et al. 2020 deduplicated
     three-sentence spans; here the span is a fixed run of
@@ -771,12 +772,21 @@ def span_dedup(
     transform, not just a report.
 
     Scale shape: one explode of non-overlapping spans (corpus token
-    count / span_tokens rows), ONE shuffle on the span text for the
-    first-occurrence window (per-group input = that span's occurrence
-    count), one combinable groupBy(doc) to rebuild. At corpus scale
-    shuffle the 128-bit span hash instead of the text (a 60-bit key
-    collides near 2^30 distinct spans) and carry the text only
-    through the rebuild side."""
+    count / span_tokens rows), then first-occurrence as ONE
+    map-side-combinable ``groupBy(key).agg(min(struct(doc_id, pos,
+    span)))`` — no window sort and no join-back, so a corpus-hot
+    boilerplate span partially reduces inside every map task and
+    reaches the shuffle as one row per upstream partition instead of
+    every occurrence landing in a single sorting task. One combinable
+    groupBy(doc) rebuilds the cleaned text.
+
+    ``hash_spans=True`` shuffles the 128-bit md5 of the span instead
+    of the text (a 60-bit key collides near 2^30 distinct spans;
+    128-bit collision odds are ~2^-64 there) — the span text still
+    rides inside the min-struct, but the combiner keeps one struct
+    per key per partition, so long boilerplate text is not
+    replicated across the wire per occurrence. Semantics are
+    identical up to md5 collisions; the default keys the exact text."""
     if span_tokens < 1:
         raise ValueError("span_dedup needs span_tokens >= 1")
     toks = tokens(F.col(text_col))
@@ -796,11 +806,16 @@ def span_dedup(
             F.array().cast("array<struct<pos:int,span:string>>")
         )).alias("s"),
     ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.span").alias("span"))
-    first = F.row_number().over(
-        Window.partitionBy("span").orderBy("doc_id", "pos")
+    key = F.md5(F.col("span")) if hash_spans else F.col("span")
+    kept = (
+        ex.groupBy(key.alias("__k"))
+        .agg(F.min(F.struct("doc_id", "pos", "span")).alias("__w"))
+        .select(
+            F.col("__w.doc_id").alias("doc_id"),
+            F.col("__w.pos").alias("pos"),
+            F.col("__w.span").alias("span"),
+        )
     )
-    marked = ex.withColumn("__r", first)
-    kept = marked.where(F.col("__r") == 1)
     agg_all = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
     agg_kept = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("__n_kept"),

@@ -932,10 +932,14 @@ def truncated_dim_recall(
     if k < 1:
         raise ValueError("truncated_dim_recall needs k >= 1")
     v = F.col(vec_col).cast("array<double>")
+    # Zero-norm guard (the knn_join convention): an all-zero PREFIX of
+    # a nonzero vector would make the renormalized cosine 0/0 — an
+    # ANSI-mode abort — and the exact leg excludes zero-norm rows
+    # anyway, so drop them from both roles before the division.
     base = vectors.select(
         F.col(id_col).alias("cand_id"),
         F.slice(v, 1, trunc_dim).alias("__v"),
-    )
+    ).where(norm(F.col("__v")) > 0)
     q = base.where(F.col("cand_id") < max_query_id).select(
         F.col("cand_id").alias("query_id"), F.col("__v").alias("__qv")
     )
@@ -1131,6 +1135,11 @@ def jl_recall(
             vec_col=vec_col, tag=tag,
         ).select(F.col(id_col).alias("cand_id"), F.col("jl").alias("__v"))
     )
+    # Zero-norm guard (the knn_join convention): an all-zero or
+    # exactly-cancelling JL projection would make the cosine 0/0 — an
+    # ANSI-mode abort — and the exact leg excludes zero-norm rows
+    # anyway, so drop them from both roles before the division.
+    base = base.where(norm(F.col("__v")) > 0)
     q = base.where(F.col("cand_id") < max_query_id).select(
         F.col("cand_id").alias("query_id"), F.col("__v").alias("__qv")
     )

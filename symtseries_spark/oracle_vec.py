@@ -677,11 +677,16 @@ def truncated_dim_recall_sql(
     """Twin of simsearch.truncated_dim_recall: the approx leg is
     cosine_expr over only the first trunc_dim components (the same
     prefix fold as the Spark slice), the exact leg is the shared
-    full-dim knn CTE."""
+    full-dim knn CTE. Rows whose PREFIX has zero norm are excluded
+    from both roles (the operator's zero-norm guard: prefix cosine
+    would be 0/0)."""
     return f"""
-WITH q AS (
+WITH b AS (
+  SELECT vec_id, embedding FROM {table}
+  WHERE {_dot('embedding', 'embedding', trunc_dim)} > 0
+), q AS (
   SELECT vec_id AS query_id, embedding AS qv
-  FROM {table} WHERE vec_id < {max_query_id}
+  FROM b WHERE vec_id < {max_query_id}
 ), approx AS (
   SELECT query_id, cand_id FROM (
     SELECT q.query_id, v.vec_id AS cand_id,
@@ -689,7 +694,7 @@ WITH q AS (
              PARTITION BY q.query_id
              ORDER BY round({cosine_expr('v.embedding', 'q.qv', trunc_dim)}, 6)
                DESC, v.vec_id) AS r
-    FROM {table} v, q
+    FROM b v, q
     WHERE v.vec_id != q.query_id)
   WHERE r <= {k}
 ), {_exact_topk_cte(max_query_id=max_query_id, k=k, dim=dim, table=table)}
@@ -923,8 +928,10 @@ def jl_recall_sql(
 
     signs = jl_signs(out_dim, dim, tag)
     return f"""
-WITH p AS (
+WITH p0 AS (
   SELECT vec_id, {_jl_proj_list('embedding', signs)} AS pv FROM {table}
+), p AS (
+  SELECT vec_id, pv FROM p0 WHERE {_dot('pv', 'pv', out_dim)} > 0
 ), q AS (
   SELECT vec_id AS query_id, pv AS qv FROM p WHERE vec_id < {max_query_id}
 ), approx AS (
@@ -942,13 +949,13 @@ WITH p AS (
 """
 
 
-def kcenter_coreset_sql(
-    *, k: int, dim: int, table: str = "embeddings"
-) -> str:
-    """Twin of cluster.kcenter_coreset: min-id seed, then an unrolled
-    MATERIALIZED chain of incremental min-distance updates
-    (``md := least(md, round(d2, 6))``) each ending in the same
-    (md DESC, vec_id) top-1 pick."""
+def _kcenter_chain_ctes(*, k: int, dim: int, table: str) -> list[str]:
+    """The shared p{i}/d{i} pick-traversal CTE chain (min-id seed,
+    then k-1 incremental ``md := least(md, round(d2, 6))`` updates,
+    each ending in a (md DESC, vec_id) top-1 pick). Both
+    kcenter_coreset_sql and kcenter_assign_sql COMPOSE from this list
+    (the same pattern as the BPE chain builder) — neither
+    string-splits the other's rendered SQL."""
     ctes = [
         f"""p1 AS MATERIALIZED (
   SELECT vec_id, embedding FROM {table}
@@ -977,6 +984,16 @@ def kcenter_coreset_sql(
   FROM d{i - 1} d, p{i} p WHERE d.vec_id != p.vec_id
 )"""
             )
+    return ctes
+
+
+def kcenter_coreset_sql(
+    *, k: int, dim: int, table: str = "embeddings"
+) -> str:
+    """Twin of cluster.kcenter_coreset: the shared
+    :func:`_kcenter_chain_ctes` traversal, then one UNION ALL of the
+    pick rows (rank, vec_id, coverage radius)."""
+    ctes = _kcenter_chain_ctes(k=k, dim=dim, table=table)
     finals = "\nUNION ALL\n".join(
         ["SELECT 1 AS pick_rank, vec_id, 0.0 AS min_dist FROM p1"]
         + [
@@ -990,13 +1007,22 @@ def kcenter_coreset_sql(
 def kcenter_assign_sql(
     *, k: int, dim: int, table: str = "embeddings"
 ) -> str:
-    """Twin of cluster.kcenter_assign composed over the coreset chain:
-    the same packed-BIGINT nearest-pick key (micro-quantized d2 * 100
-    + rank), integer least, per-rank integer stats."""
-    # reuse the coreset chain builder (shares the p{i} pick CTEs)
-    chain = kcenter_coreset_sql(k=k, dim=dim, table=table)
-    body = chain[len("WITH "):]
-    cte_block = body.rsplit(")\nSELECT 1 AS pick_rank", 1)[0] + ")"
+    """Twin of cluster.kcenter_assign composed over the shared
+    :func:`_kcenter_chain_ctes` traversal: the same packed-BIGINT
+    nearest-pick key (micro-quantized d2 * 100 + rank), integer
+    least, per-rank integer stats. The rank spine is a VALUES list of
+    ranks 1..k LEFT JOINed against the aggregate, mirroring the Spark
+    operator's meta left join, so picks with ZERO assigned vectors
+    (duplicate-vector / k >= distinct edge cases) still emit their
+    n_assigned=0 row — the contract pinned by
+    tests/test_cluster.py::test_tie_goes_to_lower_rank. Same packing
+    validity window as the operator (pick_rank < 100; exact while
+    d2 < 2^53 / 1e8)."""
+    if k < 1:
+        raise ValueError("kcenter_assign_sql needs k >= 1")
+    if k >= 100:
+        raise ValueError("pick_rank packs into 2 decimal digits (< 100)")
+    cte_block = ",\n".join(_kcenter_chain_ctes(k=k, dim=dim, table=table))
     key_terms = ", ".join(
         f"CAST(floor({_sq_l2_expr('e.embedding', f'p{i}.embedding', dim)}"
         f" * 1000000.0 + 0.5) AS BIGINT) * 100 + {i}"
@@ -1005,9 +1031,10 @@ def kcenter_assign_sql(
     least_expr = f"least({key_terms})" if k > 1 else f"({key_terms})"
     pick_tables = ", ".join(f"p{i}" for i in range(1, k + 1))
     id_case = " ".join(
-        f"WHEN pick_rank = {i} THEN (SELECT vec_id FROM p{i})"
+        f"WHEN r.pick_rank = {i} THEN (SELECT vec_id FROM p{i})"
         for i in range(1, k + 1)
     )
+    ranks_values = ", ".join(f"({i})" for i in range(1, k + 1))
     return f"""WITH {cte_block},
 asg AS MATERIALIZED (
   SELECT key % 100 AS pick_rank, (key - key % 100) / 100 AS microd
@@ -1017,11 +1044,17 @@ asg AS MATERIALIZED (
          CAST(sum(CAST(microd AS BIGINT)) AS BIGINT) AS s,
          CAST(max(CAST(microd AS BIGINT)) AS BIGINT) AS mx
   FROM asg GROUP BY pick_rank
+), ranks AS (
+  SELECT * FROM (VALUES {ranks_values}) t(pick_rank)
 )
-SELECT CAST(pick_rank AS INTEGER) AS pick_rank,
+SELECT CAST(r.pick_rank AS INTEGER) AS pick_rank,
        (CASE {id_case} END) AS pick_id,
-       n_assigned,
-       round(CAST(s AS DOUBLE) / 1000000.0 / n_assigned, 6) AS mean_d2,
-       round(CAST(mx AS DOUBLE) / 1000000.0, 6) AS max_d2
-FROM agg
+       COALESCE(a.n_assigned, 0) AS n_assigned,
+       CASE WHEN COALESCE(a.n_assigned, 0) > 0
+            THEN round(CAST(a.s AS DOUBLE) / 1000000.0 / a.n_assigned, 6)
+            ELSE 0.0 END AS mean_d2,
+       CASE WHEN COALESCE(a.n_assigned, 0) > 0
+            THEN round(CAST(a.mx AS DOUBLE) / 1000000.0, 6)
+            ELSE 0.0 END AS max_d2
+FROM ranks r LEFT JOIN agg a ON r.pick_rank = a.pick_rank
 """

@@ -109,6 +109,7 @@ def streaming_span_dedup(
     span_tokens: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_spans: bool = False,
 ) -> DataFrame:
     """Streaming first-occurrence SPAN dedup — the ingest-time twin of
     :func:`..operators.dedup.span_dedup`: per incoming document, every
@@ -117,12 +118,16 @@ def streaming_span_dedup(
     micro-batch, or earlier (doc_id, pos) within one — checkpoint-
     durable, first-seen-wins).
 
-    State is keyed by the span TEXT itself (not a hash), so collisions
-    cannot mis-drop — exactly the batch operator's grouping key — and
-    holds one ``(first_doc, first_pos)`` pair per distinct span:
-    O(distinct spans) state, the minimum any exact span dedup can
-    carry. At volume, the same shard_state rule as streaming MinHash
-    applies (BASELINE.md): per-key rows are the cost driver for the
+    By default state is keyed by the span TEXT itself (not a hash),
+    so collisions cannot mis-drop — exactly the batch operator's
+    grouping key — and holds one ``(first_doc, first_pos)`` pair per
+    distinct span: O(distinct spans) state, the minimum any exact
+    span dedup can carry. ``hash_spans=True`` keys the state by the
+    128-bit md5 of the span instead (the batch twin's knob): long
+    boilerplate spans then cost 32 state-key bytes rather than their
+    full text, and the span text is carried only in the output rows.
+    At volume, the same shard_state rule as streaming MinHash applies
+    (BASELINE.md): per-key rows are the cost driver for the
     state-store maintenance, not the lookups."""
     if span_tokens < 1:
         raise ValueError("streaming_span_dedup needs span_tokens >= 1")
@@ -148,8 +153,12 @@ def streaming_span_dedup(
         "doc_id", F.col("s.pos").alias("pos"), F.col("s.span").alias("span")
     )
 
+    if hash_spans:
+        ex = ex.withColumn("__k", F.md5(F.col("span")))
+    else:
+        ex = ex.withColumn("__k", F.col("span"))
+
     def handle(key, pdfs, state: GroupState):
-        span = key[0]
         first = tuple(state.get) if state.exists else None
         whole = coalesce_chunks(pdfs)
         if whole is not None:
@@ -167,14 +176,14 @@ def streaming_span_dedup(
                 {
                     "doc_id": docs_,
                     "pos": poss,
-                    "span": [span] * len(docs_),
+                    "span": list(pdf["span"]),
                     "is_dropped": dropped,
                 }
             )
         if first is not None:
             state.update((int(first[0]), int(first[1])))
 
-    return ex.groupBy("span").applyInPandasWithState(
+    return ex.groupBy("__k").applyInPandasWithState(
         handle,
         outputStructType=_SPAN_OUT_SCHEMA,
         stateStructType=_SPAN_STATE_SCHEMA,
