@@ -46,7 +46,11 @@ broadcast short-bucket join, capped by ``short_cap``.
 
 Engine parity note for oracles: Spark's ``levenshtein`` counts
 UNICODE CODEPOINTS while DuckDB's counts BYTES — identical on ASCII
-keys only. Registered queries normalize keys to ASCII-safe forms.
+keys only. This is a CONTRACT, not a convention: both public
+functions default to ``assert_ascii=True``, a scan-stage guard that
+raises on the first non-ASCII key (pass ``assert_ascii=False`` for
+explicit codepoint-semantics use outside the oracle domain).
+Registered queries normalize keys to ASCII-safe forms.
 """
 
 from __future__ import annotations
@@ -68,13 +72,39 @@ def _seg_cols(k: int, tau: int):
     return w, p
 
 
-def _clean_keys(df: DataFrame, key: str) -> DataFrame:
+def _clean_keys(df: DataFrame, key: str, assert_ascii: bool) -> DataFrame:
     """Distinct non-empty keys, persisted (tracked): every caller
     fans the key table into several consumers (index, probe, short
     bucket + its count job), and without the persist each branch
-    would re-run the upstream scan AND the distinct shuffle."""
+    would re-run the upstream scan AND the distinct shuffle.
+
+    ``assert_ascii`` makes the module docstring's engine-parity note a
+    CONTRACT instead of a convention: Spark's ``levenshtein`` counts
+    codepoints, DuckDB's counts bytes, so a registry query whose keys
+    drift non-ASCII would silently diverge from its oracle. The guard
+    is a scan-stage expression (``octet_length == length`` iff pure
+    ASCII in UTF-8 — no regex, no extra job) that raises on the first
+    offending key. Callers that WANT codepoint semantics beyond the
+    oracle domain pass ``assert_ascii=False`` (the operator itself is
+    codepoint-correct; tests/test_fuzzy.py pins that against a
+    codepoint brute force)."""
+    k = F.col(key).cast("string")
+    if assert_ascii:
+        k = F.when(F.octet_length(k) == F.length(k), k).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "non-ASCII key in exact edit-distance join "
+                        "(Spark levenshtein counts codepoints, the "
+                        "DuckDB oracle counts bytes); normalize the "
+                        "key or pass assert_ascii=False: "
+                    ),
+                    k,
+                )
+            )
+        )
     return persist_tracked(
-        df.select(F.col(key).cast("string").alias("k"))
+        df.select(k.alias("k"))
         .where(F.col("k").isNotNull() & (F.length("k") > 0))
         .distinct()
     )
@@ -173,6 +203,7 @@ def edit_distance_pairs(
     key: str = "key",
     tau: int = 2,
     short_cap: int = 100_000,
+    assert_ascii: bool = True,
 ) -> DataFrame:
     """All unordered pairs of DISTINCT non-empty ``key`` values within
     edit distance ``tau`` -> ``(key_a, key_b, dist)`` with ``key_a <
@@ -191,7 +222,7 @@ def edit_distance_pairs(
     if not isinstance(tau, int) or tau < 1:
         raise ValueError("edit_distance_pairs needs integer tau >= 1")
     k = tau + 1
-    keys = _clean_keys(df, key)
+    keys = _clean_keys(df, key, assert_ascii)
 
     long_keys = keys.where(F.length("k") >= k)
     idx = _index_segments(long_keys, tau, "a")
@@ -249,6 +280,7 @@ def edit_distance_join(
     right_key: str = "key",
     tau: int = 2,
     short_cap: int = 100_000,
+    assert_ascii: bool = True,
 ) -> DataFrame:
     """Two-table (R-S) exact edit-distance join over DISTINCT
     non-empty keys -> ``(key_l, key_r, dist)`` with ``0 <= dist <=
@@ -269,8 +301,8 @@ def edit_distance_join(
     if not isinstance(tau, int) or tau < 1:
         raise ValueError("edit_distance_join needs integer tau >= 1")
     k = tau + 1
-    lk = _clean_keys(left, left_key)
-    rk = _clean_keys(right, right_key)
+    lk = _clean_keys(left, left_key, assert_ascii)
+    rk = _clean_keys(right, right_key, assert_ascii)
 
     idx = _index_segments(rk.where(F.length("k") >= k), tau, "key_r")
     probe = _probe_substrings(

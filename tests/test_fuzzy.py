@@ -36,11 +36,11 @@ def _brute(keys, tau):
     return out
 
 
-def _spark_pairs(spark, keys, tau):
+def _spark_pairs(spark, keys, tau, **kw):
     df = spark.createDataFrame([(k,) for k in keys], "key string")
     return {
         (r.key_a, r.key_b, r.dist)
-        for r in edit_distance_pairs(df, key="key", tau=tau).collect()
+        for r in edit_distance_pairs(df, key="key", tau=tau, **kw).collect()
     }
 
 
@@ -82,10 +82,38 @@ class TestEditDistancePairs:
         # the blocked join must agree with a codepoint-level brute
         # force on non-ASCII keys (the DuckDB oracle is byte-based and
         # only used on ASCII corpora — this guards the operator
-        # itself beyond that domain)
+        # itself beyond that domain; assert_ascii=False is the
+        # explicit opt-in the contract requires)
         keys = ["héllo", "hello", "hållo", "héllò", "naïve", "naive",
                 "日本語", "日本誤", "日本", "crème", "creme"]
-        assert _spark_pairs(spark, keys, 2) == _brute(keys, 2)
+        assert _spark_pairs(spark, keys, 2, assert_ascii=False) == \
+            _brute(keys, 2)
+
+    def test_non_ascii_raises_by_default(self, spark):
+        # the engine-parity CONTRACT: Spark levenshtein counts
+        # codepoints, the DuckDB oracle counts bytes, so by default a
+        # non-ASCII key must fail LOUDLY instead of silently
+        # diverging from the oracle
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import SparkRuntimeException
+
+        keys = ["hello", "héllo", "naive"]
+        with pytest.raises((Py4JJavaError, SparkRuntimeException),
+                           match="non-ASCII key"):
+            _spark_pairs(spark, keys, 2)
+        rdf = spark.createDataFrame([("naïve",)], "key string")
+        ldf = spark.createDataFrame([("naive",)], "key string")
+        with pytest.raises((Py4JJavaError, SparkRuntimeException),
+                           match="non-ASCII key"):
+            edit_distance_join(ldf, rdf, tau=1).collect()
+        # and the explicit opt-out still works on both entry points
+        got = {
+            (r.key_l, r.key_r, r.dist)
+            for r in edit_distance_join(
+                ldf, rdf, tau=1, assert_ascii=False
+            ).collect()
+        }
+        assert got == {("naive", "naïve", 1)}
 
     def test_validation(self, spark):
         df = spark.createDataFrame([("a",)], "key string")
