@@ -525,6 +525,7 @@ def kcenter_coreset(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_frac: float | None = None,
 ) -> DataFrame:
     """Farthest-point traversal coreset (Gonzalez 1985 k-center
     2-approximation — the standard geometric data-pruning picker):
@@ -540,9 +541,30 @@ def kcenter_coreset(
     incremental scan — ``md := least(md, d2(v, new_pick))`` against a
     LITERAL vector — ending in a 1-row TakeOrderedAndProject. The
     corpus never shuffles; lineage stays flat via the same
-    one-step-behind persist pattern as bpe_merges."""
+    one-step-behind persist pattern as bpe_merges.
+
+    At 100 TB the persisted working set is CORPUS-sized, so each of
+    the k iterations re-reads it — expect cache misses (executor
+    storage evicts under memory pressure and the scan falls back to
+    the parquet source; the plan is still one flat pass, just not a
+    RAM hit). The standard mitigation is ``sample_frac``: pre-thin
+    the corpus with a DETERMINISTIC hash filter
+    (``xxhash64(id) % 2^20 < frac * 2^20`` — reproducible across
+    runs and engines, unlike ``DataFrame.sample``) and traverse the
+    sample; farthest-point picks on a uniform sample are the usual
+    coreset seeding trade (coverage radius degrades gracefully with
+    the sampling rate while per-iteration scan cost drops by 1/frac).
+    Default ``None`` traverses the full corpus — the oracle-twinned
+    exact form."""
     if k < 1:
         raise ValueError("kcenter_coreset needs k >= 1")
+    if sample_frac is not None and not 0.0 < sample_frac <= 1.0:
+        raise ValueError("kcenter_coreset needs 0 < sample_frac <= 1")
+    if sample_frac is not None and sample_frac < 1.0:
+        vectors = vectors.where(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1 << 20))
+            < F.lit(int(sample_frac * (1 << 20)))
+        )
     spark = vectors.sparkSession
     v = F.col(vec_col).cast("array<double>")
     seed = (
@@ -635,6 +657,28 @@ def kcenter_assign(
         raise ValueError("kcenter_assign needs at least one pick")
     if len(picks) >= 100:
         raise ValueError("pick_rank packs into 2 decimal digits (< 100)")
+    # Packing validity window: the key floor(d2 * 1e6 + 0.5) * 100 +
+    # rank is exact only while d2 < 2^53 / 1e8 (~9.0e7) — the
+    # divide-back-out transits a double. The corpus's max d2 is not
+    # knowable driver-side, but a coordinate-scale blow-up is already
+    # visible among the picks themselves (they are a farthest-point
+    # traversal of the corpus), so guard on the pick-pair diameter —
+    # k^2 driver floats — and fail loudly instead of mis-binning.
+    _lim = (2.0**53) / 1e8
+    _diam2 = max(
+        (
+            sum((a - b) ** 2 for a, b in zip(va, vb))
+            for i, (_, _, va) in enumerate(picks)
+            for _, _, vb in picks[i + 1:]
+        ),
+        default=0.0,
+    )
+    if _diam2 > _lim / 4.0:
+        raise ValueError(
+            f"pick-pair squared distance {_diam2:.3g} implies packed "
+            f"keys near 2^53 (exactness bound d2 < {_lim:.3g}); "
+            "rescale the embedding coordinates"
+        )
     v = F.col(vec_col).cast("array<double>")
 
     def lit_vec(vals) -> Column:

@@ -314,6 +314,82 @@ class TestKcenterAssign:
         assert rows[2]["n_assigned"] == 0
         assert rows[2]["mean_d2"] == 0.0  # empty-cell contract
 
+    def test_zero_assigned_pick_oracle_parity(self, spark):
+        # duplicate-vector corpus where one pick wins no cell: the
+        # Spark operator and the DuckDB oracle must BOTH emit its
+        # n_assigned=0 row (the oracle's VALUES rank spine left join)
+        import duckdb
+        import pandas as pd
+
+        from symtseries_spark.operators.cluster import (
+            kcenter_assign,
+            kcenter_coreset,
+        )
+        from symtseries_spark.oracle_vec import kcenter_assign_sql
+
+        data = [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 0.0]),
+                (3, [1.0, 0.0]), (4, [0.0, 1.0])]
+        df = spark.createDataFrame(
+            data, "vec_id long, embedding array<double>"
+        )
+        vecmap = dict(data)
+        picks = [
+            (r["pick_rank"], r["vec_id"], vecmap[r["vec_id"]])
+            for r in kcenter_coreset(df, k=4).collect()
+        ]
+        got = (
+            kcenter_assign(df, picks=picks)
+            .orderBy("pick_rank")
+            .toPandas()
+        )
+        assert (got["n_assigned"] == 0).any()
+        con = duckdb.connect()
+        con.register(
+            "embeddings",
+            pd.DataFrame(
+                {
+                    "vec_id": [d[0] for d in data],
+                    "embedding": [d[1] for d in data],
+                }
+            ),
+        )
+        exp = (
+            con.execute(kcenter_assign_sql(k=4, dim=2, table="embeddings"))
+            .df()
+            .sort_values("pick_rank")
+            .reset_index(drop=True)
+        )
+        for c in ("pick_rank", "pick_id", "n_assigned"):
+            assert [int(x) for x in got[c]] == [int(x) for x in exp[c]], c
+        for c in ("mean_d2", "max_d2"):
+            assert [float(x) for x in got[c]] == [float(x) for x in exp[c]], c
+
+    def test_assign_packing_guard(self, spark):
+        from symtseries_spark.operators.cluster import kcenter_assign
+
+        df = spark.createDataFrame(
+            [(0, [5.0])], "vec_id long, embedding array<float>"
+        )
+        picks = [(1, 10, [0.0]), (2, 20, [1.0e5])]  # d2 = 1e10 > bound
+        with pytest.raises(ValueError, match="2\\^53"):
+            kcenter_assign(df, picks=picks)
+
+    def test_coreset_sample_frac(self, spark):
+        from symtseries_spark.operators.cluster import kcenter_coreset
+
+        df = spark.createDataFrame(
+            [(i, [float(i)]) for i in range(200)],
+            "vec_id long, embedding array<double>",
+        )
+        full = kcenter_coreset(df, k=3).collect()
+        # deterministic: same frac -> identical picks across calls
+        a = kcenter_coreset(df, k=3, sample_frac=0.5).collect()
+        b = kcenter_coreset(df, k=3, sample_frac=0.5).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        assert len(a) == 3 and len(full) == 3
+        with pytest.raises(ValueError):
+            kcenter_coreset(df, k=3, sample_frac=0.0)
+
     def test_counts_cover_corpus(self, spark, sf_dir):
         import __spark_entry__ as entry_mod
         from symtseries_spark.sources import load
