@@ -6669,79 +6669,21 @@ def q_docs_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Round-10 additions (new queries go at the HEAD). Second/third
-        # wave: JL projection recall, RRF hybrid retrieval, hot-n-gram
-        # coverage, quality-weighted keep, BPE induction + fertility
-        # audit, span dedup, k-center coreset + Voronoi coverage. First
-        # wave: the distribution-drift battery joining the r9 KS
-        # report, and the exact edit-distance similarity join.
-        "emb_jl_recall": q_emb_jl_recall,
-        "hybrid_rrf_topk": q_hybrid_rrf_topk,
-        "docs_hot_ngram_cov": q_docs_hot_ngram_cov,
-        "dedup_keep_quality": q_dedup_keep_quality,
-        "docs_bpe_merges": q_docs_bpe_merges,
-        "docs_bpe_apply": q_docs_bpe_apply,
-        "docs_span_dedup": q_docs_span_dedup,
-        "emb_kcenter_coreset": q_emb_kcenter_coreset,
-        "emb_kcenter_assign": q_emb_kcenter_assign,
-        "docs_span_dedup_stream": q_docs_span_dedup_stream,
-        "docs_fuzzy_prefix_pairs": q_docs_fuzzy_prefix_pairs,
-        "docs_length_psi_by_source": q_docs_length_psi_by_source,
-        "docs_length_psi_stream": q_docs_length_psi_stream,
-        "docs_fuzzy_clusters": q_docs_fuzzy_clusters,
-        "docs_fuzzy_incremental": q_docs_fuzzy_incremental,
-        "docs_source_overlap": q_docs_source_overlap,
-        "docs_lang_source_chisq": q_docs_lang_source_chisq,
-        "events_mwu_click_purchase": q_events_mwu_click_purchase,
         # Registry order = driver-verification priority, NOT topic
         # order: the round driver's correctness window checks a ~50-
-        # entry prefix. Round-10 layout: sorted PURELY by driver-check
-        # staleness over CORRECTNESS_r01..r09 (oldest round first,
-        # prior relative order as tiebreak): the 25 rows last verified
-        # in r03 lead, then the 45 r05 rows, the 7 r06 rows, and so on
-        # — each round's ~50-entry window re-verifies the stalest rows
-        # and the next rotation is just re-sorting on the updated
-        # CORRECTNESS history. New/changed queries go at the HEAD.
-        "docs_train_order": q_docs_train_order,
-        "emb_ivf_at_rest": q_emb_ivf_at_rest,
-        "dedup_incremental": q_dedup_incremental,
-        "docs_pmi_bigrams": q_docs_pmi_bigrams,
-        "emb_dedup_keep": q_emb_dedup_keep,
-        "events_funnel": q_events_funnel,
-        "events_funnel_stream": q_events_funnel_stream,
-        "docs_cms_terms": q_docs_cms_terms,
-        "docs_cms_stream": q_docs_cms_stream,
-        "events_late_drop": q_events_late_drop,
-        "events_cube": q_events_cube,
-        "events_retention": q_events_retention,
-        "events_dow_hour": q_events_dow_hour,
-        "docs_corpus_filter": q_docs_corpus_filter,
-        "dedup_lsh_refined": q_dedup_lsh_refined,
-        "dedup_keep": q_dedup_keep,
-        "docs_clean": q_docs_clean,
-        "dedup_exact_stream": q_dedup_exact_stream,
-        "events_asof_join": q_events_asof_join,
-        "events_asof_tolerance": q_events_asof_tolerance,
-        "docs_kmv_distinct": q_docs_kmv_distinct,
-        "docs_stratified_sample": q_docs_stratified_sample,
-        "docs_pack_shards": q_docs_pack_shards,
-        "events_interval_agg": q_events_interval_agg,
-        "events_sessions": q_events_sessions,
-        "emb_lsh_recall": q_emb_lsh_recall,
-        "emb_multiprobe_recall": q_emb_multiprobe_recall,
-        "emb_ivf_recall": q_emb_ivf_recall,
-        "events_changepoint": q_events_changepoint,
-        "dedup_pagerank": q_dedup_pagerank,
-        "dedup_minhash_accuracy": q_dedup_minhash_accuracy,
-        "docs_zipf_slope": q_docs_zipf_slope,
-        "emb_trunc_recall": q_emb_trunc_recall,
+        # entry prefix. Round-11 layout (the standing rotation rule):
+        # sorted PURELY by driver-check staleness over
+        # CORRECTNESS_r01..r10 (oldest round first, prior relative
+        # order as tiebreak) — the 38 rows last verified in r05 lead
+        # (the 10 of them the r10 judge re-verified by hand demoted
+        # within the block), then the 7 r06 rows, the 42 r07 rows,
+        # and so on. New/changed queries go at the HEAD above this
+        # comment.
+        # --- last driver-checked r05 ---
         "emb_pq_recall": q_emb_pq_recall,
         "events_stl_strength": q_events_stl_strength,
-        "events_hist_quantiles": q_events_hist_quantiles,
         "events_changepoint2": q_events_changepoint2,
-        "emb_kmeans": q_emb_kmeans,
         "emb_semdedup": q_emb_semdedup,
-        "sax_discords": q_sax_discords,
         "docs_dsir_weights": q_docs_dsir_weights,
         "docs_source_cap": q_docs_source_cap,
         "docs_novelty": q_docs_novelty,
@@ -6749,7 +6691,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pca_power": q_emb_pca_power,
         "events_stl": q_events_stl,
         "sax_numerosity": q_sax_numerosity,
-        "docs_dsir_stream": q_docs_dsir_stream,
         "events_acf": q_events_acf,
         "docs_char_entropy": q_docs_char_entropy,
         "docs_token_fertility": q_docs_token_fertility,
@@ -6760,18 +6701,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_histogram": q_events_histogram,
         "events_ntile": q_events_ntile,
         "events_time_rollup": q_events_time_rollup,
-        "events_gapfill": q_events_gapfill,
         "events_quantiles": q_events_quantiles,
         "dedup_minhash_stream": q_dedup_minhash_stream,
         "dedup_clusters": q_dedup_clusters,
-        "text_bm25": q_text_bm25,
         "docs_tfidf": q_docs_tfidf,
         "emb_dim_profile": q_emb_dim_profile,
         "events_pivot": q_events_pivot,
         "events_stream_enrich": q_events_stream_enrich,
+        "emb_trunc_recall": q_emb_trunc_recall,
+        "events_hist_quantiles": q_events_hist_quantiles,
+        "emb_kmeans": q_emb_kmeans,
+        "sax_discords": q_sax_discords,
+        "docs_dsir_stream": q_docs_dsir_stream,
+        "events_gapfill": q_events_gapfill,
+        "text_bm25": q_text_bm25,
         "events_stream_join": q_events_stream_join,
         "emb_ivf_topk": q_emb_ivf_topk,
         "media_resize": q_media_resize,
+        # --- last driver-checked r06 ---
         "events_stickiness": q_events_stickiness,
         "sax_word_transitions": q_sax_word_transitions,
         "sax_whole_series": q_sax_whole_series,
@@ -6779,6 +6726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_mindist_topk": q_sax_mindist_topk,
         "sax_mindist_decomp": q_sax_mindist_decomp,
         "sax_c16_decomp": q_sax_c16_decomp,
+        # --- last driver-checked r07 ---
         "events_forecast_backtest": q_events_forecast_backtest,
         "events_ewma": q_events_ewma,
         "events_holt": q_events_holt,
@@ -6821,6 +6769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_profile": q_events_hourly_profile,
         "docs_contamination_by_source": q_docs_contamination_by_source,
         "events_dau": q_events_dau,
+        # --- last driver-checked r08 ---
         "docs_ccnet_bucket": q_docs_ccnet_bucket,
         "docs_corpus_filter3": q_docs_corpus_filter3,
         "events_value_skew": q_events_value_skew,
@@ -6871,6 +6820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12": q_tpch_q12,
         "tpch_q14": q_tpch_q14,
         "tpch_q7": q_tpch_q7,
+        # --- last driver-checked r09 ---
         "events_user_lifetime_grid": q_events_user_lifetime_grid,
         "events_funnel_latency_grid": q_events_funnel_latency_grid,
         "docs_token_mass_quantiles": q_docs_token_mass_quantiles,
@@ -6921,6 +6871,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_unigram_lp": q_docs_unigram_lp,
         "docs_vocab_coverage": q_docs_vocab_coverage,
         "docs_mixture_sample": q_docs_mixture_sample,
+        # --- last driver-checked r10 ---
+        "emb_jl_recall": q_emb_jl_recall,
+        "hybrid_rrf_topk": q_hybrid_rrf_topk,
+        "docs_hot_ngram_cov": q_docs_hot_ngram_cov,
+        "dedup_keep_quality": q_dedup_keep_quality,
+        "docs_bpe_merges": q_docs_bpe_merges,
+        "docs_bpe_apply": q_docs_bpe_apply,
+        "docs_span_dedup": q_docs_span_dedup,
+        "emb_kcenter_coreset": q_emb_kcenter_coreset,
+        "emb_kcenter_assign": q_emb_kcenter_assign,
+        "docs_span_dedup_stream": q_docs_span_dedup_stream,
+        "docs_fuzzy_prefix_pairs": q_docs_fuzzy_prefix_pairs,
+        "docs_length_psi_by_source": q_docs_length_psi_by_source,
+        "docs_length_psi_stream": q_docs_length_psi_stream,
+        "docs_fuzzy_clusters": q_docs_fuzzy_clusters,
+        "docs_fuzzy_incremental": q_docs_fuzzy_incremental,
+        "docs_source_overlap": q_docs_source_overlap,
+        "docs_lang_source_chisq": q_docs_lang_source_chisq,
+        "events_mwu_click_purchase": q_events_mwu_click_purchase,
+        "docs_train_order": q_docs_train_order,
+        "emb_ivf_at_rest": q_emb_ivf_at_rest,
+        "dedup_incremental": q_dedup_incremental,
+        "docs_pmi_bigrams": q_docs_pmi_bigrams,
+        "emb_dedup_keep": q_emb_dedup_keep,
+        "events_funnel": q_events_funnel,
+        "events_funnel_stream": q_events_funnel_stream,
+        "docs_cms_terms": q_docs_cms_terms,
+        "docs_cms_stream": q_docs_cms_stream,
+        "events_late_drop": q_events_late_drop,
+        "events_cube": q_events_cube,
+        "events_retention": q_events_retention,
+        "events_dow_hour": q_events_dow_hour,
+        "docs_corpus_filter": q_docs_corpus_filter,
+        "dedup_lsh_refined": q_dedup_lsh_refined,
+        "dedup_keep": q_dedup_keep,
+        "docs_clean": q_docs_clean,
+        "dedup_exact_stream": q_dedup_exact_stream,
+        "events_asof_join": q_events_asof_join,
+        "events_asof_tolerance": q_events_asof_tolerance,
+        "docs_kmv_distinct": q_docs_kmv_distinct,
+        "docs_stratified_sample": q_docs_stratified_sample,
+        "docs_pack_shards": q_docs_pack_shards,
+        "events_interval_agg": q_events_interval_agg,
+        "events_sessions": q_events_sessions,
+        "emb_lsh_recall": q_emb_lsh_recall,
+        "emb_multiprobe_recall": q_emb_multiprobe_recall,
+        "emb_ivf_recall": q_emb_ivf_recall,
+        "events_changepoint": q_events_changepoint,
+        "dedup_pagerank": q_dedup_pagerank,
+        "dedup_minhash_accuracy": q_dedup_minhash_accuracy,
+        "docs_zipf_slope": q_docs_zipf_slope,
     }
 
 

@@ -15,6 +15,16 @@ models (replica builders shared with scale_probe_hot_ngrams):
   groupBy — under vocab growth. Merges differ from the base (letters
   are permuted per replica), so only wall/vocab are recorded.
 
+- **Leg C — realistic vocab width** (SPARK_GRAFT_BPE_LEG=wide runs it
+  alone): the replica legs inherit the testdata's 31-word lexicon, so
+  they measure count-scaling but not the per-iteration vocab-groupBy
+  constant. Leg C synthesizes a Zipf-ish corpus over a ~50k-word
+  vocabulary (per-token rank LOG-UNIFORM in [1, V] => df ~ 1/rank —
+  the Heaps/Zipf shape; rank digits mapped to letters so symbol
+  sequences are realistic) and measures wall per merge iteration at
+  that width, where each iteration's pair groupBy reads a 50k-row
+  symbol table instead of 31 rows.
+
 Usage: SPARK_GRAFT_SCALE_FACTOR=10 python3 scripts/scale_probe_bpe.py
 """
 import os
@@ -101,6 +111,58 @@ def run(corpus):
         (r["left_sym"], r["right_sym"], r["pair_count"]) for r in rows
     ]
 
+
+import math  # noqa: E402
+
+
+def wide_vocab_corpus(v_target: int, n_docs: int, toks_per_doc: int):
+    u = (
+        F.pmod(
+            F.xxhash64(F.col("id") * toks_per_doc + F.col("t")),
+            F.lit(10**9),
+        ).cast("double")
+        / 1e9
+    )
+    rank = (F.floor(F.exp(u * F.lit(math.log(v_target)))).cast("long"))
+    word = F.translate(rank.cast("string"), "0123456789", "abcdefghij")
+    return (
+        spark.range(n_docs)
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(toks_per_doc - 1))
+            ).alias("t"),
+        )
+        .select("id", word.alias("w"))
+        .groupBy("id")
+        .agg(F.concat_ws(" ", F.collect_list("w")).alias("text"))
+        .select(F.col("id").alias("doc_id"), "text")
+    )
+
+
+def wide_leg():
+    print("# leg C: vocab-width constant (Zipf-ish 50k-word lexicon)")
+    print("| leg | docs | tokens | vocab | wall_s | s_per_merge |")
+    print("|---|---|---|---|---|---|")
+    for v_target, n_docs, tpd in ((50_000, 50_000, 100),
+                                  (200_000, 200_000, 100)):
+        c = wide_vocab_corpus(v_target, n_docs, tpd).persist()
+        c.count()
+        v = vocab_size(c)
+        w, merges = run(c)
+        print(
+            f"| C wide | {n_docs} | {n_docs * tpd} | {v} | {w:.1f} "
+            f"| {w / N_MERGES:.2f} |",
+            flush=True,
+        )
+        assert v > 0.8 * v_target, (v, v_target)
+        c.unpersist()
+
+
+if os.environ.get("SPARK_GRAFT_BPE_LEG") == "wide":
+    wide_leg()
+    print("leg C done")
+    sys.exit(0)
 
 print(f"# bpe_merges scale probe  base={BASE}  factor={FACTOR}")
 print("| leg | factor | vocab | wall_s | first merge | last merge |")

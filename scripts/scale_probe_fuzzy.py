@@ -24,6 +24,16 @@ content, so wall should scale ~linearly with key count.
 
 Env: SPARK_GRAFT_FUZZY_BASE (default 1e5), SPARK_GRAFT_FUZZY_FACTORS
 (default 1,10,100), SPARK_GRAFT_CPUS, SPARK_GRAFT_DRIVER_MEM.
+
+SPARK_GRAFT_FUZZY_HOT=1 runs the self-documented WORST CASE instead
+(operators/fuzzy.py module docstring): every key is a 16-char
+constant prefix + md5 suffix, so segment 0 is shared VERBATIM by the
+whole population and the candidate join is genuinely quadratic in
+each length bucket — there are no true pairs, yet the join must
+grind |bucket|^2 candidates. The leg measures the blowup curve
+(expect ~quadratic wall growth) and then demonstrates the seg_cap
+knob failing fast (one combinable count over the index) before the
+join is attempted.
 """
 import os
 import sys
@@ -97,6 +107,50 @@ def make_keys(n: int):
     planted = {1: tenth, 2: tenth, 3: tenth}
     return keys, planted
 
+
+def hot_prefix_leg():
+    """Constant-prefix population: quadratic-candidate worst case."""
+    import math
+
+    print("# hot-prefix worst case (constant 16-char prefix, tau=3)")
+    prev = None
+    for n in (3_000, 10_000, 30_000):
+        keys = spark.range(n).select(
+            F.expr(
+                "concat('PREFIXPREFIXPREF', "
+                "substring(md5(cast(id as string)), 1, "
+                "24 + cast(id % 9 as int)))"
+            ).alias("k")
+        )
+        t0 = time.perf_counter()
+        n_pairs = edit_distance_pairs(keys, key="k", tau=TAU).count()
+        dt = time.perf_counter() - t0
+        growth = "" if prev is None else f" wall_ratio={dt / prev[1]:.1f}x"             f" (data {n / prev[0]:.1f}x -> quadratic would be"             f" {(n / prev[0]) ** 2:.0f}x)"
+        print(f"hot n={n:>7,d} wall={dt:7.2f}s pairs={n_pairs}{growth}",
+              flush=True)
+        prev = (n, dt)
+    # seg_cap fails FAST on the same population at any size
+    big = spark.range(1_000_000).select(
+        F.expr(
+            "concat('PREFIXPREFIXPREF', "
+            "substring(md5(cast(id as string)), 1, "
+            "24 + cast(id % 9 as int)))"
+        ).alias("k")
+    )
+    t0 = time.perf_counter()
+    try:
+        edit_distance_pairs(big, key="k", tau=TAU, seg_cap=50_000)
+        print("seg_cap FAILED TO RAISE", flush=True)
+        sys.exit(1)
+    except ValueError as e:
+        dt = time.perf_counter() - t0
+        print(f"seg_cap raised in {dt:.1f}s on 1M hot-prefix keys: "
+              f"{str(e)[:80]}...", flush=True)
+
+
+if os.environ.get("SPARK_GRAFT_FUZZY_HOT") == "1":
+    hot_prefix_leg()
+    sys.exit(0)
 
 fail = False
 t1 = None

@@ -110,6 +110,37 @@ def _clean_keys(df: DataFrame, key: str, assert_ascii: bool) -> DataFrame:
     )
 
 
+def _check_seg_cap(idx: DataFrame, seg_cap: int | None, who: str) -> None:
+    """Fail-fast skew guard (the docstring's inherent-worst-case made
+    a KNOB): candidate count per segment bucket is |idx bucket| x
+    |probe bucket|, so a segment shared verbatim by a large key
+    population (constant prefixes, templated keys) makes the exact
+    join genuinely quadratic in that population — there is no exact
+    way around it (dropping the bucket loses pairs whose edits all
+    land in other segments). When ``seg_cap`` is set, ONE map-side-
+    combinable count over the index (rows = distinct segments, not
+    candidates) raises before the quadratic join is attempted,
+    routing the caller to the MinHash path or a key pre-split.
+    ``None`` (default) costs nothing."""
+    if seg_cap is None:
+        return
+    hot = (
+        idx.groupBy("i", "l", "segh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    if hot is not None and hot > seg_cap:
+        raise ValueError(
+            f"{who}: a segment bucket holds {hot} keys "
+            f"(> seg_cap={seg_cap}); the candidate join would be "
+            f"quadratic in that population. The key domain shares "
+            f"long verbatim runs (constant prefix/template) — use the "
+            f"MinHash near-dup path, pre-strip the shared run, or "
+            f"raise seg_cap if the quadratic cost is intended."
+        )
+
+
 def _index_segments(long_keys: DataFrame, tau: int, out: str) -> DataFrame:
     """(i, l, segh, <out>) — one row per segment of each key."""
     k = tau + 1
@@ -204,6 +235,7 @@ def edit_distance_pairs(
     tau: int = 2,
     short_cap: int = 100_000,
     assert_ascii: bool = True,
+    seg_cap: int | None = None,
 ) -> DataFrame:
     """All unordered pairs of DISTINCT non-empty ``key`` values within
     edit distance ``tau`` -> ``(key_a, key_b, dist)`` with ``key_a <
@@ -226,6 +258,7 @@ def edit_distance_pairs(
 
     long_keys = keys.where(F.length("k") >= k)
     idx = _index_segments(long_keys, tau, "a")
+    _check_seg_cap(idx, seg_cap, "edit_distance_pairs")
     # probe only lengths <= own length: each cross-length pair forms
     # exactly once; equal-length pairs form twice and dedup below.
     probe = _probe_substrings(long_keys, tau, "b", "m")
@@ -281,6 +314,7 @@ def edit_distance_join(
     tau: int = 2,
     short_cap: int = 100_000,
     assert_ascii: bool = True,
+    seg_cap: int | None = None,
 ) -> DataFrame:
     """Two-table (R-S) exact edit-distance join over DISTINCT
     non-empty keys -> ``(key_l, key_r, dist)`` with ``0 <= dist <=
@@ -305,6 +339,7 @@ def edit_distance_join(
     rk = _clean_keys(right, right_key, assert_ascii)
 
     idx = _index_segments(rk.where(F.length("k") >= k), tau, "key_r")
+    _check_seg_cap(idx, seg_cap, "edit_distance_join")
     probe = _probe_substrings(
         lk.where(F.length("k") >= k), tau, "key_l", f"m + {tau}"
     )

@@ -120,6 +120,20 @@ class TestEditDistancePairs:
         with pytest.raises(ValueError):
             edit_distance_pairs(df, key="key", tau=0)
 
+    def test_seg_cap_raises_on_hot_segment(self, spark):
+        # constant-prefix population: every key shares segment 0
+        # verbatim, the quadratic worst case the module docstring
+        # declares inherent — seg_cap must fail fast instead of
+        # attempting the blowup, and stay silent on a healthy corpus
+        keys = [f"PREFIXPREFIX{i:04d}" for i in range(50)]
+        df = spark.createDataFrame([(k,) for k in keys], "key string")
+        with pytest.raises(ValueError, match="seg_cap"):
+            edit_distance_pairs(df, key="key", tau=2, seg_cap=10)
+        # same population under the cap: exact result, no raise
+        assert _spark_pairs(spark, keys, 2, seg_cap=100) == _brute(keys, 2)
+        with pytest.raises(ValueError, match="seg_cap"):
+            edit_distance_join(df, df, tau=2, seg_cap=10)
+
     def test_short_cap_raises(self, spark):
         keys = ["a", "b", "c", "d"]
         df = spark.createDataFrame([(k,) for k in keys], "key string")
