@@ -2361,14 +2361,45 @@ def q_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O(n²) exactness baseline, quarantined: the operator's built-in
-    max_rows gate (50k) raises before launching the quadratic join on
-    any table larger than validation scale — a driver round can never
-    bill this at production SF. The registered scale path is
-    emb_near_dup_lsh."""
-    return embedding_near_dup(
-        load(spark, sf_dir, "embeddings"), threshold=EMB_NEAR_DUP
+def q_emb_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactness audit of the LSH near-dup path — the r01 brute-force
+    baseline's role FOLDED into a recall query (the
+    dedup_minhash_accuracy pattern), retiring bench.py's SKIP_TIMING
+    carve-out: the O(n²) exact pair set (still max_rows-gated at 50k,
+    fine at validation SF; operators/simsearch.py embedding_near_dup)
+    is the truth, the LSH pairs the approximation, one output row
+    (n_exact, n_lsh, n_hit, recall). Precision is 1 by construction
+    (LSH verifies exact cosine), so n_hit == n_lsh is itself an
+    audited invariant rather than an assumption."""
+    from symtseries_spark.operators import embedding_near_dup_lsh
+
+    vecs = load(spark, sf_dir, "embeddings")
+    exact = embedding_near_dup(vecs, threshold=EMB_NEAR_DUP_LSH).select(
+        "vec_a", "vec_b", F.lit(1).alias("__e")
+    )
+    lsh = embedding_near_dup_lsh(
+        vecs,
+        threshold=EMB_NEAR_DUP_LSH,
+        num_planes=NEAR_DUP_PLANES,
+        seed=13,
+        dim=EMB_DIM,
+    ).select("vec_a", "vec_b", F.lit(1).alias("__l"))
+    j = exact.join(lsh, ["vec_a", "vec_b"], "full_outer")
+    n_exact = F.coalesce(F.sum("__e"), F.lit(0)).cast("long")
+    n_hit = F.coalesce(
+        F.sum(F.when(F.col("__e").isNotNull() & F.col("__l").isNotNull(), 1)),
+        F.lit(0),
+    ).cast("long")
+    return j.agg(
+        n_exact.alias("n_exact"),
+        F.coalesce(F.sum("__l"), F.lit(0)).cast("long").alias("n_lsh"),
+        n_hit.alias("n_hit"),
+        F.when(
+            n_exact > 0,
+            F.round(n_hit.cast("double") / n_exact, 6),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("recall"),
     )
 
 
@@ -6669,6 +6700,8 @@ def q_docs_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # Round-11 additions (new queries go at the HEAD).
+        "emb_near_dup_recall": q_emb_near_dup_recall,
         # Registry order = driver-verification priority, NOT topic
         # order: the round driver's correctness window checks a ~50-
         # entry prefix. Round-11 layout (the standing rotation rule):
@@ -6794,7 +6827,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_join": q_emb_knn_join,
         "emb_ann_lsh": q_emb_ann_lsh,
         "emb_ann_multiprobe": q_emb_ann_multiprobe,
-        "emb_near_dup": q_emb_near_dup,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "media_byte_histogram": q_media_byte_histogram,
         "media_frame_sample": q_media_frame_sample,
@@ -9734,8 +9766,11 @@ FROM pd ORDER BY fisher DESC NULLS LAST, dim LIMIT 10
         "emb_ivf_at_rest": ov.cosine_topk_sql(
             query_id=IVF["query_id"], k=IVF["k"], dim=EMB_DIM
         ),
-        "emb_near_dup": ov.embedding_near_dup_sql(
-            threshold=EMB_NEAR_DUP, dim=EMB_DIM
+        "emb_near_dup_recall": ov.near_dup_recall_sql(
+            threshold=EMB_NEAR_DUP_LSH,
+            num_planes=NEAR_DUP_PLANES,
+            seed=13,
+            dim=EMB_DIM,
         ),
         "emb_near_dup_lsh": ov.embedding_near_dup_lsh_sql(
             threshold=EMB_NEAR_DUP_LSH,

@@ -35,10 +35,11 @@ import time
 # events_late_drop, which replays a stream without carrying the suffix.
 STREAMING = {"events_late_drop"}
 
-# Dropped from the BENCH surface only (still a registered driver query
-# with a green oracle, still unit/recall-tested): the O(n²) exactness
-# baseline — now also hard-quarantined by the operator's max_rows gate.
-SKIP_TIMING = {"emb_near_dup"}
+# Retired in r11: the O(n²) exactness baseline's registry entry was
+# folded into emb_near_dup_recall (brute-force truth vs LSH pairs, one
+# audit row), so every registered query is bench-timed — no carve-outs.
+# The set stays as the mechanism should a future baseline need it.
+SKIP_TIMING: set[str] = set()
 
 # ~this many queries per JVM: small enough that the generated-class LRU
 # (~100 entries) and JIT code cache never thrash, large enough that the

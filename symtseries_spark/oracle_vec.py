@@ -138,6 +138,46 @@ WHERE round({cosine_expr('a.embedding', 'b.embedding', dim)}, 6) >= {threshold}
 """
 
 
+def near_dup_recall_sql(
+    *,
+    threshold: float,
+    num_planes: int,
+    seed: int,
+    dim: int,
+    table: str = "embeddings",
+) -> str:
+    """Twin of the emb_near_dup_recall audit: brute-force exact pairs
+    (truth) FULL OUTER JOINed with the LSH pairs, aggregated to one
+    (n_exact, n_lsh, n_hit, recall) row. Composes the two pair
+    builders as CTEs."""
+    ex = embedding_near_dup_sql(threshold=threshold, dim=dim, table=table)
+    ls = embedding_near_dup_lsh_sql(
+        threshold=threshold, num_planes=num_planes, seed=seed, dim=dim,
+        table=table,
+    )
+    return f"""
+WITH ex AS ({ex}), ls AS ({ls}),
+j AS (
+  SELECT ex.vec_a IS NOT NULL AS in_ex, ls.vec_a IS NOT NULL AS in_ls
+  FROM ex FULL OUTER JOIN ls
+    ON ex.vec_a = ls.vec_a AND ex.vec_b = ls.vec_b
+)
+SELECT CAST(coalesce(sum(CASE WHEN in_ex THEN 1 END), 0) AS BIGINT)
+         AS n_exact,
+       CAST(coalesce(sum(CASE WHEN in_ls THEN 1 END), 0) AS BIGINT)
+         AS n_lsh,
+       CAST(coalesce(sum(CASE WHEN in_ex AND in_ls THEN 1 END), 0)
+         AS BIGINT) AS n_hit,
+       CASE WHEN coalesce(sum(CASE WHEN in_ex THEN 1 END), 0) > 0
+            THEN round(
+              CAST(coalesce(sum(CASE WHEN in_ex AND in_ls THEN 1 END), 0)
+                   AS DOUBLE)
+              / coalesce(sum(CASE WHEN in_ex THEN 1 END), 0), 6)
+            ELSE 1.0 END AS recall
+FROM j
+"""
+
+
 def mmr_rerank_sql(
     *,
     query_id: int,

@@ -103,7 +103,10 @@ def test_bench_segmentation_partitions_suite_exactly():
     for i in range(n_segments):
         seen.extend(names[i * chunk : (i + 1) * chunk])
     assert seen == names
-    assert "emb_near_dup" not in names  # quarantined from timing
+    # r11: the brute-force baseline's registry entry was folded into
+    # emb_near_dup_recall, so every registered query is bench-timed
+    assert "emb_near_dup" not in names
+    assert "emb_near_dup_recall" in names
 
 
 class TestJaccardPrefix:
