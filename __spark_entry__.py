@@ -5437,6 +5437,51 @@ def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_metrics(load(spark, sf_dir, "documents"))
 
 
+def q_docs_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher n-gram repetition battery (Rae et al. 2021 A1.1, word-
+    n-gram form): per-doc top-{2,3,4}-gram character mass and
+    duplicate-{5,10}-gram position fractions
+    (operators/retrieval.py gopher_repetition) — the n-gram half of
+    the quality battery; docs_repetition is the unigram half."""
+    from symtseries_spark.operators.retrieval import gopher_repetition
+
+    return gopher_repetition(load(spark, sf_dir, "documents"))
+
+
+def q_docs_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher repetition gates APPLIED as a per-source keep-rate
+    report: a doc survives when every n-gram repetition signal is
+    under its threshold (top2 < 0.20, top3 < 0.18, top4 < 0.16,
+    dup5 < 0.15, dup10 < 0.10 — the published Gopher bounds). One
+    scan-stage metric pass joined back to (doc_id, source), then a
+    combinable per-source aggregate."""
+    from symtseries_spark.operators.retrieval import gopher_repetition
+
+    docs = load(spark, sf_dir, "documents")
+    m = gopher_repetition(docs)
+    keep = (
+        (F.col("top2_frac") < 0.20)
+        & (F.col("top3_frac") < 0.18)
+        & (F.col("top4_frac") < 0.16)
+        & (F.col("dup5_frac") < 0.15)
+        & (F.col("dup10_frac") < 0.10)
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(m, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(keep.cast("long")).alias("n_keep"),
+            F.round(
+                F.sum(keep.cast("long")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("keep_rate"),
+        )
+    )
+
+
 def q_docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag corpus documents sharing word
     3-grams with the held-out benchmark slice (doc_id % 97 == 0).
@@ -6702,6 +6747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Round-11 additions (new queries go at the HEAD).
         "emb_near_dup_recall": q_emb_near_dup_recall,
+        "docs_gopher_repetition": q_docs_gopher_repetition,
+        "docs_gopher_filter": q_docs_gopher_filter,
         # Registry order = driver-verification priority, NOT topic
         # order: the round driver's correctness window checks a ~50-
         # entry prefix. Round-11 layout (the standing rotation rule):
@@ -8255,6 +8302,21 @@ FROM w
             topk=TOP_TERMS_K, min_len=TOP_TERMS_MIN_LEN
         ),
         "docs_repetition": ot.repetition_sql(),
+        "docs_gopher_repetition": ot.gopher_repetition_sql(),
+        "docs_gopher_filter": f"""
+WITH m AS ({ot.gopher_repetition_sql()}),
+k AS (
+  SELECT d.source,
+         CASE WHEN m.top2_frac < 0.20 AND m.top3_frac < 0.18
+               AND m.top4_frac < 0.16 AND m.dup5_frac < 0.15
+               AND m.dup10_frac < 0.10 THEN 1 ELSE 0 END AS keep
+  FROM documents d JOIN m ON d.doc_id = m.doc_id
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(keep) AS BIGINT) AS n_keep,
+       round(CAST(sum(keep) AS DOUBLE) / count(*), 6) AS keep_rate
+FROM k GROUP BY source
+""",
         "docs_lang_confusion": f"""
 SELECT d.lang, q.lang_pred, count(*) AS n_docs
 FROM documents d JOIN ({ot.text_quality_sql()}) q ON d.doc_id = q.doc_id

@@ -168,6 +168,129 @@ def repetition_metrics(
     )
 
 
+def gopher_repetition(
+    docs: DataFrame,
+    *,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 10),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Gopher-style n-GRAM repetition signals (Rae et al. 2021,
+    appendix A1.1 — the repetition half of their quality battery;
+    the unigram half is :func:`repetition_metrics`), adapted to
+    word n-grams since granularity must be a pure function of the
+    data: per document,
+
+    - ``top{n}_frac`` for each ``n`` in ``top_ns``: the character
+      mass of the MOST FREQUENT word n-gram (its occurrence count x
+      its in-word character length, spaces excluded) over the
+      document's total token characters — boilerplate phrases inflate
+      it. Ties break to the lexicographically smallest gram. Can
+      exceed 1 when occurrences overlap (Gopher's own definition
+      shares this); it is a filter signal, not a probability.
+    - ``dup{n}_frac`` for each ``n`` in ``dup_ns``: the fraction of
+      n-gram POSITIONS whose gram occurs more than once in the
+      document — long verbatim self-repeats push it toward 1.
+
+    Zero-gram documents (fewer than n tokens) report 0.0 for that n.
+
+    Scale shape: ONE explode into (doc, n, gram) rows (sum over ns of
+    W-n+1 rows per doc), one map-side-combinable groupBy(doc, n,
+    gram), one groupBy(doc, n) reusing the doc-prefixed partitioning,
+    then a conditional-aggregation pivot to columns and a join back
+    to the scan-stage per-doc character totals (shuffles on doc_id).
+    Nothing is corpus-global; skew is bounded by document length."""
+    ns = sorted(set(top_ns) | set(dup_ns))
+    if not ns or min(ns) < 2:
+        raise ValueError("gopher_repetition needs n-gram sizes >= 2")
+    toks = tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("__t"),
+        F.length(F.concat_ws("", toks)).alias("__chars"),
+    )
+    per_doc = base.select(
+        "doc_id",
+        F.size("__t").alias("n_tokens"),
+        F.col("__chars").alias("total_chars"),
+    )
+    def _ngrams(n: int):
+        # NB: a one-arg lambda on purpose — PySpark passes (element,
+        # index) to two-arg transform lambdas, which would shadow a
+        # bound default
+        return F.when(
+            F.size("__t") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("__t") - F.lit(n - 1)),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.array_join(F.slice(F.col("__t"), i, n), " ").alias(
+                        "g"
+                    ),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,g:string>>"))
+
+    grams = base.select(
+        "doc_id",
+        F.explode(F.flatten(F.array(*[_ngrams(n) for n in ns]))).alias(
+            "s"
+        ),
+    ).select("doc_id", F.col("s.n").alias("n"), F.col("s.g").alias("g"))
+    per_gram = grams.groupBy("doc_id", "n", "g").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    # top gram by (tf desc, gram asc) via min(struct(-tf, gram));
+    # its in-word char mass excludes the n-1 joining spaces
+    per_n = per_gram.groupBy("doc_id", "n").agg(
+        F.min(
+            F.struct((-F.col("tf")).alias("neg"), F.col("g").alias("g"))
+        ).alias("__top"),
+        F.sum(F.when(F.col("tf") > 1, F.col("tf")).otherwise(F.lit(0)))
+        .alias("__dup_pos"),
+        F.sum("tf").alias("__pos"),
+    )
+    top_mass = (
+        (F.lit(0) - F.col("__top.neg"))
+        * (F.length("__top.g") - (F.col("n") - 1))
+    ).cast("double")
+    agg_cols = []
+    for n in top_ns:
+        agg_cols.append(
+            F.round(
+                F.coalesce(
+                    F.max(F.when(F.col("n") == n, top_mass)), F.lit(0.0)
+                )
+                / F.col("total_chars"),
+                round_to,
+            ).alias(f"top{n}_frac")
+        )
+    for n in dup_ns:
+        agg_cols.append(
+            F.round(
+                F.coalesce(
+                    F.max(
+                        F.when(
+                            F.col("n") == n,
+                            F.col("__dup_pos").cast("double")
+                            / F.col("__pos"),
+                        )
+                    ),
+                    F.lit(0.0),
+                ),
+                round_to,
+            ).alias(f"dup{n}_frac")
+        )
+    return (
+        per_doc.where(F.col("total_chars") > 0)
+        .join(per_n, "doc_id", "left")
+        .groupBy("doc_id", "n_tokens", "total_chars")
+        .agg(*agg_cols)
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     *,

@@ -611,6 +611,64 @@ FROM tf GROUP BY doc_id
 """
 
 
+def gopher_repetition_sql(
+    *,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 10),
+    table: str = "documents",
+) -> str:
+    """Oracle for retrieval.gopher_repetition: same word n-grams (list
+    slice + space join), same (tf DESC, gram ASC) top pick, same
+    char-mass and position-fraction expressions, same rounding."""
+    ns = sorted(set(top_ns) | set(dup_ns))
+    n_values = ", ".join(f"({n})" for n in ns)
+    top_cols = ",\n       ".join(
+        f"round(coalesce(max(CASE WHEN a.n = {n} THEN a.top_mass END), 0)"
+        f" * 1.0 / t.total_chars, 6) AS top{n}_frac"
+        for n in top_ns
+    )
+    dup_cols = ",\n       ".join(
+        f"round(coalesce(max(CASE WHEN a.n = {n} THEN a.dup_frac END),"
+        f" 0.0), 6) AS dup{n}_frac"
+        for n in dup_ns
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, {tokens_expr()} AS toks,
+         length(array_to_string({tokens_expr()}, '')) AS total_chars
+  FROM {table}
+), g AS (
+  SELECT doc_id, u.n AS n,
+         unnest(list_transform(range(1, len(toks) - u.n + 2),
+                i -> array_to_string(toks[i : i + u.n - 1], ' '))) AS g
+  FROM t, (VALUES {n_values}) u(n)
+), pg AS (
+  SELECT doc_id, n, g, count(*) AS tf FROM g GROUP BY doc_id, n, g
+), ranked AS (
+  SELECT doc_id, n, g, tf,
+         row_number() OVER (PARTITION BY doc_id, n
+                            ORDER BY tf DESC, g) AS r
+  FROM pg
+), a AS (
+  SELECT pg.doc_id, pg.n,
+         max(CASE WHEN ranked.r = 1
+                  THEN ranked.tf * (length(ranked.g) - (pg.n - 1)) END)
+           AS top_mass,
+         sum(CASE WHEN pg.tf > 1 THEN pg.tf ELSE 0 END) * 1.0
+           / sum(pg.tf) AS dup_frac
+  FROM pg JOIN ranked
+    ON pg.doc_id = ranked.doc_id AND pg.n = ranked.n AND pg.g = ranked.g
+  GROUP BY pg.doc_id, pg.n
+)
+SELECT t.doc_id, len(t.toks) AS n_tokens, t.total_chars,
+       {top_cols},
+       {dup_cols}
+FROM t LEFT JOIN a ON t.doc_id = a.doc_id
+WHERE t.total_chars > 0
+GROUP BY t.doc_id, len(t.toks), t.total_chars
+"""
+
+
 def bloom_prefilter_sql(*, m_bits: int, k: int, table: str = "documents") -> str:
     """Oracle for the bloom_build/bloom_probe pipeline over duplicate
     content hashes: same md5-salted bit positions, same 32-bit words, so

@@ -860,3 +860,89 @@ class TestSpanDedup:
         r = span_dedup(docs, span_tokens=2).collect()[0]
         assert r["n_spans"] == 2  # 'a b' + trailing 'c'
         assert r["clean_text"] == "a b c"
+
+
+class TestGopherRepetition:
+    def test_hand_computed_fixtures(self, spark):
+        from symtseries_spark.operators.retrieval import gopher_repetition
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b a b a b c"),
+                (2, "x y z w v u t s r q"),
+                (3, "one"),
+                (4, ""),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in gopher_repetition(
+                docs, top_ns=(2, 3), dup_ns=(2,)
+            ).collect()
+        }
+        # doc 1: "a b" tf=3, 2 word-chars -> 6/7; 3-gram tie breaks to
+        # "a b a" (tf=2, 3 chars) -> 6/7; dup 2-gram positions 5/6
+        assert rows[1]["top2_frac"] == round(6 / 7, 6)
+        assert rows[1]["top3_frac"] == round(6 / 7, 6)
+        assert rows[1]["dup2_frac"] == round(5 / 6, 6)
+        # doc 2: no repeats -> top mass = one gram's chars
+        assert rows[2]["top2_frac"] == 0.2
+        assert rows[2]["top3_frac"] == 0.3
+        assert rows[2]["dup2_frac"] == 0.0
+        # doc 3: one token, no n-grams -> zeros, still reported
+        assert rows[3]["top2_frac"] == 0.0 and rows[3]["dup2_frac"] == 0.0
+        # doc 4: zero chars -> dropped
+        assert 4 not in rows
+
+    def test_oracle_parity_on_fixtures(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from symtseries_spark.operators.retrieval import gopher_repetition
+        from symtseries_spark.oracle_text import gopher_repetition_sql
+
+        texts = [
+            "a b a b a b c",
+            "x y z w v u t s r q",
+            "one",
+            "spam spam spam spam spam",
+            "the quick brown fox the quick brown fox jumps",
+        ]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        got = (
+            gopher_repetition(docs)
+            .orderBy("doc_id")
+            .toPandas()
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame(
+                {"doc_id": range(len(texts)), "text": texts}
+            ),
+        )
+        exp = (
+            con.execute(gopher_repetition_sql())
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert list(got.columns) == list(exp.columns)
+        for c in got.columns:
+            assert [float(x) for x in got[c]] == [
+                float(x) for x in exp[c]
+            ], c
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from symtseries_spark.operators.retrieval import gopher_repetition
+
+        docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            gopher_repetition(docs, top_ns=(1,), dup_ns=())
