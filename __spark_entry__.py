@@ -5437,6 +5437,53 @@ def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_metrics(load(spark, sf_dir, "documents"))
 
 
+def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional sampling without replacement
+    (Efraimidis-Spirakis A-ES, operators/pipeline.py
+    weighted_sample_es): per source, the 5 docs drawn with probability
+    proportional to n_chars — the token-weighted subsample primitive
+    (weight = length samples characters, not documents, uniformly).
+    Reproducible across engines: md5-rational uniforms, round-6 keys,
+    id tiebreak."""
+    from symtseries_spark.operators.pipeline import weighted_sample_es
+
+    return weighted_sample_es(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars"
+        ),
+        k=5,
+        weight_col="n_chars",
+        by="source",
+    ).select("source", "doc_id", "n_chars", "es_key", "sample_rank")
+
+
+def q_docs_quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-threshold calibration curve: keep counts and rates at
+    each gate value 0.1..0.9 — the table a curation run reads before
+    committing to a threshold (how much data does each setting cost?).
+    Scan-stage score + a 9-value literal explode + one combinable
+    groupBy(threshold): nothing corpus-global, output bounded at the
+    grid size."""
+    from symtseries_spark.functions.text import quality_metrics
+
+    docs = load(spark, sf_dir, "documents")
+    grid = [round(0.1 * i, 1) for i in range(1, 10)]
+    d = docs.select(
+        quality_metrics(F.col("text"))["quality_score"].alias("q")
+    ).select(
+        "q",
+        F.explode(F.array(*[F.lit(t) for t in grid])).alias("threshold"),
+    )
+    keep = (F.col("q") >= F.col("threshold")).cast("long")
+    return d.groupBy("threshold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(keep).alias("n_keep"),
+        F.round(
+            F.sum(keep).cast("double") / F.count(F.lit(1)), 6
+        ).alias("keep_rate"),
+    )
+
+
 def q_docs_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher n-gram repetition battery (Rae et al. 2021 A1.1, word-
     n-gram form): per-doc top-{2,3,4}-gram character mass and
@@ -6749,6 +6796,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_recall": q_emb_near_dup_recall,
         "docs_gopher_repetition": q_docs_gopher_repetition,
         "docs_gopher_filter": q_docs_gopher_filter,
+        "docs_weighted_sample": q_docs_weighted_sample,
+        "docs_quality_sweep": q_docs_quality_sweep,
         # Registry order = driver-verification priority, NOT topic
         # order: the round driver's correctness window checks a ~50-
         # entry prefix. Round-11 layout (the standing rotation rule):
@@ -8303,6 +8352,31 @@ FROM w
         ),
         "docs_repetition": ot.repetition_sql(),
         "docs_gopher_repetition": ot.gopher_repetition_sql(),
+        "docs_weighted_sample": """
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         round(ln(((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':es'), 1, 15) AS BIGINT)) % 1048576 + 1) / 1048577.0)
+               / CAST(n_chars AS DOUBLE), 6) + 0.0 AS es_key
+  FROM documents WHERE n_chars > 0
+)
+SELECT source, doc_id, n_chars, es_key, sample_rank FROM (
+  SELECT keyed.*, row_number() OVER (
+           PARTITION BY source ORDER BY es_key DESC, doc_id
+         ) AS sample_rank
+  FROM keyed)
+WHERE sample_rank <= 5
+""",
+        "docs_quality_sweep": f"""
+WITH q AS ({ot.quality_score_cte()}),
+g AS (SELECT * FROM (VALUES (0.1),(0.2),(0.3),(0.4),(0.5),(0.6),(0.7),
+                            (0.8),(0.9)) t(threshold))
+SELECT CAST(g.threshold AS DOUBLE) AS threshold, count(*) AS n_docs,
+       CAST(sum(CASE WHEN q.q_score >= g.threshold THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_keep,
+       round(CAST(sum(CASE WHEN q.q_score >= g.threshold THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS keep_rate
+FROM q, g GROUP BY g.threshold
+""",
         "docs_gopher_filter": f"""
 WITH m AS ({ot.gopher_repetition_sql()}),
 k AS (

@@ -82,6 +82,75 @@ def stratified_sample(
     )
 
 
+def weighted_sample_es(
+    df: DataFrame,
+    *,
+    k: int,
+    weight_col: str,
+    by: str | None = None,
+    id_col: str = "doc_id",
+    salt: str = "es",
+    round_to: int = 6,
+) -> DataFrame:
+    """Deterministic weight-proportional sampling WITHOUT replacement
+    (Efraimidis & Spirakis 2006, the A-ES scheme): each row gets the
+    key ``ln(u) / w`` with ``u`` a reproducible md5-derived uniform in
+    (0, 1), and the ``k`` LARGEST keys per group are the sample —
+    exactly equivalent to ``u ** (1/w)`` top-k, the one-pass
+    distributed replacement for sequential weighted reservoirs.
+    -> input columns + ``(es_key, sample_rank)``, ``sample_rank <= k``.
+
+    Unlike :func:`stratified_sample` (uniform, fraction-sized), rows
+    are drawn with probability proportional to ``weight_col`` — the
+    standard pick for token-weighted corpus subsampling (weight =
+    token count samples tokens, not documents, uniformly).
+
+    Determinism across engines: ``u = (hash60(id || salt) % 2^20 + 1)
+    / (2^20 + 1)`` — exact rational from the shared md5 hash — and
+    the key is rounded to ``round_to`` with an id tiebreak, so libm
+    ulp differences in ``ln`` cannot reorder the pick (the same
+    convention every cosine/entropy query uses). Non-positive weights
+    are excluded (their inclusion probability is 0).
+
+    Scale shape: scan-stage key computation, ONE shuffle for the
+    per-group top-k window (or a TakeOrderedAndProject when ``by`` is
+    None); group cardinality bounds the output at k rows each."""
+    if k < 1:
+        raise ValueError("weighted_sample_es needs k >= 1")
+    m = 1 << 20
+    u = (
+        F.pmod(
+            doc_hash60(
+                F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+            ),
+            F.lit(m),
+        )
+        + 1
+    ).cast("double") / F.lit(float(m + 1))
+    w = F.col(weight_col).cast("double")
+    # + 0.0 normalizes the -0.0 a just-under-zero key rounds to
+    # (IEEE: -0.0 + 0.0 = +0.0 on both engines; Spark's HALF_UP round
+    # drops the sign, DuckDB's keeps it)
+    key = F.round(F.log(u) / w, round_to) + F.lit(0.0)
+    from pyspark.sql import Window
+
+    keyed = df.where(w > 0).withColumn("es_key", key)
+    if by is None:
+        # global top-k: TakeOrderedAndProject (k rows to one task),
+        # then the rank window runs over only those k rows
+        top = keyed.orderBy(F.desc("es_key"), F.col(id_col)).limit(k)
+        rank = F.row_number().over(
+            Window.orderBy(F.desc("es_key"), F.col(id_col))
+        )
+        return top.withColumn("sample_rank", rank)
+    rank = F.row_number().over(
+        Window.partitionBy(by).orderBy(F.desc("es_key"), F.col(id_col))
+    )
+    return keyed.withColumn("sample_rank", rank).where(
+        F.col("sample_rank") <= k
+    )
+
+
 def pack_shards(
     docs: DataFrame,
     *,

@@ -946,3 +946,51 @@ class TestGopherRepetition:
         docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
         with _pytest.raises(ValueError):
             gopher_repetition(docs, top_ns=(1,), dup_ns=())
+
+
+class TestWeightedSampleES:
+    def test_weight_proportional_inclusion(self, spark):
+        # statistical sanity via the EXACT mechanism: with two weight
+        # classes 9:1, the heavy class should dominate the sample; the
+        # draw is deterministic so this is a fixed fact, not flaky
+        from symtseries_spark.operators.pipeline import weighted_sample_es
+
+        rows = [(i, "g", 90.0 if i < 50 else 10.0) for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, g string, w double")
+        got = weighted_sample_es(df, k=20, weight_col="w", by="g").collect()
+        assert len(got) == 20
+        heavy = sum(1 for r in got if r["doc_id"] < 50)
+        assert heavy >= 14  # expectation ~18 of 20
+
+    def test_deterministic_and_rank_contract(self, spark):
+        from symtseries_spark.operators.pipeline import weighted_sample_es
+
+        rows = [(i, "a" if i % 2 else "b", float(i + 1)) for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, g string, w double")
+        a = weighted_sample_es(df, k=3, weight_col="w", by="g").collect()
+        b = weighted_sample_es(df, k=3, weight_col="w", by="g").collect()
+        key = lambda r: (r["g"], r["sample_rank"])
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        per_g = {}
+        for r in a:
+            per_g.setdefault(r["g"], []).append(r["sample_rank"])
+        assert all(sorted(v) == [1, 2, 3] for v in per_g.values())
+
+    def test_global_topk_and_validation(self, spark):
+        import pytest as _pytest
+
+        from symtseries_spark.operators.pipeline import weighted_sample_es
+
+        df = spark.createDataFrame(
+            [(i, float(i + 1)) for i in range(30)], "doc_id long, w double"
+        )
+        got = weighted_sample_es(df, k=5, weight_col="w").collect()
+        assert sorted(r["sample_rank"] for r in got) == [1, 2, 3, 4, 5]
+        # zero/negative weights are excluded
+        df0 = spark.createDataFrame(
+            [(1, 0.0), (2, -3.0), (3, 2.0)], "doc_id long, w double"
+        )
+        got0 = weighted_sample_es(df0, k=5, weight_col="w").collect()
+        assert [r["doc_id"] for r in got0] == [3]
+        with _pytest.raises(ValueError):
+            weighted_sample_es(df, k=0, weight_col="w")
