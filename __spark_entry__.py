@@ -5437,6 +5437,76 @@ def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_metrics(load(spark, sf_dir, "documents"))
 
 
+def q_docs_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test LEAKAGE audit — the hygiene check a pretraining
+    run does after splitting: per split pair, how many EXACT-content
+    twins (identical normalized text) and MinHash near-dup pairs cross
+    the boundary. One row: (exact_train_val, exact_train_test,
+    exact_val_test, near_train_val, near_train_test, near_val_test).
+
+    Exact cross-pairs NEVER expand pairs: per content hash the per-
+    split counts combine map-side and cross counts are sums of
+    products (n_train x n_val per hash) — a duplicate group of 10^6
+    docs costs one row, not 10^12 pairs. Near-dup pairs come from the
+    banded MinHash candidate join (bucketed, never all-pairs) with
+    split labels joined on each side."""
+    from symtseries_spark.functions.text import doc_hash60, normalized_text
+    from symtseries_spark.operators.pipeline import deterministic_split
+
+    docs = load(spark, sf_dir, "documents")
+    sp = deterministic_split(docs.select("doc_id", "text"), SPLITS)
+    hashed = sp.select(
+        "split", doc_hash60(normalized_text(F.col("text"))).alias("h")
+    )
+    per_h = hashed.groupBy("h").agg(
+        F.sum((F.col("split") == "train").cast("long")).alias("nt"),
+        F.sum((F.col("split") == "val").cast("long")).alias("nv"),
+        F.sum((F.col("split") == "test").cast("long")).alias("ns"),
+    )
+    ex = per_h.agg(
+        F.coalesce(F.sum(F.col("nt") * F.col("nv")), F.lit(0))
+        .cast("long")
+        .alias("exact_train_val"),
+        F.coalesce(F.sum(F.col("nt") * F.col("ns")), F.lit(0))
+        .cast("long")
+        .alias("exact_train_test"),
+        F.coalesce(F.sum(F.col("nv") * F.col("ns")), F.lit(0))
+        .cast("long")
+        .alias("exact_val_test"),
+    )
+    lab = sp.select("doc_id", "split")
+    near = (
+        minhash_lsh_pairs(docs, **MINHASH)
+        .select("doc_a", "doc_b")
+        .join(
+            lab.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            lab.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
+            ),
+            "doc_b",
+        )
+        .where(F.col("sa") != F.col("sb"))
+    )
+
+    def _cross(a: str, b: str) -> Column:
+        hit = (
+            (F.col("sa") == a) & (F.col("sb") == b)
+        ) | ((F.col("sa") == b) & (F.col("sb") == a))
+        return F.coalesce(F.sum(hit.cast("long")), F.lit(0)).cast("long")
+
+    nr = near.agg(
+        _cross("train", "val").alias("near_train_val"),
+        _cross("train", "test").alias("near_train_test"),
+        _cross("val", "test").alias("near_val_test"),
+    )
+    return ex.crossJoin(nr)
+
+
 def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weight-proportional sampling without replacement
     (Efraimidis-Spirakis A-ES, operators/pipeline.py
@@ -6798,6 +6868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_gopher_filter": q_docs_gopher_filter,
         "docs_weighted_sample": q_docs_weighted_sample,
         "docs_quality_sweep": q_docs_quality_sweep,
+        "docs_split_leakage": q_docs_split_leakage,
         # Registry order = driver-verification priority, NOT topic
         # order: the round driver's correctness window checks a ~50-
         # entry prefix. Round-11 layout (the standing rotation rule):
@@ -8352,6 +8423,42 @@ FROM w
         ),
         "docs_repetition": ot.repetition_sql(),
         "docs_gopher_repetition": ot.gopher_repetition_sql(),
+        "docs_split_leakage": f"""
+WITH sp AS ({ot.split_sql(SPLITS)}),
+h AS (
+  SELECT sp.split, {ot.hash60(ot.normalized_expr('d.text'))} AS h
+  FROM documents d JOIN sp ON d.doc_id = sp.doc_id
+), per_h AS (
+  SELECT h,
+         sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS nt,
+         sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS nv,
+         sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS ns
+  FROM h GROUP BY h
+), ex AS (
+  SELECT CAST(coalesce(sum(nt * nv), 0) AS BIGINT) AS exact_train_val,
+         CAST(coalesce(sum(nt * ns), 0) AS BIGINT) AS exact_train_test,
+         CAST(coalesce(sum(nv * ns), 0) AS BIGINT) AS exact_val_test
+  FROM per_h
+), mh AS ({ot.minhash_lsh_pairs_sql(**MINHASH)}),
+near AS (
+  SELECT sa.split AS s1, sb.split AS s2
+  FROM mh JOIN sp sa ON mh.doc_a = sa.doc_id
+          JOIN sp sb ON mh.doc_b = sb.doc_id
+  WHERE sa.split != sb.split
+), nr AS (
+  SELECT CAST(coalesce(sum(CASE WHEN (s1 = 'train' AND s2 = 'val')
+                       OR (s1 = 'val' AND s2 = 'train') THEN 1 ELSE 0 END),
+              0) AS BIGINT) AS near_train_val,
+         CAST(coalesce(sum(CASE WHEN (s1 = 'train' AND s2 = 'test')
+                       OR (s1 = 'test' AND s2 = 'train') THEN 1 ELSE 0 END),
+              0) AS BIGINT) AS near_train_test,
+         CAST(coalesce(sum(CASE WHEN (s1 = 'val' AND s2 = 'test')
+                       OR (s1 = 'test' AND s2 = 'val') THEN 1 ELSE 0 END),
+              0) AS BIGINT) AS near_val_test
+  FROM near
+)
+SELECT ex.*, nr.* FROM ex, nr
+""",
         "docs_weighted_sample": """
 WITH keyed AS (
   SELECT source, doc_id, n_chars,
