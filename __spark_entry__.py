@@ -5527,6 +5527,81 @@ def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("source", "doc_id", "n_chars", "es_key", "sample_rank")
 
 
+def q_docs_weighted_sample_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted reservoir sampling through a REAL stream: docs arrive
+    across 2 micro-batches; per-source state is the k best
+    Efraimidis-Spirakis triples (streaming/sampling.py
+    streaming_weighted_sample — O(k) state per source). The ES top-k
+    is MERGEABLE (a pure function of the row set), so the final
+    emission must equal the batch operator exactly — the ORACLE is
+    docs_weighted_sample's SQL, unchanged."""
+    import glob as globmod
+    import os
+    import tempfile
+    import uuid
+
+    from symtseries_spark.streaming import streaming_weighted_sample
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    tmp = tempfile.mkdtemp(prefix="es_stream_")
+    staged, indir = f"{tmp}/staged", f"{tmp}/in"
+    os.makedirs(indir)
+    half = (F.col("doc_id") > mid).cast("int").alias("__bid")
+    docs.withColumn("__bid", half).coalesce(1).write.partitionBy(
+        "__bid"
+    ).parquet(staged)
+    for i, d in enumerate(sorted(globmod.glob(f"{staged}/__bid=*"))):
+        part = globmod.glob(f"{d}/part-*.parquet")[0]
+        dst = f"{indir}/b{i:04d}.parquet"
+        os.rename(part, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+    )
+    sampled = streaming_weighted_sample(
+        stream, k=5, weight_col="n_chars", by="source"
+    )
+    name = f"es_stream_{uuid.uuid4().hex[:8]}"
+    # state = k triples per source (a handful of keys)
+    with _state_partitions(spark):
+        q = (
+            sampled.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="es_chk_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    out = spark.table(name)
+    # latest emission per group via a window (per-group rows are <= k
+    # per batch — tiny); a self-join of the memory table trips a
+    # CheckAnalysis internal error in Spark 4.1
+    from pyspark.sql import Window as _W
+
+    mx = F.max("batch_no").over(_W.partitionBy("group_key"))
+    return (
+        out.withColumn("__mx", mx)
+        .where(F.col("batch_no") == F.col("__mx"))
+        .select(
+            F.col("group_key").alias("source"),
+            "doc_id",
+            F.col("weight").cast("long").alias("n_chars"),
+            "es_key",
+            "sample_rank",
+        )
+    )
+
+
 def q_docs_quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-threshold calibration curve: keep counts and rates at
     each gate value 0.1..0.9 — the table a curation run reads before
@@ -6869,6 +6944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_weighted_sample": q_docs_weighted_sample,
         "docs_quality_sweep": q_docs_quality_sweep,
         "docs_split_leakage": q_docs_split_leakage,
+        "docs_weighted_sample_stream": q_docs_weighted_sample_stream,
         # Registry order = driver-verification priority, NOT topic
         # order: the round driver's correctness window checks a ~50-
         # entry prefix. Round-11 layout (the standing rotation rule):
@@ -10029,4 +10105,8 @@ FROM pd ORDER BY fisher DESC NULLS LAST, dim LIMIT 10
     out["events_forecast_backtest"] = _backtest_sql(
         out["events_ewma"], out["events_holt"], out["events_hw"]
     )
+    # the stream twin shares the batch oracle verbatim: the ES top-k
+    # reservoir is mergeable, so the final stream state must equal the
+    # batch sample exactly
+    out["docs_weighted_sample_stream"] = out["docs_weighted_sample"]
     return out

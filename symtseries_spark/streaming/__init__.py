@@ -2,6 +2,7 @@
 event-time tumbling SAX with watermarks."""
 
 from .dedup import streaming_exact_dedup, streaming_span_dedup
+from .sampling import streaming_weighted_sample
 from .funnel import funnel_stream
 from .sliding import sliding_sax_stream
 from .timeseries import (
@@ -29,5 +30,6 @@ __all__ = [
     "sliding_sax_stream",
     "streaming_exact_dedup",
     "streaming_span_dedup",
+    "streaming_weighted_sample",
     "tumbling_sax_event_time",
 ]

@@ -784,3 +784,77 @@ class TestOhlcStream:
         assert got[3].day == 1
         assert (got[3].open, got[3].volume) == (7.0, 1)
         assert (got[4].high, got[4].low, got[4].close) == (7.0, 1.0, 1.0)
+
+
+class TestStreamingWeightedSample:
+    def test_multi_batch_equals_batch_operator(self, spark, tmp_path):
+        """The ES reservoir is mergeable: after any batch split, the
+        final per-group emission must equal weighted_sample_es on the
+        full input exactly."""
+        from symtseries_spark.operators.pipeline import weighted_sample_es
+        from symtseries_spark.streaming import streaming_weighted_sample
+
+        rows = [
+            (i, "a" if i % 3 else "b", float((i * 7) % 50 + 1))
+            for i in range(60)
+        ]
+        schema = "doc_id long, g string, w double"
+        df = spark.createDataFrame(rows, schema)
+        expect = {
+            (r["g"], r["sample_rank"], r["doc_id"])
+            for r in weighted_sample_es(
+                df, k=4, weight_col="w", by="g"
+            ).collect()
+        }
+        indir = str(tmp_path / "in")
+        import os
+
+        os.makedirs(indir)
+        for b, lo in enumerate((0, 20, 40)):
+            spark.createDataFrame(rows[lo : lo + 20], schema).coalesce(
+                1
+            ).write.parquet(f"{indir}/b{b}")
+            os.utime(indir, None)
+        files = sorted(
+            p
+            for b in range(3)
+            for p in __import__("glob").glob(f"{indir}/b{b}/part-*.parquet")
+        )
+        flat = str(tmp_path / "flat")
+        os.makedirs(flat)
+        for i, p in enumerate(files):
+            dst = f"{flat}/f{i:03d}.parquet"
+            os.rename(p, dst)
+            os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(flat)
+        )
+        out = streaming_weighted_sample(
+            stream, k=4, weight_col="w", by="g"
+        )
+        import uuid
+
+        name = f"es_t_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        t = spark.table(name)
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        mx = F.max("batch_no").over(W.partitionBy("group_key"))
+        final = {
+            (r["group_key"], r["sample_rank"], r["doc_id"])
+            for r in t.withColumn("__mx", mx)
+            .where(F.col("batch_no") == F.col("__mx"))
+            .collect()
+        }
+        assert final == expect
