@@ -5785,6 +5785,80 @@ def q_docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "lang", "source")
 
 
+MIX_TEMP = 0.7
+MIX_BUDGET_TOKENS = 100_000
+
+
+def q_docs_mixture_temperature(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-scaled source mixture (the multilingual-sampling
+    rule of XLM-R / mT5: sampling weight proportional to corpus share
+    ^ (1/T), T < 1 upweights small sources): per source, token count,
+    share, the T=0.7 normalized weight, and the expected EPOCHS over
+    that source at a fixed token budget — the table a data-mixture
+    decision reads. Deterministic across engines: every ratio/pow is
+    rounded to 6 before feeding the next stage. One combinable
+    groupBy(source) + two broadcast 1-row totals."""
+    from symtseries_spark.functions.text import token_count
+
+    docs = load(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(token_count(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    tot = per_src.agg(F.sum("n_tokens").cast("double").alias("__tot"))
+    shared = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("__tot"), 6).alias("share"),
+    )
+    raw_w = F.round(
+        F.pow(F.col("share"), F.lit(1.0 / MIX_TEMP)), 6
+    ).alias("__w")
+    weighted = shared.select("source", "n_tokens", "share", raw_w)
+    wsum = weighted.agg(F.sum("__w").alias("__ws"))
+    return weighted.crossJoin(F.broadcast(wsum)).select(
+        "source",
+        "n_tokens",
+        "share",
+        F.round(F.col("__w") / F.col("__ws"), 6).alias("temp_weight"),
+        F.round(
+            F.lit(float(MIX_BUDGET_TOKENS))
+            * F.round(F.col("__w") / F.col("__ws"), 6)
+            / F.col("n_tokens"),
+            6,
+        ).alias("epochs"),
+    )
+
+
+def q_dedup_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH banding S-curve (MMDS ch.3 planning table) for
+    the registered (bands, rows) = ({bands}, {rows}) layout: per
+    Jaccard similarity s on a 0.05 grid, the single-band collision
+    probability s^r and the candidate probability 1 - (1 - s^r)^b.
+    The design table behind MINHASH's banding choice — pairs at the
+    dedup threshold should sit on the steep part of the curve.
+    Grid-bounded literal compute, rounded like every other
+    cross-engine pow.""".format(
+        bands=MINHASH["bands"],
+        rows=MINHASH["num_hashes"] // MINHASH["bands"],
+    )
+    b = MINHASH["bands"]
+    r = MINHASH["num_hashes"] // b
+    grid = [round(0.05 * i, 2) for i in range(1, 20)]
+    d = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in grid])).alias("s")
+    )
+    p_band = F.round(F.pow(F.col("s"), F.lit(float(r))), 6)
+    return d.select(
+        "s",
+        p_band.alias("p_band"),
+        F.round(
+            F.lit(1.0) - F.pow(F.lit(1.0) - p_band, F.lit(float(b))), 6
+        ).alias("p_candidate"),
+    )
+
+
 def q_docs_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global training order via the two-pass
     shard-offset pattern (operators/pipeline.py:global_order_index) —
@@ -6945,6 +7019,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_sweep": q_docs_quality_sweep,
         "docs_split_leakage": q_docs_split_leakage,
         "docs_weighted_sample_stream": q_docs_weighted_sample_stream,
+        "docs_mixture_temperature": q_docs_mixture_temperature,
+        "dedup_lsh_s_curve": q_dedup_lsh_s_curve,
         # Registry order = driver-verification priority, NOT topic
         # order: the round driver's correctness window checks a ~50-
         # entry prefix. Round-11 layout (the standing rotation rule):
@@ -9612,6 +9688,38 @@ HAVING count(*) >= 2
         # (no let-binding in either lambda) -> bit-identical doubles.
         "events_holt": _HOLT_SQL_BOUNDED,
         "events_holt_stream": _HOLT_SQL_UNBOUNDED,
+        "docs_mixture_temperature": f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(sum(len({ot.tokens_expr()})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), sh AS (
+  SELECT source, n_tokens,
+         round(n_tokens / (SELECT CAST(sum(n_tokens) AS DOUBLE)
+                           FROM per_src), 6) AS share
+  FROM per_src
+), w AS (
+  SELECT source, n_tokens, share,
+         round(pow(share, {1.0 / MIX_TEMP!r}), 6) AS raw_w
+  FROM sh
+)
+SELECT source, n_tokens, share,
+       round(raw_w / (SELECT sum(raw_w) FROM w), 6) AS temp_weight,
+       round({float(MIX_BUDGET_TOKENS)!r}
+             * round(raw_w / (SELECT sum(raw_w) FROM w), 6)
+             / n_tokens, 6) AS epochs
+FROM w
+""",
+        "dedup_lsh_s_curve": f"""
+WITH g AS (SELECT unnest([{', '.join(repr(round(0.05 * i, 2)) for i in range(1, 20))}]) AS s)
+SELECT s,
+       round(pow(s, {float(MINHASH['num_hashes'] // MINHASH['bands'])!r}), 6)
+         AS p_band,
+       round(1.0 - pow(1.0 - round(pow(s,
+             {float(MINHASH['num_hashes'] // MINHASH['bands'])!r}), 6),
+             {float(MINHASH['bands'])!r}), 6) AS p_candidate
+FROM g
+""",
         "docs_mixture_sample": ot.mixture_sample_sql(
             rates=MIX_RATES, default_rate=MIX_DEFAULT
         ),
