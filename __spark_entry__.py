@@ -5629,6 +5629,21 @@ def q_docs_quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EXSUB_TOKENS = 8
+
+
+def q_docs_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplication stats on stride-1 overlapping
+    token windows (operators/dedup.py exact_substring_stats) —
+    verbatim passages at ANY alignment, the case span_dedup's aligned
+    cuts miss; skew-immune unique-owner plan (no join-back)."""
+    from symtseries_spark.operators.dedup import exact_substring_stats
+
+    return exact_substring_stats(
+        load(spark, sf_dir, "documents"), window_tokens=EXSUB_TOKENS
+    )
+
+
 def q_docs_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher n-gram repetition battery (Rae et al. 2021 A1.1, word-
     n-gram form): per-doc top-{2,3,4}-gram character mass and
@@ -7015,6 +7030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_recall": q_emb_near_dup_recall,
         "docs_gopher_repetition": q_docs_gopher_repetition,
         "docs_gopher_filter": q_docs_gopher_filter,
+        "docs_exact_substring": q_docs_exact_substring,
         "docs_weighted_sample": q_docs_weighted_sample,
         "docs_quality_sweep": q_docs_quality_sweep,
         "docs_split_leakage": q_docs_split_leakage,
@@ -8575,6 +8591,9 @@ FROM w
         ),
         "docs_repetition": ot.repetition_sql(),
         "docs_gopher_repetition": ot.gopher_repetition_sql(),
+        "docs_exact_substring": ot.exact_substring_sql(
+            window_tokens=EXSUB_TOKENS
+        ),
         "docs_split_leakage": f"""
 WITH sp AS ({ot.split_sql(SPLITS)}),
 h AS (

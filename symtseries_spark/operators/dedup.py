@@ -753,6 +753,89 @@ def hot_ngram_coverage(
     )
 
 
+def exact_substring_stats(
+    docs: DataFrame,
+    *,
+    window_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Lee et al. 2022 ExactSubstr-style duplication measurement on
+    OVERLAPPING token windows: per document, how many of its
+    ``window_tokens``-token windows (every start position, stride 1)
+    occur more than once in the corpus ->
+    ``(doc_id, n_windows, n_dup_windows, dup_frac)``. The stride-1
+    windows catch verbatim passages at ANY alignment — the case
+    :func:`span_dedup`'s aligned non-overlapping cuts miss — which is
+    exactly why the suffix-array method exists; the window grain makes
+    it relational.
+
+    Skew-immune plan (no join-back, the span_dedup r11 hardening
+    applied from birth): a window is duplicated iff it is NOT unique
+    corpus-wide, so per doc ``n_dup = n_windows - n_unique_owned``
+    where unique windows are claimed by their single owner through ONE
+    map-side-combinable ``groupBy(window).agg(count,
+    min(struct(doc_id)))`` — a boilerplate window occurring 10^8 times
+    partially reduces in every map task and its text never fans back
+    out. Windows repeated WITHIN one document count as duplicated
+    (their corpus count is > 1), matching the suffix-array semantics.
+
+    Cost: explode is ~tokens-per-doc rows per document (stride 1),
+    k x the span_dedup explode — the price of alignment-free
+    coverage; both shuffles are combinable."""
+    if window_tokens < 1:
+        raise ValueError("exact_substring_stats needs window_tokens >= 1")
+    toks = tokens(F.col(text_col))
+    n_w = F.greatest(
+        F.lit(0), F.size(toks) - F.lit(window_tokens - 1)
+    ).cast("int")
+    wins = F.when(
+        n_w > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_w),
+            lambda i: F.array_join(
+                F.slice(toks, i, window_tokens), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(wins).alias("w")
+    )
+    per_doc = docs.select(
+        F.col(id_col).alias("doc_id"), n_w.cast("long").alias("n_windows")
+    )
+    owners = (
+        ex.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min(F.struct("doc_id")).alias("__o"),
+        )
+        .where(F.col("c") == 1)
+        .select(F.col("__o.doc_id").alias("doc_id"))
+    )
+    uniq = owners.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("__n_uniq")
+    )
+    n_dup = F.col("n_windows") - F.coalesce("__n_uniq", F.lit(0))
+    return (
+        per_doc.join(uniq, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            n_dup.cast("long").alias("n_dup_windows"),
+            F.when(
+                F.col("n_windows") > 0,
+                F.round(
+                    n_dup.cast("double") / F.col("n_windows"), round_to
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )
+
+
 def span_dedup(
     docs: DataFrame,
     *,

@@ -611,6 +611,40 @@ FROM tf GROUP BY doc_id
 """
 
 
+def exact_substring_sql(
+    *, window_tokens: int, table: str = "documents"
+) -> str:
+    """Oracle for dedup.exact_substring_stats: same stride-1 token
+    windows, same unique-owner counting, same ratio/rounding."""
+    k = window_tokens
+    return f"""
+WITH t AS (
+  SELECT doc_id, {tokens_expr()} AS toks FROM {table}
+), win AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - {k} + 2),
+                i -> array_to_string(toks[i : i + {k} - 1], ' '))) AS w
+  FROM t
+), per_doc AS (
+  SELECT doc_id, greatest(len(toks) - {k} + 1, 0) AS n_windows FROM t
+), g AS (
+  SELECT w, count(*) AS c, min(doc_id) AS owner FROM win GROUP BY w
+), uniq AS (
+  SELECT owner AS doc_id, count(*) AS n_uniq FROM g WHERE c = 1
+  GROUP BY owner
+)
+SELECT p.doc_id,
+       CAST(p.n_windows AS BIGINT) AS n_windows,
+       CAST(p.n_windows - coalesce(u.n_uniq, 0) AS BIGINT)
+         AS n_dup_windows,
+       CASE WHEN p.n_windows > 0
+            THEN round((p.n_windows - coalesce(u.n_uniq, 0)) * 1.0
+                       / p.n_windows, 6)
+            ELSE 0.0 END AS dup_frac
+FROM per_doc p LEFT JOIN uniq u ON p.doc_id = u.doc_id
+"""
+
+
 def gopher_repetition_sql(
     *,
     top_ns: tuple[int, ...] = (2, 3, 4),

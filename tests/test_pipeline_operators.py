@@ -994,3 +994,70 @@ class TestWeightedSampleES:
         assert [r["doc_id"] for r in got0] == [3]
         with _pytest.raises(ValueError):
             weighted_sample_es(df, k=0, weight_col="w")
+
+
+class TestExactSubstringStats:
+    def test_hand_computed(self, spark):
+        from symtseries_spark.operators.dedup import exact_substring_stats
+
+        docs = spark.createDataFrame(
+            [
+                # "a b c" appears in docs 1 and 2 at DIFFERENT
+                # alignments — the case aligned span cuts miss
+                (1, "x a b c y"),
+                (2, "a b c z w"),
+                (3, "p q r s"),
+                (4, "m m m m"),  # within-doc repeat: "m m m" twice
+                (5, "t u"),      # shorter than the window
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in exact_substring_stats(
+                docs, window_tokens=3
+            ).collect()
+        }
+        # doc1 windows: xab, abc, bcy -> abc duplicated (doc2 has it)
+        assert (rows[1]["n_windows"], rows[1]["n_dup_windows"]) == (3, 1)
+        assert (rows[2]["n_windows"], rows[2]["n_dup_windows"]) == (3, 1)
+        assert (rows[3]["n_windows"], rows[3]["n_dup_windows"]) == (2, 0)
+        # doc4: "m m m" at starts 1 and 2 -> both positions duplicated
+        assert (rows[4]["n_windows"], rows[4]["n_dup_windows"]) == (2, 2)
+        assert rows[4]["dup_frac"] == 1.0
+        # doc5: zero windows, still reported
+        assert (rows[5]["n_windows"], rows[5]["n_dup_windows"]) == (0, 0)
+        assert rows[5]["dup_frac"] == 0.0
+
+    def test_oracle_parity(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from symtseries_spark.operators.dedup import exact_substring_stats
+        from symtseries_spark.oracle_text import exact_substring_sql
+
+        texts = ["x a b c y", "a b c z w", "p q r s", "m m m m", "t u"]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        got = (
+            exact_substring_stats(docs, window_tokens=3)
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+        )
+        exp = (
+            con.execute(exact_substring_sql(window_tokens=3))
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for c in got.columns:
+            assert [float(x) for x in got[c]] == [
+                float(x) for x in exp[c]
+            ], c
