@@ -5632,6 +5632,26 @@ def q_docs_quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXSUB_TOKENS = 8
 
 
+def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS IndexIVFPQ-shaped search (no-residual simplification):
+    seed-only IVF coarse probe picks nprobe lists, corpus-trained PQ
+    codes score the probed candidates via the query's ADC LUT
+    (operators/pq.py ivfpq_topk). Per query: one broadcast centroid
+    pass + ~nprobe/num_lists of the code table — never the corpus."""
+    from symtseries_spark.operators.pq import ivfpq_topk
+
+    return ivfpq_topk(
+        load(spark, sf_dir, "embeddings"),
+        query_id=IVF["query_id"],
+        k=IVF["k"],
+        m=PQ["m"],
+        ks=PQ["ks"],
+        num_lists=IVF["num_lists"],
+        nprobe=2,
+        dim=EMB_DIM,
+    )
+
+
 def q_docs_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style duplication stats on stride-1 overlapping
     token windows (operators/dedup.py exact_substring_stats) —
@@ -7031,6 +7051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_gopher_repetition": q_docs_gopher_repetition,
         "docs_gopher_filter": q_docs_gopher_filter,
         "docs_exact_substring": q_docs_exact_substring,
+        "emb_ivfpq_topk": q_emb_ivfpq_topk,
         "docs_weighted_sample": q_docs_weighted_sample,
         "docs_quality_sweep": q_docs_quality_sweep,
         "docs_split_leakage": q_docs_split_leakage,
@@ -8593,6 +8614,15 @@ FROM w
         "docs_gopher_repetition": ot.gopher_repetition_sql(),
         "docs_exact_substring": ot.exact_substring_sql(
             window_tokens=EXSUB_TOKENS
+        ),
+        "emb_ivfpq_topk": ov.ivfpq_topk_sql(
+            query_id=IVF["query_id"],
+            k=IVF["k"],
+            m=PQ["m"],
+            ks=PQ["ks"],
+            num_lists=IVF["num_lists"],
+            nprobe=2,
+            dim=EMB_DIM,
         ),
         "docs_split_leakage": f"""
 WITH sp AS ({ot.split_sql(SPLITS)}),

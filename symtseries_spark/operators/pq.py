@@ -234,6 +234,90 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    vectors: DataFrame,
+    *,
+    query_id: int,
+    k: int,
+    m: int,
+    ks: int,
+    num_lists: int,
+    nprobe: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF + PQ composed search — the FAISS ``IndexIVFPQ`` shape in
+    its no-residual simplification (codes encode RAW vectors, not
+    per-list residuals, so the codebook/codes are trained and written
+    ONCE at rest and the ADC LUT is probe-independent): the seed-only
+    IVF coarse quantizer (:func:`..simsearch.ivf_index`
+    ``refine=False`` — the parity-safe variant) picks the ``nprobe``
+    lists nearest the query, candidates are the vectors assigned to
+    those lists, and each candidate is scored by summing its ``m``
+    ADC LUT entries -> ``(vec_id, adc)`` ascending.
+
+    At-rest layout: assignments partitioned by ``list_id`` turn the
+    candidate semi-join into a partition-pruned scan (the
+    emb_ivf_at_rest pattern); per query the work is one broadcast
+    centroid pass + ~``nprobe/num_lists`` of the code table — never
+    the corpus. Deterministic throughout (seed quantizer, (d2, code)
+    tie order, rounded ADC), so the oracle replays it exactly."""
+    from .simsearch import ivf_index
+
+    assigned, centroids = ivf_index(
+        vectors, num_lists=num_lists, dim=dim, id_col=id_col,
+        vec_col=vec_col, refine=False,
+    )
+    q = vectors.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).cast("array<double>").alias("__qv")
+    )
+    probe = (
+        centroids.crossJoin(F.broadcast(q))
+        .select(
+            "list_id",
+            _sq_l2(F.col("centroid"), F.col("__qv")).alias("__d2"),
+        )
+        .orderBy("__d2", "list_id")
+        .limit(nprobe)
+    )
+    cand = assigned.join(
+        F.broadcast(probe.select("list_id")), "list_id"
+    ).select(F.col(id_col))
+    codebook = pq_codebook(
+        vectors, m=m, ks=ks, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    codes = pq_encode(
+        vectors, codebook, m=m, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    qsub = vectors.where(F.col(id_col) == query_id).select(
+        F.posexplode(
+            _subvectors(F.col(vec_col).cast("array<double>"), m=m, dim=dim)
+        ).alias("sub_id", "__qs")
+    )
+    lut = codebook.join(F.broadcast(qsub), "sub_id").select(
+        "sub_id",
+        "code",
+        _sq_l2(F.col("centroid"), F.col("__qs")).alias("__pd"),
+    )
+    expl = (
+        codes.join(cand, id_col, "left_semi")
+        .select(F.col(id_col), F.posexplode("codes").alias("sub_id", "code"))
+    )
+    adc = (
+        expl.join(F.broadcast(lut), ["sub_id", "code"])
+        .groupBy(id_col)
+        .agg(F.round(F.sum("__pd"), round_to).alias("adc"))
+    )
+    return (
+        adc.where(F.col(id_col) != query_id)
+        .select(F.col(id_col).alias("vec_id"), "adc")
+        .orderBy("adc", "vec_id")
+        .limit(k)
+    )
+
+
 def pq_recall(
     vectors: DataFrame,
     *,

@@ -334,6 +334,86 @@ SELECT vec_id, adc FROM adc ORDER BY adc, vec_id LIMIT {k}
 """
 
 
+def ivfpq_topk_sql(
+    *,
+    query_id: int,
+    k: int,
+    m: int,
+    ks: int,
+    num_lists: int,
+    nprobe: int,
+    dim: int,
+    table: str = "embeddings",
+) -> str:
+    """Twin of operators.pq.ivfpq_topk: the seed-only IVF probe CTEs
+    (ivf_recall_sql's) composed with pq_topk_sql's codebook/assign/LUT
+    chain, ADC restricted to the probed-list candidates."""
+    sub_d = dim // m
+    slice_ = f"list_slice(ve, s.sub_id * {sub_d} + 1, (s.sub_id + 1) * {sub_d})"
+    assign_d2 = _sq_l2_expr("v.ve", "ls.centroid", dim)
+    probe_d2 = _sq_l2_expr("ls.centroid", "q.qv", dim)
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM {table}
+), ls AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id,
+         ve AS centroid
+  FROM (SELECT vec_id, ve FROM v ORDER BY vec_id LIMIT {num_lists})
+), q AS (
+  SELECT ve AS qv FROM v WHERE vec_id = {query_id}
+), assigned AS (
+  SELECT vec_id, list_id FROM (
+    SELECT v.vec_id, ls.list_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {assign_d2}, ls.list_id) AS r
+    FROM v, ls)
+  WHERE r = 1
+), probe AS (
+  SELECT list_id FROM (
+    SELECT ls.list_id,
+           row_number() OVER (ORDER BY {probe_d2}, ls.list_id) AS r
+    FROM ls, q)
+  WHERE r <= {nprobe}
+), cand AS (
+  SELECT a.vec_id FROM assigned a JOIN probe p ON a.list_id = p.list_id
+), cseeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, ve
+  FROM v ORDER BY vec_id LIMIT {ks}
+), subs AS (SELECT unnest(range({m})) AS sub_id),
+cb AS (
+  SELECT code, s.sub_id, {slice_} AS centroid
+  FROM cseeds, subs s
+), sv AS (
+  SELECT vec_id, s.sub_id, {slice_} AS sub
+  FROM v, subs s
+), assign AS (
+  SELECT vec_id, sub_id, code FROM (
+    SELECT sv.vec_id, sv.sub_id, cb.code,
+           row_number() OVER (
+             PARTITION BY sv.vec_id, sv.sub_id
+             ORDER BY {_sub_sq_l2('sv.sub', 'cb.centroid', sub_d)}, cb.code
+           ) AS rn
+    FROM sv JOIN cb ON sv.sub_id = cb.sub_id
+  ) WHERE rn = 1
+), qs AS (
+  SELECT sub_id, sub AS qsub FROM sv WHERE vec_id = {query_id}
+), lut AS (
+  SELECT cb.sub_id, cb.code,
+         {_sub_sq_l2('cb.centroid', 'qs.qsub', sub_d)} AS pd
+  FROM cb JOIN qs ON cb.sub_id = qs.sub_id
+), adc AS (
+  SELECT a.vec_id, round(sum(l.pd), 4) AS adc
+  FROM assign a
+  JOIN cand c ON a.vec_id = c.vec_id
+  JOIN lut l ON a.sub_id = l.sub_id AND a.code = l.code
+  WHERE a.vec_id <> {query_id}
+  GROUP BY a.vec_id
+)
+SELECT vec_id, adc FROM adc ORDER BY adc, vec_id LIMIT {k}
+"""
+
+
 def _sq_l2_expr(a: str, b: str, dim: int) -> str:
     """Mirror of simsearch._sq_l2: left-to-right fold of (a[i]-b[i])²."""
     return (
