@@ -72,6 +72,13 @@ print("|---|---|---|---|---|")
 for f in (10, FACTOR) if FACTOR != 10 else (10,):
     c = corpus(f).persist()
     c.count()
+    # the gopher shuffle is ~5x the token count with per-doc-unique
+    # keys (no combine win); partitions track volume (measured: the
+    # ~12x-wall-for-10x-rows ratio is the same at fixed 32, so the
+    # constant is aggregation bandwidth, not spill)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(int(CPUS) * max(1, f // 10))
+    )
 
     t0 = time.time()
     g = gopher_repetition(c).agg(

@@ -197,11 +197,24 @@ def gopher_repetition(
     Zero-gram documents (fewer than n tokens) report 0.0 for that n.
 
     Scale shape: ONE explode into (doc, n, gram) rows (sum over ns of
-    W-n+1 rows per doc), one map-side-combinable groupBy(doc, n,
-    gram), one groupBy(doc, n) reusing the doc-prefixed partitioning,
-    then a conditional-aggregation pivot to columns and a join back
-    to the scan-stage per-doc character totals (shuffles on doc_id).
-    Nothing is corpus-global; skew is bounded by document length."""
+    W-n+1 rows per doc), one groupBy(doc, n, gram), one groupBy(doc,
+    n) reusing the doc-prefixed partitioning, then a conditional-
+    aggregation pivot to columns and a join back to the scan-stage
+    per-doc character totals (shuffles on doc_id). Nothing is
+    corpus-global; skew is bounded by document length. The (doc, n,
+    gram) keys are unique-ish per doc so the map-side combine buys
+    little — the cost IS the ~5x-token-count string-key shuffle
+    (measured ~12x wall for 10x rows at both 32 and 320 shuffle
+    partitions: a bandwidth-bound aggregation, linear plan, no skew —
+    at cluster scale it parallelizes with executors). Measured dead
+    end, for the record: computing the
+    battery IN-ROW with array_sort + run-length HOF folds (zero
+    shuffle on paper) is ~100x SLOWER — interpreted HOF evaluation
+    has no common-subexpression elimination, so every
+    try_element_at(sorted_grams, i) lambda access re-evaluates the
+    whole array_sort, going quadratic per document (observed: one
+    task burning 10 CPU-minutes on 500 docs) — the same class of
+    trap as the repo's documented 1000-term flat-expression cliff."""
     ns = sorted(set(top_ns) | set(dup_ns))
     if not ns or min(ns) < 2:
         raise ValueError("gopher_repetition needs n-gram sizes >= 2")
