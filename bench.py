@@ -44,6 +44,9 @@ SKIP_TIMING: set[str] = set()
 # ~this many queries per JVM: small enough that the generated-class LRU
 # (~100 entries) and JIT code cache never thrash, large enough that the
 # per-segment session startup stays a small fraction of the wall time.
+# (r11 measured 25/JVM as WORSE: more segments concentrate the
+# streaming replays, whose processAllAvailable waits dominate — 45
+# with family striping is the stable point.)
 SEGMENT_SIZE = 45
 
 
@@ -52,9 +55,18 @@ def is_streaming(name: str) -> bool:
 
 
 def timed_query_names() -> list[str]:
+    """Bench order is CANONICAL (sorted by name), decoupled from the
+    registry's dict order: the registry re-sorts every round by
+    driver-check staleness, and letting that rotation reshuffle which
+    queries share a JVM segment moves per-query walls by 2-3x
+    (measured r11: emb_pca_power 5.3s -> 18.6s purely from landing in
+    a segment crowded with other codegen-heavy iterative queries —
+    janino LRU pressure, the SEGMENT_SIZE rationale). Sorted names
+    keep segment neighborhoods stable round over round, so bench
+    deltas mean code, not rotation."""
     import __spark_entry__ as entry_mod
 
-    return [n for n in entry_mod.queries() if n not in SKIP_TIMING]
+    return sorted(n for n in entry_mod.queries() if n not in SKIP_TIMING)
 
 
 def run_segment(seg_idx: int, n_segments: int) -> None:
@@ -99,9 +111,16 @@ def run_segment(seg_idx: int, n_segments: int) -> None:
     ).save()
 
     qdict = entry_mod.queries()
-    names = [n for n in qdict if n not in SKIP_TIMING]
-    chunk = math.ceil(len(names) / n_segments)
-    seg_names = names[seg_idx * chunk : (seg_idx + 1) * chunk]
+    names = timed_query_names()
+    # STRIPE the canonical order across segments (names[i::n]) instead
+    # of contiguous chunks: alphabetical chunks put a whole operator
+    # family (e.g. every dedup_*) into one JVM, and same-family
+    # queries sharing a segment inflate each other 2-6x (measured
+    # r11: dedup_minhash_accuracy 2.5s chunked-by-family vs 16.2s —
+    # codegen-cache + executor-memory pressure from similar heavy
+    # plans). Striping spreads each family evenly and is just as
+    # deterministic.
+    seg_names = names[seg_idx::n_segments]
 
     # warm the Structured Streaming machinery only if this segment has
     # stream-replay queries (Python state workers, state-store provider,

@@ -98,11 +98,10 @@ def test_bench_segmentation_partitions_suite_exactly():
 
     names = bench.timed_query_names()
     n_segments = max(1, math.ceil(len(names) / bench.SEGMENT_SIZE))
-    chunk = math.ceil(len(names) / n_segments)
     seen = []
     for i in range(n_segments):
-        seen.extend(names[i * chunk : (i + 1) * chunk])
-    assert seen == names
+        seen.extend(names[i::n_segments])
+    assert sorted(seen) == names  # striped cover, canonical order
     # r11: the brute-force baseline's registry entry was folded into
     # emb_near_dup_recall, so every registered query is bench-timed
     assert "emb_near_dup" not in names
