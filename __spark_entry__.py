@@ -5652,6 +5652,32 @@ def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DHASH_HAM = 3
+
+
+def q_media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual difference-hash per media payload (operators/
+    multimodal.py media_dhash) — the standard image-dedup fingerprint
+    over the opaque binary column; JVM hex extraction, zero Python."""
+    from symtseries_spark.operators.multimodal import media_dhash
+
+    return media_dhash(
+        media_from_documents(load(spark, sf_dir, "documents"))
+    )
+
+
+def q_media_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate media by dHash hamming distance: SimHash-style
+    banded chunks (pigeonhole-exact for hamming <= 3 at 4 bands),
+    bucketed equi-join candidates, bit_count(xor) refine."""
+    from symtseries_spark.operators.multimodal import dhash_pairs
+
+    return dhash_pairs(
+        media_from_documents(load(spark, sf_dir, "documents")),
+        max_hamming=DHASH_HAM,
+    )
+
+
 def q_docs_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style duplication stats on stride-1 overlapping
     token windows (operators/dedup.py exact_substring_stats) —
@@ -7052,6 +7078,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_gopher_filter": q_docs_gopher_filter,
         "docs_exact_substring": q_docs_exact_substring,
         "emb_ivfpq_topk": q_emb_ivfpq_topk,
+        "media_dhash": q_media_dhash,
+        "media_dhash_pairs": q_media_dhash_pairs,
         "docs_weighted_sample": q_docs_weighted_sample,
         "docs_quality_sweep": q_docs_quality_sweep,
         "docs_split_leakage": q_docs_split_leakage,
@@ -10255,6 +10283,8 @@ FROM pd ORDER BY fisher DESC NULLS LAST, dim LIMIT 10
             dim=EMB_DIM,
         ),
         "media_byte_histogram": om.byte_histogram_sql(bins=HIST_BINS),
+        "media_dhash": om.dhash_sql(),
+        "media_dhash_pairs": om.dhash_pairs_sql(max_hamming=DHASH_HAM),
         "media_frame_sample": om.frame_sample_sql(**FRAME),
         "media_decode_features": om.decode_features_sql(),
         "media_resize": om.resize_media_sql(factor=RESIZE_FACTOR),

@@ -265,3 +265,140 @@ def decode_media(
     return media.select("media_id", "kind", payload_col).mapInPandas(
         decode, _DECODE_SCHEMA
     )
+
+
+def media_dhash(
+    media: DataFrame,
+    *,
+    rows: int = 7,
+    cols: int = 9,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Perceptual difference-hash (dHash — the standard cheap
+    image-dedup fingerprint: grid-sample brightness, hash the sign of
+    horizontal gradients) over the opaque payload ->
+    ``(media_id, dhash)`` with ``rows x (cols-1)`` bits packed into a
+    BIGINT (default 7x8 = 56 bits, sign-safe).
+
+    The "brightness" grid samples ``rows*cols`` bytes at evenly
+    spaced offsets — on a real image this runs AFTER the decode/resize
+    step (the grid is the resized luma plane); on the text stand-in
+    payload it is a deterministic byte-gradient fingerprint with the
+    same algebra, so the Spark-side plumbing (hex extraction, bit
+    packing, banded pair join) is real and oracle-checked.
+
+    All JVM expressions (hex + substring + conv), zero Python; empty
+    payloads are dropped. Scale shape: pure scan-stage projection."""
+    if rows < 1 or cols < 2:
+        raise ValueError("media_dhash needs rows >= 1, cols >= 2")
+    n = rows * cols
+    if rows * (cols - 1) > 62:
+        raise ValueError("dhash must fit in a signed 64-bit integer")
+    df = media.where(F.octet_length(F.col(payload_col)) > 0).select(
+        F.col(id_col).alias("media_id"),
+        F.hex(F.col(payload_col)).alias("__h"),
+        F.octet_length(F.col(payload_col)).cast("long").alias("__l"),
+    )
+
+    def byte(j: int):
+        # evenly spaced 0-based byte offset floor(j*len/n), read from
+        # the hex string (2 chars per byte, 1-based substring)
+        return F.expr(
+            f"cast(conv(substring(__h, "
+            f"2 * cast(({j} * __l) div {n} as int) + 1, 2), 16, 10) "
+            f"as bigint)"
+        )
+
+    samples = [byte(j) for j in range(n)]
+    acc = F.lit(0).cast("long")
+    k = 0
+    for r in range(rows):
+        for c in range(cols - 1):
+            bit = (
+                samples[r * cols + c] > samples[r * cols + c + 1]
+            ).cast("long")
+            acc = acc + bit * F.lit(1 << k)
+            k += 1
+    return df.select("media_id", acc.alias("dhash"))
+
+
+def dhash_pairs(
+    media: DataFrame,
+    *,
+    max_hamming: int,
+    bands: int = 4,
+    rows: int = 7,
+    cols: int = 9,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Near-duplicate media pairs by dHash hamming distance ->
+    ``(media_a, media_b, hamming)`` with ``hamming <= max_hamming``.
+
+    Exact (no false negatives): the hash's ``rows*(cols-1)`` bits
+    split into ``bands`` chunks; two hashes within ``max_hamming``
+    must share at least one chunk VERBATIM when
+    ``bands > max_hamming`` (pigeonhole), so candidates come from a
+    bucketed equi-join on (band, chunk) — never all-pairs — and the
+    refine is one ``bit_count(a XOR b)``. The SimHash banding scheme
+    applied to the perceptual-hash modality."""
+    if max_hamming < 0:
+        raise ValueError("dhash_pairs needs max_hamming >= 0")
+    if bands <= max_hamming:
+        raise ValueError(
+            "pigeonhole exactness needs bands > max_hamming"
+        )
+    nbits = rows * (cols - 1)
+    per = nbits // bands
+    if per < 1:
+        raise ValueError("bands exceed the bit width")
+    h = media_dhash(
+        media, rows=rows, cols=cols, id_col=id_col,
+        payload_col=payload_col,
+    )
+    chunks = h.select(
+        "media_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftright(F.col("dhash"), b * per)
+                            % F.lit(
+                                1 << (per if b < bands - 1
+                                      else nbits - (bands - 1) * per)
+                            )
+                        ).alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("s"),
+    ).select(
+        "media_id", "dhash",
+        F.col("s.band").alias("band"), F.col("s.chunk").alias("chunk"),
+    )
+    a = chunks.select(
+        F.col("media_id").alias("media_a"),
+        F.col("dhash").alias("__ha"),
+        "band", "chunk",
+    )
+    b = chunks.select(
+        F.col("media_id").alias("media_b"),
+        F.col("dhash").alias("__hb"),
+        "band", "chunk",
+    )
+    cand = (
+        a.join(b, ["band", "chunk"])
+        .where(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b", "__ha", "__hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    return (
+        cand.select("media_a", "media_b", ham.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -73,3 +73,79 @@ FROM chars
 WHERE i % {factor} = 0
 GROUP BY media_id, orig_len
 """
+
+
+def _dhash_expr(*, rows: int, cols: int, text: str = "text") -> str:
+    """56-bit dHash as one SQL expression over the ASCII payload (byte
+    at 0-based offset p == ord(substr(text, p+1, 1)))."""
+    n = rows * cols
+
+    def byte(j: int) -> str:
+        return (
+            f"ord(substr({text}, CAST(({j} * l) // {n} AS INT) + 1, 1))"
+        )
+
+    terms = []
+    k = 0
+    for r in range(rows):
+        for c in range(cols - 1):
+            terms.append(
+                f"(CASE WHEN {byte(r * cols + c)} > "
+                f"{byte(r * cols + c + 1)} THEN CAST({1 << k} AS BIGINT) "
+                f"ELSE CAST(0 AS BIGINT) END)"
+            )
+            k += 1
+    return " + ".join(terms)
+
+
+def dhash_sql(*, rows: int = 7, cols: int = 9, table: str = "documents") -> str:
+    """Oracle for multimodal.media_dhash (payload = UTF-8 text bytes)."""
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id, text, CAST(len(text) AS BIGINT) AS l
+  FROM {table} WHERE len(text) > 0
+)
+SELECT media_id, ({_dhash_expr(rows=rows, cols=cols)}) AS dhash FROM m
+"""
+
+
+def dhash_pairs_sql(
+    *,
+    max_hamming: int,
+    bands: int = 4,
+    rows: int = 7,
+    cols: int = 9,
+    table: str = "documents",
+) -> str:
+    """Oracle for multimodal.dhash_pairs: same banded chunks, same
+    bit_count(xor) refine."""
+    nbits = rows * (cols - 1)
+    per = nbits // bands
+    band_rows = ", ".join(f"({b})" for b in range(bands))
+    widths = {
+        b: (per if b < bands - 1 else nbits - (bands - 1) * per)
+        for b in range(bands)
+    }
+    chunk = " ".join(
+        f"WHEN u.band = {b} THEN (dhash >> {b * per}) % {1 << widths[b]}"
+        for b in range(bands)
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id, text, CAST(len(text) AS BIGINT) AS l
+  FROM {table} WHERE len(text) > 0
+), h AS (
+  SELECT media_id, ({_dhash_expr(rows=rows, cols=cols)}) AS dhash FROM m
+), c AS (
+  SELECT media_id, dhash, u.band,
+         (CASE {chunk} END) AS chunk
+  FROM h, (VALUES {band_rows}) u(band)
+)
+SELECT media_a, media_b, hamming FROM (
+  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+         CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+  FROM c a JOIN c b
+    ON a.band = b.band AND a.chunk = b.chunk
+   AND a.media_id < b.media_id)
+WHERE hamming <= {max_hamming}
+"""

@@ -86,3 +86,82 @@ class TestDecode:
         assert rows[0] == [b / 255.0 for b in digest[:FEATURE_DIM]]
         assert fake_decode_features(b"abcabc") == rows[0]
         assert len(rows[1]) == FEATURE_DIM
+
+
+class TestDhash:
+    def test_identical_payloads_hash_equal(self, spark):
+        from symtseries_spark.operators.multimodal import (
+            dhash_pairs,
+            media_dhash,
+            media_from_documents,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "the quick brown fox jumps over the lazy dog"),
+                (3, "a completely different payload with other bytes"),
+                (4, ""),
+            ],
+            "doc_id long, text string",
+        )
+        media = media_from_documents(docs)
+        h = {r["media_id"]: r["dhash"] for r in media_dhash(media).collect()}
+        assert h[1] == h[2]
+        assert h[1] != h[3]
+        assert 4 not in h  # empty payload dropped
+        assert all(0 <= v < (1 << 56) for v in h.values())
+        pairs = {
+            (r["media_a"], r["media_b"]): r["hamming"]
+            for r in dhash_pairs(media, max_hamming=3).collect()
+        }
+        assert pairs[(1, 2)] == 0
+
+    def test_pigeonhole_validation(self, spark):
+        import pytest as _pytest
+
+        from symtseries_spark.operators.multimodal import (
+            dhash_pairs,
+            media_from_documents,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "abc")], "doc_id long, text string"
+        )
+        with _pytest.raises(ValueError, match="pigeonhole"):
+            dhash_pairs(
+                media_from_documents(docs), max_hamming=4, bands=4
+            )
+
+    def test_pairs_match_brute_force(self, spark):
+        # banding must find EVERY pair within the bound (pigeonhole)
+        from symtseries_spark.operators.multimodal import (
+            dhash_pairs,
+            media_dhash,
+            media_from_documents,
+        )
+
+        texts = [
+            "aaaa bbbb cccc dddd eeee ffff",
+            "aaaa bbbb cccc dddd eeee fffg",
+            "aaaa bbbb cccc dddd eeff ffff",
+            "zzzz yyyy xxxx wwww vvvv uuuu",
+            "aaaa bbbb cccc dddd eeee ffff extra tail here",
+        ]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        media = media_from_documents(docs)
+        h = {r["media_id"]: r["dhash"] for r in media_dhash(media).collect()}
+        want = {
+            (a, b): bin(h[a] ^ h[b]).count("1")
+            for a in h
+            for b in h
+            if a < b and bin(h[a] ^ h[b]).count("1") <= 3
+        }
+        got = {
+            (r["media_a"], r["media_b"]): r["hamming"]
+            for r in dhash_pairs(media, max_hamming=3).collect()
+        }
+        assert got == want
