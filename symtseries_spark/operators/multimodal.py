@@ -353,9 +353,17 @@ def dhash_pairs(
     per = nbits // bands
     if per < 1:
         raise ValueError("bands exceed the bit width")
-    h = media_dhash(
-        media, rows=rows, cols=cols, id_col=id_col,
-        payload_col=payload_col,
+    from ..cache import persist_tracked
+
+    # MATERIALIZE the hash before the self-join: the dhash column is a
+    # ~500-node expression (63 hex-substring byte extracts), and both
+    # join sides plus the banding fan-out would otherwise re-evaluate
+    # it per use (the same rule as jl_recall's projection persist).
+    h = persist_tracked(
+        media_dhash(
+            media, rows=rows, cols=cols, id_col=id_col,
+            payload_col=payload_col,
+        )
     )
     chunks = h.select(
         "media_id",
