@@ -75,3 +75,61 @@ class TestPQ:
     def test_dim_validation(self, spark, vectors):
         with pytest.raises(ValueError):
             pq_codebook(vectors, m=5, ks=KS, dim=DIM)
+
+
+class TestIVFPQ:
+    def test_full_probe_equals_pq_topk(self, spark, sf_dir):
+        """With nprobe == num_lists every vector is a candidate, so the
+        IVF+PQ composition must return exactly pq_topk's ADC top-k."""
+        from symtseries_spark.operators.pq import ivfpq_topk, pq_topk
+        from symtseries_spark.sources import load
+
+        vecs = load(spark, sf_dir, "embeddings")
+        full = ivfpq_topk(
+            vecs, query_id=3, k=10, m=4, ks=16, num_lists=8, nprobe=8,
+            dim=64,
+        ).collect()
+        want = pq_topk(
+            vecs, query_id=3, k=10, m=4, ks=16, dim=64
+        ).collect()
+        assert [(r["vec_id"], r["adc"]) for r in full] == [
+            (r["vec_id"], r["adc"]) for r in want
+        ]
+
+    def test_partial_probe_subset(self, spark, sf_dir):
+        """Partial probe returns a subset of the candidates' ADC order:
+        every returned id must carry the same ADC the full table gives
+        it, and ranks ascend."""
+        from symtseries_spark.operators.pq import ivfpq_topk, pq_topk
+        from symtseries_spark.sources import load
+
+        vecs = load(spark, sf_dir, "embeddings")
+        part = ivfpq_topk(
+            vecs, query_id=3, k=10, m=4, ks=16, num_lists=8, nprobe=2,
+            dim=64,
+        ).collect()
+        assert 0 < len(part) <= 10
+        adcs = [r["adc"] for r in part]
+        assert adcs == sorted(adcs)
+        full_map = {
+            r["vec_id"]: r["adc"]
+            for r in pq_topk(
+                vecs, query_id=3, k=500, m=4, ks=16, dim=64
+            ).collect()
+        }
+        for r in part:
+            assert full_map[r["vec_id"]] == r["adc"]
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from symtseries_spark.operators.pq import ivfpq_topk
+
+        df = spark.createDataFrame(
+            [(0, [0.0] * 64)], "vec_id long, embedding array<double>"
+        )
+        with _pytest.raises(ValueError, match="divisible"):
+            ivfpq_topk(
+                df, query_id=0, k=1, m=3, ks=4, num_lists=2, nprobe=1,
+                dim=64,
+            )
