@@ -5652,7 +5652,8 @@ def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DHASH_HAM = 3
+DHASH_HAM = 12  # synthetic corpus min pair distance is 10 (no exact dups)
+DHASH_BANDS = 14
 
 
 def q_media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5668,13 +5669,17 @@ def q_media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate media by dHash hamming distance: SimHash-style
-    banded chunks (pigeonhole-exact for hamming <= 3 at 4 bands),
-    bucketed equi-join candidates, bit_count(xor) refine."""
+    banded chunks (pigeonhole-exact: bands > max_hamming), bucketed
+    equi-join candidates, bit_count(xor) refine. The synthetic corpus
+    has no verbatim payload twins (min pair distance 10), so the
+    registered radius is 12 at 14 bands — wider chunks at tighter
+    radii are the standard hamming-LSH knob."""
     from symtseries_spark.operators.multimodal import dhash_pairs
 
     return dhash_pairs(
         media_from_documents(load(spark, sf_dir, "documents")),
         max_hamming=DHASH_HAM,
+        bands=DHASH_BANDS,
     )
 
 
@@ -10284,7 +10289,9 @@ FROM pd ORDER BY fisher DESC NULLS LAST, dim LIMIT 10
         ),
         "media_byte_histogram": om.byte_histogram_sql(bins=HIST_BINS),
         "media_dhash": om.dhash_sql(),
-        "media_dhash_pairs": om.dhash_pairs_sql(max_hamming=DHASH_HAM),
+        "media_dhash_pairs": om.dhash_pairs_sql(
+            max_hamming=DHASH_HAM, bands=DHASH_BANDS
+        ),
         "media_frame_sample": om.frame_sample_sql(**FRAME),
         "media_decode_features": om.decode_features_sql(),
         "media_resize": om.resize_media_sql(factor=RESIZE_FACTOR),
