@@ -561,9 +561,19 @@ def kcenter_coreset(
     if sample_frac is not None and not 0.0 < sample_frac <= 1.0:
         raise ValueError("kcenter_coreset needs 0 < sample_frac <= 1")
     if sample_frac is not None and sample_frac < 1.0:
+        # The hash filter's resolution is 1/2^20: a smaller frac
+        # would truncate the slot count to 0 and silently filter
+        # EVERY row (empty coreset, no error) — reject it loudly.
+        slots = int(sample_frac * (1 << 20))
+        if slots < 1:
+            raise ValueError(
+                "kcenter_coreset sample_frac below the hash filter's "
+                "1/2^20 resolution would select zero rows; use a "
+                "larger fraction"
+            )
         vectors = vectors.where(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(1 << 20))
-            < F.lit(int(sample_frac * (1 << 20)))
+            < F.lit(slots)
         )
     spark = vectors.sparkSession
     v = F.col(vec_col).cast("array<double>")

@@ -90,7 +90,14 @@ def _clean_keys(df: DataFrame, key: str, assert_ascii: bool) -> DataFrame:
     codepoint brute force)."""
     k = F.col(key).cast("string")
     if assert_ascii:
-        k = F.when(F.octet_length(k) == F.length(k), k).otherwise(
+        # NULL-tolerant: octet_length(NULL)==length(NULL) is NULL (not
+        # true), so without the isNull arm a NULL key would fall into
+        # the raise branch — and NULL keys are dropped below per the
+        # contract, not errors. coalesce keeps a real non-ASCII
+        # failure's message non-NULL even if concat inputs degrade.
+        k = F.when(
+            k.isNull() | (F.octet_length(k) == F.length(k)), k
+        ).otherwise(
             F.raise_error(
                 F.concat(
                     F.lit(
@@ -99,7 +106,7 @@ def _clean_keys(df: DataFrame, key: str, assert_ascii: bool) -> DataFrame:
                         "DuckDB oracle counts bytes); normalize the "
                         "key or pass assert_ascii=False: "
                     ),
-                    k,
+                    F.coalesce(k, F.lit("<NULL>")),
                 )
             )
         )

@@ -266,6 +266,8 @@ def ivfpq_topk(
     tie order, rounded ADC), so the oracle replays it exactly."""
     from .simsearch import ivf_index
 
+    if nprobe < 1:
+        raise ValueError("ivfpq_topk needs nprobe >= 1")
     assigned, centroids = ivf_index(
         vectors, num_lists=num_lists, dim=dim, id_col=id_col,
         vec_col=vec_col, refine=False,

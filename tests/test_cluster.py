@@ -389,6 +389,10 @@ class TestKcenterAssign:
         assert len(a) == 3 and len(full) == 3
         with pytest.raises(ValueError):
             kcenter_coreset(df, k=3, sample_frac=0.0)
+        # below the hash filter's 1/2^20 resolution the slot count
+        # truncates to zero (would silently drop every row) — reject
+        with pytest.raises(ValueError, match="resolution"):
+            kcenter_coreset(df, k=3, sample_frac=2.0**-21)
 
     def test_counts_cover_corpus(self, spark, sf_dir):
         import __spark_entry__ as entry_mod

@@ -115,6 +115,19 @@ class TestEditDistancePairs:
         }
         assert got == {("naive", "naïve", 1)}
 
+    def test_null_keys_dropped_under_ascii_guard(self, spark):
+        # NULL keys are dropped per the contract, NOT routed into the
+        # assert_ascii raise branch (octet_length(NULL)==length(NULL)
+        # is NULL, which a naive guard treats as "not ASCII")
+        df = spark.createDataFrame(
+            [("kitten",), (None,), ("sitten",)], "key string"
+        )
+        got = {
+            (r.key_a, r.key_b, r.dist)
+            for r in edit_distance_pairs(df, tau=1).collect()
+        }
+        assert got == {("kitten", "sitten", 1)}
+
     def test_validation(self, spark):
         df = spark.createDataFrame([("a",)], "key string")
         with pytest.raises(ValueError):

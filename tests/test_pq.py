@@ -133,3 +133,9 @@ class TestIVFPQ:
                 df, query_id=0, k=1, m=3, ks=4, num_lists=2, nprobe=1,
                 dim=64,
             )
+        # nprobe < 1 would silently probe zero lists -> empty result
+        with _pytest.raises(ValueError, match="nprobe"):
+            ivfpq_topk(
+                df, query_id=0, k=1, m=4, ks=4, num_lists=2, nprobe=0,
+                dim=64,
+            )
