@@ -5652,8 +5652,26 @@ def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DHASH_HAM = 12  # synthetic corpus min pair distance is 10 (no exact dups)
-DHASH_BANDS = 14
+# Scale-sane banding: pigeonhole needs bands > max_hamming, and chunks
+# must stay >= 8 bits or the bucket join degenerates toward all-pairs
+# (56 bits / 14 bands = 4-bit chunks = 16 values/band was measured
+# ~60% collision between RANDOM hashes). 56 bits at 7 bands supports
+# radius <= 6; instead of widening the radius to meet the corpus (the
+# r11 mistake), we PLANT near-twin payloads (1-byte perturbation ->
+# hamming <= 1) for every doc_id % DHASH_TWIN_MOD == 0 with len >= 63
+# (each dhash sample offset is then unique, so the twin flips at most
+# one gradient bit). max_bucket fail-fasts the self-join if any
+# (band, chunk) bucket outgrows the cap (sf0.1 worst observed: 134).
+DHASH_HAM = 6
+DHASH_BANDS = 7
+DHASH_TWIN_MOD = 41
+DHASH_TWIN_OFF = 1 << 40  # planted ids far above any real doc_id
+DHASH_BUCKET_CAP = 512
+# Wide variant: radius 12 (the r11 requirement) done RIGHT — a 104-bit
+# multi-word hash (13 rows x 8-bit words, rows double as bands) keeps
+# chunks at 8 bits instead of thinning them to 4.
+DHASH_WIDE_HAM = 12
+DHASH_WIDE_ROWS = 13
 
 
 def q_media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5670,16 +5688,80 @@ def q_media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate media by dHash hamming distance: SimHash-style
     banded chunks (pigeonhole-exact: bands > max_hamming), bucketed
-    equi-join candidates, bit_count(xor) refine. The synthetic corpus
-    has no verbatim payload twins (min pair distance 10), so the
-    registered radius is 12 at 14 bands — wider chunks at tighter
-    radii are the standard hamming-LSH knob."""
-    from symtseries_spark.operators.multimodal import dhash_pairs
+    equi-join candidates, bit_count(xor) refine, hot-bucket fail-fast.
+    The corpus has no natural twins at the scale-sane radius, so the
+    query PLANTS them: a 1-byte perturbation of every 41st document
+    (hamming <= 1 from its base when len >= 63) — the banding stays
+    8 bits/chunk instead of being widened to meet the data."""
+    from symtseries_spark.operators.multimodal import (
+        dhash_pairs,
+        media_from_documents,
+    )
 
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.where(
+        (F.col("doc_id") % DHASH_TWIN_MOD == 0)
+        & (F.length("text") >= 63)
+    ).select(
+        (F.col("doc_id") + F.lit(DHASH_TWIN_OFF)).alias("doc_id"),
+        F.concat(
+            F.lit("~"), F.expr("substring(text, 2, length(text) - 1)")
+        ).alias("text"),
+    )
     return dhash_pairs(
-        media_from_documents(load(spark, sf_dir, "documents")),
+        media_from_documents(docs.unionByName(twins)),
         max_hamming=DHASH_HAM,
         bands=DHASH_BANDS,
+        max_bucket=DHASH_BUCKET_CAP,
+    )
+
+
+def q_media_dhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-radius near-duplicate media: the multi-word dHash
+    (13 rows x 8 bits = 104 bits, operators/multimodal.py
+    media_dhash_wide) supports radius 12 with 8-bit band chunks —
+    rows ARE the bands, so the hash widens instead of the chunks
+    thinning (the scale-correct fix for the r11 4-bit-chunk corner).
+    Same planted twins and hot-bucket fail-fast as media_dhash_pairs."""
+    from symtseries_spark.operators.multimodal import (
+        dhash_pairs_wide,
+        media_from_documents,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.where(
+        (F.col("doc_id") % DHASH_TWIN_MOD == 0)
+        & (F.length("text") >= 63)
+    ).select(
+        (F.col("doc_id") + F.lit(DHASH_TWIN_OFF)).alias("doc_id"),
+        F.concat(
+            F.lit("~"), F.expr("substring(text, 2, length(text) - 1)")
+        ).alias("text"),
+    )
+    return dhash_pairs_wide(
+        media_from_documents(docs.unionByName(twins)),
+        max_hamming=DHASH_WIDE_HAM,
+        rows=DHASH_WIDE_ROWS,
+        max_bucket=DHASH_BUCKET_CAP,
+    )
+
+
+def q_docs_exact_substring_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ExactSubstr REMOVAL (operators/dedup.py exact_substring_dedup):
+    Lee et al. 2022 remove, not report — each duplicated stride-1
+    window keeps its first (doc_id, pos) occurrence and is cut
+    everywhere else; clean_text is the surviving tokens. The operator
+    a real pipeline runs after measuring docs_exact_substring's
+    dup_frac; md5-keyed shuffle (hash_windows) per the hash_spans
+    convention."""
+    from symtseries_spark.operators.dedup import exact_substring_dedup
+
+    return exact_substring_dedup(
+        load(spark, sf_dir, "documents"),
+        window_tokens=EXSUB_TOKENS,
+        hash_windows=True,
     )
 
 
@@ -7077,7 +7159,10 @@ def q_docs_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Round-11 additions (new queries go at the HEAD).
+        # Round-12 additions (new queries go at the HEAD).
+        "media_dhash_wide_pairs": q_media_dhash_wide_pairs,
+        "docs_exact_substring_dedup": q_docs_exact_substring_dedup,
+        # Round-11 additions.
         "emb_near_dup_recall": q_emb_near_dup_recall,
         "docs_gopher_repetition": q_docs_gopher_repetition,
         "docs_gopher_filter": q_docs_gopher_filter,
@@ -8646,6 +8731,9 @@ FROM w
         "docs_repetition": ot.repetition_sql(),
         "docs_gopher_repetition": ot.gopher_repetition_sql(),
         "docs_exact_substring": ot.exact_substring_sql(
+            window_tokens=EXSUB_TOKENS
+        ),
+        "docs_exact_substring_dedup": ot.exact_substring_dedup_sql(
             window_tokens=EXSUB_TOKENS
         ),
         "emb_ivfpq_topk": ov.ivfpq_topk_sql(
@@ -10290,7 +10378,16 @@ FROM pd ORDER BY fisher DESC NULLS LAST, dim LIMIT 10
         "media_byte_histogram": om.byte_histogram_sql(bins=HIST_BINS),
         "media_dhash": om.dhash_sql(),
         "media_dhash_pairs": om.dhash_pairs_sql(
-            max_hamming=DHASH_HAM, bands=DHASH_BANDS
+            max_hamming=DHASH_HAM,
+            bands=DHASH_BANDS,
+            twin_mod=DHASH_TWIN_MOD,
+            twin_off=DHASH_TWIN_OFF,
+        ),
+        "media_dhash_wide_pairs": om.dhash_pairs_wide_sql(
+            max_hamming=DHASH_WIDE_HAM,
+            rows=DHASH_WIDE_ROWS,
+            twin_mod=DHASH_TWIN_MOD,
+            twin_off=DHASH_TWIN_OFF,
         ),
         "media_frame_sample": om.frame_sample_sql(**FRAME),
         "media_decode_features": om.decode_features_sql(),

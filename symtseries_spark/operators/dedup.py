@@ -926,3 +926,125 @@ def span_dedup(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def exact_substring_dedup(
+    docs: DataFrame,
+    *,
+    window_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_windows: bool = False,
+) -> DataFrame:
+    """The REMOVAL half of ExactSubstr (Lee et al. 2022 §4 removes the
+    duplicated spans; :func:`exact_substring_stats` only measures
+    them): every stride-1 ``window_tokens``-token window whose exact
+    text occurs more than once corpus-wide keeps its FIRST occurrence
+    (min (doc_id, pos)) and is cut everywhere else ->
+    ``(doc_id, n_tokens, n_removed, clean_text)`` with ``clean_text``
+    the surviving tokens re-joined in position order. A token is
+    removed iff it is covered by at least one non-canonical duplicated
+    window occurrence — the window grain's rendering of "remove all
+    but one copy of the duplicated passage" (tokens under the
+    canonical occurrence survive unless another cut window overlaps
+    them).
+
+    Scale shape: the canonical pick is ONE map-side-combinable
+    ``groupBy(window).agg(count, min(struct(doc_id, pos)))`` (no
+    window sort); unlike the stats operator, removal genuinely needs
+    the join-back (each occurrence must learn whether it is the
+    canonical one), so the dup-window table — bounded by windows with
+    count > 1, one row each — joins back on the window key, where a
+    corpus-hot boilerplate window is a single build-side row that AQE
+    skew-splits against. Token cutting is relational, never per-row
+    Python: cut occurrences explode to covered ``(doc_id, tpos)``
+    positions (<= window_tokens x cuts rows), one combinable
+    ``distinct``, then one ``left_anti`` join against the exploded
+    tokens, both partitioned by doc. ``hash_windows=True`` keys the
+    shuffle and join-back by the 128-bit md5 of the window instead of
+    its text (the ``hash_spans`` convention: ~5x-token-count STRING
+    keys are bandwidth, not information)."""
+    if window_tokens < 1:
+        raise ValueError("exact_substring_dedup needs window_tokens >= 1")
+    k = window_tokens
+    toks = tokens(F.col(text_col))
+    n_w = F.greatest(F.lit(0), F.size(toks) - F.lit(k - 1)).cast("int")
+    wins = F.when(
+        n_w > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_w),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.array_join(F.slice(toks, i, k), " ").alias("w"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,w:string>>"))
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(wins).alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.pos").alias("pos"),
+        (F.md5(F.col("s.w")) if hash_windows else F.col("s.w")).alias(
+            "__k"
+        ),
+    )
+    dup = (
+        ex.groupBy("__k")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.min(F.struct("doc_id", "pos")).alias("__canon"),
+        )
+        .where(F.col("__c") > 1)
+        .select("__k", "__canon")
+    )
+    cut = (
+        ex.join(dup, "__k")
+        .where(
+            ~(
+                (F.col("doc_id") == F.col("__canon.doc_id"))
+                & (F.col("pos") == F.col("__canon.pos"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    covered = cut.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+        ).alias("tpos"),
+    ).distinct()
+    ex_tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(toks).alias("__p0", "tok"),
+    ).select(
+        "doc_id", (F.col("__p0") + 1).cast("int").alias("tpos"), "tok"
+    )
+    kept = ex_tok.join(covered, ["doc_id", "tpos"], "left_anti")
+    keptagg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("tpos"), F.col("tok")))
+                ),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    per_doc = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    n_tokens = F.coalesce("n_tokens", F.lit(0))
+    return (
+        per_doc.join(keptagg, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            (n_tokens - F.coalesce("__n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -292,9 +292,29 @@ def media_dhash(
     payloads are dropped. Scale shape: pure scan-stage projection."""
     if rows < 1 or cols < 2:
         raise ValueError("media_dhash needs rows >= 1, cols >= 2")
-    n = rows * cols
     if rows * (cols - 1) > 62:
         raise ValueError("dhash must fit in a signed 64-bit integer")
+    df, row_words = _dhash_row_words(
+        media, rows=rows, cols=cols, id_col=id_col,
+        payload_col=payload_col,
+    )
+    acc = F.lit(0).cast("long")
+    for r, word in enumerate(row_words):
+        acc = acc + word * F.lit(1 << (r * (cols - 1)))
+    return df.select("media_id", acc.alias("dhash"))
+
+
+def _dhash_row_words(
+    media: DataFrame, *, rows: int, cols: int, id_col: str,
+    payload_col: str,
+):
+    """Shared dHash sampling: grid-sample ``rows*cols`` payload bytes
+    at evenly spaced offsets, compare horizontal neighbours, and pack
+    each row's ``cols-1`` gradient bits into one long. Returns
+    ``(filtered_df, [row_word_col, ...])`` — callers pack the words
+    into a single BIGINT (media_dhash) or keep them as an array (the
+    wide variant)."""
+    n = rows * cols
     df = media.where(F.octet_length(F.col(payload_col)) > 0).select(
         F.col(id_col).alias("media_id"),
         F.hex(F.col(payload_col)).alias("__h"),
@@ -311,16 +331,45 @@ def media_dhash(
         )
 
     samples = [byte(j) for j in range(n)]
-    acc = F.lit(0).cast("long")
-    k = 0
+    row_words = []
     for r in range(rows):
+        acc = F.lit(0).cast("long")
         for c in range(cols - 1):
             bit = (
                 samples[r * cols + c] > samples[r * cols + c + 1]
             ).cast("long")
-            acc = acc + bit * F.lit(1 << k)
-            k += 1
-    return df.select("media_id", acc.alias("dhash"))
+            acc = acc + bit * F.lit(1 << c)
+        row_words.append(acc)
+    return df, row_words
+
+
+def media_dhash_wide(
+    media: DataFrame,
+    *,
+    rows: int = 13,
+    cols: int = 9,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Multi-word dHash -> ``(media_id, dhash_rows: array<bigint>)``
+    with one ``cols-1``-bit word PER GRID ROW (default 13x8 = 104
+    bits). Same sampling algebra as :func:`media_dhash`, but the bit
+    width is no longer capped by a single BIGINT — this is the 100 TB
+    answer to "I need a wider hamming radius": pigeonhole banding
+    needs ``bands > max_hamming``, and chunk width = bits/bands must
+    stay >= ~log2(corpus) or the bucket join degenerates, so a wide
+    RADIUS demands a wide HASH. Rows double as the bands (each row
+    word is one band chunk), so 13 rows support radius <= 12 at 8-bit
+    chunks. All JVM expressions, scan-stage projection."""
+    if rows < 1 or cols < 2:
+        raise ValueError("media_dhash_wide needs rows >= 1, cols >= 2")
+    if cols - 1 > 62:
+        raise ValueError("a dhash row word must fit in a signed long")
+    df, row_words = _dhash_row_words(
+        media, rows=rows, cols=cols, id_col=id_col,
+        payload_col=payload_col,
+    )
+    return df.select("media_id", F.array(*row_words).alias("dhash_rows"))
 
 
 def dhash_pairs(
@@ -332,6 +381,7 @@ def dhash_pairs(
     cols: int = 9,
     id_col: str = "media_id",
     payload_col: str = "payload",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate media pairs by dHash hamming distance ->
     ``(media_a, media_b, hamming)`` with ``hamming <= max_hamming``.
@@ -342,7 +392,23 @@ def dhash_pairs(
     ``bands > max_hamming`` (pigeonhole), so candidates come from a
     bucketed equi-join on (band, chunk) — never all-pairs — and the
     refine is one ``bit_count(a XOR b)``. The SimHash banding scheme
-    applied to the perceptual-hash modality."""
+    applied to the perceptual-hash modality.
+
+    Scale shape — the banding arithmetic is the whole game: each band
+    chunk carries ``nbits // bands`` bits, i.e. ``2^(nbits // bands)``
+    distinct bucket values per band. Pigeonhole exactness forces
+    ``bands > max_hamming``, so a WIDE radius on a narrow hash makes
+    chunks tiny (56 bits at radius 12 -> 14 bands of 4 bits = 16
+    values/band: two random hashes then collide in >= 1 band with
+    probability ~0.6 and the "bucketed" join degenerates to all-pairs
+    in disguise). Keep chunks >= 8 bits (56 bits supports radius <= 6
+    at 7 bands); for a wider radius widen the HASH (rows x cols), not
+    the band count. ``max_bucket`` is the fail-fast for the residual
+    risk (skewed content — near-constant payloads piling into one
+    bucket): ONE map-side-combinable count over the (band, chunk)
+    index raises BEFORE the quadratic self-join is attempted, the
+    ``seg_cap`` convention of the fuzzy family. ``None`` costs
+    nothing."""
     if max_hamming < 0:
         raise ValueError("dhash_pairs needs max_hamming >= 0")
     if bands <= max_hamming:
@@ -389,6 +455,25 @@ def dhash_pairs(
         "media_id", "dhash",
         F.col("s.band").alias("band"), F.col("s.chunk").alias("chunk"),
     )
+    if max_bucket is not None:
+        hot = (
+            chunks.groupBy("band", "chunk")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("mx"))
+            .collect()[0]["mx"]
+        )
+        if hot is not None and hot > max_bucket:
+            raise ValueError(
+                f"dhash_pairs: a (band, chunk) bucket holds {hot} "
+                f"hashes (> max_bucket={max_bucket}); the candidate "
+                f"self-join would be quadratic in that population. "
+                f"Either the corpus shares near-constant payloads, or "
+                f"the banding is too coarse ({bands} bands of "
+                f"{per} bits = {1 << per} values/band) — widen the "
+                f"hash (rows x cols) to keep chunks >= 8 bits at this "
+                f"radius, or raise max_bucket if the quadratic cost "
+                f"is intended."
+            )
     a = chunks.select(
         F.col("media_id").alias("media_a"),
         F.col("dhash").alias("__ha"),
@@ -406,6 +491,100 @@ def dhash_pairs(
         .distinct()
     )
     ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    return (
+        cand.select("media_a", "media_b", ham.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def dhash_pairs_wide(
+    media: DataFrame,
+    *,
+    max_hamming: int,
+    rows: int = 13,
+    cols: int = 9,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs on the multi-word dHash
+    (:func:`media_dhash_wide`) -> ``(media_a, media_b, hamming)``,
+    ``hamming <= max_hamming``. The grid ROWS are the bands: two
+    hashes within ``max_hamming`` differ in at most ``max_hamming``
+    row words, so they share a row VERBATIM when
+    ``rows > max_hamming`` (pigeonhole — exact, no false negatives).
+    Candidates come from the bucketed equi-join on
+    ``(band, row_word)``; the refine sums per-word
+    ``bit_count(xor)`` via one zip_with/aggregate fold.
+
+    This is the scale-correct home of WIDE radii: each band chunk is
+    ``cols-1`` bits (default 8 -> 256 values/band), and growing the
+    radius grows ``rows`` — the hash widens instead of the chunks
+    thinning (contrast :func:`dhash_pairs`, whose single-BIGINT hash
+    caps ``bands * chunk_bits`` at 62). ``max_bucket`` fail-fasts the
+    self-join exactly as in :func:`dhash_pairs`."""
+    if max_hamming < 0:
+        raise ValueError("dhash_pairs_wide needs max_hamming >= 0")
+    if rows <= max_hamming:
+        raise ValueError(
+            "pigeonhole exactness needs rows > max_hamming"
+        )
+    from ..cache import persist_tracked
+
+    # Same materialize-before-self-join rule as dhash_pairs: the
+    # row-word array is a wide sampled expression, evaluated once.
+    h = persist_tracked(
+        media_dhash_wide(
+            media, rows=rows, cols=cols, id_col=id_col,
+            payload_col=payload_col,
+        )
+    )
+    chunks = h.select(
+        "media_id",
+        "dhash_rows",
+        F.posexplode("dhash_rows").alias("band", "chunk"),
+    )
+    if max_bucket is not None:
+        hot = (
+            chunks.groupBy("band", "chunk")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("mx"))
+            .collect()[0]["mx"]
+        )
+        if hot is not None and hot > max_bucket:
+            raise ValueError(
+                f"dhash_pairs_wide: a (band, row_word) bucket holds "
+                f"{hot} hashes (> max_bucket={max_bucket}); the "
+                f"candidate self-join would be quadratic in that "
+                f"population. Widen the grid columns (chunk bits = "
+                f"cols-1 = {cols - 1}, {1 << (cols - 1)} values/band) "
+                f"to track log2(corpus), or raise max_bucket if the "
+                f"quadratic cost is intended."
+            )
+    a = chunks.select(
+        F.col("media_id").alias("media_a"),
+        F.col("dhash_rows").alias("__ha"),
+        "band", "chunk",
+    )
+    b = chunks.select(
+        F.col("media_id").alias("media_b"),
+        F.col("dhash_rows").alias("__hb"),
+        "band", "chunk",
+    )
+    cand = (
+        a.join(b, ["band", "chunk"])
+        .where(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b", "__ha", "__hb")
+        .distinct()
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            "__ha", "__hb",
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
     return (
         cand.select("media_a", "media_b", ham.cast("int").alias("hamming"))
         .where(F.col("hamming") <= max_hamming)

@@ -98,6 +98,81 @@ def _dhash_expr(*, rows: int, cols: int, text: str = "text") -> str:
     return " + ".join(terms)
 
 
+def _dhash_row_expr(r: int, *, cols: int, n: int, text: str = "text") -> str:
+    """One grid row's ``cols-1`` gradient bits packed into a BIGINT —
+    the per-row word of multimodal.media_dhash_wide."""
+
+    def byte(j: int) -> str:
+        return (
+            f"ord(substr({text}, CAST(({j} * l) // {n} AS INT) + 1, 1))"
+        )
+
+    terms = [
+        f"(CASE WHEN {byte(r * cols + c)} > "
+        f"{byte(r * cols + c + 1)} THEN CAST({1 << c} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for c in range(cols - 1)
+    ]
+    return " + ".join(terms)
+
+
+def dhash_pairs_wide_sql(
+    *,
+    max_hamming: int,
+    rows: int = 13,
+    cols: int = 9,
+    table: str = "documents",
+    twin_mod: int | None = None,
+    twin_off: int = 0,
+    twin_min_len: int = 63,
+) -> str:
+    """Oracle for multimodal.dhash_pairs_wide: per-row words as
+    columns, rows-as-bands bucket join, summed bit_count(xor) refine;
+    same planted-twin replay as dhash_pairs_sql."""
+    n = rows * cols
+    word_cols = ", ".join(
+        f"({_dhash_row_expr(r, cols=cols, n=n)}) AS r{r}"
+        for r in range(rows)
+    )
+    band_rows = ", ".join(f"({b})" for b in range(rows))
+    chunk = " ".join(
+        f"WHEN u.band = {b} THEN r{b}" for b in range(rows)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(a.r{r}, b.r{r}))" for r in range(rows)
+    )
+    plant = (
+        f"""
+  UNION ALL
+  SELECT doc_id + {twin_off} AS media_id,
+         '~' || substr(text, 2, len(text) - 1) AS text,
+         CAST(len(text) AS BIGINT) AS l
+  FROM {table}
+  WHERE doc_id % {twin_mod} = 0 AND len(text) >= {twin_min_len}"""
+        if twin_mod is not None
+        else ""
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id, text, CAST(len(text) AS BIGINT) AS l
+  FROM {table} WHERE len(text) > 0{plant}
+), h AS (
+  SELECT media_id, {word_cols} FROM m
+), c AS (
+  SELECT media_id, u.band, (CASE {chunk} END) AS chunk,
+         {", ".join(f"r{r}" for r in range(rows))}
+  FROM h, (VALUES {band_rows}) u(band)
+)
+SELECT media_a, media_b, hamming FROM (
+  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+         CAST(({ham}) AS INT) AS hamming
+  FROM c a JOIN c b
+    ON a.band = b.band AND a.chunk = b.chunk
+   AND a.media_id < b.media_id)
+WHERE hamming <= {max_hamming}
+"""
+
+
 def dhash_sql(*, rows: int = 7, cols: int = 9, table: str = "documents") -> str:
     """Oracle for multimodal.media_dhash (payload = UTF-8 text bytes)."""
     return f"""
@@ -116,9 +191,15 @@ def dhash_pairs_sql(
     rows: int = 7,
     cols: int = 9,
     table: str = "documents",
+    twin_mod: int | None = None,
+    twin_off: int = 0,
+    twin_min_len: int = 63,
 ) -> str:
     """Oracle for multimodal.dhash_pairs: same banded chunks, same
-    bit_count(xor) refine."""
+    bit_count(xor) refine. ``twin_mod`` replays the registered
+    query's planted near-twins: a 1-byte perturbation of every
+    ``twin_mod``-th doc (len >= ``twin_min_len`` keeps each dhash
+    sample offset unique, so the twin flips at most one bit)."""
     nbits = rows * (cols - 1)
     per = nbits // bands
     band_rows = ", ".join(f"({b})" for b in range(bands))
@@ -130,10 +211,21 @@ def dhash_pairs_sql(
         f"WHEN u.band = {b} THEN (dhash >> {b * per}) % {1 << widths[b]}"
         for b in range(bands)
     )
+    plant = (
+        f"""
+  UNION ALL
+  SELECT doc_id + {twin_off} AS media_id,
+         '~' || substr(text, 2, len(text) - 1) AS text,
+         CAST(len(text) AS BIGINT) AS l
+  FROM {table}
+  WHERE doc_id % {twin_mod} = 0 AND len(text) >= {twin_min_len}"""
+        if twin_mod is not None
+        else ""
+    )
     return f"""
 WITH m AS (
   SELECT doc_id AS media_id, text, CAST(len(text) AS BIGINT) AS l
-  FROM {table} WHERE len(text) > 0
+  FROM {table} WHERE len(text) > 0{plant}
 ), h AS (
   SELECT media_id, ({_dhash_expr(rows=rows, cols=cols)}) AS dhash FROM m
 ), c AS (

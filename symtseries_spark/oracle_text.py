@@ -645,6 +645,55 @@ FROM per_doc p LEFT JOIN uniq u ON p.doc_id = u.doc_id
 """
 
 
+def exact_substring_dedup_sql(
+    *, window_tokens: int, table: str = "documents"
+) -> str:
+    """Oracle for dedup.exact_substring_dedup: same stride-1 windows,
+    same min-(doc_id, pos) canonical pick, same token-coverage cut,
+    same position-ordered rebuild."""
+    k = window_tokens
+    return f"""
+WITH t AS (
+  SELECT doc_id, {tokens_expr()} AS toks FROM {table}
+), tok AS (
+  SELECT doc_id, CAST(i AS INT) AS tpos, toks[CAST(i AS INT)] AS tok
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t)
+), win AS (
+  SELECT doc_id, CAST(i AS INT) AS p,
+         array_to_string(toks[CAST(i AS INT) : CAST(i AS INT) + {k} - 1],
+                         ' ') AS w
+  FROM (SELECT doc_id, toks,
+               unnest(range(1, len(toks) - {k} + 2)) AS i FROM t)
+), marked AS (
+  SELECT doc_id, p,
+         row_number() OVER (PARTITION BY w ORDER BY doc_id, p) AS r,
+         count(*) OVER (PARTITION BY w) AS c
+  FROM win
+), covered AS (
+  SELECT DISTINCT doc_id, CAST(unnest(range(p, p + {k})) AS INT) AS tpos
+  FROM marked WHERE c > 1 AND r > 1
+), kept AS (
+  SELECT tok.doc_id, tok.tpos, tok.tok
+  FROM tok ANTI JOIN covered
+    ON tok.doc_id = covered.doc_id AND tok.tpos = covered.tpos
+), keptagg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+  FROM kept GROUP BY doc_id
+), n_tok AS (
+  SELECT doc_id, len(toks) AS n_tokens FROM t
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(n_tokens, 0) - coalesce(n_kept, 0) AS BIGINT)
+         AS n_removed,
+       coalesce(clean_text, '') AS clean_text
+FROM {table} d
+LEFT JOIN n_tok ON d.doc_id = n_tok.doc_id
+LEFT JOIN keptagg ON d.doc_id = keptagg.doc_id
+"""
+
+
 def gopher_repetition_sql(
     *,
     top_ns: tuple[int, ...] = (2, 3, 4),

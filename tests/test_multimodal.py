@@ -133,6 +133,116 @@ class TestDhash:
                 media_from_documents(docs), max_hamming=4, bands=4
             )
 
+    def test_hot_bucket_fail_fast(self, spark):
+        # the seg_cap convention for the perceptual modality: a
+        # (band, chunk) bucket above max_bucket means the candidate
+        # self-join is quadratic in that population — raise BEFORE
+        # attempting it. Identical payloads share every bucket, so 5
+        # copies overflow max_bucket=4.
+        import pytest as _pytest
+
+        from symtseries_spark.operators.multimodal import (
+            dhash_pairs,
+            media_from_documents,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "the same constant payload every time") for i in range(5)],
+            "doc_id long, text string",
+        )
+        media = media_from_documents(docs)
+        with _pytest.raises(ValueError, match="max_bucket"):
+            dhash_pairs(media, max_hamming=3, max_bucket=4)
+        # under the cap the same call plans and returns all 10 pairs
+        got = dhash_pairs(media, max_hamming=3, max_bucket=5).collect()
+        assert len(got) == 10 and all(r["hamming"] == 0 for r in got)
+
+    def test_planted_twin_registration(self, spark):
+        # the registered media_dhash_pairs corpus plants 1-byte
+        # perturbation twins; with len >= 63 each dhash sample offset
+        # is unique, so every (base, base + TWIN_OFF) pair lands
+        # within hamming <= 1 and the scale-sane radius finds it
+        import __spark_entry__ as entry_mod
+
+        got = entry_mod.queries()["media_dhash_pairs"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        off = entry_mod.DHASH_TWIN_OFF
+        planted = {
+            (r["media_a"], r["media_b"]): r["hamming"]
+            for r in got
+            if r["media_b"] >= off
+        }
+        assert planted, "planting produced no twin pairs"
+        assert all(
+            b == a + off and h <= 1 for (a, b), h in planted.items()
+        )
+
+    def test_wide_hash_pack_equivalence_and_pairs(self, spark):
+        # media_dhash_wide at the packed geometry (7x9) must agree
+        # word-for-word with media_dhash's single BIGINT, and
+        # dhash_pairs_wide must find exactly the brute-force pairs
+        import pytest as _pytest
+
+        from symtseries_spark.operators.multimodal import (
+            dhash_pairs_wide,
+            media_dhash,
+            media_dhash_wide,
+            media_from_documents,
+        )
+
+        texts = [
+            "aaaa bbbb cccc dddd eeee ffff gggg hhhh",
+            "aaaa bbbb cccc dddd eeee ffff gggg hhhx",
+            "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss",
+            "aaaa bbbb cccc dddd eeee ffff extra tail here",
+        ]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        media = media_from_documents(docs)
+        packed = {
+            r["media_id"]: r["dhash"] for r in media_dhash(media).collect()
+        }
+        wide7 = {
+            r["media_id"]: r["dhash_rows"]
+            for r in media_dhash_wide(media, rows=7, cols=9).collect()
+        }
+        for i, words in wide7.items():
+            assert packed[i] == sum(w << (8 * j) for j, w in enumerate(words))
+        # 13x9 brute-force parity at radius 12
+        wide = {
+            r["media_id"]: r["dhash_rows"]
+            for r in media_dhash_wide(media).collect()
+        }
+
+        def ham(a, b):
+            return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+        want = {
+            (a, b, ham(wide[a], wide[b]))
+            for a in wide
+            for b in wide
+            if a < b and ham(wide[a], wide[b]) <= 12
+        }
+        got = {
+            (r["media_a"], r["media_b"], r["hamming"])
+            for r in dhash_pairs_wide(media, max_hamming=12).collect()
+        }
+        assert got == want
+        with _pytest.raises(ValueError, match="pigeonhole"):
+            dhash_pairs_wide(media, max_hamming=13, rows=13)
+        # identical payloads overflow the hot-bucket cap
+        dups = media_from_documents(
+            spark.createDataFrame(
+                [(i, "constant payload") for i in range(4)],
+                "doc_id long, text string",
+            )
+        )
+        with _pytest.raises(ValueError, match="max_bucket"):
+            dhash_pairs_wide(dups, max_hamming=12, max_bucket=3)
+
     def test_pairs_match_brute_force(self, spark):
         # banding must find EVERY pair within the bound (pigeonhole)
         from symtseries_spark.operators.multimodal import (
