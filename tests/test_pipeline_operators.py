@@ -1029,6 +1029,79 @@ class TestExactSubstringStats:
         assert (rows[5]["n_windows"], rows[5]["n_dup_windows"]) == (0, 0)
         assert rows[5]["dup_frac"] == 0.0
 
+    def test_dedup_hand_computed(self, spark):
+        # the REMOVAL twin: duplicated windows keep their first
+        # (doc_id, pos) occurrence; covered tokens are cut elsewhere
+        from symtseries_spark.operators.dedup import exact_substring_dedup
+
+        docs = spark.createDataFrame(
+            [
+                (1, "x a b c y"),   # first occurrence of "a b c": kept
+                (2, "a b c z w"),   # non-canonical: a, b, c cut
+                (3, "p q r s"),     # no dups: untouched
+                (4, "m m m m"),     # "m m m" at 1 (canonical) and 2:
+                                    # cut covers tokens 2-4
+                (5, "t u"),         # shorter than the window: untouched
+            ],
+            "doc_id long, text string",
+        )
+        for hashed in (False, True):
+            rows = {
+                r["doc_id"]: r
+                for r in exact_substring_dedup(
+                    docs, window_tokens=3, hash_windows=hashed
+                ).collect()
+            }
+            assert rows[1]["clean_text"] == "x a b c y"
+            assert (rows[1]["n_tokens"], rows[1]["n_removed"]) == (5, 0)
+            assert rows[2]["clean_text"] == "z w"
+            assert (rows[2]["n_tokens"], rows[2]["n_removed"]) == (5, 3)
+            assert rows[3]["clean_text"] == "p q r s"
+            assert rows[4]["clean_text"] == "m"
+            assert (rows[4]["n_tokens"], rows[4]["n_removed"]) == (4, 3)
+            assert rows[5]["clean_text"] == "t u"
+            assert rows[5]["n_removed"] == 0
+
+    def test_dedup_kills_measured_duplication(self, spark):
+        # closed-form invariant tying the pair: re-measuring dup_frac
+        # on the CLEANED corpus finds strictly less duplication, and a
+        # corpus with dup_frac == 0 everywhere passes through unchanged
+        from symtseries_spark.operators.dedup import (
+            exact_substring_dedup,
+            exact_substring_stats,
+        )
+
+        boiler = "the quick brown fox jumps over the lazy dog"
+        docs = spark.createDataFrame(
+            [
+                (1, f"alpha beta {boiler} gamma"),
+                (2, f"delta {boiler} epsilon zeta"),
+                (3, f"{boiler} eta theta iota"),
+                (4, "unique text one two three four five six seven"),
+            ],
+            "doc_id long, text string",
+        )
+        before = {
+            r["doc_id"]: r["n_dup_windows"]
+            for r in exact_substring_stats(docs, window_tokens=5).collect()
+        }
+        cleaned = exact_substring_dedup(docs, window_tokens=5).select(
+            "doc_id", F.col("clean_text").alias("text")
+        )
+        after = {
+            r["doc_id"]: r["n_dup_windows"]
+            for r in exact_substring_stats(
+                cleaned, window_tokens=5
+            ).collect()
+        }
+        assert sum(after.values()) < sum(before.values())
+        assert before[4] == 0 and after[4] == 0
+        clean4 = {
+            r["doc_id"]: r
+            for r in exact_substring_dedup(docs, window_tokens=5).collect()
+        }[4]
+        assert clean4["n_removed"] == 0
+
     def test_oracle_parity(self, spark):
         import duckdb
         import pandas as pd
