@@ -5746,6 +5746,25 @@ def q_media_dhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LINE_SEP = " the "  # the corpus has no newlines; split on the most
+# common token so line-grain duplicates actually exist (the operator's
+# default sep is "\n")
+
+
+def q_docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level dedup (operators/dedup.py line_dedup): discard
+    duplicate lines corpus-wide, keep-one (Raffel et al. 2020 §2.2) —
+    the grain between exact-doc dedup and the token-window family.
+    Unique-owner plan (one combinable min-struct groupBy, no window
+    sort, no join-back); md5-keyed shuffle per the hash_spans
+    convention."""
+    from symtseries_spark.operators.dedup import line_dedup
+
+    return line_dedup(
+        load(spark, sf_dir, "documents"), sep=LINE_SEP, hash_lines=True
+    )
+
+
 def q_docs_exact_substring_dedup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -7162,6 +7181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Round-12 additions (new queries go at the HEAD).
         "media_dhash_wide_pairs": q_media_dhash_wide_pairs,
         "docs_exact_substring_dedup": q_docs_exact_substring_dedup,
+        "docs_line_dedup": q_docs_line_dedup,
         # Round-11 additions.
         "emb_near_dup_recall": q_emb_near_dup_recall,
         "docs_gopher_repetition": q_docs_gopher_repetition,
@@ -8736,6 +8756,7 @@ FROM w
         "docs_exact_substring_dedup": ot.exact_substring_dedup_sql(
             window_tokens=EXSUB_TOKENS
         ),
+        "docs_line_dedup": ot.line_dedup_sql(sep=LINE_SEP),
         "emb_ivfpq_topk": ov.ivfpq_topk_sql(
             query_id=IVF["query_id"],
             k=IVF["k"],

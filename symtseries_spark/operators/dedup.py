@@ -1048,3 +1048,84 @@ def exact_substring_dedup(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    *,
+    sep: str = "\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_lines: bool = False,
+) -> DataFrame:
+    """C4-style LINE-level dedup (Raffel et al. 2020 §2.2 keep-one
+    semantics — the grain between exact-doc dedup and the token-window
+    operators): split each document into lines on the literal ``sep``,
+    drop every line whose exact text occurs elsewhere in the corpus
+    except its FIRST (doc_id, line_no) occurrence, and rebuild ->
+    ``(doc_id, n_lines, n_dropped, clean_text)`` with ``clean_text``
+    the kept lines re-joined by ``sep`` in position order. Empty
+    segments (consecutive separators, leading/trailing) are not lines
+    and are dropped before counting.
+
+    Scale shape — the span_dedup unique-owner plan verbatim: ONE
+    map-side-combinable ``groupBy(line).agg(min(struct(doc_id,
+    line_no, line)))`` picks the canonical copy (a boilerplate line
+    occurring 10^8 times partially reduces in every map task — no
+    window sort, no join-back), then one combinable groupBy(doc)
+    rebuilds the text. ``hash_lines=True`` shuffles the 128-bit md5
+    of the line instead of its text (the hash_spans convention)."""
+    if not sep:
+        raise ValueError("line_dedup needs a non-empty separator")
+    import re as _re
+
+    parts = F.split(F.col(text_col), _re.escape(sep))
+    ex = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(parts).alias("__p0", "line"),
+        )
+        .where(F.col("line") != "")
+        .select(
+            "doc_id",
+            (F.col("__p0") + 1).cast("int").alias("line_no"),
+            "line",
+        )
+    )
+    key = F.md5(F.col("line")) if hash_lines else F.col("line")
+    kept = (
+        ex.groupBy(key.alias("__k"))
+        .agg(F.min(F.struct("doc_id", "line_no", "line")).alias("__w"))
+        .select(
+            F.col("__w.doc_id").alias("doc_id"),
+            F.col("__w.line_no").alias("line_no"),
+            F.col("__w.line").alias("line"),
+        )
+    )
+    agg_all = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    keptagg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("line_no"), F.col("line")))
+                ),
+                lambda x: x["line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+    )
+    n_lines = F.coalesce("n_lines", F.lit(0))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(agg_all, "doc_id", "left")
+        .join(keptagg, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_lines.cast("long").alias("n_lines"),
+            (n_lines - F.coalesce("__n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -694,6 +694,41 @@ LEFT JOIN keptagg ON d.doc_id = keptagg.doc_id
 """
 
 
+def line_dedup_sql(*, sep: str, table: str = "documents") -> str:
+    """Oracle for dedup.line_dedup — identical line split (literal
+    separator), first-occurrence keep-one, position-ordered rebuild."""
+    s = sep.replace("'", "''")
+    return f"""
+WITH ex AS (
+  SELECT doc_id, CAST(i AS INT) AS line_no, parts[CAST(i AS INT)] AS line
+  FROM (
+    SELECT doc_id, string_split(text, '{s}') AS parts,
+           unnest(range(1, len(string_split(text, '{s}')) + 1)) AS i
+    FROM {table})
+  WHERE parts[CAST(i AS INT)] <> ''
+), marked AS (
+  SELECT doc_id, line_no, line,
+         row_number() OVER (
+           PARTITION BY line ORDER BY doc_id, line_no) AS r
+  FROM ex
+), alla AS (
+  SELECT doc_id, count(*) AS n_lines FROM ex GROUP BY doc_id
+), keptagg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, '{s}' ORDER BY line_no) AS clean_text
+  FROM marked WHERE r = 1 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(coalesce(n_lines, 0) - coalesce(n_kept, 0) AS BIGINT)
+         AS n_dropped,
+       coalesce(clean_text, '') AS clean_text
+FROM {table} d
+LEFT JOIN alla ON d.doc_id = alla.doc_id
+LEFT JOIN keptagg ON d.doc_id = keptagg.doc_id
+"""
+
+
 def gopher_repetition_sql(
     *,
     top_ns: tuple[int, ...] = (2, 3, 4),

@@ -996,6 +996,57 @@ class TestWeightedSampleES:
             weighted_sample_es(df, k=0, weight_col="w")
 
 
+class TestLineDedup:
+    def test_keep_one_semantics(self, spark):
+        from symtseries_spark.operators.dedup import line_dedup
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha\nboiler line\ngamma"),
+                (2, "boiler line\ndelta"),          # dup line dropped
+                (3, "boiler line"),                 # fully boilerplate
+                (4, "\n\nepsilon\n"),               # empties not lines
+                (5, ""),                            # no lines at all
+                (6, "zeta\nzeta"),                  # within-doc repeat
+            ],
+            "doc_id long, text string",
+        )
+        for hashed in (False, True):
+            rows = {
+                r["doc_id"]: r
+                for r in line_dedup(docs, hash_lines=hashed).collect()
+            }
+            assert rows[1]["clean_text"] == "alpha\nboiler line\ngamma"
+            assert (rows[1]["n_lines"], rows[1]["n_dropped"]) == (3, 0)
+            assert rows[2]["clean_text"] == "delta"
+            assert (rows[2]["n_lines"], rows[2]["n_dropped"]) == (2, 1)
+            assert rows[3]["clean_text"] == ""
+            assert (rows[3]["n_lines"], rows[3]["n_dropped"]) == (1, 1)
+            assert rows[4]["clean_text"] == "epsilon"
+            assert (rows[4]["n_lines"], rows[4]["n_dropped"]) == (1, 0)
+            assert (rows[5]["n_lines"], rows[5]["n_dropped"]) == (0, 0)
+            assert rows[6]["clean_text"] == "zeta"
+            assert (rows[6]["n_lines"], rows[6]["n_dropped"]) == (2, 1)
+
+    def test_custom_separator_and_validation(self, spark):
+        import pytest as _pytest
+
+        from symtseries_spark.operators.dedup import line_dedup
+
+        docs = spark.createDataFrame(
+            [(1, "x | shared | y"), (2, "shared | z")],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in line_dedup(docs, sep=" | ").collect()
+        }
+        assert rows[1]["clean_text"] == "x | shared | y"
+        assert rows[2]["clean_text"] == "z"
+        with _pytest.raises(ValueError):
+            line_dedup(docs, sep="")
+
+
 class TestExactSubstringStats:
     def test_hand_computed(self, spark):
         from symtseries_spark.operators.dedup import exact_substring_stats
