@@ -1627,6 +1627,21 @@ def q_emb_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the COMPOSED IVF+PQ index vs exact full-dim L2
+    top-k (operators/pq.py:ivfpq_recall) — the truth-vs-approx audit
+    row for emb_ivfpq_topk, compounding coarse-probe misses with ADC
+    quantization loss (the same audit every other ANN leg has)."""
+    from symtseries_spark.operators.pq import ivfpq_recall
+
+    return ivfpq_recall(
+        load(spark, sf_dir, "embeddings"),
+        max_query_id=RECALL["max_query_id"], k=RECALL["k"],
+        m=PQ["m"], ks=PQ["ks"],
+        num_lists=IVF["num_lists"], nprobe=2, dim=EMB_DIM,
+    )
+
+
 def q_emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of PARTIAL-probe IVF (nprobe=2 of 8 lists, seed-only
     quantizer for cross-engine parity) vs exact top-k
@@ -5788,11 +5803,15 @@ def q_docs_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style duplication stats on stride-1 overlapping
     token windows (operators/dedup.py exact_substring_stats) —
     verbatim passages at ANY alignment, the case span_dedup's aligned
-    cuts miss; skew-immune unique-owner plan (no join-back)."""
+    cuts miss; skew-immune unique-owner plan (no join-back);
+    md5-keyed shuffle (hash_windows — the window text is key-only,
+    so zero text crosses the wire)."""
     from symtseries_spark.operators.dedup import exact_substring_stats
 
     return exact_substring_stats(
-        load(spark, sf_dir, "documents"), window_tokens=EXSUB_TOKENS
+        load(spark, sf_dir, "documents"),
+        window_tokens=EXSUB_TOKENS,
+        hash_windows=True,
     )
 
 
@@ -5804,7 +5823,9 @@ def q_docs_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quality battery; docs_repetition is the unigram half."""
     from symtseries_spark.operators.retrieval import gopher_repetition
 
-    return gopher_repetition(load(spark, sf_dir, "documents"))
+    return gopher_repetition(
+        load(spark, sf_dir, "documents"), hash_grams=True
+    )
 
 
 def q_docs_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5817,7 +5838,7 @@ def q_docs_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from symtseries_spark.operators.retrieval import gopher_repetition
 
     docs = load(spark, sf_dir, "documents")
-    m = gopher_repetition(docs)
+    m = gopher_repetition(docs, hash_grams=True)
     keep = (
         (F.col("top2_frac") < 0.20)
         & (F.col("top3_frac") < 0.18)
@@ -7182,6 +7203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dhash_wide_pairs": q_media_dhash_wide_pairs,
         "docs_exact_substring_dedup": q_docs_exact_substring_dedup,
         "docs_line_dedup": q_docs_line_dedup,
+        "emb_ivfpq_recall": q_emb_ivfpq_recall,
         # Round-11 additions.
         "emb_near_dup_recall": q_emb_near_dup_recall,
         "docs_gopher_repetition": q_docs_gopher_repetition,
@@ -8645,6 +8667,11 @@ FROM pick p JOIN documents d ON d.doc_id = p.doc_id
         "emb_pq_recall": ov.pq_recall_sql(
             max_query_id=RECALL["max_query_id"], k=RECALL["k"],
             m=PQ["m"], ks=PQ["ks"], dim=EMB_DIM,
+        ),
+        "emb_ivfpq_recall": ov.ivfpq_recall_sql(
+            max_query_id=RECALL["max_query_id"], k=RECALL["k"],
+            m=PQ["m"], ks=PQ["ks"],
+            num_lists=IVF["num_lists"], nprobe=2, dim=EMB_DIM,
         ),
         "events_hw": _hw_oracle_sql(unbounded=False),
         "events_hw_stream": _hw_oracle_sql(unbounded=True),

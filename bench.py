@@ -269,6 +269,23 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # The perf gate is the r01-FROZEN subset (BENCH_r01.json's 42
+    # queries at their frozen times vs this run over the shared
+    # names) — emit it in every artifact so no one recomputes it by
+    # hand from BENCH_FULL under whatever segment striping is current.
+    try:
+        with open(os.path.join(here, "BENCH_r01.json")) as fh:
+            frozen = json.load(fh)["parsed"]["queries"]
+        shared = [n for n in frozen if n in timings]
+        full["r01_subset_sum"] = round(
+            sum(timings[n] for n in shared), 3
+        )
+        full["r01_frozen_sum"] = round(
+            sum(frozen[n] for n in shared), 3
+        )
+        full["r01_subset_n"] = len(shared)
+    except (OSError, KeyError, json.JSONDecodeError):
+        pass
     if failed:
         full["failed_segments"] = failed
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:

@@ -113,6 +113,56 @@ for f in (10, FACTOR) if FACTOR != 10 else (10,):
           f"{'all windows duplicated, counts exact' if ok_e else 'FAIL'} |",
           flush=True)
     assert ok_e, (e, base_e)
+
+    # hash_grams / hash_windows legs: md5-keyed shuffles must be
+    # BIT-IDENTICAL to the text-keyed forms (exceptAll both ways) and
+    # are expected to shave the string-bandwidth constant
+    t0 = time.time()
+    gh = gopher_repetition(c, hash_grams=True).agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("top2_frac").alias("s2"),
+        F.sum("dup5_frac").alias("s5"),
+    ).collect()[0]
+    wgh = time.time() - t0
+    print(f"| gopher hash_grams | {f} | {wgh:.1f} | {gh['rows']} | "
+          f"delta {wg - wgh:+.1f}s vs text keys |", flush=True)
+    # per-ROW bit-identity is proven by the exceptAll leg below; the
+    # aggregate SUM of 500k doubles is summation-order-dependent
+    # across different plans, so compare with ulp-scale tolerance
+    assert gh["rows"] == g["rows"] and (
+        abs(gh["s2"] - g["s2"]) < 1e-9 * max(1.0, abs(g["s2"]))
+        and abs(gh["s5"] - g["s5"]) < 1e-9 * max(1.0, abs(g["s5"]))
+    ), (gh, g)
+
+    t0 = time.time()
+    eh = exact_substring_stats(
+        c, window_tokens=K, hash_windows=True
+    ).agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("n_windows").alias("w"),
+        F.sum("n_dup_windows").alias("d"),
+    ).collect()[0]
+    weh = time.time() - t0
+    print(f"| exsub hash_windows | {f} | {weh:.1f} | {eh['rows']} | "
+          f"delta {we - weh:+.1f}s vs text keys |", flush=True)
+    assert (eh["rows"], eh["w"], eh["d"]) == (
+        e["rows"], e["w"], e["d"]
+    ), (eh, e)
+
+    if f == 10:
+        # full-row equivalence at 10x, both directions
+        for op, mk in (
+            ("gopher", lambda hashed: gopher_repetition(
+                c, hash_grams=hashed)),
+            ("exsub", lambda hashed: exact_substring_stats(
+                c, window_tokens=K, hash_windows=hashed)),
+        ):
+            a, b = mk(False), mk(True)
+            d1, d2 = a.exceptAll(b).count(), b.exceptAll(a).count()
+            print(f"| {op} exceptAll both ways | {f} | | "
+                  f"{d1}+{d2} | {'bit-identical' if d1 == d2 == 0 else 'FAIL'} |",
+                  flush=True)
+            assert d1 == 0 and d2 == 0
     c.unpersist()
 
 print("all invariants OK")

@@ -760,6 +760,7 @@ def exact_substring_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_to: int = 6,
+    hash_windows: bool = False,
 ) -> DataFrame:
     """Lee et al. 2022 ExactSubstr-style duplication measurement on
     OVERLAPPING token windows: per document, how many of its
@@ -783,7 +784,12 @@ def exact_substring_stats(
 
     Cost: explode is ~tokens-per-doc rows per document (stride 1),
     k x the span_dedup explode — the price of alignment-free
-    coverage; both shuffles are combinable."""
+    coverage; both shuffles are combinable. The window text is ONLY a
+    grouping key here (never output), so ``hash_windows=True``
+    replaces it with its 128-bit md5 at the scan stage — the ~5x-
+    token-count STRING shuffle becomes fixed 16-byte keys with zero
+    text on the wire (the hash_spans convention); results identical
+    up to md5 collisions."""
     if window_tokens < 1:
         raise ValueError("exact_substring_stats needs window_tokens >= 1")
     toks = tokens(F.col(text_col))
@@ -802,6 +808,8 @@ def exact_substring_stats(
     ex = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(wins).alias("w")
     )
+    if hash_windows:
+        ex = ex.select("doc_id", F.md5("w").alias("w"))
     per_doc = docs.select(
         F.col(id_col).alias("doc_id"), n_w.cast("long").alias("n_windows")
     )

@@ -409,6 +409,122 @@ def pq_recall(
     return _recall_vs_exact(qfull.select("query_id"), approx, exact, k=k)
 
 
+def ivfpq_recall(
+    vectors: DataFrame,
+    *,
+    max_query_id: int,
+    k: int,
+    m: int,
+    ks: int,
+    num_lists: int,
+    nprobe: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Recall@k of the COMPOSED IVF+PQ index (:func:`ivfpq_topk`'s
+    plan generalized to the query panel ``id < max_query_id``) vs the
+    exact full-dim squared-L2 top-k ->
+    ``(query_id, n_approx, n_hit, recall)`` — the truth-vs-approx
+    audit row every other ANN leg already has (LSH / multiprobe /
+    IVF / PQ / JL / truncated-dim). Unlike :func:`pq_recall`, the
+    loss here compounds BOTH stages: coarse-probe misses (vectors in
+    unprobed lists never reach scoring) and ADC quantization.
+
+    Scale shape inherits both parents: one broadcast centroid pass
+    per panel, candidates from the partition-prunable list_id
+    semi-join (~nprobe/num_lists of the code table per query), the
+    ADC LUT broadcast at panel * m * ks rows. Deterministic
+    throughout (seed quantizer, (d2, list_id) probe order, rounded
+    ADC, (score, id) tiebreaks)."""
+    if max_query_id < 1 or k < 1:
+        raise ValueError("ivfpq_recall needs max_query_id >= 1 and k >= 1")
+    if nprobe < 1:
+        raise ValueError("ivfpq_recall needs nprobe >= 1")
+    from .simsearch import _recall_vs_exact, ivf_index
+
+    assigned, centroids = ivf_index(
+        vectors, num_lists=num_lists, dim=dim, id_col=id_col,
+        vec_col=vec_col, refine=False,
+    )
+    v = F.col(vec_col).cast("array<double>")
+    qfull = vectors.where(F.col(id_col) < max_query_id).select(
+        F.col(id_col).alias("query_id"), v.alias("__qfv")
+    )
+    p_rank = F.row_number().over(
+        Window.partitionBy("query_id").orderBy("__pd2", "list_id")
+    )
+    probe = (
+        centroids.join(F.broadcast(qfull))
+        .select(
+            "query_id",
+            "list_id",
+            _sq_l2(F.col("centroid"), F.col("__qfv")).alias("__pd2"),
+        )
+        .withColumn("__r", p_rank)
+        .where(F.col("__r") <= nprobe)
+        .select("query_id", "list_id")
+    )
+    cand = assigned.join(F.broadcast(probe), "list_id").select(
+        "query_id", F.col(id_col)
+    )
+    codebook = pq_codebook(
+        vectors, m=m, ks=ks, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    codes = pq_encode(
+        vectors, codebook, m=m, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    qs = vectors.where(F.col(id_col) < max_query_id).select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(
+            _subvectors(F.col(vec_col).cast("array<double>"), m=m, dim=dim)
+        ).alias("sub_id", "__qv"),
+    )
+    lut = codebook.join(F.broadcast(qs), "sub_id").select(
+        "query_id",
+        "sub_id",
+        "code",
+        _sq_l2(F.col("centroid"), F.col("__qv")).alias("__pd"),
+    )
+    expl = codes.select(
+        F.col(id_col), F.posexplode("codes").alias("sub_id", "code")
+    )
+    adc = (
+        expl.join(F.broadcast(lut), ["sub_id", "code"])
+        .join(cand, ["query_id", id_col])
+        .where(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("__pd"), round_to).alias("adc"))
+    )
+    a_rank = F.row_number().over(
+        Window.partitionBy("query_id").orderBy("adc", id_col)
+    )
+    approx = (
+        adc.withColumn("__r", a_rank)
+        .where(F.col("__r") <= k)
+        .select("query_id", F.col(id_col).alias("cand_id"))
+    )
+    scored = (
+        vectors.select(F.col(id_col).alias("neighbor_id"), v.alias("__v"))
+        .join(F.broadcast(qfull), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_sq_l2(F.col("__v"), F.col("__qfv")), 6).alias("__d2"),
+        )
+    )
+    e_rank = F.row_number().over(
+        Window.partitionBy("query_id").orderBy("__d2", "neighbor_id")
+    )
+    exact = (
+        scored.withColumn("__r", e_rank)
+        .where(F.col("__r") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    return _recall_vs_exact(qfull.select("query_id"), approx, exact, k=k)
+
+
 def int8_recall(
     vectors: DataFrame,
     *,

@@ -176,6 +176,7 @@ def gopher_repetition(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_to: int = 6,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Gopher-style n-GRAM repetition signals (Rae et al. 2021,
     appendix A1.1 — the repetition half of their quality battery;
@@ -214,7 +215,18 @@ def gopher_repetition(
     try_element_at(sorted_grams, i) lambda access re-evaluates the
     whole array_sort, going quadratic per document (observed: one
     task burning 10 CPU-minutes on 500 docs) — the same class of
-    trap as the repo's documented 1000-term flat-expression cliff."""
+    trap as the repo's documented 1000-term flat-expression cliff.
+
+    ``hash_grams=True`` keys the tf aggregation by the 128-bit md5 of
+    the gram instead of its text (the hash_spans convention): the
+    shuffle key becomes fixed 16 bytes and the gram TEXT rides only
+    inside a ``min`` aggregate (every row under one key holds the
+    same gram, so the map-side combiner keeps one copy per key per
+    partition — a within-doc-repeated gram ships once, not per
+    occurrence). The text must ride somewhere: the output's top-gram
+    pick tie-breaks on (tf desc, gram asc) and its char mass needs
+    the gram length, so output is bit-identical to the text-keyed
+    form up to md5 collisions (~2^-64 at 2^30 distinct grams)."""
     ns = sorted(set(top_ns) | set(dup_ns))
     if not ns or min(ns) < 2:
         raise ValueError("gopher_repetition needs n-gram sizes >= 2")
@@ -252,9 +264,16 @@ def gopher_repetition(
             "s"
         ),
     ).select("doc_id", F.col("s.n").alias("n"), F.col("s.g").alias("g"))
-    per_gram = grams.groupBy("doc_id", "n", "g").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
+    if hash_grams:
+        per_gram = (
+            grams.groupBy("doc_id", "n", F.md5("g").alias("__h"))
+            .agg(F.count(F.lit(1)).alias("tf"), F.min("g").alias("g"))
+            .drop("__h")
+        )
+    else:
+        per_gram = grams.groupBy("doc_id", "n", "g").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
     # top gram by (tf desc, gram asc) via min(struct(-tf, gram));
     # its in-word char mass excludes the n-1 joining spaces
     per_n = per_gram.groupBy("doc_id", "n").agg(

@@ -897,6 +897,111 @@ cb AS (
 """
 
 
+def ivfpq_recall_sql(
+    *,
+    max_query_id: int,
+    k: int,
+    m: int,
+    ks: int,
+    num_lists: int,
+    nprobe: int,
+    dim: int,
+    table: str = "embeddings",
+) -> str:
+    """Twin of operators.pq.ivfpq_recall: pq_recall_sql's panel
+    codebook/assign/LUT chain with ivfpq_topk_sql's seed-IVF probe
+    CTEs generalized per query, ADC restricted to probed-list
+    candidates, exact full-dim leg and the shared recall tail."""
+    sub_d = dim // m
+    slice_ = f"list_slice(ve, s.sub_id * {sub_d} + 1, (s.sub_id + 1) * {sub_d})"
+    assign_d2 = _sq_l2_expr("v.ve", "ls.centroid", dim)
+    probe_d2 = _sq_l2_expr("ls.centroid", "eq.qv", dim)
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM {table}
+), ls AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id,
+         ve AS centroid
+  FROM (SELECT vec_id, ve FROM v ORDER BY vec_id LIMIT {num_lists})
+), qpanel AS (
+  SELECT vec_id AS query_id, ve AS qv FROM v
+  WHERE vec_id < {max_query_id}
+), ivf_assigned AS (
+  SELECT vec_id, list_id FROM (
+    SELECT v.vec_id, ls.list_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {assign_d2}, ls.list_id) AS r
+    FROM v, ls)
+  WHERE r = 1
+), ivf_probe AS (
+  SELECT query_id, list_id FROM (
+    SELECT eq.query_id, ls.list_id,
+           row_number() OVER (
+             PARTITION BY eq.query_id
+             ORDER BY {probe_d2}, ls.list_id) AS r
+    FROM ls, qpanel eq)
+  WHERE r <= {nprobe}
+), cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM ivf_assigned a JOIN ivf_probe p ON a.list_id = p.list_id
+), seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, ve
+  FROM v ORDER BY vec_id LIMIT {ks}
+), subs AS (SELECT unnest(range({m})) AS sub_id),
+cb AS (
+  SELECT code, s.sub_id, {slice_} AS centroid
+  FROM seeds, subs s
+), sv AS (
+  SELECT vec_id, s.sub_id, {slice_} AS sub
+  FROM v, subs s
+), assign AS (
+  SELECT vec_id, sub_id, code FROM (
+    SELECT sv.vec_id, sv.sub_id, cb.code,
+           row_number() OVER (
+             PARTITION BY sv.vec_id, sv.sub_id
+             ORDER BY {_sub_sq_l2('sv.sub', 'cb.centroid', sub_d)}, cb.code
+           ) AS rn
+    FROM sv JOIN cb ON sv.sub_id = cb.sub_id
+  ) WHERE rn = 1
+), qs AS (
+  SELECT vec_id AS query_id, sub_id, sub AS qsub
+  FROM sv WHERE vec_id < {max_query_id}
+), lut AS (
+  SELECT qs.query_id, cb.sub_id, cb.code,
+         {_sub_sq_l2('cb.centroid', 'qs.qsub', sub_d)} AS pd
+  FROM cb JOIN qs ON cb.sub_id = qs.sub_id
+), adc AS (
+  SELECT l.query_id, a.vec_id, round(sum(l.pd), 4) AS adc
+  FROM assign a
+  JOIN lut l ON a.sub_id = l.sub_id AND a.code = l.code
+  JOIN cand c ON c.query_id = l.query_id AND c.vec_id = a.vec_id
+  WHERE a.vec_id <> l.query_id
+  GROUP BY l.query_id, a.vec_id
+), approx AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, vec_id AS cand_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY adc, vec_id) AS r
+    FROM adc)
+  WHERE r <= {k}
+), q AS (
+  SELECT vec_id AS query_id FROM v WHERE vec_id < {max_query_id}
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT eq.query_id, v.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY eq.query_id
+             ORDER BY round({_sq_l2_expr('v.ve', 'eq.qv', dim)}, 6),
+               v.vec_id) AS r
+    FROM v, qpanel eq
+    WHERE v.vec_id != eq.query_id)
+  WHERE r <= {k}
+)
+{_recall_tail_sql(k)}
+"""
+
+
 def knn_label_accuracy_sql(
     *,
     max_query_id: int,

@@ -120,6 +120,34 @@ class TestIVFPQ:
         for r in part:
             assert full_map[r["vec_id"]] == r["adc"]
 
+    def test_full_probe_recall_equals_pq_recall(self, spark, sf_dir):
+        """With nprobe == num_lists the coarse stage prunes nothing,
+        so ivfpq_recall must reproduce pq_recall row for row; a
+        partial probe can only lose candidates (n_hit <= full's)."""
+        from symtseries_spark.operators.pq import ivfpq_recall, pq_recall
+        from symtseries_spark.sources import load
+
+        vecs = load(spark, sf_dir, "embeddings")
+        full = ivfpq_recall(
+            vecs, max_query_id=5, k=8, m=4, ks=16, num_lists=8,
+            nprobe=8, dim=64,
+        ).orderBy("query_id").collect()
+        want = pq_recall(
+            vecs, max_query_id=5, k=8, m=4, ks=16, dim=64
+        ).orderBy("query_id").collect()
+        assert [tuple(r) for r in full] == [tuple(r) for r in want]
+        part = {
+            r["query_id"]: r
+            for r in ivfpq_recall(
+                vecs, max_query_id=5, k=8, m=4, ks=16, num_lists=8,
+                nprobe=2, dim=64,
+            ).collect()
+        }
+        for f in full:
+            p = part[f["query_id"]]
+            assert p["n_approx"] <= f["n_approx"]
+            assert 0.0 <= p["recall"] <= 1.0
+
     def test_validation(self, spark):
         import pytest as _pytest
 
