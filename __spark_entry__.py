@@ -1417,6 +1417,86 @@ def q_docs_span_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_line_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line dedup through a REAL stream: docs arrive in id order
+    across 2 micro-batches; state is one (first_doc, first_line) pair
+    keyed by the 128-bit md5 of the line (hash_lines=True;
+    streaming/dedup.py:streaming_line_dedup). With id-ordered arrival
+    + within-batch (doc_id, line_no) sort, first-seen == the batch
+    min-(doc_id, line_no) rule, so the ORACLE is the batch
+    line_dedup SQL — the per-doc rebuild on the sink output must
+    reproduce it exactly."""
+    import glob as globmod
+    import os
+    import tempfile
+    import uuid
+
+    from symtseries_spark.streaming import streaming_line_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    tmp = tempfile.mkdtemp(prefix="line_stream_")
+    staged, indir = f"{tmp}/staged", f"{tmp}/in"
+    os.makedirs(indir)
+    half = (F.col("doc_id") > mid).cast("int").alias("__bid")
+    docs.withColumn("__bid", half).coalesce(1).write.partitionBy(
+        "__bid"
+    ).parquet(staged)
+    for i, d in enumerate(sorted(globmod.glob(f"{staged}/__bid=*"))):
+        part = globmod.glob(f"{d}/part-*.parquet")[0]
+        dst = f"{indir}/b{i:04d}.parquet"
+        os.rename(part, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+    )
+    marked = streaming_line_dedup(stream, sep=LINE_SEP, hash_lines=True)
+    name = f"line_stream_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark, n=16):
+        q = (
+            marked.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="line_chk_")
+            )
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    out = spark.table(name)
+    agg_all = out.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    kept = out.where(~F.col("is_dropped"))
+    agg_kept = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("line_no"), F.col("line")))
+                ),
+                lambda x: x["line"],
+            ),
+            LINE_SEP,
+        ).alias("clean_text"),
+    )
+    n_lines = F.coalesce("n_lines", F.lit(0))
+    return (
+        docs.select("doc_id")
+        .join(agg_all, "doc_id", "left")
+        .join(agg_kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_lines.cast("long").alias("n_lines"),
+            (n_lines - F.coalesce("__n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def q_emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geometric data pruning: the 8-point farthest-point-traversal
     coreset over the embedding corpus
@@ -7204,6 +7284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_substring_dedup": q_docs_exact_substring_dedup,
         "docs_line_dedup": q_docs_line_dedup,
         "emb_ivfpq_recall": q_emb_ivfpq_recall,
+        "docs_line_dedup_stream": q_docs_line_dedup_stream,
         # Round-11 additions.
         "emb_near_dup_recall": q_emb_near_dup_recall,
         "docs_gopher_repetition": q_docs_gopher_repetition,
@@ -8784,6 +8865,7 @@ FROM w
             window_tokens=EXSUB_TOKENS
         ),
         "docs_line_dedup": ot.line_dedup_sql(sep=LINE_SEP),
+        "docs_line_dedup_stream": ot.line_dedup_sql(sep=LINE_SEP),
         "emb_ivfpq_topk": ov.ivfpq_topk_sql(
             query_id=IVF["query_id"],
             k=IVF["k"],

@@ -1,7 +1,11 @@
 """Structured Streaming operators: stateful sliding-window SAX and
 event-time tumbling SAX with watermarks."""
 
-from .dedup import streaming_exact_dedup, streaming_span_dedup
+from .dedup import (
+    streaming_exact_dedup,
+    streaming_line_dedup,
+    streaming_span_dedup,
+)
 from .sampling import streaming_weighted_sample
 from .funnel import funnel_stream
 from .sliding import sliding_sax_stream
@@ -29,6 +33,7 @@ __all__ = [
     "twap_stream",
     "sliding_sax_stream",
     "streaming_exact_dedup",
+    "streaming_line_dedup",
     "streaming_span_dedup",
     "streaming_weighted_sample",
     "tumbling_sax_event_time",

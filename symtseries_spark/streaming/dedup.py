@@ -190,3 +190,94 @@ def streaming_span_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_LINE_OUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("line_no", LongType()),
+        StructField("line", StringType()),
+        StructField("is_dropped", BooleanType()),
+    ]
+)
+
+_LINE_STATE_SCHEMA = StructType(
+    [StructField("first_doc", LongType()), StructField("first_line", LongType())]
+)
+
+
+def streaming_line_dedup(
+    docs: DataFrame,
+    *,
+    sep: str = "\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_lines: bool = False,
+) -> DataFrame:
+    """Streaming first-occurrence LINE dedup — the ingest-time twin of
+    :func:`..operators.dedup.line_dedup` (C4's keep-one-line rule):
+    per incoming document, every non-empty line is emitted with
+    ``is_dropped`` = "this exact line was seen before" (earlier
+    micro-batch, or earlier (doc_id, line_no) within one —
+    checkpoint-durable, first-seen-wins; coincides with the batch
+    min-(doc_id, line_no) rule under id-ordered arrival).
+
+    State holds one ``(first_doc, first_line)`` pair per distinct
+    line — O(distinct lines), the minimum any exact keep-one can
+    carry. ``hash_lines=True`` keys it by the 128-bit md5 instead of
+    the line text (the hash_spans convention): boilerplate lines cost
+    32 state-key bytes, text rides only in output rows."""
+    if not sep:
+        raise ValueError("streaming_line_dedup needs a non-empty separator")
+    import re as _re
+
+    parts = F.split(F.col(text_col), _re.escape(sep))
+    ex = (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.posexplode(parts).alias("__p0", "line"),
+        )
+        .where(F.col("line") != "")
+        .select(
+            "doc_id",
+            (F.col("__p0") + 1).cast("long").alias("line_no"),
+            "line",
+        )
+    )
+    if hash_lines:
+        ex = ex.withColumn("__k", F.md5(F.col("line")))
+    else:
+        ex = ex.withColumn("__k", F.col("line"))
+
+    def handle(key, pdfs, state: GroupState):
+        first = tuple(state.get) if state.exists else None
+        whole = coalesce_chunks(pdfs)
+        if whole is not None:
+            pdf = whole.sort_values(["doc_id", "line_no"])
+            docs_, nos, dropped = [], [], []
+            for doc_id, no in zip(pdf["doc_id"], pdf["line_no"]):
+                if first is None:
+                    first = (int(doc_id), int(no))
+                    dropped.append(False)
+                else:
+                    dropped.append((int(doc_id), int(no)) != first)
+                docs_.append(int(doc_id))
+                nos.append(int(no))
+            yield pd.DataFrame(
+                {
+                    "doc_id": docs_,
+                    "line_no": nos,
+                    "line": list(pdf["line"]),
+                    "is_dropped": dropped,
+                }
+            )
+        if first is not None:
+            state.update((int(first[0]), int(first[1])))
+
+    return ex.groupBy("__k").applyInPandasWithState(
+        handle,
+        outputStructType=_LINE_OUT_SCHEMA,
+        stateStructType=_LINE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
