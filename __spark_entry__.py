@@ -5780,6 +5780,24 @@ def q_media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dhash_twin_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dhash family's shared corpus: documents plus PLANTED
+    1-byte-perturbation near-twins (doc_id % DHASH_TWIN_MOD == 0,
+    len >= 63 so each dhash sample offset is unique -> hamming <= 1
+    per planted pair) at ids offset by DHASH_TWIN_OFF."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.where(
+        (F.col("doc_id") % DHASH_TWIN_MOD == 0)
+        & (F.length("text") >= 63)
+    ).select(
+        (F.col("doc_id") + F.lit(DHASH_TWIN_OFF)).alias("doc_id"),
+        F.concat(
+            F.lit("~"), F.expr("substring(text, 2, length(text) - 1)")
+        ).alias("text"),
+    )
+    return docs.unionByName(twins)
+
+
 def q_media_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate media by dHash hamming distance: SimHash-style
     banded chunks (pigeonhole-exact: bands > max_hamming), bucketed
@@ -5793,18 +5811,8 @@ def q_media_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_from_documents,
     )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    twins = docs.where(
-        (F.col("doc_id") % DHASH_TWIN_MOD == 0)
-        & (F.length("text") >= 63)
-    ).select(
-        (F.col("doc_id") + F.lit(DHASH_TWIN_OFF)).alias("doc_id"),
-        F.concat(
-            F.lit("~"), F.expr("substring(text, 2, length(text) - 1)")
-        ).alias("text"),
-    )
     return dhash_pairs(
-        media_from_documents(docs.unionByName(twins)),
+        media_from_documents(_dhash_twin_docs(spark, sf_dir)),
         max_hamming=DHASH_HAM,
         bands=DHASH_BANDS,
         max_bucket=DHASH_BUCKET_CAP,
@@ -5823,18 +5831,8 @@ def q_media_dhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_from_documents,
     )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    twins = docs.where(
-        (F.col("doc_id") % DHASH_TWIN_MOD == 0)
-        & (F.length("text") >= 63)
-    ).select(
-        (F.col("doc_id") + F.lit(DHASH_TWIN_OFF)).alias("doc_id"),
-        F.concat(
-            F.lit("~"), F.expr("substring(text, 2, length(text) - 1)")
-        ).alias("text"),
-    )
     return dhash_pairs_wide(
-        media_from_documents(docs.unionByName(twins)),
+        media_from_documents(_dhash_twin_docs(spark, sf_dir)),
         max_hamming=DHASH_WIDE_HAM,
         rows=DHASH_WIDE_ROWS,
         max_bucket=DHASH_BUCKET_CAP,
@@ -5844,6 +5842,43 @@ def q_media_dhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 LINE_SEP = " the "  # the corpus has no newlines; split on the most
 # common token so line-grain duplicates actually exist (the operator's
 # default sep is "\n")
+
+
+def q_media_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media dedup endgame: wide-dhash near-dup PAIRS (radius 12,
+    104-bit hash, hot-bucket fail-fast) -> connected components ->
+    per-media canonical id + cluster size — the dedup_clusters shape
+    applied to the perceptual modality, so planted twins collapse
+    onto their base payload. Min-label propagation to fixpoint
+    (pointer-doubling, O(log diameter) rounds); converged result is
+    iteration-order independent, oracle-checked via a DuckDB
+    recursive CTE."""
+    from symtseries_spark.operators.graph import connected_components
+    from symtseries_spark.operators.multimodal import (
+        dhash_pairs_wide,
+        media_from_documents,
+    )
+
+    all_docs = _dhash_twin_docs(spark, sf_dir)
+    pairs = dhash_pairs_wide(
+        media_from_documents(all_docs),
+        max_hamming=DHASH_WIDE_HAM,
+        rows=DHASH_WIDE_ROWS,
+        max_bucket=DHASH_BUCKET_CAP,
+    ).select("media_a", "media_b")
+    verts = all_docs.where(F.length("text") > 0).select(
+        F.col("doc_id").alias("v")
+    )
+    cc = connected_components(pairs, verts, src="media_a", dst="media_b")
+    sizes = cc.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return cc.join(sizes, "canonical_id").select(
+        F.col("v").alias("media_id"),
+        "canonical_id",
+        "cluster_size",
+        (F.col("v") != F.col("canonical_id")).alias("is_duplicate"),
+    )
 
 
 def q_docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7285,6 +7320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_line_dedup": q_docs_line_dedup,
         "emb_ivfpq_recall": q_emb_ivfpq_recall,
         "docs_line_dedup_stream": q_docs_line_dedup_stream,
+        "media_dup_clusters": q_media_dup_clusters,
         # Round-11 additions.
         "emb_near_dup_recall": q_emb_near_dup_recall,
         "docs_gopher_repetition": q_docs_gopher_repetition,
@@ -10513,6 +10549,36 @@ FROM pd ORDER BY fisher DESC NULLS LAST, dim LIMIT 10
             twin_mod=DHASH_TWIN_MOD,
             twin_off=DHASH_TWIN_OFF,
         ),
+        "media_dup_clusters": f"""
+WITH RECURSIVE m0 AS (
+  SELECT doc_id FROM documents WHERE len(text) > 0
+  UNION ALL
+  SELECT doc_id + {DHASH_TWIN_OFF} FROM documents
+  WHERE doc_id % {DHASH_TWIN_MOD} = 0 AND len(text) >= 63
+), pairs AS (
+  SELECT media_a, media_b FROM ({om.dhash_pairs_wide_sql(
+      max_hamming=DHASH_WIDE_HAM, rows=DHASH_WIDE_ROWS,
+      twin_mod=DHASH_TWIN_MOD, twin_off=DHASH_TWIN_OFF,
+  )}) __p
+), edges AS (
+  SELECT media_a AS a, media_b AS b FROM pairs
+  UNION ALL
+  SELECT media_b AS a, media_a AS b FROM pairs
+), conn(a, b) AS (
+  SELECT doc_id, doc_id FROM m0
+  UNION
+  SELECT c.a, e.b FROM conn c JOIN edges e ON c.b = e.a
+), canon AS (
+  SELECT a AS media_id, min(b) AS canonical_id FROM conn GROUP BY a
+), sizes AS (
+  SELECT canonical_id, count(*) AS cluster_size FROM canon
+  GROUP BY canonical_id
+)
+SELECT c.media_id, c.canonical_id, s.cluster_size,
+       c.media_id <> c.canonical_id AS is_duplicate
+FROM canon c JOIN sizes s USING (canonical_id)
+ORDER BY c.media_id
+""",
         "media_dhash_wide_pairs": om.dhash_pairs_wide_sql(
             max_hamming=DHASH_WIDE_HAM,
             rows=DHASH_WIDE_ROWS,
