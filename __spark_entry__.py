@@ -7321,70 +7321,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivfpq_recall": q_emb_ivfpq_recall,
         "docs_line_dedup_stream": q_docs_line_dedup_stream,
         "media_dup_clusters": q_media_dup_clusters,
-        # Round-11 additions.
-        "emb_near_dup_recall": q_emb_near_dup_recall,
+        # Round-12 behavior changes (re-verify first): dhash configs, hashed text-stats keys.
+        "media_dhash_pairs": q_media_dhash_pairs,
+        "media_dhash": q_media_dhash,
         "docs_gopher_repetition": q_docs_gopher_repetition,
         "docs_gopher_filter": q_docs_gopher_filter,
         "docs_exact_substring": q_docs_exact_substring,
-        "emb_ivfpq_topk": q_emb_ivfpq_topk,
-        "media_dhash": q_media_dhash,
-        "media_dhash_pairs": q_media_dhash_pairs,
-        "docs_weighted_sample": q_docs_weighted_sample,
-        "docs_quality_sweep": q_docs_quality_sweep,
-        "docs_split_leakage": q_docs_split_leakage,
-        "docs_weighted_sample_stream": q_docs_weighted_sample_stream,
-        "docs_mixture_temperature": q_docs_mixture_temperature,
-        "dedup_lsh_s_curve": q_dedup_lsh_s_curve,
-        # Registry order = driver-verification priority, NOT topic
-        # order: the round driver's correctness window checks a ~50-
-        # entry prefix. Round-11 layout (the standing rotation rule):
-        # sorted PURELY by driver-check staleness over
-        # CORRECTNESS_r01..r10 (oldest round first, prior relative
-        # order as tiebreak) — the 38 rows last verified in r05 lead
-        # (the 10 of them the r10 judge re-verified by hand demoted
-        # within the block), then the 7 r06 rows, the 42 r07 rows,
-        # and so on. New/changed queries go at the HEAD above this
-        # comment.
-        # --- last driver-checked r05 ---
-        "emb_pq_recall": q_emb_pq_recall,
-        "events_stl_strength": q_events_stl_strength,
-        "events_changepoint2": q_events_changepoint2,
-        "emb_semdedup": q_emb_semdedup,
-        "docs_dsir_weights": q_docs_dsir_weights,
-        "docs_source_cap": q_docs_source_cap,
-        "docs_novelty": q_docs_novelty,
-        "sax_vsm_pairs": q_sax_vsm_pairs,
-        "emb_pca_power": q_emb_pca_power,
-        "events_stl": q_events_stl,
-        "sax_numerosity": q_sax_numerosity,
-        "events_acf": q_events_acf,
-        "docs_char_entropy": q_docs_char_entropy,
-        "docs_token_fertility": q_docs_token_fertility,
-        "events_seasonal_anomaly": q_events_seasonal_anomaly,
-        "emb_abtt_topk": q_emb_abtt_topk,
-        "events_hw_stream": q_events_hw_stream,
-        "events_sessions_stream": q_events_sessions_stream,
-        "events_histogram": q_events_histogram,
-        "events_ntile": q_events_ntile,
-        "events_time_rollup": q_events_time_rollup,
-        "events_quantiles": q_events_quantiles,
-        "dedup_minhash_stream": q_dedup_minhash_stream,
-        "dedup_clusters": q_dedup_clusters,
-        "docs_tfidf": q_docs_tfidf,
-        "emb_dim_profile": q_emb_dim_profile,
-        "events_pivot": q_events_pivot,
-        "events_stream_enrich": q_events_stream_enrich,
-        "emb_trunc_recall": q_emb_trunc_recall,
-        "events_hist_quantiles": q_events_hist_quantiles,
-        "emb_kmeans": q_emb_kmeans,
-        "sax_discords": q_sax_discords,
-        "docs_dsir_stream": q_docs_dsir_stream,
-        "events_gapfill": q_events_gapfill,
-        "text_bm25": q_text_bm25,
-        "events_stream_join": q_events_stream_join,
-        "emb_ivf_topk": q_emb_ivf_topk,
+        # Last driver-checked r05.
         "media_resize": q_media_resize,
-        # --- last driver-checked r06 ---
+        # Last driver-checked r06.
         "events_stickiness": q_events_stickiness,
         "sax_word_transitions": q_sax_word_transitions,
         "sax_whole_series": q_sax_whole_series,
@@ -7392,7 +7337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_mindist_topk": q_sax_mindist_topk,
         "sax_mindist_decomp": q_sax_mindist_decomp,
         "sax_c16_decomp": q_sax_c16_decomp,
-        # --- last driver-checked r07 ---
+        # Last driver-checked r07.
         "events_forecast_backtest": q_events_forecast_backtest,
         "events_ewma": q_events_ewma,
         "events_holt": q_events_holt,
@@ -7435,7 +7380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_profile": q_events_hourly_profile,
         "docs_contamination_by_source": q_docs_contamination_by_source,
         "events_dau": q_events_dau,
-        # --- last driver-checked r08 ---
+        # Last driver-checked r08.
         "docs_ccnet_bucket": q_docs_ccnet_bucket,
         "docs_corpus_filter3": q_docs_corpus_filter3,
         "events_value_skew": q_events_value_skew,
@@ -7485,7 +7430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12": q_tpch_q12,
         "tpch_q14": q_tpch_q14,
         "tpch_q7": q_tpch_q7,
-        # --- last driver-checked r09 ---
+        # Last driver-checked r09.
         "events_user_lifetime_grid": q_events_user_lifetime_grid,
         "events_funnel_latency_grid": q_events_funnel_latency_grid,
         "docs_token_mass_quantiles": q_docs_token_mass_quantiles,
@@ -7536,7 +7481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_unigram_lp": q_docs_unigram_lp,
         "docs_vocab_coverage": q_docs_vocab_coverage,
         "docs_mixture_sample": q_docs_mixture_sample,
-        # --- last driver-checked r10 ---
+        # Last driver-checked r10.
         "emb_jl_recall": q_emb_jl_recall,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "docs_hot_ngram_cov": q_docs_hot_ngram_cov,
@@ -7587,6 +7532,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_pagerank": q_dedup_pagerank,
         "dedup_minhash_accuracy": q_dedup_minhash_accuracy,
         "docs_zipf_slope": q_docs_zipf_slope,
+        # Last driver-checked r11.
+        "emb_near_dup_recall": q_emb_near_dup_recall,
+        "emb_ivfpq_topk": q_emb_ivfpq_topk,
+        "docs_weighted_sample": q_docs_weighted_sample,
+        "docs_quality_sweep": q_docs_quality_sweep,
+        "docs_split_leakage": q_docs_split_leakage,
+        "docs_weighted_sample_stream": q_docs_weighted_sample_stream,
+        "docs_mixture_temperature": q_docs_mixture_temperature,
+        "dedup_lsh_s_curve": q_dedup_lsh_s_curve,
+        "emb_pq_recall": q_emb_pq_recall,
+        "events_stl_strength": q_events_stl_strength,
+        "events_changepoint2": q_events_changepoint2,
+        "emb_semdedup": q_emb_semdedup,
+        "docs_dsir_weights": q_docs_dsir_weights,
+        "docs_source_cap": q_docs_source_cap,
+        "docs_novelty": q_docs_novelty,
+        "sax_vsm_pairs": q_sax_vsm_pairs,
+        "emb_pca_power": q_emb_pca_power,
+        "events_stl": q_events_stl,
+        "sax_numerosity": q_sax_numerosity,
+        "events_acf": q_events_acf,
+        "docs_char_entropy": q_docs_char_entropy,
+        "docs_token_fertility": q_docs_token_fertility,
+        "events_seasonal_anomaly": q_events_seasonal_anomaly,
+        "emb_abtt_topk": q_emb_abtt_topk,
+        "events_hw_stream": q_events_hw_stream,
+        "events_sessions_stream": q_events_sessions_stream,
+        "events_histogram": q_events_histogram,
+        "events_ntile": q_events_ntile,
+        "events_time_rollup": q_events_time_rollup,
+        "events_quantiles": q_events_quantiles,
+        "dedup_minhash_stream": q_dedup_minhash_stream,
+        "dedup_clusters": q_dedup_clusters,
+        "docs_tfidf": q_docs_tfidf,
+        "emb_dim_profile": q_emb_dim_profile,
+        "events_pivot": q_events_pivot,
+        "events_stream_enrich": q_events_stream_enrich,
+        "emb_trunc_recall": q_emb_trunc_recall,
+        "events_hist_quantiles": q_events_hist_quantiles,
+        "emb_kmeans": q_emb_kmeans,
+        "sax_discords": q_sax_discords,
+        "docs_dsir_stream": q_docs_dsir_stream,
+        "events_gapfill": q_events_gapfill,
+        "text_bm25": q_text_bm25,
+        "events_stream_join": q_events_stream_join,
+        "emb_ivf_topk": q_emb_ivf_topk,
     }
 
 
