@@ -5881,6 +5881,43 @@ def q_media_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_dhash_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-rest perceptual index lifecycle: write the wide-dhash chunk
+    index partitioned by band=<b>/chunk=<w>/ directories
+    (sources/__init__.py:write_dhash_index), then probe ONE payload
+    (the planted twin of doc 0) against the stored corpus — the
+    probe's 13 (band, chunk) pairs prune the scan to matching
+    directories before any row is read
+    (sources/__init__.py:read_dhash_probe). Pigeonhole-exact, so the
+    DuckDB twin recomputes it as brute-force hamming vs the probe."""
+    import tempfile
+
+    from symtseries_spark.operators.multimodal import (
+        media_dhash_wide,
+        media_from_documents,
+    )
+    from symtseries_spark.sources import read_dhash_probe, write_dhash_index
+
+    media = media_from_documents(_dhash_twin_docs(spark, sf_dir))
+    path = tempfile.mkdtemp(prefix="dhash_at_rest_") + "/index"
+    write_dhash_index(media, path, rows=DHASH_WIDE_ROWS)
+    probe_id = DHASH_TWIN_OFF  # doc 0's planted twin
+    probe_rows = [
+        int(w)
+        for w in media_dhash_wide(
+            media.where(F.col("media_id") == probe_id),
+            rows=DHASH_WIDE_ROWS,
+        ).first()["dhash_rows"]
+    ]
+    return read_dhash_probe(
+        spark,
+        path,
+        probe_rows,
+        max_hamming=DHASH_WIDE_HAM,
+        exclude_id=probe_id,
+    )
+
+
 def q_docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 line-level dedup (operators/dedup.py line_dedup): discard
     duplicate lines corpus-wide, keep-one (Raffel et al. 2020 §2.2) —
@@ -7321,6 +7358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivfpq_recall": q_emb_ivfpq_recall,
         "docs_line_dedup_stream": q_docs_line_dedup_stream,
         "media_dup_clusters": q_media_dup_clusters,
+        "media_dhash_at_rest": q_media_dhash_at_rest,
         # Round-12 behavior changes (re-verify first): dhash configs, hashed text-stats keys.
         "media_dhash_pairs": q_media_dhash_pairs,
         "media_dhash": q_media_dhash,
@@ -10537,6 +10575,13 @@ FROM pd ORDER BY fisher DESC NULLS LAST, dim LIMIT 10
         "media_dhash_pairs": om.dhash_pairs_sql(
             max_hamming=DHASH_HAM,
             bands=DHASH_BANDS,
+            twin_mod=DHASH_TWIN_MOD,
+            twin_off=DHASH_TWIN_OFF,
+        ),
+        "media_dhash_at_rest": om.dhash_probe_sql(
+            probe_id=DHASH_TWIN_OFF,
+            max_hamming=DHASH_WIDE_HAM,
+            rows=DHASH_WIDE_ROWS,
             twin_mod=DHASH_TWIN_MOD,
             twin_off=DHASH_TWIN_OFF,
         ),

@@ -173,6 +173,57 @@ WHERE hamming <= {max_hamming}
 """
 
 
+def dhash_probe_sql(
+    *,
+    probe_id: int,
+    max_hamming: int,
+    rows: int = 13,
+    cols: int = 9,
+    table: str = "documents",
+    twin_mod: int | None = None,
+    twin_off: int = 0,
+    twin_min_len: int = 63,
+) -> str:
+    """Oracle for sources.read_dhash_probe over a
+    sources.write_dhash_index of the planted-twin corpus: banding
+    cannot change the result (pigeonhole-exact), so the twin is the
+    brute-force hamming between the probe's per-row words and every
+    other media's."""
+    n = rows * cols
+    word_cols = ", ".join(
+        f"({_dhash_row_expr(r, cols=cols, n=n)}) AS r{r}"
+        for r in range(rows)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(h.r{r}, p.r{r}))" for r in range(rows)
+    )
+    plant = (
+        f"""
+  UNION ALL
+  SELECT doc_id + {twin_off} AS media_id,
+         '~' || substr(text, 2, len(text) - 1) AS text,
+         CAST(len(text) AS BIGINT) AS l
+  FROM {table}
+  WHERE doc_id % {twin_mod} = 0 AND len(text) >= {twin_min_len}"""
+        if twin_mod is not None
+        else ""
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id, text, CAST(len(text) AS BIGINT) AS l
+  FROM {table} WHERE len(text) > 0{plant}
+), h AS (
+  SELECT media_id, {word_cols} FROM m
+), p AS (
+  SELECT * FROM h WHERE media_id = {probe_id}
+)
+SELECT h.media_id, CAST(({ham}) AS INT) AS hamming
+FROM h, p
+WHERE h.media_id <> {probe_id} AND ({ham}) <= {max_hamming}
+ORDER BY hamming, h.media_id
+"""
+
+
 def dhash_sql(*, rows: int = 7, cols: int = 9, table: str = "documents") -> str:
     """Oracle for multimodal.media_dhash (payload = UTF-8 text bytes)."""
     return f"""

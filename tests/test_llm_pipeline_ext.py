@@ -325,6 +325,57 @@ class TestIvfAtRest:
         assert 0 < len(ids) <= 10
 
 
+class TestDhashAtRest:
+    def test_probe_equals_brute_force_and_prunes(self, spark, tmp_path):
+        from symtseries_spark.operators.multimodal import (
+            media_dhash_wide,
+            media_from_documents,
+        )
+        from symtseries_spark.sources import (
+            read_dhash_probe,
+            write_dhash_index,
+        )
+
+        texts = [
+            "aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii",
+            "aaaa bbbb cccc dddd eeee ffff gggg hhhh iiij",
+            "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss rrrr",
+            "mmmm nnnn oooo pppp qqqq rrrr ssss tttt uuuu",
+        ]
+        media = media_from_documents(
+            spark.createDataFrame(
+                [(i, t) for i, t in enumerate(texts)],
+                "doc_id long, text string",
+            )
+        )
+        path = str(tmp_path / "dhash")
+        write_dhash_index(media, path, rows=13)
+        wide = {
+            r["media_id"]: list(r["dhash_rows"])
+            for r in media_dhash_wide(media).collect()
+        }
+        probe = wide[0]
+        got = read_dhash_probe(
+            spark, path, probe, max_hamming=12, exclude_id=0
+        )
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        # band is the partition column, chunk is pushed to the scan
+        assert "PartitionFilters" in plan and "band" in plan
+        assert "PushedFilters" in plan and "chunk" in plan
+
+        def ham(a, b):
+            return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+        want = sorted(
+            (ham(probe, w), i)
+            for i, w in wide.items()
+            if i != 0 and ham(probe, w) <= 12
+        )
+        assert [(r["hamming"], r["media_id"]) for r in got.collect()] == want
+        with pytest.raises(ValueError, match="pigeonhole"):
+            read_dhash_probe(spark, path, probe, max_hamming=13)
+
+
 class TestIncrementalDedup:
     def test_admits_only_fresh_content(self, spark):
         from symtseries_spark.operators.dedup import incremental_dedup
