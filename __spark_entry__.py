@@ -5918,6 +5918,18 @@ def q_media_dhash_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where the duplication comes from: exact-dup pair counts per
+    (source_a, source_b) cell (operators/dedup.py dup_source_matrix) —
+    the curation diagnostic that decides whether a feed dedups against
+    itself or against another feed. Split-leakage identity on the
+    source dimension: per-hash per-source counts combine map-side,
+    pair counts are sums of count products — never pair expansion."""
+    from symtseries_spark.operators.dedup import dup_source_matrix
+
+    return dup_source_matrix(load(spark, sf_dir, "documents"))
+
+
 def q_docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 line-level dedup (operators/dedup.py line_dedup): discard
     duplicate lines corpus-wide, keep-one (Raffel et al. 2020 §2.2) —
@@ -7359,6 +7371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_line_dedup_stream": q_docs_line_dedup_stream,
         "media_dup_clusters": q_media_dup_clusters,
         "media_dhash_at_rest": q_media_dhash_at_rest,
+        "docs_dup_source_matrix": q_docs_dup_source_matrix,
         # Round-12 behavior changes (re-verify first): dhash configs, hashed text-stats keys.
         "media_dhash_pairs": q_media_dhash_pairs,
         "media_dhash": q_media_dhash,
@@ -8930,6 +8943,7 @@ FROM w
             window_tokens=EXSUB_TOKENS
         ),
         "docs_line_dedup": ot.line_dedup_sql(sep=LINE_SEP),
+        "docs_dup_source_matrix": ot.dup_source_matrix_sql(),
         "docs_line_dedup_stream": ot.line_dedup_sql(sep=LINE_SEP),
         "emb_ivfpq_topk": ov.ivfpq_topk_sql(
             query_id=IVF["query_id"],

@@ -1137,3 +1137,49 @@ def line_dedup(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def dup_source_matrix(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """WHERE does the duplication come from — exact-duplicate pair
+    counts per (source_a, source_b) with ``source_a <= source_b`` ->
+    ``(source_a, source_b, dup_pairs)``, zero-pair combinations
+    dropped. Within-source cells count C(c, 2) pairs, cross-source
+    cells c_a x c_b — the curation diagnostic that tells you whether
+    to dedup a feed against itself or against another feed before
+    paying the corpus-wide pass.
+
+    Never expands pairs (the split-leakage identity applied to the
+    source dimension): per content hash the per-source counts combine
+    map-side (one row per (hash, source)); the per-hash self-join
+    fans out at most (sources sharing the hash)^2 — bounded by the
+    SOURCE cardinality, not by group size — so a 10^6-copy duplicate
+    group costs its source count, not 10^12 pairs."""
+    from ..functions.text import doc_hash60, normalized_text
+
+    per = (
+        docs.select(
+            doc_hash60(normalized_text(F.col(text_col))).alias("h"),
+            F.col(group_col).alias("src"),
+        )
+        .groupBy("h", "src")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a = per.select("h", F.col("src").alias("source_a"), F.col("c").alias("ca"))
+    b = per.select("h", F.col("src").alias("source_b"), F.col("c").alias("cb"))
+    pairs = F.when(
+        F.col("source_a") == F.col("source_b"),
+        F.col("ca") * (F.col("ca") - 1) / 2,
+    ).otherwise(F.col("ca") * F.col("cb"))
+    return (
+        a.join(b, "h")
+        .where(F.col("source_a") <= F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(pairs).cast("long").alias("dup_pairs"))
+        .where(F.col("dup_pairs") > 0)
+    )

@@ -694,6 +694,25 @@ LEFT JOIN keptagg ON d.doc_id = keptagg.doc_id
 """
 
 
+def dup_source_matrix_sql(*, table: str = "documents") -> str:
+    """Oracle for dedup.dup_source_matrix: same hash, same per-source
+    counts, same pair identity (C(c,2) within, ca*cb across)."""
+    return f"""
+WITH per AS (
+  SELECT {hash60(normalized_expr())} AS h, source AS src,
+         count(*) AS c
+  FROM {table} GROUP BY 1, 2
+)
+SELECT a.src AS source_a, b.src AS source_b,
+       CAST(sum(CASE WHEN a.src = b.src THEN a.c * (a.c - 1) / 2
+                ELSE a.c * b.c END) AS BIGINT) AS dup_pairs
+FROM per a JOIN per b ON a.h = b.h AND a.src <= b.src
+GROUP BY 1, 2
+HAVING sum(CASE WHEN a.src = b.src THEN a.c * (a.c - 1) / 2
+           ELSE a.c * b.c END) > 0
+"""
+
+
 def line_dedup_sql(*, sep: str, table: str = "documents") -> str:
     """Oracle for dedup.line_dedup — identical line split (literal
     separator), first-occurrence keep-one, position-ordered rebuild."""
