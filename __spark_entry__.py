@@ -5767,6 +5767,7 @@ DHASH_BUCKET_CAP = 512
 # chunks at 8 bits instead of thinning them to 4.
 DHASH_WIDE_HAM = 12
 DHASH_WIDE_ROWS = 13
+FRAME_DEDUP_HAM = 2  # aligned-frame radius; twin frames past 0 are exact
 
 
 def q_media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5928,6 +5929,28 @@ def q_docs_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from symtseries_spark.operators.dedup import dup_source_matrix
 
     return dup_source_matrix(load(spark, sf_dir, "documents"))
+
+
+def q_media_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe-level near-dup across media (operators/multimodal.py
+    frame_dedup_pairs): per-frame packed dHash, candidates bucketed by
+    (frame_no, band, chunk) — the frame offset rides in the bucket key
+    — refined by bit_count, counted per media pair. The planted twins
+    differ only in byte 0, so every aligned frame pair past frame 0
+    matches at hamming 0 — the "same clip re-encoded" signature a
+    video pipeline hunts."""
+    from symtseries_spark.operators.multimodal import (
+        frame_dedup_pairs,
+        media_from_documents,
+    )
+
+    return frame_dedup_pairs(
+        media_from_documents(_dhash_twin_docs(spark, sf_dir)),
+        frame_size=FRAME["frame_size"],
+        every_n=FRAME["every_n"],
+        max_hamming=FRAME_DEDUP_HAM,
+        max_bucket=DHASH_BUCKET_CAP,
+    )
 
 
 def q_docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7372,6 +7395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dup_clusters": q_media_dup_clusters,
         "media_dhash_at_rest": q_media_dhash_at_rest,
         "docs_dup_source_matrix": q_docs_dup_source_matrix,
+        "media_frame_dedup": q_media_frame_dedup,
         # Round-12 behavior changes (re-verify first): dhash configs, hashed text-stats keys.
         "media_dhash_pairs": q_media_dhash_pairs,
         "media_dhash": q_media_dhash,
@@ -8944,6 +8968,13 @@ FROM w
         ),
         "docs_line_dedup": ot.line_dedup_sql(sep=LINE_SEP),
         "docs_dup_source_matrix": ot.dup_source_matrix_sql(),
+        "media_frame_dedup": om.frame_dedup_sql(
+            frame_size=FRAME["frame_size"],
+            every_n=FRAME["every_n"],
+            max_hamming=FRAME_DEDUP_HAM,
+            twin_mod=DHASH_TWIN_MOD,
+            twin_off=DHASH_TWIN_OFF,
+        ),
         "docs_line_dedup_stream": ot.line_dedup_sql(sep=LINE_SEP),
         "emb_ivfpq_topk": ov.ivfpq_topk_sql(
             query_id=IVF["query_id"],

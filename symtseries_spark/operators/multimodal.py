@@ -589,3 +589,146 @@ def dhash_pairs_wide(
         cand.select("media_a", "media_b", ham.cast("int").alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def frame_dedup_pairs(
+    media: DataFrame,
+    *,
+    frame_size: int,
+    every_n: int = 1,
+    max_hamming: int,
+    bands: int = 7,
+    rows: int = 7,
+    cols: int = 9,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Keyframe-level near-duplicate detection across media — the
+    video-pipeline op "which clips share (almost) the same frames at
+    the same offsets": payloads are sliced into ``frame_size`` frames
+    (every ``every_n``-th kept, :func:`frame_sample`'s geometry, but
+    all-JVM substring slicing — no Python), each frame gets the packed
+    dHash, and aligned frames (same ``frame_no``) within
+    ``max_hamming`` are counted per media pair ->
+    ``(media_a, media_b, n_matched, n_frames_a, n_frames_b)``
+    (all-integer report; divide off-line for a match fraction).
+
+    Scale shape: the candidate equi-join keys on
+    ``(frame_no, band, chunk)`` — the frame offset rides IN the bucket
+    key, so two media only meet where they could actually match, and
+    bucket occupancy is per-offset, not corpus-wide. Pigeonhole-exact
+    (``bands > max_hamming``); ``max_bucket`` fail-fasts hot buckets
+    (the seg_cap convention). Frames are composite-keyed
+    ``media_id * 2^20 + frame_no`` through the shared hash projection
+    and decomposed after."""
+    if frame_size < 1 or every_n < 1:
+        raise ValueError("frame_dedup_pairs needs frame_size/every_n >= 1")
+    if bands <= max_hamming:
+        raise ValueError("pigeonhole exactness needs bands > max_hamming")
+    nbits = rows * (cols - 1)
+    per = nbits // bands
+    if per < 1:
+        raise ValueError("bands exceed the bit width")
+    from ..cache import persist_tracked
+
+    n_fr = F.ceil(
+        F.octet_length(F.col(payload_col)) / F.lit(frame_size)
+    ).cast("int")
+    frames = (
+        media.where(F.octet_length(F.col(payload_col)) > 0)
+        .select(
+            F.col(id_col).alias("__mid"),
+            F.explode(F.sequence(F.lit(0), n_fr - 1)).alias("frame_no"),
+            F.col(payload_col).alias("__pl"),
+        )
+        .where(F.col("frame_no") % every_n == 0)
+        .select(
+            (
+                F.col("__mid") * F.lit(1 << 20) + F.col("frame_no")
+            ).alias("fid"),
+            F.expr(
+                f"substring(__pl, frame_no * {frame_size} + 1, "
+                f"{frame_size})"
+            ).alias("payload"),
+        )
+    )
+    h = persist_tracked(
+        media_dhash(
+            frames, rows=rows, cols=cols, id_col="fid",
+            payload_col="payload",
+        ).select(
+            (F.col("media_id") / F.lit(1 << 20)).cast("long").alias("mid"),
+            (F.col("media_id") % F.lit(1 << 20)).cast("int").alias(
+                "frame_no"
+            ),
+            "dhash",
+        )
+    )
+    n_frames = h.groupBy("mid").agg(F.count(F.lit(1)).alias("nf"))
+    chunks = h.select(
+        "mid",
+        "frame_no",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftright(F.col("dhash"), b * per)
+                            % F.lit(
+                                1 << (per if b < bands - 1
+                                      else nbits - (bands - 1) * per)
+                            )
+                        ).alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("s"),
+    ).select(
+        "mid", "frame_no", "dhash",
+        F.col("s.band").alias("band"), F.col("s.chunk").alias("chunk"),
+    )
+    if max_bucket is not None:
+        hot = (
+            chunks.groupBy("frame_no", "band", "chunk")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("mx"))
+            .collect()[0]["mx"]
+        )
+        if hot is not None and hot > max_bucket:
+            raise ValueError(
+                f"frame_dedup_pairs: a (frame_no, band, chunk) bucket "
+                f"holds {hot} frames (> max_bucket={max_bucket}); the "
+                f"candidate self-join would be quadratic in that "
+                f"population — widen the hash or raise max_bucket."
+            )
+    a = chunks.select(
+        F.col("mid").alias("media_a"), "frame_no",
+        F.col("dhash").alias("__ha"), "band", "chunk",
+    )
+    b = chunks.select(
+        F.col("mid").alias("media_b"), "frame_no",
+        F.col("dhash").alias("__hb"), "band", "chunk",
+    )
+    ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    matched = (
+        a.join(b, ["frame_no", "band", "chunk"])
+        .where(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b", "frame_no", "__ha", "__hb")
+        .distinct()
+        .where(ham <= max_hamming)
+        .groupBy("media_a", "media_b")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    fa = n_frames.select(
+        F.col("mid").alias("media_a"), F.col("nf").alias("n_frames_a")
+    )
+    fb = n_frames.select(
+        F.col("mid").alias("media_b"), F.col("nf").alias("n_frames_b")
+    )
+    return matched.join(fa, "media_a").join(fb, "media_b").select(
+        "media_a", "media_b", "n_matched", "n_frames_a", "n_frames_b"
+    )

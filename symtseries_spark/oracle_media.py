@@ -224,6 +224,72 @@ ORDER BY hamming, h.media_id
 """
 
 
+def frame_dedup_sql(
+    *,
+    frame_size: int,
+    every_n: int,
+    max_hamming: int,
+    rows: int = 7,
+    cols: int = 9,
+    table: str = "documents",
+    twin_mod: int | None = None,
+    twin_off: int = 0,
+    twin_min_len: int = 63,
+) -> str:
+    """Oracle for multimodal.frame_dedup_pairs: same frame slicing,
+    same per-frame packed dHash, brute-force aligned-frame hamming
+    (banding cannot change the result — pigeonhole-exact)."""
+    plant = (
+        f"""
+  UNION ALL
+  SELECT doc_id + {twin_off} AS media_id,
+         '~' || substr(text, 2, len(text) - 1) AS text
+  FROM {table}
+  WHERE doc_id % {twin_mod} = 0 AND len(text) >= {twin_min_len}"""
+        if twin_mod is not None
+        else ""
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id, text
+  FROM {table} WHERE len(text) > 0{plant}
+), fr AS (
+  SELECT media_id, CAST(f AS INT) AS frame_no,
+         substr(text, CAST(f * {frame_size} + 1 AS INT), {frame_size})
+           AS ftext
+  FROM (
+    SELECT media_id, text,
+           unnest(range(0,
+             CAST(ceil(len(text) * 1.0 / {frame_size}) AS BIGINT))) AS f
+    FROM m)
+  WHERE f % {every_n} = 0
+), ft AS (
+  SELECT media_id, frame_no, ftext AS text,
+         CAST(len(ftext) AS BIGINT) AS l
+  FROM fr
+), h AS (
+  SELECT media_id, frame_no,
+         ({_dhash_expr(rows=rows, cols=cols)}) AS dhash
+  FROM ft
+), p AS (
+  SELECT a.media_id AS media_a, b.media_id AS media_b,
+         count(*) AS n_matched
+  FROM h a
+  JOIN h b ON a.frame_no = b.frame_no AND a.media_id < b.media_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= {max_hamming}
+  GROUP BY 1, 2
+), nf AS (
+  SELECT media_id, count(*) AS nf FROM h GROUP BY 1
+)
+SELECT p.media_a, p.media_b, CAST(p.n_matched AS BIGINT) AS n_matched,
+       CAST(fa.nf AS BIGINT) AS n_frames_a,
+       CAST(fb.nf AS BIGINT) AS n_frames_b
+FROM p
+JOIN nf fa ON fa.media_id = p.media_a
+JOIN nf fb ON fb.media_id = p.media_b
+"""
+
+
 def dhash_sql(*, rows: int = 7, cols: int = 9, table: str = "documents") -> str:
     """Oracle for multimodal.media_dhash (payload = UTF-8 text bytes)."""
     return f"""
