@@ -996,6 +996,70 @@ class TestWeightedSampleES:
             weighted_sample_es(df, k=0, weight_col="w")
 
 
+class TestDupSourceMatrix:
+    def test_hand_computed(self, spark):
+        from symtseries_spark.operators.dedup import dup_source_matrix
+
+        docs = spark.createDataFrame(
+            [
+                (1, "same text", "a"),
+                (2, "same text", "a"),   # within-a pair
+                (3, "same text", "b"),   # crosses a-b twice (docs 1, 2)
+                (4, "other text", "b"),
+                (5, "other text", "c"),  # crosses b-c once
+                (6, "unique here", "c"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        got = {
+            (r["source_a"], r["source_b"]): r["dup_pairs"]
+            for r in dup_source_matrix(docs).collect()
+        }
+        assert got == {("a", "a"): 1, ("a", "b"): 2, ("b", "c"): 1}
+
+
+class TestFrameDedup:
+    def test_identical_and_perturbed_payloads(self, spark):
+        import pytest as _pytest
+
+        from symtseries_spark.operators.multimodal import (
+            frame_dedup_pairs,
+            media_from_documents,
+        )
+
+        base = "".join(f"w{i:02d} " for i in range(64)).strip()  # 255 chars
+        docs = spark.createDataFrame(
+            [
+                (1, base),
+                (2, base),                    # identical: all frames match
+                (3, "!" + base[1:]),          # twin: '!' < the next
+                                              # byte flips frame 0's
+                                              # first gradient bit
+                (4, "x" * 255),               # unrelated constant bytes
+            ],
+            "doc_id long, text string",
+        )
+        media = media_from_documents(docs)
+        got = {
+            (r["media_a"], r["media_b"]): (
+                r["n_matched"], r["n_frames_a"], r["n_frames_b"]
+            )
+            for r in frame_dedup_pairs(
+                media, frame_size=64, every_n=1, max_hamming=0
+            ).collect()
+        }
+        # 255 chars -> frames 0..3 (last is 63 bytes)
+        assert got[(1, 2)] == (4, 4, 4)
+        assert got[(1, 3)] == (3, 4, 4) and got[(2, 3)] == (3, 4, 4)
+        assert not any(4 in p for p in got)
+        with _pytest.raises(ValueError, match="pigeonhole"):
+            frame_dedup_pairs(media, frame_size=64, max_hamming=7)
+        with _pytest.raises(ValueError, match="max_bucket"):
+            frame_dedup_pairs(
+                media, frame_size=64, max_hamming=0, max_bucket=1
+            )
+
+
 class TestLineDedup:
     def test_keep_one_semantics(self, spark):
         from symtseries_spark.operators.dedup import line_dedup
