@@ -5953,6 +5953,47 @@ def q_media_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus refresh audit (operators/pipeline.py snapshot_diff):
+    simulate two crawl snapshots from the corpus (old = doc_id % 5
+    != 4; new = doc_id % 5 != 0, with docs at doc_id % 7 == 3
+    re-crawled with perturbed content), diff them by id + content
+    hash, and report per-source added/removed/modified/unchanged
+    counts — the gate that decides which docs re-enter the dedup
+    pipeline after a refresh. Text reduces to md5 at the scan stage;
+    one id-keyed full-outer join."""
+    from symtseries_spark.operators.pipeline import snapshot_diff
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    old = docs.where(F.col("doc_id") % 5 != 4)
+    new = docs.where(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 3,
+            F.concat(F.lit("recrawled "), F.col("text")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    d = snapshot_diff(old, new)
+    return (
+        d.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum((F.col("status") == "added").cast("long")).alias("n_added"),
+            F.sum((F.col("status") == "removed").cast("long")).alias(
+                "n_removed"
+            ),
+            F.sum((F.col("status") == "modified").cast("long")).alias(
+                "n_modified"
+            ),
+            F.sum((F.col("status") == "unchanged").cast("long")).alias(
+                "n_unchanged"
+            ),
+        )
+    )
+
+
 def q_docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 line-level dedup (operators/dedup.py line_dedup): discard
     duplicate lines corpus-wide, keep-one (Raffel et al. 2020 §2.2) —
@@ -7396,6 +7437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dhash_at_rest": q_media_dhash_at_rest,
         "docs_dup_source_matrix": q_docs_dup_source_matrix,
         "media_frame_dedup": q_media_frame_dedup,
+        "docs_snapshot_diff": q_docs_snapshot_diff,
         # Round-12 behavior changes (re-verify first): dhash configs, hashed text-stats keys.
         "media_dhash_pairs": q_media_dhash_pairs,
         "media_dhash": q_media_dhash,
@@ -8968,6 +9010,34 @@ FROM w
         ),
         "docs_line_dedup": ot.line_dedup_sql(sep=LINE_SEP),
         "docs_dup_source_matrix": ot.dup_source_matrix_sql(),
+        "docs_snapshot_diff": """
+WITH old AS (
+  SELECT doc_id, md5(text) AS ho FROM documents WHERE doc_id % 5 != 4
+), new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 3 THEN 'recrawled ' || text
+             ELSE text END) AS hn
+  FROM documents WHERE doc_id % 5 != 0
+), d AS (
+  SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+         CASE WHEN ho IS NULL THEN 'added'
+              WHEN hn IS NULL THEN 'removed'
+              WHEN ho <> hn THEN 'modified'
+              ELSE 'unchanged' END AS status
+  FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+)
+SELECT source,
+       CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_added,
+       CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       CAST(sum(CASE WHEN status = 'modified' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_modified,
+       CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unchanged
+FROM d JOIN documents USING (doc_id)
+GROUP BY source
+""",
         "media_frame_dedup": om.frame_dedup_sql(
             frame_size=FRAME["frame_size"],
             every_n=FRAME["every_n"],

@@ -927,3 +927,41 @@ def bpe_apply_stats(
             .alias("compression"),
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot diff — the refresh-ingest audit "what changed
+    between yesterday's crawl and today's": per document id, one of
+    ``added`` (new only), ``removed`` (old only), ``modified`` (both,
+    content hash differs), ``unchanged`` -> ``(doc_id, status)``.
+    Run before re-deduplicating a refreshed corpus: only ``added`` and
+    ``modified`` docs need to re-enter the dedup/quality pipeline.
+
+    Scale shape: both sides reduce to (id, 128-bit md5) at the scan
+    stage — text never crosses the shuffle — then ONE full-outer
+    equi-join on the id (both sides hash-partition identically; at
+    rest, id-bucketed snapshots make it shuffle-free). Status is a
+    scan-stage CASE over null-ness and hash equality."""
+    o = old.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col)).alias("__ho"),
+    )
+    n = new.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col)).alias("__hn"),
+    )
+    status = (
+        F.when(F.col("__ho").isNull(), F.lit("added"))
+        .when(F.col("__hn").isNull(), F.lit("removed"))
+        .when(F.col("__ho") != F.col("__hn"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return o.join(n, "doc_id", "full_outer").select(
+        "doc_id", status.alias("status")
+    )

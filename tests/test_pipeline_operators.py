@@ -996,6 +996,27 @@ class TestWeightedSampleES:
             weighted_sample_es(df, k=0, weight_col="w")
 
 
+class TestSnapshotDiff:
+    def test_all_four_statuses(self, spark):
+        from symtseries_spark.operators.pipeline import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, "same"), (2, "was this"), (3, "gone soon")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(1, "same"), (2, "now this"), (4, "brand new")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["status"]
+            for r in snapshot_diff(old, new).collect()
+        }
+        assert got == {
+            1: "unchanged", 2: "modified", 3: "removed", 4: "added"
+        }
+
+
 class TestDupSourceMatrix:
     def test_hand_computed(self, spark):
         from symtseries_spark.operators.dedup import dup_source_matrix
