@@ -5953,6 +5953,45 @@ def q_media_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_frame_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip-level dedup from frame evidence: media pairs sharing >= 2
+    aligned near-identical frames (media_frame_dedup's output) become
+    edges; connected components collapse re-encodes of the same clip
+    onto a canonical media id. The dedup_clusters endgame applied to
+    the frame-match graph."""
+    from symtseries_spark.operators.graph import connected_components
+    from symtseries_spark.operators.multimodal import (
+        frame_dedup_pairs,
+        media_from_documents,
+    )
+
+    all_docs = _dhash_twin_docs(spark, sf_dir)
+    pairs = frame_dedup_pairs(
+        media_from_documents(all_docs),
+        frame_size=FRAME["frame_size"],
+        every_n=FRAME["every_n"],
+        max_hamming=FRAME_DEDUP_HAM,
+        max_bucket=DHASH_BUCKET_CAP,
+    ).where(F.col("n_matched") >= 2).select("media_a", "media_b")
+    verts = all_docs.where(F.length("text") > 0).select(
+        F.col("doc_id").alias("v")
+    )
+    cc = connected_components(pairs, verts, src="media_a", dst="media_b")
+    sizes = cc.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        cc.join(sizes, "canonical_id")
+        .where(F.col("cluster_size") > 1)
+        .select(
+            F.col("v").alias("media_id"),
+            "canonical_id",
+            "cluster_size",
+            (F.col("v") != F.col("canonical_id")).alias("is_duplicate"),
+        )
+    )
+
+
 def q_docs_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus refresh audit (operators/pipeline.py snapshot_diff):
     simulate two crawl snapshots from the corpus (old = doc_id % 5
@@ -7438,6 +7477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dup_source_matrix": q_docs_dup_source_matrix,
         "media_frame_dedup": q_media_frame_dedup,
         "docs_snapshot_diff": q_docs_snapshot_diff,
+        "media_frame_clusters": q_media_frame_clusters,
         # Round-12 behavior changes (re-verify first): dhash configs, hashed text-stats keys.
         "media_dhash_pairs": q_media_dhash_pairs,
         "media_dhash": q_media_dhash,
@@ -9010,6 +9050,40 @@ FROM w
         ),
         "docs_line_dedup": ot.line_dedup_sql(sep=LINE_SEP),
         "docs_dup_source_matrix": ot.dup_source_matrix_sql(),
+        "media_frame_clusters": f"""
+WITH RECURSIVE m0 AS (
+  SELECT doc_id FROM documents WHERE len(text) > 0
+  UNION ALL
+  SELECT doc_id + {DHASH_TWIN_OFF} FROM documents
+  WHERE doc_id % {DHASH_TWIN_MOD} = 0 AND len(text) >= 63
+), fpairs AS (
+  SELECT media_a, media_b
+  FROM ({om.frame_dedup_sql(
+      frame_size=FRAME["frame_size"], every_n=FRAME["every_n"],
+      max_hamming=FRAME_DEDUP_HAM, twin_mod=DHASH_TWIN_MOD,
+      twin_off=DHASH_TWIN_OFF,
+  )}) __f
+  WHERE n_matched >= 2
+), edges AS (
+  SELECT media_a AS a, media_b AS b FROM fpairs
+  UNION ALL
+  SELECT media_b AS a, media_a AS b FROM fpairs
+), conn(a, b) AS (
+  SELECT doc_id, doc_id FROM m0
+  UNION
+  SELECT c.a, e.b FROM conn c JOIN edges e ON c.b = e.a
+), canon AS (
+  SELECT a AS media_id, min(b) AS canonical_id FROM conn GROUP BY a
+), sizes AS (
+  SELECT canonical_id, count(*) AS cluster_size FROM canon
+  GROUP BY canonical_id
+)
+SELECT c.media_id, c.canonical_id, s.cluster_size,
+       c.media_id <> c.canonical_id AS is_duplicate
+FROM canon c JOIN sizes s USING (canonical_id)
+WHERE s.cluster_size > 1
+ORDER BY c.media_id
+""",
         "docs_snapshot_diff": """
 WITH old AS (
   SELECT doc_id, md5(text) AS ho FROM documents WHERE doc_id % 5 != 4
