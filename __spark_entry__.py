@@ -5925,10 +5925,28 @@ def q_docs_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the curation diagnostic that decides whether a feed dedups against
     itself or against another feed. Split-leakage identity on the
     source dimension: per-hash per-source counts combine map-side,
-    pair counts are sums of count products — never pair expansion."""
+    pair counts are sums of count products — never pair expansion.
+    The synthetic corpus has no duplicate texts, so the query PLANTS
+    them (the dhash-twin convention): every doc_id % 5 == 0 doc is
+    mirrored under source 'mirror' (cross-source cells) and every
+    doc_id % 11 == 0 doc is re-ingested into its own source
+    (within-source cells)."""
     from symtseries_spark.operators.dedup import dup_source_matrix
 
-    return dup_source_matrix(load(spark, sf_dir, "documents"))
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    mirror = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + F.lit(DHASH_TWIN_OFF)).alias("doc_id"),
+        "text",
+        F.lit("mirror").alias("source"),
+    )
+    reingest = docs.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + F.lit(2 * DHASH_TWIN_OFF)).alias("doc_id"),
+        "text",
+        "source",
+    )
+    return dup_source_matrix(docs.unionByName(mirror).unionByName(reingest))
 
 
 def q_media_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5989,6 +6007,81 @@ def q_media_frame_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
             (F.col("v") != F.col("canonical_id")).alias("is_duplicate"),
         )
+    )
+
+
+def q_docs_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data-quality audit (operators/dq.py
+    audit; Schelter et al. 2018 §3.1): the ingest gate a pipeline
+    runs on every batch BEFORE dedup/filtering — completeness,
+    key-distinctness, bounds, enum/regex conformance, and a
+    cross-column rule (n_chars == length(text)), ALL compiled into
+    ONE map-side-combinable aggregation pass over a single scan,
+    then unpivoted driver-free into one row per check."""
+    from symtseries_spark.operators.dq import (
+        audit,
+        check_completeness,
+        check_distinctness,
+        check_in_set,
+        check_max,
+        check_min,
+        check_predicate,
+        check_regex,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return audit(
+        docs,
+        [
+            check_completeness("text"),
+            check_completeness("lang"),
+            check_distinctness("doc_id"),
+            check_min("n_chars", 1.0),
+            check_max("n_chars", 20000.0),
+            check_in_set("lang", ["de", "en", "es", "fr", "zh"]),
+            check_regex("text", r"^\S", 0.99),
+            check_predicate(
+                "chars_match",
+                "n_chars",
+                F.length("text") == F.col("n_chars"),
+            ),
+        ],
+    )
+
+
+def q_tpch_dq_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across the warehouse's FK edges
+    (operators/dq.py referential_orphans): per edge, child rows whose
+    key has no parent + null keys. The sixth edge audits a DEGRADED
+    parent (customers with c_custkey % 10 == 3 dropped) so the audit
+    demonstrably catches a broken ingest, not just confirms intact
+    ones. Children project key-only; parents reduce to distinct key
+    sets (combinable) before the join; dimension-sized parents
+    broadcast under AQE."""
+    from symtseries_spark.operators.dq import referential_orphans
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    degraded = customer.where(F.col("c_custkey") % 10 != 3)
+    return referential_orphans(
+        [
+            ("orders->customer", orders, "o_custkey", customer, "c_custkey"),
+            ("lineitem->orders", lineitem, "l_orderkey", orders, "o_orderkey"),
+            ("customer->nation", customer, "c_nationkey", nation, "n_nationkey"),
+            ("supplier->nation", supplier, "s_nationkey", nation, "n_nationkey"),
+            ("nation->region", nation, "n_regionkey", region, "r_regionkey"),
+            (
+                "orders->customer_degraded",
+                orders,
+                "o_custkey",
+                degraded,
+                "c_custkey",
+            ),
+        ]
     )
 
 
@@ -7467,6 +7560,8 @@ def q_docs_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Round-12 additions (new queries go at the HEAD).
+        "docs_dq_audit": q_docs_dq_audit,
+        "tpch_dq_orphans": q_tpch_dq_orphans,
         "media_dhash_wide_pairs": q_media_dhash_wide_pairs,
         "docs_exact_substring_dedup": q_docs_exact_substring_dedup,
         "docs_line_dedup": q_docs_line_dedup,
@@ -9049,7 +9144,17 @@ FROM w
             window_tokens=EXSUB_TOKENS
         ),
         "docs_line_dedup": ot.line_dedup_sql(sep=LINE_SEP),
-        "docs_dup_source_matrix": ot.dup_source_matrix_sql(),
+        "docs_dup_source_matrix": ot.dup_source_matrix_sql(
+            table=f"""(
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + {DHASH_TWIN_OFF}, text, 'mirror' AS source
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + {2 * DHASH_TWIN_OFF}, text, source
+  FROM documents WHERE doc_id % 11 = 0
+) planted"""
+        ),
         "media_frame_clusters": f"""
 WITH RECURSIVE m0 AS (
   SELECT doc_id FROM documents WHERE len(text) > 0
@@ -9083,6 +9188,91 @@ SELECT c.media_id, c.canonical_id, s.cluster_size,
 FROM canon c JOIN sizes s USING (canonical_id)
 WHERE s.cluster_size > 1
 ORDER BY c.media_id
+""",
+        "docs_dq_audit": """
+WITH m AS (
+  SELECT
+    CAST(count(text) AS BIGINT) AS c_text,
+    CAST(count(lang) AS BIGINT) AS c_lang,
+    CAST(count(DISTINCT doc_id) AS BIGINT) AS d_id,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(min(n_chars) AS DOUBLE) AS min_chars,
+    CAST(max(n_chars) AS DOUBLE) AS max_chars,
+    CAST(sum(CASE WHEN lang IN ('de','en','es','fr','zh')
+             THEN 1 ELSE 0 END) AS BIGINT) AS c_in,
+    CAST(sum(CASE WHEN regexp_matches(text, '^\\S')
+             THEN 1 ELSE 0 END) AS BIGINT) AS c_re,
+    CAST(sum(CASE WHEN length(text) = n_chars
+             THEN 1 ELSE 0 END) AS BIGINT) AS c_pred
+  FROM documents
+)
+SELECT 'completeness' AS check_name, 'text' AS col_name,
+       c_text / n AS metric, c_text / n >= 1.0 AS passed FROM m
+UNION ALL
+SELECT 'completeness', 'lang', c_lang / n, c_lang / n >= 1.0 FROM m
+UNION ALL
+SELECT 'distinctness', 'doc_id', d_id / n, d_id / n >= 1.0 FROM m
+UNION ALL
+SELECT 'min', 'n_chars', min_chars, min_chars >= 1.0 FROM m
+UNION ALL
+SELECT 'max', 'n_chars', max_chars, max_chars <= 20000.0 FROM m
+UNION ALL
+SELECT 'in_set', 'lang', c_in / n, c_in / n >= 1.0 FROM m
+UNION ALL
+SELECT 'regex', 'text', c_re / n, c_re / n >= 0.99 FROM m
+UNION ALL
+SELECT 'chars_match', 'n_chars', c_pred / n, c_pred / n >= 1.0 FROM m
+""",
+        "tpch_dq_orphans": """
+SELECT 'orders->customer' AS edge,
+       CAST(count(*) AS BIGINT) AS n_child,
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_keys,
+       CAST(sum(CASE WHEN o_custkey IS NOT NULL AND o_custkey NOT IN
+             (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+FROM orders
+UNION ALL
+SELECT 'lineitem->orders',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN l_orderkey IS NOT NULL AND l_orderkey NOT IN
+             (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)
+             THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'customer->nation',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN c_nationkey IS NOT NULL AND c_nationkey NOT IN
+             (SELECT n_nationkey FROM nation WHERE n_nationkey IS NOT NULL)
+             THEN 1 ELSE 0 END) AS BIGINT)
+FROM customer
+UNION ALL
+SELECT 'supplier->nation',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN s_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN s_nationkey IS NOT NULL AND s_nationkey NOT IN
+             (SELECT n_nationkey FROM nation WHERE n_nationkey IS NOT NULL)
+             THEN 1 ELSE 0 END) AS BIGINT)
+FROM supplier
+UNION ALL
+SELECT 'nation->region',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN n_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN n_regionkey IS NOT NULL AND n_regionkey NOT IN
+             (SELECT r_regionkey FROM region WHERE r_regionkey IS NOT NULL)
+             THEN 1 ELSE 0 END) AS BIGINT)
+FROM nation
+UNION ALL
+SELECT 'orders->customer_degraded',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN o_custkey IS NOT NULL AND o_custkey NOT IN
+             (SELECT c_custkey FROM customer
+              WHERE c_custkey IS NOT NULL AND c_custkey % 10 != 3)
+             THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
 """,
         "docs_snapshot_diff": """
 WITH old AS (
