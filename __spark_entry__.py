@@ -6010,6 +6010,57 @@ def q_media_frame_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_snapshot_relink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware snapshot linkage: after a corpus refresh, docs
+    the id-keyed diff calls REMOVED often reappear as ADDED under a
+    NEW id (moved URL, re-crawled mirror). Link each removed doc to
+    its best near-duplicate successor via the banded MinHash join
+    (operators/dedup.py minhash_lsh_pairs over the removed ∪ added
+    pool, cross-side pairs only, best match per removed id) — LSH
+    bucket costs, never a removed × added brute-force product. Uses
+    snapshot_diff's id split (removed = doc_id % 5 == 0, added =
+    doc_id % 5 == 4) and PLANTS relistings (every doc_id % 10 == 0
+    doc re-ingested with a perturbed prefix at id + DHASH_TWIN_OFF)
+    so the linkage has live rows at every SF."""
+    from symtseries_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    removed = docs.where(F.col("doc_id") % 5 == 0)
+    added = docs.where(F.col("doc_id") % 5 == 4)
+    relisted = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + F.lit(DHASH_TWIN_OFF)).alias("doc_id"),
+        F.concat(F.lit("relisted "), F.col("text")).alias("text"),
+    )
+    pool = removed.unionByName(added).unionByName(relisted)
+    pairs = minhash_lsh_pairs(pool, **MINHASH)
+    ra = (F.col("doc_a") < DHASH_TWIN_OFF) & (F.col("doc_a") % 5 == 0)
+    rb = (F.col("doc_b") < DHASH_TWIN_OFF) & (F.col("doc_b") % 5 == 0)
+    cross = pairs.where(ra != rb).select(
+        F.when(ra, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+            "removed_id"
+        ),
+        F.when(ra, F.col("doc_b")).otherwise(F.col("doc_a")).alias("new_id"),
+        "est_jaccard",
+    )
+    best = (
+        cross.groupBy("removed_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("est_jaccard").alias("e"),
+                    (-F.col("new_id")).alias("ni"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "removed_id",
+            (-F.col("m.ni")).alias("new_id"),
+            F.col("m.e").alias("est_jaccard"),
+        )
+    )
+    return best
+
+
 def q_docs_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style declarative data-quality audit (operators/dq.py
     audit; Schelter et al. 2018 §3.1): the ingest gate a pipeline
@@ -7562,6 +7613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Round-12 additions (new queries go at the HEAD).
         "docs_dq_audit": q_docs_dq_audit,
         "tpch_dq_orphans": q_tpch_dq_orphans,
+        "docs_snapshot_relink": q_docs_snapshot_relink,
         "media_dhash_wide_pairs": q_media_dhash_wide_pairs,
         "docs_exact_substring_dedup": q_docs_exact_substring_dedup,
         "docs_line_dedup": q_docs_line_dedup,
@@ -9188,6 +9240,34 @@ SELECT c.media_id, c.canonical_id, s.cluster_size,
 FROM canon c JOIN sizes s USING (canonical_id)
 WHERE s.cluster_size > 1
 ORDER BY c.media_id
+""",
+        "docs_snapshot_relink": f"""
+WITH cross_links AS (
+  SELECT CASE WHEN p.doc_a < {DHASH_TWIN_OFF} AND p.doc_a % 5 = 0
+         THEN p.doc_a ELSE p.doc_b END AS removed_id,
+         CASE WHEN p.doc_a < {DHASH_TWIN_OFF} AND p.doc_a % 5 = 0
+         THEN p.doc_b ELSE p.doc_a END AS new_id,
+         p.est_jaccard
+  FROM ({ot.minhash_lsh_pairs_sql(
+      table=f'''(
+    SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4
+    UNION ALL
+    SELECT doc_id + {DHASH_TWIN_OFF}, 'relisted ' || text
+    FROM documents WHERE doc_id % 10 = 0
+  ) pool''',
+      **MINHASH,
+  )}) p
+  WHERE (p.doc_a < {DHASH_TWIN_OFF} AND p.doc_a % 5 = 0)
+     <> (p.doc_b < {DHASH_TWIN_OFF} AND p.doc_b % 5 = 0)
+)
+SELECT removed_id, new_id, est_jaccard FROM (
+  SELECT removed_id, new_id, est_jaccard,
+         row_number() OVER (PARTITION BY removed_id
+                            ORDER BY est_jaccard DESC, new_id) AS r
+  FROM cross_links)
+WHERE r = 1
 """,
         "docs_dq_audit": """
 WITH m AS (
