@@ -6010,6 +6010,78 @@ def q_media_frame_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup gate through a REAL stream — the streaming
+    matrix's first media row (streaming/media.py
+    streaming_dhash_dedup): payloads arrive in id order across 2
+    micro-batches (originals, then the planted near-twins); the dHash
+    is a scan-stage JVM projection on the stream, and per-(band,
+    chunk) bucket state holds ONE (claimant id, claimant dhash) pair
+    — an arrival is flagged iff any bucket's earlier claimant is
+    within DHASH_HAM, the exact bit_count refine running in the
+    handler. Verdict = min(dup_of) over bands."""
+    import glob as globmod
+    import os
+    import tempfile
+    import uuid
+
+    from symtseries_spark.streaming.media import streaming_dhash_dedup
+
+    docs = _dhash_twin_docs(spark, sf_dir)
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    bid = (
+        F.floor(F.col("doc_id") * 2 / (mx + 1)).cast("long").alias("__bid")
+    )
+    tmp = tempfile.mkdtemp(prefix="mdhash_stream_")
+    staged, indir = f"{tmp}/staged", f"{tmp}/in"
+    os.makedirs(indir)
+    docs.withColumn("__bid", bid).coalesce(1).write.partitionBy(
+        "__bid"
+    ).parquet(staged)
+    batch_dirs = sorted(
+        globmod.glob(f"{staged}/__bid=*"),
+        key=lambda p: int(p.rsplit("=", 1)[1]),
+    )
+    t0 = 1_000_000_000
+    for i, d in enumerate(batch_dirs):
+        part = globmod.glob(f"{d}/part-*.parquet")[0]
+        dst = f"{indir}/b{i:04d}.parquet"
+        os.rename(part, dst)
+        os.utime(dst, (t0 + i, t0 + i))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+    )
+    per_band = streaming_dhash_dedup(
+        media_from_documents(stream),
+        max_hamming=DHASH_HAM,
+        bands=DHASH_BANDS,
+    )
+    name = f"mdhash_stream_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark, n=8):
+        q = (
+            per_band.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="mdh_chk_"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("media_id")
+        .agg(F.min("dup_of").alias("dup_of"))
+        .select(
+            "media_id",
+            "dup_of",
+            F.col("dup_of").isNotNull().alias("is_duplicate"),
+        )
+    )
+
+
 def q_docs_snapshot_relink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup-aware snapshot linkage: after a corpus refresh, docs
     the id-keyed diff calls REMOVED often reappear as ADDED under a
@@ -7614,6 +7686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dq_audit": q_docs_dq_audit,
         "tpch_dq_orphans": q_tpch_dq_orphans,
         "docs_snapshot_relink": q_docs_snapshot_relink,
+        "media_dedup_stream": q_media_dedup_stream,
         "media_dhash_wide_pairs": q_media_dhash_wide_pairs,
         "docs_exact_substring_dedup": q_docs_exact_substring_dedup,
         "docs_line_dedup": q_docs_line_dedup,
@@ -9241,6 +9314,12 @@ FROM canon c JOIN sizes s USING (canonical_id)
 WHERE s.cluster_size > 1
 ORDER BY c.media_id
 """,
+        "media_dedup_stream": om.dhash_stream_dedup_sql(
+            max_hamming=DHASH_HAM,
+            bands=DHASH_BANDS,
+            twin_mod=DHASH_TWIN_MOD,
+            twin_off=DHASH_TWIN_OFF,
+        ),
         "docs_snapshot_relink": f"""
 WITH cross_links AS (
   SELECT CASE WHEN p.doc_a < {DHASH_TWIN_OFF} AND p.doc_a % 5 = 0

@@ -301,6 +301,73 @@ SELECT media_id, ({_dhash_expr(rows=rows, cols=cols)}) AS dhash FROM m
 """
 
 
+def dhash_stream_dedup_sql(
+    *,
+    max_hamming: int,
+    bands: int,
+    rows: int = 7,
+    cols: int = 9,
+    table: str = "documents",
+    twin_mod: int | None = None,
+    twin_off: int = 0,
+    twin_min_len: int = 63,
+) -> str:
+    """Oracle for streaming.media.streaming_dhash_dedup under
+    id-ordered replay: each (band, chunk) bucket's claimant is its
+    global-min media_id, and a payload's per-band ``dup_of`` is that
+    claimant iff it is earlier AND its full dhash is within
+    ``max_hamming``; the verdict is min over bands. Same planted
+    near-twins as dhash_pairs_sql."""
+    nbits = rows * (cols - 1)
+    per = nbits // bands
+    band_rows = ", ".join(f"({b})" for b in range(bands))
+    widths = {
+        b: (per if b < bands - 1 else nbits - (bands - 1) * per)
+        for b in range(bands)
+    }
+    chunk = " ".join(
+        f"WHEN u.band = {b} THEN (dhash >> {b * per}) % {1 << widths[b]}"
+        for b in range(bands)
+    )
+    plant = (
+        f"""
+  UNION ALL
+  SELECT doc_id + {twin_off} AS media_id,
+         '~' || substr(text, 2, len(text) - 1) AS text,
+         CAST(len(text) AS BIGINT) AS l
+  FROM {table}
+  WHERE doc_id % {twin_mod} = 0 AND len(text) >= {twin_min_len}"""
+        if twin_mod is not None
+        else ""
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id, text, CAST(len(text) AS BIGINT) AS l
+  FROM {table} WHERE len(text) > 0{plant}
+), h AS (
+  SELECT media_id, ({_dhash_expr(rows=rows, cols=cols)}) AS dhash FROM m
+), c AS (
+  SELECT media_id, dhash, u.band,
+         (CASE {chunk} END) AS chunk
+  FROM h, (VALUES {band_rows}) u(band)
+), cl AS (
+  SELECT band, chunk, min(media_id) AS claimant
+  FROM c GROUP BY band, chunk
+), per_band AS (
+  SELECT c.media_id,
+         CASE WHEN cl.claimant < c.media_id
+              AND bit_count(xor(c.dhash, hc.dhash)) <= {max_hamming}
+         THEN cl.claimant END AS dup_of
+  FROM c
+  JOIN cl ON c.band = cl.band AND c.chunk = cl.chunk
+  JOIN h hc ON hc.media_id = cl.claimant
+)
+SELECT media_id, min(dup_of) AS dup_of,
+       min(dup_of) IS NOT NULL AS is_duplicate
+FROM per_band GROUP BY media_id
+"""
+
+
 def dhash_pairs_sql(
     *,
     max_hamming: int,

@@ -858,3 +858,85 @@ class TestStreamingWeightedSample:
             .collect()
         }
         assert final == expect
+
+
+class TestStreamingDhashDedup:
+    def test_twin_flagged_across_batches(self, spark):
+        import time as _time
+
+        from symtseries_spark.operators.multimodal import (
+            media_dhash,
+            media_from_documents,
+        )
+        from symtseries_spark.streaming.media import streaming_dhash_dedup
+
+        base = "The quick brown fox jumps over the lazy dog near the bank " \
+               "of the quiet river while the tired hunter watches closely."
+        other = "Completely different content about spark physical plans " \
+                "and shuffle partitioning strategies at one hundred TBs!!"
+        # batch 0: originals; batch 1: a 1-byte perturbation of doc 0
+        # (near-twin, hamming <= 1) and an unrelated payload
+        b0 = [(0, base), (1, other)]
+        b1 = [(100, "~" + base[1:]), (101, other[::-1])]
+        in_dir = tempfile.mkdtemp(prefix="mdh_in_")
+        chk_dir = tempfile.mkdtemp(prefix="mdh_chk_")
+        try:
+            spark.createDataFrame(b0, "doc_id long, text string").coalesce(
+                1
+            ).write.parquet(f"{in_dir}/b0")
+            _time.sleep(1.1)
+            spark.createDataFrame(b1, "doc_id long, text string").coalesce(
+                1
+            ).write.parquet(f"{in_dir}/b1")
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{in_dir}/b*")
+            )
+            out = streaming_dhash_dedup(
+                media_from_documents(stream), max_hamming=6, bands=7
+            )
+            q = (
+                out.writeStream.format("memory")
+                .queryName("mdh_out")
+                .outputMode("append")
+                .option("checkpointLocation", chk_dir)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            verdict = {
+                r.media_id: r.dup_of
+                for r in spark.sql(
+                    "SELECT media_id, min(dup_of) AS dup_of "
+                    "FROM mdh_out GROUP BY media_id"
+                ).collect()
+            }
+            assert verdict[0] is None and verdict[1] is None
+            # cross-batch near-twin resolves to doc 0 via bucket state
+            assert verdict[100] == 0
+            # sanity: the twin really is within radius of the original
+            docs = spark.createDataFrame(
+                b0 + b1, "doc_id long, text string"
+            )
+            h = {
+                r.media_id: r.dhash
+                for r in media_dhash(media_from_documents(docs)).collect()
+            }
+            assert bin(h[0] ^ h[100]).count("1") <= 6
+            if bin(h[0] ^ h[101]).count("1") > 6:
+                assert verdict[101] is None
+        finally:
+            shutil.rmtree(in_dir, ignore_errors=True)
+            shutil.rmtree(chk_dir, ignore_errors=True)
+
+    def test_validation(self, spark):
+        from symtseries_spark.streaming.media import streaming_dhash_dedup
+
+        df = spark.createDataFrame(
+            [(0, bytearray(b"x"))], "media_id long, payload binary"
+        )
+        with pytest.raises(ValueError, match="pigeonhole"):
+            streaming_dhash_dedup(df, max_hamming=7, bands=7)
+        with pytest.raises(ValueError, match="max_hamming"):
+            streaming_dhash_dedup(df, max_hamming=-1, bands=4)
