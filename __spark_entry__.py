@@ -6010,6 +6010,59 @@ def q_media_frame_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_lsh_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-rest LSH index lifecycle for TEXT — completing the at-rest
+    matrix (dhash=perceptual, IVF=embeddings, iSAX=series): write the
+    MinHash band index as band=<b>/ directories with band_key-
+    clustered files (sources/__init__.py:write_lsh_index), then probe
+    ONE incoming document (a perturbed re-crawl of doc 0) against the
+    stored corpus — its 8 (band, band_key) pairs prune the scan to
+    matching directories/files before any row is read, and survivors
+    refine by signature agreement (sources read_lsh_probe). The
+    ingest-time near-dup gate a pipeline runs per new batch WITHOUT
+    rebuilding the corpus join. Probe signature derivation is a
+    bounded 1-row driver action (the probe document itself)."""
+    import tempfile
+
+    from symtseries_spark.operators.dedup import minhash_signatures
+    from symtseries_spark.sources import read_lsh_probe, write_lsh_index
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="lsh_at_rest_") + "/index"
+    write_lsh_index(
+        docs,
+        path,
+        k=MINHASH["k"],
+        num_hashes=MINHASH["num_hashes"],
+        bands=MINHASH["bands"],
+        seed=MINHASH["seed"],
+    )
+    probe_doc = docs.where(F.col("doc_id") == 0).select(
+        F.lit(0).alias("doc_id"),
+        F.concat(F.lit("relisted "), F.col("text")).alias("text"),
+    )
+    nh, bands = MINHASH["num_hashes"], MINHASH["bands"]
+    r = nh // bands
+    sig_row = minhash_signatures(
+        probe_doc,
+        k=MINHASH["k"],
+        num_hashes=nh,
+        seed=MINHASH["seed"],
+    ).first()
+    probe_sig = [int(sig_row[f"m{i}"]) for i in range(nh)]
+    probe_bands = [
+        "_".join(str(probe_sig[b * r + j]) for j in range(r))
+        for b in range(bands)
+    ]
+    return read_lsh_probe(
+        spark,
+        path,
+        probe_bands,
+        probe_sig,
+        threshold=MINHASH["threshold"],
+    )
+
+
 def q_media_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-dup gate through a REAL stream — the streaming
     matrix's first media row (streaming/media.py
@@ -7687,6 +7740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_dq_orphans": q_tpch_dq_orphans,
         "docs_snapshot_relink": q_docs_snapshot_relink,
         "media_dedup_stream": q_media_dedup_stream,
+        "docs_lsh_at_rest": q_docs_lsh_at_rest,
         "media_dhash_wide_pairs": q_media_dhash_wide_pairs,
         "docs_exact_substring_dedup": q_docs_exact_substring_dedup,
         "docs_line_dedup": q_docs_line_dedup,
@@ -9314,6 +9368,13 @@ FROM canon c JOIN sizes s USING (canonical_id)
 WHERE s.cluster_size > 1
 ORDER BY c.media_id
 """,
+        "docs_lsh_at_rest": ot.lsh_probe_sql(
+            k=MINHASH["k"],
+            num_hashes=MINHASH["num_hashes"],
+            bands=MINHASH["bands"],
+            threshold=MINHASH["threshold"],
+            seed=MINHASH["seed"],
+        ),
         "media_dedup_stream": om.dhash_stream_dedup_sql(
             max_hamming=DHASH_HAM,
             bands=DHASH_BANDS,

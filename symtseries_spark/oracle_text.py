@@ -375,6 +375,60 @@ WHERE round(({eq_sum}) * 1.0 / {num_hashes}, 4) >= {threshold}
 """
 
 
+def lsh_probe_sql(
+    *,
+    k: int,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    seed: int,
+    probe_doc_id: int = 0,
+    probe_prefix: str = "relisted ",
+    table: str = "documents",
+) -> str:
+    """Oracle for sources.write_lsh_index + read_lsh_probe: the probe
+    is ``probe_prefix || text`` of ``probe_doc_id``; candidates are
+    corpus docs sharing >= 1 band with the probe, refined by exact
+    signature-agreement Jaccard at ``threshold``."""
+    r = num_hashes // bands
+    pfx = probe_prefix.replace("'", "''")
+    probe_table = (
+        f"(SELECT doc_id, '{pfx}' || text AS text FROM {table} "
+        f"WHERE doc_id = {probe_doc_id}) pd"
+    )
+
+    def band_selects(src: str) -> str:
+        return " UNION ALL ".join(
+            "SELECT doc_id, {b} AS band_id, concat_ws('_', {cols}) AS band_key FROM {src}".format(
+                b=b,
+                cols=", ".join(f"m{b * r + j}" for j in range(r)),
+                src=src,
+            )
+            for b in range(bands)
+        )
+
+    eq_sum = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return f"""
+WITH sigs AS ({minhash_sig_cte(k=k, num_hashes=num_hashes, seed=seed, table=table)}),
+probe AS ({minhash_sig_cte(k=k, num_hashes=num_hashes, seed=seed, table=probe_table)}),
+db AS ({band_selects('sigs')}),
+pb AS ({band_selects('probe')}),
+cand AS (
+  SELECT DISTINCT db.doc_id
+  FROM db JOIN pb ON db.band_id = pb.band_id AND db.band_key = pb.band_key
+)
+SELECT c.doc_id,
+       round(({eq_sum}) * 1.0 / {num_hashes}, 4) AS est_jaccard
+FROM cand c
+JOIN sigs sa ON c.doc_id = sa.doc_id
+CROSS JOIN probe sb
+WHERE round(({eq_sum}) * 1.0 / {num_hashes}, 4) >= {threshold}
+"""
+
+
 def minhash_stream_dedup_sql(
     *,
     k: int,

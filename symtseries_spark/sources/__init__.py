@@ -415,6 +415,129 @@ def read_dhash_probe(
     )
 
 
+def write_lsh_index(
+    docs: "DataFrame",
+    path: str,
+    *,
+    k: int,
+    num_hashes: int,
+    bands: int,
+    seed: int = 7,
+    files_per_band: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> None:
+    """Sink: persist the MinHash-LSH band index as ``band=<b>/``
+    directories with files RANGE-CLUSTERED by band_key — the TEXT
+    modality's at-rest index, completing the matrix next to
+    :func:`write_dhash_index` (perceptual), :func:`write_ivf_partitioned`
+    (embeddings) and the iSAX tree (series). Each doc appears once per
+    band carrying its FULL signature (``array<long>``, ``num_hashes``
+    elements) for the similarity refine at probe time.
+
+    Banding is value-identical to ``operators.dedup.minhash_lsh_pairs``
+    (same coefficients, same ``_``-joined keys), so an incremental
+    batch probed against this index sees exactly the pairs the batch
+    self-join would emit. Same layout rationale as the dhash index:
+    band directories keep the listing overhead at ``bands`` entries,
+    and range-clustering files on band_key gives every file a tight
+    key min/max so a probe's equality predicate skips whole files from
+    footer stats (PartitionFilters on band + PushedFilters on
+    band_key)."""
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    r = num_hashes // bands
+    from ..cache import persist_tracked
+    from ..operators.dedup import minhash_signatures
+
+    # materialize the signatures before the range shuffle:
+    # repartitionByRange samples its child for bounds, which would
+    # re-run the shingle-explode aggregation twice
+    sigs = persist_tracked(
+        minhash_signatures(
+            docs, k=k, num_hashes=num_hashes, seed=seed,
+            id_col=id_col, text_col=text_col,
+        )
+    )
+    sig_arr = F.array(*[F.col(f"m{i}") for i in range(num_hashes)])
+    banded = sigs.select(
+        F.col("doc_id"),
+        sig_arr.alias("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("long").alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[F.col(f"m{b * r + j}") for j in range(r)],
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        "sig",
+        F.col("s.band").alias("band"),
+        F.col("s.band_key").alias("band_key"),
+    )
+    (
+        banded.repartitionByRange(bands * files_per_band, "band", "band_key")
+        .sortWithinPartitions("band", "band_key")
+        .write.mode(mode)
+        .partitionBy("band")
+        .parquet(path)
+    )
+
+
+def read_lsh_probe(
+    spark: SparkSession,
+    path: str,
+    probe_bands: list[str],
+    probe_sig: list[int],
+    *,
+    threshold: float,
+    exclude_id: int | None = None,
+) -> "DataFrame":
+    """Probe an at-rest LSH index with ONE document: ``probe_bands``
+    is its per-band key list (band b's key at index b), ``probe_sig``
+    its full signature. The disjunction of (band, band_key) equality
+    pairs prunes the partitioned scan to matching directories/files
+    before any row is read; survivors are refined by the estimated
+    Jaccard (fraction of equal signature components vs the broadcast
+    probe literal) -> ``(doc_id, est_jaccard)`` at ``>= threshold``.
+    Index entries are never scanned corpus-wide — probe cost follows
+    the probe's bucket populations (the LSH guarantee)."""
+    if not probe_bands or not probe_sig:
+        raise ValueError("read_lsh_probe needs probe bands and signature")
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    cond = None
+    for b, key in enumerate(probe_bands):
+        c = (F.col("band") == int(b)) & (F.col("band_key") == str(key))
+        cond = c if cond is None else (cond | c)
+    data = spark.read.parquet(path).where(cond)
+    if exclude_id is not None:
+        data = data.where(F.col("doc_id") != exclude_id)
+    plit = F.array(*[F.lit(int(v)) for v in probe_sig])
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("sig"), plit, lambda x, y: F.when(x == y, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    est = F.round(matches / F.lit(float(len(probe_sig))), 4)
+    return (
+        data.dropDuplicates(["doc_id"])
+        .select("doc_id", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
 def write_compacted(
     df: "DataFrame",
     path: str,

@@ -441,3 +441,80 @@ class TestPmiBigrams:
         r1 = [(r["w1"], r["w2"]) for r in pmi_bigrams(docs, topk=5).collect()]
         r2 = [(r["w1"], r["w2"]) for r in pmi_bigrams(docs, topk=5).collect()]
         assert r1 == r2
+
+
+class TestLshAtRest:
+    def test_probe_equals_brute_force_and_prunes(self, spark, tmp_path):
+        from symtseries_spark.operators.dedup import minhash_signatures
+        from symtseries_spark.sources import read_lsh_probe, write_lsh_index
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog by the river",
+            "the quick brown fox jumps over the lazy dog by the shore",
+            "completely unrelated content about catalyst physical plans",
+            "another unrelated passage on shuffle partitions and skew",
+        ]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        path = str(tmp_path / "lsh")
+        nh, bands, k, seed = 32, 8, 3, 7
+        write_lsh_index(
+            docs, path, k=k, num_hashes=nh, bands=bands, seed=seed
+        )
+        sigs = {
+            r["doc_id"]: [int(r[f"m{i}"]) for i in range(nh)]
+            for r in minhash_signatures(
+                docs, k=k, num_hashes=nh, seed=seed
+            ).collect()
+        }
+        r = nh // bands
+        probe_sig = sigs[0]
+        probe_bands = [
+            "_".join(str(probe_sig[b * r + j]) for j in range(r))
+            for b in range(bands)
+        ]
+        got = read_lsh_probe(
+            spark, path, probe_bands, probe_sig, threshold=0.35,
+            exclude_id=0,
+        )
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "band" in plan
+        assert "PushedFilters" in plan and "band_key" in plan
+
+        def est(a, b):
+            return round(sum(x == y for x, y in zip(a, b)) / nh, 4)
+
+        # brute-force truth restricted to band-sharing candidates
+        def shares_band(a, b):
+            return any(
+                a[i * r : (i + 1) * r] == b[i * r : (i + 1) * r]
+                for i in range(bands)
+            )
+
+        want = {
+            i: est(probe_sig, s)
+            for i, s in sigs.items()
+            if i != 0 and shares_band(probe_sig, s)
+            and est(probe_sig, s) >= 0.35
+        }
+        got_map = {
+            r["doc_id"]: r["est_jaccard"] for r in got.collect()
+        }
+        assert got_map == want and 1 in got_map
+
+    def test_validation(self, spark, tmp_path):
+        from symtseries_spark.sources import read_lsh_probe, write_lsh_index
+
+        docs = spark.createDataFrame(
+            [(0, "a b c d")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="divide"):
+            write_lsh_index(
+                docs, str(tmp_path / "x"), k=3, num_hashes=32, bands=7
+            )
+        with pytest.raises(ValueError, match="threshold"):
+            read_lsh_probe(spark, "/nonexistent", ["0"], [1], threshold=0.0)
+        with pytest.raises(ValueError, match="probe bands"):
+            read_lsh_probe(spark, "/nonexistent", [], [1], threshold=0.5)
