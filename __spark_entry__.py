@@ -6010,6 +6010,84 @@ def q_media_frame_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_dq_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """docs_dq_audit as a LIVE ingest monitor: the whole constraint
+    battery (minus distinctness — a streaming exact distinct is keyed
+    state, the dedup family's job; see dedup_exact_stream) runs as
+    ONE complete-mode global aggregation on the stream — state is the
+    single partial-aggregate row, bounded by the CHECK COUNT, not the
+    stream — and the stack unpivot + pass/fail projection ride on the
+    agg output, so a dashboard reads per-check conformance at any
+    micro-batch. Documents replay in two micro-batches to prove
+    cross-batch accumulation; the final metrics equal the batch
+    audit's exactly, so the oracle is the batch SQL minus the
+    distinctness row."""
+    import glob as globmod
+    import os
+    import tempfile
+    import uuid
+
+    from symtseries_spark.operators.dq import (
+        audit,
+        check_completeness,
+        check_in_set,
+        check_max,
+        check_min,
+        check_predicate,
+        check_regex,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    half = (F.col("doc_id") > mid).cast("int").alias("__bid")
+    tmp = tempfile.mkdtemp(prefix="dq_stream_")
+    staged, indir = f"{tmp}/staged", f"{tmp}/in"
+    os.makedirs(indir)
+    docs.withColumn("__bid", half).coalesce(1).write.partitionBy(
+        "__bid"
+    ).parquet(staged)
+    for i, d in enumerate(sorted(globmod.glob(f"{staged}/__bid=*"))):
+        part = globmod.glob(f"{d}/part-*.parquet")[0]
+        dst = f"{indir}/b{i:04d}.parquet"
+        os.rename(part, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+    )
+    out = audit(
+        stream,
+        [
+            check_completeness("text"),
+            check_completeness("lang"),
+            check_min("n_chars", 1.0),
+            check_max("n_chars", 20000.0),
+            check_in_set("lang", ["de", "en", "es", "fr", "zh"]),
+            check_regex("text", r"^\S", 0.99),
+            check_predicate(
+                "chars_match",
+                "n_chars",
+                F.length("text") == F.col("n_chars"),
+            ),
+        ],
+    )
+    name = f"dq_stream_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="dq_chk_"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    return spark.table(name)
+
+
 def q_docs_lsh_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """At-rest LSH index lifecycle for TEXT — completing the at-rest
     matrix (dhash=perceptual, IVF=embeddings, iSAX=series): write the
@@ -7741,6 +7819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_snapshot_relink": q_docs_snapshot_relink,
         "media_dedup_stream": q_media_dedup_stream,
         "docs_lsh_at_rest": q_docs_lsh_at_rest,
+        "docs_dq_stream": q_docs_dq_stream,
         "media_dhash_wide_pairs": q_media_dhash_wide_pairs,
         "docs_exact_substring_dedup": q_docs_exact_substring_dedup,
         "docs_line_dedup": q_docs_line_dedup,
@@ -9367,6 +9446,37 @@ SELECT c.media_id, c.canonical_id, s.cluster_size,
 FROM canon c JOIN sizes s USING (canonical_id)
 WHERE s.cluster_size > 1
 ORDER BY c.media_id
+""",
+        "docs_dq_stream": """
+WITH m AS (
+  SELECT
+    CAST(count(text) AS BIGINT) AS c_text,
+    CAST(count(lang) AS BIGINT) AS c_lang,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(min(n_chars) AS DOUBLE) AS min_chars,
+    CAST(max(n_chars) AS DOUBLE) AS max_chars,
+    CAST(sum(CASE WHEN lang IN ('de','en','es','fr','zh')
+             THEN 1 ELSE 0 END) AS BIGINT) AS c_in,
+    CAST(sum(CASE WHEN regexp_matches(text, '^\\S')
+             THEN 1 ELSE 0 END) AS BIGINT) AS c_re,
+    CAST(sum(CASE WHEN length(text) = n_chars
+             THEN 1 ELSE 0 END) AS BIGINT) AS c_pred
+  FROM documents
+)
+SELECT 'completeness' AS check_name, 'text' AS col_name,
+       c_text / n AS metric, c_text / n >= 1.0 AS passed FROM m
+UNION ALL
+SELECT 'completeness', 'lang', c_lang / n, c_lang / n >= 1.0 FROM m
+UNION ALL
+SELECT 'min', 'n_chars', min_chars, min_chars >= 1.0 FROM m
+UNION ALL
+SELECT 'max', 'n_chars', max_chars, max_chars <= 20000.0 FROM m
+UNION ALL
+SELECT 'in_set', 'lang', c_in / n, c_in / n >= 1.0 FROM m
+UNION ALL
+SELECT 'regex', 'text', c_re / n, c_re / n >= 0.99 FROM m
+UNION ALL
+SELECT 'chars_match', 'n_chars', c_pred / n, c_pred / n >= 1.0 FROM m
 """,
         "docs_lsh_at_rest": ot.lsh_probe_sql(
             k=MINHASH["k"],

@@ -125,3 +125,54 @@ def test_referential_orphans_multiple_edges(spark):
     assert by["e1"]["n_orphans"] == 1 and by["e2"]["n_orphans"] == 0
     with pytest.raises(ValueError, match="at least one edge"):
         referential_orphans([])
+
+
+def test_audit_streaming_complete_mode_accumulates(spark, tmp_path):
+    """The battery is ONE global agg, so it runs on a stream in
+    complete mode; after two micro-batches the metrics equal the
+    batch audit over the union."""
+    import time as _time
+
+    b0 = [(1, "alpha", 5), (2, None, 4)]
+    b1 = [(3, "beta", 4), (4, "x", 99)]
+    in_dir = str(tmp_path / "in")
+    import os
+
+    os.makedirs(in_dir)
+    spark.createDataFrame(
+        b0, "id long, name string, n long"
+    ).coalesce(1).write.parquet(f"{in_dir}/b0")
+    _time.sleep(1.1)
+    spark.createDataFrame(
+        b1, "id long, name string, n long"
+    ).coalesce(1).write.parquet(f"{in_dir}/b1")
+    stream = (
+        spark.readStream.schema("id long, name string, n long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{in_dir}/b*")
+    )
+    checks = [check_completeness("name"), check_max("n", 10.0)]
+    q = (
+        audit(stream, checks)
+        .writeStream.format("memory")
+        .queryName("dq_stream_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["check_name"], r["col_name"]): (r["metric"], r["passed"])
+        for r in spark.sql("SELECT * FROM dq_stream_test").collect()
+    }
+    batch = spark.createDataFrame(
+        b0 + b1, "id long, name string, n long"
+    )
+    want = {
+        (r["check_name"], r["col_name"]): (r["metric"], r["passed"])
+        for r in audit(batch, checks).collect()
+    }
+    assert got == want
+    assert got[("completeness", "name")] == (3 / 4, False)
+    assert got[("max", "n")] == (99.0, False)
