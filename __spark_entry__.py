@@ -6010,6 +6010,47 @@ def q_media_frame_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_zorder_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional clustering lifecycle (sources/__init__.py
+    write_zordered — the Delta/Iceberg OPTIMIZE ZORDER BY idea as a
+    plain parquet layout): events are written range-partitioned +
+    sorted on the Morton key over (user_id, day), so every file's
+    footer min/max band is tight on BOTH columns at once, then a 2-D
+    predicate (user range AND day range) reads the layout back — the
+    query shape single-column range clustering cannot prune (the
+    curve-vs-linear candidate-file counts are asserted in
+    tests/test_sources.py). Result = the filtered per-type profile,
+    oracle-twinned against the raw table."""
+    import tempfile
+
+    from symtseries_spark.sources import write_zordered
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("(ts div 1000) div 86400000000").alias("day"),
+        "event_type",
+        "event_id",
+    )
+    path = tempfile.mkdtemp(prefix="zorder_at_rest_") + "/events"
+    write_zordered(
+        ev,
+        path,
+        cluster_cols=["user_id", "day"],
+        target_rows_per_file=2048,
+        bits=16,
+    )
+    back = spark.read.parquet(path).where(
+        (F.col("user_id").between(2, 9))
+        & (F.col("day").between(19730, 19737))
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("day").alias("n_days"),
+        F.min("event_id").alias("min_event_id"),
+    )
+
+
 def q_docs_dq_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """docs_dq_audit as a LIVE ingest monitor: the whole constraint
     battery (minus distinctness — a streaming exact distinct is keyed
@@ -7820,6 +7861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup_stream": q_media_dedup_stream,
         "docs_lsh_at_rest": q_docs_lsh_at_rest,
         "docs_dq_stream": q_docs_dq_stream,
+        "events_zorder_at_rest": q_events_zorder_at_rest,
         "media_dhash_wide_pairs": q_media_dhash_wide_pairs,
         "docs_exact_substring_dedup": q_docs_exact_substring_dedup,
         "docs_line_dedup": q_docs_line_dedup,
@@ -9446,6 +9488,18 @@ SELECT c.media_id, c.canonical_id, s.cluster_size,
 FROM canon c JOIN sizes s USING (canonical_id)
 WHERE s.cluster_size > 1
 ORDER BY c.media_id
+""",
+        "events_zorder_at_rest": """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT)
+         AS n_days,
+       CAST(min(event_id) AS BIGINT) AS min_event_id
+FROM events
+WHERE user_id BETWEEN 2 AND 9
+  AND epoch_us(ts) // 86400000000 BETWEEN 19730 AND 19737
+GROUP BY event_type
 """,
         "docs_dq_stream": """
 WITH m AS (
