@@ -5727,6 +5727,29 @@ def q_docs_quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXSUB_TOKENS = 8
 
 
+def q_emb_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS IndexIVFPQ with RESIDUAL encoding — the full published
+    shape, upgrading emb_ivfpq_topk's documented no-residual
+    simplification (operators/pq.py ivfpq_residual_topk): codes
+    quantize v - centroid(list(v)), the ADC LUT becomes per-probed-
+    list (nprobe x m x ks entries, built per query from the per-list
+    query residual, broadcast). Residuals are a scan-stage zip_with
+    against the broadcast centroid table; per query the work is one
+    centroid pass + ~nprobe/num_lists of the code table."""
+    from symtseries_spark.operators.pq import ivfpq_residual_topk
+
+    return ivfpq_residual_topk(
+        load(spark, sf_dir, "embeddings"),
+        query_id=IVF["query_id"],
+        k=IVF["k"],
+        m=PQ["m"],
+        ks=PQ["ks"],
+        num_lists=IVF["num_lists"],
+        nprobe=2,
+        dim=EMB_DIM,
+    )
+
+
 def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FAISS IndexIVFPQ-shaped search (no-residual simplification):
     seed-only IVF coarse probe picks nprobe lists, corpus-trained PQ
@@ -7862,6 +7885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lsh_at_rest": q_docs_lsh_at_rest,
         "docs_dq_stream": q_docs_dq_stream,
         "events_zorder_at_rest": q_events_zorder_at_rest,
+        "emb_ivfpq_residual_topk": q_emb_ivfpq_residual_topk,
         "media_dhash_wide_pairs": q_media_dhash_wide_pairs,
         "docs_exact_substring_dedup": q_docs_exact_substring_dedup,
         "docs_line_dedup": q_docs_line_dedup,
@@ -9489,6 +9513,15 @@ FROM canon c JOIN sizes s USING (canonical_id)
 WHERE s.cluster_size > 1
 ORDER BY c.media_id
 """,
+        "emb_ivfpq_residual_topk": ov.ivfpq_residual_topk_sql(
+            query_id=IVF["query_id"],
+            k=IVF["k"],
+            m=PQ["m"],
+            ks=PQ["ks"],
+            num_lists=IVF["num_lists"],
+            nprobe=2,
+            dim=EMB_DIM,
+        ),
         "events_zorder_at_rest": """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,

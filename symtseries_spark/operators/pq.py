@@ -320,6 +320,123 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_residual_topk(
+    vectors: DataFrame,
+    *,
+    query_id: int,
+    k: int,
+    m: int,
+    ks: int,
+    num_lists: int,
+    nprobe: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF + PQ with RESIDUAL encoding — the full FAISS ``IndexIVFPQ``
+    shape (not :func:`ivfpq_topk`'s no-residual simplification): codes
+    quantize ``v - centroid(list(v))``, which concentrates the PQ
+    codebook's budget on the within-list displacement instead of the
+    absolute position, so the same m x ks code budget buys lower ADC
+    distortion. The price is a probe-DEPENDENT LUT: the query residual
+    differs per probed list, so the ADC table is ``nprobe x m x ks``
+    entries built per query (still tiny — broadcast) instead of the
+    probe-independent ``m x ks``.
+
+    Scale shape: residuals are a scan-stage ``zip_with`` subtraction
+    against the broadcast centroid table; codebook/codes are trained
+    and written once at rest exactly like the raw variant (residuals
+    are a deterministic function of the stored assignment); per query
+    the work is one broadcast centroid pass + ~``nprobe/num_lists``
+    of the code table joined to the broadcast per-list LUT — never
+    the corpus. Deterministic throughout (seed quantizer, seed
+    codebook over the ks lowest-id residuals, (d2, code) tie order,
+    rounded ADC), so the DuckDB oracle replays it exactly."""
+    from .simsearch import ivf_index
+
+    if nprobe < 1:
+        raise ValueError("ivfpq_residual_topk needs nprobe >= 1")
+    assigned, centroids = ivf_index(
+        vectors, num_lists=num_lists, dim=dim, id_col=id_col,
+        vec_col=vec_col, refine=False,
+    )
+    vd = F.col(vec_col).cast("array<double>")
+    res = (
+        vectors.select(F.col(id_col), vd.alias("__v"))
+        .join(assigned.select(id_col, "list_id"), id_col)
+        .join(F.broadcast(centroids), "list_id")
+        .select(
+            F.col(id_col),
+            "list_id",
+            F.zip_with(
+                F.col("__v"), F.col("centroid"), lambda a, b: a - b
+            ).alias("__rv"),
+        )
+    )
+    codebook = pq_codebook(
+        res, m=m, ks=ks, dim=dim, id_col=id_col, vec_col="__rv"
+    )
+    codes = pq_encode(res, codebook, m=m, dim=dim, id_col=id_col, vec_col="__rv")
+    q = vectors.where(F.col(id_col) == query_id).select(
+        vd.alias("__qv")
+    )
+    probe = (
+        centroids.crossJoin(F.broadcast(q))
+        .select(
+            "list_id",
+            "centroid",
+            "__qv",
+            _sq_l2(F.col("centroid"), F.col("__qv")).alias("__d2"),
+        )
+        .orderBy("__d2", "list_id")
+        .limit(nprobe)
+    )
+    # per-list query residual -> per-list LUT (nprobe * m * ks rows)
+    qres = probe.select(
+        "list_id",
+        F.posexplode(
+            _subvectors(
+                F.zip_with(
+                    F.col("__qv"), F.col("centroid"), lambda a, b: a - b
+                ),
+                m=m,
+                dim=dim,
+            )
+        ).alias("sub_id", "__qs"),
+    )
+    lut = qres.join(F.broadcast(codebook), "sub_id").select(
+        "list_id",
+        "sub_id",
+        "code",
+        _sq_l2(F.col("centroid"), F.col("__qs")).alias("__pd"),
+    )
+    expl = (
+        codes.join(
+            assigned.select(id_col, "list_id").join(
+                F.broadcast(probe.select("list_id")), "list_id"
+            ),
+            id_col,
+        )
+        .select(
+            F.col(id_col),
+            "list_id",
+            F.posexplode("codes").alias("sub_id", "code"),
+        )
+    )
+    adc = (
+        expl.join(F.broadcast(lut), ["list_id", "sub_id", "code"])
+        .groupBy(id_col)
+        .agg(F.round(F.sum("__pd"), round_to).alias("adc"))
+    )
+    return (
+        adc.where(F.col(id_col) != query_id)
+        .select(F.col(id_col).alias("vec_id"), "adc")
+        .orderBy("adc", "vec_id")
+        .limit(k)
+    )
+
+
 def pq_recall(
     vectors: DataFrame,
     *,

@@ -414,6 +414,109 @@ SELECT vec_id, adc FROM adc ORDER BY adc, vec_id LIMIT {k}
 """
 
 
+def ivfpq_residual_topk_sql(
+    *,
+    query_id: int,
+    k: int,
+    m: int,
+    ks: int,
+    num_lists: int,
+    nprobe: int,
+    dim: int,
+    table: str = "embeddings",
+) -> str:
+    """Twin of operators.pq.ivfpq_residual_topk: ivfpq_topk_sql's CTE
+    chain with codes trained on ``v - centroid(list(v))`` residuals
+    and a per-probed-list LUT built from the per-list query
+    residual."""
+    sub_d = dim // m
+    assign_d2 = _sq_l2_expr("v.ve", "ls.centroid", dim)
+    probe_d2 = _sq_l2_expr("ls.centroid", "q.qv", dim)
+
+    def residual(a: str, b: str) -> str:
+        return (
+            f"list_transform(range(1, {dim + 1}), "
+            f"i -> CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        )
+
+    rslice = f"list_slice(rv, s.sub_id * {sub_d} + 1, (s.sub_id + 1) * {sub_d})"
+    qslice = (
+        f"list_slice(qr, s.sub_id * {sub_d} + 1, (s.sub_id + 1) * {sub_d})"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM {table}
+), ls AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id,
+         ve AS centroid
+  FROM (SELECT vec_id, ve FROM v ORDER BY vec_id LIMIT {num_lists})
+), q AS (
+  SELECT ve AS qv FROM v WHERE vec_id = {query_id}
+), assigned AS (
+  SELECT vec_id, list_id FROM (
+    SELECT v.vec_id, ls.list_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {assign_d2}, ls.list_id) AS r
+    FROM v, ls)
+  WHERE r = 1
+), res AS (
+  SELECT v.vec_id, a.list_id,
+         {residual('v.ve', 'ls.centroid')} AS rv
+  FROM v
+  JOIN assigned a ON v.vec_id = a.vec_id
+  JOIN ls ON a.list_id = ls.list_id
+), probe AS (
+  SELECT list_id, centroid FROM (
+    SELECT ls.list_id, ls.centroid,
+           row_number() OVER (ORDER BY {probe_d2}, ls.list_id) AS r
+    FROM ls, q)
+  WHERE r <= {nprobe}
+), cseeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, rv
+  FROM (SELECT vec_id, rv FROM res ORDER BY vec_id LIMIT {ks})
+), subs AS (SELECT unnest(range({m})) AS sub_id),
+cb AS (
+  SELECT code, s.sub_id,
+         list_slice(rv, s.sub_id * {sub_d} + 1, (s.sub_id + 1) * {sub_d})
+           AS centroid
+  FROM cseeds, subs s
+), sv AS (
+  SELECT vec_id, s.sub_id, {rslice} AS sub
+  FROM res, subs s
+), assign AS (
+  SELECT vec_id, sub_id, code FROM (
+    SELECT sv.vec_id, sv.sub_id, cb.code,
+           row_number() OVER (
+             PARTITION BY sv.vec_id, sv.sub_id
+             ORDER BY {_sub_sq_l2('sv.sub', 'cb.centroid', sub_d)}, cb.code
+           ) AS rn
+    FROM sv JOIN cb ON sv.sub_id = cb.sub_id
+  ) WHERE rn = 1
+), qres AS (
+  SELECT p.list_id, {residual('q.qv', 'p.centroid')} AS qr
+  FROM probe p, q
+), qsubs AS (
+  SELECT list_id, s.sub_id, {qslice} AS qsub
+  FROM qres, subs s
+), lut AS (
+  SELECT qs.list_id, cb.sub_id, cb.code,
+         {_sub_sq_l2('cb.centroid', 'qs.qsub', sub_d)} AS pd
+  FROM cb JOIN qsubs qs ON cb.sub_id = qs.sub_id
+), adc AS (
+  SELECT a2.vec_id, round(sum(l.pd), 4) AS adc
+  FROM assign a2
+  JOIN assigned aa ON a2.vec_id = aa.vec_id
+  JOIN probe p ON aa.list_id = p.list_id
+  JOIN lut l ON l.list_id = aa.list_id
+             AND a2.sub_id = l.sub_id AND a2.code = l.code
+  WHERE a2.vec_id <> {query_id}
+  GROUP BY a2.vec_id
+)
+SELECT vec_id, adc FROM adc ORDER BY adc, vec_id LIMIT {k}
+"""
+
+
 def _sq_l2_expr(a: str, b: str, dim: int) -> str:
     """Mirror of simsearch._sq_l2: left-to-right fold of (a[i]-b[i])²."""
     return (

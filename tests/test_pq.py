@@ -167,3 +167,100 @@ class TestIVFPQ:
                 df, query_id=0, k=1, m=4, ks=4, num_lists=2, nprobe=0,
                 dim=64,
             )
+
+
+class TestIVFPQResidual:
+    def _toy(self, spark, n=24, dim=8):
+        import random
+
+        rng = random.Random(11)
+        rows = [
+            (i, [round(rng.uniform(-1, 1), 3) for _ in range(dim)])
+            for i in range(n)
+        ]
+        return rows, spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_exact_when_ks_covers_corpus(self, spark):
+        """With ks >= N every residual is its own codeword, so the
+        encoding is lossless and ADC(v) = ||(q-c) - (v-c)||^2 =
+        ||q - v||^2 exactly: full-probe residual IVFPQ == brute-force
+        top-k by squared L2."""
+        from symtseries_spark.operators.pq import ivfpq_residual_topk
+
+        rows, df = self._toy(spark)
+        got = ivfpq_residual_topk(
+            df, query_id=0, k=5, m=2, ks=24, num_lists=4, nprobe=4,
+            dim=8, round_to=6,
+        ).collect()
+        qv = dict(rows)[0]
+
+        def d2(v):
+            return sum((a - b) ** 2 for a, b in zip(qv, v))
+
+        want = sorted(
+            (round(d2(v), 6), i) for i, v in rows if i != 0
+        )[:5]
+        assert [(r.adc, r.vec_id) for r in got] == want
+
+    def test_residual_codes_differ_from_raw(self, spark):
+        """Residual encoding is a genuinely different quantizer: with
+        a lossy budget (ks < N) at least one vector's codes differ
+        from the raw-vector encoding."""
+        from symtseries_spark.operators.pq import pq_codebook, pq_encode
+        from symtseries_spark.operators.simsearch import ivf_index
+
+        rows, df = self._toy(spark)
+        assigned, centroids = ivf_index(
+            df, num_lists=4, dim=8, refine=False
+        )
+        res = (
+            df.select("vec_id", F.col("embedding").alias("__v"))
+            .join(assigned.select("vec_id", "list_id"), "vec_id")
+            .join(F.broadcast(centroids), "list_id")
+            .select(
+                "vec_id",
+                F.zip_with(
+                    "__v", "centroid", lambda a, b: a - b
+                ).alias("__rv"),
+            )
+        )
+        raw_cb = pq_codebook(df, m=2, ks=4, dim=8)
+        raw = {
+            r.vec_id: list(r.codes)
+            for r in pq_encode(df, raw_cb, m=2, dim=8).collect()
+        }
+        res_cb = pq_codebook(res, m=2, ks=4, dim=8, vec_col="__rv")
+        rescodes = {
+            r.vec_id: list(r.codes)
+            for r in pq_encode(
+                res, res_cb, m=2, dim=8, vec_col="__rv"
+            ).collect()
+        }
+        assert raw != rescodes
+
+    def test_partial_probe_subset_and_validation(self, spark):
+        from symtseries_spark.operators.pq import ivfpq_residual_topk
+
+        _, df = self._toy(spark)
+        full = {
+            r.vec_id
+            for r in ivfpq_residual_topk(
+                df, query_id=0, k=24, m=2, ks=8, num_lists=4, nprobe=4,
+                dim=8,
+            ).collect()
+        }
+        part = {
+            r.vec_id
+            for r in ivfpq_residual_topk(
+                df, query_id=0, k=24, m=2, ks=8, num_lists=4, nprobe=1,
+                dim=8,
+            ).collect()
+        }
+        assert part <= full and part
+        with pytest.raises(ValueError, match="nprobe"):
+            ivfpq_residual_topk(
+                df, query_id=0, k=1, m=2, ks=4, num_lists=2, nprobe=0,
+                dim=8,
+            )
