@@ -6033,6 +6033,104 @@ def q_media_frame_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 capstone — the incremental-ingest funnel a pipeline
+    runs on every new batch, composing this round's pieces in
+    precedence order: (1) row-level DQ gate (chars_match ∧ lang
+    in-set ∧ leading non-space — the docs_dq_audit rules applied
+    per row), (2) exact dedup against the standing corpus (md5
+    anti-join), (3) near-dup against the corpus (banded MinHash
+    cross-side join, never incoming x corpus brute force), (4) admit.
+    The batch PLANTS all three failure modes: corrupted n_chars
+    (doc_id % 13), verbatim resubmissions (% 11), perturbed relistings
+    (% 10). Output: per-source (n_incoming, n_dq_fail, n_exact_dup,
+    n_near_dup, n_admitted). Incoming-vs-incoming near-dups are
+    deliberately NOT flagged (the gate protects the corpus; intra-
+    batch dedup is the batch family's job)."""
+    from symtseries_spark.operators.dedup import minhash_lsh_pairs
+
+    OFF = DHASH_TWIN_OFF
+    base = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    old = base.where(F.col("doc_id") % 5 != 4)
+    new_docs = base.where(F.col("doc_id") % 5 == 4).select(
+        (F.col("doc_id") + F.lit(3 * OFF)).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        F.when(F.col("doc_id") % 13 == 0, F.col("n_chars") + 1)
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+    )
+    resub = base.where(
+        (F.col("doc_id") % 11 == 0) & (F.col("doc_id") % 5 != 4)
+    ).select(
+        (F.col("doc_id") + F.lit(2 * OFF)).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    relist = base.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + F.lit(OFF)).alias("doc_id"),
+        F.concat(F.lit("relisted "), F.col("text")).alias("text"),
+        "lang",
+        "source",
+        F.length(F.concat(F.lit("relisted "), F.col("text"))).alias(
+            "n_chars"
+        ),
+    )
+    incoming = new_docs.unionByName(resub).unionByName(relist)
+    dq_ok = (
+        (F.length("text") == F.col("n_chars"))
+        & F.col("lang").isin("de", "en", "es", "fr", "zh")
+        & F.col("text").rlike(r"^\S")
+    )
+    old_hashes = old.select(F.md5("text").alias("__h")).distinct()
+    flagged = incoming.withColumn("__dq", dq_ok).join(
+        old_hashes.withColumn("__exact", F.lit(True)),
+        F.md5(incoming["text"]) == old_hashes["__h"],
+        "left",
+    )
+    pool = old.select("doc_id", "text").unionByName(
+        incoming.select("doc_id", "text")
+    )
+    pairs = minhash_lsh_pairs(pool, **MINHASH)
+    cross = pairs.where(
+        (F.col("doc_a") >= OFF) != (F.col("doc_b") >= OFF)
+    ).select(
+        F.when(F.col("doc_a") >= OFF, F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("doc_id")
+    ).distinct().withColumn("__near", F.lit(True))
+    return (
+        flagged.join(cross, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_incoming"),
+            F.sum((~F.col("__dq")).cast("long")).alias("n_dq_fail"),
+            F.sum(
+                (F.col("__dq") & F.col("__exact").isNotNull()).cast("long")
+            ).alias("n_exact_dup"),
+            F.sum(
+                (
+                    F.col("__dq")
+                    & F.col("__exact").isNull()
+                    & F.col("__near").isNotNull()
+                ).cast("long")
+            ).alias("n_near_dup"),
+            F.sum(
+                (
+                    F.col("__dq")
+                    & F.col("__exact").isNull()
+                    & F.col("__near").isNull()
+                ).cast("long")
+            ).alias("n_admitted"),
+        )
+    )
+
+
 def q_events_zorder_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-dimensional clustering lifecycle (sources/__init__.py
     write_zordered — the Delta/Iceberg OPTIMIZE ZORDER BY idea as a
@@ -7886,6 +7984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dq_stream": q_docs_dq_stream,
         "events_zorder_at_rest": q_events_zorder_at_rest,
         "emb_ivfpq_residual_topk": q_emb_ivfpq_residual_topk,
+        "docs_ingest_funnel": q_docs_ingest_funnel,
         "media_dhash_wide_pairs": q_media_dhash_wide_pairs,
         "docs_exact_substring_dedup": q_docs_exact_substring_dedup,
         "docs_line_dedup": q_docs_line_dedup,
@@ -9512,6 +9611,62 @@ SELECT c.media_id, c.canonical_id, s.cluster_size,
 FROM canon c JOIN sizes s USING (canonical_id)
 WHERE s.cluster_size > 1
 ORDER BY c.media_id
+""",
+        "docs_ingest_funnel": f"""
+WITH inc AS (
+  SELECT doc_id + {3 * DHASH_TWIN_OFF} AS doc_id, text, lang, source,
+         CASE WHEN doc_id % 13 = 0 THEN n_chars + 1 ELSE n_chars END
+           AS n_chars
+  FROM documents WHERE doc_id % 5 = 4
+  UNION ALL
+  SELECT doc_id + {2 * DHASH_TWIN_OFF}, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 11 = 0 AND doc_id % 5 != 4
+  UNION ALL
+  SELECT doc_id + {DHASH_TWIN_OFF}, 'relisted ' || text, lang, source,
+         length('relisted ' || text)
+  FROM documents WHERE doc_id % 10 = 0
+), oldh AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 != 4
+), near AS (
+  SELECT DISTINCT CASE WHEN p.doc_a >= {DHASH_TWIN_OFF}
+         THEN p.doc_a ELSE p.doc_b END AS doc_id
+  FROM ({ot.minhash_lsh_pairs_sql(
+      table=f'''(
+    SELECT doc_id, text FROM documents WHERE doc_id % 5 != 4
+    UNION ALL
+    SELECT doc_id + {3 * DHASH_TWIN_OFF}, text
+    FROM documents WHERE doc_id % 5 = 4
+    UNION ALL
+    SELECT doc_id + {2 * DHASH_TWIN_OFF}, text
+    FROM documents WHERE doc_id % 11 = 0 AND doc_id % 5 != 4
+    UNION ALL
+    SELECT doc_id + {DHASH_TWIN_OFF}, 'relisted ' || text
+    FROM documents WHERE doc_id % 10 = 0
+  ) pool''',
+      **MINHASH,
+  )}) p
+  WHERE (p.doc_a >= {DHASH_TWIN_OFF}) <> (p.doc_b >= {DHASH_TWIN_OFF})
+), flags AS (
+  SELECT i.source,
+         (length(i.text) = i.n_chars
+          AND i.lang IN ('de','en','es','fr','zh')
+          AND regexp_matches(i.text, '^\\S')) AS dq,
+         (md5(i.text) IN (SELECT h FROM oldh)) AS ex,
+         (i.doc_id IN (SELECT doc_id FROM near)) AS nr
+  FROM inc i
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_incoming,
+       CAST(sum(CASE WHEN NOT dq THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dq_fail,
+       CAST(sum(CASE WHEN dq AND ex THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact_dup,
+       CAST(sum(CASE WHEN dq AND NOT ex AND nr THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_near_dup,
+       CAST(sum(CASE WHEN dq AND NOT ex AND NOT nr THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_admitted
+FROM flags
+GROUP BY source
 """,
         "emb_ivfpq_residual_topk": ov.ivfpq_residual_topk_sql(
             query_id=IVF["query_id"],
