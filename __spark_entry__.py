@@ -6033,6 +6033,26 @@ def q_media_frame_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVF search (operators/simsearch.py ivf_topk_batch) —
+    the production shape: every 50th vector is a query and the WHOLE
+    batch rides one plan (one corpus scan, per-query partitioned
+    windows, broadcast |queries| x nprobe probe table) instead of a
+    per-query driver loop. The batch scales with SF (10 queries at
+    sf0.001, 1000 at sf0.1) while corpus passes stay constant."""
+    from symtseries_spark.operators.simsearch import ivf_topk_batch
+
+    vec = load(spark, sf_dir, "embeddings")
+    return ivf_topk_batch(
+        vec,
+        vec.where(F.col("vec_id") % 50 == 3),
+        k=5,
+        num_lists=IVF["num_lists"],
+        nprobe=2,
+        dim=EMB_DIM,
+    )
+
+
 def q_docs_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-12 capstone — the incremental-ingest funnel a pipeline
     runs on every new batch, composing this round's pieces in
@@ -7985,6 +8005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zorder_at_rest": q_events_zorder_at_rest,
         "emb_ivfpq_residual_topk": q_emb_ivfpq_residual_topk,
         "docs_ingest_funnel": q_docs_ingest_funnel,
+        "emb_ivf_batch": q_emb_ivf_batch,
         "media_dhash_wide_pairs": q_media_dhash_wide_pairs,
         "docs_exact_substring_dedup": q_docs_exact_substring_dedup,
         "docs_line_dedup": q_docs_line_dedup,
@@ -9612,6 +9633,14 @@ FROM canon c JOIN sizes s USING (canonical_id)
 WHERE s.cluster_size > 1
 ORDER BY c.media_id
 """,
+        "emb_ivf_batch": ov.ivf_batch_topk_sql(
+            query_mod=50,
+            query_rem=3,
+            k=5,
+            num_lists=IVF["num_lists"],
+            nprobe=2,
+            dim=EMB_DIM,
+        ),
         "docs_ingest_funnel": f"""
 WITH inc AS (
   SELECT doc_id + {3 * DHASH_TWIN_OFF} AS doc_id, text, lang, source,

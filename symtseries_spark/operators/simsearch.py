@@ -522,6 +522,77 @@ def ivf_index(
     return assigned, refined
 
 
+def ivf_topk_batch(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int,
+    num_lists: int,
+    nprobe: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Batched IVF search — the production shape: a whole QUERY BATCH
+    rides one plan instead of one plan per query. ``queries`` is any
+    (id, vector) frame (an incoming ingest batch, a training shard);
+    output is ``(query_id, vec_id, d2)``, top-``k`` per query by
+    squared L2.
+
+    Scale shape: probe selection is queries x broadcast centroids
+    with a per-query ``row_number`` window (partitioned by query —
+    never a global sort); the candidate join broadcasts the
+    ``|queries| x nprobe`` probe table (each row carrying its query
+    vector) against the assignment table, so the corpus is scanned
+    ONCE for the whole batch and the scan fraction stays
+    ~``nprobe/num_lists`` per query. Adding queries adds broadcast
+    rows and rerank arithmetic — no new corpus passes, no per-query
+    driver loop. Seed-only quantizer (``refine=False``) for
+    cross-engine parity, same as the recall-audit rows."""
+    if k < 1 or nprobe < 1:
+        raise ValueError("ivf_topk_batch needs k >= 1 and nprobe >= 1")
+    assigned, centroids = ivf_index(
+        vectors, num_lists=num_lists, dim=dim, id_col=id_col,
+        vec_col=vec_col, refine=False,
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    scored = q.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "__qv",
+        "list_id",
+        _sq_l2(F.col("centroid"), F.col("__qv")).alias("__d2"),
+    )
+    wp = Window.partitionBy("query_id").orderBy("__d2", "list_id")
+    probe = (
+        scored.withColumn("__r", F.row_number().over(wp))
+        .where(F.col("__r") <= nprobe)
+        .select("query_id", "__qv", "list_id")
+    )
+    cand = (
+        assigned.join(F.broadcast(probe), "list_id")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("vec_id"),
+            _sq_l2(
+                F.col(vec_col).cast("array<double>"), F.col("__qv")
+            ).alias("__d2"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy("__d2", "vec_id")
+    return (
+        cand.withColumn("__r", F.row_number().over(wk))
+        .where(F.col("__r") <= k)
+        .select(
+            "query_id", "vec_id", F.round("__d2", round_to).alias("d2")
+        )
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     *,

@@ -414,6 +414,64 @@ SELECT vec_id, adc FROM adc ORDER BY adc, vec_id LIMIT {k}
 """
 
 
+def ivf_batch_topk_sql(
+    *,
+    query_mod: int,
+    query_rem: int,
+    k: int,
+    num_lists: int,
+    nprobe: int,
+    dim: int,
+    table: str = "embeddings",
+) -> str:
+    """Twin of operators.simsearch.ivf_topk_batch: query set =
+    ``vec_id % query_mod == query_rem``, per-query nprobe lists by
+    centroid distance, exact squared-L2 rerank, top-k per query."""
+    assign_d2 = _sq_l2_expr("v.ve", "ls.centroid", dim)
+    probe_d2 = _sq_l2_expr("ls.centroid", "q.qv", dim)
+    cand_d2 = _sq_l2_expr("v.ve", "p.qv", dim)
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM {table}
+), ls AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id,
+         ve AS centroid
+  FROM (SELECT vec_id, ve FROM v ORDER BY vec_id LIMIT {num_lists})
+), q AS (
+  SELECT vec_id AS query_id, ve AS qv FROM v
+  WHERE vec_id % {query_mod} = {query_rem}
+), assigned AS (
+  SELECT vec_id, list_id FROM (
+    SELECT v.vec_id, ls.list_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {assign_d2}, ls.list_id) AS r
+    FROM v, ls)
+  WHERE r = 1
+), probe AS (
+  SELECT query_id, qv, list_id FROM (
+    SELECT q.query_id, q.qv, ls.list_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {probe_d2}, ls.list_id) AS r
+    FROM q, ls)
+  WHERE r <= {nprobe}
+), cand AS (
+  SELECT p.query_id, v.vec_id, {cand_d2} AS d2
+  FROM assigned a
+  JOIN probe p ON a.list_id = p.list_id
+  JOIN v ON v.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, round(d2, 4) AS d2 FROM (
+  SELECT query_id, vec_id, d2,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY d2, vec_id) AS r
+  FROM cand)
+WHERE r <= {k}
+"""
+
+
 def ivfpq_residual_topk_sql(
     *,
     query_id: int,

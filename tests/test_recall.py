@@ -362,3 +362,45 @@ class TestJlLinearity:
             for r in jl_project(df, out_dim=6, dim=16).collect()
         }
         assert [a + b for a, b in zip(got[0], got[1])] == got[2]
+
+
+class TestIVFBatch:
+    def test_full_probe_equals_brute_force_per_query(self, spark):
+        import random
+
+        from symtseries_spark.operators.simsearch import ivf_topk_batch
+
+        rng = random.Random(5)
+        rows = [
+            (i, [round(rng.uniform(-1, 1), 3) for _ in range(8)])
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        queries = df.where("vec_id % 10 = 1")  # 1, 11, 21
+        got = ivf_topk_batch(
+            df, queries, k=4, num_lists=5, nprobe=5, dim=8, round_to=6
+        ).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r.query_id, []).append((r.d2, r.vec_id))
+        vecs = dict(rows)
+        for qid in (1, 11, 21):
+            want = sorted(
+                (
+                    round(
+                        sum(
+                            (a - b) ** 2
+                            for a, b in zip(vecs[qid], v)
+                        ),
+                        6,
+                    ),
+                    i,
+                )
+                for i, v in rows
+                if i != qid
+            )[:4]
+            assert by_q[qid] == want
+        with pytest.raises(ValueError, match="k >= 1"):
+            ivf_topk_batch(df, queries, k=0, num_lists=5, nprobe=1, dim=8)
