@@ -6033,6 +6033,45 @@ def q_media_frame_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DQ battery on the EVENT stream's table (operators/dq.py
+    audit): timestamp window bounds (epoch-day within the corpus's
+    crawl month), enum conformance on event_type, non-negative value
+    rate, user completeness, props-shape conformance, and event_id
+    key distinctness — one combinable aggregation pass, same engine
+    as docs_dq_audit on a second schema."""
+    from symtseries_spark.operators.dq import (
+        audit,
+        check_completeness,
+        check_distinctness,
+        check_in_set,
+        check_max,
+        check_min,
+        check_predicate,
+        check_regex,
+    )
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.expr("(ts div 1000) div 86400000000")
+    )
+    return audit(
+        ev,
+        [
+            check_completeness("user_id"),
+            check_distinctness("event_id"),
+            check_min("day", 19700.0),
+            check_max("day", 19760.0),
+            check_in_set(
+                "event_type", ["click", "error", "purchase", "signup", "view"]
+            ),
+            check_predicate(
+                "non_negative", "value", F.col("value") >= 0, 1.0
+            ),
+            check_regex("props", r"^\{", 1.0),
+        ],
+    )
+
+
 def q_emb_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched IVF search (operators/simsearch.py ivf_topk_batch) —
     the production shape: every 50th vector is a query and the WHOLE
@@ -8006,6 +8045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivfpq_residual_topk": q_emb_ivfpq_residual_topk,
         "docs_ingest_funnel": q_docs_ingest_funnel,
         "emb_ivf_batch": q_emb_ivf_batch,
+        "events_dq_audit": q_events_dq_audit,
         "media_dhash_wide_pairs": q_media_dhash_wide_pairs,
         "docs_exact_substring_dedup": q_docs_exact_substring_dedup,
         "docs_line_dedup": q_docs_line_dedup,
@@ -9632,6 +9672,38 @@ SELECT c.media_id, c.canonical_id, s.cluster_size,
 FROM canon c JOIN sizes s USING (canonical_id)
 WHERE s.cluster_size > 1
 ORDER BY c.media_id
+""",
+        "events_dq_audit": """
+WITH m AS (
+  SELECT
+    CAST(count(user_id) AS BIGINT) AS c_uid,
+    CAST(count(DISTINCT event_id) AS BIGINT) AS d_eid,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(min(epoch_us(ts) // 86400000000) AS DOUBLE) AS min_day,
+    CAST(max(epoch_us(ts) // 86400000000) AS DOUBLE) AS max_day,
+    CAST(sum(CASE WHEN event_type IN
+             ('click','error','purchase','signup','view')
+             THEN 1 ELSE 0 END) AS BIGINT) AS c_in,
+    CAST(sum(CASE WHEN value >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS c_nn,
+    CAST(sum(CASE WHEN regexp_matches(props, '^\\{')
+             THEN 1 ELSE 0 END) AS BIGINT) AS c_re
+  FROM events
+)
+SELECT 'completeness' AS check_name, 'user_id' AS col_name,
+       c_uid / n AS metric, c_uid / n >= 1.0 AS passed FROM m
+UNION ALL
+SELECT 'distinctness', 'event_id', d_eid / n, d_eid / n >= 1.0 FROM m
+UNION ALL
+SELECT 'min', 'day', min_day, min_day >= 19700.0 FROM m
+UNION ALL
+SELECT 'max', 'day', max_day, max_day <= 19760.0 FROM m
+UNION ALL
+SELECT 'in_set', 'event_type', c_in / n, c_in / n >= 1.0 FROM m
+UNION ALL
+SELECT 'non_negative', 'value', c_nn / n, c_nn / n >= 1.0 FROM m
+UNION ALL
+SELECT 'regex', 'props', c_re / n, c_re / n >= 1.0 FROM m
 """,
         "emb_ivf_batch": ov.ivf_batch_topk_sql(
             query_mod=50,
