@@ -5972,6 +5972,60 @@ def q_docs_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_source_matrix(docs.unionByName(mirror).unionByName(reingest))
 
 
+def _suffix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + mirrored twins (doc_id % 5 == 0, the dhash-twin
+    convention): the synthetic corpus has no duplicate texts, so the
+    mirrors plant both the dense-rank tie classes (identical whole
+    tails) and the duplicated spans the suffix family exists to find."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    mirror = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + F.lit(DHASH_TWIN_OFF)).alias("doc_id"), "text"
+    )
+    return docs.unionByName(mirror)
+
+
+_SUFFIX_CORPUS_SQL = f"""(
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {DHASH_TWIN_OFF} AS doc_id, text
+  FROM documents WHERE doc_id % 5 = 0
+) planted"""
+
+
+def q_docs_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized suffix array over the tokenized corpus
+    (operators/suffix.py suffix_ranks): dense word-lexicographic rank
+    of every (doc_id, pos) suffix, built by distributed prefix
+    doubling — ⌈log₂ max-doc-length⌉ rounds, each one co-keyed
+    self-join + two-pass distributed rank (operators/rank.py), never a
+    corpus-scale sort. The structure under Lee et al. 2022-style
+    arbitrary-length duplicate-span detection; the planted mirrors
+    exercise the tie classes (identical whole tails share a rank)."""
+    from symtseries_spark.operators.suffix import (
+        suffix_ranks,
+        token_positions,
+    )
+
+    ranks, _ = suffix_ranks(
+        token_positions(_suffix_corpus(spark, sf_dir)), keep_rounds=False
+    )
+    return ranks.select("doc_id", "pos", "sa_rank")
+
+
+def q_docs_longest_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest duplicated token span corpus-wide (operators/suffix.py
+    longest_dup_span): SA-adjacent pairs (dense ranks make adjacency an
+    equi-join on rank+1), exact LCP via the descending-power walk over
+    the doubling rank tables, winners reconstructed and counted. The
+    oracle is an independent all-(pos, length)-window enumeration, so
+    the SA+LCP machinery is checked against a different algorithm."""
+    from symtseries_spark.operators.suffix import longest_dup_span
+
+    return longest_dup_span(_suffix_corpus(spark, sf_dir)).orderBy(
+        "span_text"
+    )
+
+
 def q_media_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyframe-level near-dup across media (operators/multimodal.py
     frame_dedup_pairs): per-frame packed dHash, candidates bucketed by
@@ -8035,6 +8089,8 @@ def q_docs_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Round-12 additions (new queries go at the HEAD).
+        "docs_suffix_array": q_docs_suffix_array,
+        "docs_longest_dup_span": q_docs_longest_dup_span,
         "docs_dq_audit": q_docs_dq_audit,
         "tpch_dq_orphans": q_tpch_dq_orphans,
         "docs_snapshot_relink": q_docs_snapshot_relink,
@@ -9862,6 +9918,12 @@ SELECT removed_id, new_id, est_jaccard FROM (
   FROM cross_links)
 WHERE r = 1
 """,
+        "docs_suffix_array": ot.suffix_array_sql(
+            table=_SUFFIX_CORPUS_SQL
+        ),
+        "docs_longest_dup_span": ot.longest_dup_span_sql(
+            table=_SUFFIX_CORPUS_SQL
+        ),
         "docs_dq_audit": """
 WITH m AS (
   SELECT

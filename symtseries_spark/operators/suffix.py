@@ -1,0 +1,401 @@
+"""Distributed generalized suffix array + LCP over tokenized documents.
+
+The window-hash family (``dedup.exact_substring_stats``) answers "is
+this fixed-L window duplicated?"; the suffix array answers the question
+it approximates: "what is the LONGEST duplicated token span, at any
+length?" — the structure Lee et al. 2022 (*Deduplicating Training Data
+Makes Language Models Better*, §4) actually build. Reference parity:
+the C reference has no corpus-scale text machinery (its scope is SAX
+words, src/symtseries.c); this module is part of the mandated
+large-scale training-data extension surface.
+
+Spark-first construction — **prefix doubling** (Manber & Myers 1993;
+distributed formulation as in Flick & Aluru 2015), not a single-node
+suffix sort:
+
+1. Positions ``(doc_id, pos, tok)`` via one ``posexplode`` — suffixes
+   never cross documents, so the position key is ``(doc_id, pos)`` and
+   NO global offset pass is needed.
+2. ``rank_1`` = lexicographic dense rank of the vocabulary (a
+   vocab-bounded window: |vocab| ≪ corpus by Heaps' law, the same
+   allowance the BPE family carries).
+3. Each doubling round h → 2h: pair ``(rank_h[p], rank_h[p+h])`` via a
+   self-equi-join on ``(doc_id, pos+h)`` (missing = past-end = -1,
+   which sorts first — the ``$ <`` everything convention, matching
+   string-prefix order), then a dense re-rank of the DISTINCT pairs
+   through :func:`operators.rank.ranked_with_total` — the repo's
+   two-pass distributed rank, never a single-task global window. The
+   rank pass's free ``total`` doubles as the convergence test
+   (``total == n_positions`` ⇒ all suffixes separated ⇒ stop).
+4. Rounds terminate at ``h >= max doc length`` even without
+   separation: surviving ties are exactly the identical whole-tails
+   (e.g. mirrored documents), and the final rank is a true DENSE rank
+   over suffix equivalence classes — bit-comparable to DuckDB
+   ``dense_rank() OVER (ORDER BY suffix_string)``.
+
+Because tokens are non-empty ``[a-z0-9]+`` runs and the join separator
+(space, 0x20) sorts below every token character, word-lexicographic
+order of token arrays equals byte-lexicographic order of the
+space-joined strings — which is what makes the DuckDB string-sort
+oracle exact.
+
+LCP of SA-adjacent suffixes runs the classic descending-power walk over
+the retained per-round rank tables: ``lcp += h`` iff both walked
+positions exist and their ``rank_h`` agree. Adjacency itself needs no
+global sort: final ranks are dense consecutive integers, so cross-class
+neighbours come from an equi-join on ``rank + 1`` and within-class
+(tie) neighbours from a window partitioned by ``rank`` (bounded by the
+duplicate multiplicity).
+
+Scale shape (100 TB): rounds = ⌈log₂ max-DOC-length⌉ — independent of
+corpus size (suffixes are per-document). Each round is one
+co-keyed self-join on ``(doc_id, pos)``, one ``distinct`` (≤ n rows),
+one two-pass rank over the distinct pairs, and one join-back keyed by
+the pair (skewed only by extreme duplication; AQE skew-join applies).
+Driver actions are all bounded: the max-doc-length scalar, the
+n_positions count, the per-round rank totals, and the 1-row max-LCP
+literal. Per-round ``localCheckpoint`` truncates the iterative lineage
+(the connected-components convention, operators/graph.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from symtseries_spark.functions.text import tokens
+from symtseries_spark.operators.rank import ranked_with_total
+
+__all__ = [
+    "token_positions",
+    "suffix_ranks",
+    "adjacent_sa_pairs",
+    "pair_lcp",
+    "longest_dup_span",
+]
+
+
+def token_positions(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int | None = None,
+) -> DataFrame:
+    """``(doc_id, pos, tok)`` with 1-based consecutive ``pos`` per doc.
+
+    ``max_tokens`` optionally truncates every document to its first N
+    tokens (the knob that bounds doubling rounds — and oracle cost —
+    independently of document length).
+    """
+    toks = tokens(F.col(text_col))
+    if max_tokens is not None:
+        if max_tokens < 1:
+            raise ValueError("max_tokens must be >= 1")
+        toks = F.slice(toks, 1, max_tokens)
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).cast("int").alias("pos"), "tok")
+
+
+def _vocab_ranks(positions: DataFrame) -> DataFrame:
+    """Dense lexicographic rank of the distinct tokens.
+
+    Vocab-bounded single-task window (row_number over DISTINCT tokens
+    == dense rank of tokens): |vocab| grows ~O(corpus^0.5) (Heaps), and
+    the result broadcasts back — the BPE-family allowance, not a
+    corpus-scale sort.
+    """
+    return (
+        positions.select("tok")
+        .distinct()
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy("tok")).cast("long"),
+        )
+    )
+
+
+def suffix_ranks(
+    positions: DataFrame,
+    *,
+    buckets: int | None = None,
+    keep_rounds: bool = False,
+) -> tuple[DataFrame, dict[int, DataFrame]]:
+    """Dense rank of every suffix ``(doc_id, pos)`` in word-lex order.
+
+    Returns ``(ranks, rounds)`` where ``ranks`` is
+    ``(doc_id, pos, sa_rank)`` — ``sa_rank`` dense over suffix
+    equivalence classes, 1-based, identical whole-tail suffixes sharing
+    a rank — and ``rounds`` maps prefix length h → the ``rank_h`` table
+    (only populated when ``keep_rounds``; required by :func:`pair_lcp`).
+    """
+    pos_tbl = positions.select("doc_id", "pos", "tok").localCheckpoint(
+        eager=True
+    )
+    stats = pos_tbl.groupBy("doc_id").count().agg(
+        F.count("*").alias("docs"),
+        F.coalesce(F.max("count"), F.lit(0)).alias("max_len"),
+        F.sum("count").alias("n"),
+    ).first()
+    max_len = int(stats["max_len"] or 0)
+    n_positions = int(stats["n"] or 0)
+    if n_positions == 0:
+        empty = pos_tbl.select(
+            "doc_id", "pos", F.lit(0).cast("long").alias("sa_rank")
+        )
+        return empty, ({1: empty} if keep_rounds else {})
+
+    vocab = _vocab_ranks(pos_tbl)
+    cur = pos_tbl.join(F.broadcast(vocab), "tok").select(
+        "doc_id", "pos", "rank"
+    ).localCheckpoint(eager=True)
+
+    rounds: dict[int, DataFrame] = {1: cur} if keep_rounds else {}
+    h = 1
+    while h < max_len:
+        shifted = cur.select(
+            "doc_id",
+            (F.col("pos") - F.lit(h)).alias("pos"),
+            F.col("rank").alias("r2"),
+        )
+        paired = (
+            cur.join(shifted, ["doc_id", "pos"], "left")
+            .select(
+                "doc_id",
+                "pos",
+                F.col("rank").alias("r1"),
+                F.coalesce(F.col("r2"), F.lit(-1).cast("long")).alias("r2"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        distinct_pairs = paired.select("r1", "r2").distinct()
+        # Two-pass distributed rank: row_number over DISTINCT (r1, r2)
+        # == dense rank of the pair. r1 < 2^53 is double-exact; r2 is
+        # the numeric tiebreak (heavy ties split by the rank core).
+        ranked, total = ranked_with_total(
+            distinct_pairs,
+            "r1",
+            tiebreak="r2",
+            out="nr",
+            descending=False,
+            buckets=buckets,
+        )
+        cur = (
+            paired.join(ranked, ["r1", "r2"])
+            .select("doc_id", "pos", F.col("nr").cast("long").alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+        h *= 2
+        if keep_rounds:
+            rounds[h] = cur
+        if total == n_positions:
+            break  # every suffix separated: ranks are final
+
+    return cur.select(
+        "doc_id", "pos", F.col("rank").alias("sa_rank")
+    ), rounds
+
+
+def adjacent_sa_pairs(ranks: DataFrame) -> DataFrame:
+    """SA-order neighbour pairs ``(a_doc, a_pos, b_doc, b_pos)``.
+
+    Dense ranks make adjacency join-shaped: consecutive classes meet on
+    ``rank + 1`` (last member of r, by (doc_id, pos), to first member
+    of r+1), and tie-class members chain through a window partitioned
+    by ``rank`` — per-partition size = duplicate multiplicity, never a
+    global sort. Exactly n-1 pairs come back; max adjacent LCP over
+    them equals max LCP over ALL suffix pairs (the SA adjacency
+    property, alphabet-order invariant).
+    """
+    member = F.struct(F.col("doc_id"), F.col("pos"))
+    w = Window.partitionBy("sa_rank").orderBy("doc_id", "pos")
+    within = (
+        ranks.withColumn("nxt", F.lead(member).over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(
+            F.col("doc_id").alias("a_doc"),
+            F.col("pos").alias("a_pos"),
+            F.col("nxt.doc_id").alias("b_doc"),
+            F.col("nxt.pos").alias("b_pos"),
+        )
+    )
+    ends = ranks.groupBy("sa_rank").agg(
+        F.min(member).alias("first"), F.max(member).alias("last")
+    )
+    across = (
+        ends.alias("lo")
+        .join(
+            ends.alias("hi"),
+            F.col("lo.sa_rank") + 1 == F.col("hi.sa_rank"),
+        )
+        .select(
+            F.col("lo.last.doc_id").alias("a_doc"),
+            F.col("lo.last.pos").alias("a_pos"),
+            F.col("hi.first.doc_id").alias("b_doc"),
+            F.col("hi.first.pos").alias("b_pos"),
+        )
+    )
+    return within.unionByName(across)
+
+
+def pair_lcp(pairs: DataFrame, rounds: dict[int, DataFrame]) -> DataFrame:
+    """Exact LCP (in tokens) for each position pair, appended as ``lcp``.
+
+    Descending-power walk over the per-round rank tables: at power h,
+    ``lcp += h`` iff positions ``a+lcp`` and ``b+lcp`` both exist and
+    their h-prefix ranks agree. log₂(max doc length) rounds, each two
+    equi-joins keyed by ``(doc_id, pos)`` — position keys are unique,
+    so the joins are skew-free at any scale.
+
+    Generalized-SA twist the classic walk (which assumes all suffixes
+    distinct) lacks: when both tails are EXHAUSTED and equal —
+    identical whole-tails across documents — ``rank_h`` agreement at
+    h > tail length is $-padding agreement, and the raw walk adds h.
+    In that case the true LCP is the full (equal) tail, so the final
+    value is clamped to the min remaining tail length: a no-op on
+    every non-degenerate pair, exact on the degenerate ones.
+    """
+    out = pairs.withColumn("lcp", F.lit(0).cast("int"))
+    for h in sorted(rounds, reverse=True):
+        rk = rounds[h].select(
+            F.col("doc_id").alias("__d"),
+            F.col("pos").alias("__p"),
+            F.col("rank").alias("__r"),
+        )
+        ra = rk.select(
+            F.col("__d").alias("__da"),
+            F.col("__p").alias("__pa"),
+            F.col("__r").alias("__ra"),
+        )
+        rb = rk.select(
+            F.col("__d").alias("__db"),
+            F.col("__p").alias("__pb"),
+            F.col("__r").alias("__rb"),
+        )
+        out = (
+            out.join(
+                ra,
+                (F.col("a_doc") == F.col("__da"))
+                & (F.col("a_pos") + F.col("lcp") == F.col("__pa")),
+                "left",
+            )
+            .join(
+                rb,
+                (F.col("b_doc") == F.col("__db"))
+                & (F.col("b_pos") + F.col("lcp") == F.col("__pb")),
+                "left",
+            )
+            .withColumn(
+                "lcp",
+                F.col("lcp")
+                + F.when(
+                    F.col("__ra").isNotNull()
+                    & (F.col("__ra") == F.col("__rb")),
+                    F.lit(h),
+                ).otherwise(F.lit(0)),
+            )
+            .drop("__da", "__pa", "__ra", "__db", "__pb", "__rb")
+            .localCheckpoint(eager=True)
+        )
+    lens = (
+        rounds[min(rounds)]
+        .groupBy("doc_id")
+        .agg(F.max("pos").alias("__len"))
+    )
+    out = (
+        out.join(
+            lens.select(
+                F.col("doc_id").alias("a_doc"), F.col("__len").alias("__la")
+            ),
+            "a_doc",
+        )
+        .join(
+            lens.select(
+                F.col("doc_id").alias("b_doc"), F.col("__len").alias("__lb")
+            ),
+            "b_doc",
+        )
+        .withColumn(
+            "lcp",
+            F.least(
+                F.col("lcp"),
+                F.col("__la") - F.col("a_pos") + 1,
+                F.col("__lb") - F.col("b_pos") + 1,
+            ).cast("int"),
+        )
+        .drop("__la", "__lb")
+    )
+    return out
+
+
+def longest_dup_span(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int | None = None,
+    buckets: int | None = None,
+) -> DataFrame:
+    """Longest token span occurring ≥2 times corpus-wide →
+    ``(span_text, len_words, occurrences)`` (one row per distinct
+    max-length span; empty when the corpus has no repeated token).
+
+    ``occurrences`` counts positions whose window equals the span: all
+    suffixes sharing the span as a prefix form one contiguous SA run,
+    so it equals (adjacent pairs at max LCP for that span) + 1.
+    """
+    positions = token_positions(
+        docs, id_col=id_col, text_col=text_col, max_tokens=max_tokens
+    )
+    ranks, rounds = suffix_ranks(
+        positions, buckets=buckets, keep_rounds=True
+    )
+    pairs = adjacent_sa_pairs(ranks)
+    lcps = pair_lcp(pairs, rounds).localCheckpoint(eager=True)
+    row = lcps.agg(F.max("lcp").alias("m")).first()
+    max_lcp = int(row["m"]) if row and row["m"] is not None else 0
+    if max_lcp == 0:
+        return lcps.select(
+            F.lit("").alias("span_text"),
+            F.lit(0).cast("int").alias("len_words"),
+            F.lit(0).cast("long").alias("occurrences"),
+        ).limit(0)
+    winners = lcps.where(F.col("lcp") == max_lcp).select(
+        "a_doc", "a_pos"
+    )
+    # Span text: explode the max_lcp-long position range (a literal
+    # int) and equi-join the token table — no range join.
+    span_pos = winners.select(
+        "a_doc",
+        "a_pos",
+        F.posexplode(
+            F.sequence(
+                F.col("a_pos"), F.col("a_pos") + F.lit(max_lcp - 1)
+            )
+        ).alias("i", "pos"),
+    )
+    with_toks = span_pos.join(
+        positions.withColumnRenamed("doc_id", "a_doc"),
+        ["a_doc", "pos"],
+    )
+    spans = with_toks.groupBy("a_doc", "a_pos").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("i"), F.col("tok")))
+                ),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("span_text")
+    )
+    return (
+        spans.groupBy("span_text")
+        .agg((F.count("*") + 1).cast("long").alias("occurrences"))
+        .select(
+            "span_text",
+            F.lit(max_lcp).cast("int").alias("len_words"),
+            "occurrences",
+        )
+    )

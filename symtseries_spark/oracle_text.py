@@ -1769,3 +1769,68 @@ FROM {table} d
 LEFT JOIN alla ON d.doc_id = alla.doc_id
 LEFT JOIN keptagg ON d.doc_id = keptagg.doc_id
 """
+
+
+def suffix_array_sql(
+    *, table: str = "documents", max_tokens: int | None = None
+) -> str:
+    """Oracle for operators.suffix.suffix_ranks: materialize every
+    suffix as its space-joined token string and dense_rank the strings.
+    Word-lex == byte-lex because the separator (0x20) sorts below every
+    token character ([a-z0-9]) — the same argument the Spark side's
+    vocab ordering rests on. Identical whole-tail suffixes (planted
+    mirrors) tie under dense_rank exactly as the prefix-doubling ranks
+    tie at the doubling cap."""
+    toks = tokens_expr()
+    if max_tokens is not None:
+        toks = f"list_slice({toks}, 1, {max_tokens})"
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM {table}
+), p AS (
+  SELECT doc_id, CAST(unnest(range(1, len(toks) + 1)) AS INT) AS pos,
+         toks
+  FROM t
+), s AS (
+  SELECT doc_id, pos, array_to_string(toks[pos:], ' ') AS suf FROM p
+)
+SELECT doc_id, pos,
+       CAST(dense_rank() OVER (ORDER BY suf) AS BIGINT) AS sa_rank
+FROM s
+"""
+
+
+def longest_dup_span_sql(
+    *, table: str = "documents", max_tokens: int | None = None
+) -> str:
+    """Oracle for operators.suffix.longest_dup_span — deliberately NOT
+    a suffix array: enumerate EVERY (pos, length) token window, group
+    by text, keep the longest ones seen at least twice. An independent
+    O(sum len^2) formulation only an oracle can afford, so the SA+LCP
+    machinery is checked against a different algorithm entirely."""
+    toks = tokens_expr()
+    if max_tokens is not None:
+        toks = f"list_slice({toks}, 1, {max_tokens})"
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM {table}
+), p1 AS (
+  SELECT doc_id, toks,
+         CAST(unnest(range(1, len(toks) + 1)) AS INT) AS pos
+  FROM t
+), w AS (
+  SELECT array_to_string(
+           toks[pos : pos + CAST(L AS INT) - 1], ' ') AS span_text,
+         CAST(L AS INT) AS len_words
+  FROM (
+    SELECT doc_id, toks, pos,
+           unnest(range(1, len(toks) - pos + 2)) AS L
+    FROM p1)
+), g AS (
+  SELECT span_text, len_words, CAST(count(*) AS BIGINT) AS occurrences
+  FROM w GROUP BY 1, 2 HAVING count(*) >= 2
+), m AS (
+  SELECT max(len_words) AS ml FROM g
+)
+SELECT span_text, len_words, occurrences FROM g, m WHERE len_words = m.ml
+"""
