@@ -74,6 +74,11 @@ __all__ = [
     "longest_dup_span",
 ]
 
+#: doubling rounds executed by the most recent :func:`suffix_ranks`
+#: call (the graph.py LAST_ROUNDS convention) — probe scripts assert
+#: corpus-size independence on it.
+LAST_ROUNDS = 0
+
 
 def token_positions(
     docs: DataFrame,
@@ -151,9 +156,12 @@ def suffix_ranks(
         "doc_id", "pos", "rank"
     ).localCheckpoint(eager=True)
 
+    global LAST_ROUNDS
+    LAST_ROUNDS = 0
     rounds: dict[int, DataFrame] = {1: cur} if keep_rounds else {}
     h = 1
     while h < max_len:
+        LAST_ROUNDS += 1
         shifted = cur.select(
             "doc_id",
             (F.col("pos") - F.lit(h)).alias("pos"),
