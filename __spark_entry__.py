@@ -6026,6 +6026,21 @@ def q_docs_longest_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_kmeanspar_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means|| scalable init (operators/cluster.py
+    kmeans_parallel_init; Bahmani et al. 2012): rounds of independent
+    per-row D²-proportional oversampling replace k-means++'s k
+    sequential passes — rounds+1 broadcast corpus scans, no corpus
+    shuffle. Deterministic md5-rational u, integer-micro-unit phi
+    (exact cross-engine sums), single-multiply-per-side selection
+    test; output = candidate centers weighted by nearest-corpus
+    counts, ready for the local k-means++ recluster."""
+    from symtseries_spark.operators.cluster import kmeans_parallel_init
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return kmeans_parallel_init(emb, k=8, dim=64, rounds=3)
+
+
 def q_media_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyframe-level near-dup across media (operators/multimodal.py
     frame_dedup_pairs): per-frame packed dHash, candidates bucketed by
@@ -8089,6 +8104,7 @@ def q_docs_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Round-12 additions (new queries go at the HEAD).
+        "emb_kmeanspar_init": q_emb_kmeanspar_init,
         "docs_suffix_array": q_docs_suffix_array,
         "docs_longest_dup_span": q_docs_longest_dup_span,
         "docs_dq_audit": q_docs_dq_audit,
@@ -9918,6 +9934,9 @@ SELECT removed_id, new_id, est_jaccard FROM (
   FROM cross_links)
 WHERE r = 1
 """,
+        "emb_kmeanspar_init": ov.kmeans_parallel_init_sql(
+            k=8, dim=64, rounds=3
+        ),
         "docs_suffix_array": ot.suffix_array_sql(
             table=_SUFFIX_CORPUS_SQL
         ),

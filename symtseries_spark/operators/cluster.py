@@ -739,3 +739,129 @@ def kcenter_assign(
         .otherwise(F.lit(0.0))
         .alias("max_d2"),
     )
+
+
+def kmeans_parallel_init(
+    vectors: DataFrame,
+    *,
+    k: int,
+    dim: int,
+    ell: int | None = None,
+    rounds: int = 3,
+    salt: str = "kmpar",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-means|| oversampling initialization (Bahmani et al. 2012,
+    "Scalable k-means++", VLDB) -> ``(vec_id, weight)``: the candidate
+    center set a k-means++ recluster would seed from, each weighted by
+    the number of corpus vectors it is nearest to.
+
+    k-means++'s sequential weakness — k dependent passes, each picking
+    ONE center by D² sampling — is replaced by ``rounds`` passes that
+    each sample ~``ell`` centers INDEPENDENTLY per row: x is selected
+    iff ``u(x) < ell * d2(x) / phi`` with ``d2`` the squared distance
+    to the current center set and ``phi = sum d2``. The paper shows
+    O(log n) rounds suffice; practice (and the registered query) uses
+    a small constant with ``ell ~ 2k``.
+
+    Determinism / oracle parity (the module's standing contract):
+
+    * the first center is the lowest-id vector (no RNG);
+    * ``u(x, round)`` is the exact md5 rational
+      ``(hash60(id ':salt:' round) % 2^20 + 1) / (2^20 + 1)`` — the
+      Efraimidis-Spirakis sampling convention (pipeline.py);
+    * ``d2`` is quantized to INTEGER MICRO-UNITS
+      (``floor(min_d2 * 1e6 + 0.5)`` as BIGINT), so ``phi`` is an
+      exact integer sum — immune to float summation order across
+      engines (the Page-Hinkley micro-unit convention);
+    * the selection test is ``u * phi < ell * d2`` evaluated as ONE
+      IEEE multiply per side on bit-identical operands — no division,
+      no accumulated rounding. Already-selected centers have d2 = 0
+      and are never re-selected.
+
+    Scale shape: ``rounds + 1`` corpus scans, each a broadcast join
+    against the center relation (≤ 1 + ell·rounds rows — kilobytes)
+    plus a map-side-combinable 1-row sum; the corpus is never
+    shuffled. The center table is eagerly checkpointed per round
+    (bounded rows), which is also the only driver-side action. phi's
+    BIGINT micro-units overflow 2^53 only past ~10^8 rows x d2~256;
+    at that scale rescale the quantum (1e-4 units lose nothing: the
+    threshold compare tolerates any shared quantum).
+    """
+    if k < 1 or dim < 1 or rounds < 1:
+        raise ValueError(
+            "kmeans_parallel_init needs k >= 1, dim >= 1, rounds >= 1"
+        )
+    ell = 2 * k if ell is None else ell
+    if ell < 1:
+        raise ValueError("ell must be >= 1")
+    from symtseries_spark.functions.text import doc_hash60
+
+    m = 1 << 20
+    vd = F.col(vec_col).cast("array<double>")
+    base = vectors.select(
+        F.col(id_col).alias("__id"), vd.alias("__v")
+    )
+    centers = (
+        base.orderBy("__id")
+        .limit(1)
+        .select(
+            F.col("__id").alias("cluster"), F.col("__v").alias("centroid")
+        )
+        .localCheckpoint(eager=True)
+    )
+    for r in range(1, rounds + 1):
+        scored = base.crossJoin(F.broadcast(centers)).select(
+            "__id",
+            "__v",
+            _sq_l2(F.col("__v"), F.col("centroid")).alias("__d2"),
+        )
+        d2i = (
+            scored.groupBy("__id")
+            .agg(
+                F.first("__v").alias("__v"),
+                F.floor(F.min("__d2") * 1e6 + F.lit(0.5))
+                .cast("long")
+                .alias("__d2i"),
+            )
+        )
+        phi = d2i.agg(F.sum("__d2i").alias("__phi"))
+        u = (
+            F.pmod(
+                doc_hash60(
+                    F.concat(
+                        F.col("__id").cast("string"),
+                        F.lit(f":{salt}:{r}"),
+                    )
+                ),
+                F.lit(m),
+            )
+            + 1
+        ).cast("double") / F.lit(float(m + 1))
+        selected = (
+            d2i.crossJoin(F.broadcast(phi))
+            .where(
+                u * F.col("__phi").cast("double")
+                < F.lit(float(ell)) * F.col("__d2i").cast("double")
+            )
+            .select(
+                F.col("__id").alias("cluster"),
+                F.col("__v").alias("centroid"),
+            )
+        )
+        centers = centers.unionByName(selected).localCheckpoint(eager=True)
+
+    final = _assign(
+        base.select(
+            F.col("__id").alias(id_col), F.col("__v").alias(vec_col)
+        ),
+        centers,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    return (
+        final.groupBy("cluster")
+        .agg(F.count("*").cast("long").alias("weight"))
+        .select(F.col("cluster").alias(id_col), "weight")
+    )

@@ -1444,3 +1444,74 @@ SELECT CAST(r.pick_rank AS INTEGER) AS pick_rank,
             ELSE 0.0 END AS max_d2
 FROM ranks r LEFT JOIN agg a ON r.pick_rank = a.pick_rank
 """
+
+
+def kmeans_parallel_init_sql(
+    *,
+    k: int,
+    dim: int,
+    ell: int | None = None,
+    rounds: int = 3,
+    salt: str = "kmpar",
+    table: str = "embeddings",
+) -> str:
+    """Twin of operators.cluster.kmeans_parallel_init (Bahmani et al.
+    2012 k-means|| oversampling): same lowest-id first center, same
+    integer-micro-unit d2/phi (exact BIGINT sums — float-order
+    immune), same md5-rational u, same ``u * phi < ell * d2``
+    single-multiply-per-side selection test, same final
+    nearest-center weights with (d2, cluster) tie order. CTEs are
+    MATERIALIZED: the round chain re-references each center set, and
+    DuckDB's default CTE inlining would unroll it exponentially."""
+    ell = 2 * k if ell is None else ell
+    m = 1 << 20
+    parts = [
+        f"""c0 AS MATERIALIZED (
+  SELECT vec_id AS cluster,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+  FROM {table} ORDER BY vec_id LIMIT 1)"""
+    ]
+    prev = "c0"
+    for r in range(1, rounds + 1):
+        d2 = _sq_l2_expr("v.embedding", "c.centroid", dim)
+        parts.append(
+            f"""a{r} AS MATERIALIZED (
+  SELECT v.vec_id,
+         CAST(floor(min({d2}) * 1000000.0 + 0.5) AS BIGINT) AS d2i
+  FROM {table} v, {prev} c GROUP BY v.vec_id)"""
+        )
+        parts.append(
+            f"""p{r} AS (SELECT sum(d2i) AS phi FROM a{r})"""
+        )
+        u = (
+            f"(CAST((CAST('0x' || substr(md5(CAST(a.vec_id AS VARCHAR) "
+            f"|| ':{salt}:{r}'), 1, 15) AS BIGINT) % {m}) + 1 AS DOUBLE) "
+            f"/ {float(m + 1)!r})"
+        )
+        parts.append(
+            f"""c{r} AS MATERIALIZED (
+  SELECT cluster, centroid FROM {prev}
+  UNION ALL
+  SELECT a.vec_id AS cluster,
+         list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS centroid
+  FROM a{r} a, p{r} p, {table} e
+  WHERE e.vec_id = a.vec_id
+    AND {u} * CAST(p.phi AS DOUBLE)
+        < {float(ell)!r} * CAST(a.d2i AS DOUBLE))"""
+        )
+        prev = f"c{r}"
+    d2f = _sq_l2_expr("v.embedding", "c.centroid", dim)
+    parts.append(
+        f"""fin AS (
+  SELECT vec_id, cluster FROM (
+    SELECT v.vec_id, c.cluster,
+           row_number() OVER (
+             PARTITION BY v.vec_id ORDER BY {d2f}, c.cluster) AS rn
+    FROM {table} v, {prev} c) WHERE rn = 1)"""
+    )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT cluster AS vec_id, CAST(count(*) AS BIGINT) AS weight
+FROM fin GROUP BY cluster
+"""
