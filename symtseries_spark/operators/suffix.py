@@ -265,7 +265,8 @@ def pair_lcp(pairs: DataFrame, rounds: dict[int, DataFrame]) -> DataFrame:
     every non-degenerate pair, exact on the degenerate ones.
     """
     out = pairs.withColumn("lcp", F.lit(0).cast("int"))
-    for h in sorted(rounds, reverse=True):
+    powers = sorted(rounds, reverse=True)
+    for step, h in enumerate(powers):
         rk = rounds[h].select(
             F.col("doc_id").alias("__d"),
             F.col("pos").alias("__p"),
@@ -304,8 +305,13 @@ def pair_lcp(pairs: DataFrame, rounds: dict[int, DataFrame]) -> DataFrame:
                 ).otherwise(F.lit(0)),
             )
             .drop("__da", "__pa", "__ra", "__db", "__pb", "__rb")
-            .localCheckpoint(eager=True)
         )
+        # Unlike the doubling loop (whose table is referenced TWICE per
+        # round — exponential lineage without a cut), the walk grows
+        # linearly (2 joins/round), so a cut every 3rd round bounds
+        # plan size without paying a materialization per power.
+        if step % 3 == 2 or h == powers[-1]:
+            out = out.localCheckpoint(eager=True)
     lens = (
         rounds[min(rounds)]
         .groupBy("doc_id")
