@@ -6026,6 +6026,34 @@ def q_docs_longest_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_bm25_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-rest INVERTED INDEX lifecycle — the retrieval cell of the
+    at-rest matrix (lsh=near-dup, dhash=perceptual, IVF=embeddings,
+    iSAX=series, zorder=events): write postings (term, doc_id, tf, dl)
+    under tb=<hash(term) % 32>/ directories with term-range-clustered
+    files plus exact BIGINT corpus stats
+    (sources/__init__.py write_postings_index), then serve the
+    registered BM25 bag-of-words query straight off the stored layout
+    (read_postings_topk): bucket pruning is computed DRIVER-side from
+    the query terms (no job), df falls out of the pruned scan itself,
+    and per-doc parts fold in sorted term order so the score is
+    partition-order independent. Scan cost follows the probed terms'
+    document frequencies, never corpus size."""
+    import tempfile
+
+    from symtseries_spark.sources import (
+        read_postings_topk,
+        write_postings_index,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="postings_at_rest_") + "/index"
+    write_postings_index(docs, path, num_buckets=32)
+    return read_postings_topk(
+        spark, path, BM25["terms"], topk=BM25["topk"], num_buckets=32
+    )
+
+
 def q_emb_kmeanspar_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-means|| scalable init (operators/cluster.py
     kmeans_parallel_init; Bahmani et al. 2012): rounds of independent
@@ -8104,6 +8132,7 @@ def q_docs_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Round-12 additions (new queries go at the HEAD).
+        "text_bm25_at_rest": q_text_bm25_at_rest,
         "emb_kmeanspar_init": q_emb_kmeanspar_init,
         "docs_suffix_array": q_docs_suffix_array,
         "docs_longest_dup_span": q_docs_longest_dup_span,
@@ -9934,6 +9963,7 @@ SELECT removed_id, new_id, est_jaccard FROM (
   FROM cross_links)
 WHERE r = 1
 """,
+        "text_bm25_at_rest": ot.bm25_at_rest_sql(**BM25),
         "emb_kmeanspar_init": ov.kmeans_parallel_init_sql(
             k=8, dim=64, rounds=3
         ),

@@ -1834,3 +1834,54 @@ WITH t AS (
 )
 SELECT span_text, len_words, occurrences FROM g, m WHERE len_words = m.ml
 """
+
+
+def bm25_at_rest_sql(
+    *,
+    terms: list[str],
+    topk: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+) -> str:
+    """Oracle for sources.read_postings_topk over
+    sources.write_postings_index: the postings formulation of BM25 —
+    per-(doc, matched-term) rows, df from the matched postings, exact
+    BIGINT (n, sum_dl) stats with avgdl as ONE division, per-doc parts
+    folded in SORTED TERM ORDER (list_reduce over list(part ORDER BY
+    term) mirrors the probe's array_sort + left fold), identical
+    literal/association order throughout so doubles agree to the ulp.
+    Only documents matching ≥ 1 query term can appear (the inverted-
+    index contract)."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, toks, len(toks) AS dl
+  FROM (SELECT doc_id, {tokens_expr()} AS toks FROM {table})
+), post AS (
+  SELECT doc_id, t.term AS term,
+         CAST(count(*) AS BIGINT) AS tf, min(dl) AS dl
+  FROM tok, unnest(toks) AS t(term)
+  WHERE t.term IN ({tl})
+  GROUP BY doc_id, t.term
+), dfreq AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY term
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sum_dl
+  FROM tok
+), parts AS (
+  SELECT p.doc_id, p.term,
+         (ln(1.0 + (CAST(s.n AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+          * CAST(p.tf AS DOUBLE) * {k1 + 1.0}
+          / (CAST(p.tf AS DOUBLE)
+             + {k1} * ({1.0 - b} + {b} * CAST(p.dl AS DOUBLE)
+                       / (CAST(s.sum_dl AS DOUBLE)
+                          / CAST(s.n AS DOUBLE))))) AS part
+  FROM post p JOIN dfreq d USING (term), stats s
+)
+SELECT doc_id,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(part ORDER BY term)), (x, y) -> x + y), 6) AS score
+FROM parts GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {topk}
+"""

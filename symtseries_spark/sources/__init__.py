@@ -643,3 +643,134 @@ def write_zordered(
     )
     out.write.mode(mode).parquet(path)
     return files
+
+
+def write_postings_index(
+    docs: "DataFrame",
+    path: str,
+    *,
+    num_buckets: int = 32,
+    files_per_bucket: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> None:
+    """Sink: persist the classic IR INVERTED INDEX at rest —
+    ``<path>/postings`` rows ``(term, doc_id, tf, dl)`` under
+    ``tb=<hash-bucket-of-term>/`` directories with files
+    range-clustered by term, plus ``<path>/stats`` (one row:
+    ``n`` docs, ``sum_dl`` total tokens as exact BIGINT — avgdl is
+    derived at probe time as one division so both engines see the
+    same exact-rational operand, never a float-summation-order
+    artifact).
+
+    Completes the at-rest matrix's retrieval cell next to
+    :func:`write_lsh_index` (near-dup), :func:`write_dhash_index`
+    (perceptual), :func:`write_ivf_partitioned` (embeddings) and the
+    iSAX tree (series). Bucketing by ``hash60(term) % num_buckets``
+    keeps directory listing at ``num_buckets`` entries while a probe
+    for q terms touches ≤ q directories (PartitionFilters) and, inside
+    each, only the files whose term min/max straddles a probed term
+    (PushedFilters on the range-clustered ``term``). Postings volume
+    is Σ per-doc distinct terms — the scan a probe pays follows the
+    probed terms' document frequencies, never corpus size."""
+    if num_buckets < 1 or files_per_bucket < 1:
+        raise ValueError("num_buckets and files_per_bucket must be >= 1")
+    from ..functions.text import doc_hash60, tokens
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t")
+    ).select("doc_id", F.size("__t").alias("dl"), F.explode("__t").alias("term"))
+    postings = base.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf"), F.first("dl").alias("dl")
+    )
+    tb = F.pmod(doc_hash60(F.col("term")), F.lit(num_buckets)).alias("tb")
+    (
+        postings.withColumn("tb", tb)
+        .repartitionByRange(num_buckets * files_per_bucket, "tb", "term")
+        .sortWithinPartitions("tb", "term")
+        .write.mode(mode)
+        .partitionBy("tb")
+        .parquet(path + "/postings")
+    )
+    docs.select(tokens(F.col(text_col)).alias("__t")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.size("__t")).cast("long").alias("sum_dl"),
+    ).write.mode(mode).parquet(path + "/stats")
+
+
+def read_postings_topk(
+    spark: SparkSession,
+    path: str,
+    terms: list[str],
+    *,
+    topk: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+    num_buckets: int = 32,
+) -> "DataFrame":
+    """Probe the at-rest inverted index with a bag-of-words query ->
+    top-``topk`` ``(doc_id, score)`` by BM25 (Lucene non-negative idf),
+    score-identical to ``operators.retrieval.bm25_topk`` restricted to
+    documents matching ≥ 1 query term (zero-score rows cannot exist in
+    an inverted index — the one contract difference, and the right one
+    for retrieval).
+
+    The probed terms' hash buckets are computed driver-side (pure
+    Python md5, no job), so the scan arrives with ``tb IN (...)``
+    partition pruning AND ``term IN (...)`` file skipping already in
+    place; per-term document frequencies fall out of the pruned scan
+    itself (one combinable count), N/avgdl come from the 1-row stats
+    side. Per-document parts are folded in SORTED TERM ORDER (an
+    array_sort + left fold) so the float summation order is
+    deterministic and engine-mirrorable, not partition-dependent.
+    Top-k is a TakeOrderedAndProject — never a global sort."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if topk < 1:
+        raise ValueError("topk must be >= 1")
+    import hashlib
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    buckets = sorted({h60(t) % num_buckets for t in terms})
+    post = (
+        spark.read.parquet(path + "/postings")
+        .where(F.col("tb").isin(buckets) & F.col("term").isin(list(terms)))
+    )
+    stats = spark.read.parquet(path + "/stats")
+    dfreq = post.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf = F.col("tf").cast("double")
+    norm = tf + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl
+    )
+    part = idf * tf * F.lit(k1 + 1.0) / norm
+    scored = (
+        post.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", part.alias("__part"))
+    )
+    folded = scored.groupBy("doc_id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("term"), F.col("__part")))
+                ),
+                lambda s: s["__part"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("__score")
+    )
+    return (
+        folded.select("doc_id", F.round(F.col("__score"), 6).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(topk)
+    )
