@@ -774,3 +774,58 @@ def read_postings_topk(
         .orderBy(F.desc("score"), "doc_id")
         .limit(topk)
     )
+
+
+def append_postings_index(
+    docs: "DataFrame",
+    path: str,
+    *,
+    num_buckets: int = 32,
+    files_per_bucket: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incremental maintenance for :func:`write_postings_index`: append
+    the new batch's postings into the existing ``tb=`` layout and MERGE
+    the stats row (exact BIGINT adds — the 1-row read is the only
+    look at existing data; postings already on disk are never
+    rewritten or rescanned).
+
+    This is the ingest-time path: per batch, cost is the batch's own
+    explode + groupBy + a bucket-ranged append, independent of index
+    size. Term buckets are stable (hash60 % num_buckets, no
+    re-balancing), so probes see old and new postings through the same
+    pruned scan. Compaction of accumulated small files inside a bucket
+    directory is :func:`write_compacted`'s job, the standing
+    small-files answer — postings files are range-clustered on term at
+    every append, so even uncompacted files keep tight min/max for
+    file skipping."""
+    if num_buckets < 1 or files_per_bucket < 1:
+        raise ValueError("num_buckets and files_per_bucket must be >= 1")
+    from ..functions.text import doc_hash60, tokens
+
+    spark = docs.sparkSession
+    old = spark.read.parquet(path + "/stats").first()
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t")
+    ).select(
+        "doc_id", F.size("__t").alias("dl"), F.explode("__t").alias("term")
+    )
+    postings = base.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf"), F.first("dl").alias("dl")
+    )
+    tb = F.pmod(doc_hash60(F.col("term")), F.lit(num_buckets)).alias("tb")
+    (
+        postings.withColumn("tb", tb)
+        .repartitionByRange(num_buckets * files_per_bucket, "tb", "term")
+        .sortWithinPartitions("tb", "term")
+        .write.mode("append")
+        .partitionBy("tb")
+        .parquet(path + "/postings")
+    )
+    docs.select(tokens(F.col(text_col)).alias("__t")).agg(
+        (F.count("*") + F.lit(int(old["n"]))).cast("long").alias("n"),
+        (F.sum(F.size("__t")) + F.lit(int(old["sum_dl"])))
+        .cast("long")
+        .alias("sum_dl"),
+    ).write.mode("overwrite").parquet(path + "/stats")

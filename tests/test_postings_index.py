@@ -113,3 +113,38 @@ def test_validation(spark, index):
     df = spark.createDataFrame(DOCS, "doc_id long, text string")
     with pytest.raises(ValueError):
         write_postings_index(df, "/tmp/x", num_buckets=0)
+
+
+NEW_DOCS = [
+    (6, "spark hash spark"),
+    (7, "completely unrelated words"),
+]
+
+
+def test_append_equals_rebuild(spark):
+    """Appending a batch must be score-identical to rebuilding the
+    index over the union corpus."""
+    from symtseries_spark.sources import append_postings_index
+
+    p_inc = tempfile.mkdtemp(prefix="postings_inc_") + "/idx"
+    p_all = tempfile.mkdtemp(prefix="postings_all_") + "/idx"
+    d0 = spark.createDataFrame(DOCS, "doc_id long, text string")
+    d1 = spark.createDataFrame(NEW_DOCS, "doc_id long, text string")
+    write_postings_index(d0, p_inc, num_buckets=8)
+    append_postings_index(d1, p_inc, num_buckets=8)
+    write_postings_index(d0.unionByName(d1), p_all, num_buckets=8)
+    terms = ["hash", "join", "spark"]
+    got_inc = {
+        r.doc_id: r.score
+        for r in read_postings_topk(
+            spark, p_inc, terms, topk=10, num_buckets=8
+        ).collect()
+    }
+    got_all = {
+        r.doc_id: r.score
+        for r in read_postings_topk(
+            spark, p_all, terms, topk=10, num_buckets=8
+        ).collect()
+    }
+    assert got_inc == got_all
+    assert got_inc == _brute_bm25(DOCS + NEW_DOCS, terms)
