@@ -6054,6 +6054,22 @@ def q_text_bm25_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_kmeanspar_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete Bahmani k-means|| pipeline (operators/cluster.py
+    kmeans_parallel_assign): weighted candidates -> tiny-table
+    weighted Lloyd recluster down to k centroids (seeds = k lowest-id
+    candidates, means weighted by candidate mass, 1e-6-quantized per
+    round) -> one broadcast nearest-centroid corpus assignment.
+    Corpus cost = rounds+2 scans total; the recluster itself touches
+    only the kilobyte candidate table."""
+    from symtseries_spark.operators.cluster import kmeans_parallel_assign
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return kmeans_parallel_assign(
+        emb, k=8, dim=64, rounds=3, recluster_iters=2
+    )
+
+
 def q_emb_kmeanspar_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-means|| scalable init (operators/cluster.py
     kmeans_parallel_init; Bahmani et al. 2012): rounds of independent
@@ -8133,6 +8149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Round-12 additions (new queries go at the HEAD).
         "text_bm25_at_rest": q_text_bm25_at_rest,
+        "emb_kmeanspar_assign": q_emb_kmeanspar_assign,
         "emb_kmeanspar_init": q_emb_kmeanspar_init,
         "docs_suffix_array": q_docs_suffix_array,
         "docs_longest_dup_span": q_docs_longest_dup_span,
@@ -9964,6 +9981,9 @@ SELECT removed_id, new_id, est_jaccard FROM (
 WHERE r = 1
 """,
         "text_bm25_at_rest": ot.bm25_at_rest_sql(**BM25),
+        "emb_kmeanspar_assign": ov.kmeans_parallel_assign_sql(
+            k=8, dim=64, rounds=3, recluster_iters=2
+        ),
         "emb_kmeanspar_init": ov.kmeans_parallel_init_sql(
             k=8, dim=64, rounds=3
         ),

@@ -741,7 +741,7 @@ def kcenter_assign(
     )
 
 
-def kmeans_parallel_init(
+def _parallel_candidates(
     vectors: DataFrame,
     *,
     k: int,
@@ -860,8 +860,139 @@ def kmeans_parallel_init(
         id_col=id_col,
         vec_col=vec_col,
     )
-    return (
-        final.groupBy("cluster")
-        .agg(F.count("*").cast("long").alias("weight"))
-        .select(F.col("cluster").alias(id_col), "weight")
+    weights = final.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("weight")
+    )
+    # inner join: a candidate that won no corpus vector cannot exist
+    # (it is at distance 0 from itself), so weights cover all centers
+    return centers.join(weights, "cluster").select(
+        "cluster", "weight", "centroid"
+    )
+
+
+def kmeans_parallel_init(
+    vectors: DataFrame,
+    *,
+    k: int,
+    dim: int,
+    ell: int | None = None,
+    rounds: int = 3,
+    salt: str = "kmpar",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Public projection of :func:`_parallel_candidates` ->
+    ``(vec_id, weight)`` — the weighted candidate set; see that
+    docstring for the algorithm and determinism contract."""
+    return _parallel_candidates(
+        vectors,
+        k=k,
+        dim=dim,
+        ell=ell,
+        rounds=rounds,
+        salt=salt,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select(F.col("cluster").alias(id_col), "weight")
+
+
+def kmeans_parallel_assign(
+    vectors: DataFrame,
+    *,
+    k: int,
+    dim: int,
+    ell: int | None = None,
+    rounds: int = 3,
+    recluster_iters: int = 2,
+    salt: str = "kmpar",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The complete Bahmani pipeline -> ``(vec_id, cluster, d2)``:
+    k-means|| candidates (:func:`_parallel_candidates`), a WEIGHTED
+    Lloyd recluster of the ≤ 1 + ell·rounds candidates down to ``k``
+    centroids (the paper's "recluster the weighted candidate set"
+    step — here it stays a tiny-table DataFrame computation, seeds =
+    the k lowest-id candidates, means weighted by candidate weight,
+    quantized to 1e-6 per round like every Lloyd mean in this module),
+    then one nearest-centroid assignment of the corpus.
+
+    Scale shape: the candidate table is kilobytes, so the recluster is
+    free; corpus cost = the init's rounds+1 scans plus ONE final
+    broadcast-assign scan. Cluster labels are 0..k-1 in candidate-id
+    seed order."""
+    if recluster_iters < 0:
+        raise ValueError("recluster_iters must be >= 0")
+    cands = _parallel_candidates(
+        vectors,
+        k=k,
+        dim=dim,
+        ell=ell,
+        rounds=rounds,
+        salt=salt,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).localCheckpoint(eager=True)
+    seeds = (
+        cands.orderBy("cluster")
+        .limit(k)
+        .select(
+            # bounded: candidate table, not the corpus
+            (F.row_number().over(Window.orderBy("cluster")) - 1).alias(
+                "cluster"
+            ),
+            "centroid",
+        )
+    )
+    cent = seeds
+    cand_pts = cands.select(
+        F.col("cluster").alias("__cid"),
+        F.col("weight").cast("double").alias("__w"),
+        F.col("centroid").alias("__v"),
+    )
+    for _ in range(recluster_iters):
+        scored = cand_pts.crossJoin(F.broadcast(cent)).select(
+            "__cid",
+            "__w",
+            "__v",
+            "cluster",
+            _sq_l2(F.col("__v"), F.col("centroid")).alias("__d2"),
+        )
+        best = F.min(F.struct("__d2", "cluster"))
+        assigned = scored.groupBy("__cid").agg(
+            F.first("__w").alias("__w"),
+            F.first("__v").alias("__v"),
+            best.getField("cluster").alias("cluster"),
+        )
+        means = (
+            assigned.groupBy("cluster")
+            .agg(
+                *[
+                    (
+                        F.sum(F.col("__w") * F.element_at("__v", i + 1))
+                        / F.sum("__w")
+                    ).alias(f"__m{i}")
+                    for i in range(dim)
+                ]
+            )
+            .select(
+                "cluster",
+                F.array(
+                    *[_q6(F.col(f"__m{i}")) for i in range(dim)]
+                ).alias("centroid"),
+            )
+        )
+        cent = (
+            seeds.alias("s")
+            .join(means.alias("m"), "cluster", "left")
+            .select(
+                "cluster",
+                F.coalesce(F.col("m.centroid"), F.col("s.centroid")).alias(
+                    "centroid"
+                ),
+            )
+        )
+    final = _assign(vectors, cent, id_col=id_col, vec_col=vec_col)
+    return final.select(
+        id_col, "cluster", _q6(F.col("__d2")).alias("d2")
     )

@@ -1446,7 +1446,7 @@ FROM ranks r LEFT JOIN agg a ON r.pick_rank = a.pick_rank
 """
 
 
-def kmeans_parallel_init_sql(
+def _kmpar_cand_ctes(
     *,
     k: int,
     dim: int,
@@ -1455,7 +1455,8 @@ def kmeans_parallel_init_sql(
     salt: str = "kmpar",
     table: str = "embeddings",
 ) -> str:
-    """Twin of operators.cluster.kmeans_parallel_init (Bahmani et al.
+    """CTE chain twinning operators.cluster._parallel_candidates
+    (Bahmani et al.
     2012 k-means|| oversampling): same lowest-id first center, same
     integer-micro-unit d2/phi (exact BIGINT sums — float-order
     immune), same md5-rational u, same ``u * phi < ell * d2``
@@ -1509,9 +1510,104 @@ def kmeans_parallel_init_sql(
              PARTITION BY v.vec_id ORDER BY {d2f}, c.cluster) AS rn
     FROM {table} v, {prev} c) WHERE rn = 1)"""
     )
+    parts.append(
+        f"""w AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS weight
+  FROM fin GROUP BY cluster)"""
+    )
+    parts.append(
+        f"""cand AS MATERIALIZED (
+  SELECT c.cluster, c.centroid, w.weight
+  FROM {prev} c JOIN w USING (cluster))"""
+    )
+    return ",\n".join(parts)
+
+
+
+def kmeans_parallel_init_sql(
+    *,
+    k: int,
+    dim: int,
+    ell: int | None = None,
+    rounds: int = 3,
+    salt: str = "kmpar",
+    table: str = "embeddings",
+) -> str:
+    """Twin of operators.cluster.kmeans_parallel_init — the weighted
+    candidate projection of :func:`_kmpar_cand_ctes`."""
+    ctes = _kmpar_cand_ctes(
+        k=k, dim=dim, ell=ell, rounds=rounds, salt=salt, table=table
+    )
+    return f"""
+WITH {ctes}
+SELECT cluster AS vec_id, weight FROM cand
+"""
+
+
+def kmeans_parallel_assign_sql(
+    *,
+    k: int,
+    dim: int,
+    ell: int | None = None,
+    rounds: int = 3,
+    recluster_iters: int = 2,
+    salt: str = "kmpar",
+    table: str = "embeddings",
+) -> str:
+    """Twin of operators.cluster.kmeans_parallel_assign: candidates
+    (shared CTE chain), k-seed weighted Lloyd recluster (means =
+    sum(w*x)/sum(w), floor-quantized to 1e-6 per round, lost cluster
+    falls back to its seed), final corpus assignment with (d2,
+    cluster) tie order and 1e-6-quantized d2."""
+    parts = [
+        _kmpar_cand_ctes(
+            k=k, dim=dim, ell=ell, rounds=rounds, salt=salt, table=table
+        )
+    ]
+    parts.append(
+        f"""s0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY cluster) - 1 AS cluster, centroid
+  FROM (SELECT cluster, centroid FROM cand ORDER BY cluster LIMIT {k}))"""
+    )
+    prev = "s0"
+    for t in range(recluster_iters):
+        d2 = _sq_l2_expr("p.centroid", "c.centroid", dim)
+        parts.append(
+            f"""ra{t} AS MATERIALIZED (
+  SELECT __cid, __w, __v, cluster FROM (
+    SELECT p.cluster AS __cid, CAST(p.weight AS DOUBLE) AS __w,
+           p.centroid AS __v, c.cluster,
+           row_number() OVER (
+             PARTITION BY p.cluster ORDER BY {d2}, c.cluster) AS r
+    FROM cand p, {prev} c) WHERE r = 1)"""
+        )
+        parts.append(
+            f"""rm{t} AS (
+  SELECT cluster, i,
+         floor((sum(__w * __v[i]) / sum(__w)) * 1000000.0 + 0.5)
+           / 1000000.0 AS m
+  FROM ra{t}, range(1, {dim + 1}) t(i) GROUP BY cluster, i)"""
+        )
+        parts.append(
+            f"""rc{t} AS MATERIALIZED (
+  SELECT s.cluster, coalesce(mm.cen, s.centroid) AS centroid
+  FROM s0 s LEFT JOIN (
+    SELECT cluster, list(m ORDER BY i) AS cen FROM rm{t} GROUP BY cluster
+  ) mm USING (cluster))"""
+        )
+        prev = f"rc{t}"
+    d2f = _sq_l2_expr("v.embedding", "c.centroid", dim)
+    parts.append(
+        f"""kfin AS (
+  SELECT vec_id, cluster,
+         floor(d2 * 1000000.0 + 0.5) / 1000000.0 AS d2 FROM (
+    SELECT v.vec_id, c.cluster, {d2f} AS d2,
+           row_number() OVER (
+             PARTITION BY v.vec_id ORDER BY {d2f}, c.cluster) AS rn
+    FROM {table} v, {prev} c) WHERE rn = 1)"""
+    )
     ctes = ",\n".join(parts)
     return f"""
 WITH {ctes}
-SELECT cluster AS vec_id, CAST(count(*) AS BIGINT) AS weight
-FROM fin GROUP BY cluster
+SELECT vec_id, cluster, d2 FROM kfin
 """

@@ -119,3 +119,73 @@ def test_validation(spark):
         kmeans_parallel_init(df, k=1, dim=1, rounds=0)
     with pytest.raises(ValueError):
         kmeans_parallel_init(df, k=1, dim=1, ell=0)
+
+
+def test_assign_labels_and_coverage(spark):
+    from symtseries_spark.operators.cluster import kmeans_parallel_assign
+
+    rows = _rows(60, 4, seed=21)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_parallel_assign(df, k=4, dim=4, rounds=2).collect()
+    assert len(out) == 60
+    assert {r.cluster for r in out} <= set(range(4))
+    assert all(r.d2 >= 0.0 for r in out)
+
+
+def test_assign_separates_obvious_clusters(spark):
+    from symtseries_spark.operators.cluster import kmeans_parallel_assign
+
+    lo = [(i, [0.0 + i * 1e-3, 0.0]) for i in range(10)]
+    hi = [(i + 100, [50.0 + i * 1e-3, 50.0]) for i in range(10)]
+    df = spark.createDataFrame(
+        lo + hi, "vec_id long, embedding array<double>"
+    )
+    out = kmeans_parallel_assign(
+        df, k=2, dim=2, rounds=2, recluster_iters=2
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.cluster, set()).add(r.vec_id)
+    groups = sorted(by.values(), key=len)
+    assert len(groups) == 2
+    assert {frozenset(g) for g in groups} == {
+        frozenset(i for i, _ in lo),
+        frozenset(i for i, _ in hi),
+    }
+
+
+def test_assign_zero_recluster_uses_seed_candidates(spark):
+    from symtseries_spark.operators.cluster import (
+        _parallel_candidates,
+        kmeans_parallel_assign,
+    )
+
+    rows = _rows(40, 3, seed=2)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cands = sorted(
+        (r.cluster, r.centroid)
+        for r in _parallel_candidates(df, k=3, dim=3, rounds=2).collect()
+    )[:3]
+    out = {
+        r.vec_id: r.cluster
+        for r in kmeans_parallel_assign(
+            df, k=3, dim=3, rounds=2, recluster_iters=0
+        ).collect()
+    }
+    # replay: nearest of the 3 seed centroids, (d2, label) tie order
+    want = {}
+    for vid, v in rows:
+        want[vid] = min(
+            (_sq_l2(v, c), lbl) for lbl, (_, c) in enumerate(cands)
+        )[1]
+    assert out == want
+
+
+def test_assign_validation(spark):
+    from symtseries_spark.operators.cluster import kmeans_parallel_assign
+
+    df = spark.range(3).selectExpr(
+        "id AS vec_id", "array(CAST(0.0 AS DOUBLE)) AS embedding"
+    )
+    with pytest.raises(ValueError):
+        kmeans_parallel_assign(df, k=1, dim=1, recluster_iters=-1)
