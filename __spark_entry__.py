@@ -6054,6 +6054,31 @@ def q_text_bm25_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_phrase_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search served off the SAME at-rest positional
+    postings the BM25 probe uses (sources read_phrase_match): the
+    phrase occurs at p iff p ∈ P1 ∩ (P2−1), a chain of
+    array_intersect over per-term position lists from the pruned scan
+    — document text is never read at query time. The probe phrase is
+    the lowest-id document's first two tokens (a bounded 1-row driver
+    action, the lsh_at_rest probe-derivation convention), so ≥ 1
+    occurrence is guaranteed at every SF."""
+    import re
+    import tempfile
+
+    from symtseries_spark.sources import (
+        read_phrase_match,
+        write_postings_index,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="phrase_at_rest_") + "/index"
+    write_postings_index(docs, path, num_buckets=32)
+    first = docs.orderBy("doc_id").select("text").first()["text"]
+    toks = [t for t in re.split(r"[^a-z0-9]+", first.lower()) if t]
+    return read_phrase_match(spark, path, toks[:2], num_buckets=32)
+
+
 def q_emb_kmeanspar_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete Bahmani k-means|| pipeline (operators/cluster.py
     kmeans_parallel_assign): weighted candidates -> tiny-table
@@ -8149,6 +8174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Round-12 additions (new queries go at the HEAD).
         "text_bm25_at_rest": q_text_bm25_at_rest,
+        "text_phrase_at_rest": q_text_phrase_at_rest,
         "emb_kmeanspar_assign": q_emb_kmeanspar_assign,
         "emb_kmeanspar_init": q_emb_kmeanspar_init,
         "docs_suffix_array": q_docs_suffix_array,
@@ -9981,6 +10007,7 @@ SELECT removed_id, new_id, est_jaccard FROM (
 WHERE r = 1
 """,
         "text_bm25_at_rest": ot.bm25_at_rest_sql(**BM25),
+        "text_phrase_at_rest": ot.phrase_at_rest_sql(),
         "emb_kmeanspar_assign": ov.kmeans_parallel_assign_sql(
             k=8, dim=64, rounds=3, recluster_iters=2
         ),

@@ -1885,3 +1885,33 @@ SELECT doc_id,
 FROM parts GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT {topk}
 """
+
+
+def phrase_at_rest_sql(*, table: str = "documents") -> str:
+    """Oracle for sources.read_phrase_match with the registered probe
+    derivation (phrase = the lowest-id document's first two tokens):
+    positional-postings adjacency as list_intersect of P1 with
+    (P2 − 1), occurrence count per matching document."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {tokens_expr()} AS toks FROM {table}
+), ph AS (
+  SELECT toks[1] AS t1, toks[2] AS t2 FROM tok
+  WHERE doc_id = (SELECT min(doc_id) FROM tok)
+), tp AS (
+  SELECT doc_id, term, CAST(i AS INT) AS pos FROM (
+    SELECT doc_id, unnest(toks) AS term,
+           unnest(range(1, len(toks) + 1)) AS i
+    FROM tok)
+), p1 AS (
+  SELECT doc_id, list_sort(list(pos)) AS ps
+  FROM tp, ph WHERE term = ph.t1 GROUP BY doc_id
+), p2 AS (
+  SELECT doc_id, list_sort(list(pos - 1)) AS ps
+  FROM tp, ph WHERE term = ph.t2 GROUP BY doc_id
+)
+SELECT p1.doc_id,
+       CAST(len(list_intersect(p1.ps, p2.ps)) AS BIGINT) AS n_occurrences
+FROM p1 JOIN p2 USING (doc_id)
+WHERE len(list_intersect(p1.ps, p2.ps)) > 0
+"""

@@ -645,6 +645,31 @@ def write_zordered(
     return files
 
 
+def _postings_rows(
+    docs: "DataFrame", *, id_col: str, text_col: str
+) -> "DataFrame":
+    """Shared postings builder: one row per (doc, term) carrying
+    ``tf``, ``dl`` and the sorted 1-based ``positions`` list — the
+    POSITIONAL posting that serves both BM25 (tf/dl) and phrase
+    queries (positions) off the same layout."""
+    from ..functions.text import tokens
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t")
+    ).select(
+        "doc_id",
+        F.size("__t").alias("dl"),
+        F.posexplode("__t").alias("__p0", "term"),
+    )
+    return base.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf"),
+        F.first("dl").alias("dl"),
+        F.sort_array(
+            F.collect_list((F.col("__p0") + 1).cast("int"))
+        ).alias("positions"),
+    )
+
+
 def write_postings_index(
     docs: "DataFrame",
     path: str,
@@ -678,12 +703,7 @@ def write_postings_index(
         raise ValueError("num_buckets and files_per_bucket must be >= 1")
     from ..functions.text import doc_hash60, tokens
 
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t")
-    ).select("doc_id", F.size("__t").alias("dl"), F.explode("__t").alias("term"))
-    postings = base.groupBy("doc_id", "term").agg(
-        F.count("*").cast("long").alias("tf"), F.first("dl").alias("dl")
-    )
+    postings = _postings_rows(docs, id_col=id_col, text_col=text_col)
     tb = F.pmod(doc_hash60(F.col("term")), F.lit(num_buckets)).alias("tb")
     (
         postings.withColumn("tb", tb)
@@ -806,14 +826,7 @@ def append_postings_index(
 
     spark = docs.sparkSession
     old = spark.read.parquet(path + "/stats").first()
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t")
-    ).select(
-        "doc_id", F.size("__t").alias("dl"), F.explode("__t").alias("term")
-    )
-    postings = base.groupBy("doc_id", "term").agg(
-        F.count("*").cast("long").alias("tf"), F.first("dl").alias("dl")
-    )
+    postings = _postings_rows(docs, id_col=id_col, text_col=text_col)
     tb = F.pmod(doc_hash60(F.col("term")), F.lit(num_buckets)).alias("tb")
     (
         postings.withColumn("tb", tb)
@@ -829,3 +842,57 @@ def append_postings_index(
         .cast("long")
         .alias("sum_dl"),
     ).write.mode("overwrite").parquet(path + "/stats")
+
+
+def read_phrase_match(
+    spark: SparkSession,
+    path: str,
+    terms: list[str],
+    *,
+    num_buckets: int = 32,
+) -> "DataFrame":
+    """Exact PHRASE search off the at-rest positional postings ->
+    ``(doc_id, n_occurrences)`` for documents containing the terms
+    consecutively, in order.
+
+    Classic positional-postings adjacency: the phrase occurs at
+    position p iff p ∈ P₁ ∩ (P₂−1) ∩ … ∩ (Pₘ−(m−1)), computed as a
+    chain of array_intersect over the per-term position lists the
+    pruned scan already returns — no re-tokenization, no document
+    text read. Scan cost is Σ df(term) over the phrase terms
+    (PartitionFilters from driver-side term hashing + file skipping
+    on the clustered term column), joined down to docs containing ALL
+    terms (inner joins, rarest-term-bounded) before the intersect."""
+    if not terms or len(terms) < 2:
+        raise ValueError("read_phrase_match needs >= 2 terms")
+    import hashlib
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    buckets = sorted({h60(t) % num_buckets for t in terms})
+    post = spark.read.parquet(path + "/postings").where(
+        F.col("tb").isin(buckets) & F.col("term").isin(list(terms))
+    )
+    def shift_by(off: int):
+        # closure, NOT a two-arg lambda with a bound default: pyspark
+        # passes the array INDEX as a second lambda argument, silently
+        # clobbering a default-bound value
+        return lambda p: p - F.lit(off)
+
+    legs = None
+    for i, t in enumerate(terms):
+        leg = post.where(F.col("term") == t).select(
+            "doc_id",
+            F.transform(F.col("positions"), shift_by(i)).alias(f"__p{i}"),
+        )
+        legs = leg if legs is None else legs.join(leg, "doc_id")
+    inter = F.col("__p0")
+    for i in range(1, len(terms)):
+        inter = F.array_intersect(inter, F.col(f"__p{i}"))
+    return (
+        legs.select(
+            "doc_id", F.size(inter).cast("long").alias("n_occurrences")
+        )
+        .where(F.col("n_occurrences") > 0)
+    )

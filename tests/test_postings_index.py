@@ -148,3 +148,50 @@ def test_append_equals_rebuild(spark):
     }
     assert got_inc == got_all
     assert got_inc == _brute_bm25(DOCS + NEW_DOCS, terms)
+
+
+def test_phrase_match_counts(spark):
+    from symtseries_spark.sources import read_phrase_match
+
+    docs = [
+        (1, "a b c a b"),       # "a b" twice
+        (2, "b a b a"),          # "a b" once (pos 2)
+        (3, "a a a"),            # never "a b"
+        (4, "x a b x a b x a b"),  # three times
+    ]
+    path = tempfile.mkdtemp(prefix="phrase_test_") + "/idx"
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    write_postings_index(df, path, num_buckets=4)
+    got = {
+        r.doc_id: r.n_occurrences
+        for r in read_phrase_match(
+            spark, path, ["a", "b"], num_buckets=4
+        ).collect()
+    }
+    assert got == {1: 2, 2: 1, 4: 3}
+
+
+def test_phrase_three_terms_and_repeated_term(spark):
+    from symtseries_spark.sources import read_phrase_match
+
+    docs = [
+        (1, "q q r s q q r"),   # "q q r" at 1 and 5
+        (2, "q r s"),            # no "q q r"
+    ]
+    path = tempfile.mkdtemp(prefix="phrase3_test_") + "/idx"
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    write_postings_index(df, path, num_buckets=4)
+    got = {
+        r.doc_id: r.n_occurrences
+        for r in read_phrase_match(
+            spark, path, ["q", "q", "r"], num_buckets=4
+        ).collect()
+    }
+    assert got == {1: 2}
+
+
+def test_phrase_validation(spark, index):
+    from symtseries_spark.sources import read_phrase_match
+
+    with pytest.raises(ValueError):
+        read_phrase_match(spark, index, ["solo"])
