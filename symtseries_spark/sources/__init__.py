@@ -744,9 +744,16 @@ def read_postings_topk(
     side. Per-document parts are folded in SORTED TERM ORDER (an
     array_sort + left fold) so the float summation order is
     deterministic and engine-mirrorable, not partition-dependent.
-    Top-k is a TakeOrderedAndProject — never a global sort."""
+    Top-k is a TakeOrderedAndProject — never a global sort.
+
+    ``terms`` is a SET (bag-of-words): a duplicated term cannot be
+    expressed by postings rows and would silently score once here but
+    twice in ``bm25_topk``'s positional term list, so duplicates are
+    rejected rather than quietly diverging between the two paths."""
     if not terms:
         raise ValueError("terms must be non-empty")
+    if len(set(terms)) != len(terms):
+        raise ValueError("terms must be distinct (set semantics)")
     if topk < 1:
         raise ValueError("topk must be >= 1")
     import hashlib

@@ -195,3 +195,10 @@ def test_phrase_validation(spark, index):
 
     with pytest.raises(ValueError):
         read_phrase_match(spark, index, ["solo"])
+
+
+def test_duplicate_terms_rejected(spark, index):
+    with pytest.raises(ValueError):
+        read_postings_topk(
+            spark, index, ["hash", "hash"], topk=5, num_buckets=8
+        )
