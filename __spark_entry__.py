@@ -6054,6 +6054,26 @@ def q_text_bm25_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_dtw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact banded-DTW top-k user similarity search with LB_Keogh
+    admissible pruning (operators/dtw.py; Keogh & Ratanamahatana 2005
+    / UCR-suite shape): per-user 24-slot hourly mean profiles
+    (1e-6-quantized -> DP inputs bit-identical across engines), DP as
+    one zero-Python anti-diagonal JVM fold, scan-stage envelope lower
+    bound, exact refine only of candidates the bound cannot exclude.
+    The DuckDB twin brute-forces the DP over EVERY user (recursive
+    CTE walking the same diagonals), so each driver run re-proves the
+    prune returns the exact answer — admissibility as a standing
+    correctness gate, not a one-off test. Query series = lowest
+    user_id's profile (bounded 1-row driver action)."""
+    from symtseries_spark.operators.dtw import dtw_topk, hourly_profile
+
+    events = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    prof = hourly_profile(events)
+    q = prof.orderBy("key").limit(1).first()["x"]
+    return dtw_topk(prof, list(q), k=10, band=3)
+
+
 def q_text_phrase_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phrase search served off the SAME at-rest positional
     postings the BM25 probe uses (sources read_phrase_match): the
@@ -8173,6 +8193,7 @@ def q_docs_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Round-12 additions (new queries go at the HEAD).
+        "events_dtw_topk": q_events_dtw_topk,
         "text_bm25_at_rest": q_text_bm25_at_rest,
         "text_phrase_at_rest": q_text_phrase_at_rest,
         "emb_kmeanspar_assign": q_emb_kmeanspar_assign,
@@ -10006,6 +10027,7 @@ SELECT removed_id, new_id, est_jaccard FROM (
   FROM cross_links)
 WHERE r = 1
 """,
+        "events_dtw_topk": oc.dtw_topk_sql(k=10, band=3),
         "text_bm25_at_rest": ot.bm25_at_rest_sql(**BM25),
         "text_phrase_at_rest": ot.phrase_at_rest_sql(),
         "emb_kmeanspar_assign": ov.kmeans_parallel_assign_sql(

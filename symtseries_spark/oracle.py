@@ -655,3 +655,83 @@ SELECT * FROM root_rows
 UNION ALL
 SELECT * FROM seg_rows
 """
+
+
+def dtw_topk_sql(
+    *, k: int, band: int, n: int = 24, table: str = "events"
+) -> str:
+    """Oracle for operators.dtw.dtw_topk over dtw.hourly_profile:
+    BRUTE-FORCE banded DTW over EVERY key via a recursive CTE that
+    walks the same anti-diagonal DP the Spark fold runs (slot i of the
+    carried list holds D(i, s-i), 'infinity' off band/range) — so each
+    driver run re-proves the LB_Keogh prune's admissibility, not just
+    engine agreement. The query series is the lowest key's profile;
+    series values are 1e-6-floor-quantized means (missing hours 0.0),
+    making the DP inputs — and therefore every double the DP computes
+    — bit-identical across engines."""
+    return f"""
+WITH RECURSIVE per AS (
+  SELECT user_id AS key, (epoch_us(ts) // 3600000000) % 24 AS h,
+         floor(avg(value) * 1000000.0 + 0.5) / 1000000.0 AS v
+  FROM {table} GROUP BY user_id, (epoch_us(ts) // 3600000000) % 24
+), grid AS (
+  SELECT k.key, g.h, coalesce(p.v, 0.0) AS v
+  FROM (SELECT DISTINCT key FROM per) k
+  CROSS JOIN range(0, {n}) g(h)
+  LEFT JOIN per p ON p.key = k.key AND p.h = g.h
+), ser AS (
+  SELECT key, list(v ORDER BY h) AS x FROM grid GROUP BY key
+), qq AS (
+  SELECT x AS q FROM ser WHERE key = (SELECT min(key) FROM ser)
+), lbp AS (
+  SELECT s.key, s.x,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, {n} + 1), j ->
+             CASE WHEN s.x[j] > list_max(q[greatest(1, j - {band}) :
+                                            least({n}, j + {band})])
+                  THEN (s.x[j] - list_max(q[greatest(1, j - {band}) :
+                                             least({n}, j + {band})]))
+                     * (s.x[j] - list_max(q[greatest(1, j - {band}) :
+                                              least({n}, j + {band})]))
+                  ELSE 0.0 END)), (a, b) -> a + b)
+         + list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, {n} + 1), j ->
+             CASE WHEN s.x[j] < list_min(q[greatest(1, j - {band}) :
+                                            least({n}, j + {band})])
+                  THEN (list_min(q[greatest(1, j - {band}) :
+                                    least({n}, j + {band})]) - s.x[j])
+                     * (list_min(q[greatest(1, j - {band}) :
+                                    least({n}, j + {band})]) - s.x[j])
+                  ELSE 0.0 END)), (a, b) -> a + b) AS lb
+  FROM ser s, qq
+), dp AS (
+  SELECT key, x, q, 0 AS s,
+         list_transform(range(0, {n}), i ->
+           CASE WHEN i = 0 THEN (x[1] - q[1]) * (x[1] - q[1])
+                ELSE CAST('infinity' AS DOUBLE) END) AS prev,
+         list_transform(range(0, {n}),
+                        i -> CAST('infinity' AS DOUBLE)) AS pp
+  FROM ser, qq
+  UNION ALL
+  SELECT key, x, q, s + 1,
+         list_transform(range(0, {n}), i ->
+           CASE WHEN (s + 1 - i) >= 0 AND (s + 1 - i) <= {n - 1}
+                     AND abs(i - (s + 1 - i)) <= {band}
+                THEN (x[i + 1] - q[s + 1 - i + 1])
+                     * (x[i + 1] - q[s + 1 - i + 1])
+                     + least(
+                         CASE WHEN i >= 1 THEN prev[i]
+                              ELSE CAST('infinity' AS DOUBLE) END,
+                         prev[i + 1],
+                         CASE WHEN i >= 1 THEN pp[i]
+                              ELSE CAST('infinity' AS DOUBLE) END)
+                ELSE CAST('infinity' AS DOUBLE) END),
+         prev
+  FROM dp WHERE s < {2 * n - 2}
+), dist AS (
+  SELECT key, prev[{n}] AS dtw FROM dp WHERE s = {2 * n - 2}
+)
+SELECT l.key, l.lb, d.dtw
+FROM lbp l JOIN dist d USING (key)
+ORDER BY d.dtw, l.key LIMIT {k}
+"""
