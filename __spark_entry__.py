@@ -6074,6 +6074,23 @@ def q_events_dtw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dtw_topk(prof, list(q), k=10, band=3)
 
 
+def q_events_frechet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-Fréchet (bottleneck alignment) top-k over the same
+    hourly profiles as events_dtw_topk (operators/dtw.py
+    frechet_topk): identical anti-diagonal DP with ``greatest`` in
+    place of ``+``, pruned by the max-envelope-violation bound (the
+    max-aggregation analogue of LB_Keogh — a path visits every index,
+    so its bottleneck cost is at least the worst per-index envelope
+    violation). Oracle = brute-force DP over every key, re-proving
+    admissibility per driver run."""
+    from symtseries_spark.operators.dtw import frechet_topk, hourly_profile
+
+    events = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    prof = hourly_profile(events)
+    q = prof.orderBy("key").limit(1).first()["x"]
+    return frechet_topk(prof, list(q), k=10, band=3)
+
+
 def q_text_phrase_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phrase search served off the SAME at-rest positional
     postings the BM25 probe uses (sources read_phrase_match): the
@@ -8194,6 +8211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Round-12 additions (new queries go at the HEAD).
         "events_dtw_topk": q_events_dtw_topk,
+        "events_frechet_topk": q_events_frechet_topk,
         "text_bm25_at_rest": q_text_bm25_at_rest,
         "text_phrase_at_rest": q_text_phrase_at_rest,
         "emb_kmeanspar_assign": q_emb_kmeanspar_assign,
@@ -10028,6 +10046,7 @@ SELECT removed_id, new_id, est_jaccard FROM (
 WHERE r = 1
 """,
         "events_dtw_topk": oc.dtw_topk_sql(k=10, band=3),
+        "events_frechet_topk": oc.frechet_topk_sql(k=10, band=3),
         "text_bm25_at_rest": ot.bm25_at_rest_sql(**BM25),
         "text_phrase_at_rest": ot.phrase_at_rest_sql(),
         "emb_kmeanspar_assign": ov.kmeans_parallel_assign_sql(

@@ -50,7 +50,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hourly_profile", "lb_keogh", "dtw_distance", "dtw_topk"]
+__all__ = [
+    "hourly_profile",
+    "lb_keogh",
+    "lb_frechet",
+    "dtw_distance",
+    "frechet_distance",
+    "dtw_topk",
+    "frechet_topk",
+]
 
 _INF = float("inf")
 
@@ -111,16 +119,39 @@ def lb_keogh(x: Column, q: list[float], *, band: int) -> Column:
     return add(above) + add(below)
 
 
-def dtw_distance(x: Column, q: list[float], *, band: int) -> Column:
-    """Exact Sakoe-Chiba-banded DTW (squared local cost, sum over the
-    optimal warping path) between array column ``x`` and the literal
-    query ``q`` — one JVM ``aggregate`` over the 2n-1 anti-diagonals,
-    zero Python, zero shuffles."""
+def lb_frechet(x: Column, q: list[float], *, band: int) -> Column:
+    """Scan-stage lower bound for band-constrained discrete Fréchet:
+    the MAX squared envelope violation. A warping path visits every x
+    index i against q values inside its ±band window, so the path's
+    max local cost is at least the worst per-index envelope violation
+    — the max-aggregation analogue of LB_Keogh's sum."""
+    upper, lower = _envelope(q, band)
+    u = F.array(*[F.lit(float(v)) for v in upper])
+    lo = F.array(*[F.lit(float(v)) for v in lower])
+    viol = F.zip_with(
+        F.zip_with(
+            x, u, lambda xi, ui: F.when(xi > ui, (xi - ui) * (xi - ui)).otherwise(F.lit(0.0))
+        ),
+        F.zip_with(
+            x, lo, lambda xi, li: F.when(xi < li, (li - xi) * (li - xi)).otherwise(F.lit(0.0))
+        ),
+        lambda a, b: F.greatest(a, b),
+    )
+    return F.aggregate(viol, F.lit(0.0), lambda acc, v: F.greatest(acc, v))
+
+
+def _path_dp(x: Column, q: list[float], *, band: int, mode: str) -> Column:
+    """Shared anti-diagonal DP: ``mode='sum'`` accumulates local costs
+    along the best path (DTW); ``mode='max'`` takes the bottleneck
+    local cost (discrete Fréchet). Everything else — band validity,
+    slot layout, seeding — is identical."""
     n = len(q)
     if n < 1:
         raise ValueError("query series must be non-empty")
     if band < 0:
         raise ValueError("band must be >= 0")
+    if mode not in ("sum", "max"):
+        raise ValueError("mode must be 'sum' or 'max'")
     qlit = F.array(*[F.lit(float(v)) for v in q])
     inf = F.lit(_INF)
     inf_row = F.array(*[inf for _ in range(n)])
@@ -149,7 +180,12 @@ def dtw_distance(x: Column, q: list[float], *, band: int) -> Column:
                 F.coalesce(F.try_element_at(pp, i0), inf),  # D(i-1, j-1)
             )
             seeded = F.when((i == 0) & (j == 0), F.lit(0.0)).otherwise(best)
-            return F.when(valid, cost(i, j) + seeded).otherwise(inf)
+            combined = (
+                cost(i, j) + seeded
+                if mode == "sum"
+                else F.greatest(cost(i, j), seeded)
+            )
+            return F.when(valid, combined).otherwise(inf)
 
         return F.transform(F.sequence(F.lit(0), F.lit(n - 1)), cell)
 
@@ -169,6 +205,22 @@ def dtw_distance(x: Column, q: list[float], *, band: int) -> Column:
     return out
 
 
+def dtw_distance(x: Column, q: list[float], *, band: int) -> Column:
+    """Exact Sakoe-Chiba-banded DTW (squared local cost, SUM over the
+    optimal warping path) between array column ``x`` and the literal
+    query ``q`` — one JVM ``aggregate`` over the 2n-1 anti-diagonals,
+    zero Python, zero shuffles."""
+    return _path_dp(x, q, band=band, mode="sum")
+
+
+def frechet_distance(x: Column, q: list[float], *, band: int) -> Column:
+    """Exact band-constrained discrete Fréchet distance (squared local
+    cost, MAX over the best path — the bottleneck alignment metric;
+    Eiter & Mannila 1994) — same anti-diagonal fold as
+    :func:`dtw_distance` with ``greatest`` in place of ``+``."""
+    return _path_dp(x, q, band=band, mode="max")
+
+
 def dtw_topk(
     series: DataFrame,
     q: list[float],
@@ -182,27 +234,78 @@ def dtw_topk(
     ``(key, lb, dtw)``, via the two-phase LB_Keogh search (module
     docstring). Output is provably identical to brute-force DP over
     every row; the prune only changes how much work the refine does."""
+    return _bounded_topk(
+        series,
+        q,
+        k=k,
+        band=band,
+        key_col=key_col,
+        vec_col=vec_col,
+        dist_fn=dtw_distance,
+        lb_fn=lb_keogh,
+        out="dtw",
+    )
+
+
+def frechet_topk(
+    series: DataFrame,
+    q: list[float],
+    *,
+    k: int,
+    band: int,
+    key_col: str = "key",
+    vec_col: str = "x",
+) -> DataFrame:
+    """Exact top-``k`` nearest series under band-constrained discrete
+    Fréchet -> ``(key, lb, frechet)`` — the same two-phase admissible
+    search as :func:`dtw_topk` with the max-violation bound
+    (:func:`lb_frechet`)."""
+    return _bounded_topk(
+        series,
+        q,
+        k=k,
+        band=band,
+        key_col=key_col,
+        vec_col=vec_col,
+        dist_fn=frechet_distance,
+        lb_fn=lb_frechet,
+        out="frechet",
+    )
+
+
+def _bounded_topk(
+    series: DataFrame,
+    q: list[float],
+    *,
+    k: int,
+    band: int,
+    key_col: str,
+    vec_col: str,
+    dist_fn,
+    lb_fn,
+    out: str,
+) -> DataFrame:
     if k < 1:
         raise ValueError("k must be >= 1")
     x = F.col(vec_col)
-    # lb and dtw stay UNROUNDED: the quantized inputs make both exact
-    # cross-engine already, and rounding lb could nudge it past δ and
-    # wrongly exclude a row the bound does not actually exclude
+    # lb and the distance stay UNROUNDED: the quantized inputs make
+    # both exact cross-engine already, and rounding lb could nudge it
+    # past δ and wrongly exclude a row the bound does not exclude
     with_lb = series.select(
         F.col(key_col).alias("key"),
         x.alias("x"),
-        lb_keogh(x, q, band=band).alias("lb"),
+        lb_fn(x, q, band=band).alias("lb"),
     ).localCheckpoint(eager=True)
     # phase 1: exact distances for the k best-LB candidates -> δ
     cand = (
         with_lb.orderBy("lb", "key")
         .limit(k)
-        .select("key", dtw_distance(F.col("x"), q, band=band).alias("d"))
+        .select("key", dist_fn(F.col("x"), q, band=band).alias("d"))
         .collect()
     )
     if not cand:
         return with_lb.select(
-            "key", "lb", F.lit(0.0).alias("dtw")
+            "key", "lb", F.lit(0.0).alias(out)
         ).limit(0)
     delta = sorted(r["d"] for r in cand)[min(k, len(cand)) - 1]
     # phase 2: exact refine of every row the bound cannot exclude
@@ -211,8 +314,8 @@ def dtw_topk(
         survivors.select(
             "key",
             "lb",
-            dtw_distance(F.col("x"), q, band=band).alias("dtw"),
+            dist_fn(F.col("x"), q, band=band).alias(out),
         )
-        .orderBy("dtw", "key")
+        .orderBy(out, "key")
         .limit(k)
     )

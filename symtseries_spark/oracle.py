@@ -657,18 +657,61 @@ SELECT * FROM seg_rows
 """
 
 
-def dtw_topk_sql(
-    *, k: int, band: int, n: int = 24, table: str = "events"
+def _path_topk_sql(
+    *, k: int, band: int, n: int, table: str, mode: str
 ) -> str:
-    """Oracle for operators.dtw.dtw_topk over dtw.hourly_profile:
-    BRUTE-FORCE banded DTW over EVERY key via a recursive CTE that
-    walks the same anti-diagonal DP the Spark fold runs (slot i of the
-    carried list holds D(i, s-i), 'infinity' off band/range) — so each
-    driver run re-proves the LB_Keogh prune's admissibility, not just
-    engine agreement. The query series is the lowest key's profile;
-    series values are 1e-6-floor-quantized means (missing hours 0.0),
-    making the DP inputs — and therefore every double the DP computes
-    — bit-identical across engines."""
+    """Shared oracle for operators.dtw.dtw_topk / frechet_topk over
+    dtw.hourly_profile: BRUTE-FORCE banded path-DP over EVERY key via
+    a recursive CTE walking the same anti-diagonals the Spark fold
+    runs (slot i of the carried list holds D(i, s-i), 'infinity' off
+    band/range) — so each driver run re-proves the lower bound's
+    admissibility, not just engine agreement. ``mode='sum'`` is DTW
+    (cost summed along the best path, LB_Keogh bound); ``mode='max'``
+    is discrete Fréchet (bottleneck cost, max-violation bound). The
+    query series is the lowest key's profile; series values are
+    1e-6-floor-quantized hourly means (missing hours 0.0), making the
+    DP inputs — and therefore every double the DP computes —
+    bit-identical across engines."""
+    if mode == "sum":
+        combine_open, combine_mid, combine_close = "(", ") + (", ")"
+        lb_fold = "a + b"
+        lb_join = "+"
+        outcol = "dtw"
+    else:
+        combine_open, combine_mid, combine_close = (
+            "greatest(", ", ", ")",
+        )
+        lb_fold = "greatest(a, b)"
+        lb_join = None  # greatest() join, handled below
+        outcol = "frechet"
+
+    def env(agg: str) -> str:
+        return (
+            f"list_{agg}(q[greatest(1, j - {band}) : least({n}, j + {band})])"
+        )
+
+    above = f"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, {n} + 1), j ->
+             CASE WHEN s.x[j] > {env('max')}
+                  THEN (s.x[j] - {env('max')}) * (s.x[j] - {env('max')})
+                  ELSE 0.0 END)), (a, b) -> {lb_fold})"""
+    below = f"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, {n} + 1), j ->
+             CASE WHEN s.x[j] < {env('min')}
+                  THEN ({env('min')} - s.x[j]) * ({env('min')} - s.x[j])
+                  ELSE 0.0 END)), (a, b) -> {lb_fold})"""
+    lb_expr = (
+        f"{above}\n         + {below}"
+        if lb_join == "+"
+        else f"greatest({above},\n         {below})"
+    )
+    cost = f"(x[i + 1] - q[s + 1 - i + 1]) * (x[i + 1] - q[s + 1 - i + 1])"
+    best = f"""least(
+                         CASE WHEN i >= 1 THEN prev[i]
+                              ELSE CAST('infinity' AS DOUBLE) END,
+                         prev[i + 1],
+                         CASE WHEN i >= 1 THEN pp[i]
+                              ELSE CAST('infinity' AS DOUBLE) END)"""
     return f"""
 WITH RECURSIVE per AS (
   SELECT user_id AS key, (epoch_us(ts) // 3600000000) % 24 AS h,
@@ -685,24 +728,7 @@ WITH RECURSIVE per AS (
   SELECT x AS q FROM ser WHERE key = (SELECT min(key) FROM ser)
 ), lbp AS (
   SELECT s.key, s.x,
-         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           list_transform(range(1, {n} + 1), j ->
-             CASE WHEN s.x[j] > list_max(q[greatest(1, j - {band}) :
-                                            least({n}, j + {band})])
-                  THEN (s.x[j] - list_max(q[greatest(1, j - {band}) :
-                                             least({n}, j + {band})]))
-                     * (s.x[j] - list_max(q[greatest(1, j - {band}) :
-                                              least({n}, j + {band})]))
-                  ELSE 0.0 END)), (a, b) -> a + b)
-         + list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           list_transform(range(1, {n} + 1), j ->
-             CASE WHEN s.x[j] < list_min(q[greatest(1, j - {band}) :
-                                            least({n}, j + {band})])
-                  THEN (list_min(q[greatest(1, j - {band}) :
-                                    least({n}, j + {band})]) - s.x[j])
-                     * (list_min(q[greatest(1, j - {band}) :
-                                    least({n}, j + {band})]) - s.x[j])
-                  ELSE 0.0 END)), (a, b) -> a + b) AS lb
+         {lb_expr} AS lb
   FROM ser s, qq
 ), dp AS (
   SELECT key, x, q, 0 AS s,
@@ -717,21 +743,29 @@ WITH RECURSIVE per AS (
          list_transform(range(0, {n}), i ->
            CASE WHEN (s + 1 - i) >= 0 AND (s + 1 - i) <= {n - 1}
                      AND abs(i - (s + 1 - i)) <= {band}
-                THEN (x[i + 1] - q[s + 1 - i + 1])
-                     * (x[i + 1] - q[s + 1 - i + 1])
-                     + least(
-                         CASE WHEN i >= 1 THEN prev[i]
-                              ELSE CAST('infinity' AS DOUBLE) END,
-                         prev[i + 1],
-                         CASE WHEN i >= 1 THEN pp[i]
-                              ELSE CAST('infinity' AS DOUBLE) END)
+                THEN {combine_open}{cost}{combine_mid}{best}{combine_close}
                 ELSE CAST('infinity' AS DOUBLE) END),
          prev
   FROM dp WHERE s < {2 * n - 2}
 ), dist AS (
-  SELECT key, prev[{n}] AS dtw FROM dp WHERE s = {2 * n - 2}
+  SELECT key, prev[{n}] AS d FROM dp WHERE s = {2 * n - 2}
 )
-SELECT l.key, l.lb, d.dtw
+SELECT l.key, l.lb, d.d AS {outcol}
 FROM lbp l JOIN dist d USING (key)
-ORDER BY d.dtw, l.key LIMIT {k}
+ORDER BY d.d, l.key LIMIT {k}
 """
+
+
+def dtw_topk_sql(
+    *, k: int, band: int, n: int = 24, table: str = "events"
+) -> str:
+    """Oracle for operators.dtw.dtw_topk (see :func:`_path_topk_sql`)."""
+    return _path_topk_sql(k=k, band=band, n=n, table=table, mode="sum")
+
+
+def frechet_topk_sql(
+    *, k: int, band: int, n: int = 24, table: str = "events"
+) -> str:
+    """Oracle for operators.dtw.frechet_topk (see
+    :func:`_path_topk_sql`)."""
+    return _path_topk_sql(k=k, band=band, n=n, table=table, mode="max")

@@ -142,3 +142,74 @@ def test_validation(spark):
         dtw_distance(F.col("x"), [1.0], band=-1)
     with pytest.raises(ValueError):
         dtw_topk(df, [1.0], k=0, band=1)
+
+
+def brute_frechet(x, q, band):
+    n = len(q)
+    D = [[INF] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(n):
+            if abs(i - j) > band:
+                continue
+            c = (x[i] - q[j]) ** 2
+            if i == 0 and j == 0:
+                D[i][j] = c
+            else:
+                D[i][j] = max(
+                    c,
+                    min(
+                        D[i - 1][j] if i > 0 else INF,
+                        D[i][j - 1] if j > 0 else INF,
+                        D[i - 1][j - 1] if i > 0 and j > 0 else INF,
+                    ),
+                )
+    return D[n - 1][n - 1]
+
+
+def test_frechet_matches_brute_and_is_admissible(spark):
+    from symtseries_spark.operators.dtw import frechet_distance, lb_frechet
+
+    n, band = 8, 2
+    rows = _rows(25, n, seed=17)
+    q = rows[4][1]
+    df = spark.createDataFrame(rows, "key long, x array<double>")
+    got = df.select(
+        "key",
+        frechet_distance(F.col("x"), q, band=band).alias("d"),
+        lb_frechet(F.col("x"), q, band=band).alias("lb"),
+    ).collect()
+    xs = dict(rows)
+    for r in got:
+        assert r.d == brute_frechet(xs[r.key], q, band)
+        assert r.lb <= r.d + 1e-12
+
+
+def test_frechet_topk_exact_through_prune(spark):
+    from symtseries_spark.operators.dtw import frechet_topk
+
+    n, band, k = 8, 2, 5
+    rows = _rows(35, n, seed=23)
+    q = rows[1][1]
+    df = spark.createDataFrame(rows, "key long, x array<double>")
+    got = [
+        (r.frechet, r.key)
+        for r in frechet_topk(df, q, k=k, band=band).collect()
+    ]
+    want = sorted((brute_frechet(x, q, band), kk) for kk, x in rows)[:k]
+    assert got == want
+
+
+def test_frechet_le_dtw(spark):
+    # bottleneck cost never exceeds the summed path cost
+    from symtseries_spark.operators.dtw import frechet_distance
+
+    rows = _rows(15, 8, seed=29)
+    q = rows[0][1]
+    df = spark.createDataFrame(rows, "key long, x array<double>")
+    both = df.select(
+        "key",
+        dtw_distance(F.col("x"), q, band=2).alias("d"),
+        frechet_distance(F.col("x"), q, band=2).alias("f"),
+    ).collect()
+    for r in both:
+        assert r.f <= r.d + 1e-12
