@@ -6074,6 +6074,86 @@ def q_events_dtw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dtw_topk(prof, list(q), k=10, band=3)
 
 
+def q_events_dtw_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING similarity monitor — the streaming-matrix row for the
+    DTW family: hourly profiles accumulate as live aggregation state
+    (complete-mode groupBy(user, hour) carrying exact (sum, count)
+    pairs — state is bounded at |users| x 24 however long the stream
+    runs), and after the replay the SAME banded-DTW top-k search runs
+    over the final state. The time-split two-batch replay proves the
+    carried-state path; the 1e-6 profile quantization absorbs the
+    summation-order difference between micro-batch and batch
+    aggregation, so the query shares events_dtw_topk's batch oracle
+    verbatim (the standing stream-twin convention)."""
+    import glob as globmod
+    import os
+    import tempfile
+    import uuid
+
+    from symtseries_spark.operators.dtw import dtw_topk
+
+    events = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    mid = events.agg(F.expr("percentile(ts, 0.5)")).first()[0]
+    half = (F.col("ts") > mid).cast("int").alias("__bid")
+    tmp = tempfile.mkdtemp(prefix="dtw_stream_")
+    staged, indir = f"{tmp}/staged", f"{tmp}/in"
+    os.makedirs(indir)
+    events.withColumn("__bid", half).coalesce(1).write.partitionBy(
+        "__bid"
+    ).parquet(staged)
+    for i, d in enumerate(sorted(globmod.glob(f"{staged}/__bid=*"))):
+        part = globmod.glob(f"{d}/part-*.parquet")[0]
+        dst = f"{indir}/b{i:04d}.parquet"
+        os.rename(part, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+    )
+    hour = F.expr("((ts div 1000) div 3600000000) % 24")
+    state = (
+        stream.select(
+            F.col("user_id").alias("key"),
+            hour.alias("__h"),
+            F.col("value").cast("double").alias("__v"),
+        )
+        .groupBy("key", "__h")
+        .agg(F.sum("__v").alias("__s"), F.count("*").alias("__c"))
+    )
+    name = f"dtw_stream_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = (
+            state.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="dtw_chk_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    per = spark.table(name).select(
+        "key",
+        "__h",
+        (F.floor(F.col("__s") / F.col("__c") * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "__v"
+        ),
+    )
+    prof = per.groupBy("key").agg(
+        F.array(
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("__h") == h, F.col("__v"))),
+                    F.lit(0.0),
+                )
+                for h in range(24)
+            ]
+        ).alias("x")
+    )
+    qs = prof.orderBy("key").limit(1).first()["x"]
+    return dtw_topk(prof, list(qs), k=10, band=3)
+
+
 def q_events_frechet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discrete-Fréchet (bottleneck alignment) top-k over the same
     hourly profiles as events_dtw_topk (operators/dtw.py
@@ -8211,6 +8291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Round-12 additions (new queries go at the HEAD).
         "events_dtw_topk": q_events_dtw_topk,
+        "events_dtw_stream": q_events_dtw_stream,
         "events_frechet_topk": q_events_frechet_topk,
         "text_bm25_at_rest": q_text_bm25_at_rest,
         "text_phrase_at_rest": q_text_phrase_at_rest,
@@ -10046,6 +10127,7 @@ SELECT removed_id, new_id, est_jaccard FROM (
 WHERE r = 1
 """,
         "events_dtw_topk": oc.dtw_topk_sql(k=10, band=3),
+        "events_dtw_stream": oc.dtw_topk_sql(k=10, band=3),
         "events_frechet_topk": oc.frechet_topk_sql(k=10, band=3),
         "text_bm25_at_rest": ot.bm25_at_rest_sql(**BM25),
         "text_phrase_at_rest": ot.phrase_at_rest_sql(),
