@@ -78,6 +78,35 @@ def _seed_centroids(
     )
 
 
+def _centroids_row(centroids: DataFrame) -> DataFrame:
+    """Pack the (cluster, centroid) relation into ONE array cell — a
+    1-row aggregate of ``k x dim`` doubles (kilobytes), broadcast so
+    per-row distance math runs scan-stage with no corpus shuffle and
+    no k-way row fan-out. ``array_sort`` only stabilizes the packed
+    order for plan readability; every argmin below is a set-min over
+    ``struct(d2, cluster)`` and is order-independent."""
+    return centroids.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cluster"), F.col("centroid")))
+        ).alias("__cents")
+    )
+
+
+def _best_struct(vd: Column) -> Column:
+    """``struct(d2, cluster)`` argmin of ``vd`` over the packed
+    ``__cents`` array — identical tie order (d2, then cluster) to the
+    grouped ``min(struct(__d2, cluster))`` it replaces."""
+    return F.array_min(
+        F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                _sq_l2(vd, c["centroid"]).alias("__d2"),
+                c["cluster"].alias("cluster"),
+            ),
+        )
+    )
+
+
 def _assign(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -87,27 +116,26 @@ def _assign(
 ) -> DataFrame:
     """Nearest-centroid assignment -> ``(id, vec, cluster, __d2)``.
 
-    Broadcast nested-loop over the tiny centroid relation (k rows),
-    then a per-id argmin with ``struct(d2, cluster)`` tie order. The
-    corpus side is never shuffled: the pre-aggregation for ``min_by``
-    collapses the k candidate rows map-side.
+    Fully scan-stage (r12): the centroid relation rides in as one
+    broadcast array cell (:func:`_centroids_row`) and each row computes
+    its own argmin with ``array_min`` over a ``transform`` — the r11
+    crossJoin + ``groupBy(id)`` shape re-shuffled the corpus WITH its
+    vector payload on every assignment (guide §2.3: shuffle keys, not
+    payloads; here nothing shuffles at all). Tie order is unchanged:
+    ``array_min`` over ``struct(d2, cluster)`` == the old grouped
+    ``min(struct(d2, cluster))``.
     """
     vd = F.col(vec_col).cast("array<double>")
-    scored = (
+    return (
         vectors.select(id_col, vec_col)
-        .crossJoin(F.broadcast(centroids))
+        .crossJoin(F.broadcast(_centroids_row(centroids)))
+        .withColumn("__best", _best_struct(vd))
         .select(
             F.col(id_col),
             F.col(vec_col),
-            F.col("cluster"),
-            _sq_l2(vd, F.col("centroid")).alias("__d2"),
+            F.col("__best.cluster").alias("cluster"),
+            F.col("__best.__d2").alias("__d2"),
         )
-    )
-    best = F.min(F.struct("__d2", "cluster"))
-    return scored.groupBy(id_col).agg(
-        F.first(vec_col).alias(vec_col),
-        best.getField("cluster").alias("cluster"),
-        best.getField("__d2").alias("__d2"),
     )
 
 
@@ -214,31 +242,36 @@ def kmeans_silhouette(
         vectors, k=k, dim=dim, iters=iters, id_col=id_col, vec_col=vec_col
     )
     vd = F.col(vec_col).cast("array<double>")
-    scored = (
-        vectors.select(id_col, vec_col)
-        .crossJoin(F.broadcast(cent))
-        .select(
-            F.col(id_col),
-            F.col("cluster"),
-            _sq_l2(vd, F.col("centroid")).alias("__d2"),
+    # Scan-stage (r12): sort the per-row (d2, cluster) candidate array
+    # once and read elements 1 and 2 — identical (own, runner) pair to
+    # the old per-id row_number window (same (d2, cluster) order),
+    # without fanning the corpus out k-ways and shuffling it by id for
+    # the window sort.
+    ranked_arr = F.array_sort(
+        F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                _sq_l2(vd, c["centroid"]).alias("__d2"),
+                c["cluster"].alias("cluster"),
+            ),
         )
     )
-    rn = F.row_number().over(
-        Window.partitionBy(id_col).orderBy("__d2", "cluster")
-    )
-    ranked = scored.withColumn("__r", rn).where(F.col("__r") <= 2)
-    own = ranked.where(F.col("__r") == 1).select(
-        F.col(id_col), F.col("cluster"), _q6(F.col("__d2")).alias("__a")
-    )
-    runner = ranked.where(F.col("__r") == 2).select(
-        F.col(id_col), _q6(F.col("__d2")).alias("__b")
+    scored = (
+        vectors.select(id_col, vec_col)
+        .crossJoin(F.broadcast(_centroids_row(cent)))
+        .withColumn("__rk", ranked_arr)
+        .select(
+            F.col("__rk")[0]["cluster"].alias("cluster"),
+            _q6(F.col("__rk")[0]["__d2"]).alias("__a"),
+            _q6(F.col("__rk")[1]["__d2"]).alias("__b"),
+        )
     )
     mx = F.greatest(F.col("__a"), F.col("__b"))
     sil = F.when(
         mx > 0, _q6((F.col("__b") - F.col("__a")) / mx)
     ).otherwise(F.lit(0.0))
     return (
-        own.join(runner, id_col)
+        scored
         .select(F.col("cluster"), F.col("__a"), F.col("__b"), sil.alias("__s"))
         .groupBy("cluster")
         .agg(
@@ -812,19 +845,20 @@ def _parallel_candidates(
         .localCheckpoint(eager=True)
     )
     for r in range(1, rounds + 1):
-        scored = base.crossJoin(F.broadcast(centers)).select(
+        # Scan-stage min-d2 (r12): centers ride in as ONE broadcast
+        # array cell; the old crossJoin + groupBy(__id) shape shuffled
+        # the corpus (ids AND vectors) TWICE per round (the unpersisted
+        # d2i lineage re-ran for phi and for the selection filter) —
+        # now both passes are shuffle-free scans. array_min over the
+        # same _sq_l2 doubles == the grouped F.min, bit-exact.
+        crow = centers.agg(F.collect_list("centroid").alias("__cs"))
+        min_d2 = F.array_min(
+            F.transform(F.col("__cs"), lambda c: _sq_l2(F.col("__v"), c))
+        )
+        d2i = base.crossJoin(F.broadcast(crow)).select(
             "__id",
             "__v",
-            _sq_l2(F.col("__v"), F.col("centroid")).alias("__d2"),
-        )
-        d2i = (
-            scored.groupBy("__id")
-            .agg(
-                F.first("__v").alias("__v"),
-                F.floor(F.min("__d2") * 1e6 + F.lit(0.5))
-                .cast("long")
-                .alias("__d2i"),
-            )
+            F.floor(min_d2 * 1e6 + F.lit(0.5)).cast("long").alias("__d2i"),
         )
         phi = d2i.agg(F.sum("__d2i").alias("__phi"))
         u = (

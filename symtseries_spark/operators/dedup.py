@@ -987,14 +987,21 @@ def exact_substring_dedup(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,w:string>>"))
-    ex = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(wins).alias("s")
-    ).select(
-        "doc_id",
-        F.col("s.pos").alias("pos"),
-        (F.md5(F.col("s.w")) if hash_windows else F.col("s.w")).alias(
-            "__k"
-        ),
+    from symtseries_spark.cache import persist_tracked
+
+    # persist: the window explode (tokenize + k-gram assembly — the
+    # expensive scan) feeds BOTH the canonical-pick aggregate and the
+    # join-back; unpersisted it ran twice (r12)
+    ex = persist_tracked(
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.explode(wins).alias("s")
+        ).select(
+            "doc_id",
+            F.col("s.pos").alias("pos"),
+            (F.md5(F.col("s.w")) if hash_windows else F.col("s.w")).alias(
+                "__k"
+            ),
+        )
     )
     dup = (
         ex.groupBy("__k")

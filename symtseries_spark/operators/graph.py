@@ -40,6 +40,26 @@ from pyspark.sql import functions as F
 
 __all__ = ["connected_components", "pagerank", "triangle_stats"]
 
+
+def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Both directions of every edge -> ``(a, b)`` in ONE pass: each
+    input row explodes into (src, dst) and (dst, src). The previous
+    union-with-swapped-self shape evaluated the upstream edge lineage
+    (minhash banding, dhash bucketing, ...) once per union branch when
+    the downstream checkpoint materialized."""
+    return edges.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(src).alias("a"), F.col(dst).alias("b")
+                ),
+                F.struct(
+                    F.col(dst).alias("a"), F.col(src).alias("b")
+                ),
+            )
+        ).alias("__e")
+    ).select("__e.a", "__e.b")
+
 # Rounds the most recent connected_components call took to converge —
 # observability for the scale probes (O(log diameter) is the claim;
 # this is the measurement). Informational only: concurrent callers in
@@ -60,13 +80,21 @@ def connected_components(
     (undirected) -> ``(v, canonical_id)``. ``edges`` may be directed
     pairs; symmetry is added here. Isolated vertices keep themselves.
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.localCheckpoint(eager=True)
+    # Symmetrize with ONE pass over the (often expensive) upstream pair
+    # generator: explode each edge into its two directions instead of a
+    # self-union, which computed the whole upstream lineage twice when
+    # the checkpoint materialized (r12; guide §1.2 "don't compute things
+    # you throw away").
+    sym = _symmetrize(edges, src, dst).localCheckpoint(eager=False)
 
+    # eager=False: the checkpoint materializes inside the convergence
+    # sum's job, so init costs ONE job instead of two (r12 fusion —
+    # applied to every per-round checkpoint below as well; each round
+    # was paying a materialization job plus a convergence-scan job for
+    # the same data).
     labels = vertices.select(
         F.col(vertex).alias("v"), F.col(vertex).cast("long").alias("lbl")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     prev_sum = labels.agg(F.sum("lbl")).first()[0]
 
     for it in range(max_iter):
@@ -90,7 +118,7 @@ def connected_components(
         unioned = reduce(lambda a, b: a.unionByName(b), parts)
         prop = (
             unioned.groupBy("v").agg(F.min("lbl").alias("lbl"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         new_sum = prop.agg(F.sum("lbl")).first()[0]
         labels = prop
         if new_sum == prev_sum:
@@ -141,9 +169,9 @@ def pagerank(
         raise ValueError("pagerank needs 0 < damping < 1")
     if n_iter < 1:
         raise ValueError("pagerank needs n_iter >= 1")
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.localCheckpoint(eager=True)
+    # one-pass symmetrize + lazy checkpoint: the edge lineage runs once,
+    # inside the first job that touches sym (r12; see _symmetrize)
+    sym = _symmetrize(edges, src, dst).localCheckpoint(eager=False)
 
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).select(
         F.col("a").alias("v"), "deg"
@@ -153,10 +181,14 @@ def pagerank(
     teleport = F.floor((1.0 - damping) / F.col("__n") * q + 0.5) / q
     init = F.floor(1.0 / F.col("__n") * q + 0.5) / q
 
+    # eager=False throughout the fixed-round loop: every pr_{i+1}
+    # references pr_i exactly once, so the whole n_iter chain pipelines
+    # into the caller's single job while each checkpoint still truncates
+    # lineage at materialization (r12: was one blocking job per round)
     pr = (
         deg.crossJoin(F.broadcast(n_tbl))
         .select("v", "deg", init.alias("pr"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(n_iter):
         contrib = (
@@ -174,7 +206,7 @@ def pagerank(
                 (teleport + F.floor(damping * F.col("__s") * q + 0.5) / q)
                 .alias("pr"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return pr.select("v", F.col("deg").alias("degree"), F.col("pr").alias("pagerank"))
 

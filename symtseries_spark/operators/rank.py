@@ -202,6 +202,7 @@ def ranked_with_total(
     descending: bool,
     buckets: int | None = None,
     rel_err: float = 0.01,
+    key_bounds: list[float] | None = None,
     _keep_bucket: bool = False,
 ) -> tuple[DataFrame, int]:
     """Two-pass core: returns ``(ranked df, total row count)``.
@@ -214,6 +215,18 @@ def ranked_with_total(
     ``buckets=None`` (the default) sizes the rank stage to the
     session's ``spark.sql.shuffle.partitions`` so parallelism follows
     the cluster; pass an explicit count only to pin a test plan.
+
+    ``key_bounds`` (r12): callers that KNOW the oriented-key domain —
+    the suffix-array doubling rounds rank dense integers in
+    ``[1, prev_total]`` — may pass precomputed plain-key boundaries
+    and skip the ``approxQuantile`` pass entirely (one less full pass
+    over the input per call, and the input no longer needs an internal
+    persist: the count pass is then the only pre-action). Boundary
+    placement affects only balance, never correctness (module
+    docstring), so ANY boundary list yields exact ranks; the trade is
+    that heavy-tie sub-splitting is skipped — callers should pass
+    bounds only when per-key multiplicity is structurally bounded.
+    Values are in ORIENTED key space (negated when ``descending``).
     """
     if buckets is None:
         buckets = _default_buckets(df)
@@ -229,6 +242,25 @@ def ranked_with_total(
     # monotone in the tiebreak's own order); otherwise ties stay whole.
     tie_numeric = isinstance(df.schema[tiebreak].dataType, NumericType)
     tie_d = F.col(tiebreak).cast("double")
+
+    if key_bounds is not None:
+        bounds = [(float(v), None) for v in sorted({float(v) for v in key_bounds})]
+        with_bkt = work.withColumn(
+            "__bkt", _bucket_expr(bounds, F.col("__dk"), tie_d)
+        )
+        bad_bucket = F.when(
+            F.col("__dk").isNull() | F.isnan("__dk"), F.lit(-1)
+        ).otherwise(F.col("__bkt"))
+        counts = {
+            r["__b"]: r["cnt"]
+            for r in with_bkt.groupBy(bad_bucket.alias("__b"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        return _finish_ranked(
+            df, counts, bounds, key, tiebreak, out, descending, tie_d,
+            _keep_bucket,
+        )
 
     work.persist()
     try:
@@ -326,6 +358,26 @@ def ranked_with_total(
     finally:
         work.unpersist()
 
+    return _finish_ranked(
+        df, counts, bounds, key, tiebreak, out, descending, tie_d,
+        _keep_bucket,
+    )
+
+
+def _finish_ranked(
+    df: DataFrame,
+    counts: dict,
+    bounds: list,
+    key: str,
+    tiebreak: str,
+    out: str,
+    descending: bool,
+    tie_d,
+    _keep_bucket: bool,
+) -> tuple[DataFrame, int]:
+    """Offsets-from-counts + the final within-bucket rank pass — the
+    shared tail of :func:`ranked_with_total` (factored out in r12 so
+    the ``key_bounds`` fast path reuses it verbatim)."""
     n_bad = counts.pop(-1, 0)
     if n_bad:
         raise ValueError(

@@ -432,23 +432,40 @@ def _assign_lists(
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
-    """Nearest-centroid assignment via a broadcast-joined centroid table:
-    fan out |rows| x num_lists inside the scan stage, argmin with
-    ``min_by`` over a (d2, list_id) struct (deterministic under ties).
-    min_by partially aggregates map-side, so the shuffle carries exactly
-    one row per vector — never the fan-out. Scales to thousands of lists
-    where a plan-time unrolled centroid expression would trip codegen
-    limits (BASELINE.md: giant literal trees go 4x slower)."""
+    """Nearest-centroid assignment, fully scan-stage: the centroid
+    relation is packed into ONE array cell (a 1-row aggregate —
+    kilobytes), broadcast, and each vector computes its argmin with an
+    ``array_min`` over a ``transform`` of that array — a per-row loop,
+    not a plan-time unrolled literal tree (BASELINE.md: giant literal
+    trees go 4x slower), and NOT a |rows| x num_lists fan-out + per-id
+    re-aggregation (the r11 shape: its ``groupBy(id)`` re-shuffled the
+    corpus WITH its vector payload on every assignment — guide §2.3's
+    "shuffle keys, not payloads" violated by the assignment itself).
+    Tie order matches the old ``min_by`` exactly: ``array_min`` over
+    ``struct(d2, list_id)`` compares lexicographically."""
     vd = F.col(vec_col).cast("array<double>")
-    scored = vectors.crossJoin(F.broadcast(centroids)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("list_id").alias("__lid"),
-        _sq_l2(vd, F.col("centroid")).alias("__d2"),
+    crow = centroids.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("list_id"), F.col("centroid")))
+        ).alias("__cl")
     )
-    return scored.groupBy(id_col).agg(
-        F.min_by("__lid", F.struct("__d2", "__lid")).alias("list_id"),
-        F.first(vec_col).alias(vec_col),
+    best = F.array_min(
+        F.transform(
+            F.col("__cl"),
+            lambda c: F.struct(
+                _sq_l2(vd, c["centroid"]).alias("__d2"),
+                c["list_id"].alias("list_id"),
+            ),
+        )
+    )
+    return (
+        vectors.crossJoin(F.broadcast(crow))
+        .withColumn("__best", best)
+        .select(
+            F.col(id_col),
+            F.col("__best.list_id").alias("list_id"),
+            F.col(vec_col),
+        )
     )
 
 

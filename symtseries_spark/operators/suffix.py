@@ -64,7 +64,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from symtseries_spark.functions.text import tokens
-from symtseries_spark.operators.rank import ranked_with_total
+from symtseries_spark.operators.rank import _default_buckets, ranked_with_total
 
 __all__ = [
     "token_positions",
@@ -135,8 +135,11 @@ def suffix_ranks(
     a rank — and ``rounds`` maps prefix length h → the ``rank_h`` table
     (only populated when ``keep_rounds``; required by :func:`pair_lcp`).
     """
+    # eager=False: the stats action below materializes the checkpoint
+    # in the same job (r12 fusion — was a materialization job + a stats
+    # job over the same rows)
     pos_tbl = positions.select("doc_id", "pos", "tok").localCheckpoint(
-        eager=True
+        eager=False
     )
     stats = pos_tbl.groupBy("doc_id").count().agg(
         F.count("*").alias("docs"),
@@ -160,6 +163,7 @@ def suffix_ranks(
     LAST_ROUNDS = 0
     rounds: dict[int, DataFrame] = {1: cur} if keep_rounds else {}
     h = 1
+    prev_total = 0
     while h < max_len:
         LAST_ROUNDS += 1
         shifted = cur.select(
@@ -167,6 +171,10 @@ def suffix_ranks(
             (F.col("pos") - F.lit(h)).alias("pos"),
             F.col("rank").alias("r2"),
         )
+        # persist, not eager localCheckpoint: lineage is one join off
+        # the checkpointed cur, so truncation buys nothing — the first
+        # rank action fills the cache and the join-back reuses it,
+        # saving the per-round materialization job (r12)
         paired = (
             cur.join(shifted, ["doc_id", "pos"], "left")
             .select(
@@ -175,12 +183,29 @@ def suffix_ranks(
                 F.col("rank").alias("r1"),
                 F.coalesce(F.col("r2"), F.lit(-1).cast("long")).alias("r2"),
             )
-            .localCheckpoint(eager=True)
+            .persist()
         )
         distinct_pairs = paired.select("r1", "r2").distinct()
         # Two-pass distributed rank: row_number over DISTINCT (r1, r2)
         # == dense rank of the pair. r1 < 2^53 is double-exact; r2 is
-        # the numeric tiebreak (heavy ties split by the rank core).
+        # the numeric tiebreak. From round 2 on, r1 is a DENSE rank in
+        # [1, prev_total], so uniform precomputed bounds replace the
+        # approxQuantile pass (r12: one less full pass per round;
+        # boundary placement is balance-only). The trade documented on
+        # ranked_with_total applies: a single class with very many
+        # distinct continuations lands in one bucket — bounded by the
+        # geometric class shrink per round, and never a correctness
+        # concern. Round 1 (vocab-rank domain unknown) keeps the
+        # adaptive quantile path and its heavy-tie splitting.
+        if prev_total:
+            nb = buckets if buckets is not None else _default_buckets(
+                distinct_pairs
+            )
+            kb = [
+                float(1 + (i * prev_total) // nb) for i in range(1, nb)
+            ]
+        else:
+            kb = None
         ranked, total = ranked_with_total(
             distinct_pairs,
             "r1",
@@ -188,17 +213,32 @@ def suffix_ranks(
             out="nr",
             descending=False,
             buckets=buckets,
+            key_bounds=kb,
         )
         cur = (
             paired.join(ranked, ["r1", "r2"])
             .select("doc_id", "pos", F.col("nr").cast("long").alias("rank"))
             .localCheckpoint(eager=True)
         )
+        paired.unpersist()
         h *= 2
         if keep_rounds:
             rounds[h] = cur
         if total == n_positions:
             break  # every suffix separated: ranks are final
+        if total == prev_total:
+            # Fixed point: the class partition did not refine from h/2
+            # to h, so no further doubling can refine it (same class at
+            # stale h ⇒ the h-shifted positions share a class too, by
+            # induction every future pairing agrees). Surviving ties
+            # are exactly the identical whole-tail suffixes, and the
+            # rank values are already the final dense ranks — the loop
+            # to h >= max_len would re-derive the same table each
+            # round (r12: saves ⌈log₂ max_len⌉ − rounds-to-stability
+            # full doubling rounds; the planted-mirror corpora
+            # stabilize long before max_len).
+            break
+        prev_total = total
 
     return cur.select(
         "doc_id", "pos", F.col("rank").alias("sa_rank")
@@ -309,9 +349,12 @@ def pair_lcp(pairs: DataFrame, rounds: dict[int, DataFrame]) -> DataFrame:
         # Unlike the doubling loop (whose table is referenced TWICE per
         # round — exponential lineage without a cut), the walk grows
         # linearly (2 joins/round), so a cut every 3rd round bounds
-        # plan size without paying a materialization per power.
+        # plan size without paying a materialization per power —
+        # eager=False (r12): each cut still truncates lineage when the
+        # consumer's job runs, but the whole walk pipelines into ONE
+        # job instead of one blocking job per cut.
         if step % 3 == 2 or h == powers[-1]:
-            out = out.localCheckpoint(eager=True)
+            out = out.localCheckpoint(eager=False)
     lens = (
         rounds[min(rounds)]
         .groupBy("doc_id")
@@ -359,14 +402,24 @@ def longest_dup_span(
     suffixes sharing the span as a prefix form one contiguous SA run,
     so it equals (adjacent pairs at max LCP for that span) + 1.
     """
-    positions = token_positions(
-        docs, id_col=id_col, text_col=text_col, max_tokens=max_tokens
+    from symtseries_spark.cache import persist_tracked
+
+    # persist: the token table feeds BOTH the rank construction (which
+    # checkpoints its own projection) and the span-text reconstruction
+    # join at the end — unpersisted, the tokenize+posexplode scan ran
+    # twice (r12)
+    positions = persist_tracked(
+        token_positions(
+            docs, id_col=id_col, text_col=text_col, max_tokens=max_tokens
+        )
     )
     ranks, rounds = suffix_ranks(
         positions, buckets=buckets, keep_rounds=True
     )
     pairs = adjacent_sa_pairs(ranks)
-    lcps = pair_lcp(pairs, rounds).localCheckpoint(eager=True)
+    # eager=False: the max-lcp action right below materializes the
+    # checkpoint in its own job; `winners` then reads the stored blocks
+    lcps = pair_lcp(pairs, rounds).localCheckpoint(eager=False)
     row = lcps.agg(F.max("lcp").alias("m")).first()
     max_lcp = int(row["m"]) if row and row["m"] is not None else 0
     if max_lcp == 0:

@@ -141,3 +141,47 @@ class TestRankProperties:
         g = {r["id"]: r["t"] for r in got.collect()}
         e = {r["id"]: r["t"] for r in exp.collect()}
         assert g == e
+
+
+@pytest.mark.parametrize(
+    "key_bounds",
+    [
+        [100.0],                      # one boundary, most rows above it
+        [float(v) for v in range(0, 400, 13)],   # dense uniform grid
+        [-5.0, 0.5, 399.0, 1e9],      # boundaries outside the domain
+        [7.0, 7.0, 7.0],              # duplicate boundary values
+    ],
+)
+def test_key_bounds_matches_global_window(spark, key_bounds):
+    """r12 fast path: caller-supplied boundaries must yield ranks
+    bit-identical to the global window (boundary placement is
+    balance-only), including boundaries that are duplicated, out of
+    domain, or leave most rows in one bucket."""
+    from symtseries_spark.operators.rank import ranked_with_total
+
+    df = _mk(spark, _rows(500, 400))
+    got, total = ranked_with_total(
+        df, "v", tiebreak="id", out="rn", descending=False,
+        key_bounds=key_bounds,
+    )
+    exp = df.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.col("v").asc(), "id")).cast("long"),
+    )
+    g = {r["id"]: r["rn"] for r in got.collect()}
+    e = {r["id"]: r["rn"] for r in exp.collect()}
+    assert g == e
+    assert total == 500
+
+
+def test_key_bounds_rejects_nan_keys(spark):
+    """The fast path must keep the null/NaN fail-fast of the adaptive
+    path (bad keys bucket differently than they sort)."""
+    from symtseries_spark.operators.rank import ranked_with_total
+
+    df = _mk(spark, [(0, 1.0), (1, float("nan"))])
+    with pytest.raises(ValueError, match="null/NaN"):
+        ranked_with_total(
+            df, "v", tiebreak="id", out="rn", descending=False,
+            key_bounds=[0.5],
+        )
