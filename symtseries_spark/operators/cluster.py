@@ -855,11 +855,19 @@ def _parallel_candidates(
         min_d2 = F.array_min(
             F.transform(F.col("__cs"), lambda c: _sq_l2(F.col("__v"), c))
         )
+        # persist (r12.2): min-d2 over the growing center set is the
+        # round's dominant cost and BOTH consumers need it — phi's
+        # 1-row sum and the selection filter. Unpersisted, each round
+        # evaluated it twice (the phi broadcast build and the filter
+        # scan re-ran the lineage); the cached table is
+        # (id, vec, d2i) — corpus-row count, kilobyte rows — filled by
+        # the phi build job and read back by the filter, then dropped
+        # before the next round.
         d2i = base.crossJoin(F.broadcast(crow)).select(
             "__id",
             "__v",
             F.floor(min_d2 * 1e6 + F.lit(0.5)).cast("long").alias("__d2i"),
-        )
+        ).persist()
         phi = d2i.agg(F.sum("__d2i").alias("__phi"))
         u = (
             F.pmod(
@@ -885,6 +893,10 @@ def _parallel_candidates(
             )
         )
         centers = centers.unionByName(selected).localCheckpoint(eager=True)
+        # the eager checkpoint above is the round's only action: it
+        # built phi (filling the d2i cache) and ran the filter (reading
+        # it) — the cache is dead weight from here on
+        d2i.unpersist()
 
     final = _assign(
         base.select(

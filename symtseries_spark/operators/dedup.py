@@ -987,21 +987,22 @@ def exact_substring_dedup(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,w:string>>"))
-    from symtseries_spark.cache import persist_tracked
-
-    # persist: the window explode (tokenize + k-gram assembly — the
-    # expensive scan) feeds BOTH the canonical-pick aggregate and the
-    # join-back; unpersisted it ran twice (r12)
-    ex = persist_tracked(
-        docs.select(
-            F.col(id_col).alias("doc_id"), F.explode(wins).alias("s")
-        ).select(
-            "doc_id",
-            F.col("s.pos").alias("pos"),
-            (F.md5(F.col("s.w")) if hash_windows else F.col("s.w")).alias(
-                "__k"
-            ),
-        )
+    # NOT persisted (r12, measured): the window explode feeds both the
+    # canonical-pick aggregate and the join-back, but caching the
+    # ~window-count x md5-string table costs MORE than re-running the
+    # tokenize + k-gram scan (16.3-18.3s persisted vs 14.7-15.3s
+    # recomputed at sf0.1, 2 reps each — the explode output is ~50x the
+    # source bytes, so the cache write + memory pressure dominate the
+    # cheap columnar re-scan; guide §5 "persist only when recomputing
+    # is more expensive than the memory pressure").
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(wins).alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.pos").alias("pos"),
+        (F.md5(F.col("s.w")) if hash_windows else F.col("s.w")).alias(
+            "__k"
+        ),
     )
     dup = (
         ex.groupBy("__k")
