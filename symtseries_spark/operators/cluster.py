@@ -417,45 +417,59 @@ def _pca_mu_v(
 ) -> tuple[DataFrame, DataFrame]:
     """Fit the (mu, v) pair of the power iteration — shared by
     :func:`pca_power_scores` and :func:`abtt_topk`. Both are 1-row
-    relations with quantized entries (see pca_power_scores)."""
-    vd = F.col(vec_col).cast("array<double>")
-    mu_row = (
-        vectors.agg(
-            *[
-                F.avg(F.element_at(vd, i + 1)).alias(f"__m{i}")
-                for i in range(dim)
-            ]
-        ).select(
-            F.array(*[_q6(F.col(f"__m{i}")) for i in range(dim)]).alias("mu")
-        )
-    )
-    v_row = mu_row.select(
-        F.array(
-            *[F.lit(1.0 if i == 0 else 0.0) for i in range(dim)]
-        ).alias("v")
-    )
+    relations with quantized entries (see pca_power_scores).
 
-    def centered_dot(v_expr: Column) -> Column:
-        return F.aggregate(
+    Each iterate is MATERIALIZED (one ``first()`` per iteration — the
+    repo's bounded 1-row-collect convention, the BPE-merge shape) and
+    re-injected as a literal array (r12.3). The previous lazy chaining
+    nested every iteration's corpus aggregation inside the next one's
+    broadcast subtree, and every *reference* to the chain re-evaluated
+    it: abtt_topk's plan carried **36 parquet scans** of the corpus
+    (pca_power_scores 18) for what is arithmetically ``iters + 1``
+    passes. Every expression below is evaluated BY SPARK exactly as
+    before on identical inputs, so the collected (mu, v) doubles are
+    bit-identical to the lazy chain's; the power iteration is
+    inherently sequential (each pass needs the previous v), so the
+    per-iteration action adds no serialization that was not already
+    there — it only stops the re-evaluation."""
+    vd = F.col(vec_col).cast("array<double>")
+    spark = vectors.sparkSession
+    mu_raw = vectors.agg(
+        *[
+            F.avg(F.element_at(vd, i + 1)).alias(f"__m{i}")
+            for i in range(dim)
+        ]
+    ).select(
+        F.array(*[_q6(F.col(f"__m{i}")) for i in range(dim)]).alias("mu")
+    )
+    mu_vals = mu_raw.first()["mu"]
+
+    def _lit_arr(vals) -> Column:
+        return F.array(
+            *[
+                F.lit(x).cast("double")
+                if x is not None
+                else F.lit(None).cast("double")
+                for x in vals
+            ]
+        )
+
+    mu_lit = _lit_arr(mu_vals)
+    v_vals = [1.0] + [0.0] * (dim - 1)
+
+    for _ in range(iters):
+        v_lit = _lit_arr(v_vals)
+        s = F.aggregate(
             F.zip_with(
-                F.zip_with(vd, F.col("mu"), lambda x, m: x - m),
-                v_expr,
+                F.zip_with(vd, mu_lit, lambda x, m: x - m),
+                v_lit,
                 lambda cx, vv: cx * vv,
             ),
             F.lit(0.0),
             lambda acc, t: acc + t,
         )
-
-    for _ in range(iters):
-        proj = (
-            vectors.select(vec_col)
-            .crossJoin(F.broadcast(mu_row))
-            .crossJoin(F.broadcast(v_row))
-            .select(
-                vd.alias("__x"),
-                F.col("mu"),
-                centered_dot(F.col("v")).alias("__s"),
-            )
+        proj = vectors.select(
+            vd.alias("__x"), mu_lit.alias("mu"), s.alias("__s")
         )
         u_row = proj.agg(
             *[
@@ -478,10 +492,12 @@ def _pca_mu_v(
                 lambda acc, t: acc + t,
             )
         )
-        v_row = u_row.select(
+        v_vals = u_row.select(
             F.transform(F.col("u"), lambda x: _q6(x / nrm)).alias("v")
-        )
+        ).first()["v"]
 
+    mu_row = spark.range(1).select(mu_lit.alias("mu"))
+    v_row = spark.range(1).select(_lit_arr(v_vals).alias("v"))
     return mu_row, v_row
 
 
