@@ -557,17 +557,34 @@ def vsm_series_pairs(
 
     if df_cap < 1 or top < 1:
         raise ValueError("vsm_series_pairs needs df_cap >= 1, top >= 1")
+    from symtseries_spark.cache import persist_tracked
+
     words = tumbling_sax(
         df, key=key, order=order, value=value, n=n, w=w, c=c
     )
-    tf = words.groupBy("series_key", "sax_word").agg(
-        F.count(F.lit(1)).alias("tf")
+    # persist (r12): tf is the first aggregation off the Window-heavy
+    # tumbling pass and EVERY downstream branch (df counts, the N
+    # scalar, weights -> both join sides + norms) re-derived it —
+    # unpersisted, the query plan carried 24 copies of the tumbling
+    # lineage (24 scans / 24 Window nodes / 118 Exchanges at sf0.1).
+    # One (series, word, tf) row per distinct pair: the compressed
+    # representation, orders of magnitude smaller than the series.
+    tf = persist_tracked(
+        words.groupBy("series_key", "sax_word").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
     )
     dfw = tf.groupBy("sax_word").agg(F.count(F.lit(1)).alias("df"))
-    n_row = words.agg(
+    # N from tf, not from the tumbling pass: a series contributes to N
+    # iff it has >= 1 word, i.e. iff it has >= 1 tf row — identical
+    # count, one less evaluation of the window lineage.
+    n_row = tf.agg(
         F.countDistinct("series_key").alias("n")
     )
-    weights = (
+    # weights is read by both pair-expansion sides AND the norms
+    # aggregate; its own lineage off the persisted tf is three joins —
+    # cheap, but 4 references still quadruple the dfw/n_row shuffles.
+    weights = persist_tracked(
         tf.join(dfw.where(F.col("df") <= df_cap), "sax_word")
         .join(F.broadcast(n_row))
         .select(
