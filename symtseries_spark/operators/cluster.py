@@ -78,6 +78,22 @@ def _seed_centroids(
     )
 
 
+def _materialize_small(df: DataFrame) -> DataFrame:
+    """Collect a BOUNDED (≤ k rows) relation and rebuild it as a local
+    relation (r12.3): the k-means-family fitting loops chain each
+    iterate off the previous one lazily, and every downstream
+    *reference* re-evaluated the whole chain — emb_semdedup's plan
+    carried 40 parquet scans of the corpus, emb_kmeans 12, for
+    algorithms that are arithmetically one pass per iteration. The
+    collected rows are exactly the doubles Spark computed (the lazy
+    plan would have broadcast the same bytes), so downstream results
+    are bit-identical; only the evaluation count changes. The collect
+    is the repo's bounded driver-action convention (rank boundaries,
+    IVF probe lists, BPE merges) — never corpus-scale."""
+    spark = df.sparkSession
+    return spark.createDataFrame(df.collect(), schema=df.schema)
+
+
 def _centroids_row(centroids: DataFrame) -> DataFrame:
     """Pack the (cluster, centroid) relation into ONE array cell — a
     1-row aggregate of ``k x dim`` doubles (kilobytes), broadcast so
@@ -180,7 +196,12 @@ def _fit_centroids(
     """The Lloyd loop of :func:`kmeans_assign`, factored out so evals
     (silhouette) can reuse the FITTED ``(cluster, centroid)`` relation
     with identical quantized arithmetic."""
-    seeds = _seed_centroids(vectors, k=k, id_col=id_col, vec_col=vec_col)
+    # materialize the k-row seed table and every Lloyd iterate (see
+    # _materialize_small): one corpus pass per iteration instead of a
+    # lazy chain re-evaluated per downstream reference
+    seeds = _materialize_small(
+        _seed_centroids(vectors, k=k, id_col=id_col, vec_col=vec_col)
+    )
     cent = seeds
     for _ in range(iters):
         assigned = _assign(vectors, cent, id_col=id_col, vec_col=vec_col)
@@ -201,7 +222,7 @@ def _fit_centroids(
                 ).alias("centroid"),
             )
         )
-        cent = (
+        cent = _materialize_small(
             seeds.select("cluster", F.col("centroid").alias("__seed"))
             .join(F.broadcast(means), "cluster", "left")
             .select(

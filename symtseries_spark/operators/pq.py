@@ -133,11 +133,19 @@ def pq_codebook(
             F.col(vec_col).cast("array<double>").alias("__v"),
         )
     )
-    return seeds.select(
-        "code",
-        F.posexplode(_subvectors(F.col("__v"), m=m, dim=dim)).alias(
-            "sub_id", "centroid"
-        ),
+    from .cluster import _materialize_small
+
+    # bounded-collect materialization (r12.3): the m x ks codebook is
+    # re-referenced by every ADC LUT build and encode pass downstream;
+    # lazily chained, each reference re-ran the seed scan (the IVF/PQ
+    # recall family's plans carried 16-38 corpus scans)
+    return _materialize_small(
+        seeds.select(
+            "code",
+            F.posexplode(_subvectors(F.col("__v"), m=m, dim=dim)).alias(
+                "sub_id", "centroid"
+            ),
+        )
     )
 
 

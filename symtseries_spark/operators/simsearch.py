@@ -486,8 +486,12 @@ def ivf_index(
     is the partition/sort key for data at rest, exactly like the iSAX
     bucket column.
 
-    Everything stays distributed: centroids are a (tiny) DataFrame that
-    is broadcast where needed — no driver collect() anywhere, and no
+    The corpus stays distributed; the centroid relation (num_lists
+    rows) is MATERIALIZED via the bounded-collect convention
+    (cluster._materialize_small, r12.3) and re-broadcast as a local
+    relation — the lazy chain re-evaluated seed scan + provisional
+    assignment + Lloyd mean once per downstream reference (the
+    IVF/PQ recall family's plans carried 16-38 corpus scans). No
     num_lists x dim literal expression tree (the previous form; see
     _assign_lists). The Lloyd means use one map-side-combinable groupBy
     with dim bounded aggregation state per list.
@@ -497,7 +501,9 @@ def ivf_index(
     :func:`ivf_topk` at full probe (== exact top-k); partial-probe
     recall is property-tested against brute force.
     """
-    seeds = (
+    from symtseries_spark.operators.cluster import _materialize_small
+
+    seeds = _materialize_small(
         vectors.orderBy(id_col)
         .limit(num_lists)
         .select(
@@ -528,7 +534,7 @@ def ivf_index(
     )
     # every list contains at least its own seed vector, but keep the seed
     # as a fallback so an empty list can never produce a NULL centroid
-    refined = (
+    refined = _materialize_small(
         seeds.select("list_id", F.col("centroid").alias("__seed"))
         .join(means, "list_id", "left")
         .select(
