@@ -457,6 +457,16 @@ def minhash_lsh_pairs(
             .drop("__n")
         )
 
+    # persist (r12): the two self-join sides differ only in aliases,
+    # which defeats exchange reuse — unpersisted, the shingle explode +
+    # num_hashes-min signature aggregation (and the hot-bucket window)
+    # evaluated once PER SIDE. One (doc, band) row carrying the
+    # signature array — bands x docs rows, the banded representation
+    # the join shuffles anyway.
+    from symtseries_spark.cache import persist_tracked
+
+    bands_df = persist_tracked(bands_df)
+
     la = bands_df.select(
         F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"),
         "band_id", "band_key",
@@ -548,9 +558,18 @@ def simhash_pairs(
         raise ValueError("chunks must divide bits")
     if max_hamming >= chunks:
         raise ValueError("pigeonhole needs max_hamming < chunks")
+    from symtseries_spark.cache import persist_tracked
+
     width = bits // chunks
     mask = (1 << width) - 1
-    sims = simhash(docs, bits=bits, id_col=id_col, text_col=text_col)
+    # persist (r12): both self-join sides re-derived the fingerprint
+    # aggregation (token explode + `bits` conditional sums — the
+    # expensive pass) because the sides differ only in aliases, which
+    # defeats exchange reuse. One (doc_id, simhash) row per doc — the
+    # compressed representation.
+    sims = persist_tracked(
+        simhash(docs, bits=bits, id_col=id_col, text_col=text_col)
+    )
 
     chunk_structs = F.array(
         *[
