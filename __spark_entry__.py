@@ -1756,13 +1756,35 @@ def q_emb_compression_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     no dimension loss), truncated-dim (4x, first 16 of 64), and
     PQ/ADC (16x, m one-byte codes) — the single table an infra owner
     reads to pick the embedding storage format. Each leg is the
-    registered recall query's own plan collapsed to its mean."""
-    from symtseries_spark.operators.pq import int8_recall, pq_recall
-    from symtseries_spark.operators.simsearch import truncated_dim_recall
+    registered recall query's own plan collapsed to its mean — except
+    the TRUTH legs (r12): int8 and trunc16 rank vs the same exact
+    cosine top-k and pq vs the exact L2 top-k, so the two
+    corpus×panel truth folds run ONCE each, persisted (≤ panel*k
+    rows), and feed the legs via ``exact=`` — three exact passes
+    collapse to two with bit-identical values (the shared relation IS
+    each leg's own former expression tree)."""
+    from symtseries_spark.cache import persist_tracked
+    from symtseries_spark.operators.pq import (
+        exact_l2_topk,
+        int8_recall,
+        pq_recall,
+    )
+    from symtseries_spark.operators.simsearch import (
+        knn_join,
+        truncated_dim_recall,
+    )
     from symtseries_spark.operators.timeseries import quantize
 
     emb = load(spark, sf_dir, "embeddings")
     kw = dict(max_query_id=RECALL["max_query_id"], k=RECALL["k"])
+    exact_cos = persist_tracked(
+        knn_join(
+            emb,
+            emb.where(F.col("vec_id") < RECALL["max_query_id"]),
+            k=RECALL["k"],
+        ).select("query_id", "neighbor_id")
+    )
+    exact_l2 = persist_tracked(exact_l2_topk(emb, **kw))
 
     def leg(df: DataFrame, method: str, factor: float) -> DataFrame:
         return df.agg(
@@ -1772,11 +1794,12 @@ def q_emb_compression_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        leg(int8_recall(emb, **kw), "int8", 4.0)
+        leg(int8_recall(emb, exact=exact_cos, **kw), "int8", 4.0)
         .unionByName(
             leg(
                 truncated_dim_recall(
-                    emb, trunc_dim=TRUNC_DIM, dim=EMB_DIM, **kw
+                    emb, trunc_dim=TRUNC_DIM, dim=EMB_DIM,
+                    exact=exact_cos, **kw
                 ),
                 "trunc16",
                 4.0,
@@ -1784,7 +1807,10 @@ def q_emb_compression_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             leg(
-                pq_recall(emb, m=PQ["m"], ks=PQ["ks"], dim=EMB_DIM, **kw),
+                pq_recall(
+                    emb, m=PQ["m"], ks=PQ["ks"], dim=EMB_DIM,
+                    exact=exact_l2, **kw
+                ),
                 "pq",
                 float(EMB_DIM * 4 / PQ["m"]),
             )

@@ -445,6 +445,45 @@ def ivfpq_residual_topk(
     )
 
 
+def exact_l2_topk(
+    vectors: DataFrame,
+    *,
+    max_query_id: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The exact full-dim squared-L2 top-k leg shared by the PQ-family
+    recall reports -> ``(query_id, neighbor_id)``. Factored out (r12)
+    so composite queries that run several recall legs over the SAME
+    panel (emb_compression_tradeoff) can compute the truth ONCE,
+    persist its ≤ panel*k rows, and pass it to each leg via their
+    ``exact=`` parameter instead of re-running the corpus×panel
+    distance fold per leg. Expression tree identical to the inline
+    form it replaced (same rounding, same (d2, id) tiebreak)."""
+    v = F.col(vec_col).cast("array<double>")
+    qfull = vectors.where(F.col(id_col) < max_query_id).select(
+        F.col(id_col).alias("query_id"), v.alias("__qfv")
+    )
+    scored = (
+        vectors.select(F.col(id_col).alias("neighbor_id"), v.alias("__v"))
+        .join(F.broadcast(qfull), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_sq_l2(F.col("__v"), F.col("__qfv")), 6).alias("__d2"),
+        )
+    )
+    e_rank = F.row_number().over(
+        Window.partitionBy("query_id").orderBy("__d2", "neighbor_id")
+    )
+    return (
+        scored.withColumn("__r", e_rank)
+        .where(F.col("__r") <= k)
+        .select("query_id", "neighbor_id")
+    )
+
+
 def pq_recall(
     vectors: DataFrame,
     *,
@@ -456,6 +495,7 @@ def pq_recall(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    exact: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k of compressed-domain ADC search vs the EXACT full-dim
     squared-L2 top-k, for the query panel ``id < max_query_id`` ->
@@ -514,23 +554,11 @@ def pq_recall(
     qfull = vectors.where(F.col(id_col) < max_query_id).select(
         F.col(id_col).alias("query_id"), v.alias("__qfv")
     )
-    scored = (
-        vectors.select(F.col(id_col).alias("neighbor_id"), v.alias("__v"))
-        .join(F.broadcast(qfull), F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(_sq_l2(F.col("__v"), F.col("__qfv")), 6).alias("__d2"),
+    if exact is None:
+        exact = exact_l2_topk(
+            vectors, max_query_id=max_query_id, k=k,
+            id_col=id_col, vec_col=vec_col,
         )
-    )
-    e_rank = F.row_number().over(
-        Window.partitionBy("query_id").orderBy("__d2", "neighbor_id")
-    )
-    exact = (
-        scored.withColumn("__r", e_rank)
-        .where(F.col("__r") <= k)
-        .select("query_id", "neighbor_id")
-    )
     return _recall_vs_exact(qfull.select("query_id"), approx, exact, k=k)
 
 
@@ -657,6 +685,7 @@ def int8_recall(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k of ASYMMETRIC int8 search — corpus vectors stored as
     symmetric int8 codes (scale = max|v|/127, the
@@ -729,15 +758,19 @@ def int8_recall(
         )
     )
     approx = scored.withColumn("__r", rank).where(F.col("__r") <= k)
-    exact = knn_join(
-        vectors,
-        vectors.where(F.col(id_col) < max_query_id),
-        k=k,
-        id_col=id_col,
-        vec_col=vec_col,
-        query_id_col=id_col,
-        query_vec_col=vec_col,
-    )
+    if exact is None:
+        # exact cosine leg (knn_join) — callers running several recall
+        # legs over the same panel pass a shared (persisted) `exact`
+        # instead, so the corpus×panel fold runs once, not per leg
+        exact = knn_join(
+            vectors,
+            vectors.where(F.col(id_col) < max_query_id),
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+            query_id_col=id_col,
+            query_vec_col=vec_col,
+        )
     return _recall_vs_exact(
         q.select("query_id"), approx.select("query_id", "cand_id"), exact, k=k
     )

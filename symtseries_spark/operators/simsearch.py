@@ -1003,6 +1003,7 @@ def truncated_dim_recall(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k of TRUNCATED-dimension cosine search vs the full-dim
     exact top-k, for the query panel ``id < max_query_id`` ->
@@ -1054,15 +1055,18 @@ def truncated_dim_recall(
         )
     )
     approx = scored.withColumn("__r", rank).where(F.col("__r") <= k)
-    exact = knn_join(
-        vectors,
-        vectors.where(F.col(id_col) < max_query_id),
-        k=k,
-        id_col=id_col,
-        vec_col=vec_col,
-        query_id_col=id_col,
-        query_vec_col=vec_col,
-    )
+    if exact is None:
+        # shared-panel callers (emb_compression_tradeoff) pass the
+        # persisted truth once instead of re-folding corpus×panel here
+        exact = knn_join(
+            vectors,
+            vectors.where(F.col(id_col) < max_query_id),
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+            query_id_col=id_col,
+            query_vec_col=vec_col,
+        )
     return _recall_vs_exact(
         q.select("query_id"), approx.select("query_id", "cand_id"), exact, k=k
     )
