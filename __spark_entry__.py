@@ -2288,9 +2288,14 @@ def q_docs_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized content appears for the FIRST time in that decile ->
     (decile, n_docs, n_novel, novel_frac). A healthy feed stays near
     1.0; a collapsing curve means the source re-sends old content and
-    incremental dedup will carry the load. First-occurrence via one
-    min-by-hash aggregate joined back — the exact-dedup shuffle, no
-    pair work."""
+    incremental dedup will carry the load. First-occurrence as a
+    min() window over the hash partitioning (r12, guide §2.4 — the
+    former min-by-hash groupBy + join-back shuffled the per-doc hash
+    table twice for the same values), so one exchange carries the
+    whole first-seen computation — the exact-dedup shuffle, no pair
+    work."""
+    from pyspark.sql import Window
+
     from symtseries_spark.functions.text import doc_hash60, normalized_text
 
     docs = load(spark, sf_dir, "documents")
@@ -2298,8 +2303,9 @@ def q_docs_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = docs.select(
         "doc_id", doc_hash60(normalized_text(F.col("text"))).alias("__h")
     )
-    first = h.groupBy("__h").agg(F.min("doc_id").alias("__first"))
-    j = h.join(first, "__h").crossJoin(F.broadcast(n_tbl))
+    j = h.withColumn(
+        "__first", F.min("doc_id").over(Window.partitionBy("__h"))
+    ).crossJoin(F.broadcast(n_tbl))
     decile = F.least(
         F.floor(F.col("doc_id") * 10 / F.col("__n")).cast("int"), F.lit(9)
     )
@@ -2326,7 +2332,11 @@ def q_docs_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate of an already-registered leg (exact dedup map, MinHash
     pairs, text-quality profile, benchmark contamination), cross-
     joined as 1-row relations — the composition costs one extra
-    reduce per leg, nothing else."""
+    reduce per leg, nothing else. The near-dup pair set feeds TWO
+    legs (pair count + distinct dup docs), so it is persisted (r12) —
+    bounded by the near-pair count, and the banded join above it runs
+    once instead of once per leg."""
+    from symtseries_spark.cache import persist_tracked
     from symtseries_spark.operators.timeseries import quantize
 
     docs = load(spark, sf_dir, "documents")
@@ -2334,7 +2344,9 @@ def q_docs_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = exact_dedup_map(docs).where(F.col("is_duplicate")).agg(
         F.count(F.lit(1)).alias("n_exact_dups")
     )
-    pairs = minhash_lsh_pairs(docs, **MINHASH)
+    pairs = persist_tracked(
+        minhash_lsh_pairs(docs, **MINHASH).select("doc_a", "doc_b")
+    )
     n_pairs = pairs.agg(F.count(F.lit(1)).alias("n_near_pairs"))
     dup_docs = (
         pairs.select(F.col("doc_a").alias("d"))
@@ -3078,12 +3090,17 @@ def q_dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     decile -> (bucket, n_pairs, mean_err, mean_abs_err, max_abs_err).
     Shows the estimator's bias/spread exactly where the 0.35 dedup
     threshold cuts. Cost = candidate count (prune-then-refine), never
-    |docs|^2."""
+    |docs|^2. The candidate set feeds BOTH the exact refine and the
+    est-vs-exact join, so it is persisted (r12) — bounded by the
+    banded candidate count, and the band self-join runs once."""
+    from symtseries_spark.cache import persist_tracked
     from symtseries_spark.operators import jaccard_refine
     from symtseries_spark.operators.timeseries import quantize
 
     docs = load(spark, sf_dir, "documents")
-    cand = minhash_lsh_pairs(docs, **{**MINHASH, "threshold": 0.0})
+    cand = persist_tracked(
+        minhash_lsh_pairs(docs, **{**MINHASH, "threshold": 0.0})
+    )
     exact = jaccard_refine(
         cand.select("doc_a", "doc_b"), docs, k=MINHASH["k"], threshold=0.0
     )
@@ -5107,14 +5124,18 @@ def q_events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hop, n_converted, p50_us, p90_us). The time-to-convert complement
     of events_funnel's counts. Three conditional min-aggregates on the
     same user partitioning; percentiles via the proven
-    percentile == quantile_cont parity."""
+    percentile == quantile_cont parity. The stage-1 table feeds BOTH
+    the hop-1 report and the stage-2 join, so it is persisted (r12) —
+    one narrow row per converted user."""
+    from symtseries_spark.cache import persist_tracked
+
     ev = load(spark, sf_dir, "events").withColumn(
         "ts_us", F.expr("ts div 1000")
     )
     s = ev.where(F.col("event_type") == FUNNEL_STAGES[0]).groupBy(
         "user_id"
     ).agg(F.min("ts_us").alias("t0"))
-    c = (
+    c = persist_tracked(
         ev.where(F.col("event_type") == FUNNEL_STAGES[1])
         .join(s, "user_id")
         .where(F.col("ts_us") >= F.col("t0"))
@@ -5327,7 +5348,12 @@ def q_events_funnel_latency_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     microsecond latencies (docs/PLAN_AUDIT.md Class-A caveat). A
     conversion-latency horizon of a year is ~32M grid seconds — the
     distinct bound — while integer rank math keeps the DuckDB oracle
-    bit-identical -> (hop, n_converted, p50_s, p90_s)."""
+    bit-identical -> (hop, n_converted, p50_s, p90_s). The stage-1
+    conversion table feeds BOTH the hop-1 report and the stage-2
+    join, so it is persisted (r12) — one narrow row per converted
+    user, and the stage-0/1 scans + joins above it run once instead
+    of once per consumer."""
+    from symtseries_spark.cache import persist_tracked
     from symtseries_spark.operators.sketches import grid_quantiles
 
     ev = load(spark, sf_dir, "events").withColumn(
@@ -5336,7 +5362,7 @@ def q_events_funnel_latency_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = ev.where(F.col("event_type") == FUNNEL_STAGES[0]).groupBy(
         "user_id"
     ).agg(F.min("ts_us").alias("t0"))
-    c = (
+    c = persist_tracked(
         ev.where(F.col("event_type") == FUNNEL_STAGES[1])
         .join(s, "user_id")
         .where(F.col("ts_us") >= F.col("t0"))

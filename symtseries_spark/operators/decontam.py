@@ -20,7 +20,7 @@ benchmark-sized hash set for every corpus row.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles
@@ -100,21 +100,25 @@ def novelty_scores(
     Documents with fewer than ``k`` tokens have no shingles and are
     not scored.
 
-    Scale shape: one explode + a map-side-combinable groupBy(shingle)
-    for the first-occurrence table (min is combinable), one
-    shingle-keyed hash join back, one combinable per-doc re-aggregate
-    — the docs_tfidf shuffle profile exactly; no caps needed because
-    no pair expansion happens (every shingle row joins one first-
-    occurrence row). The ratio divides after casting both counts to
-    double, quantized 1e-6, mirroring the oracle tree.
+    Scale shape (r12, guide §2.4 — one exchange instead of two): one
+    explode, ONE shuffle on the shingle, the first-occurrence id as a
+    ``min() OVER (PARTITION BY shingle)`` window on that same
+    partitioning (the former groupBy(shingle) + join-back re-shuffled
+    the full shingle table a second time and re-ran the explode scan
+    per side), one combinable per-doc re-aggregate. Skew profile
+    unchanged: a hot shingle concentrated in one window partition
+    exactly as it did on the join's probe side. No caps needed
+    because no pair expansion happens. The ratio divides after
+    casting both counts to double, quantized 1e-6, mirroring the
+    oracle tree.
     """
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles(F.col(text_col), k)).alias("shingle"),
     )
-    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("__first"))
+    first_w = F.min("doc_id").over(Window.partitionBy("shingle"))
     agg = (
-        sh.join(first, "shingle")
+        sh.withColumn("__first", first_w)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("total_shingles"),
