@@ -103,7 +103,18 @@ def _pair_counts(
     right after the count, BEFORE the size joins. Size-table joins are
     deliberately NOT hinted broadcast: sizes has one row per doc, far
     too big to broadcast at corpus scale; AQE picks broadcast at small
-    SF on its own."""
+    SF on its own.
+
+    The (capped) exploded relation feeds THREE alias-divergent
+    consumers — sizes and both self-join sides — so it is persisted
+    (r12, the wave-3c fingerprint rule): unpersisted, the explode +
+    hot-key window shuffle ran once per consumer. Contrast with
+    exact_substring's measured persist revert: there the cached table
+    was ~50x the source; here it is the token-scale index the three
+    consumers need byte-for-byte, and the dominant re-run cost is the
+    full key-shuffle of that index, not a columnar re-scan."""
+    from ..cache import persist_tracked
+
     ex = exploded
     if max_key_freq is not None:
         hot = Window.partitionBy(key_col)
@@ -112,6 +123,7 @@ def _pair_counts(
             .where(F.col("__f") <= max_key_freq)
             .drop("__f")
         )
+    ex = persist_tracked(ex)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
     a = ex.select(F.col("doc_id").alias("doc_a"), key_col)
     b = ex.select(F.col("doc_id").alias("doc_b"), key_col)
