@@ -801,19 +801,35 @@ def _recall_vs_exact(
     """Join an approximate per-query top-k against the exact one ->
     ``(query_id, n_approx, n_hit, recall)`` with ``recall = n_hit / k``.
     All three inputs are per-query small (≤ k rows each), so the joins
-    are broadcast-sized regardless of corpus size."""
+    are broadcast-sized regardless of corpus size.
+
+    ``approx`` feeds BOTH the count and the hit legs, and its lineage
+    is each caller's whole approximate-search pipeline — so it is
+    persisted here (r12; ≤ panel*k rows) to run that pipeline once,
+    not twice, in every recall query. The per-query count legs are
+    explicitly BROADCAST into the panel join: they are panel-bounded
+    by construction, and without the hint the tiny cached relation's
+    coalesced (single-partition) output drags the probe side through
+    an ENSURE_REQUIREMENTS single-partition exchange."""
+    from ..cache import persist_tracked
+
+    approx = persist_tracked(approx)
     a_cnt = approx.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_approx"))
     h_cnt = (
         approx.join(
-            exact.select("query_id", F.col("neighbor_id").alias("cand_id")),
+            F.broadcast(
+                exact.select(
+                    "query_id", F.col("neighbor_id").alias("cand_id")
+                )
+            ),
             ["query_id", "cand_id"],
         )
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_hit"))
     )
     return (
-        q_ids.join(a_cnt, "query_id", "left")
-        .join(h_cnt, "query_id", "left")
+        q_ids.join(F.broadcast(a_cnt), "query_id", "left")
+        .join(F.broadcast(h_cnt), "query_id", "left")
         .select(
             "query_id",
             F.coalesce("n_approx", F.lit(0)).alias("n_approx"),
