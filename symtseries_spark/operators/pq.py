@@ -157,6 +157,7 @@ def pq_encode(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign each vector its ``m`` codes -> ``(vec_id, codes:
     array<int>)`` (subspace order).
@@ -165,23 +166,34 @@ def pq_encode(
     stage, broadcast-join the (m*ks)-row codebook, argmin per
     (vector, subspace) with ``min_by`` over a (d2, code) struct —
     min_by partially aggregates map-side, so the shuffle carries m rows
-    per vector, never the m*ks fan-out."""
+    per vector, never the m*ks fan-out.
+
+    ``carry`` (r12) names extra input columns to pass through to the
+    output unchanged. Each must be FUNCTIONALLY DEPENDENT on ``id_col``
+    (one value per id — e.g. the IVF ``list_id`` of an already-assigned
+    row), so adding them to the grouping keys cannot split any group:
+    the codes are bit-identical to a carry-free encode of the same rows.
+    Callers that would otherwise re-join the output back to the input
+    just to recover such a column (a corpus-scale self-join) should
+    carry it through instead."""
     expl = vectors.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.posexplode(
             _subvectors(F.col(vec_col).cast("array<double>"), m=m, dim=dim)
         ).alias("sub_id", "__sv"),
     )
     scored = expl.join(F.broadcast(codebook), "sub_id").select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         "sub_id",
         "code",
         _sq_l2(F.col("__sv"), F.col("centroid")).alias("__d2"),
     )
-    best = scored.groupBy(id_col, "sub_id").agg(
+    best = scored.groupBy(id_col, *carry, "sub_id").agg(
         F.min_by("code", F.struct("__d2", "code")).alias("code")
     )
-    return best.groupBy(id_col).agg(
+    return best.groupBy(id_col, *carry).agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("sub_id", "code"))),
             lambda x: x["code"],
@@ -292,14 +304,21 @@ def ivfpq_topk(
         .orderBy("__d2", "list_id")
         .limit(nprobe)
     )
-    cand = assigned.join(
+    # encode ONLY the probed candidates: ``assigned`` already carries
+    # the vector, so the broadcast list_id filter prunes the corpus in
+    # the scan stage BEFORE the subvector explode — the previous shape
+    # encoded the whole corpus and then semi-joined the codes back to
+    # the candidate ids (a corpus-scale self-join on id, plus
+    # num_lists/nprobe x wasted encode work). pq_encode is per-row, so
+    # the surviving rows' codes are bit-identical either way.
+    cand_vec = assigned.join(
         F.broadcast(probe.select("list_id")), "list_id"
-    ).select(F.col(id_col))
+    )
     codebook = pq_codebook(
         vectors, m=m, ks=ks, dim=dim, id_col=id_col, vec_col=vec_col
     )
     codes = pq_encode(
-        vectors, codebook, m=m, dim=dim, id_col=id_col, vec_col=vec_col
+        cand_vec, codebook, m=m, dim=dim, id_col=id_col, vec_col=vec_col
     )
     qsub = vectors.where(F.col(id_col) == query_id).select(
         F.posexplode(
@@ -311,9 +330,8 @@ def ivfpq_topk(
         "code",
         _sq_l2(F.col("centroid"), F.col("__qs")).alias("__pd"),
     )
-    expl = (
-        codes.join(cand, id_col, "left_semi")
-        .select(F.col(id_col), F.posexplode("codes").alias("sub_id", "code"))
+    expl = codes.select(
+        F.col(id_col), F.posexplode("codes").alias("sub_id", "code")
     )
     adc = (
         expl.join(F.broadcast(lut), ["sub_id", "code"])
@@ -370,22 +388,23 @@ def ivfpq_residual_topk(
         vec_col=vec_col, refine=False,
     )
     vd = F.col(vec_col).cast("array<double>")
+    # residuals straight off ``assigned`` — it already carries the
+    # vector, so the previous ``vectors JOIN assigned ON id`` was a
+    # corpus-scale self-join re-deriving a column the relation had
+    # (identical doubles: same source column, same cast, 1:1 rows)
     res = (
-        vectors.select(F.col(id_col), vd.alias("__v"))
-        .join(assigned.select(id_col, "list_id"), id_col)
-        .join(F.broadcast(centroids), "list_id")
+        assigned.join(F.broadcast(centroids), "list_id")
         .select(
             F.col(id_col),
             "list_id",
             F.zip_with(
-                F.col("__v"), F.col("centroid"), lambda a, b: a - b
+                vd, F.col("centroid"), lambda a, b: a - b
             ).alias("__rv"),
         )
     )
     codebook = pq_codebook(
         res, m=m, ks=ks, dim=dim, id_col=id_col, vec_col="__rv"
     )
-    codes = pq_encode(res, codebook, m=m, dim=dim, id_col=id_col, vec_col="__rv")
     q = vectors.where(F.col(id_col) == query_id).select(
         vd.alias("__qv")
     )
@@ -419,18 +438,21 @@ def ivfpq_residual_topk(
         "code",
         _sq_l2(F.col("centroid"), F.col("__qs")).alias("__pd"),
     )
-    expl = (
-        codes.join(
-            assigned.select(id_col, "list_id").join(
-                F.broadcast(probe.select("list_id")), "list_id"
-            ),
-            id_col,
-        )
-        .select(
-            F.col(id_col),
-            "list_id",
-            F.posexplode("codes").alias("sub_id", "code"),
-        )
+    # encode ONLY the probed lists' residuals, carrying list_id through
+    # the encode (functionally dependent on id, so the codes are
+    # bit-identical) — the previous shape encoded the whole corpus and
+    # re-joined ``assigned`` a third time to recover list_id (another
+    # corpus-scale self-join on id). The codebook above still trains on
+    # the FULL residual table, so codebook/codes values are unchanged.
+    codes = pq_encode(
+        res.join(F.broadcast(probe.select("list_id")), "list_id"),
+        codebook, m=m, dim=dim, id_col=id_col, vec_col="__rv",
+        carry=("list_id",),
+    )
+    expl = codes.select(
+        F.col(id_col),
+        "list_id",
+        F.posexplode("codes").alias("sub_id", "code"),
     )
     adc = (
         expl.join(F.broadcast(lut), ["list_id", "sub_id", "code"])
@@ -640,13 +662,25 @@ def ivfpq_recall(
         "code",
         _sq_l2(F.col("centroid"), F.col("__qv")).alias("__pd"),
     )
-    expl = codes.select(
-        F.col(id_col), F.posexplode("codes").alias("sub_id", "code")
+    # candidate filter BEFORE the LUT fan-out (r12): joining the
+    # exploded codes to the broadcast panel LUT first multiplied the
+    # corpus-scale code rows by the whole panel (|corpus| * m * panel
+    # intermediate rows) and only then shuffled them against ``cand``
+    # to keep ~nprobe/num_lists of them. Joining codes->cand first
+    # fans each code row out to only the queries that actually probed
+    # its vector's list; the LUT join stays broadcast. Same matched
+    # (query, vector, subspace) triples, same sums, same rounding.
+    expl = (
+        codes.join(cand, id_col)
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.posexplode("codes").alias("sub_id", "code"),
+        )
     )
     adc = (
-        expl.join(F.broadcast(lut), ["sub_id", "code"])
-        .join(cand, ["query_id", id_col])
-        .where(F.col(id_col) != F.col("query_id"))
+        expl.join(F.broadcast(lut), ["query_id", "sub_id", "code"])
         .groupBy("query_id", id_col)
         .agg(F.round(F.sum("__pd"), round_to).alias("adc"))
     )

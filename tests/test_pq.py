@@ -264,3 +264,28 @@ class TestIVFPQResidual:
                 df, query_id=0, k=1, m=2, ks=4, num_lists=2, nprobe=0,
                 dim=8,
             )
+
+    def test_carry_columns_identical_codes(self, spark):
+        """The r12 carry= passthrough: carrying a column functionally
+        dependent on the id (the IVF list_id of an assigned row) must
+        not change any group — codes are bit-identical to the
+        carry-free encode joined back to the assignment."""
+        from symtseries_spark.operators.pq import pq_codebook, pq_encode
+        from symtseries_spark.operators.simsearch import ivf_index
+
+        _, df = self._toy(spark)
+        assigned, _ = ivf_index(df, num_lists=4, dim=8, refine=False)
+        cb = pq_codebook(df, m=2, ks=4, dim=8)
+        plain = {
+            r.vec_id: list(r.codes)
+            for r in pq_encode(df, cb, m=2, dim=8).collect()
+        }
+        lists = {
+            r.vec_id: r.list_id
+            for r in assigned.select("vec_id", "list_id").collect()
+        }
+        carried = pq_encode(
+            assigned, cb, m=2, dim=8, carry=("list_id",)
+        ).collect()
+        assert {r.vec_id: list(r.codes) for r in carried} == plain
+        assert {r.vec_id: r.list_id for r in carried} == lists
