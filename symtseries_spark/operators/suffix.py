@@ -71,6 +71,7 @@ __all__ = [
     "suffix_ranks",
     "adjacent_sa_pairs",
     "pair_lcp",
+    "max_lcp_winners",
     "longest_dup_span",
 ]
 
@@ -126,6 +127,7 @@ def suffix_ranks(
     *,
     buckets: int | None = None,
     keep_rounds: bool = False,
+    totals_out: dict[int, int] | None = None,
 ) -> tuple[DataFrame, dict[int, DataFrame]]:
     """Dense rank of every suffix ``(doc_id, pos)`` in word-lex order.
 
@@ -134,6 +136,14 @@ def suffix_ranks(
     equivalence classes, 1-based, identical whole-tail suffixes sharing
     a rank — and ``rounds`` maps prefix length h → the ``rank_h`` table
     (only populated when ``keep_rounds``; required by :func:`pair_lcp`).
+
+    ``totals_out`` (r12): pass a dict to receive the per-round class
+    counts the loop already computes for its convergence test — key h →
+    number of distinct rank classes at prefix length h, plus key 0 →
+    total position count. ``totals_out[h] == totals_out[0]`` means all
+    h-prefixes are distinct corpus-wide, which is what lets
+    :func:`max_lcp_winners` skip that power outright (no two positions
+    can agree on an h-prefix at ANY offset). Free — no extra job.
     """
     # eager=False: the stats action below materializes the checkpoint
     # in the same job (r12 fusion — was a materialization job + a stats
@@ -148,6 +158,8 @@ def suffix_ranks(
     ).first()
     max_len = int(stats["max_len"] or 0)
     n_positions = int(stats["n"] or 0)
+    if totals_out is not None:
+        totals_out[0] = n_positions
     if n_positions == 0:
         empty = pos_tbl.select(
             "doc_id", "pos", F.lit(0).cast("long").alias("sa_rank")
@@ -174,6 +186,8 @@ def suffix_ranks(
     # h=1 class count, exactly the partition the h=2 pairing refines).
     vmax = cur.agg(F.max("rank")).first()[0]
     prev_total = int(vmax or 0)
+    if totals_out is not None:
+        totals_out[1] = prev_total
     while h < max_len:
         LAST_ROUNDS += 1
         shifted = cur.select(
@@ -234,6 +248,8 @@ def suffix_ranks(
         h *= 2
         if keep_rounds:
             rounds[h] = cur
+        if totals_out is not None:
+            totals_out[h] = int(total)
         if total == n_positions:
             break  # every suffix separated: ranks are final
         if total == prev_total:
@@ -396,6 +412,129 @@ def pair_lcp(pairs: DataFrame, rounds: dict[int, DataFrame]) -> DataFrame:
     return out
 
 
+def max_lcp_winners(
+    pairs: DataFrame,
+    rounds: dict[int, DataFrame],
+    totals: dict[int, int],
+) -> tuple[int, DataFrame]:
+    """MAX adjacent-pair LCP + every argmax pair, via a PRUNED
+    descending-power walk -> ``(max_lcp, winners)`` with ``winners``
+    the pairs whose clamped LCP equals the max (superset columns of
+    ``pairs`` plus ``lcp``).
+
+    Exactly :func:`pair_lcp`'s arithmetic (same rank-agreement joins,
+    same whole-tail clamp — applied per step, which commutes with the
+    final ``least`` because the cap is constant per pair), but scoped
+    to the MAX question, which licenses two exact cuts the per-pair
+    walk cannot make:
+
+    * **Power skip**: ``totals[h] == totals[0]`` means every h-prefix
+      is distinct corpus-wide, so NO two positions can agree on an
+      h-prefix at any offset — the power h join is a guaranteed no-op
+      and is skipped without running it. The walk therefore STARTS at
+      the largest power that still has prefix ties (free knowledge
+      from the doubling loop's own convergence totals).
+    * **Branch-and-bound prune**: after each power h, a pair's best
+      possible final value is ``min(lcp + (h - 1), cap)`` (remaining
+      powers sum to h - 1; the whole-tail cap is a hard ceiling).
+      Pairs whose bound falls below the current best are dropped —
+      they cannot be argmax. At the first walked power the agreeing
+      pairs (>= h) immediately dominate the rest (< h <= their own
+      bound h - 1), so the surviving set collapses to the pairs
+      sharing that prefix — duplication-bounded, not corpus-bounded —
+      and every later join runs on it.
+
+    Per walked power this costs one bounded scalar action (the
+    running max — the connected-components convergence convention);
+    in exchange all but the FIRST walked power join a
+    duplication-sized pair set instead of the corpus-sized one, and
+    the padding-power joins above the tie ceiling never run at all.
+    """
+    n = totals.get(0, 0)
+    lens = (
+        rounds[min(rounds)]
+        .groupBy("doc_id")
+        .agg(F.max("pos").alias("__len"))
+    )
+    out = (
+        pairs.join(
+            lens.select(
+                F.col("doc_id").alias("a_doc"), F.col("__len").alias("__la")
+            ),
+            "a_doc",
+        )
+        .join(
+            lens.select(
+                F.col("doc_id").alias("b_doc"), F.col("__len").alias("__lb")
+            ),
+            "b_doc",
+        )
+        .withColumn(
+            "__cap",
+            F.least(
+                F.col("__la") - F.col("a_pos"), F.col("__lb") - F.col("b_pos")
+            ).cast("int")
+            + F.lit(1),
+        )
+        .drop("__la", "__lb")
+        .withColumn("lcp", F.lit(0).cast("int"))
+    )
+    best = 0
+    walked = [h for h in sorted(rounds, reverse=True) if totals.get(h, 0) < n]
+    for h in walked:
+        rk = rounds[h].select(
+            F.col("doc_id").alias("__d"),
+            F.col("pos").alias("__p"),
+            F.col("rank").alias("__r"),
+        )
+        ra = rk.select(
+            F.col("__d").alias("__da"),
+            F.col("__p").alias("__pa"),
+            F.col("__r").alias("__ra"),
+        )
+        rb = rk.select(
+            F.col("__d").alias("__db"),
+            F.col("__p").alias("__pb"),
+            F.col("__r").alias("__rb"),
+        )
+        out = (
+            out.join(
+                ra,
+                (F.col("a_doc") == F.col("__da"))
+                & (F.col("a_pos") + F.col("lcp") == F.col("__pa")),
+                "left",
+            )
+            .join(
+                rb,
+                (F.col("b_doc") == F.col("__db"))
+                & (F.col("b_pos") + F.col("lcp") == F.col("__pb")),
+                "left",
+            )
+            .withColumn(
+                "lcp",
+                F.least(
+                    F.col("lcp")
+                    + F.when(
+                        F.col("__ra").isNotNull()
+                        & (F.col("__ra") == F.col("__rb")),
+                        F.lit(h),
+                    ).otherwise(F.lit(0)),
+                    F.col("__cap"),
+                ),
+            )
+            .drop("__da", "__pa", "__ra", "__db", "__pb", "__rb")
+            .localCheckpoint(eager=False)
+        )
+        # bounded scalar: the running max (materializes the checkpoint)
+        row = out.agg(F.max("lcp").alias("m")).first()
+        best = int(row["m"]) if row and row["m"] is not None else 0
+        out = out.where(
+            F.least(F.col("lcp") + F.lit(h - 1), F.col("__cap"))
+            >= F.lit(best)
+        )
+    return best, out.where(F.col("lcp") == F.lit(best))
+
+
 def longest_dup_span(
     docs: DataFrame,
     *,
@@ -423,24 +562,25 @@ def longest_dup_span(
             docs, id_col=id_col, text_col=text_col, max_tokens=max_tokens
         )
     )
+    totals: dict[int, int] = {}
     ranks, rounds = suffix_ranks(
-        positions, buckets=buckets, keep_rounds=True
+        positions, buckets=buckets, keep_rounds=True, totals_out=totals
     )
     pairs = adjacent_sa_pairs(ranks)
-    # eager=False: the max-lcp action right below materializes the
-    # checkpoint in its own job; `winners` then reads the stored blocks
-    lcps = pair_lcp(pairs, rounds).localCheckpoint(eager=False)
-    row = lcps.agg(F.max("lcp").alias("m")).first()
-    max_lcp = int(row["m"]) if row and row["m"] is not None else 0
+    # pruned walk (r12): only the max and its argmax pairs are needed
+    # here, so the padding powers above the tie ceiling are skipped and
+    # the pair set collapses to the duplication-sized survivors after
+    # the first walked power — see max_lcp_winners. pair_lcp (the
+    # exact per-pair walk) remains the API for callers that need every
+    # pair's value.
+    max_lcp, winner_pairs = max_lcp_winners(pairs, rounds, totals)
     if max_lcp == 0:
-        return lcps.select(
+        return pairs.select(
             F.lit("").alias("span_text"),
             F.lit(0).cast("int").alias("len_words"),
             F.lit(0).cast("long").alias("occurrences"),
         ).limit(0)
-    winners = lcps.where(F.col("lcp") == max_lcp).select(
-        "a_doc", "a_pos"
-    )
+    winners = winner_pairs.select("a_doc", "a_pos")
     # Span text: explode the max_lcp-long position range (a literal
     # int) and equi-join the token table — no range join.
     span_pos = winners.select(

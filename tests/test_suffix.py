@@ -166,3 +166,58 @@ def test_empty_corpus(spark):
         token_positions(_df(spark, [(1, ""), (2, "   ")]))
     )
     assert ranks.count() == 0
+
+
+def test_max_lcp_winners_matches_pair_lcp(spark):
+    """The pruned max walk (r12) must agree with the exact per-pair
+    walk on the max AND the argmax pair set — including the whole-tail
+    clamp (docs 4/5 are verbatim mirrors) and the padding-power skip
+    (totals gate)."""
+    from pyspark.sql import functions as F
+
+    from symtseries_spark.operators.suffix import max_lcp_winners
+
+    rows = [
+        (1, "p q r the quick brown fox ends here"),
+        (2, "z z the quick brown fox another tail"),
+        (3, "lone words only once each time"),
+        (4, "mirror twin body match"),
+        (5, "mirror twin body match"),
+    ]
+    positions = token_positions(_df(spark, rows))
+    totals: dict[int, int] = {}
+    ranks, rounds = suffix_ranks(
+        positions, keep_rounds=True, totals_out=totals
+    )
+    pairs = adjacent_sa_pairs(ranks)
+    lcps = pair_lcp(pairs, rounds)
+    exact_max = lcps.agg(F.max("lcp")).first()[0]
+    exact_winners = {
+        (r.a_doc, r.a_pos, r.b_doc, r.b_pos)
+        for r in lcps.where(F.col("lcp") == exact_max).collect()
+    }
+    got_max, got = max_lcp_winners(pairs, rounds, totals)
+    assert got_max == exact_max
+    assert {
+        (r.a_doc, r.a_pos, r.b_doc, r.b_pos) for r in got.collect()
+    } == exact_winners
+    # the totals gate recorded every stored round plus the n sentinel
+    assert totals[0] == positions.count()
+    assert set(totals) - {0} == set(rounds)
+
+
+def test_max_lcp_winners_no_repeats(spark):
+    """All-unique corpus: every power is skipped (totals[1] == n) and
+    the result is max 0 with every pair surviving at lcp 0."""
+    rows = [(1, "a b c"), (2, "d e f")]
+    positions = token_positions(_df(spark, rows))
+    totals: dict[int, int] = {}
+    ranks, rounds = suffix_ranks(
+        positions, keep_rounds=True, totals_out=totals
+    )
+    from symtseries_spark.operators.suffix import max_lcp_winners
+
+    pairs = adjacent_sa_pairs(ranks)
+    got_max, got = max_lcp_winners(pairs, rounds, totals)
+    assert got_max == 0
+    assert got.count() == pairs.count()
