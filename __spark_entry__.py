@@ -7387,14 +7387,14 @@ def q_events_value_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition sort over the |users|-row table), and every
     emitted ratio is quantized."""
     from symtseries_spark.cache import persist_tracked
-    from symtseries_spark.operators.rank import distributed_row_number
+    from symtseries_spark.operators.rank import ranked_with_total
     from symtseries_spark.operators.timeseries import quantize
 
     ev = load(spark, sf_dir, "events")
-    # Persist the small |users|-row sum table: the nested rank calls
-    # take four driver actions + the final job over this lineage, and
-    # each rank's internal persist only covers its own two actions —
-    # uncached, the full events scan+groupBy would run ~3x. Tracked
+    # Persist the small |users|-row sum table: the rank call takes two
+    # driver actions + the final job over this lineage, and the rank's
+    # internal persist only covers its own two actions — uncached, the
+    # full events scan+groupBy would re-run for each. Tracked
     # (released by the harness after the query drains). Rank-key
     # precondition: __w = round(sum(value)) over an inner groupBy —
     # one non-null double per user by construction.
@@ -7403,20 +7403,26 @@ def q_events_value_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 6).alias("__w")
         )
     )
-    ranked = distributed_row_number(
-        distributed_row_number(per, "__w", tiebreak="user_id", out="__ra"),
-        "__w",
-        tiebreak="user_id",
-        out="__rd",
-        descending=True,
-    ).select("__w", "__ra", "__rd")
+    # ONE two-pass rank, not two (r12): the descending row_number was
+    # only consumed as ``rd <= 10`` inside a SUM of __w, and any top-10
+    # by (__w DESC, user_id) carries the same MULTISET of __w values as
+    # the last 10 rows of the ascending rank (the selections differ
+    # only across EQUAL __w), so ``__ra > total - 10`` yields the exact
+    # same sum — minus the second rank's two driver jobs and its extra
+    # window shuffle over the |users| table.
+    ranked, n_total = ranked_with_total(
+        per, "__w", tiebreak="user_id", out="__ra", descending=False
+    )
+    ranked = ranked.select("__w", "__ra")
     agg = ranked.agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum("__w").alias("__tot"),
         F.max("__w").alias("__mx"),
         F.sum(F.col("__ra") * F.col("__w")).alias("__si"),
-        F.sum(F.when(F.col("__rd") <= 10, F.col("__w")).otherwise(0.0))
-        .alias("__topn"),
+        F.sum(
+            F.when(F.col("__ra") > F.lit(n_total - 10), F.col("__w"))
+            .otherwise(0.0)
+        ).alias("__topn"),
     )
     k = F.col("n_users").cast("double")
     gini = 2.0 * F.col("__si") / (k * F.col("__tot")) - (k + 1.0) / k
@@ -7579,10 +7585,11 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> (user_id, recency_days, frequency, monetary, r, f, m). One
     aggregate + three DISTRIBUTED exact global ntiles over the
     per-user table (|users| rows, not |events|; operators/rank.py
-    two-pass form — bit-identical to the window ntile the DuckDB
-    oracle runs, with no single-partition sort at any scale)."""
+    ntile_multi — shared boundary/count passes, bit-identical to the
+    window ntile the DuckDB oracle runs, with no single-partition
+    sort at any scale)."""
     from symtseries_spark.cache import persist_tracked
-    from symtseries_spark.operators.rank import distributed_ntile
+    from symtseries_spark.operators.rank import ntile_multi
 
     ev = load(spark, sf_dir, "events").withColumn(
         "ts_us", F.expr("ts div 1000")
@@ -7593,8 +7600,8 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 6).alias("monetary"),
     )
     mx = per_user.agg(F.max("__last").alias("__mx"))
-    # Persist the small |users|-row base: three chained ntiles take
-    # six driver actions + the final job over this lineage — uncached,
+    # Persist the small |users|-row base: the shared-pass ntile takes
+    # ~3 driver actions + the final job over this lineage — uncached,
     # the full events scan+groupBy would re-run for each. Tracked
     # (released by the harness after the query drains). Rank-key
     # preconditions: all three ntile keys come from the inner
@@ -7608,25 +7615,23 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    scored = distributed_ntile(
-        distributed_ntile(
-            distributed_ntile(
-                base,
-                "recency_days",
+    # ntile_multi (r12): one quantile pass + one tie-split pass + one
+    # count pass SHARED by the three keys, instead of three chained
+    # distributed_ntile calls running each pass per key — bit-identical
+    # output (ntile is exact under any bucket boundaries).
+    scored = ntile_multi(
+        base,
+        [
+            dict(
+                key="recency_days",
                 tiebreak="user_id",
                 n_tiles=5,
                 out="r",
                 descending=True,
             ),
-            "frequency",
-            tiebreak="user_id",
-            n_tiles=5,
-            out="f",
-        ),
-        "monetary",
-        tiebreak="user_id",
-        n_tiles=5,
-        out="m",
+            dict(key="frequency", tiebreak="user_id", n_tiles=5, out="f"),
+            dict(key="monetary", tiebreak="user_id", n_tiles=5, out="m"),
+        ],
     )
     return scored.select(
         "user_id", "recency_days", "frequency", "monetary", "r", "f", "m"

@@ -705,44 +705,54 @@ def key_skew(
     from uniform (0 = uniform, -> 1 = one dominant key). Run it on
     the join/groupBy key BEFORE picking salting or AQE skew handling.
 
-    Plan: one combinable count per key, then two DISTRIBUTED exact
-    global ranks over the |keys|-row table (operators/rank.py two-pass
+    Plan: one combinable count per key, then ONE DISTRIBUTED exact
+    global rank over the |keys|-row table (operators/rank.py two-pass
     approxQuantile-bucket form — no single-partition sort even when
-    the key space itself is large) and one final aggregate. All sums
-    are exact integers (rank * count), so only the emitted ratios are
-    quantized: ``gini = 2*sum(i*x_i)/(k*total) - (k+1)/k`` over
-    ascending (count, key) ranks.
+    the key space itself is large) and one final aggregate; the
+    descending top-N selector is derived from the ascending rank and
+    the rank pass's free total (sum-over-top-N is tie-invariant — see
+    the in-body note). All sums are exact integers (rank * count), so
+    only the emitted ratios are quantized:
+    ``gini = 2*sum(i*x_i)/(k*total) - (k+1)/k`` over ascending
+    (count, key) ranks.
     """
     from ..cache import persist_tracked
-    from .rank import distributed_row_number
+    from .rank import ranked_with_total
     from .timeseries import quantize
 
     if top_n < 1:
         raise ValueError("key_skew needs top_n >= 1")
-    # Persist the small |keys|-row count table: the two nested rank
-    # calls take four driver actions + the final job over it, and each
-    # rank's internal persist covers only its own two actions —
-    # uncached, the full-corpus scan+groupBy would run ~3x. Tracked
-    # (the bench/oracle harnesses unpersist after the query drains).
+    # Persist the small |keys|-row count table: the rank call takes
+    # two driver actions + the final job over it, and the rank's
+    # internal persist covers only its own two actions — uncached, the
+    # full-corpus scan+groupBy would re-run for each. Tracked (the
+    # bench/oracle harnesses unpersist after the query drains).
     # Rank-key precondition: __n = count(*) per key — a non-null
     # positive long by construction.
     counts = persist_tracked(
         df.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
     )
-    ranked = distributed_row_number(
-        distributed_row_number(counts, "__n", tiebreak=key, out="__ra"),
-        "__n",
-        tiebreak=key,
-        out="__rd",
-        descending=True,
-    ).select("__n", "__ra", "__rd")
+    # ONE two-pass rank, not two (r12): the descending row_number was
+    # only consumed as ``rd <= top_n`` inside a SUM of __n — and any
+    # top-N cut by (__n DESC, tiebreak) selects the same MULTISET of
+    # __n values as the last N rows of the ascending rank (sets differ
+    # only in which EQUAL-__n rows they pick), so the sum is exact
+    # either way: ``__ra > total - top_n`` replaces the second rank's
+    # two driver jobs + its extra corpus-table window shuffle.
+    ranked, n_total = ranked_with_total(
+        counts, "__n", tiebreak=key, out="__ra", descending=False
+    )
+    ranked = ranked.select("__n", "__ra")
     agg = ranked.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("__n").alias("total_rows"),
         F.max("__n").alias("__mx"),
         F.sum(F.col("__ra") * F.col("__n")).alias("__si"),
-        F.sum(F.when(F.col("__rd") <= top_n, F.col("__n")).otherwise(0))
-        .alias("__topn"),
+        F.sum(
+            F.when(
+                F.col("__ra") > F.lit(n_total - top_n), F.col("__n")
+            ).otherwise(0)
+        ).alias("__topn"),
     )
     k = F.col("n_keys").cast("double")
     tot = F.col("total_rows").cast("double")

@@ -78,6 +78,7 @@ from pyspark.sql.types import NumericType
 __all__ = [
     "distributed_row_number",
     "distributed_ntile",
+    "ntile_multi",
     "ranked_with_total",
 ]
 
@@ -191,6 +192,46 @@ def _bucket_expr(bounds: list[tuple[float, float | None]], key_d, tie_d):
     return F.when(full >= F.lit(n_chunks), F.lit(n)).otherwise(
         full * F.lit(c) + within
     )
+
+
+def _trim_tie_bounds(
+    kcnt: Counter, tie_bounds: dict[float, list[float]]
+) -> dict[float, list[float]]:
+    """Budget tie cuts out of the requested bucket count (in place):
+    each heavy value keeps at most (multiplicity - 1) cuts — the
+    boundary slots its tie run absorbed from the plain quantile pass —
+    selected evenly from its mx-1 computed quantiles. Guarantees
+    len(bounds) <= buckets - 1, so the O(len(bounds))-per-row bucket
+    assignment honors the documented O(buckets) cap (the shared
+    mx-sized cut list could otherwise push the boundary count to
+    ~heavy*mx on skewed multiplicities). Fewer sub-buckets = less
+    parallelism for that run, never a correctness change."""
+    for v, lst in tie_bounds.items():
+        alloc = kcnt[v] - 1
+        if len(lst) > alloc:
+            tie_bounds[v] = sorted(
+                {
+                    lst[
+                        min(
+                            len(lst) - 1,
+                            int((j + 1) * len(lst) / (alloc + 1)),
+                        )
+                    ]
+                    for j in range(alloc)
+                }
+            )
+    return tie_bounds
+
+
+def _assemble_bounds(
+    kcnt: Counter, tie_bounds: dict[float, list[float]]
+) -> list[tuple[float, float | None]]:
+    """Plain + composite (key, tiebreak) boundary list in sort order."""
+    bounds: list[tuple[float, float | None]] = []
+    for v in sorted(kcnt):
+        bounds.append((v, None))
+        bounds.extend((v, t) for t in tie_bounds.get(v, []))
+    return bounds
 
 
 def ranked_with_total(
@@ -312,34 +353,8 @@ def ranked_with_total(
                 for r in rows
                 if r["__tbs"] is not None  # all-null tiebreaks: no split
             }
-            # Budget tie cuts out of the requested bucket count: each
-            # heavy value keeps at most (multiplicity - 1) cuts — the
-            # boundary slots its tie run absorbed from the plain
-            # quantile pass — selected evenly from its mx-1 computed
-            # quantiles. Guarantees len(bounds) <= buckets - 1, so the
-            # O(len(bounds))-per-row bucket assignment honors the
-            # documented O(buckets) cap (the shared mx-sized cut list
-            # could otherwise push the boundary count to ~heavy*mx on
-            # skewed multiplicities). Fewer sub-buckets = less
-            # parallelism for that run, never a correctness change.
-            for v, lst in tie_bounds.items():
-                alloc = kcnt[v] - 1
-                if len(lst) > alloc:
-                    tie_bounds[v] = sorted(
-                        {
-                            lst[
-                                min(
-                                    len(lst) - 1,
-                                    int((j + 1) * len(lst) / (alloc + 1)),
-                                )
-                            ]
-                            for j in range(alloc)
-                        }
-                    )
-        bounds: list[tuple[float, float | None]] = []
-        for v in sorted(kcnt):
-            bounds.append((v, None))
-            bounds.extend((v, t) for t in tie_bounds.get(v, []))
+            _trim_tie_bounds(kcnt, tie_bounds)
+        bounds = _assemble_bounds(kcnt, tie_bounds)
         with_bkt = work.withColumn(
             "__bkt", _bucket_expr(bounds, F.col("__dk"), tie_d)
         )
@@ -505,18 +520,200 @@ def distributed_ntile(
         buckets=buckets,
         rel_err=rel_err,
     )
+    return ranked.withColumn(
+        out, _tile_expr("__gr", total, n_tiles)
+    ).drop("__gr")
+
+
+def _tile_expr(rank_name: str, total: int, n_tiles: int):
+    """SQL-ntile mapping of the exact global rank column ``rank_name``:
+    with n rows, the first ``n % k`` tiles get ``n div k + 1`` rows, the
+    rest ``n div k``. The boundaries are driver-side Python integers
+    and the per-row mapping is pure int64 arithmetic — bit-identical to
+    the window form (and to DuckDB's ``ntile``) at any scale."""
     q, rem = divmod(total, n_tiles)
     cut = rem * (q + 1)
     if q == 0:
         # n < k: every row lands in its own tile (tile = rank).
-        tile = F.col("__gr").cast("int")
-    else:
-        tile = (
-            F.when(
-                F.col("__gr") <= F.lit(cut),
-                F.expr(f"(__gr - 1) div {q + 1} + 1"),
-            )
-            .otherwise(F.expr(f"{rem} + (__gr - 1 - {cut}) div {q} + 1"))
-            .cast("int")
+        return F.col(rank_name).cast("int")
+    return (
+        F.when(
+            F.col(rank_name) <= F.lit(cut),
+            F.expr(f"({rank_name} - 1) div {q + 1} + 1"),
         )
-    return ranked.withColumn(out, tile).drop("__gr")
+        .otherwise(F.expr(f"{rem} + ({rank_name} - 1 - {cut}) div {q} + 1"))
+        .cast("int")
+    )
+
+
+def ntile_multi(
+    df: DataFrame,
+    specs: list[dict],
+    *,
+    buckets: int | None = None,
+    rel_err: float = 0.01,
+) -> DataFrame:
+    """Append SEVERAL exact global ntile columns in shared passes.
+
+    ``specs`` is a list of dicts with keys ``key`` (sort column),
+    ``tiebreak``, ``n_tiles``, ``out`` and optional ``descending``
+    (default False). The result is bit-identical to chaining
+    :func:`distributed_ntile` once per spec — ntile values are exact
+    integers under ANY bucket-boundary placement (module docstring) —
+    but the pre-pass driver jobs are shared across keys (guide §1.2,
+    don't run the same pass per column):
+
+    * ONE multi-column ``approxQuantile`` call replaces one boundary
+      job per key;
+    * ONE grouped tie-split ``percentile_approx`` job covers every
+      heavy key (vs one job per key that has heavy ties);
+    * ONE exploded ``(key_idx, bucket)`` count pass replaces one count
+      job per key — it shuffles len(specs) tiny rows per input row of
+      the CACHED projection, not the input itself.
+
+    The final plan still carries one window per spec (each orders by a
+    different key — that part is irreducible), so only the boundary /
+    count scheduling changes, never the rank math. Null/NaN sort keys
+    fail fast exactly like the single-key form.
+    """
+    specs = [dict(s) for s in specs]
+    if not specs:
+        raise ValueError("ntile_multi needs at least one spec")
+    outs = [s["out"] for s in specs]
+    if len(set(outs)) != len(outs):
+        raise ValueError("ntile_multi specs must have distinct 'out' names")
+    for s in specs:
+        s.setdefault("descending", False)
+        if s["n_tiles"] < 1:
+            raise ValueError("n_tiles must be >= 1")
+    if buckets is None:
+        buckets = _default_buckets(df)
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+
+    work = df
+    for i, s in enumerate(specs):
+        key_d = F.col(s["key"]).cast("double")
+        work = work.withColumn(
+            f"__dk{i}", (-key_d) if s["descending"] else key_d
+        )
+    work = work.persist()
+    try:
+        qs = [i / buckets for i in range(1, buckets)]
+        eff_rel_err = min(rel_err, 0.5 / buckets) if buckets > 1 else rel_err
+        dk_names = [f"__dk{i}" for i in range(len(specs))]
+        raws = (
+            work.stat.approxQuantile(dk_names, qs, eff_rel_err)
+            if qs
+            else [[] for _ in specs]
+        )
+        kcnts = [Counter(raw) for raw in raws]
+        heavies = [
+            [v for v, m in kcnts[i].items() if m >= 2 and v == v]
+            if isinstance(df.schema[s["tiebreak"]].dataType, NumericType)
+            else []
+            for i, s in enumerate(specs)
+        ]
+        tie_bounds_all: list[dict[float, list[float]]] = [
+            {} for _ in specs
+        ]
+        hidx = [i for i, h in enumerate(heavies) if h]
+        if hidx:
+            # One grouped job for EVERY key's heavy values: explode
+            # (key_idx, oriented key, double-cast tiebreak) triples and
+            # percentile_approx per (key_idx, value) group. The double
+            # cast is the same monotone map _bucket_expr compares with,
+            # so the cuts remain valid composite boundaries (placement
+            # is balance-only). Every heavy value gets the max
+            # multiplicity's cut count; _trim_tie_bounds budgets each
+            # back to its own multiplicity - 1.
+            mx = max(max(kcnts[i][v] for v in heavies[i]) for i in hidx)
+            probs = F.array(*[F.lit(j / mx) for j in range(1, mx)])
+            acc = int(1.0 / max(eff_rel_err, 1e-4))
+            triples = F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("__ki"),
+                        F.col(f"__dk{i}").alias("__dk"),
+                        F.col(specs[i]["tiebreak"])
+                        .cast("double")
+                        .alias("__tb"),
+                    )
+                    for i in hidx
+                ]
+            )
+            ex = work.select(F.explode(triples).alias("__s")).select(
+                "__s.__ki", "__s.__dk", "__s.__tb"
+            )
+            cond = F.lit(False)
+            for i in hidx:
+                cond = cond | (
+                    (F.col("__ki") == F.lit(i))
+                    & F.col("__dk").isin(heavies[i])
+                )
+            rows = (
+                ex.where(cond)
+                .groupBy("__ki", "__dk")
+                .agg(
+                    F.percentile_approx("__tb", probs, F.lit(acc)).alias(
+                        "__tbs"
+                    )
+                )
+                .collect()
+            )
+            for r in rows:
+                if r["__tbs"] is not None:
+                    tie_bounds_all[r["__ki"]][r["__dk"]] = sorted(
+                        {float(t) for t in r["__tbs"] if t is not None}
+                    )
+            for i in hidx:
+                _trim_tie_bounds(kcnts[i], tie_bounds_all[i])
+        bounds_all = [
+            _assemble_bounds(kcnts[i], tie_bounds_all[i])
+            for i in range(len(specs))
+        ]
+        # ONE count pass for every key: explode (key_idx, bucket) pairs
+        # off the cached projection. Null/NaN keys map to bucket -1 per
+        # key, preserving the single-key fail-fast.
+        bkt_structs = []
+        for i, s in enumerate(specs):
+            tie_d = F.col(s["tiebreak"]).cast("double")
+            bkt = _bucket_expr(bounds_all[i], F.col(f"__dk{i}"), tie_d)
+            bad = F.when(
+                F.col(f"__dk{i}").isNull() | F.isnan(f"__dk{i}"),
+                F.lit(-1),
+            ).otherwise(bkt)
+            bkt_structs.append(
+                F.struct(F.lit(i).alias("__ki"), bad.alias("__b"))
+            )
+        exb = work.select(
+            F.explode(F.array(*bkt_structs)).alias("__s")
+        ).select("__s.__ki", "__s.__b")
+        counts_all: list[dict] = [{} for _ in specs]
+        for r in (
+            exb.groupBy("__ki", "__b")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        ):
+            counts_all[r["__ki"]][r["__b"]] = r["cnt"]
+    finally:
+        work.unpersist()
+
+    out_df = df
+    for i, s in enumerate(specs):
+        tie_d = F.col(s["tiebreak"]).cast("double")
+        ranked, total = _finish_ranked(
+            out_df,
+            counts_all[i],
+            bounds_all[i],
+            s["key"],
+            s["tiebreak"],
+            "__gr_multi",
+            s["descending"],
+            tie_d,
+            False,
+        )
+        out_df = ranked.withColumn(
+            s["out"], _tile_expr("__gr_multi", total, s["n_tiles"])
+        ).drop("__gr_multi")
+    return out_df

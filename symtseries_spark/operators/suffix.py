@@ -19,10 +19,13 @@ suffix sort:
 2. ``rank_1`` = lexicographic dense rank of the vocabulary (a
    vocab-bounded window: |vocab| ≪ corpus by Heaps' law, the same
    allowance the BPE family carries).
-3. Each doubling round h → 2h: pair ``(rank_h[p], rank_h[p+h])`` via a
-   self-equi-join on ``(doc_id, pos+h)`` (missing = past-end = -1,
-   which sorts first — the ``$ <`` everything convention, matching
-   string-prefix order), then a dense re-rank of the DISTINCT pairs
+3. Each doubling round h → 2h: pair ``(rank_h[p], rank_h[p+h])`` via
+   ``lead(rank, h)`` over a per-document window — ``pos`` is 1-based
+   consecutive per doc (the :func:`token_positions` contract), so the
+   window IS the ``pos+h`` lookup with one corpus exchange instead of
+   a self-join's two (missing = past-end = -1, which sorts first —
+   the ``$ <`` everything convention, matching string-prefix order),
+   then a dense re-rank of the DISTINCT pairs
    through :func:`operators.rank.ranked_with_total` — the repo's
    two-pass distributed rank, never a single-task global window. The
    rank pass's free ``total`` doubles as the convergence test
@@ -48,10 +51,11 @@ neighbours come from an equi-join on ``rank + 1`` and within-class
 duplicate multiplicity).
 
 Scale shape (100 TB): rounds = ⌈log₂ max-DOC-length⌉ — independent of
-corpus size (suffixes are per-document). Each round is one
-co-keyed self-join on ``(doc_id, pos)``, one ``distinct`` (≤ n rows),
-one two-pass rank over the distinct pairs, and one join-back keyed by
-the pair (skewed only by extreme duplication; AQE skew-join applies).
+corpus size (suffixes are per-document). Each round is one per-doc
+``lead`` window (partition size ≤ max doc length — the same bound the
+round count rests on), one ``distinct`` (≤ n rows), one two-pass rank
+over the distinct pairs, and one join-back keyed by the pair (skewed
+only by extreme duplication; AQE skew-join applies).
 Driver actions are all bounded: the max-doc-length scalar, the
 n_positions count, the per-round rank totals, and the 1-row max-LCP
 literal. Per-round ``localCheckpoint`` truncates the iterative lineage
@@ -131,6 +135,12 @@ def suffix_ranks(
 ) -> tuple[DataFrame, dict[int, DataFrame]]:
     """Dense rank of every suffix ``(doc_id, pos)`` in word-lex order.
 
+    Precondition: ``positions`` carries 1-based CONSECUTIVE ``pos`` per
+    document (what :func:`token_positions` emits — every caller) — the
+    doubling rounds read ``rank[pos+h]`` as ``lead(rank, h)`` over the
+    per-doc pos order, which is only the ``pos+h`` lookup when positions
+    are gap-free.
+
     Returns ``(ranks, rounds)`` where ``ranks`` is
     ``(doc_id, pos, sa_rank)`` — ``sa_rank`` dense over suffix
     equivalence classes, 1-based, identical whole-tail suffixes sharing
@@ -167,9 +177,12 @@ def suffix_ranks(
         return empty, ({1: empty} if keep_rounds else {})
 
     vocab = _vocab_ranks(pos_tbl)
+    # eager=False: the vmax action below materializes the checkpoint in
+    # the same job (the pos_tbl/stats fusion above, applied here in r12
+    # session 4 — was a dedicated materialization job).
     cur = pos_tbl.join(F.broadcast(vocab), "tok").select(
         "doc_id", "pos", "rank"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     global LAST_ROUNDS
     LAST_ROUNDS = 0
@@ -188,24 +201,32 @@ def suffix_ranks(
     prev_total = int(vmax or 0)
     if totals_out is not None:
         totals_out[1] = prev_total
+    # Pairing is a WINDOW, not a self-join (r12 session 4): ``pos`` is
+    # 1-based and CONSECUTIVE per document (the token_positions
+    # contract every caller feeds), so rank_h[pos + h] is exactly
+    # ``lead(rank, h)`` over (doc_id, pos-order) — one exchange + one
+    # sort over the corpus per round instead of the join's two of each,
+    # and the join operator itself disappears (guide §2.3/§3.4: the
+    # cheapest join is the one you don't run). Past-end stays NULL →
+    # -1. Window partitions are per-document, bounded by max doc
+    # length / ``max_tokens`` — the same bound the round count already
+    # rests on, never corpus-scale.
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    prev_paired: DataFrame | None = None
     while h < max_len:
         LAST_ROUNDS += 1
-        shifted = cur.select(
-            "doc_id",
-            (F.col("pos") - F.lit(h)).alias("pos"),
-            F.col("rank").alias("r2"),
-        )
-        # persist, not eager localCheckpoint: lineage is one join off
+        # persist, not eager localCheckpoint: lineage is one window off
         # the checkpointed cur, so truncation buys nothing — the first
         # rank action fills the cache and the join-back reuses it,
         # saving the per-round materialization job (r12)
         paired = (
-            cur.join(shifted, ["doc_id", "pos"], "left")
-            .select(
+            cur.select(
                 "doc_id",
                 "pos",
                 F.col("rank").alias("r1"),
-                F.coalesce(F.col("r2"), F.lit(-1).cast("long")).alias("r2"),
+                F.coalesce(
+                    F.lead("rank", h).over(w_doc), F.lit(-1).cast("long")
+                ).alias("r2"),
             )
             .persist()
         )
@@ -239,12 +260,34 @@ def suffix_ranks(
             buckets=buckets,
             key_bounds=kb,
         )
+        # ranked_with_total's count action just ran: it materialized
+        # this round's paired cache AND the previous round's LAZY cur
+        # checkpoint (see below), so the previous paired cache has no
+        # remaining consumer and can be released here (r12 session 4).
+        if prev_paired is not None:
+            prev_paired.unpersist()
+        # The stop decision only needs `total`, which is already in
+        # hand — so the checkpoint can be lazy on every CONTINUING
+        # round (the next round's count action materializes it while
+        # this paired cache is still alive) and eager only on the
+        # final one (after the loop nothing is guaranteed to run
+        # before paired is released). Saves one blocking
+        # materialization job per round.
+        stop = (
+            total == n_positions
+            or total == prev_total
+            or h * 2 >= max_len
+        )
         cur = (
             paired.join(ranked, ["r1", "r2"])
             .select("doc_id", "pos", F.col("nr").cast("long").alias("rank"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=stop)
         )
-        paired.unpersist()
+        if stop:
+            paired.unpersist()
+            prev_paired = None
+        else:
+            prev_paired = paired
         h *= 2
         if keep_rounds:
             rounds[h] = cur

@@ -185,3 +185,77 @@ def test_key_bounds_rejects_nan_keys(spark):
             df, "v", tiebreak="id", out="rn", descending=False,
             key_bounds=[0.5],
         )
+
+
+@pytest.mark.parametrize(
+    "n,buckets", [(503, 8), (500, 4), (4, 8), (0, 8)]
+)
+def test_ntile_multi_matches_chained_single(spark, n, buckets):
+    """ntile_multi's shared quantile/tie-split/count passes must yield
+    the EXACT columns three chained distributed_ntile calls produce —
+    including heavy-tie keys (v2: 5 distinct values over n rows) and a
+    descending spec."""
+    from symtseries_spark.operators.rank import ntile_multi
+
+    rng = random.Random(7)
+    rows = [
+        (i, float(rng.randrange(max(n, 1))), float(rng.randrange(5)),
+         float(rng.randrange(50)) / 7.0)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, v1 double, v2 double, v3 double"
+    )
+    specs = [
+        dict(key="v1", tiebreak="id", n_tiles=5, out="t1",
+             descending=True),
+        dict(key="v2", tiebreak="id", n_tiles=4, out="t2"),
+        dict(key="v3", tiebreak="id", n_tiles=7, out="t3"),
+    ]
+    got = ntile_multi(df, specs, buckets=buckets)
+    exp = df
+    for s in specs:
+        exp = distributed_ntile(
+            exp, s["key"], tiebreak=s["tiebreak"], n_tiles=s["n_tiles"],
+            out=s["out"], descending=s.get("descending", False),
+            buckets=buckets,
+        )
+    cols = ["t1", "t2", "t3"]
+    g = {r["id"]: tuple(r[c] for c in cols) for r in got.collect()}
+    e = {r["id"]: tuple(r[c] for c in cols) for r in exp.collect()}
+    assert g == e
+
+
+def test_ntile_multi_nan_key_raises(spark):
+    from symtseries_spark.operators.rank import ntile_multi
+
+    df = spark.createDataFrame(
+        [(0, 1.0, 1.0), (1, float("nan"), 2.0)],
+        "id long, v1 double, v2 double",
+    )
+    with pytest.raises(ValueError, match="null/NaN"):
+        ntile_multi(
+            df,
+            [
+                dict(key="v1", tiebreak="id", n_tiles=3, out="a"),
+                dict(key="v2", tiebreak="id", n_tiles=3, out="b"),
+            ],
+        ).collect()
+
+
+def test_ntile_multi_validations(spark):
+    from symtseries_spark.operators.rank import ntile_multi
+
+    df = spark.createDataFrame([(0, 1.0)], "id long, v double")
+    with pytest.raises(ValueError, match="at least one"):
+        ntile_multi(df, [])
+    with pytest.raises(ValueError, match="distinct 'out'"):
+        ntile_multi(
+            df,
+            [
+                dict(key="v", tiebreak="id", n_tiles=2, out="a"),
+                dict(key="v", tiebreak="id", n_tiles=3, out="a"),
+            ],
+        )
+    with pytest.raises(ValueError, match="n_tiles"):
+        ntile_multi(df, [dict(key="v", tiebreak="id", n_tiles=0, out="a")])
