@@ -1368,8 +1368,12 @@ def q_docs_span_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(indir)
     )
+    # hash-sharded state (r13): identical output (shard maps keep the
+    # exact md5 span keys, same (doc_id, pos)-sorted batch order); the
+    # per-span handler round-trips were the addBatch floor (~4s/batch
+    # at 14k distinct spans in the r13 stream profile)
     marked = streaming_span_dedup(
-        stream, span_tokens=SPAN_TOKENS, hash_spans=True
+        stream, span_tokens=SPAN_TOKENS, hash_spans=True, shard_state=64
     )
     name = f"span_stream_{uuid.uuid4().hex[:8]}"
     # md5-keyed state: thousands of keys, same parallelism
@@ -1452,7 +1456,11 @@ def q_docs_line_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(indir)
     )
-    marked = streaming_line_dedup(stream, sep=LINE_SEP, hash_lines=True)
+    # hash-sharded state (r13): same shard rule + output-identity
+    # argument as the span stream above
+    marked = streaming_line_dedup(
+        stream, sep=LINE_SEP, hash_lines=True, shard_state=64
+    )
     name = f"line_stream_{uuid.uuid4().hex[:8]}"
     with _state_partitions(spark, n=16):
         q = (
@@ -3252,7 +3260,12 @@ def q_dedup_exact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(indir)
     )
-    deduped = streaming_exact_dedup(stream)
+    # hash-sharded state (r13): identical output (shard maps keep exact
+    # content-hash keys, same doc_id-sorted batch order), but the Python
+    # state handler runs 64x/batch instead of once per distinct content
+    # — the r13 stream profile measured per-key handler round-trips as
+    # the addBatch floor (the minhash-stream shard rule applied here)
+    deduped = streaming_exact_dedup(stream, shard_state=64)
     name = f"dedup_stream_{uuid.uuid4().hex[:8]}"
     # keyed state is partition-count-invariant; size the state store
     # to the key cardinality: dedup state is CONTENT-HASH-keyed
@@ -6713,10 +6726,14 @@ def q_media_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(indir)
     )
+    # hash-sharded state (r13): identical output (shard maps keep exact
+    # (band, chunk) keys, same media_id batch order) — the minhash
+    # shard rule; per-bucket handler round-trips were the addBatch floor
     per_band = streaming_dhash_dedup(
         media_from_documents(stream),
         max_hamming=DHASH_HAM,
         bands=DHASH_BANDS,
+        shard_state=64,
     )
     name = f"mdhash_stream_{uuid.uuid4().hex[:8]}"
     with _state_partitions(spark, n=8):

@@ -27,6 +27,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from pyspark.sql.types import ArrayType
+
 from ._util import coalesce_chunks
 from ..functions.text import doc_hash60, normalized_text
 
@@ -41,14 +43,38 @@ _OUT_SCHEMA = StructType(
 
 _STATE_SCHEMA = StructType([StructField("canonical_id", LongType())])
 
+_SHARD_EXACT_STATE_SCHEMA = StructType(
+    [
+        StructField("hashes", ArrayType(LongType())),
+        StructField("canonicals", ArrayType(LongType())),
+    ]
+)
+
 
 def streaming_exact_dedup(
-    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_state: int | None = None,
 ) -> DataFrame:
     """Per incoming document emit
     ``(doc_id, content_hash, canonical_id, is_duplicate)`` where the
     canonical id is the first document ever seen (across micro-batches,
-    checkpoint-durable) with the same normalized content."""
+    checkpoint-durable) with the same normalized content.
+
+    ``shard_state``: with None (default) state is keyed per content
+    hash — one long per distinct content, the unbounded-scale layout.
+    With an integer N, hashes are HASH-SHARDED into N state keys and
+    each shard keeps a {content_hash -> canonical} map: the per-batch
+    Python handler runs N times instead of once per distinct content
+    seen in the batch (the streaming-MinHash shard rule — r13 profile:
+    the per-key handler round-trips, not the state store, were the
+    micro-batch floor). Output is IDENTICAL in both modes (exact hash
+    keys in the shard map, batch rows processed in the same doc_id
+    order), so the same oracle gates both. Stay with None when
+    distinct-content cardinality per shard would grow without bound.
+    """
     hashed = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         doc_hash60(normalized_text(F.col(text_col))).alias("content_hash"),
@@ -80,10 +106,59 @@ def streaming_exact_dedup(
         if canonical is not None:
             state.update((int(canonical),))
 
-    return hashed.groupBy("content_hash").applyInPandasWithState(
-        handle,
+    if shard_state is None:
+        return hashed.groupBy("content_hash").applyInPandasWithState(
+            handle,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    def handle_shard(key, pdfs, state: GroupState):
+        if state.exists:
+            hs, cs = state.get
+            claim = dict(zip(hs, cs))
+        else:
+            claim = {}
+        whole = coalesce_chunks(pdfs)
+        if whole is not None:
+            # doc_id order: within a batch the smallest id claims the
+            # content first — exactly the per-key handler's sort
+            whole = whole.sort_values("doc_id")
+            out_ids, out_hash, out_canon, out_dup = [], [], [], []
+            for doc_id, h in zip(whole["doc_id"], whole["content_hash"]):
+                doc_id, h = int(doc_id), int(h)
+                c = claim.get(h)
+                if c is None:
+                    c = doc_id
+                    claim[h] = c
+                out_ids.append(doc_id)
+                out_hash.append(h)
+                out_canon.append(c)
+                out_dup.append(doc_id != c)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_ids,
+                    "content_hash": out_hash,
+                    "canonical_id": out_canon,
+                    "is_duplicate": out_dup,
+                }
+            )
+        state.update(
+            (
+                [int(k) for k in claim.keys()],
+                [int(v) for v in claim.values()],
+            )
+        )
+
+    sharded = hashed.withColumn(
+        "__shard", F.abs(F.hash("content_hash")) % shard_state
+    )
+    return sharded.groupBy("__shard").applyInPandasWithState(
+        handle_shard,
         outputStructType=_OUT_SCHEMA,
-        stateStructType=_STATE_SCHEMA,
+        stateStructType=_SHARD_EXACT_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -102,6 +177,14 @@ _SPAN_STATE_SCHEMA = StructType(
     [StructField("first_doc", LongType()), StructField("first_pos", LongType())]
 )
 
+_SHARD_SPAN_STATE_SCHEMA = StructType(
+    [
+        StructField("keys", ArrayType(StringType())),
+        StructField("first_docs", ArrayType(LongType())),
+        StructField("first_poss", ArrayType(LongType())),
+    ]
+)
+
 
 def streaming_span_dedup(
     docs: DataFrame,
@@ -110,6 +193,7 @@ def streaming_span_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_spans: bool = False,
+    shard_state: int | None = None,
 ) -> DataFrame:
     """Streaming first-occurrence SPAN dedup — the ingest-time twin of
     :func:`..operators.dedup.span_dedup`: per incoming document, every
@@ -126,9 +210,16 @@ def streaming_span_dedup(
     128-bit md5 of the span instead (the batch twin's knob): long
     boilerplate spans then cost 32 state-key bytes rather than their
     full text, and the span text is carried only in the output rows.
-    At volume, the same shard_state rule as streaming MinHash applies
-    (BASELINE.md): per-key rows are the cost driver for the
-    state-store maintenance, not the lookups."""
+    ``shard_state``: with an integer N, state keys are HASH-SHARDED
+    into N shards, each keeping a {span_key -> (first_doc, first_pos)}
+    map — the per-batch Python handler then runs N times instead of
+    once per distinct span in the batch (the streaming-MinHash shard
+    rule; r13 profile measured the per-key handler round-trips as the
+    micro-batch floor, ~4s/batch at 14k distinct spans). Rows are
+    processed in the same (doc_id, pos) order and the shard map keys
+    are the exact span keys, so output is IDENTICAL in both modes —
+    the same oracle gates both. Stay with None when distinct-span
+    cardinality per shard would grow without bound."""
     if span_tokens < 1:
         raise ValueError("streaming_span_dedup needs span_tokens >= 1")
     from ..functions.text import tokens
@@ -183,10 +274,61 @@ def streaming_span_dedup(
         if first is not None:
             state.update((int(first[0]), int(first[1])))
 
-    return ex.groupBy("__k").applyInPandasWithState(
-        handle,
+    if shard_state is None:
+        return ex.groupBy("__k").applyInPandasWithState(
+            handle,
+            outputStructType=_SPAN_OUT_SCHEMA,
+            stateStructType=_SPAN_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    def handle_shard(key, pdfs, state: GroupState):
+        if state.exists:
+            ks, fd, fp = state.get
+            first_of = dict(zip(ks, zip(fd, fp)))
+        else:
+            first_of = {}
+        whole = coalesce_chunks(pdfs)
+        if whole is not None:
+            # (doc_id, pos) order: the first-seen rule within a batch —
+            # exactly the per-key handler's sort
+            whole = whole.sort_values(["doc_id", "pos"])
+            docs_, poss, spans_, dropped = [], [], [], []
+            for doc_id, pos, span, k in zip(
+                whole["doc_id"], whole["pos"], whole["span"], whole["__k"]
+            ):
+                doc_id, pos = int(doc_id), int(pos)
+                f = first_of.get(k)
+                if f is None:
+                    first_of[k] = (doc_id, pos)
+                    dropped.append(False)
+                else:
+                    dropped.append((doc_id, pos) != f)
+                docs_.append(doc_id)
+                poss.append(pos)
+                spans_.append(span)
+            yield pd.DataFrame(
+                {
+                    "doc_id": docs_,
+                    "pos": poss,
+                    "span": spans_,
+                    "is_dropped": dropped,
+                }
+            )
+        state.update(
+            (
+                list(first_of.keys()),
+                [int(v[0]) for v in first_of.values()],
+                [int(v[1]) for v in first_of.values()],
+            )
+        )
+
+    sharded = ex.withColumn("__shard", F.abs(F.hash("__k")) % shard_state)
+    return sharded.groupBy("__shard").applyInPandasWithState(
+        handle_shard,
         outputStructType=_SPAN_OUT_SCHEMA,
-        stateStructType=_SPAN_STATE_SCHEMA,
+        stateStructType=_SHARD_SPAN_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -205,6 +347,14 @@ _LINE_STATE_SCHEMA = StructType(
     [StructField("first_doc", LongType()), StructField("first_line", LongType())]
 )
 
+_SHARD_LINE_STATE_SCHEMA = StructType(
+    [
+        StructField("keys", ArrayType(StringType())),
+        StructField("first_docs", ArrayType(LongType())),
+        StructField("first_lines", ArrayType(LongType())),
+    ]
+)
+
 
 def streaming_line_dedup(
     docs: DataFrame,
@@ -213,6 +363,7 @@ def streaming_line_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_lines: bool = False,
+    shard_state: int | None = None,
 ) -> DataFrame:
     """Streaming first-occurrence LINE dedup — the ingest-time twin of
     :func:`..operators.dedup.line_dedup` (C4's keep-one-line rule):
@@ -226,7 +377,11 @@ def streaming_line_dedup(
     line — O(distinct lines), the minimum any exact keep-one can
     carry. ``hash_lines=True`` keys it by the 128-bit md5 instead of
     the line text (the hash_spans convention): boilerplate lines cost
-    32 state-key bytes, text rides only in output rows."""
+    32 state-key bytes, text rides only in output rows.
+
+    ``shard_state``: hash-shard the state keys into N shards, one
+    {line_key -> (first_doc, first_line)} map per shard — same rule,
+    same output-identity argument as :func:`streaming_span_dedup`."""
     if not sep:
         raise ValueError("streaming_line_dedup needs a non-empty separator")
     import re as _re
@@ -274,10 +429,61 @@ def streaming_line_dedup(
         if first is not None:
             state.update((int(first[0]), int(first[1])))
 
-    return ex.groupBy("__k").applyInPandasWithState(
-        handle,
+    if shard_state is None:
+        return ex.groupBy("__k").applyInPandasWithState(
+            handle,
+            outputStructType=_LINE_OUT_SCHEMA,
+            stateStructType=_LINE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    def handle_shard(key, pdfs, state: GroupState):
+        if state.exists:
+            ks, fd, fl = state.get
+            first_of = dict(zip(ks, zip(fd, fl)))
+        else:
+            first_of = {}
+        whole = coalesce_chunks(pdfs)
+        if whole is not None:
+            # (doc_id, line_no) order: the first-seen rule within a
+            # batch — exactly the per-key handler's sort
+            whole = whole.sort_values(["doc_id", "line_no"])
+            docs_, nos, lines_, dropped = [], [], [], []
+            for doc_id, no, line, k in zip(
+                whole["doc_id"], whole["line_no"], whole["line"], whole["__k"]
+            ):
+                doc_id, no = int(doc_id), int(no)
+                f = first_of.get(k)
+                if f is None:
+                    first_of[k] = (doc_id, no)
+                    dropped.append(False)
+                else:
+                    dropped.append((doc_id, no) != f)
+                docs_.append(doc_id)
+                nos.append(no)
+                lines_.append(line)
+            yield pd.DataFrame(
+                {
+                    "doc_id": docs_,
+                    "line_no": nos,
+                    "line": lines_,
+                    "is_dropped": dropped,
+                }
+            )
+        state.update(
+            (
+                list(first_of.keys()),
+                [int(v[0]) for v in first_of.values()],
+                [int(v[1]) for v in first_of.values()],
+            )
+        )
+
+    sharded = ex.withColumn("__shard", F.abs(F.hash("__k")) % shard_state)
+    return sharded.groupBy("__shard").applyInPandasWithState(
+        handle_shard,
         outputStructType=_LINE_OUT_SCHEMA,
-        stateStructType=_LINE_STATE_SCHEMA,
+        stateStructType=_SHARD_LINE_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -34,7 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 from ..operators.multimodal import media_dhash
 from ._util import coalesce_chunks
@@ -56,6 +56,15 @@ _STATE_SCHEMA = StructType(
     ]
 )
 
+_SHARD_STATE_SCHEMA = StructType(
+    [
+        StructField("bands", ArrayType(LongType())),
+        StructField("chunks", ArrayType(LongType())),
+        StructField("claimants", ArrayType(LongType())),
+        StructField("claimant_dhashes", ArrayType(LongType())),
+    ]
+)
+
 
 def streaming_dhash_dedup(
     media: DataFrame,
@@ -66,6 +75,7 @@ def streaming_dhash_dedup(
     cols: int = 9,
     id_col: str = "media_id",
     payload_col: str = "payload",
+    shard_state: int | None = None,
 ) -> DataFrame:
     """Per incoming payload emit one row PER BAND:
     ``(media_id, band, dup_of)`` where ``dup_of`` is the bucket's
@@ -75,7 +85,15 @@ def streaming_dhash_dedup(
     gives the gate verdict. Claimancy is smallest-id-wins regardless
     of hamming (the deterministic rule the oracle replays); ids are
     assumed assigned in arrival order, as in the sibling stream
-    dedups."""
+    dedups.
+
+    ``shard_state``: with an integer N, buckets are HASH-SHARDED into
+    N state keys, each shard keeping a {(band, chunk) -> (claimant,
+    dhash)} map — the per-batch Python handler runs N times instead of
+    once per occupied bucket (the streaming-MinHash shard rule; the
+    r13 stream profile measured per-key handler round-trips as the
+    addBatch floor). Exact (band, chunk) keys in the shard map and the
+    same media_id batch order make output IDENTICAL in both modes."""
     if max_hamming < 0:
         raise ValueError("streaming_dhash_dedup needs max_hamming >= 0")
     if bands <= max_hamming:
@@ -155,10 +173,73 @@ def streaming_dhash_dedup(
         if claimant is not None:
             state.update((int(claimant), int(chash)))
 
-    return chunks.groupBy("band", "chunk").applyInPandasWithState(
-        handle,
+    if shard_state is None:
+        return chunks.groupBy("band", "chunk").applyInPandasWithState(
+            handle,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    def handle_shard(key, pdfs, state: GroupState):
+        if state.exists:
+            bs, cs, cl, ch = state.get
+            claim = {
+                (int(b), int(c)): (int(m), int(d))
+                for b, c, m, d in zip(bs, cs, cl, ch)
+            }
+        else:
+            claim = {}
+        whole = coalesce_chunks(pdfs)
+        if whole is not None:
+            # bucket-then-id order: within each bucket the smaller id
+            # claims first, exactly like the per-bucket handler
+            whole = whole.sort_values(["band", "chunk", "media_id"])
+            out_ids: list[int] = []
+            out_bands: list[int] = []
+            out_dup: list[int | None] = []
+            for band, chunk, mid, dh in zip(
+                whole["band"], whole["chunk"], whole["media_id"], whole["dhash"]
+            ):
+                bucket = (int(band), int(chunk))
+                mid, dh = int(mid), int(dh)
+                got = claim.get(bucket)
+                if (
+                    got is not None
+                    and got[0] < mid
+                    and bin(got[1] ^ dh).count("1") <= max_hamming
+                ):
+                    out_dup.append(got[0])
+                else:
+                    out_dup.append(None)
+                if got is None or mid < got[0]:
+                    claim[bucket] = (mid, dh)
+                out_ids.append(mid)
+                out_bands.append(bucket[0])
+            yield pd.DataFrame(
+                {
+                    "media_id": out_ids,
+                    "band": out_bands,
+                    "dup_of": pd.array(out_dup, dtype="Int64"),
+                }
+            )
+        state.update(
+            (
+                [k[0] for k in claim.keys()],
+                [k[1] for k in claim.keys()],
+                [v[0] for v in claim.values()],
+                [v[1] for v in claim.values()],
+            )
+        )
+
+    sharded = chunks.withColumn(
+        "__shard", F.abs(F.hash("band", "chunk")) % shard_state
+    )
+    return sharded.groupBy("__shard").applyInPandasWithState(
+        handle_shard,
         outputStructType=_OUT_SCHEMA,
-        stateStructType=_STATE_SCHEMA,
+        stateStructType=_SHARD_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

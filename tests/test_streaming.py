@@ -618,6 +618,156 @@ class TestShardedMinhashState:
         assert fine and fine == whole
 
 
+class TestShardedDedupState:
+    """r13: shard_state on the exact/span/line/media dedup streams must
+    be a pure state-layout change — identical output rows as the
+    per-key keying, across micro-batch boundaries (the minhash
+    parity contract extended to its four siblings)."""
+
+    def _stage_two_batches(self, df, prefix):
+        import glob as globmod
+        import os
+        import tempfile
+
+        mx = df.agg(F.max(df.columns[0])).first()[0]
+        bid = (
+            F.floor(F.col(df.columns[0]) * 2 / (mx + 1))
+            .cast("long")
+            .alias("__bid")
+        )
+        tmp = tempfile.mkdtemp(prefix=prefix)
+        staged, indir = f"{tmp}/staged", f"{tmp}/in"
+        os.makedirs(indir)
+        df.withColumn("__bid", bid).coalesce(1).write.partitionBy(
+            "__bid"
+        ).parquet(staged)
+        for i, d in enumerate(
+            sorted(
+                globmod.glob(f"{staged}/__bid=*"),
+                key=lambda p: int(p.rsplit("=", 1)[1]),
+            )
+        ):
+            part = globmod.glob(f"{d}/part-*.parquet")[0]
+            dst = f"{indir}/b{i:04d}.parquet"
+            os.rename(part, dst)
+            os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+        return indir
+
+    def _replay(self, spark, schema, indir, build):
+        import tempfile
+        import uuid
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(indir)
+        )
+        name = f"shd_{uuid.uuid4().hex[:6]}"
+        q = (
+            build(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp())
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return frozenset(map(tuple, spark.table(name).collect()))
+
+    def test_exact_sharded_equals_per_key(self, spark, sf_dir):
+        from symtseries_spark.sources import load
+        from symtseries_spark.streaming import streaming_exact_dedup
+
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text").where(
+            "doc_id < 200"
+        )
+        indir = self._stage_two_batches(docs, "exs_t_")
+        a = self._replay(
+            spark, docs.schema, indir, lambda s: streaming_exact_dedup(s)
+        )
+        b = self._replay(
+            spark,
+            docs.schema,
+            indir,
+            lambda s: streaming_exact_dedup(s, shard_state=8),
+        )
+        assert a and a == b
+
+    def test_span_sharded_equals_per_key(self, spark, sf_dir):
+        from symtseries_spark.sources import load
+        from symtseries_spark.streaming import streaming_span_dedup
+
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text").where(
+            "doc_id < 200"
+        )
+        indir = self._stage_two_batches(docs, "sps_t_")
+        a = self._replay(
+            spark,
+            docs.schema,
+            indir,
+            lambda s: streaming_span_dedup(s, span_tokens=8, hash_spans=True),
+        )
+        b = self._replay(
+            spark,
+            docs.schema,
+            indir,
+            lambda s: streaming_span_dedup(
+                s, span_tokens=8, hash_spans=True, shard_state=8
+            ),
+        )
+        assert a and a == b
+
+    def test_line_sharded_equals_per_key(self, spark, sf_dir):
+        from symtseries_spark.sources import load
+        from symtseries_spark.streaming import streaming_line_dedup
+
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text").where(
+            "doc_id < 200"
+        )
+        indir = self._stage_two_batches(docs, "lns_t_")
+        a = self._replay(
+            spark,
+            docs.schema,
+            indir,
+            lambda s: streaming_line_dedup(s, sep=". ", hash_lines=True),
+        )
+        b = self._replay(
+            spark,
+            docs.schema,
+            indir,
+            lambda s: streaming_line_dedup(
+                s, sep=". ", hash_lines=True, shard_state=8
+            ),
+        )
+        assert a and a == b
+
+    def test_media_sharded_equals_per_bucket(self, spark, sf_dir):
+        from symtseries_spark.operators.multimodal import media_from_documents
+        from symtseries_spark.sources import load
+        from symtseries_spark.streaming.media import streaming_dhash_dedup
+
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text").where(
+            "doc_id < 120"
+        )
+        indir = self._stage_two_batches(docs, "mds_t_")
+
+        def mk(shard):
+            def build(s):
+                return streaming_dhash_dedup(
+                    media_from_documents(s),
+                    max_hamming=2,
+                    bands=4,
+                    shard_state=shard,
+                )
+
+            return build
+
+        a = self._replay(spark, docs.schema, indir, mk(None))
+        b = self._replay(spark, docs.schema, indir, mk(8))
+        assert a and a == b
+
+
 class TestFunnelStream:
     def test_chain_spans_batches(self, spark):
         """A stage reached in batch 1 must chain off state set in batch
