@@ -76,6 +76,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 
 __all__ = [
+    "dense_ranked_with_total",
     "distributed_row_number",
     "distributed_ntile",
     "ntile_multi",
@@ -456,6 +457,107 @@ def _finish_ranked(
     if not _keep_bucket:
         # tests pass _keep_bucket=True to assert tie-split spread
         ranked = ranked.drop("__bkt")
+    return ranked, total
+
+
+def dense_ranked_with_total(
+    df: DataFrame,
+    key: str,
+    *,
+    tiebreak: str,
+    out: str,
+    key_bounds: list[float],
+) -> tuple[DataFrame, int]:
+    """Append ``out`` = exact global ``dense_rank() OVER (ORDER BY key,
+    tiebreak)`` to EVERY input row (duplicates share a rank) and return
+    the total number of distinct ``(key, tiebreak)`` classes — without
+    materializing the distinct relation or joining it back.
+
+    This is the fused form of the ``distinct -> ranked_with_total ->
+    join-back`` shape (r13, suffix doubling rounds): the two-pass core
+    runs directly on the non-distinct rows — the count pass counts
+    DISTINCT pairs per bucket (map-side partial dedup, so what crosses
+    the wire is ~distinct-sized), and the rank pass is one exchange on
+    the bucket id + an in-bucket ``dense_rank`` window plus the
+    cumulative distinct-count offset. Compared to the unfused shape
+    this removes the distinct exchange, its recompute in the final
+    plan, AND the corpus-sized join-back (two exchanges + SMJ sorts),
+    at the cost of windowing the full relation instead of its distinct
+    projection — a win whenever the caller would join the ranks back
+    onto the full relation anyway.
+
+    Scoped to the domain-known fast path: ``key_bounds`` are REQUIRED
+    (ascending key space, the ``ranked_with_total`` convention), and
+    both ``key`` and ``tiebreak`` must be non-null (NaN keys also
+    rejected) — enforced in the count pass exactly like
+    ``ranked_with_total``. Bucket id is a monotone function of ``key``
+    alone (plain-key bounds), so all rows of one ``(key, tiebreak)``
+    class share a bucket and per-bucket distinct counts sum to the
+    global class total. The caller must hand in a deterministic
+    (persisted/checkpointed) lineage — two driver actions read it, the
+    multi-action contract of the module docstring.
+    """
+    bounds = [(float(v), None) for v in sorted({float(v) for v in key_bounds})]
+    key_d = F.col(key).cast("double")
+    tie_d = F.col(tiebreak).cast("double")
+    bkt = _bucket_expr(bounds, key_d, tie_d)
+    bad_bucket = F.when(
+        F.col(key).isNull() | F.isnan(key_d) | F.col(tiebreak).isNull(),
+        F.lit(-1),
+    ).otherwise(bkt)
+    # One grouped pass yields the per-bucket DISTINCT class count (the
+    # rank offsets) AND the raw row count (the -1 group's row count is
+    # the bad-row detector: count_distinct alone would read 0 over a
+    # null-carrying group and let bad rows through silently).
+    stats = {
+        r["__b"]: (r["cls"], r["rows"])
+        for r in df.groupBy(bad_bucket.alias("__b"))
+        .agg(
+            F.count_distinct(F.col(key), F.col(tiebreak)).alias("cls"),
+            F.count(F.lit(1)).alias("rows"),
+        )
+        .collect()
+    }
+    n_bad = stats.pop(-1, (0, 0))[1]
+    if n_bad:
+        raise ValueError(
+            f"dense rank over ({key!r}, {tiebreak!r}): {n_bad} null/NaN "
+            "key rows (both columns must be non-null, key non-NaN)"
+        )
+    offsets: dict[int, int] = {}
+    total = 0
+    for b in sorted(stats):
+        offsets[b] = total
+        total += stats[b][0]
+    if offsets:
+        # same dense offset array + missing-bucket guard as
+        # _finish_ranked (see the comments there)
+        off_arr = F.array(
+            *[
+                F.lit(offsets[b]).cast("long")
+                if b in offsets
+                else F.lit(None).cast("long")
+                for b in range(len(bounds) + 1)
+            ]
+        )
+        off = F.coalesce(
+            F.element_at(off_arr, F.col("__bkt").cast("int") + F.lit(1)),
+            F.raise_error(
+                F.lit(
+                    "dense rank: bucket/offset mismatch — upstream lineage "
+                    "produced a bucket absent from the count pass "
+                    "(nondeterministic input?)"
+                )
+            ).cast("long"),
+        )
+    else:
+        off = F.lit(0).cast("long")
+    w_in = Window.partitionBy("__bkt").orderBy(F.col(key).asc(), F.col(tiebreak))
+    ranked = (
+        df.withColumn("__bkt", bkt)
+        .withColumn(out, F.dense_rank().over(w_in).cast("long") + off)
+        .drop("__bkt")
+    )
     return ranked, total
 
 

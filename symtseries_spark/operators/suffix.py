@@ -25,10 +25,14 @@ suffix sort:
    window IS the ``pos+h`` lookup with one corpus exchange instead of
    a self-join's two (missing = past-end = -1, which sorts first —
    the ``$ <`` everything convention, matching string-prefix order),
-   then a dense re-rank of the DISTINCT pairs
-   through :func:`operators.rank.ranked_with_total` — the repo's
-   two-pass distributed rank, never a single-task global window. The
-   rank pass's free ``total`` doubles as the convergence test
+   then a dense re-rank of the pairs carried DIRECTLY on the paired
+   rows through :func:`operators.rank.dense_ranked_with_total` — the
+   repo's two-pass distributed rank fused with the join-back it used
+   to need (r13: the count pass partially dedups map-side so only
+   ~distinct-sized traffic crosses the wire, and the old
+   distinct-exchange + corpus-sized join-back disappear outright),
+   never a single-task global window. The rank pass's free ``total``
+   (the distinct-class count) doubles as the convergence test
    (``total == n_positions`` ⇒ all suffixes separated ⇒ stop).
 4. Rounds terminate at ``h >= max doc length`` even without
    separation: surviving ties are exactly the identical whole-tails
@@ -53,9 +57,15 @@ duplicate multiplicity).
 Scale shape (100 TB): rounds = ⌈log₂ max-DOC-length⌉ — independent of
 corpus size (suffixes are per-document). Each round is one per-doc
 ``lead`` window (partition size ≤ max doc length — the same bound the
-round count rests on), one ``distinct`` (≤ n rows), one two-pass rank
-over the distinct pairs, and one join-back keyed by the pair (skewed
-only by extreme duplication; AQE skew-join applies).
+round count rests on; set ``max_tokens`` on corpora with unbounded
+document lengths, since both the round count AND the window-partition
+size rest on per-doc length) and one fused two-pass dense rank over
+the paired rows (count pass partially dedups map-side, rank pass is
+one bucket exchange + in-bucket window — no distinct relation and no
+join-back; r13). Peak cache holds this round's AND the previous
+round's paired tables between the count and rank actions (2× pair
+footprint; released per-round in sequence, and on error by the
+loop's finally block).
 Driver actions are all bounded: the max-doc-length scalar, the
 n_positions count, the per-round rank totals, and the 1-row max-LCP
 literal. Per-round ``localCheckpoint`` truncates the iterative lineage
@@ -68,7 +78,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from symtseries_spark.functions.text import tokens
-from symtseries_spark.operators.rank import _default_buckets, ranked_with_total
+from symtseries_spark.operators.rank import (
+    _default_buckets,
+    dense_ranked_with_total,
+)
 
 __all__ = [
     "token_positions",
@@ -191,12 +204,13 @@ def suffix_ranks(
     # Round 1's r1 domain is ALSO known — vocab ranks are dense in
     # [1, |vocab|] — so seed prev_total from the checkpointed rank-1
     # table (max(rank) over materialized blocks: one small scan, no
-    # recompute) and every round takes the key_bounds fast path. The
-    # adaptive approxQuantile pass cost ~5.9s on the 962 distinct
-    # round-1 pairs at sf0.1 vs ~2s for the bounded path (r12.2
-    # profile); the fixed-point break stays sound (it compares
-    # (r1, r2)-class counts across ROUNDS — round 1's 'prev' is the
-    # h=1 class count, exactly the partition the h=2 pairing refines).
+    # recompute) and EVERY round (round 1 included) takes the
+    # key_bounds fast path. The adaptive approxQuantile pass cost
+    # ~5.9s on the 962 distinct round-1 pairs at sf0.1 vs ~2s for the
+    # bounded path (r12.2 profile); the fixed-point break stays sound
+    # (it compares (r1, r2)-class counts across ROUNDS — round 1's
+    # 'prev' is the h=1 class count, exactly the partition the h=2
+    # pairing refines).
     vmax = cur.agg(F.max("rank")).first()[0]
     prev_total = int(vmax or 0)
     if totals_out is not None:
@@ -212,102 +226,113 @@ def suffix_ranks(
     # length / ``max_tokens`` — the same bound the round count already
     # rests on, never corpus-scale.
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    paired: DataFrame | None = None
     prev_paired: DataFrame | None = None
-    while h < max_len:
-        LAST_ROUNDS += 1
-        # persist, not eager localCheckpoint: lineage is one window off
-        # the checkpointed cur, so truncation buys nothing — the first
-        # rank action fills the cache and the join-back reuses it,
-        # saving the per-round materialization job (r12)
-        paired = (
-            cur.select(
-                "doc_id",
-                "pos",
-                F.col("rank").alias("r1"),
-                F.coalesce(
-                    F.lead("rank", h).over(w_doc), F.lit(-1).cast("long")
-                ).alias("r2"),
+    try:
+        while h < max_len:
+            LAST_ROUNDS += 1
+            # persist, not eager localCheckpoint: lineage is one window
+            # off the checkpointed cur, so truncation buys nothing —
+            # the fused rank's count action fills the cache and the
+            # final rank plan reuses it, saving the per-round
+            # materialization job (r12). The persist is also what
+            # makes the fused rank's two driver actions see the SAME
+            # rows (its determinism contract).
+            paired = (
+                cur.select(
+                    "doc_id",
+                    "pos",
+                    F.col("rank").alias("r1"),
+                    F.coalesce(
+                        F.lead("rank", h).over(w_doc), F.lit(-1).cast("long")
+                    ).alias("r2"),
+                )
+                .persist()
             )
-            .persist()
-        )
-        distinct_pairs = paired.select("r1", "r2").distinct()
-        # Two-pass distributed rank: row_number over DISTINCT (r1, r2)
-        # == dense rank of the pair. r1 < 2^53 is double-exact; r2 is
-        # the numeric tiebreak. From round 2 on, r1 is a DENSE rank in
-        # [1, prev_total], so uniform precomputed bounds replace the
-        # approxQuantile pass (r12: one less full pass per round;
-        # boundary placement is balance-only). The trade documented on
-        # ranked_with_total applies: a single class with very many
-        # distinct continuations lands in one bucket — bounded by the
-        # geometric class shrink per round, and never a correctness
-        # concern. Round 1 (vocab-rank domain unknown) keeps the
-        # adaptive quantile path and its heavy-tie splitting.
-        if prev_total:
-            nb = buckets if buckets is not None else _default_buckets(
-                distinct_pairs
+            # Fused two-pass dense rank CARRIED ON the paired rows
+            # (r13): dense_rank over (r1, r2) == the old row_number
+            # over DISTINCT (r1, r2) joined back, with the distinct
+            # exchange and the corpus-sized join-back both gone — the
+            # count pass's count_distinct partially dedups map-side,
+            # so shuffled bytes stay ~distinct-sized. r1 < 2^53 is
+            # double-exact; r2 is the numeric tiebreak. r1 is a DENSE
+            # rank in [1, prev_total] every round (round 1: vocab
+            # ranks, vmax-seeded above), so uniform precomputed bounds
+            # replace the approxQuantile pass (r12: one less full pass
+            # per round; boundary placement is balance-only). The
+            # trade documented on ranked_with_total applies: a single
+            # class with very many distinct continuations lands in one
+            # bucket — bounded by the geometric class shrink per
+            # round, and never a correctness concern.
+            nb = buckets if buckets is not None else _default_buckets(paired)
+            kb = [float(1 + (i * prev_total) // nb) for i in range(1, nb)]
+            ranked, total = dense_ranked_with_total(
+                paired,
+                "r1",
+                tiebreak="r2",
+                out="nr",
+                key_bounds=kb,
             )
-            kb = [
-                float(1 + (i * prev_total) // nb) for i in range(1, nb)
-            ]
-        else:
-            kb = None
-        ranked, total = ranked_with_total(
-            distinct_pairs,
-            "r1",
-            tiebreak="r2",
-            out="nr",
-            descending=False,
-            buckets=buckets,
-            key_bounds=kb,
-        )
-        # ranked_with_total's count action just ran: it materialized
-        # this round's paired cache AND the previous round's LAZY cur
-        # checkpoint (see below), so the previous paired cache has no
-        # remaining consumer and can be released here (r12 session 4).
+            # The fused rank's count action just ran: it materialized
+            # this round's paired cache AND the previous round's LAZY
+            # cur checkpoint (see below), so the previous paired cache
+            # has no remaining consumer and can be released here (r12
+            # session 4).
+            if prev_paired is not None:
+                prev_paired.unpersist()
+            # The stop decision only needs `total`, which is already
+            # in hand — so the checkpoint can be lazy on every
+            # CONTINUING round (the next round's count action
+            # materializes it while this paired cache is still alive)
+            # and eager only on the final one (after the loop nothing
+            # is guaranteed to run before paired is released). Saves
+            # one blocking materialization job per round.
+            stop = (
+                total == n_positions
+                or total == prev_total
+                or h * 2 >= max_len
+            )
+            cur = ranked.select(
+                "doc_id", "pos", F.col("nr").cast("long").alias("rank")
+            ).localCheckpoint(eager=stop)
+            if stop:
+                paired.unpersist()
+                paired = None
+                prev_paired = None
+            else:
+                prev_paired, paired = paired, None
+            h *= 2
+            if keep_rounds:
+                rounds[h] = cur
+            if totals_out is not None:
+                totals_out[h] = int(total)
+            if total == n_positions:
+                break  # every suffix separated: ranks are final
+            if total == prev_total:
+                # Fixed point: the class partition did not refine from
+                # h/2 to h, so no further doubling can refine it (same
+                # class at stale h ⇒ the h-shifted positions share a
+                # class too, by induction every future pairing agrees).
+                # Surviving ties are exactly the identical whole-tail
+                # suffixes, and the rank values are already the final
+                # dense ranks — the loop to h >= max_len would
+                # re-derive the same table each round (r12: saves
+                # ⌈log₂ max_len⌉ − rounds-to-stability full doubling
+                # rounds; the planted-mirror corpora stabilize long
+                # before max_len).
+                break
+            prev_total = total
+    except BaseException:
+        # release both in-flight pair caches on error — without this,
+        # an exception inside the fused rank leaked up to two
+        # corpus-sized persists for the session's lifetime (ADVICE r12)
+        for p in (paired, prev_paired):
+            if p is not None:
+                p.unpersist()
+        raise
+    else:
         if prev_paired is not None:
             prev_paired.unpersist()
-        # The stop decision only needs `total`, which is already in
-        # hand — so the checkpoint can be lazy on every CONTINUING
-        # round (the next round's count action materializes it while
-        # this paired cache is still alive) and eager only on the
-        # final one (after the loop nothing is guaranteed to run
-        # before paired is released). Saves one blocking
-        # materialization job per round.
-        stop = (
-            total == n_positions
-            or total == prev_total
-            or h * 2 >= max_len
-        )
-        cur = (
-            paired.join(ranked, ["r1", "r2"])
-            .select("doc_id", "pos", F.col("nr").cast("long").alias("rank"))
-            .localCheckpoint(eager=stop)
-        )
-        if stop:
-            paired.unpersist()
-            prev_paired = None
-        else:
-            prev_paired = paired
-        h *= 2
-        if keep_rounds:
-            rounds[h] = cur
-        if totals_out is not None:
-            totals_out[h] = int(total)
-        if total == n_positions:
-            break  # every suffix separated: ranks are final
-        if total == prev_total:
-            # Fixed point: the class partition did not refine from h/2
-            # to h, so no further doubling can refine it (same class at
-            # stale h ⇒ the h-shifted positions share a class too, by
-            # induction every future pairing agrees). Surviving ties
-            # are exactly the identical whole-tail suffixes, and the
-            # rank values are already the final dense ranks — the loop
-            # to h >= max_len would re-derive the same table each
-            # round (r12: saves ⌈log₂ max_len⌉ − rounds-to-stability
-            # full doubling rounds; the planted-mirror corpora
-            # stabilize long before max_len).
-            break
-        prev_total = total
 
     return cur.select(
         "doc_id", "pos", F.col("rank").alias("sa_rank")

@@ -259,3 +259,65 @@ def test_ntile_multi_validations(spark):
         )
     with pytest.raises(ValueError, match="n_tiles"):
         ntile_multi(df, [dict(key="v", tiebreak="id", n_tiles=0, out="a")])
+
+
+@pytest.mark.parametrize(
+    "n,n_distinct,key_bounds",
+    [
+        (500, 50, [float(v) for v in range(0, 50, 7)]),  # heavy dup rows
+        (500, 400, [100.0]),                   # near-distinct, 1 boundary
+        (500, 1, [0.5]),                       # single key class
+        (7, 7, [float(v) for v in range(64)]), # more buckets than rows
+        (0, 1, [1.0]),                         # empty input
+    ],
+)
+def test_dense_rank_fused_matches_unfused(spark, n, n_distinct, key_bounds):
+    """r13 fusion: dense_ranked_with_total carried on the FULL relation
+    must be bit-identical to the unfused distinct -> ranked_with_total
+    -> join-back shape it replaces (the suffix doubling round), with
+    the same total (= distinct class count)."""
+    from symtseries_spark.operators.rank import (
+        dense_ranked_with_total,
+        ranked_with_total,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, float(rng.randrange(n_distinct)), rng.randrange(5) - 1)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "id long, v double, t long").persist()
+    try:
+        got, got_total = dense_ranked_with_total(
+            df, "v", tiebreak="t", out="nr", key_bounds=key_bounds
+        )
+        distinct = df.select("v", "t").distinct()
+        ranked, exp_total = ranked_with_total(
+            distinct, "v", tiebreak="t", out="nr", descending=False,
+            key_bounds=key_bounds,
+        )
+        exp = df.join(ranked, ["v", "t"])
+        g = {r["id"]: r["nr"] for r in got.collect()}
+        e = {r["id"]: r["nr"] for r in exp.collect()}
+        assert g == e
+        assert got_total == exp_total
+    finally:
+        df.unpersist()
+
+
+def test_dense_rank_fused_rejects_bad_rows(spark):
+    """NULL tiebreaks and NaN keys must fail fast with the row count in
+    the message (count_distinct alone reads 0 over null-carrying
+    groups — the count pass counts ROWS for the bad bucket)."""
+    from symtseries_spark.operators.rank import dense_ranked_with_total
+
+    df = spark.createDataFrame(
+        [(0, 1.0, 1), (1, float("nan"), 2)], "id long, v double, t long"
+    )
+    with pytest.raises(ValueError, match="1 null/NaN"):
+        dense_ranked_with_total(df, "v", tiebreak="t", out="nr", key_bounds=[0.5])
+    df2 = spark.createDataFrame(
+        [(0, 1.0, 1), (1, 2.0, None)], "id long, v double, t long"
+    )
+    with pytest.raises(ValueError, match="1 null/NaN"):
+        dense_ranked_with_total(df2, "v", tiebreak="t", out="nr", key_bounds=[0.5])
