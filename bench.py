@@ -269,6 +269,17 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # Stamp the end-of-run loadavg INTO the result line (r13, additive
+    # key): identical code measured 492.9-1236.4s on this shared VM
+    # depending on host load, and the r12 round was mis-read as a 0.94x
+    # regression from a single loadavg-5 run. With the load in
+    # BENCH_rN.json itself, perf comparisons can be load-gated without
+    # digging through stderr or the history file.
+    try:
+        with open("/proc/loadavg") as fh:
+            full["loadavg"] = float(fh.read().split()[0])
+    except (OSError, ValueError):
+        pass
     # The perf gate is the r01-FROZEN subset (BENCH_r01.json's 42
     # queries at their frozen times vs this run over the shared
     # names) — emit it in every artifact so no one recomputes it by

@@ -51,8 +51,7 @@ def test_entry_smoke(spark):
     assert set(df.columns) == {"user_id", "event_id", "sax_word", "dist"}
 
 
-@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
-def test_query_matches_oracle(spark, ducks, sf_dir, name):
+def _check_one(spark, ducks, sf_dir, name):
     q = entry_mod.queries()[name]
     sql = entry_mod.oracle_sql().get(name)
     assert sql is not None, f"{name} missing oracle"
@@ -60,3 +59,44 @@ def test_query_matches_oracle(spark, ducks, sf_dir, name):
     exp = ducks.execute(sql).df()
     assert len(got) > 0, f"{name} returned no rows"
     _compare(got, exp, name)
+
+
+# One representative per operator family, pinned (not sampled) so the
+# DEFAULT profile still drives the entry contract end-to-end across
+# every subsystem while staying inside the round driver's pytest
+# budget (r13: the full 280-query sweep at ~3-20s each was most of the
+# suite's wall time and duplicates both scripts/check_oracle.py and
+# the driver's own oracle gate; it remains below, marked slow).
+_CORE = [
+    "sax_whole_series",        # SAX kernel
+    "events_ntile",            # distributed rank
+    "events_time_rollup",      # timeseries windows
+    "docs_span_dedup",         # window-hash dedup
+    "dedup_minhash_lsh",       # MinHash/LSH pair generation
+    "dedup_clusters",          # graph CC over pairs
+    "docs_suffix_array",       # suffix doubling loop
+    "docs_gopher_filter",      # retrieval/quality battery
+    "docs_dsir_weights",       # importance sampling
+    "emb_kmeans",              # cluster family
+    "emb_ivfpq_topk",          # IVF+PQ search
+    "emb_near_dup_recall",     # recall harness
+    "media_frame_dedup",       # multimodal
+    "events_late_drop",        # streaming replay
+    "tpch_q9",                 # TPC-H joins
+]
+
+
+def test_core_names_registered():
+    missing = [n for n in _CORE if n not in entry_mod.queries()]
+    assert not missing, missing
+
+
+@pytest.mark.parametrize("name", _CORE)
+def test_query_matches_oracle_core(spark, ducks, sf_dir, name):
+    _check_one(spark, ducks, sf_dir, name)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+def test_query_matches_oracle(spark, ducks, sf_dir, name):
+    _check_one(spark, ducks, sf_dir, name)
