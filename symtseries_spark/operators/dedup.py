@@ -91,6 +91,7 @@ def _pair_counts(
     *,
     max_key_freq: int | None,
     min_common: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Shared inverted-index pair skeleton for jaccard/containment/
     winnow: cap hot keys, self-equi-join on ``key_col``, count per
@@ -107,12 +108,15 @@ def _pair_counts(
 
     The (capped) exploded relation feeds THREE alias-divergent
     consumers — sizes and both self-join sides — so it is persisted
-    (r12, the wave-3c fingerprint rule): unpersisted, the explode +
-    hot-key window shuffle ran once per consumer. Contrast with
-    exact_substring's measured persist revert: there the cached table
-    was ~50x the source; here it is the token-scale index the three
-    consumers need byte-for-byte, and the dominant re-run cost is the
-    full key-shuffle of that index, not a columnar re-scan."""
+    by default (r12, the wave-3c fingerprint rule): unpersisted, the
+    explode + hot-key window shuffle ran once per consumer. Contrast
+    with exact_substring's measured persist revert: there the cached
+    table was ~50x the source; here it is the token-scale index the
+    three consumers need byte-for-byte, and the dominant re-run cost
+    is the full key-shuffle of that index, not a columnar re-scan.
+    ``persist=False`` (r13) lets sparse-index callers opt out — the
+    winnowing fingerprint index measured faster recomputed than
+    cached at sf0.1 (see winnow_pairs)."""
     from ..cache import persist_tracked
 
     ex = exploded
@@ -123,7 +127,8 @@ def _pair_counts(
             .where(F.col("__f") <= max_key_freq)
             .drop("__f")
         )
-    ex = persist_tracked(ex)
+    if persist:
+        ex = persist_tracked(ex)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
     a = ex.select(F.col("doc_id").alias("doc_a"), key_col)
     b = ex.select(F.col("doc_id").alias("doc_b"), key_col)
@@ -360,8 +365,17 @@ def winnow_pairs(
     |docs|^2.
     """
     fp = winnow_table(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+    # persist=False (r13, measured): the winnowing index is SPARSE —
+    # selection density ~2/(w+1) of k-gram positions — so re-running
+    # its explode + cap for the three consumers is cheaper than the
+    # cache round-trip (A/B at sf0.1, both arm orders: winnow_pairs
+    # 2.0-2.2s -> 1.4-1.7s, docs_corpus_filter2 4.1-4.6s -> 3.2-4.0s).
+    # The dense shingle callers (jaccard/containment) keep the persist:
+    # their index is the corpus's full token mass, where the three-way
+    # recompute costs two extra corpus-scale shuffles at 100 TB.
     pairs = _pair_counts(
-        fp, "fp", max_key_freq=max_fp_freq, min_common=min_shared
+        fp, "fp", max_key_freq=max_fp_freq, min_common=min_shared,
+        persist=False,
     )
     return pairs.select(
         "doc_a",
