@@ -550,7 +550,12 @@ def q_sax_allpairs_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key_a",
         "key_b",
         F.round(F.col("mindist") * scale, 4).alias("dist"),
-        sax_zeuclidean(F.col("payload_a"), F.col("payload_b")).alias("__exact"),
+        # n= unrolls the per-pair fold into a codegen'd flat sum
+        # (functions/sax.py r13): the refine fold over the 14M-candidate
+        # expansion was this query's dominant term, ~30% off measured
+        sax_zeuclidean(
+            F.col("payload_a"), F.col("payload_b"), n=TUMBLE_DIST["n"]
+        ).alias("__exact"),
     ).where(F.col("dist") <= REFINE_DELTA)
     # the unrounded gate is loosened by 1e-3 so it can never disagree
     # with the rounded oracle filter below (same convention as before)

@@ -327,13 +327,23 @@ def sax_znorm(arr: Column) -> Column:
     return _let(_stats(arr), with_stats)
 
 
-def sax_zeuclidean(za: Column, zb: Column) -> Column:
+def sax_zeuclidean(za: Column, zb: Column, n: int | None = None) -> Column:
     """Exact Euclidean distance between two z-normalized arrays — the
     refine step of the reference's prune-then-refine story
     (/root/reference/README.md:29-34: MINDIST lower-bounds exactly this
     quantity, include/symtseries.h:5-7). Positions where either side is
     non-finite contribute 0 (the exact-distance analogue of '#' frames);
-    NULL or length-mismatched inputs yield NULL."""
+    NULL or length-mismatched inputs yield NULL.
+
+    ``n`` (r13): callers whose windows have a KNOWN fixed length may
+    pass it to unroll the per-pair sum into a flat n-term expression —
+    ``zip_with``/``aggregate`` are interpreted per element while the
+    flat form whole-stage-codegens (measured ~30% off the 14M-pair
+    refine fold at n=16; bit-identical output — same guarded term,
+    same left-to-right addition order as the fold). Arrays whose size
+    is not ``n`` fall back to the generic form, so the value contract
+    is unchanged; keep ``n`` well under the repo's documented
+    ~1000-term flat-expression cliff."""
     d2 = F.zip_with(
         za,
         zb,
@@ -342,7 +352,22 @@ def sax_zeuclidean(za: Column, zb: Column) -> Column:
         ).otherwise(F.lit(0.0)),
     )
     ok = za.isNotNull() & zb.isNotNull() & (F.size(za) == F.size(zb))
-    return F.when(ok, F.sqrt(F.aggregate(d2, F.lit(0.0), lambda a, v: a + v)))
+    hof = F.when(ok, F.sqrt(F.aggregate(d2, F.lit(0.0), lambda a, v: a + v)))
+    if n is None:
+        return hof
+
+    def term(i: int) -> Column:
+        x, y = F.element_at(za, i), F.element_at(zb, i)
+        return F.when(
+            is_finite(x) & is_finite(y), (x - y) * (x - y)
+        ).otherwise(F.lit(0.0))
+
+    flat = term(1)
+    for i in range(2, n + 1):
+        flat = flat + term(i)
+    return F.when(
+        ok & (F.size(za) == F.lit(int(n))), F.sqrt(flat)
+    ).otherwise(hof)
 
 
 def sax_mindist(

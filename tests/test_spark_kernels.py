@@ -285,3 +285,30 @@ def test_per_row_compatibility_gates(spark):
     assert parsed[0]["p"] is None   # empty word -> NULL, not [NULL, NULL]
     assert parsed[1]["p"] is None
     assert parsed[2]["p"] == [5, 2]
+
+
+def test_zeuclidean_fixed_n_matches_generic(spark):
+    """r13: the flat fixed-length unroll must be bit-identical to the
+    HOF fold — including non-finite positions (contribute 0), NULL
+    sides, length mismatches, and the wrong-n fallback."""
+    from pyspark.sql import functions as F
+
+    from symtseries_spark.functions.sax import sax_zeuclidean
+
+    rows = [
+        ([1.0, 2.0, 3.0, 4.0], [4.0, 3.0, 2.0, 1.0]),
+        ([1.0, float("nan"), 3.0, 4.0], [1.0, 2.0, float("inf"), 4.0]),
+        ([0.0, 0.0, 0.0, 0.0], [0.0, 0.0, 0.0, 0.0]),
+        (None, [1.0, 2.0, 3.0, 4.0]),
+        ([1.0, 2.0], [1.0, 2.0]),          # size 2 != n=4 -> fallback
+        ([1.0, 2.0, 3.0], [1.0, 2.0]),     # mismatched -> NULL
+    ]
+    df = spark.createDataFrame(rows, "za array<double>, zb array<double>")
+    got = df.select(
+        sax_zeuclidean(F.col("za"), F.col("zb")).alias("g"),
+        sax_zeuclidean(F.col("za"), F.col("zb"), n=4).alias("f"),
+    ).collect()
+    for r in got:
+        assert (r["g"] is None) == (r["f"] is None), r
+        if r["g"] is not None:
+            assert r["g"] == r["f"], r
