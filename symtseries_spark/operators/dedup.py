@@ -1068,45 +1068,45 @@ def exact_substring_dedup(
         )
         .select("doc_id", "pos")
     )
-    covered = cut.select(
+    # Token cutting (r13 rewrite): the covered positions collapse to
+    # ONE per-doc set (a single doc-keyed exchange with map-side
+    # partial collect_set) and the surviving tokens are selected with
+    # a scan-stage array filter over the doc's own token array — the
+    # previous shape exploded EVERY corpus token a second time,
+    # left-anti-joined it against the covered positions, and rebuilt
+    # each document with a groupBy collect_list + array_sort: three
+    # corpus-token-scale exchanges where one cut-bounded one suffices
+    # (guide §2.3/§2.4). array_contains is a native (non-HOF-lambda)
+    # probe; the cut-position set is bounded by the doc's own length,
+    # the same per-doc bound the window explode already carries.
+    # Order/semantics unchanged: filter preserves token order (the old
+    # array_sort re-established it), n_removed = n_tokens - kept.
+    cov = cut.select(
         "doc_id",
         F.explode(
             F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
         ).alias("tpos"),
-    ).distinct()
-    ex_tok = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(toks).alias("__p0", "tok"),
-    ).select(
-        "doc_id", (F.col("__p0") + 1).cast("int").alias("tpos"), "tok"
-    )
-    kept = ex_tok.join(covered, ["doc_id", "tpos"], "left_anti")
-    keptagg = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("__n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("tpos"), F.col("tok")))
-                ),
-                lambda x: x["tok"],
+    ).groupBy("doc_id").agg(F.collect_set("tpos").alias("__cov"))
+    kept_arr = F.when(
+        F.col("__cov").isNull(), F.col("__t")
+    ).otherwise(
+        F.filter(
+            F.col("__t"),
+            lambda t, i: ~F.array_contains(
+                F.col("__cov"), (i + 1).cast("int")
             ),
-            " ",
-        ).alias("clean_text"),
+        )
     )
-    per_doc = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(toks).cast("long").alias("n_tokens"),
-    )
-    n_tokens = F.coalesce("n_tokens", F.lit(0))
     return (
-        per_doc.join(keptagg, "doc_id", "left")
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("__t"))
+        .join(cov, "doc_id", "left")
         .select(
             "doc_id",
-            n_tokens.alias("n_tokens"),
-            (n_tokens - F.coalesce("__n_kept", F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.size("__t").cast("long").alias("n_tokens"),
+            (F.size("__t") - F.size(kept_arr)).cast("long").alias(
+                "n_removed"
+            ),
+            F.array_join(kept_arr, " ").alias("clean_text"),
         )
     )
 
